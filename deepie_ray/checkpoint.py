@@ -1,0 +1,115 @@
+"""Stage checkpoints, per-partition lineage, resume (SURVEY §4, north
+rule: "resumable from checkpoint with per-partition lineage + metrics").
+
+Layout per stage::
+
+    <dir>/<stage>/data/*.parquet      partitioned output (atomic: written
+                                      to data.tmp/, renamed on success)
+    <dir>/<stage>/MANIFEST.json       {"complete": true, "rows": N,
+                                      "wall_ms": ..., "run_id": ...}
+    <dir>/lineage.parquet             appended (stage, part_id, rows_in,
+                                      rows_out, counters, wall_ms) rows
+
+``checkpoint_dataset`` is the resume point: if a complete manifest
+exists the stage's upstream lineage is *not executed at all* — the
+stream re-starts from the parquet files.  A mid-run kill leaves only a
+``data.tmp`` directory, which the next run overwrites.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray.data as rd
+
+from .schema import LINEAGE
+
+
+def _manifest_path(root: str, stage: str) -> str:
+    return os.path.join(root, stage, "MANIFEST.json")
+
+
+def stage_complete(root: str, stage: str) -> bool:
+    p = _manifest_path(root, stage)
+    if not os.path.exists(p):
+        return False
+    try:
+        with open(p) as f:
+            return bool(json.load(f).get("complete"))
+    except (json.JSONDecodeError, OSError):
+        return False
+
+
+def checkpoint_dataset(
+    ds: rd.Dataset,
+    root: str,
+    stage: str,
+    run_id: str | None = None,
+) -> rd.Dataset:
+    """Write ``ds`` to a stage checkpoint (unless already complete) and
+    return a dataset reading from it.  Atomic via tmp-dir rename."""
+    stage_dir = os.path.join(root, stage)
+    data_dir = os.path.join(stage_dir, "data")
+    if stage_complete(root, stage):
+        return rd.read_parquet(data_dir)
+
+    run_id = run_id or uuid.uuid4().hex[:12]
+    tmp_dir = os.path.join(stage_dir, "data.tmp")
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    os.makedirs(tmp_dir, exist_ok=True)
+    t0 = time.monotonic()
+    ds.write_parquet(tmp_dir)
+    wall_ms = int((time.monotonic() - t0) * 1000)
+
+    shutil.rmtree(data_dir, ignore_errors=True)
+    os.replace(tmp_dir, data_dir)
+    out = rd.read_parquet(data_dir)
+    rows = out.count()
+    append_lineage(
+        root,
+        [
+            {
+                "run_id": run_id,
+                "stage": stage,
+                "part_id": i,
+                "rows_in": -1,
+                "rows_out": pq.read_metadata(os.path.join(data_dir, f)).num_rows,
+                "counters": "{}",
+                "wall_ms": wall_ms,
+            }
+            for i, f in enumerate(sorted(os.listdir(data_dir)))
+            if f.endswith(".parquet")
+        ],
+    )
+    with open(_manifest_path(root, stage), "w") as f:
+        json.dump(
+            {"complete": True, "rows": rows, "wall_ms": wall_ms, "run_id": run_id},
+            f,
+        )
+    return out
+
+
+def append_lineage(root: str, rows: list[dict]) -> None:
+    """Append lineage rows (one parquet fragment per call — append-only,
+    safe under concurrent stages)."""
+    if not rows:
+        return
+    os.makedirs(os.path.join(root, "lineage"), exist_ok=True)
+    table = pa.Table.from_pylist(rows, schema=LINEAGE)
+    pq.write_table(
+        table, os.path.join(root, "lineage", uuid.uuid4().hex[:12] + ".parquet")
+    )
+
+
+def read_lineage(root: str) -> pa.Table:
+    d = os.path.join(root, "lineage")
+    if not os.path.isdir(d) or not os.listdir(d):
+        return pa.Table.from_pylist([], schema=LINEAGE)
+    return pq.read_table(d)

@@ -1,0 +1,142 @@
+"""Stage 4a: canonicalization — connected components over the alias
+graph (SURVEY §2.6 G3), as iterated min-label propagation on Ray Data.
+
+Algorithm (hash-to-min): every node starts labeled with itself; each
+round, every node takes the min label over itself and its neighbors;
+fixpoint <= diameter rounds (we iterate until a round changes nothing,
+bounded by ``max_iters``).  Each round is:
+
+    edges (u,v) + reversed -> join labels on the neighbor side
+    -> groupby(node).aggregate(Min(label))
+
+Both the join and the groupby are hash-partitioned by node, so a hot
+node (the skew knob's E000000) concentrates *edges*, not groups; the
+pre-aggregation inside ``min_label_round`` (a per-batch partial min)
+keeps the shuffle payload at one row per (node, partial-min) per block
+— the salted two-level aggregation pattern.
+
+``connected_components_driver`` is the small-graph fast path
+(union-find over a materialized edge list): correct whenever the edge
+list is post-aggregation small (the flagship's alias graph is
+vocabulary-bounded).  The distributed version exists for graphs that
+are not.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+from ray.data.aggregate import Min
+
+
+def _partial_min(batch: pa.Table) -> pa.Table:
+    """Per-batch combiner: one row per node with the local min label —
+    shrinks the shuffle before the global groupby (salt-free two-level
+    aggregation; correct because min is associative/commutative)."""
+    g = batch.group_by("node").aggregate([("label", "min")])
+    return pa.table({"node": g["node"], "label": g["label_min"]})
+
+
+def min_label_round(labels: rd.Dataset, edges: rd.Dataset, num_partitions: int) -> rd.Dataset:
+    """One propagation round. labels: (node, label); edges: (src, dst)."""
+    fwd = edges.map_batches(
+        lambda t: pa.table({"node": t["src"], "nbr": t["dst"]}),
+        batch_format="pyarrow",
+    )
+    rev = edges.map_batches(
+        lambda t: pa.table({"node": t["dst"], "nbr": t["src"]}),
+        batch_format="pyarrow",
+    )
+    nbrs = fwd.union(rev)
+    # neighbor label: join on the neighbor's node id
+    nbr_labels = nbrs.join(
+        labels,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("nbr",),
+        right_on=("node",),
+        right_suffix="_r",
+    ).map_batches(
+        lambda t: pa.table({"node": t["node"], "label": t["label"]}),
+        batch_format="pyarrow",
+    )
+    allrows = labels.union(nbr_labels).map_batches(
+        _partial_min, batch_format="pyarrow"
+    )
+    out = allrows.groupby("node").aggregate(Min("label", alias_name="label"))
+    return out
+
+
+def connected_components(
+    edges: rd.Dataset,
+    num_partitions: int = 16,
+    max_iters: int = 16,
+) -> rd.Dataset:
+    """edges (src:string, dst:string) -> (node, label) component map.
+
+    Iterates to fixpoint (checked via a tiny count aggregate per round:
+    rows whose label changed).  Each round materializes the label map —
+    it is one row per node, far smaller than the corpus.
+    """
+    nodes = (
+        edges.map_batches(
+            lambda t: pa.table(
+                {"node": pa.concat_arrays(
+                    [t["src"].combine_chunks(), t["dst"].combine_chunks()]
+                )}
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("node")
+        .count()
+    )
+    labels = nodes.map_batches(
+        lambda t: pa.table({"node": t["node"], "label": t["node"]}),
+        batch_format="pyarrow",
+    ).materialize()
+    for _ in range(max_iters):
+        new_labels = min_label_round(labels, edges, num_partitions).materialize()
+        # convergence: did any label change?  join old/new and compare
+        changed = (
+            new_labels.join(
+                labels,
+                join_type="inner",
+                num_partitions=num_partitions,
+                on=("node",),
+                right_suffix="_old",
+            )
+            .map_batches(
+                lambda t: pa.table(
+                    {"c": pc.cast(pc.not_equal(t["label"], t["label_old"]), pa.int64())}
+                ),
+                batch_format="pyarrow",
+            )
+            .sum("c")
+        )
+        old = labels
+        labels = new_labels
+        if not changed:
+            break
+    return labels
+
+
+def connected_components_driver(edge_list: list[tuple[str, str]]) -> dict[str, str]:
+    """Union-find fast path for post-aggregation-small graphs.
+    Canonical label = lexicographic min of the component (same fixpoint
+    as min-label propagation)."""
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edge_list:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return {n: find(n) for n in list(parent)}

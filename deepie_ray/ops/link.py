@@ -1,0 +1,84 @@
+"""Stage 3: entity linking as a broadcast map-join (SURVEY §2.5 J4).
+
+Pattern: the alias dictionary (small side) is materialized once on the
+driver from the corpus' *distinct* mention surfaces (a groupby-distinct
+over the triples — small output), scored (prior x embedding cosine),
+frozen into a plain dict, shipped via ``ray.put`` ONCE, and read in
+each actor's ``__init__`` — never re-shipped per batch and never a shuffle
+join.  At 100 TB the distinct-surface set is vocabulary-bounded (Heaps'
+law), so the broadcast side stays small even when the corpus does not.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from .linkref import alias_candidates, best_link
+from ..schema import ALIASES
+
+
+def build_alias_map(surfaces: list[str]) -> dict[str, tuple[str, str, float]]:
+    """surface -> (entity_id, entity_type, link_score), pre-scored."""
+    return {s: best_link(s) for s in surfaces}
+
+
+def alias_table(surfaces: list[str]) -> pa.Table:
+    """Materialized alias KB (FIXTURES.md F3 shape) for inspection /
+    queries; one row per (alias, candidate entity)."""
+    a, e, t, p = [], [], [], []
+    for s in sorted(surfaces):
+        for ent, etype, prior in alias_candidates(s):
+            a.append(s)
+            e.append(ent)
+            t.append(etype)
+            p.append(prior)
+    return pa.Table.from_arrays(
+        [
+            pa.array(a, pa.string()),
+            pa.array(e, pa.string()),
+            pa.array(t, pa.string()),
+            pa.array(p, pa.float32()),
+        ],
+        schema=ALIASES,
+    )
+
+
+class LinkEntities:
+    """Actor-pool stage: triples batch -> linked-triples batch.
+
+    ``alias_ref``: ObjectRef of the frozen alias map (ray.put on the
+    driver).  ``canon_ref``: optional ObjectRef of the canonical-id map
+    (entity -> component id) — when given, linking and
+    canonical-rewrite fuse into one pass so the triples stream is
+    touched once.
+    """
+
+    def __init__(self, alias_ref, canon_ref=None):
+        import ray
+
+        self.alias = ray.get(alias_ref) if alias_ref is not None else {}
+        self.canon = ray.get(canon_ref) if canon_ref is not None else {}
+
+    def _link(self, surface: str) -> tuple[str, str, float]:
+        hit = self.alias.get(surface)
+        if hit is None:  # unseen surface (never for in-corpus runs)
+            hit = best_link(surface)
+        ent, etype, score = hit
+        return self.canon.get(ent, ent), etype, score
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        subj = batch["subj"].to_pylist()
+        obj = batch["obj"].to_pylist()
+        se, oe, sc = [], [], []
+        for s, o in zip(subj, obj):
+            e1, _, s1 = self._link(s)
+            e2, _, _ = self._link(o)
+            se.append(e1)
+            oe.append(e2)
+            sc.append(s1)
+        out = batch.drop_columns(["prob"]) if "prob" in batch.column_names else batch
+        return (
+            out.append_column("subj_entity", pa.array(se, pa.string()))
+            .append_column("obj_entity", pa.array(oe, pa.string()))
+            .append_column("link_score", pa.array(sc, pa.float32()))
+        )

@@ -1,0 +1,198 @@
+"""Flagship KG-construction pipeline (BASELINE.json north_rule):
+
+    read documents (interleaved text+media spans)
+      -> map_batches(ExtractPairs)            stateless-ish actor pool
+      -> map_batches(MultiNNScorer)           stateful actor pool (weights)
+      -> filter NONE                          emitted triples
+      -> [checkpoint]
+      -> distinct surfaces -> alias map + connected components (small side)
+      -> map_batches(LinkEntities)            broadcast map-join + canonical rewrite
+      -> groupby dedup                        nodes + edges tables
+
+The stream stays lazy end-to-end; the only materialization points are
+(a) the emitted-triples checkpoint (consumed by three downstream
+branches — re-reading a checkpoint beats re-running parse+score three
+times, and it is the resume point), and (b) the vocabulary-bounded
+distinct-surface list (the broadcast small side).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+from ray.data.aggregate import Min, Sum
+
+from .features import entity_type_of
+from .ops.agg import grouped_count
+from .ops.canon import connected_components_driver
+from .ops.link import LinkEntities, build_alias_map
+from .ops.linkref import component_edges
+from .ops.parse import ExtractPairs
+from .ops.score import MultiNNScorer, drop_none
+from .synth import interleave_batch
+
+
+def read_documents(sf_dir: str) -> rd.Dataset:
+    """Driver flat documents parquet -> interleaved-span documents.
+
+    Column-pruned read (only doc_id/text leave storage); the
+    interleave transform is the deterministic synth mapping
+    (synth.py) standing in for a real Lance interleaved corpus.
+    """
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(interleave_batch, batch_format="pyarrow")
+
+
+def extract_triples(
+    docs: rd.Dataset,
+    weights_ref=None,
+    parse_concurrency: int | tuple = (1, 8),
+    score_concurrency: int | tuple = (1, 4),
+    score_batch_size: int = 4096,
+) -> rd.Dataset:
+    """documents -> scored pairs (TRIPLES schema, NONE rows included)."""
+    pairs = docs.map_batches(
+        ExtractPairs,
+        batch_format="pyarrow",
+        batch_size=512,
+        concurrency=parse_concurrency,
+    )
+    return pairs.map_batches(
+        MultiNNScorer,
+        fn_constructor_kwargs={"weights_ref": weights_ref},
+        batch_format="pyarrow",
+        batch_size=score_batch_size,
+        concurrency=score_concurrency,
+    )
+
+
+def emitted_triples(docs: rd.Dataset, weights_ref=None, **kw) -> rd.Dataset:
+    return extract_triples(docs, weights_ref, **kw).map_batches(
+        drop_none, batch_format="pyarrow"
+    )
+
+
+def _surface_batch(t: pa.Table) -> pa.Table:
+    return pa.table(
+        {
+            "surface": pa.concat_arrays(
+                [t["subj"].combine_chunks(), t["obj"].combine_chunks()]
+            )
+        }
+    )
+
+
+def distinct_surfaces(triples: rd.Dataset) -> list[str]:
+    """Distinct mention surfaces via combiner + groupby (A4 pattern,
+    deterministic sorted order — SURVEY §7.6.1)."""
+    surf = (
+        triples.map_batches(_surface_batch, batch_format="pyarrow")
+        .map_batches(
+            lambda t: pa.table({"surface": pc.unique(t["surface"].combine_chunks())}),
+            batch_format="pyarrow",
+        )
+        .groupby("surface")
+        .count()
+    )
+    return sorted(r["surface"] for r in surf.take_all())
+
+
+def build_graph(
+    linked: rd.Dataset,
+) -> tuple[rd.Dataset, rd.Dataset]:
+    """linked triples -> (nodes, edges) deduplicated tables (O5).
+
+    Both dedups are combiner-first grouped aggregations; the hot
+    canonical entity's partial rows are bounded by block count, not row
+    count (ops/agg.py).
+    """
+    edges = grouped_count(
+        linked, ["subj_entity", "pred_label", "obj_entity"], "weight"
+    )
+
+    def mention_rows(t: pa.Table) -> pa.Table:
+        ent = pa.concat_arrays(
+            [t["subj_entity"].combine_chunks(), t["obj_entity"].combine_chunks()]
+        )
+        surf = pa.concat_arrays(
+            [t["subj"].combine_chunks(), t["obj"].combine_chunks()]
+        )
+        g = pa.table({"entity_id": ent, "surface": surf}).group_by(
+            ["entity_id"]
+        ).aggregate([("surface", "min"), ([], "count_all")])
+        return pa.table(
+            {
+                "entity_id": g["entity_id"],
+                "surface": g["surface_min"],
+                "n_mentions": g["count_all"],
+            }
+        )
+
+    node_partials = linked.map_batches(mention_rows, batch_format="pyarrow")
+    nodes = node_partials.groupby("entity_id").aggregate(
+        Min("surface", alias_name="surface"),
+        Sum("n_mentions", alias_name="n_mentions"),
+    )
+
+    def add_type(t: pa.Table) -> pa.Table:
+        types = pa.array(
+            [entity_type_of(s) or "Other" for s in t["surface"].to_pylist()],
+            pa.string(),
+        )
+        return pa.table(
+            {
+                "entity_id": t["entity_id"],
+                "surface": t["surface"],
+                "entity_type": types,
+                "n_mentions": pc.cast(t["n_mentions"], pa.int64()),
+            }
+        )
+
+    nodes = nodes.map_batches(add_type, batch_format="pyarrow")
+    return nodes, edges
+
+
+def run_kg(
+    sf_dir: str,
+    checkpoint_dir: str | None = None,
+    **extract_kw,
+) -> dict[str, rd.Dataset]:
+    """Full pipeline.  Returns {'triples', 'linked', 'nodes', 'edges'}.
+
+    With ``checkpoint_dir`` the emitted triples are written to
+    partitioned parquet and re-read (resume point); without it they are
+    pinned in the object store (small-scale runs).
+    """
+    docs = read_documents(sf_dir)
+    triples = emitted_triples(docs, **extract_kw)
+    if checkpoint_dir:
+        from .checkpoint import checkpoint_dataset
+
+        triples = checkpoint_dataset(triples, checkpoint_dir, "triples")
+    else:
+        triples = triples.materialize()
+
+    surfaces = distinct_surfaces(triples)
+    alias_map = build_alias_map(surfaces)
+    canon_map = connected_components_driver(component_edges(surfaces))
+    alias_ref = ray.put(alias_map)
+    canon_ref = ray.put(canon_map)
+
+    linked = triples.map_batches(
+        LinkEntities,
+        fn_constructor_kwargs={"alias_ref": alias_ref, "canon_ref": canon_ref},
+        batch_format="pyarrow",
+        batch_size=8192,
+        concurrency=(1, 8),
+    )
+    if checkpoint_dir:
+        from .checkpoint import checkpoint_dataset
+
+        linked = checkpoint_dataset(linked, checkpoint_dir, "linked")
+    else:
+        linked = linked.materialize()
+    nodes, edges = build_graph(linked)
+    return {"triples": triples, "linked": linked, "nodes": nodes, "edges": edges}

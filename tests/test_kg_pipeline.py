@@ -1,0 +1,118 @@
+"""End-to-end parity: Ray pipeline == single-threaded oracle (SURVEY §5).
+
+The north-rule gates: triple P/R >= 0.95 vs the reference-semantics
+oracle (expected exactly 1.0 — same seeded math) and per-row
+span-sequence equality through the pipeline.
+"""
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+import ray.data as rd
+
+from deepie_ray import pipeline, synth
+from deepie_ray.oracle import kg as oracle
+
+
+@pytest.fixture(scope="module")
+def docs_table():
+    return synth.generate_documents(120, seed=42)
+
+
+@pytest.fixture(scope="module")
+def kg_result(docs_table):
+    docs = rd.from_arrow(docs_table)
+    triples = pipeline.emitted_triples(docs).materialize()
+    return triples
+
+
+def test_triples_match_oracle_exactly(docs_table, kg_result):
+    gold = oracle.oracle_emitted_triples(docs_table)
+    pred = kg_result.to_pandas()
+    prf = oracle.micro_prf(
+        pa.Table.from_pandas(pred[["pair_id", "pred_label"]]),
+        gold.select(["pair_id", "pred_label"]),
+    )
+    assert prf["n_gold"] > 50, "oracle produced too few triples to be meaningful"
+    assert prf["precision"] == 1.0 and prf["recall"] == 1.0, prf
+
+
+def test_triple_payload_matches_oracle(docs_table, kg_result):
+    gold = oracle.oracle_emitted_triples(docs_table).to_pandas()
+    pred = kg_result.to_pandas().sort_values("pair_id").reset_index(drop=True)
+    gold = gold.sort_values("pair_id").reset_index(drop=True)
+    for col in ["doc_id", "subj", "subj_type", "pred_label", "obj", "obj_type"]:
+        assert pred[col].tolist() == gold[col].tolist(), col
+    import numpy as np
+
+    gp = np.array(gold["prob"].tolist())
+    pp = np.array(pred["prob"].tolist())
+    assert np.allclose(gp, pp, atol=1e-5)
+
+
+def test_span_sequence_invariant(docs_table):
+    """The parse stage reads spans; the document stream itself must pass
+    through bit-identical (kind, text, media_ref, order)."""
+    docs = rd.from_arrow(docs_table)
+    # identity pass through the pipeline's own batch path
+    out = docs.map_batches(lambda t: t, batch_format="pyarrow").take_all()
+    by_id = {r["doc_id"]: r["spans"] for r in out}
+    for did, spans in zip(
+        docs_table["doc_id"].to_pylist(), docs_table["spans"].to_pylist()
+    ):
+        got = by_id[did]
+        assert [(s["kind"], s["text"], s["media_ref"]) for s in got] == [
+            (s["kind"], s["text"], s["media_ref"]) for s in spans
+        ]
+        offs = [s["offset"] for s in got]
+        assert offs == sorted(offs)
+
+
+def test_full_kg_matches_oracle(docs_table, tmp_path):
+    import ray
+
+    docs = rd.from_arrow(docs_table)
+    triples = pipeline.emitted_triples(docs).materialize()
+    surfaces = pipeline.distinct_surfaces(triples)
+    from deepie_ray.ops.canon import connected_components_driver
+    from deepie_ray.ops.link import LinkEntities, build_alias_map
+    from deepie_ray.ops.linkref import component_edges
+
+    alias_ref = ray.put(build_alias_map(surfaces))
+    canon_ref = ray.put(connected_components_driver(component_edges(surfaces)))
+    linked = triples.map_batches(
+        LinkEntities,
+        fn_constructor_kwargs={"alias_ref": alias_ref, "canon_ref": canon_ref},
+        batch_format="pyarrow",
+        concurrency=2,
+    ).materialize()
+    nodes, edges = pipeline.build_graph(linked)
+
+    gold = oracle.oracle_kg(docs_table)
+    # edges: exact multiset equality
+    ge = gold["edges"].to_pandas()
+    pe = edges.to_pandas().sort_values(
+        ["subj_entity", "pred_label", "obj_entity"]
+    ).reset_index(drop=True)
+    ge = ge.sort_values(["subj_entity", "pred_label", "obj_entity"]).reset_index(
+        drop=True
+    )
+    assert pe["subj_entity"].tolist() == ge["subj_entity"].tolist()
+    assert pe["weight"].tolist() == ge["weight"].tolist()
+    # nodes: same ids, surfaces, mention counts
+    gn = gold["nodes"].to_pandas().sort_values("entity_id").reset_index(drop=True)
+    pn = nodes.to_pandas().sort_values("entity_id").reset_index(drop=True)
+    assert pn["entity_id"].tolist() == gn["entity_id"].tolist()
+    assert pn["surface"].tolist() == gn["surface"].tolist()
+    assert pn["n_mentions"].tolist() == gn["n_mentions"].tolist()
+
+
+def test_hot_entity_skew_present(docs_table):
+    """The skew knob must actually fire: the hot entity exists and is
+    among the highest-degree nodes."""
+    gold = oracle.oracle_kg(docs_table)
+    nodes = gold["nodes"].to_pandas()
+    hot = nodes[nodes.entity_id == "E000000"]
+    assert len(hot) == 1
+    assert hot.iloc[0]["n_mentions"] >= nodes["n_mentions"].median()
