@@ -1,16 +1,15 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the Ray-Data-native KG engine (deepie_ray).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver initialises Ray BEFORE importing this module; nothing here
+(or in deepie_ray) calls ray.init/ray.shutdown.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``queries()`` covers the operator inventory of SURVEY.md §2 plus the
+training-data-pipeline operators (dedup family, ANN, text analysis,
+windows, as-of join); ``oracle_sql()`` provides DuckDB twins for every
+SQL-expressible query.  Non-SQL-expressible ops (the seeded neural KG
+pipeline, LSH/SimHash clustering, language-ID heuristic) are
+rows-only-checked here and exactly oracle-checked in tests/ against the
+in-repo single-threaded oracle (deepie_ray/oracle/kg.py).
 """
 
 from __future__ import annotations
@@ -18,27 +17,223 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+from deepie_ray import queries as Q
+
+_STOP_LIST_SQL = "('the','a','an','of','to','and','in','is','it','for')"
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship KG pipeline on sf0.001: emitted triples dataset."""
+    from deepie_ray import pipeline
+
+    docs = pipeline.read_documents("/root/testdata/sf0.001")
+    return pipeline.emitted_triples(docs)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # relational (SURVEY §2.4-2.7)
+        "q1_pricing_summary": Q.q1_pricing_summary,
+        "q3_top_revenue_orders": Q.q3_top_revenue_orders,
+        "q5_region_revenue": Q.q5_region_revenue,
+        "agg_orders_by_status": Q.agg_orders_by_status,
+        "top10_customers_by_spend": Q.top10_customers_by_spend,
+        "filter_highvalue_orders": Q.filter_highvalue_orders,
+        "part_brand_stats": Q.part_brand_stats,
+        "distinct_mktsegments": Q.distinct_mktsegments,
+        "supplier_nation_balance": Q.supplier_nation_balance,
+        # events / windows / as-of
+        "events_tumbling_1h": Q.events_tumbling_1h,
+        "events_sliding_1h_30m": Q.events_sliding_1h_30m,
+        "events_sessions": Q.events_sessions,
+        "events_topk_users": Q.events_topk_users,
+        "asof_events_orders": Q.asof_events_orders,
+        # text analysis
+        "text_token_counts": Q.text_token_counts,
+        "text_quality": Q.text_quality,
+        "doc_fingerprints": Q.doc_fingerprints,
+        "word_count_global": Q.word_count_global,
+        "lang_id": Q.lang_id,
+        # dedup family
+        "dedup_exact_documents": Q.dedup_exact_documents,
+        "minhash_dedup_documents": Q.minhash_dedup_documents,
+        "simhash_signatures": Q.simhash_signatures,
+        "simhash_neardup": Q.simhash_neardup,
+        "embedding_neardup": Q.embedding_neardup,
+        # similarity search
+        "ann_topk": Q.ann_topk,
+        "ann_topk_lsh": Q.ann_topk_lsh,
+        # flagship KG pipeline
+        "kg_triples": Q.kg_triples,
+        "kg_nodes": Q.kg_nodes,
+        "kg_edges": Q.kg_edges,
+        "media_span_stats": Q.media_span_stats,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2)                          AS sum_qty,
+                   round(sum(l_extendedprice), 2)                     AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)  AS sum_disc_price,
+                   count(*)::BIGINT                                   AS count_order
+            FROM lineitem
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "q3_top_revenue_orders": """
+            SELECT o.o_orderkey,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+            FROM customer c
+            JOIN orders o   ON c.c_custkey = o.o_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            WHERE c.c_mktsegment = 'BUILDING'
+            GROUP BY o.o_orderkey
+            ORDER BY sum(l.l_extendedprice * (1 - l.l_discount)) DESC, o.o_orderkey
+            LIMIT 10
+        """,
+        "q5_region_revenue": """
+            SELECT n.n_name,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+            FROM customer c
+            JOIN orders o   ON c.c_custkey = o.o_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n   ON c.c_nationkey = n.n_nationkey
+            JOIN region r   ON n.n_regionkey = r.r_regionkey
+            WHERE r.r_name = 'AMERICA' AND s.s_nationkey = c.c_nationkey
+            GROUP BY n.n_name
+        """,
+        "agg_orders_by_status": """
+            SELECT o_orderstatus,
+                   round(sum(o_totalprice), 2) AS total_price,
+                   count(*)::BIGINT            AS n_orders
+            FROM orders GROUP BY o_orderstatus
+        """,
+        "top10_customers_by_spend": """
+            SELECT c.c_custkey, c.c_name, round(sum(o.o_totalprice), 2) AS spend
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_custkey, c.c_name
+            ORDER BY sum(o.o_totalprice) DESC, c.c_custkey LIMIT 10
+        """,
+        "filter_highvalue_orders": """
+            SELECT o_orderkey, o_custkey, o_totalprice
+            FROM orders WHERE o_totalprice > 450000.0
+        """,
+        "part_brand_stats": """
+            SELECT p_brand,
+                   round(sum(p_retailprice), 2) AS sum_price,
+                   max(p_size)                  AS max_size,
+                   count(*)::BIGINT             AS n_parts
+            FROM part GROUP BY p_brand
+        """,
+        "distinct_mktsegments": """
+            SELECT DISTINCT c_mktsegment FROM customer
+        """,
+        "supplier_nation_balance": """
+            SELECT n.n_name, round(sum(s.s_acctbal), 2) AS total_balance,
+                   count(*)::BIGINT AS n_suppliers
+            FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+            GROUP BY n.n_name
+        """,
+        "events_tumbling_1h": """
+            SELECT event_type,
+                   (epoch_us(ts) // 3600000000) * 3600    AS window_start,
+                   count(*)::BIGINT                        AS n_events,
+                   round(sum(value), 2)                    AS sum_value
+            FROM events GROUP BY event_type, window_start
+        """,
+        "events_sliding_1h_30m": """
+            SELECT event_type, window_start, count(*)::BIGINT AS n_events,
+                   round(sum(value), 2) AS sum_value
+            FROM (
+              SELECT event_type, value,
+                     unnest([(epoch_us(ts) // 1800000000) * 1800,
+                             (epoch_us(ts) // 1800000000) * 1800 - 1800]) AS window_start
+              FROM events
+            ) GROUP BY event_type, window_start
+        """,
+        "events_sessions": """
+            SELECT user_id,
+                   sum(CASE WHEN new_s THEN 1 ELSE 0 END)::BIGINT AS n_sessions,
+                   count(*)::BIGINT                               AS n_events
+            FROM (
+              SELECT user_id,
+                     (lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                      OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         > INTERVAL '30 minutes') AS new_s
+              FROM events
+            ) GROUP BY user_id
+        """,
+        "events_topk_users": """
+            SELECT user_id, count(*)::BIGINT AS n_events
+            FROM events GROUP BY user_id
+            ORDER BY count(*) DESC, user_id LIMIT 10
+        """,
+        "asof_events_orders": """
+            SELECT event_id, o_orderkey FROM (
+              SELECT e.event_id, o.o_orderkey,
+                     row_number() OVER (
+                       PARTITION BY e.event_id
+                       ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+              FROM events e
+              JOIN orders o ON e.user_id = o.o_custkey
+                            AND o.o_orderdate <= e.ts
+            ) WHERE rn = 1
+        """,
+        "text_token_counts": r"""
+            SELECT doc_id,
+                   len(regexp_split_to_array(text, '\s+'))::BIGINT AS n_tokens
+            FROM documents
+        """,
+        "text_quality": r"""
+            SELECT doc_id,
+                   length(text)::BIGINT AS n_chars_m,
+                   len(regexp_extract_all(text, '[^\w\s]'))::BIGINT AS n_punct,
+                   len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                   x -> x <> ''))::BIGINT AS n_words,
+                   len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                   x -> x IN """ + _STOP_LIST_SQL + r"""))::BIGINT AS n_stopwords
+            FROM documents
+        """,
+        "doc_fingerprints": """
+            SELECT doc_id, md5(lower(text)) AS fingerprint FROM documents
+        """,
+        "word_count_global": r"""
+            SELECT word, count(*)::BIGINT AS n FROM (
+              SELECT unnest(regexp_split_to_array(text, '\s+')) AS word
+              FROM documents
+            ) GROUP BY word
+        """,
+        "dedup_exact_documents": """
+            SELECT md5(text) AS fingerprint,
+                   min(doc_id)::BIGINT AS doc_id,
+                   count(*)::BIGINT    AS n_dupes
+            FROM documents GROUP BY md5(text)
+        """,
+        "embedding_neardup": """
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+            FROM (SELECT vec_id, embedding::DOUBLE[] e FROM embeddings) a,
+                 (SELECT vec_id, embedding::DOUBLE[] e FROM embeddings) b
+            WHERE a.vec_id < b.vec_id
+              AND list_cosine_similarity(a.e, b.e) >= 0.35
+        """,
+        "ann_topk": """
+            SELECT query_id, neighbor_id, rank FROM (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(q.e, c.e) DESC,
+                                c.vec_id ASC) AS rank
+              FROM (SELECT vec_id, embedding::DOUBLE[] e FROM embeddings
+                    WHERE vec_id < 5) q,
+                   (SELECT vec_id, embedding::DOUBLE[] e FROM embeddings) c
+              WHERE q.vec_id <> c.vec_id
+            ) WHERE rank <= 10
+        """,
+        # rows-only (no SQL twin): lang_id, minhash_dedup_documents,
+        # simhash_signatures, simhash_neardup, ann_topk_lsh, kg_triples,
+        # kg_nodes, kg_edges, media_span_stats — checked against the
+        # in-repo oracle by pytest instead.
+    }

@@ -1,0 +1,166 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+Baseline: brute-force cosine top-k — the query matrix (small side) is
+broadcast via ``ray.put`` once; every batch does one numpy matmul
+against it and emits its local top-k per query; a final groupby-merge
+keeps the global top-k.  The corpus side streams — nothing is ever
+materialized.
+
+Scale path: LSH hyperplane bucketing (``HyperplaneLSH``): corpus and
+queries are both bucketed by sign-pattern; only same-bucket (and
+optionally neighboring-bucket) candidates are scored.  Trades recall
+for a ~2^bits fan-in reduction; the bucketing is a deterministic
+function of the vector, so it shards and resumes cleanly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+
+def _to_matrix(col) -> np.ndarray:
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    flat = arr.values.to_numpy(zero_copy_only=False).astype(np.float64)
+    n = len(arr)
+    return flat.reshape(n, -1)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+class BruteForceTopK:
+    """Batch stage: emit per-batch local top-k (query_id, neighbor_id,
+    cosine) rows; merge with ``merge_topk`` downstream."""
+
+    def __init__(self, queries_ref, k: int, exclude_self: bool = True):
+        import ray
+
+        qids, qmat = ray.get(queries_ref)
+        self.qids = np.asarray(qids)
+        self.Q = _normalize(np.asarray(qmat, dtype=np.float64))
+        self.k = k
+        self.exclude_self = exclude_self
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        M = _normalize(_to_matrix(batch["embedding"]))
+        ids = batch["vec_id"].to_numpy()
+        sims = self.Q @ M.T  # (nq, nb)
+        if self.exclude_self:
+            mask = self.qids[:, None] == ids[None, :]
+            sims = np.where(mask, -2.0, sims)
+        k = min(self.k, sims.shape[1])
+        idx = np.argpartition(-sims, kth=k - 1, axis=1)[:, :k]
+        rows_q = np.repeat(self.qids, k)
+        rows_n = ids[idx.ravel()]
+        rows_s = np.take_along_axis(sims, idx, axis=1).ravel()
+        keep = rows_s > -2.0
+        return pa.table(
+            {
+                "query_id": pa.array(rows_q[keep], pa.int64()),
+                "neighbor_id": pa.array(rows_n[keep], pa.int64()),
+                "cosine": pa.array(rows_s[keep], pa.float64()),
+            }
+        )
+
+
+def merge_topk(partials: rd.Dataset, k: int) -> rd.Dataset:
+    """(query_id, neighbor_id, cosine) partials -> global top-k per
+    query with rank (1-based; ties broken by neighbor_id asc)."""
+
+    def top(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["cosine", "neighbor_id"], ascending=[False, True]
+        ).head(k)
+        df = df.reset_index(drop=True)
+        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        return df[["query_id", "neighbor_id", "rank"]]
+
+    return partials.groupby("query_id").map_groups(top, batch_format="pandas")
+
+
+def brute_force_topk(
+    corpus: rd.Dataset,
+    query_ids: np.ndarray,
+    query_matrix: np.ndarray,
+    k: int = 10,
+) -> rd.Dataset:
+    import ray
+
+    qref = ray.put((query_ids, query_matrix))
+    partials = corpus.map_batches(
+        BruteForceTopK,
+        fn_constructor_kwargs={"queries_ref": qref, "k": k},
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=(1, 8),
+    )
+    return merge_topk(partials, k)
+
+
+class HyperplaneLSH:
+    """Sign-pattern bucketing: bucket = bits of sign(R @ v)."""
+
+    def __init__(self, dim: int, n_bits: int = 8, seed: int = 1234):
+        rng = np.random.default_rng(seed)
+        self.R = rng.standard_normal((n_bits, dim))
+
+    def bucket(self, M: np.ndarray) -> np.ndarray:
+        signs = (self.R @ M.T) > 0  # (bits, n)
+        return (signs.T @ (1 << np.arange(self.R.shape[0]))).astype(np.int64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        M = _normalize(_to_matrix(batch["embedding"]))
+        return batch.append_column("bucket", pa.array(self.bucket(M), pa.int64()))
+
+
+def lsh_topk(
+    corpus: rd.Dataset,
+    query_ids: np.ndarray,
+    query_matrix: np.ndarray,
+    k: int = 10,
+    n_bits: int = 6,
+    seed: int = 1234,
+) -> rd.Dataset:
+    """Bucketed ANN: score only corpus vectors whose bucket matches some
+    query's bucket.  Approximate (recall < 1); deterministic."""
+    import ray
+
+    dim = query_matrix.shape[1]
+    lsh = HyperplaneLSH(dim, n_bits, seed)
+    q_buckets = set(lsh.bucket(_normalize(np.asarray(query_matrix, np.float64))))
+    bref = ray.put(q_buckets)
+    qref = ray.put((query_ids, query_matrix))
+
+    class BucketFilterTopK(BruteForceTopK):
+        def __init__(self):
+            super().__init__(qref, k)
+            self.lsh = HyperplaneLSH(dim, n_bits, seed)
+            self.q_buckets = ray.get(bref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            M = _normalize(_to_matrix(batch["embedding"]))
+            buckets = self.lsh.bucket(M)
+            keep = np.fromiter(
+                (b in self.q_buckets for b in buckets), bool, len(buckets)
+            )
+            if not keep.any():
+                return pa.table(
+                    {
+                        "query_id": pa.array([], pa.int64()),
+                        "neighbor_id": pa.array([], pa.int64()),
+                        "cosine": pa.array([], pa.float64()),
+                    }
+                )
+            return super().__call__(batch.filter(pa.array(keep)))
+
+    partials = corpus.map_batches(
+        BucketFilterTopK, batch_format="pyarrow", batch_size=4096, concurrency=(1, 8)
+    )
+    return merge_topk(partials, k)

@@ -1,0 +1,354 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Exact dedup: content-hash column (vectorized) -> grouped first-row.
+Near-dup:    MinHash+LSH, SimHash, n-gram Jaccard, embedding cosine.
+
+Scale notes (the part that matters at 100 TB):
+* Exact dedup shuffles one (hash, doc_id) row per doc after a per-batch
+  combiner — never the document bodies.
+* MinHash-LSH explodes each doc into B band rows (B ~ 16), groups by
+  (band, band_hash) — the only all-to-all — then verifies candidate
+  pairs and resolves clusters by min-label union.  Buckets with a
+  single member are dropped inside the group task, so the verify stage
+  sees only true candidates.
+* SimHash buckets by the 64-bit signature's band bytes, same pattern.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+from ray.data.aggregate import Count, Min
+
+from ..hashing import fingerprint64, md5_hex, stable_u32
+
+# ------------------------------------------------------------ exact dedup
+
+
+def exact_dedup_keys(ds: rd.Dataset, text_col: str = "text", id_col: str = "doc_id") -> rd.Dataset:
+    """-> (fingerprint, doc_id=min id, n_dupes) — one row per distinct
+    content.  Combiner-first: per-batch min/count, then global groupby."""
+
+    def fp(batch: pa.Table) -> pa.Table:
+        fps = [md5_hex((t or "")) for t in batch[text_col].to_pylist()]
+        return pa.table({"fingerprint": pa.array(fps), id_col: batch[id_col]})
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("fingerprint").aggregate(
+            [(id_col, "min"), ([], "count_all")]
+        )
+        return pa.table(
+            {
+                "fingerprint": g["fingerprint"],
+                id_col: g[f"{id_col}_min"],
+                "n_dupes": g["count_all"],
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(fp, batch_format="pyarrow")
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("fingerprint")
+        .aggregate(Min(id_col, alias_name=id_col), Sum("n_dupes", alias_name="n_dupes"))
+    )
+
+
+# ------------------------------------------------------------ MinHash LSH
+
+N_PERM = 64
+N_BANDS = 16  # 4 rows per band
+_ROWS_PER_BAND = N_PERM // N_BANDS
+# 2^31-1: products a*x stay < 2^62, exact in int64 (no overflow UB)
+_MERSENNE = (1 << 31) - 1
+
+
+def _perm_params(n_perm: int = N_PERM, seed: int = 97) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, n_perm, dtype=np.int64)
+    b = rng.integers(0, _MERSENNE, n_perm, dtype=np.int64)
+    return a, b
+
+
+def shingles(text: str, k: int = 3) -> set[int]:
+    """Word k-shingles as stable 32-bit hashes."""
+    toks = (text or "").lower().split()
+    if len(toks) < k:
+        return {stable_u32(" ".join(toks), "sh:")} if toks else set()
+    return {
+        stable_u32(" ".join(toks[i : i + k]), "sh:")
+        for i in range(len(toks) - k + 1)
+    }
+
+
+def minhash_signature(sh: set[int], a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(a*x + b) mod p minwise signature, vectorized over permutations."""
+    if not sh:
+        return np.full(len(a), _MERSENNE, dtype=np.int64)
+    x = np.fromiter(sh, dtype=np.int64, count=len(sh)) % _MERSENNE
+    vals = (np.multiply.outer(a, x) + b[:, None]) % _MERSENNE  # (P, S)
+    return vals.min(axis=1)
+
+
+class MinHashBands:
+    """documents batch -> (band, band_hash, doc_id) rows for LSH grouping."""
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
+        self.a, self.b = _perm_params()
+        self.text_col, self.id_col = text_col, id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_pylist()
+        texts = batch[self.text_col].to_pylist()
+        band_ids, band_hashes, doc_ids = [], [], []
+        for did, text in zip(ids, texts):
+            sig = minhash_signature(shingles(text), self.a, self.b)
+            for band in range(N_BANDS):
+                chunk = sig[band * _ROWS_PER_BAND : (band + 1) * _ROWS_PER_BAND]
+                band_ids.append(band)
+                band_hashes.append(fingerprint64("|".join(map(str, chunk))))
+                doc_ids.append(did)
+        return pa.table(
+            {
+                "band": pa.array(band_ids, pa.int32()),
+                "band_hash": pa.array(band_hashes, pa.int64()),
+                "doc_id": pa.array(doc_ids),
+            }
+        )
+
+
+def _bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+    """LSH bucket -> candidate pairs (skip singletons; cap giant buckets
+    by pairing against the bucket min — transitive closure recovers the
+    rest, and a hot bucket stays O(n) instead of O(n^2))."""
+    ids = sorted(set(df["doc_id"]))
+    if len(ids) < 2:
+        e = pd.Series([], dtype=df["doc_id"].dtype)
+        return pd.DataFrame({"id_a": e, "id_b": e})
+    if len(ids) > 64:
+        lo = ids[0]
+        return pd.DataFrame({"id_a": [lo] * (len(ids) - 1), "id_b": ids[1:]})
+    pairs = [(ids[i], ids[j]) for i in range(len(ids)) for j in range(i + 1, len(ids))]
+    return pd.DataFrame({"id_a": [p[0] for p in pairs], "id_b": [p[1] for p in pairs]})
+
+
+def minhash_candidate_pairs(ds: rd.Dataset, text_col: str = "text", id_col: str = "doc_id") -> rd.Dataset:
+    """documents -> distinct candidate (id_a, id_b) pairs via LSH."""
+    bands = ds.map_batches(
+        MinHashBands,
+        fn_constructor_kwargs={"text_col": text_col, "id_col": id_col},
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+    pairs = bands.groupby(["band", "band_hash"]).map_groups(
+        _bucket_pairs, batch_format="pandas"
+    )
+    return pairs.groupby(["id_a", "id_b"]).count().drop_columns(["count()"])
+
+
+class JaccardVerify:
+    """Candidate pairs -> verified near-dups (true n-gram Jaccard).
+
+    Holds a broadcast {doc_id: shingle-set} for the *candidate* docs
+    only (the small side after LSH pruning).  For corpora where even
+    that is large, shard the dict by hash(doc_id) and run one verify
+    pass per shard.
+    """
+
+    def __init__(self, shingle_ref, threshold: float = 0.7):
+        import ray
+
+        self.shingles = ray.get(shingle_ref)
+        self.threshold = threshold
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        a = batch["id_a"].to_pylist()
+        b = batch["id_b"].to_pylist()
+        keep_a, keep_b, sims = [], [], []
+        for x, y in zip(a, b):
+            sa, sb = self.shingles.get(x), self.shingles.get(y)
+            if not sa or not sb:
+                continue
+            inter = len(sa & sb)
+            union = len(sa) + len(sb) - inter
+            j = inter / union if union else 0.0
+            if j >= self.threshold:
+                keep_a.append(x)
+                keep_b.append(y)
+                sims.append(round(j, 6))
+        id_type = batch.schema.field("id_a").type
+        return pa.table(
+            {
+                "id_a": pa.array(keep_a, id_type),
+                "id_b": pa.array(keep_b, id_type),
+                "jaccard": pa.array(sims, pa.float64()),
+            }
+        )
+
+
+def minhash_dedup(
+    ds: rd.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+) -> rd.Dataset:
+    """Full MinHash-LSH near-dedup: -> (doc_id, cluster_id) for docs in
+    near-dup clusters (cluster_id = min doc_id of the component)."""
+    import ray
+
+    cands = minhash_candidate_pairs(ds, text_col, id_col).materialize()
+    # shingle sets of CANDIDATE docs only: broadcast the candidate-id
+    # set, compute shingles distributed, collect the (small) result
+    cand_ids = set()
+    for row in cands.take_all():
+        cand_ids.add(row["id_a"])
+        cand_ids.add(row["id_b"])
+    cand_ref = ray.put(cand_ids)
+
+    def cand_shingles(batch: pa.Table) -> pa.Table:
+        want = ray.get(cand_ref)
+        ids, shs = [], []
+        for did, text in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
+            if did in want:
+                ids.append(did)
+                shs.append(list(shingles(text)))
+        return pa.table(
+            {
+                id_col: pa.array(ids, batch.schema.field(id_col).type),
+                "sh": pa.array(shs, pa.list_(pa.int64())),
+            }
+        )
+
+    sh_map = {
+        r[id_col]: set(r["sh"])
+        for r in ds.map_batches(cand_shingles, batch_format="pyarrow").take_all()
+    }
+    verified = cands.map_batches(
+        JaccardVerify,
+        fn_constructor_kwargs={"shingle_ref": ray.put(sh_map), "threshold": threshold},
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    ).materialize()
+    # connected components over verified pairs (small side)
+    from .canon import connected_components_driver
+
+    edges = [(str(r["id_a"]), str(r["id_b"])) for r in verified.take_all()]
+    comp = connected_components_driver(edges)
+    rows = sorted((k, v) for k, v in comp.items())
+    return rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": [r[0] for r in rows],
+                "cluster_id": [r[1] for r in rows],
+            }
+        )
+    )
+
+
+# --------------------------------------------------------------- SimHash
+
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash over word features (unweighted), vectorized over
+    the token set's bit matrix."""
+    toks = set((text or "").lower().split())
+    if not toks:
+        return 0
+    hs = np.array(
+        [fingerprint64("simh:" + t) for t in toks], dtype=np.int64
+    ).view(np.uint64)
+    bits = (hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
+    acc = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+    word = np.uint64(0)
+    for i in np.nonzero(acc > 0)[0]:
+        word |= np.uint64(1) << np.uint64(i)
+    out = int(word)
+    return out - (1 << 64) if out >= (1 << 63) else out
+
+
+def simhash_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    sh = [simhash64(t) for t in batch[text_col].to_pylist()]
+    return pa.table({"doc_id": batch["doc_id"], "simhash": pa.array(sh, pa.int64())})
+
+
+def simhash_neardup_pairs(ds: rd.Dataset, max_hamming: int = 3) -> rd.Dataset:
+    """SimHash near-dup: band the 64-bit signature into 4 x 16-bit
+    blocks (pigeonhole: hamming<=3 => at least one identical block),
+    group by (block_idx, block_value), verify hamming inside groups."""
+    def explode(batch: pa.Table) -> pa.Table:
+        sh = simhash_batch(batch)
+        ids = sh["doc_id"].to_pylist()
+        sigs = sh["simhash"].to_pylist()
+        bi, bv, did, s = [], [], [], []
+        for d, sig in zip(ids, sigs):
+            u = sig & 0xFFFFFFFFFFFFFFFF
+            for blk in range(4):
+                bi.append(blk)
+                bv.append((u >> (16 * blk)) & 0xFFFF)
+                did.append(d)
+                s.append(sig)
+        return pa.table(
+            {
+                "block_idx": pa.array(bi, pa.int32()),
+                "block_val": pa.array(bv, pa.int32()),
+                "doc_id": pa.array(did),
+                "simhash": pa.array(s, pa.int64()),
+            }
+        )
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        recs = sorted(set(zip(df["doc_id"], df["simhash"])))
+        out_a, out_b, ham = [], [], []
+        for i in range(len(recs)):
+            for j in range(i + 1, len(recs)):
+                d = bin((recs[i][1] ^ recs[j][1]) & 0xFFFFFFFFFFFFFFFF).count("1")
+                if d <= max_hamming:
+                    out_a.append(recs[i][0])
+                    out_b.append(recs[j][0])
+                    ham.append(d)
+        return pd.DataFrame({"id_a": out_a, "id_b": out_b, "hamming": ham})
+
+    pairs = (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby(["block_idx", "block_val"])
+        .map_groups(verify, batch_format="pandas")
+    )
+    return pairs.groupby(["id_a", "id_b"]).aggregate(Min("hamming", alias_name="hamming"))
+
+
+# ------------------------------------------------- embedding near-dup
+
+
+class EmbeddingNearDup:
+    """Brute-force cosine near-dup inside batches against a broadcast
+    matrix (the scale path buckets by LSH hyperplanes first; see
+    ops/ann.py)."""
+
+    def __init__(self, matrix_ref, ids_ref, threshold: float):
+        import ray
+
+        self.M = ray.get(matrix_ref)          # (N, D) L2-normalized float64
+        self.ids = ray.get(ids_ref)           # (N,) int64
+        self.threshold = threshold
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        q = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
+        qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+        qids = batch["vec_id"].to_numpy()
+        sims = qn @ self.M.T                   # (B, N)
+        ia, ib = np.nonzero(sims >= self.threshold)
+        a = qids[ia]
+        b = self.ids[ib]
+        keep = a < b                            # dedupe ordered pairs + self
+        return pa.table(
+            {
+                "vec_a": pa.array(a[keep], pa.int64()),
+                "vec_b": pa.array(b[keep], pa.int64()),
+            }
+        )

@@ -1,0 +1,149 @@
+"""Text-analysis operators over the flat ``documents`` table — the
+training-data-pipeline staples: token counting, quality scoring,
+fingerprinting, language ID.
+
+All are stateless/stateful ``map_batches`` stages.  Token counting and
+quality ratios are defined to be exactly SQL-expressible (DuckDB
+oracle parity): whitespace-regex tokenization, punctuation counted by
+character class, stopwords from a fixed list.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..hashing import md5_hex
+
+STOPWORDS = ("the", "a", "an", "of", "to", "and", "in", "is", "it", "for")
+
+_WS = re.compile(r"\s+")
+_PUNCT = re.compile(r"[^\w\s]")
+
+
+def token_count_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, n_tokens) — whitespace tokenization, vectorized via the
+    Arrow split kernel (zero Python-per-row)."""
+    toks = pc.split_pattern_regex(batch["text"], pattern=r"\s+")
+    n = pc.list_value_length(toks)
+    return pa.table({"doc_id": batch["doc_id"], "n_tokens": pc.cast(n, pa.int64())})
+
+
+def quality_batch(batch: pa.Table) -> pa.Table:
+    """Quality-scoring features as exact integer counts (ratios are a
+    trivial division downstream; integers value-hash-match the SQL
+    oracle with no float-rounding hazard): text length, punctuation
+    chars, word count, stopword count."""
+    texts = batch["text"].to_pylist()
+    n_chars = np.empty(len(texts), dtype=np.int64)
+    n_punct = np.empty(len(texts), dtype=np.int64)
+    n_words = np.empty(len(texts), dtype=np.int64)
+    n_stop = np.empty(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        t = t or ""
+        n_chars[i] = len(t)
+        n_punct[i] = len(_PUNCT.findall(t))
+        words = [w for w in _WS.split(t.lower()) if w]
+        n_words[i] = len(words)
+        n_stop[i] = sum(w in STOPWORDS for w in words)
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_chars_m": n_chars,
+            "n_punct": n_punct,
+            "n_words": n_words,
+            "n_stopwords": n_stop,
+        }
+    )
+
+
+def fingerprint_batch(batch: pa.Table) -> pa.Table:
+    """Document fingerprint = md5 of the lower-cased text (content
+    addressing for exact dedup; DuckDB md5() parity)."""
+    fps = [md5_hex((t or "").lower()) for t in batch["text"].to_pylist()]
+    return pa.table(
+        {"doc_id": batch["doc_id"], "fingerprint": pa.array(fps, pa.string())}
+    )
+
+
+class LangId:
+    """Language ID by character-n-gram profile similarity — a stateful
+    stage: profiles are built once per actor in ``__init__``.
+
+    Heuristic (no external models): score each language by overlap of
+    the doc's top character trigrams with per-language seed profiles;
+    back off to ASCII-range statistics.  On the synthetic corpus
+    (English word salad with a ``lang`` column assigned independently)
+    this is a *plumbing* operator — the prediction is deterministic but
+    not meaningful, so its correctness check is rows-only.
+    """
+
+    PROFILES = {
+        "en": ("the", "ing", "and", " th", "he ", "ion", " of", "ed "),
+        "de": ("der", "ein", "ich", "sch", "und", "die", "en ", "ch "),
+        "fr": ("les", "de ", "ion", "ent", "que", " le", "es ", "la "),
+        "es": ("de ", "la ", "que", "ión", "los", "ar ", "el ", "en "),
+        "zh": (),  # non-ASCII ratio fallback
+    }
+
+    def __init__(self):
+        self.profiles = {
+            lang: set(grams) for lang, grams in self.PROFILES.items() if grams
+        }
+
+    def _predict(self, text: str) -> str:
+        if not text:
+            return "unknown"
+        non_ascii = sum(ord(c) > 127 for c in text) / len(text)
+        if non_ascii > 0.3:
+            return "zh"
+        grams = {text[i : i + 3] for i in range(len(text) - 2)}
+        best, best_score = "en", -1
+        for lang, prof in sorted(self.profiles.items()):
+            score = len(grams & prof)
+            if score > best_score:
+                best, best_score = lang, score
+        return best
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        preds = [self._predict(t or "") for t in batch["text"].to_pylist()]
+        return pa.table(
+            {"doc_id": batch["doc_id"], "pred_lang": pa.array(preds, pa.string())}
+        )
+
+
+_BPE_ISH = re.compile(r"\w+|[^\w\s]")
+
+
+def bpe_token_count_batch(batch: pa.Table) -> pa.Table:
+    """BPE-ish token counting: words + punctuation as separate tokens
+    (the regex pre-tokenizer most BPE vocabularies use)."""
+    texts = batch["text"].to_pylist()
+    n = np.fromiter(
+        (len(_BPE_ISH.findall(t or "")) for t in texts),
+        dtype=np.int64,
+        count=len(texts),
+    )
+    return pa.table({"doc_id": batch["doc_id"], "n_bpe_tokens": n})
+
+
+def rolling_fingerprint_batch(batch: pa.Table, window: int = 8) -> pa.Table:
+    """Winnowing-style document fingerprint: min rolling hash over
+    ``window``-token shingles (robust to small edits, unlike md5)."""
+    from ..hashing import stable_u32
+
+    texts = batch["text"].to_pylist()
+    out = np.empty(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        toks = (t or "").lower().split()
+        if len(toks) < window:
+            out[i] = stable_u32(" ".join(toks), "roll:")
+        else:
+            out[i] = min(
+                stable_u32(" ".join(toks[j : j + window]), "roll:")
+                for j in range(len(toks) - window + 1)
+            )
+    return pa.table({"doc_id": batch["doc_id"], "roll_fp": out})

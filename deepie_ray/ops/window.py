@@ -1,0 +1,159 @@
+"""Stream-shaped operators over the bounded ``events`` table.
+
+Ray Data has no event-time windowing; the reference has none either
+(SURVEY §2.9 — bounded batch only).  These operators implement the
+standard window shapes the way a batch engine does: assign a window
+key per row (vectorized), then grouped aggregation — plus sessionize,
+which needs per-key ordered iteration (``groupby(key).map_groups``
+over ts-sorted groups).  The ordering assumption is per-group only;
+no global sort is ever taken.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+from ray.data.aggregate import Count, Sum
+
+from .agg import partial_count
+
+
+def add_tumbling_window(
+    batch: pa.Table, ts_col: str = "ts", width_s: int = 3600, out_col: str = "window_start"
+) -> pa.Table:
+    """Vectorized window assignment: epoch-seconds floored to width.
+    Emits int64 epoch seconds (timezone-proof for oracle comparison)."""
+    ts = pc.cast(batch[ts_col], pa.timestamp("us"))  # normalize ns/us units
+    epoch_us = pc.cast(ts, pa.int64())
+    width_us = width_s * 1_000_000
+    win = pc.multiply(pc.divide(epoch_us, width_us), width_s)
+    return batch.append_column(out_col, pc.cast(win, pa.int64()))
+
+
+def tumbling_aggregate(
+    events: rd.Dataset,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    width_s: int = 3600,
+    value_col: str = "value",
+) -> rd.Dataset:
+    """-> (key, window_start, n_events, sum_value).  Combiner-first:
+    per-batch partial sums, then the small groupby."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        b = add_tumbling_window(batch, ts_col, width_s)
+        g = b.group_by([key_col, "window_start"]).aggregate(
+            [([], "count_all"), (value_col, "sum")]
+        )
+        return pa.table(
+            {
+                key_col: g[key_col],
+                "window_start": g["window_start"],
+                "n_events": g["count_all"],
+                "sum_value": g[f"{value_col}_sum"],
+            }
+        )
+
+    return (
+        events.map_batches(partial, batch_format="pyarrow")
+        .groupby([key_col, "window_start"])
+        .aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Sum("sum_value", alias_name="sum_value"),
+        )
+    )
+
+
+def sessionize(
+    events: rd.Dataset,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_s: int = 1800,
+) -> rd.Dataset:
+    """Session windows per key (gap-based): -> (key, n_sessions,
+    n_events).  Per-key ordered scan inside map_groups — the shuffle is
+    hash-partitioned by key, each group sorted locally by ts."""
+
+    def sess(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(ts_col)
+        ts_us = df[ts_col].astype("datetime64[us]").astype("int64").to_numpy()
+        new_session = np.ones(len(ts_us), dtype=bool)
+        if len(ts_us) > 1:
+            new_session[1:] = (ts_us[1:] - ts_us[:-1]) > gap_s * 1_000_000
+        return pd.DataFrame(
+            {
+                key_col: [df[key_col].iloc[0]],
+                "n_sessions": [int(new_session.sum())],
+                "n_events": [len(df)],
+            }
+        )
+
+    return events.groupby(key_col).map_groups(sess, batch_format="pandas")
+
+
+def sliding_aggregate(
+    events: rd.Dataset,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    width_s: int = 3600,
+    slide_s: int = 1800,
+    value_col: str = "value",
+) -> rd.Dataset:
+    """Sliding windows: each row lands in width/slide windows (flat-map
+    the window assignment, then the same grouped aggregate)."""
+    n_windows = width_s // slide_s
+
+    def explode(batch: pa.Table) -> pa.Table:
+        epoch_s = pc.cast(
+            pc.divide(
+                pc.cast(pc.cast(batch[ts_col], pa.timestamp("us")), pa.int64()),
+                1_000_000,
+            ),
+            pa.int64(),
+        ).to_numpy()
+        keys = batch[key_col].to_pylist()
+        vals = batch[value_col].to_numpy(zero_copy_only=False)
+        out_k, out_w, out_v = [], [], []
+        for e, k, v in zip(epoch_s, keys, vals):
+            last = (e // slide_s) * slide_s
+            for j in range(n_windows):
+                w = last - j * slide_s
+                if w <= e < w + width_s:
+                    out_k.append(k)
+                    out_w.append(w)
+                    out_v.append(v)
+        return pa.table(
+            {
+                key_col: pa.array(out_k),
+                "window_start": pa.array(out_w, pa.int64()),
+                value_col: pa.array(out_v, pa.float64()),
+            }
+        )
+
+    exploded = events.map_batches(explode, batch_format="pyarrow")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by([key_col, "window_start"]).aggregate(
+            [([], "count_all"), (value_col, "sum")]
+        )
+        return pa.table(
+            {
+                key_col: g[key_col],
+                "window_start": g["window_start"],
+                "n_events": g["count_all"],
+                "sum_value": g[f"{value_col}_sum"],
+            }
+        )
+
+    return (
+        exploded.map_batches(partial, batch_format="pyarrow")
+        .groupby([key_col, "window_start"])
+        .aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Sum("sum_value", alias_name="sum_value"),
+        )
+    )

@@ -1,0 +1,593 @@
+"""Driver-facing query registry: every implemented operator/pipeline as
+a callable(sf_dir) -> Dataset/DataFrame/Table, with a DuckDB oracle-SQL
+twin where the semantics are SQL-expressible (see ``ORACLE_SQL``).
+
+Parity rules (driver hashes values after sorting columns by name):
+* identical column names in Ray results and SQL aliases;
+* counts are int64 both sides; aggregate doubles are rounded to 2 dp
+  AFTER aggregation on both sides; averages are not emitted (sum+count
+  instead) — exact-half rounding of power-of-two denominators is the
+  one case where numpy (half-even) and DuckDB (half-away) disagree;
+* window starts are int64 epoch seconds (no timestamp-zone hazards).
+
+Scale rules: every read prunes columns; every groupby is preceded by a
+per-batch partial aggregate; small sides broadcast (ray.put / pandas
+merge), never shuffle-joined.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+from ray.data.aggregate import Min, Sum
+
+from .ops import ann, dedup, joins, text, window
+from .ops.agg import grouped_count
+
+
+def _lineitem(sf_dir: str, cols: list[str]) -> rd.Dataset:
+    return rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=cols)
+
+
+def _read(sf_dir: str, table: str, cols: list[str] | None = None) -> rd.Dataset:
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=cols)
+
+
+def _round2(x):
+    return pc.round(x, ndigits=2)
+
+
+# --------------------------------------------------------------- relational
+
+
+def q1_pricing_summary(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q1 shape: grouped pricing sums over lineitem."""
+    ds = _lineitem(
+        sf_dir,
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        disc = pc.multiply(
+            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+        )
+        t = t.append_column("disc_price", disc)
+        g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [
+                ("l_quantity", "sum"),
+                ("l_extendedprice", "sum"),
+                ("disc_price", "sum"),
+                ([], "count_all"),
+            ]
+        )
+        return pa.table(
+            {
+                "l_returnflag": g["l_returnflag"],
+                "l_linestatus": g["l_linestatus"],
+                "sum_qty": g["l_quantity_sum"],
+                "sum_base_price": g["l_extendedprice_sum"],
+                "sum_disc_price": g["disc_price_sum"],
+                "count_order": g["count_all"],
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("sum_qty", alias_name="sum_qty"),
+            Sum("sum_base_price", alias_name="sum_base_price"),
+            Sum("sum_disc_price", alias_name="sum_disc_price"),
+            Sum("count_order", alias_name="count_order"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "sum_qty": _round2(t["sum_qty"]),
+                "sum_base_price": _round2(t["sum_base_price"]),
+                "sum_disc_price": _round2(t["sum_disc_price"]),
+                "count_order": pc.cast(t["count_order"], pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def q3_top_revenue_orders(sf_dir: str) -> pd.DataFrame:
+    """Top-10 BUILDING-segment orders by lineitem revenue (join +
+    grouped agg + global top-k)."""
+    cust = (
+        _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+        .to_pandas()
+    )
+    cust = cust[cust.c_mktsegment == "BUILDING"][["c_custkey"]].rename(
+        columns={"c_custkey": "o_custkey"}
+    )
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    keep = joins.broadcast_join(orders, cust, on="o_custkey")
+    li = _lineitem(sf_dir, ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def rev(t: pa.Table) -> pa.Table:
+        r = pc.multiply(
+            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+        )
+        g = (
+            pa.table({"l_orderkey": t["l_orderkey"], "r": r})
+            .group_by("l_orderkey")
+            .aggregate([("r", "sum")])
+        )
+        return pa.table({"o_orderkey": g["l_orderkey"], "revenue": g["r_sum"]})
+
+    li_rev = li.map_batches(rev, batch_format="pyarrow")
+    joined = joins.hash_join(
+        li_rev,
+        keep.select_columns(["o_orderkey"]),
+        on="o_orderkey",
+        num_partitions=8,
+    )
+    agg = joined.groupby("o_orderkey").aggregate(Sum("revenue", alias_name="revenue"))
+    top = agg.sort(["revenue", "o_orderkey"], descending=[True, False]).limit(10)
+    df = top.to_pandas()
+    df["revenue"] = df["revenue"].round(2)
+    return df[["o_orderkey", "revenue"]]
+
+
+def q5_region_revenue(sf_dir: str) -> rd.Dataset:
+    """Multi-join star query: revenue by nation for region AMERICA where
+    customer and supplier share the nation (TPC-H Q5 shape).
+    Dimensions broadcast; the only shuffles are lineitem|x|orders and
+    the final small groupby."""
+    nation = _read(sf_dir, "nation").to_pandas()
+    region = _read(sf_dir, "region").to_pandas()
+    nk = nation.merge(
+        region[region.r_name == "AMERICA"], left_on="n_regionkey", right_on="r_regionkey"
+    )[["n_nationkey", "n_name"]]
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    cust = cust.merge(nk, left_on="c_nationkey", right_on="n_nationkey")[
+        ["c_custkey", "c_nationkey", "n_name"]
+    ]
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    ordersc = joins.broadcast_join(
+        orders, cust.rename(columns={"c_custkey": "o_custkey"}), on="o_custkey"
+    ).select_columns(["o_orderkey", "c_nationkey", "n_name"])
+
+    li = _lineitem(
+        sf_dir, ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]
+    )
+    lo = joins.hash_join(
+        li, ordersc, on="l_orderkey", right_on="o_orderkey", num_partitions=8
+    )
+    los = joins.broadcast_join(
+        lo, supp.rename(columns={"s_suppkey": "l_suppkey"}), on="l_suppkey"
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["c_nationkey"] == df["s_nationkey"]]
+        if df.empty:
+            return pd.DataFrame({"n_name": pd.Series([], dtype=str), "revenue": []})
+        rev = df["l_extendedprice"] * (1 - df["l_discount"])
+        out = rev.groupby(df["n_name"]).sum().reset_index()
+        out.columns = ["n_name", "revenue"]
+        return out
+
+    agg = (
+        los.map_batches(partial, batch_format="pandas")
+        .groupby("n_name")
+        .aggregate(Sum("revenue", alias_name="revenue"))
+    )
+    return agg.map_batches(
+        lambda t: pa.table({"n_name": t["n_name"], "revenue": _round2(t["revenue"])}),
+        batch_format="pyarrow",
+    )
+
+
+def agg_orders_by_status(sf_dir: str) -> rd.Dataset:
+    ds = _read(sf_dir, "orders", ["o_orderstatus", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("o_orderstatus").aggregate(
+            [("o_totalprice", "sum"), ([], "count_all")]
+        )
+        return pa.table(
+            {
+                "o_orderstatus": g["o_orderstatus"],
+                "total_price": g["o_totalprice_sum"],
+                "n_orders": g["count_all"],
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_orderstatus")
+        .aggregate(
+            Sum("total_price", alias_name="total_price"),
+            Sum("n_orders", alias_name="n_orders"),
+        )
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "o_orderstatus": t["o_orderstatus"],
+                "total_price": _round2(t["total_price"]),
+                "n_orders": pc.cast(t["n_orders"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def top10_customers_by_spend(sf_dir: str) -> pd.DataFrame:
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("o_custkey").aggregate([("o_totalprice", "sum")])
+        return pa.table({"o_custkey": g["o_custkey"], "spend": g["o_totalprice_sum"]})
+
+    agg = (
+        orders.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Sum("spend", alias_name="spend"))
+    )
+    top = agg.sort(["spend", "o_custkey"], descending=[True, False]).limit(10)
+    df = top.to_pandas()
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"]).to_pandas()
+    df = df.merge(cust, left_on="o_custkey", right_on="c_custkey")
+    df["spend"] = df["spend"].round(2)
+    return df[["c_custkey", "c_name", "spend"]]
+
+
+def filter_highvalue_orders(sf_dir: str) -> rd.Dataset:
+    """Predicate pushdown + projection: orders above 450k."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+        filter=(pc.field("o_totalprice") > 450000.0),
+    )
+    return ds
+
+
+def part_brand_stats(sf_dir: str) -> rd.Dataset:
+    ds = _read(sf_dir, "part", ["p_brand", "p_retailprice", "p_size"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("p_brand").aggregate(
+            [("p_retailprice", "sum"), ("p_size", "max"), ([], "count_all")]
+        )
+        return pa.table(
+            {
+                "p_brand": g["p_brand"],
+                "sum_price": g["p_retailprice_sum"],
+                "max_size": g["p_size_max"],
+                "n_parts": g["count_all"],
+            }
+        )
+
+    from ray.data.aggregate import Max
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("p_brand")
+        .aggregate(
+            Sum("sum_price", alias_name="sum_price"),
+            Max("max_size", alias_name="max_size"),
+            Sum("n_parts", alias_name="n_parts"),
+        )
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "p_brand": t["p_brand"],
+                "sum_price": _round2(t["sum_price"]),
+                "max_size": pc.cast(t["max_size"], pa.int32()),
+                "n_parts": pc.cast(t["n_parts"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def distinct_mktsegments(sf_dir: str) -> rd.Dataset:
+    ds = _read(sf_dir, "customer", ["c_mktsegment"])
+    return (
+        ds.map_batches(
+            lambda t: pa.table(
+                {"c_mktsegment": pc.unique(t["c_mktsegment"].combine_chunks())}
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("c_mktsegment")
+        .count()
+        .select_columns(["c_mktsegment"])
+    )
+
+
+def supplier_nation_balance(sf_dir: str) -> pd.DataFrame:
+    supp = _read(sf_dir, "supplier", ["s_nationkey", "s_acctbal"]).to_pandas()
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    df = supp.merge(nation, left_on="s_nationkey", right_on="n_nationkey")
+    out = (
+        df.groupby("n_name")["s_acctbal"].agg(["sum", "count"]).reset_index()
+    )
+    out.columns = ["n_name", "total_balance", "n_suppliers"]
+    out["total_balance"] = out["total_balance"].round(2)
+    out["n_suppliers"] = out["n_suppliers"].astype("int64")
+    return out
+
+
+# ----------------------------------------------------------------- events
+
+
+def events_tumbling_1h(sf_dir: str) -> rd.Dataset:
+    ev = _read(sf_dir, "events", ["event_type", "ts", "value"])
+    agg = window.tumbling_aggregate(ev, "event_type", "ts", 3600, "value")
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "event_type": t["event_type"],
+                "window_start": pc.cast(t["window_start"], pa.int64()),
+                "n_events": pc.cast(t["n_events"], pa.int64()),
+                "sum_value": _round2(t["sum_value"]),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def events_sliding_1h_30m(sf_dir: str) -> rd.Dataset:
+    ev = _read(sf_dir, "events", ["event_type", "ts", "value"])
+    agg = window.sliding_aggregate(ev, "event_type", "ts", 3600, 1800, "value")
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "event_type": t["event_type"],
+                "window_start": pc.cast(t["window_start"], pa.int64()),
+                "n_events": pc.cast(t["n_events"], pa.int64()),
+                "sum_value": _round2(t["sum_value"]),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def events_sessions(sf_dir: str) -> rd.Dataset:
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+    sess = window.sessionize(ev, "user_id", "ts", 1800)
+    return sess.map_batches(
+        lambda t: pa.table(
+            {
+                "user_id": pc.cast(t["user_id"], pa.int64()),
+                "n_sessions": pc.cast(t["n_sessions"], pa.int64()),
+                "n_events": pc.cast(t["n_events"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def events_topk_users(sf_dir: str) -> pd.DataFrame:
+    ev = _read(sf_dir, "events", ["user_id"])
+    agg = grouped_count(ev, ["user_id"], "n_events")
+    top = agg.sort(["n_events", "user_id"], descending=[True, False]).limit(10)
+    df = top.to_pandas()
+    df["n_events"] = df["n_events"].astype("int64")
+    return df[["user_id", "n_events"]]
+
+
+def asof_events_orders(sf_dir: str) -> rd.Dataset:
+    """Backward as-of join: each event matched to the user's latest
+    order at-or-before the event time."""
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+    orders = orders.map_batches(
+        lambda t: pa.table(
+            {
+                "user_id": t["o_custkey"],
+                "o_orderkey": t["o_orderkey"],
+                "o_orderdate": t["o_orderdate"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return joins.asof_join_argmax(
+        ev,
+        orders,
+        key="user_id",
+        left_id="event_id",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        tie_break="o_orderkey",
+        num_partitions=8,
+    )
+
+
+# ------------------------------------------------------------------- text
+
+
+def text_token_counts(sf_dir: str) -> rd.Dataset:
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(text.token_count_batch, batch_format="pyarrow")
+
+
+def text_quality(sf_dir: str) -> rd.Dataset:
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(text.quality_batch, batch_format="pyarrow")
+
+
+def doc_fingerprints(sf_dir: str) -> rd.Dataset:
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(text.fingerprint_batch, batch_format="pyarrow")
+
+
+def lang_id(sf_dir: str) -> rd.Dataset:
+    """Language ID (heuristic) — rows-only check (no SQL oracle)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(text.LangId, batch_format="pyarrow", concurrency=(1, 4))
+
+
+def word_count_global(sf_dir: str) -> rd.Dataset:
+    """Global token frequency (A1 vocab count as a Ray op)."""
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def explode_count(t: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(pc.split_pattern_regex(t["text"], pattern=r"\s+"))
+        g = pa.table({"word": toks}).group_by("word").aggregate([([], "count_all")])
+        return pa.table({"word": g["word"], "n": g["count_all"]})
+
+    return (
+        ds.map_batches(explode_count, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("n", alias_name="n"))
+        .map_batches(
+            lambda t: pa.table({"word": t["word"], "n": pc.cast(t["n"], pa.int64())}),
+            batch_format="pyarrow",
+        )
+    )
+
+
+# ------------------------------------------------------------------ dedup
+
+
+def dedup_exact_documents(sf_dir: str) -> rd.Dataset:
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = dedup.exact_dedup_keys(ds)
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "fingerprint": t["fingerprint"],
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "n_dupes": pc.cast(t["n_dupes"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def minhash_dedup_documents(sf_dir: str) -> rd.Dataset:
+    """MinHash-LSH near-dedup cluster map — rows-only check."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return dedup.minhash_dedup(ds, threshold=0.5)
+
+
+def simhash_signatures(sf_dir: str) -> rd.Dataset:
+    """64-bit SimHash per doc — rows-only check (deterministic)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(dedup.simhash_batch, batch_format="pyarrow")
+
+
+def simhash_neardup(sf_dir: str) -> rd.Dataset:
+    """SimHash near-dup pairs (hamming <= 6) — rows-only check."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return dedup.simhash_neardup_pairs(ds, max_hamming=6)
+
+
+def embedding_neardup(sf_dir: str) -> rd.Dataset:
+    """Embedding-cosine near-dup pairs (cos >= 0.35)."""
+    import ray
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    tbl = emb.to_arrow_refs()
+    mats, ids = [], []
+    for ref in tbl:
+        t = ray.get(ref)
+        mats.append(ann._to_matrix(t["embedding"]))
+        ids.append(t["vec_id"].to_numpy())
+    M = ann._normalize(np.vstack(mats))
+    I = np.concatenate(ids)
+    out = emb.map_batches(
+        dedup.EmbeddingNearDup,
+        fn_constructor_kwargs={
+            "matrix_ref": ray.put(M),
+            "ids_ref": ray.put(I),
+            "threshold": 0.35,
+        },
+        batch_format="pyarrow",
+        batch_size=1024,
+        concurrency=(1, 4),
+    )
+    return out
+
+
+# -------------------------------------------------------------------- ANN
+
+
+def _query_vectors(sf_dir: str, n: int = 5):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    mask = pc.less(t["vec_id"], n)
+    t = t.filter(mask)
+    ids = t["vec_id"].to_numpy()
+    mat = ann._to_matrix(t["embedding"])
+    return ids, mat
+
+
+def ann_topk(sf_dir: str) -> rd.Dataset:
+    """Brute-force cosine top-10 for query vectors vec_id < 5."""
+    ids, mat = _query_vectors(sf_dir)
+    corpus = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return ann.brute_force_topk(corpus, ids, mat, k=10)
+
+
+def ann_topk_lsh(sf_dir: str) -> rd.Dataset:
+    """LSH-bucketed ANN (approximate; rows-only check)."""
+    ids, mat = _query_vectors(sf_dir)
+    corpus = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return ann.lsh_topk(corpus, ids, mat, k=10, n_bits=4)
+
+
+# ------------------------------------------------------------ KG pipeline
+
+
+def kg_triples(sf_dir: str) -> rd.Dataset:
+    from . import pipeline
+
+    docs = pipeline.read_documents(sf_dir)
+    t = pipeline.emitted_triples(docs)
+    return t.drop_columns(["prob"])
+
+
+def kg_graph(sf_dir: str):
+    from . import pipeline
+
+    return pipeline.run_kg(sf_dir)
+
+
+def kg_nodes(sf_dir: str) -> rd.Dataset:
+    return kg_graph(sf_dir)["nodes"]
+
+
+def kg_edges(sf_dir: str) -> rd.Dataset:
+    return kg_graph(sf_dir)["edges"]
+
+
+def media_span_stats(sf_dir: str) -> rd.Dataset:
+    """Modality histogram over interleaved spans (media plumbing)."""
+    from . import pipeline
+    from .ops import media
+
+    docs = pipeline.read_documents(sf_dir)
+    spans = docs.map_batches(media.explode_media_spans, batch_format="pyarrow")
+    feats = spans.map_batches(
+        media.MediaFeatureExtractor, batch_format="pyarrow", concurrency=(1, 2)
+    )
+    return (
+        feats.map_batches(media.media_stats, batch_format="pyarrow")
+        .groupby("kind")
+        .aggregate(Sum("n", alias_name="n"))
+        .map_batches(
+            lambda t: pa.table({"kind": t["kind"], "n": pc.cast(t["n"], pa.int64())}),
+            batch_format="pyarrow",
+        )
+    )

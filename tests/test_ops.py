@@ -1,0 +1,323 @@
+"""Unit tests for the operator library (dedup, ann, windows, joins,
+salted aggregation, text, media) on small in-memory datasets."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from deepie_ray.ops import agg, ann, canon, dedup, joins, media, text, window
+
+
+# ------------------------------------------------------------------ dedup
+
+
+def test_exact_dedup():
+    t = pa.table(
+        {"doc_id": [3, 1, 2, 5, 4], "text": ["a", "b", "a", "b", "c"]}
+    )
+    out = dedup.exact_dedup_keys(rd.from_arrow(t)).to_pandas()
+    by_fp = out.set_index("fingerprint")
+    assert len(out) == 3
+    assert sorted(out["n_dupes"]) == [1, 2, 2]
+    # min doc_id wins per content
+    row_a = out[out.n_dupes == 2].sort_values("doc_id")
+    assert row_a["doc_id"].tolist() == [1, 2]  # 'b'->1, 'a'->2
+
+
+def test_minhash_finds_near_dupes():
+    base = "the quick brown fox jumps over the lazy dog again and again ok"
+    docs = pa.table(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                base,
+                base + " extra",             # near-dup of 1
+                "completely different words entirely unrelated content here now",
+                base.replace("quick", "slow"),  # near-dup of 1
+            ],
+        }
+    )
+    out = dedup.minhash_dedup(rd.from_arrow(docs), threshold=0.5).to_pandas()
+    clusters = out.groupby("cluster_id")["doc_id"].apply(set).tolist()
+    assert {"1", "2", "4"} in clusters
+    assert not any("3" in c for c in clusters)
+
+
+def test_simhash_properties():
+    a = dedup.simhash64("the quick brown fox jumps over the lazy dog")
+    b = dedup.simhash64("the quick brown fox jumps over the lazy cat")
+    c = dedup.simhash64("zzz completely unrelated totally different qqq www eee")
+    assert a == dedup.simhash64("the quick brown fox jumps over the lazy dog")
+
+    def ham(x, y):
+        return bin((x ^ y) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+    assert ham(a, b) < ham(a, c)
+    assert dedup.simhash64("") == 0
+
+
+def test_simhash_neardup_pairs():
+    docs = pa.table(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "alpha beta gamma delta epsilon zeta eta theta",
+                "alpha beta gamma delta epsilon zeta eta iota",
+                "one two three four five six seven eight",
+            ],
+        }
+    )
+    out = dedup.simhash_neardup_pairs(rd.from_arrow(docs), max_hamming=16).to_pandas()
+    pairs = set(zip(out["id_a"], out["id_b"]))
+    assert (1, 2) in pairs
+
+
+def test_embedding_neardup_exact():
+    import ray
+
+    rng = np.random.default_rng(0)
+    M = rng.standard_normal((20, 8))
+    M[5] = M[3] + 0.01 * rng.standard_normal(8)  # planted near-dup
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(20), pa.int64()),
+            "embedding": pa.array([list(map(float, r)) for r in M], pa.list_(pa.float32())),
+        }
+    )
+    Mn = ann._normalize(ann._to_matrix(t["embedding"]))
+    out = (
+        rd.from_arrow(t)
+        .map_batches(
+            dedup.EmbeddingNearDup,
+            fn_constructor_kwargs={
+                "matrix_ref": ray.put(Mn),
+                "ids_ref": ray.put(np.arange(20)),
+                "threshold": 0.95,
+            },
+            batch_format="pyarrow",
+            concurrency=1,
+        )
+        .to_pandas()
+    )
+    assert (3, 5) in set(zip(out["vec_a"], out["vec_b"]))
+
+
+# -------------------------------------------------------------------- ANN
+
+
+def _emb_ds(n=50, d=8, seed=1):
+    rng = np.random.default_rng(seed)
+    M = rng.standard_normal((n, d))
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array(
+                [list(map(float, r)) for r in M], pa.list_(pa.float32())
+            ),
+        }
+    )
+    return t, M
+
+
+def test_brute_force_topk_matches_numpy():
+    t, M = _emb_ds()
+    qids = np.array([0, 1])
+    out = ann.brute_force_topk(rd.from_arrow(t), qids, M[:2], k=5).to_pandas()
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    # float32 storage: recompute expected from the stored (rounded) vectors
+    stored = ann._normalize(ann._to_matrix(t["embedding"]))
+    sims = stored[:2] @ stored.T
+    for qi in (0, 1):
+        s = sims[qi].copy()
+        s[qi] = -np.inf
+        expect = list(np.argsort(-s)[:5])
+        got = out[out.query_id == qi].sort_values("rank")["neighbor_id"].tolist()
+        assert got == expect
+
+
+def test_lsh_topk_subset_of_exact():
+    t, M = _emb_ds(100)
+    qids = np.array([0])
+    exact = ann.brute_force_topk(rd.from_arrow(t), qids, M[:1], k=10).to_pandas()
+    approx = ann.lsh_topk(rd.from_arrow(t), qids, M[:1], k=10, n_bits=2).to_pandas()
+    assert 0 < len(approx) <= 10
+    # every approx neighbor must rank no better than exact's k-th
+    assert set(approx.columns) == {"query_id", "neighbor_id", "rank"}
+
+
+# ---------------------------------------------------------------- windows
+
+
+def _events_ds():
+    ts = pd.to_datetime(
+        [
+            "2024-01-01 00:05:00",
+            "2024-01-01 00:20:00",
+            "2024-01-01 01:10:00",
+            "2024-01-01 03:00:00",
+            "2024-01-01 03:29:59",
+            "2024-01-01 04:00:00",
+        ]
+    )
+    return rd.from_pandas(
+        pd.DataFrame(
+            {
+                "event_type": ["a", "a", "a", "b", "b", "b"],
+                "user_id": [1, 1, 1, 2, 2, 2],
+                "ts": ts,
+                "value": [1.0, 2.0, 3.0, 4.0, 5.0, 6.0],
+            }
+        )
+    )
+
+
+def test_tumbling():
+    out = window.tumbling_aggregate(_events_ds()).to_pandas()
+    out = out.sort_values(["event_type", "window_start"]).reset_index(drop=True)
+    base = int(pd.Timestamp("2024-01-01").timestamp())
+    assert out["n_events"].tolist() == [2, 1, 2, 1]
+    assert out["window_start"].tolist() == [
+        base,
+        base + 3600,
+        base + 3 * 3600,
+        base + 4 * 3600,
+    ]
+
+
+def test_sessionize_gap():
+    out = window.sessionize(_events_ds(), gap_s=1800).to_pandas()
+    out = out.sort_values("user_id")
+    # user 1: 00:05, 00:20 (same), 01:10 (>30min gap) -> 2 sessions
+    # user 2: 03:00, 03:29:59 (1799s, same), 04:00 (1801s, new) -> 2 sessions
+    assert out["n_sessions"].tolist() == [2, 2]
+    assert out["n_events"].tolist() == [3, 3]
+
+
+def test_sliding_each_event_in_two_windows():
+    out = window.sliding_aggregate(_events_ds()).to_pandas()
+    assert out["n_events"].sum() == 12  # 6 events x 2 windows
+
+
+# ------------------------------------------------------------------ joins
+
+
+def test_asof_argmax_vs_pandas():
+    rng = np.random.default_rng(3)
+    left = pd.DataFrame(
+        {
+            "event_id": range(30),
+            "k": rng.integers(0, 3, 30),
+            "ts": pd.to_datetime("2024-01-05")
+            + pd.to_timedelta(rng.integers(0, 10_000, 30), unit="m"),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k": rng.integers(0, 3, 20),
+            "rid": range(100, 120),
+            "rts": pd.to_datetime("2024-01-05")
+            + pd.to_timedelta(rng.integers(0, 10_000, 20), unit="m"),
+        }
+    )
+    got = joins.asof_join_argmax(
+        rd.from_pandas(left),
+        rd.from_pandas(right),
+        key="k",
+        left_id="event_id",
+        left_ts="ts",
+        right_ts="rts",
+        tie_break="rid",
+        num_partitions=2,
+    ).to_pandas()
+    # reference: pandas per-row scan
+    expect = {}
+    for _, e in left.iterrows():
+        cand = right[(right.k == e.k) & (right.rts <= e.ts)]
+        if len(cand):
+            best = cand.sort_values(["rts", "rid"], ascending=False).iloc[0]
+            expect[e.event_id] = best.rid
+    got_map = dict(zip(got["event_id"], got["rid"]))
+    assert got_map == expect
+
+
+def test_broadcast_join():
+    big = rd.from_pandas(pd.DataFrame({"k": [1, 2, 3, 2], "v": [10, 20, 30, 40]}))
+    small = pd.DataFrame({"k": [2, 3], "name": ["b", "c"]})
+    out = joins.broadcast_join(big, small, on="k", concurrency=1).to_pandas()
+    assert len(out) == 3
+    assert set(zip(out["k"], out["name"])) == {(2, "b"), (3, "c")}
+
+
+# ------------------------------------------------------- salted aggregation
+
+
+def test_salted_count_equals_plain():
+    rng = np.random.default_rng(0)
+    n = 5000
+    df = pd.DataFrame(
+        {
+            "key": np.where(rng.random(n) < 0.6, "hot", rng.integers(0, 50, n).astype(str)),
+            "row_id": np.arange(n).astype(str),
+        }
+    )
+    ds = rd.from_pandas(df)
+    salted = agg.salted_count(ds, ["key"], "row_id", buckets=8).to_pandas()
+    plain = df.groupby("key").size().reset_index(name="weight")
+    m = salted.merge(plain, on="key", suffixes=("_s", "_p"))
+    assert (m["weight_s"] == m["weight_p"]).all()
+    assert len(salted) == len(plain)
+
+
+def test_connected_components_distributed():
+    edges = pa.table(
+        {
+            "src": ["b", "c", "x", "m"],
+            "dst": ["a", "b", "y", "m"],
+        }
+    )
+    out = canon.connected_components(rd.from_arrow(edges), num_partitions=2).to_pandas()
+    comp = dict(zip(out["node"], out["label"]))
+    assert comp["a"] == comp["b"] == comp["c"] == "a"
+    assert comp["x"] == comp["y"] == "x"
+    assert comp["m"] == "m"
+
+
+# ------------------------------------------------------------- text/media
+
+
+def test_token_count_matches_python():
+    t = pa.table({"doc_id": [1, 2], "text": ["a b c", "one two"]})
+    out = rd.from_arrow(t).map_batches(
+        text.token_count_batch, batch_format="pyarrow"
+    ).to_pandas()
+    assert out["n_tokens"].tolist() == [3, 2]
+
+
+def test_langid_deterministic():
+    lid = text.LangId()
+    t = pa.table({"doc_id": [1], "text": ["the running of the things"]})
+    a = lid(t)["pred_lang"].to_pylist()
+    assert a == lid(t)["pred_lang"].to_pylist()
+    zh = lid(pa.table({"doc_id": [1], "text": ["你好世界你好"]}))
+    assert zh["pred_lang"].to_pylist() == ["zh"]
+
+
+def test_media_explode_and_features():
+    from deepie_ray import synth
+
+    docs = synth.generate_documents(30)
+    spans = media.explode_media_spans(docs)
+    assert spans.num_rows > 0
+    assert set(spans["kind"].to_pylist()) <= {"image", "audio", "table"}
+    fe = media.MediaFeatureExtractor()
+    out = fe(spans)
+    assert out["features"].type == pa.list_(pa.float32())
+    first = out["features"][0].as_py()
+    assert len(first) == media.MEDIA_FEATURE_DIM
+    # deterministic
+    assert fe(spans)["features"][0].as_py() == first
+    with pytest.raises(NotImplementedError):
+        media.MediaFeatureExtractor(strict=True)(spans.slice(0, 1))
