@@ -18,6 +18,9 @@ from collections.abc import Callable
 from typing import Any
 
 from deepie_ray import queries as Q
+from deepie_ray.tuning import apply_recommended_context
+
+apply_recommended_context()
 
 _STOP_LIST_SQL = "('the','a','an','of','to','and','in','is','it','for')"
 

@@ -40,13 +40,21 @@ MAX_PAIR_DIST = 10       # reference maximumDistance is a no-op (1e8); the graft
 MAX_PAIRS_PER_SENT = 20
 
 
+_etype_cache: dict[str, str | None] = {}
+
+
 def entity_type_of(word: str) -> str | None:
     """Deterministic lexicon: ~40% of surface forms are entities; the
-    type is a stable function of the surface."""
-    h = stable_u32(word, "lex:")
-    if h % _ENTITY_MOD >= _ENTITY_KEEP:
-        return None
-    return ENTITY_TYPES[h % len(ENTITY_TYPES)]
+    type is a stable function of the surface.  Memoized (vocabulary-
+    sized cache) — this runs once per token in the hot parse loop."""
+    try:
+        return _etype_cache[word]
+    except KeyError:
+        h = stable_u32(word, "lex:")
+        t = None if h % _ENTITY_MOD >= _ENTITY_KEEP else ENTITY_TYPES[h % len(ENTITY_TYPES)]
+        if len(_etype_cache) < 4_000_000:
+            _etype_cache[word] = t
+        return t
 
 
 def sentence_mentions(tokens: list[str]) -> list[tuple[int, str, str]]:
@@ -80,44 +88,84 @@ def mention_pairs(
 
 
 # ------------------------------------------------------------- featurizer
+#
+# Features are the reference's field-4 binary-feature families
+# (HM1/HM2/HM12, EnType, WBF/WBL/WBO, BIGRAM, NUMWB — ``data/readMe.md``
+# field 4), realized directly as hashed ids: each family has a salt
+# constant and the feature id is a stable integer mix of the salt with
+# the (memoized) token hashes.  Equivalent to hashing the feature
+# *string* but with zero string building in the hot loop — the per-pair
+# cost is integer arithmetic over cached token hashes.
 
-def pair_feature_strings(
-    tokens: list[str], pos1: int, pos2: int, t1: str, t2: str
-) -> list[str]:
-    """Sparse binary features for one mention pair, field-4 style
-    (HM*/EnType/WBO/BIGRAM/NUMWB families, ``data/readMe.md`` field 4).
-    Deduplicated and order-normalized (sorted) so the feature *set* is
-    the model input, like the reference's feature dict lookup."""
-    w1, w2 = tokens[pos1], tokens[pos2]
-    between = tokens[pos1 + 1 : pos2]
+_MASK32 = 0xFFFFFFFF
+# per-family salt constants (arbitrary fixed values, part of the schema)
+F_HM1, F_HM2, F_HM12 = 0x1000001, 0x1000002, 0x1000003
+F_ET1, F_ET2, F_ET12 = 0x1000004, 0x1000005, 0x1000006
+F_NUMWB, F_WBF, F_WBL, F_WBO, F_BIGRAM = (
+    0x1000007, 0x1000008, 0x1000009, 0x100000A, 0x100000B,
+)
+
+_token_hash_cache: dict[str, int] = {}
+
+
+def token_hash(w: str) -> int:
+    """Memoized crc32 of a token (module-level cache: vocabulary-sized,
+    shared across batches within a worker process)."""
+    h = _token_hash_cache.get(w)
+    if h is None:
+        h = stable_u32(w, "tok:")
+        if len(_token_hash_cache) < 4_000_000:
+            _token_hash_cache[w] = h
+    return h
+
+
+def _mix(salt: int, a: int, b: int = 0) -> int:
+    """Stable 32-bit mix of (salt, a, b) -> feature bucket id."""
+    h = (salt * 1000003) & _MASK32
+    h = ((h ^ a) * 1000003) & _MASK32
+    if b:
+        h = ((h ^ b) * 1000003) & _MASK32
+    return h % FEAT_BUCKETS
+
+
+_TYPE_HASH = {t: stable_u32(t, "ty:") for t in ENTITY_TYPES}
+
+
+def pair_feature_ids(
+    tokens: list[str],
+    hashes: list[int],
+    pos1: int,
+    pos2: int,
+    t1: str,
+    t2: str,
+) -> list[int]:
+    """Hashed sparse binary features for one mention pair (set
+    semantics: deduplicated, sorted — the model input is the feature
+    SET, like the reference's feature-dict lookup)."""
+    h1, h2 = hashes[pos1], hashes[pos2]
+    ty1, ty2 = _TYPE_HASH[t1], _TYPE_HASH[t2]
+    n_between = pos2 - pos1 - 1
     feats = {
-        "HM1=" + w1,
-        "HM2=" + w2,
-        "HM12=" + w1 + "--" + w2,
-        "ET12=" + t1 + "--" + t2,
-        "ET1=" + t1,
-        "ET2=" + t2,
-        "NUMWB=" + str(min(len(between), 8)),
+        _mix(F_HM1, h1),
+        _mix(F_HM2, h2),
+        _mix(F_HM12, h1, h2),
+        _mix(F_ET1, ty1),
+        _mix(F_ET2, ty2),
+        _mix(F_ET12, ty1, ty2),
+        _mix(F_NUMWB, min(n_between, 8) + 1),
     }
-    if between:
-        feats.add("WBF=" + between[0])
-        feats.add("WBL=" + between[-1])
-        for w in between[1:-1]:
-            feats.add("WBO=" + w)
-    prev = w1
-    for w in between + [w2]:
-        feats.add("BIGRAM_" + prev + "," + w)
-        prev = w
+    if n_between > 0:
+        feats.add(_mix(F_WBF, hashes[pos1 + 1]))
+        feats.add(_mix(F_WBL, hashes[pos2 - 1]))
+        for i in range(pos1 + 2, pos2 - 1):
+            feats.add(_mix(F_WBO, hashes[i]))
+    prev = h1
+    for i in range(pos1 + 1, pos2 + 1):
+        h = hashes[i]
+        feats.add(_mix(F_BIGRAM, prev, h))
+        prev = h
     return sorted(feats)
 
 
-def hash_features(feat_strings: list[str], hasher=None) -> list[int]:
-    """Feature string -> bucket id (hashing trick).  ``hasher`` may be a
-    MemoHasher instance for hot loops; falls back to direct crc32."""
-    if hasher is not None:
-        return [hasher(f) for f in feat_strings]
-    return [stable_u32(f, "feat:") % FEAT_BUCKETS for f in feat_strings]
-
-
 def hash_head(word: str) -> int:
-    return stable_u32(word, "word:") % WORD_BUCKETS
+    return token_hash(word) % WORD_BUCKETS

@@ -116,40 +116,84 @@ class MinHashBands:
                 doc_ids.append(did)
         return pa.table(
             {
-                "band": pa.array(band_ids, pa.int32()),
+                "band": pa.array(band_ids, pa.int64()),
                 "band_hash": pa.array(band_hashes, pa.int64()),
                 "doc_id": pa.array(doc_ids),
             }
         )
 
 
-def _bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
-    """LSH bucket -> candidate pairs (skip singletons; cap giant buckets
-    by pairing against the bucket min — transitive closure recovers the
-    rest, and a hot bucket stays O(n) instead of O(n^2))."""
-    ids = sorted(set(df["doc_id"]))
-    if len(ids) < 2:
-        e = pd.Series([], dtype=df["doc_id"].dtype)
-        return pd.DataFrame({"id_a": e, "id_b": e})
-    if len(ids) > 64:
-        lo = ids[0]
-        return pd.DataFrame({"id_a": [lo] * (len(ids) - 1), "id_b": ids[1:]})
-    pairs = [(ids[i], ids[j]) for i in range(len(ids)) for j in range(i + 1, len(ids))]
-    return pd.DataFrame({"id_a": [p[0] for p in pairs], "id_b": [p[1] for p in pairs]})
+MAX_BUCKET_PAIRWISE = 64  # buckets above this pair against the bucket min only
 
 
 def minhash_candidate_pairs(ds: rd.Dataset, text_col: str = "text", id_col: str = "doc_id") -> rd.Dataset:
-    """documents -> distinct candidate (id_a, id_b) pairs via LSH."""
+    """documents -> distinct candidate (id_a, id_b) pairs via LSH.
+
+    Pair generation is a bucket-keyed SELF-JOIN (hash-partitioned) —
+    per-group map_groups over tens of thousands of tiny buckets costs
+    one Python call + DataFrame per bucket and measured ~10x slower.
+    Skew guard: bucket sizes are counted first (cheap aggregate); rows
+    in buckets larger than MAX_BUCKET_PAIRWISE pair against the bucket
+    min only (star pairing — O(n) per hot bucket; transitive closure in
+    the components step recovers the cluster).  Nothing is silently
+    dropped.
+    """
     bands = ds.map_batches(
         MinHashBands,
         fn_constructor_kwargs={"text_col": text_col, "id_col": id_col},
         batch_format="pyarrow",
         concurrency=(1, 8),
+    ).materialize()
+
+    from ray.data.aggregate import Count, Min
+
+    stats = bands.groupby(["band", "band_hash"]).aggregate(
+        Count(alias_name="bucket_n"), Min("doc_id", alias_name="bucket_min")
     )
-    pairs = bands.groupby(["band", "band_hash"]).map_groups(
-        _bucket_pairs, batch_format="pandas"
+    # materialize: two consumers below (pairwise + star branches) —
+    # without pinning, the bands+stats+join lineage re-executes per branch
+    joined = bands.join(
+        stats, join_type="inner", num_partitions=8, on=("band", "band_hash")
+    ).materialize()
+
+    def filt_small(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[(df["bucket_n"] > 1) & (df["bucket_n"] <= MAX_BUCKET_PAIRWISE)]
+        return df[["band", "band_hash", "doc_id"]]
+
+    small_rows = joined.map_batches(filt_small, batch_format="pandas")
+    selfj = small_rows.join(
+        small_rows,
+        join_type="inner",
+        num_partitions=8,
+        on=("band", "band_hash"),
+        right_suffix="_r",
     )
-    return pairs.groupby(["id_a", "id_b"]).count().drop_columns(["count()"])
+
+    def ordered(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["doc_id"] < df["doc_id_r"]]
+        return pd.DataFrame({"id_a": df["doc_id"], "id_b": df["doc_id_r"]})
+
+    small = selfj.map_batches(ordered, batch_format="pandas")
+
+    def pairs_star(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[
+            (df["bucket_n"] > MAX_BUCKET_PAIRWISE)
+            & (df["doc_id"] != df["bucket_min"])
+        ]
+        return pd.DataFrame({"id_a": df["bucket_min"], "id_b": df["doc_id"]})
+
+    star = joined.map_batches(pairs_star, batch_format="pandas")
+    pairs = small.union(star)
+
+    def partial_distinct(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates()
+
+    return (
+        pairs.map_batches(partial_distinct, batch_format="pandas")
+        .groupby(["id_a", "id_b"])
+        .count()
+        .drop_columns(["count()"])
+    )
 
 
 class JaccardVerify:

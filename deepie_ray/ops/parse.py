@@ -7,10 +7,11 @@ north-rule span invariant is "never mutate spans"; this stage only
 *reads* text spans), text spans are tokenized and mentions detected by
 the deterministic lexicon tagger (features.py).
 
-Stateless ``map_batches`` stage, Arrow in / Arrow out.  Per-row work is
-a Python loop over sentences — the tokenizer and featurizer are
-string-level NLP, not a vectorizable kernel — but all hashing is
-memoized per task and the stage is embarrassingly parallel with no
+Hot-path layout: the spans column is consumed through its Arrow child
+arrays (doc index from list offsets + text child values) — no
+per-span Python dicts; token/entity/feature hashing is memoized at
+module level (vocabulary-sized caches shared across batches within a
+worker process).  The stage is embarrassingly parallel with no
 shuffle.
 """
 
@@ -20,60 +21,66 @@ import numpy as np
 import pyarrow as pa
 
 from ..features import (
-    FEAT_BUCKETS,
+    entity_type_of,
     hash_head,
     mention_pairs,
-    pair_feature_strings,
-    sentence_mentions,
+    pair_feature_ids,
+    token_hash,
 )
-from ..hashing import MemoHasher
 from ..schema import PAIRS
 
 
-def doc_to_pair_rows(doc_id: str, spans: list[dict], hasher=None) -> list[tuple]:
-    """One document -> list of pair tuples (column order = PAIRS schema).
+def sentence_rows(
+    doc_id: str, sent_id: int, tokens: list[str]
+) -> list[tuple]:
+    """One tokenized sentence -> pair tuples (column order = PAIRS).
 
     ``pair_id`` = "<doc_id>:<sent_id>:<k>" — stable per document, so
-    the id is independent of partitioning (unlike the reference's
+    ids are independent of partitioning (unlike the reference's
     sequential line ids).
     """
+    mentions = []
+    for i, w in enumerate(tokens):
+        t = entity_type_of(w)
+        if t is not None:
+            mentions.append((i, w, t))
+    if len(mentions) < 2:
+        return []
+    hashes = [token_hash(w) for w in tokens]
     rows = []
+    for k, (m1, m2) in enumerate(mention_pairs(mentions)):
+        pos1, w1, t1 = m1
+        pos2, w2, t2 = m2
+        fids = pair_feature_ids(tokens, hashes, pos1, pos2, t1, t2)
+        rows.append(
+            (
+                doc_id,
+                f"{doc_id}:{sent_id}:{k}",
+                sent_id,
+                w1,
+                t1,
+                w2,
+                t2,
+                pos1,
+                pos2,
+                len(tokens),
+                fids,
+                hash_head(w1),
+                hash_head(w2),
+            )
+        )
+    return rows
+
+
+def doc_to_pair_rows(doc_id: str, spans: list[dict]) -> list[tuple]:
+    """Row-oriented entry (oracle / tests): document dict -> pair rows."""
+    rows: list[tuple] = []
     sent_id = -1
     for span in spans:
         if span["kind"] != "text" or not span["text"]:
             continue
         sent_id += 1
-        tokens = span["text"].split()
-        mentions = sentence_mentions(tokens)
-        if len(mentions) < 2:
-            continue
-        for k, (m1, m2) in enumerate(mention_pairs(mentions)):
-            pos1, w1, t1 = m1
-            pos2, w2, t2 = m2
-            feats = pair_feature_strings(tokens, pos1, pos2, t1, t2)
-            if hasher is not None:
-                fids = [hasher(f) for f in feats]
-            else:
-                from ..features import hash_features
-
-                fids = hash_features(feats)
-            rows.append(
-                (
-                    doc_id,
-                    f"{doc_id}:{sent_id}:{k}",
-                    sent_id,
-                    w1,
-                    t1,
-                    w2,
-                    t2,
-                    pos1,
-                    pos2,
-                    len(tokens),
-                    fids,
-                    hash_head(w1),
-                    hash_head(w2),
-                )
-            )
+        rows.extend(sentence_rows(doc_id, sent_id, span["text"].split()))
     return rows
 
 
@@ -85,27 +92,35 @@ def rows_to_pairs_table(rows: list[tuple]) -> pa.Table:
     return pa.Table.from_arrays(arrays, schema=PAIRS)
 
 
-class ExtractPairs:
-    """Actor-pool stage: holds the memoized feature hasher across
-    batches (stateful setup once per actor, SURVEY §7.4)."""
+def extract_pairs_fn(batch: pa.Table) -> pa.Table:
+    """Batch entry: documents batch -> pairs batch, via Arrow child
+    arrays (no per-span dict materialization)."""
+    doc_ids = batch["doc_id"].to_pylist()
+    spans = batch["spans"].combine_chunks()
+    offsets = spans.offsets.to_numpy(zero_copy_only=False)
+    structs = spans.values
+    base = offsets[0]
+    kinds = structs.field("kind").to_pylist()
+    texts = structs.field("text").to_pylist()
 
-    def __init__(self):
-        self.hasher = MemoHasher(FEAT_BUCKETS, "feat:")
+    rows: list[tuple] = []
+    for d, doc_id in enumerate(doc_ids):
+        lo, hi = offsets[d] - base, offsets[d + 1] - base
+        sent_id = -1
+        for s in range(lo, hi):
+            if kinds[s] != "text":
+                continue
+            text = texts[s]
+            if not text:
+                continue
+            sent_id += 1
+            rows.extend(sentence_rows(doc_id, sent_id, text.split()))
+    return rows_to_pairs_table(rows)
+
+
+class ExtractPairs:
+    """Actor-pool variant (same function; the hash memos live at module
+    level so tasks and actors share the warm-cache benefit)."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        doc_ids = batch["doc_id"].to_pylist()
-        spans_col = batch["spans"].to_pylist()
-        rows: list[tuple] = []
-        for did, spans in zip(doc_ids, spans_col):
-            rows.extend(doc_to_pair_rows(did, spans or [], self.hasher))
-        return rows_to_pairs_table(rows)
-
-
-def extract_pairs_fn(batch: pa.Table) -> pa.Table:
-    """Stateless-task variant of ExtractPairs (no memo warmup)."""
-    doc_ids = batch["doc_id"].to_pylist()
-    spans_col = batch["spans"].to_pylist()
-    rows: list[tuple] = []
-    for did, spans in zip(doc_ids, spans_col):
-        rows.extend(doc_to_pair_rows(did, spans or []))
-    return rows_to_pairs_table(rows)
+        return extract_pairs_fn(batch)

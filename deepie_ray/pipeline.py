@@ -30,34 +30,55 @@ from .ops.agg import grouped_count
 from .ops.canon import connected_components_driver
 from .ops.link import LinkEntities, build_alias_map
 from .ops.linkref import component_edges
-from .ops.parse import ExtractPairs
+from .ops.parse import ExtractPairs, extract_pairs_fn  # noqa: F401 (ExtractPairs is the pooled variant)
 from .ops.score import MultiNNScorer, drop_none
 from .synth import interleave_batch
 
 
-def read_documents(sf_dir: str) -> rd.Dataset:
+def _default_blocks() -> int:
+    """Enough input blocks to keep every core busy (small corpora ship
+    as a single parquet row-group = a single block = zero parallelism),
+    few enough that downstream shuffles stay cheap (tuning.py)."""
+    from .tuning import read_blocks
+
+    return read_blocks()
+
+
+def read_documents(sf_dir: str, num_blocks: int | None = None) -> rd.Dataset:
     """Driver flat documents parquet -> interleaved-span documents.
 
     Column-pruned read (only doc_id/text leave storage); the
     interleave transform is the deterministic synth mapping
     (synth.py) standing in for a real Lance interleaved corpus.
     """
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text"],
+        override_num_blocks=num_blocks or _default_blocks(),
+    )
     return ds.map_batches(interleave_batch, batch_format="pyarrow")
 
 
 def extract_triples(
     docs: rd.Dataset,
     weights_ref=None,
-    parse_concurrency: int | tuple = (1, 8),
+    parse_concurrency: int | tuple = (1, 16),
     score_concurrency: int | tuple = (1, 4),
     score_batch_size: int = 4096,
 ) -> rd.Dataset:
-    """documents -> scored pairs (TRIPLES schema, NONE rows included)."""
+    """documents -> scored pairs (TRIPLES schema, NONE rows included).
+
+    Parse and scoring are SEPARATE actor pools on purpose: Ray fuses a
+    task stage into a downstream actor-pool stage, which would make the
+    scorer's pair-level batch_size apply to *documents* (measured: the
+    whole sf0.1 corpus collapsed to 2 tasks).  Two distinct pools keep
+    the stage boundary, so parse parallelism is doc-batch-sized and
+    scoring batches are pair-sized.
+    """
     pairs = docs.map_batches(
         ExtractPairs,
         batch_format="pyarrow",
-        batch_size=512,
+        batch_size=256,
         concurrency=parse_concurrency,
     )
     return pairs.map_batches(
@@ -73,6 +94,46 @@ def emitted_triples(docs: rd.Dataset, weights_ref=None, **kw) -> rd.Dataset:
     return extract_triples(docs, weights_ref, **kw).map_batches(
         drop_none, batch_format="pyarrow"
     )
+
+
+def extract_triples_tasks(
+    docs: rd.Dataset, weights_ref, batch_size: int = 256
+) -> rd.Dataset:
+    """All-stateless-task variant of the extraction pipeline (parse +
+    score + filter fused into one task stage; weights read zero-copy
+    from the object store per task).  Identical output to
+    ``emitted_triples``.  Used for scaling measurements: no actor-pool
+    spawn latency, so wall time tracks compute, and task elasticity
+    follows the CPU count exactly.
+    """
+    import ray
+
+    from .ops.parse import extract_pairs_fn
+    from .ops.score import score_batch
+
+    def fused(batch: pa.Table) -> pa.Table:
+        pairs = extract_pairs_fn(batch)
+        scored = score_batch(ray.get(weights_ref), pairs)
+        return scored.filter(pc.not_equal(scored["pred_label"], "NONE"))
+
+    return docs.map_batches(fused, batch_format="pyarrow", batch_size=batch_size)
+
+
+def replicate_documents(docs: rd.Dataset, factor: int) -> rd.Dataset:
+    """Deterministically replicate a corpus ``factor``x with distinct
+    doc ids (bench-scale stand-in for a larger corpus: identical
+    per-doc work profile, factor-x total work)."""
+
+    def rep(batch: pa.Table) -> pa.Table:
+        tables = []
+        for r in range(factor):
+            ids = pc.binary_join_element_wise(
+                batch["doc_id"], pa.scalar(f"r{r}"), "#"
+            )
+            tables.append(pa.table({"doc_id": ids, "spans": batch["spans"]}))
+        return pa.concat_tables(tables)
+
+    return docs.map_batches(rep, batch_format="pyarrow")
 
 
 def _surface_batch(t: pa.Table) -> pa.Table:

@@ -29,12 +29,22 @@ from .ops import ann, dedup, joins, text, window
 from .ops.agg import grouped_count
 
 
+from .tuning import read_blocks
+
+
 def _lineitem(sf_dir: str, cols: list[str]) -> rd.Dataset:
-    return rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=cols)
+    return rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=cols, override_num_blocks=read_blocks()
+    )
 
 
 def _read(sf_dir: str, table: str, cols: list[str] | None = None) -> rd.Dataset:
-    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=cols)
+    # benchmark-scale block sizing (tuning.py); at 100TB leave the default
+    return rd.read_parquet(
+        f"{sf_dir}/{table}.parquet",
+        columns=cols,
+        override_num_blocks=read_blocks(),
+    )
 
 
 def _round2(x):

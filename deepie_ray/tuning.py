@@ -1,0 +1,42 @@
+"""Recommended DataContext settings + block-count policy.
+
+Measured on this Ray build (2.49, single node, 32 cpus, sf0.1):
+
+* Shuffle cost is driven by BLOCK COUNT, not strategy: a 147k-group
+  aggregate over 64 input blocks took 31s; the same data in 16-32
+  blocks takes 7-8s (sort shuffle).  HASH_SHUFFLE matches that (8s)
+  but spawns persistent aggregator actors per shuffle — across a
+  30-query session workers accumulated into the hundreds and the whole
+  suite slowed down >3x, so we stay on the default sort shuffle and
+  size blocks instead.
+* ``Dataset.join`` cost follows the same rule: 600k x 150k join = 0.8s
+  with 8-block inputs / num_partitions=8, but 105s with 64-block
+  inputs / num_partitions=32.  Keep join partitions ~= a few per node,
+  not per core.
+
+Policy: reads of *small-to-medium* tables override to
+``read_blocks()`` blocks (enough for task parallelism, few enough for
+cheap shuffles).  At real 100TB scale, leave Ray's size-based default
+(128 MiB target blocks) and keep shuffle partitions at a few per NODE.
+"""
+
+from __future__ import annotations
+
+
+def read_blocks(lo: int = 8, hi: int = 32) -> int:
+    """Block count for benchmark-scale reads: ~1 per cpu, in [lo, hi]."""
+    try:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return max(lo, min(hi, cpus))
+
+
+def apply_recommended_context() -> None:
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False

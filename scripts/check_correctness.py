@@ -73,11 +73,7 @@ def main():
     ray.init(
         address="local", num_cpus=8, include_dashboard=False, logging_level="ERROR"
     )
-    from ray.data import DataContext
-
-    DataContext.get_current().enable_progress_bars = False
-
-    import __ray_entry__ as entrymod
+    import __ray_entry__ as entrymod  # applies recommended DataContext
 
     qs = entrymod.queries()
     sqls = entrymod.oracle_sql()

@@ -11,11 +11,9 @@ def ray_session():
         ignore_reinit_error=True,
         logging_level="ERROR",
     )
-    from ray.data import DataContext
+    from deepie_ray.tuning import apply_recommended_context
 
-    ctx = DataContext.get_current()
-    ctx.enable_progress_bars = False
-    ctx.execution_options.verbose_progress = False
+    apply_recommended_context()
     yield
     ray.shutdown()
 
