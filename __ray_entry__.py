@@ -68,6 +68,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_lsh": Q.ann_topk_lsh,
         # flagship KG pipeline
         "kg_triples": Q.kg_triples,
+        "kg_triples_gru": Q.kg_triples_gru,
+        "kg_triples_hybrid": Q.kg_triples_hybrid,
         "kg_nodes": Q.kg_nodes,
         "kg_edges": Q.kg_edges,
         "media_span_stats": Q.media_span_stats,

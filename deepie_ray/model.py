@@ -130,6 +130,21 @@ def init_gru_weights(seed: int = DEFAULT_SEED + 1) -> dict[str, np.ndarray]:
     return w
 
 
+def pad_token_batch(
+    token_lists: list[list[int]], max_len: int | None = None
+) -> np.ndarray:
+    """Right-pad with id 0 (zero embedding row) to the BATCH max — not
+    a global max (M13 note in SURVEY §2.2: semantics preserved because
+    pad id 0 contributes zero vectors)."""
+    n = len(token_lists)
+    L = max_len or max((len(t) for t in token_lists), default=1)
+    out = np.zeros((n, L), dtype=np.int64)
+    for i, toks in enumerate(token_lists):
+        k = min(len(toks), L)
+        out[i, :k] = toks[:k]
+    return out
+
+
 def gru_head_forward(
     weights: dict[str, np.ndarray],
     token_ids: np.ndarray,   # (B, T) right-padded with 0 (zero embedding row)
@@ -148,4 +163,50 @@ def gru_head_forward(
         [hf[rows, pos1], hb[rows, pos1], hf[rows, pos2], hb[rows, pos2]], axis=1
     )
     probs = nn.softmax(rep @ weights["W_out"] + weights["b_out"])
+    return probs.argmax(axis=1), probs.astype(np.float32)
+
+
+# ------------------------------------------------------- CNN variant (T7)
+
+CNN_WINDOWS = (2, 3)
+CNN_MAPS = 32
+
+
+def init_cnn_weights(seed: int = DEFAULT_SEED + 2) -> dict[str, np.ndarray]:
+    rng = np.random.default_rng(seed)
+
+    def u(*shape):
+        return rng.uniform(-0.25, 0.25, size=shape).astype(np.float32)
+
+    w = {"E_word": u(WORD_BUCKETS, WORD_DIM)}
+    w["E_word"][0] = 0.0
+    for win in CNN_WINDOWS:
+        w[f"convW{win}"] = u(win * WORD_DIM, CNN_MAPS)
+        w[f"convb{win}"] = np.zeros(CNN_MAPS, dtype=np.float32)
+    w["W_out"] = u(len(CNN_WINDOWS) * CNN_MAPS, N_LABELS)
+    w["b_out"] = np.zeros(N_LABELS, dtype=np.float32)
+    w["b_out"][0] = 0.5
+    return w
+
+
+def cnn_forward(
+    weights: dict[str, np.ndarray], token_ids: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Multi-window CNN + tanh + global max-pool over token embeddings
+    (reference ``convolute``/``convContext``, rnnReModels.py:443-489)."""
+    x = weights["E_word"][token_ids]
+    filters = {
+        win: (weights[f"convW{win}"], weights[f"convb{win}"]) for win in CNN_WINDOWS
+    }
+    rep = nn.conv_maxpool(x, filters)
+    probs = nn.softmax(rep @ weights["W_out"] + weights["b_out"])
+    return probs.argmax(axis=1), probs.astype(np.float32)
+
+
+def product_of_experts(prob_list: list[np.ndarray]) -> tuple[np.ndarray, np.ndarray]:
+    """Hybrid combiner (T4/T6): renormalized product of expert
+    distributions (reference exp-sum formulation, rnnReModels.py:
+    1049-1146, in probability space)."""
+    logp = sum(np.log(np.clip(p, 1e-12, 1.0)) for p in prob_list)
+    probs = nn.softmax(logp)
     return probs.argmax(axis=1), probs.astype(np.float32)

@@ -21,6 +21,7 @@ import numpy as np
 import pyarrow as pa
 
 from ..features import (
+    WORD_BUCKETS,
     entity_type_of,
     hash_head,
     mention_pairs,
@@ -29,9 +30,12 @@ from ..features import (
 )
 from ..schema import PAIRS
 
+# pairs schema extended with the token-id sequence (GRU/CNN encoder path)
+PAIRS_TOK = PAIRS.append(pa.field("token_ids", pa.list_(pa.int32())))
+
 
 def sentence_rows(
-    doc_id: str, sent_id: int, tokens: list[str]
+    doc_id: str, sent_id: int, tokens: list[str], with_tokens: bool = False
 ) -> list[tuple]:
     """One tokenized sentence -> pair tuples (column order = PAIRS).
 
@@ -47,28 +51,30 @@ def sentence_rows(
     if len(mentions) < 2:
         return []
     hashes = [token_hash(w) for w in tokens]
+    token_ids = (
+        [h % WORD_BUCKETS for h in hashes] if with_tokens else None
+    )
     rows = []
     for k, (m1, m2) in enumerate(mention_pairs(mentions)):
         pos1, w1, t1 = m1
         pos2, w2, t2 = m2
         fids = pair_feature_ids(tokens, hashes, pos1, pos2, t1, t2)
-        rows.append(
-            (
-                doc_id,
-                f"{doc_id}:{sent_id}:{k}",
-                sent_id,
-                w1,
-                t1,
-                w2,
-                t2,
-                pos1,
-                pos2,
-                len(tokens),
-                fids,
-                hash_head(w1),
-                hash_head(w2),
-            )
+        row = (
+            doc_id,
+            f"{doc_id}:{sent_id}:{k}",
+            sent_id,
+            w1,
+            t1,
+            w2,
+            t2,
+            pos1,
+            pos2,
+            len(tokens),
+            fids,
+            hash_head(w1),
+            hash_head(w2),
         )
+        rows.append(row + (token_ids,) if with_tokens else row)
     return rows
 
 
@@ -84,15 +90,16 @@ def doc_to_pair_rows(doc_id: str, spans: list[dict]) -> list[tuple]:
     return rows
 
 
-def rows_to_pairs_table(rows: list[tuple]) -> pa.Table:
-    cols = list(zip(*rows)) if rows else [[] for _ in PAIRS]
+def rows_to_pairs_table(rows: list[tuple], with_tokens: bool = False) -> pa.Table:
+    schema = PAIRS_TOK if with_tokens else PAIRS
+    cols = list(zip(*rows)) if rows else [[] for _ in schema]
     arrays = []
-    for field, col in zip(PAIRS, cols):
+    for field, col in zip(schema, cols):
         arrays.append(pa.array(list(col), type=field.type))
-    return pa.Table.from_arrays(arrays, schema=PAIRS)
+    return pa.Table.from_arrays(arrays, schema=schema)
 
 
-def extract_pairs_fn(batch: pa.Table) -> pa.Table:
+def extract_pairs_fn(batch: pa.Table, with_tokens: bool = False) -> pa.Table:
     """Batch entry: documents batch -> pairs batch, via Arrow child
     arrays (no per-span dict materialization)."""
     doc_ids = batch["doc_id"].to_pylist()
@@ -114,8 +121,12 @@ def extract_pairs_fn(batch: pa.Table) -> pa.Table:
             if not text:
                 continue
             sent_id += 1
-            rows.extend(sentence_rows(doc_id, sent_id, text.split()))
-    return rows_to_pairs_table(rows)
+            rows.extend(sentence_rows(doc_id, sent_id, text.split(), with_tokens))
+    return rows_to_pairs_table(rows, with_tokens)
+
+
+def extract_pairs_tokens_fn(batch: pa.Table) -> pa.Table:
+    return extract_pairs_fn(batch, with_tokens=True)
 
 
 class ExtractPairs:

@@ -93,3 +93,90 @@ def drop_none(batch: pa.Table) -> pa.Table:
     import pyarrow.compute as pc
 
     return batch.filter(pc.not_equal(batch["pred_label"], "NONE"))
+
+
+# ------------------------------------------------ encoder-variant scorers
+
+
+def _token_ids_padded(batch: pa.Table) -> np.ndarray:
+    lists = batch["token_ids"].to_pylist()
+    return M.pad_token_batch(lists)
+
+
+def _emit(batch: pa.Table, preds: np.ndarray, probs: np.ndarray) -> pa.Table:
+    labels = pa.array(_LABELS_ARR[preds], pa.string())
+    n = len(batch)
+    prob_offsets = np.arange(0, (n + 1) * M.N_LABELS, M.N_LABELS, dtype=np.int32)
+    prob_col = pa.ListArray.from_arrays(
+        pa.array(prob_offsets), pa.array(probs.ravel(), pa.float32())
+    )
+    return pa.Table.from_arrays(
+        [
+            batch["doc_id"], batch["pair_id"], batch["subj"], batch["subj_type"],
+            labels, batch["obj"], batch["obj_type"], prob_col,
+        ],
+        schema=TRIPLES,
+    )
+
+
+class GRUHeadScorer:
+    """biGRU encoder, head-state readout (reference ``rnnHead`` family,
+    rnnReModels.py:1353-1388).  Needs the token-id pairs table
+    (parse with_tokens=True); padding is per-batch (pad id 0 = zero
+    embedding row)."""
+
+    def __init__(self, seed: int = M.DEFAULT_SEED + 1):
+        self.weights = M.init_gru_weights(seed)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        toks = _token_ids_padded(batch)
+        pos1 = batch["pos1"].to_numpy().astype(np.int64)
+        pos2 = batch["pos2"].to_numpy().astype(np.int64)
+        preds, probs = M.gru_head_forward(self.weights, toks, pos1, pos2)
+        return _emit(batch, preds, probs)
+
+
+class CNNScorer:
+    """Multi-window CNN + max-pool encoder (reference ``convolute``,
+    rnnReModels.py:1315-1322)."""
+
+    def __init__(self, seed: int = M.DEFAULT_SEED + 2):
+        self.weights = M.init_cnn_weights(seed)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        toks = _token_ids_padded(batch)
+        preds, probs = M.cnn_forward(self.weights, toks)
+        return _emit(batch, preds, probs)
+
+
+class HybridScorer:
+    """Product-of-experts: log-linear (MultiNN) x CNN, renormalized —
+    the reference's hybrid model shape (``hybridModel``,
+    rnnReModels.py:1049-1146)."""
+
+    def __init__(self, seed: int = M.DEFAULT_SEED):
+        self.w_multi = M.init_weights(seed)
+        self.w_cnn = M.init_cnn_weights(seed + 2)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        flat, offsets = _list_column_to_numpy(batch["feat_ids"])
+        head1 = batch["head1_id"].to_numpy().astype(np.int64)
+        head2 = batch["head2_id"].to_numpy().astype(np.int64)
+        _, p_multi = M.multinn_forward(self.w_multi, flat, offsets, head1, head2)
+        toks = _token_ids_padded(batch)
+        _, p_cnn = M.cnn_forward(self.w_cnn, toks)
+        preds, probs = M.product_of_experts([p_multi, p_cnn])
+        return _emit(batch, preds, probs)
+
+
+# §2.10: explicit registry (the reference selects models by string +
+# eval; the engine maps names to classes — no eval)
+MODELS: dict[str, type] = {
+    "multinn": MultiNNScorer,
+    "gru_head": GRUHeadScorer,
+    "cnn": CNNScorer,
+    "hybrid": HybridScorer,
+}
+
+# which models need the token-id pairs table (parse with_tokens=True)
+NEEDS_TOKENS = {"gru_head", "cnn", "hybrid"}

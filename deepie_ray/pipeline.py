@@ -90,6 +90,42 @@ def extract_triples(
     )
 
 
+def extract_triples_model(
+    docs: rd.Dataset,
+    model_name: str = "multinn",
+    parse_concurrency: int | tuple = (1, 16),
+    score_concurrency: int | tuple = (1, 4),
+    score_batch_size: int = 4096,
+) -> rd.Dataset:
+    """Extraction with a registry-selected scorer (§2.10: explicit
+    name->class registry; encoder variants consume the token-id pairs
+    table)."""
+    from .ops.parse import extract_pairs_tokens_fn
+    from .ops.score import MODELS, NEEDS_TOKENS
+
+    cls = MODELS[model_name]
+    if model_name in NEEDS_TOKENS:
+        class ParseTok:
+            def __call__(self, batch):
+                return extract_pairs_tokens_fn(batch)
+
+        pairs = docs.map_batches(
+            ParseTok, batch_format="pyarrow", batch_size=256,
+            concurrency=parse_concurrency,
+        )
+    else:
+        pairs = docs.map_batches(
+            ExtractPairs, batch_format="pyarrow", batch_size=256,
+            concurrency=parse_concurrency,
+        )
+    return pairs.map_batches(
+        cls,
+        batch_format="pyarrow",
+        batch_size=score_batch_size,
+        concurrency=score_concurrency,
+    )
+
+
 def emitted_triples(docs: rd.Dataset, weights_ref=None, **kw) -> rd.Dataset:
     return extract_triples(docs, weights_ref, **kw).map_batches(
         drop_none, batch_format="pyarrow"

@@ -574,6 +574,30 @@ def kg_graph(sf_dir: str):
     return pipeline.run_kg(sf_dir)
 
 
+def kg_triples_gru(sf_dir: str) -> rd.Dataset:
+    """Encoder-variant extraction (biGRU head readout) — rows-only."""
+    from . import pipeline
+
+    docs = pipeline.read_documents(sf_dir)
+    out = pipeline.extract_triples_model(docs, "gru_head")
+    return out.map_batches(
+        lambda t: t.filter(pc.not_equal(t["pred_label"], "NONE")).drop_columns(["prob"]),
+        batch_format="pyarrow",
+    )
+
+
+def kg_triples_hybrid(sf_dir: str) -> rd.Dataset:
+    """Hybrid product-of-experts (MultiNN x CNN) extraction — rows-only."""
+    from . import pipeline
+
+    docs = pipeline.read_documents(sf_dir)
+    out = pipeline.extract_triples_model(docs, "hybrid")
+    return out.map_batches(
+        lambda t: t.filter(pc.not_equal(t["pred_label"], "NONE")).drop_columns(["prob"]),
+        batch_format="pyarrow",
+    )
+
+
 def kg_nodes(sf_dir: str) -> rd.Dataset:
     return kg_graph(sf_dir)["nodes"]
 
