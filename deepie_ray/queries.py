@@ -568,10 +568,17 @@ def kg_triples(sf_dir: str) -> rd.Dataset:
     return t.drop_columns(["prob"])
 
 
+_kg_cache: dict[str, dict] = {}
+
+
 def kg_graph(sf_dir: str):
+    """Full KG build; memoized per sf_dir within the process (the
+    nodes/edges queries would otherwise each re-run parse+score)."""
     from . import pipeline
 
-    return pipeline.run_kg(sf_dir)
+    if sf_dir not in _kg_cache:
+        _kg_cache[sf_dir] = pipeline.run_kg(sf_dir)
+    return _kg_cache[sf_dir]
 
 
 def kg_triples_gru(sf_dir: str) -> rd.Dataset:
