@@ -50,7 +50,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding_1h_30m": Q.events_sliding_1h_30m,
         "events_sessions": Q.events_sessions,
         "events_topk_users": Q.events_topk_users,
+        "events_distinct_users": Q.events_distinct_users,
+        "events_median_value": Q.events_median_value,
         "asof_events_orders": Q.asof_events_orders,
+        "top3_orders_per_customer": Q.top3_orders_per_customer,
         # text analysis
         "text_token_counts": Q.text_token_counts,
         "text_quality": Q.text_quality,
@@ -175,6 +178,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, count(*)::BIGINT AS n_events
             FROM events GROUP BY user_id
             ORDER BY count(*) DESC, user_id LIMIT 10
+        """,
+        "events_distinct_users": """
+            SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users
+            FROM events GROUP BY event_type
+        """,
+        "events_median_value": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.5), 4) AS median_value
+            FROM events GROUP BY event_type
+        """,
+        "top3_orders_per_customer": """
+            SELECT o_custkey, o_orderkey, o_totalprice, rank FROM (
+              SELECT o_custkey, o_orderkey, o_totalprice,
+                     row_number() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+              FROM orders
+            ) WHERE rank <= 3
         """,
         "asof_events_orders": """
             SELECT event_id, o_orderkey FROM (

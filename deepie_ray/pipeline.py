@@ -293,3 +293,23 @@ def run_kg(
         linked = linked.materialize()
     nodes, edges = build_graph(linked)
     return {"triples": triples, "linked": linked, "nodes": nodes, "edges": edges}
+
+
+def materialize_graph(
+    sf_dir: str, out_dir: str, **extract_kw
+) -> dict[str, str]:
+    """North-rule sink: run the pipeline and write deduplicated
+    triples/nodes/edges as partitioned parquet checkpoints (atomic
+    tmp-dir rename + manifest + lineage per stage) under ``out_dir``.
+    A rerun after failure skips every completed stage."""
+    from .checkpoint import checkpoint_dataset
+
+    out = run_kg(sf_dir, checkpoint_dir=out_dir, **extract_kw)
+    checkpoint_dataset(out["nodes"], out_dir, "nodes")
+    checkpoint_dataset(out["edges"], out_dir, "edges")
+    import os
+
+    return {
+        name: os.path.join(out_dir, name, "data")
+        for name in ("triples", "linked", "nodes", "edges")
+    }

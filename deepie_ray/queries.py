@@ -420,6 +420,87 @@ def asof_events_orders(sf_dir: str) -> rd.Dataset:
     )
 
 
+def top3_orders_per_customer(sf_dir: str) -> rd.Dataset:
+    """Per-key top-k (window-function shape): each customer's 3 most
+    expensive orders.  Combiner-first: per-batch top-3 per key, then a
+    final per-key top-3 over the partials — the shuffle carries at most
+    3 rows per (key, block)."""
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True])
+            .groupby("o_custkey", sort=False)
+            .head(3)
+        )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.sort_values(
+            ["o_totalprice", "o_orderkey"], ascending=[False, True]
+        ).head(3)
+        out = out.copy()
+        out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+        return out[["o_custkey", "o_orderkey", "o_totalprice", "rank"]]
+
+    return (
+        orders.map_batches(partial, batch_format="pandas")
+        .groupby("o_custkey")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+def events_distinct_users(sf_dir: str) -> rd.Dataset:
+    """Exact grouped count-distinct: per-batch distinct pairs, then a
+    distinct shuffle, then a grouped count."""
+    ev = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        g = t.group_by(["event_type", "user_id"]).aggregate([])
+        return g
+
+    distinct = (
+        ev.map_batches(pairs, batch_format="pyarrow")
+        .groupby(["event_type", "user_id"])
+        .count()
+    )
+
+    def count_users(t: pa.Table) -> pa.Table:
+        g = t.group_by("event_type").aggregate([([], "count_all")])
+        return pa.table({"event_type": g["event_type"], "n_partial": g["count_all"]})
+
+    return (
+        distinct.map_batches(count_users, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("n_partial", alias_name="n_users"))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "event_type": t["event_type"],
+                    "n_users": pc.cast(t["n_users"], pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def events_median_value(sf_dir: str) -> rd.Dataset:
+    """Exact grouped median (linear interpolation — numpy and DuckDB
+    quantile_cont agree).  Per-group exact: groups are bounded (one
+    per event_type); values are gathered per group in map_groups."""
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+
+    def med(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": [df["event_type"].iloc[0]],
+                "median_value": [round(float(np.percentile(df["value"], 50)), 4)],
+            }
+        )
+
+    return ev.groupby("event_type").map_groups(med, batch_format="pandas")
+
+
 # ------------------------------------------------------------------- text
 
 

@@ -82,3 +82,22 @@ def test_run_kg_with_checkpoint_dir(tmp_path):
     assert len(files) >= 1
     total = sum(pq.read_metadata(os.path.join(data_dir, f)).num_rows for f in files)
     assert total == out["triples"].count()
+
+
+def test_materialize_graph_writes_parquet(tmp_path):
+    import pyarrow.parquet as pq
+
+    paths = pipeline.materialize_graph(
+        "/root/testdata/sf0.001", str(tmp_path / "graph")
+    )
+    assert set(paths) == {"triples", "linked", "nodes", "edges"}
+    for name, p in paths.items():
+        files = [f for f in os.listdir(p) if f.endswith(".parquet")]
+        assert files, name
+        t = pq.read_table(p)
+        assert t.num_rows > 0, name
+    # rerun skips everything (manifests complete) and returns same paths
+    again = pipeline.materialize_graph(
+        "/root/testdata/sf0.001", str(tmp_path / "graph")
+    )
+    assert again == paths
