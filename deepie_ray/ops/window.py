@@ -17,9 +17,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray.data as rd
-from ray.data.aggregate import Count, Sum
+from ray.data.aggregate import Sum
 
-from .agg import partial_count
 
 
 def add_tumbling_window(

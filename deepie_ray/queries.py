@@ -47,8 +47,22 @@ def _read(sf_dir: str, table: str, cols: list[str] | None = None) -> rd.Dataset:
     )
 
 
-def _round2(x):
-    return pc.round(x, ndigits=2)
+def _round2(x) -> pa.Array:
+    """Correctly-rounded 2dp doubles.  NOT ``pc.round``: the Arrow
+    kernel computes x*100->rint->/100 and lands a ulp off the canonical
+    double ~8% of the time (measured), which breaks bitwise value-hash
+    comparison against DuckDB's correctly-rounded ``round()``.  Python
+    ``round`` is correctly rounded.  Only ever applied to final (small)
+    aggregate columns."""
+    if isinstance(x, pa.ChunkedArray):
+        x = x.combine_chunks()
+    return pa.array(
+        [None if v is None else round(v, 2) for v in x.to_pylist()], pa.float64()
+    )
+
+
+def _round2_series(s: pd.Series) -> pd.Series:
+    return s.map(lambda v: None if pd.isna(v) else round(float(v), 2))
 
 
 # --------------------------------------------------------------- relational
@@ -146,7 +160,7 @@ def q3_top_revenue_orders(sf_dir: str) -> pd.DataFrame:
     agg = joined.groupby("o_orderkey").aggregate(Sum("revenue", alias_name="revenue"))
     top = agg.sort(["revenue", "o_orderkey"], descending=[True, False]).limit(10)
     df = top.to_pandas()
-    df["revenue"] = df["revenue"].round(2)
+    df["revenue"] = _round2_series(df["revenue"])
     return df[["o_orderkey", "revenue"]]
 
 
@@ -252,7 +266,7 @@ def top10_customers_by_spend(sf_dir: str) -> pd.DataFrame:
     df = top.to_pandas()
     cust = _read(sf_dir, "customer", ["c_custkey", "c_name"]).to_pandas()
     df = df.merge(cust, left_on="o_custkey", right_on="c_custkey")
-    df["spend"] = df["spend"].round(2)
+    df["spend"] = _round2_series(df["spend"])
     return df[["c_custkey", "c_name", "spend"]]
 
 
@@ -329,7 +343,7 @@ def supplier_nation_balance(sf_dir: str) -> pd.DataFrame:
         df.groupby("n_name")["s_acctbal"].agg(["sum", "count"]).reset_index()
     )
     out.columns = ["n_name", "total_balance", "n_suppliers"]
-    out["total_balance"] = out["total_balance"].round(2)
+    out["total_balance"] = _round2_series(out["total_balance"])
     out["n_suppliers"] = out["n_suppliers"].astype("int64")
     return out
 

@@ -37,6 +37,9 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     for c in df.columns:
         if df[c].dtype == object:
             df[c] = df[c].astype(str)
+        elif np.issubdtype(df[c].dtype, np.floating):
+            # quantize so a ulp of float noise can't reorder tied rows
+            df[c] = df[c].map(lambda v: v if pd.isna(v) else round(float(v), 9))
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
