@@ -45,8 +45,11 @@ def _run_bench() -> None:
     from deepie_ray import pipeline
     from deepie_ray import queries as Q
 
-    # warm the OS page cache (untimed) so we measure compute+shuffle
-    pipeline.read_documents(sf_dir).count()
+    # warm-up (untimed): OS page cache + Ray worker processes + actor
+    # code paths, so timings measure compute+shuffle, not cold starts
+    pipeline.emitted_triples(
+        pipeline.read_documents(sf_dir).limit(64)
+    ).count()
     import ray.data as rd
 
     for t in ("lineitem", "orders", "events", "embeddings"):

@@ -1,0 +1,123 @@
+"""Property-based tests (hypothesis) for the invariants SURVEY §5 calls
+out: span-sequence preservation, parser determinism/order-independence,
+featurizer purity, minhash similarity monotonicity."""
+
+import numpy as np
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from deepie_ray import synth
+from deepie_ray.features import entity_type_of, pair_feature_ids, token_hash
+from deepie_ray.ops import dedup
+from deepie_ray.ops.parse import doc_to_pair_rows, extract_pairs_fn
+from deepie_ray.sources import ace
+
+words = st.text(
+    alphabet=st.characters(whitelist_categories=("Ll",), max_codepoint=0x7F),
+    min_size=1,
+    max_size=8,
+)
+sentences = st.lists(words, min_size=0, max_size=30)
+
+
+@settings(max_examples=50, deadline=None)
+@given(sentences)
+def test_featurizer_pure_and_sorted(tokens):
+    hashes = [token_hash(w) for w in tokens]
+    ments = [(i, w, entity_type_of(w)) for i, w in enumerate(tokens)]
+    ments = [(i, w, t) for i, w, t in ments if t]
+    if len(ments) < 2:
+        return
+    (p1, w1, t1), (p2, w2, t2) = ments[0], ments[1]
+    a = pair_feature_ids(tokens, hashes, p1, p2, t1, t2)
+    b = pair_feature_ids(tokens, hashes, p1, p2, t1, t2)
+    assert a == b
+    assert a == sorted(a) and len(a) == len(set(a))
+    assert all(0 <= f < (1 << 18) for f in a)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(min_value=1, max_value=60), st.integers(min_value=0, max_value=2**31))
+def test_synth_doc_pure_and_span_invariants(n_tokens, seed):
+    t = synth.generate_documents(3, seed=seed % 1000)
+    for spans in t["spans"].to_pylist():
+        offs = [s["offset"] for s in spans]
+        assert offs == sorted(offs)
+        for s in spans:
+            assert (s["kind"] == "text") == (s["media_ref"] == "")
+
+
+@settings(max_examples=30, deadline=None)
+@given(sentences, sentences)
+def test_parse_rows_independent_of_other_docs(toks_a, toks_b):
+    """Parsing doc A must not depend on what else is in the batch —
+    the partition-independence property distribution relies on."""
+    sa = " ".join(toks_a)
+    sb = " ".join(toks_b)
+    spans_a = [{"kind": "text", "text": sa, "media_ref": "", "offset": 0}]
+    spans_b = [{"kind": "text", "text": sb, "media_ref": "", "offset": 0}]
+    alone = doc_to_pair_rows("d1", spans_a)
+    together_tbl = extract_pairs_fn(
+        pa.table(
+            {
+                "doc_id": pa.array(["d1", "d2"]),
+                "spans": pa.array(
+                    [spans_a, spans_b],
+                    pa.list_(synth.SPAN_STRUCT),
+                ),
+            }
+        )
+    )
+    together = [
+        r
+        for r in together_tbl.to_pylist()
+        if r["doc_id"] == "d1"
+    ]
+    assert len(alone) == len(together)
+    for row, r2 in zip(alone, together):
+        assert row[1] == r2["pair_id"]
+        assert row[10] == r2["feat_ids"]
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(words, min_size=10, max_size=40), st.integers(0, 9))
+def test_minhash_similarity_monotone(tokens, cut):
+    """More shared shingles -> minhash signatures agree on more perms."""
+    a, b = dedup._perm_params()
+    base = " ".join(tokens)
+    # mutate `cut` tokens
+    mut = list(tokens)
+    for i in range(min(cut, len(mut))):
+        mut[i] = mut[i] + "x"
+    other = " ".join(mut)
+    s_base = dedup.minhash_signature(dedup.shingles(base), a, b)
+    s_same = dedup.minhash_signature(dedup.shingles(base), a, b)
+    s_other = dedup.minhash_signature(dedup.shingles(other), a, b)
+    assert np.array_equal(s_base, s_same)
+    agree_self = (s_base == s_same).mean()
+    agree_other = (s_base == s_other).mean()
+    assert agree_self == 1.0
+    assert agree_other <= 1.0
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.text(min_size=0, max_size=200))
+def test_simhash_deterministic_and_bounded(text):
+    a = dedup.simhash64(text)
+    assert a == dedup.simhash64(text)
+    assert -(1 << 63) <= a < (1 << 63)
+
+
+LABELS = st.sampled_from(
+    ["NONE", "PHYS(e1,e2)", "PHYS(e2,e1)", "PER-SOC(e1,e2)", "ART(e2,e1)", "ORG-AFF(e1,e2)"]
+)
+
+
+@settings(max_examples=50, deadline=None)
+@given(LABELS)
+def test_ace_label_normalization_idempotent(label):
+    n1 = ace.normalize_label(label)
+    assert ace.normalize_label(n1) == n1
+    if label.startswith("PHYS"):
+        assert n1 == "PHYS"
