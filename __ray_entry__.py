@@ -69,6 +69,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "ann_topk": Q.ann_topk,
         "ann_topk_lsh": Q.ann_topk_lsh,
+        "ann_topk_ivf": Q.ann_topk_ivf,
+        "ngram_jaccard_pairs": Q.ngram_jaccard_pairs,
         # flagship KG pipeline
         "kg_triples": Q.kg_triples,
         "kg_triples_gru": Q.kg_triples_gru,

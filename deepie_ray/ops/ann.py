@@ -104,6 +104,113 @@ def brute_force_topk(
     return merge_topk(partials, k)
 
 
+def kmeans_centroids(
+    sample: np.ndarray, k: int, iters: int = 10, seed: int = 7
+) -> np.ndarray:
+    """Seeded mini k-means for the IVF coarse quantizer (numpy-only,
+    deterministic: fixed init from the seeded permutation, fixed
+    iteration count).  Sample is expected L2-normalized."""
+    rng = np.random.default_rng(seed)
+    k = min(k, len(sample))
+    C = sample[rng.permutation(len(sample))[:k]].copy()
+    for _ in range(iters):
+        sims = sample @ C.T
+        assign = sims.argmax(axis=1)
+        for j in range(k):
+            members = sample[assign == j]
+            if len(members):
+                c = members.sum(axis=0)
+                n = np.linalg.norm(c)
+                if n > 0:
+                    C[j] = c / n
+    return C
+
+
+class IVFTopK:
+    """IVF-style ANN batch stage: corpus vectors are assigned to their
+    nearest coarse centroid; only vectors whose centroid is among a
+    query's ``nprobe`` closest centroids are scored against that query.
+    The centroid table is the broadcast small side; assignment is a
+    per-batch matmul, so the stage shards/resumes like any map."""
+
+    def __init__(self, queries_ref, centroids_ref, k: int, nprobe: int):
+        import ray
+
+        qids, qmat = ray.get(queries_ref)
+        self.qids = np.asarray(qids)
+        self.Q = _normalize(np.asarray(qmat, dtype=np.float64))
+        self.C = ray.get(centroids_ref)
+        self.k = k
+        # per-query probe set: nprobe closest centroids
+        qsims = self.Q @ self.C.T
+        order = np.argsort(-qsims, axis=1)[:, :nprobe]
+        self.probe = [set(row) for row in order]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        M = _normalize(_to_matrix(batch["embedding"]))
+        ids = batch["vec_id"].to_numpy()
+        assign = (M @ self.C.T).argmax(axis=1)
+        out_q, out_n, out_s = [], [], []
+        sims = self.Q @ M.T  # (nq, nb) — cheap at batch granularity
+        for qi in range(len(self.qids)):
+            mask = np.fromiter(
+                (a in self.probe[qi] for a in assign), bool, len(assign)
+            )
+            mask &= ids != self.qids[qi]
+            if not mask.any():
+                continue
+            cand = np.nonzero(mask)[0]
+            s = sims[qi, cand]
+            k = min(self.k, len(cand))
+            top = cand[np.argpartition(-s, k - 1)[:k]]
+            out_q.extend([self.qids[qi]] * len(top))
+            out_n.extend(ids[top])
+            out_s.extend(sims[qi, top])
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "cosine": pa.array(out_s, pa.float64()),
+            }
+        )
+
+
+def ivf_topk(
+    corpus: rd.Dataset,
+    query_ids: np.ndarray,
+    query_matrix: np.ndarray,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    sample_limit: int = 4096,
+    seed: int = 7,
+) -> rd.Dataset:
+    """IVF ANN: train the coarse quantizer on a corpus sample
+    (driver-side, deterministic), broadcast centroids, probe-filtered
+    scoring per batch, global top-k merge.  Approximate; recall grows
+    with ``nprobe``/``n_centroids`` ratio."""
+    import ray
+
+    sample_tbl = corpus.limit(sample_limit).to_pandas()
+    S = _normalize(np.asarray(list(sample_tbl["embedding"]), dtype=np.float64))
+    C = kmeans_centroids(S, n_centroids, seed=seed)
+    qref = ray.put((query_ids, query_matrix))
+    cref = ray.put(C)
+    partials = corpus.map_batches(
+        IVFTopK,
+        fn_constructor_kwargs={
+            "queries_ref": qref,
+            "centroids_ref": cref,
+            "k": k,
+            "nprobe": nprobe,
+        },
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=(1, 8),
+    )
+    return merge_topk(partials, k)
+
+
 class HyperplaneLSH:
     """Sign-pattern bucketing: bucket = bits of sign(R @ v)."""
 

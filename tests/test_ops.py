@@ -321,3 +321,32 @@ def test_media_explode_and_features():
     assert fe(spans)["features"][0].as_py() == first
     with pytest.raises(NotImplementedError):
         media.MediaFeatureExtractor(strict=True)(spans.slice(0, 1))
+
+
+def test_ivf_topk_recall_vs_exact():
+    t, M = _emb_ds(200, d=16, seed=3)
+    qids = np.array([0, 1])
+    exact = ann.brute_force_topk(rd.from_arrow(t), qids, M[:2], k=10).to_pandas()
+    approx = ann.ivf_topk(
+        rd.from_arrow(t), qids, M[:2], k=10, n_centroids=8, nprobe=8
+    ).to_pandas()
+    # nprobe == n_centroids -> scores everything -> recall 1.0
+    for qi in (0, 1):
+        e = set(exact[exact.query_id == qi]["neighbor_id"])
+        a = set(approx[approx.query_id == qi]["neighbor_id"])
+        assert a == e
+    # fewer probes: subset of corpus scored, still returns results
+    part = ann.ivf_topk(
+        rd.from_arrow(t), qids, M[:2], k=10, n_centroids=8, nprobe=2
+    ).to_pandas()
+    assert 0 < len(part) <= 20
+    recall = len(set(part.neighbor_id) & set(exact.neighbor_id)) / len(set(exact.neighbor_id))
+    assert recall > 0.2
+
+
+def test_kmeans_deterministic():
+    rng = np.random.default_rng(0)
+    S = ann._normalize(rng.standard_normal((100, 8)))
+    a = ann.kmeans_centroids(S, 4, seed=7)
+    b = ann.kmeans_centroids(S, 4, seed=7)
+    assert np.array_equal(a, b)
