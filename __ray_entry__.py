@@ -75,6 +75,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triples": Q.kg_triples,
         "kg_triples_gru": Q.kg_triples_gru,
         "kg_triples_hybrid": Q.kg_triples_hybrid,
+        "kg_linked": Q.kg_linked,
         "kg_nodes": Q.kg_nodes,
         "kg_edges": Q.kg_edges,
         "media_span_stats": Q.media_span_stats,

@@ -747,6 +747,11 @@ def kg_triples_hybrid(sf_dir: str) -> rd.Dataset:
     )
 
 
+def kg_linked(sf_dir: str) -> rd.Dataset:
+    """Entity-linked triples (subj/obj canonical entity ids) — rows-only."""
+    return kg_graph(sf_dir)["linked"]
+
+
 def kg_nodes(sf_dir: str) -> rd.Dataset:
     return kg_graph(sf_dir)["nodes"]
 
