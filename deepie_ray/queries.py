@@ -715,11 +715,19 @@ _kg_cache: dict[str, dict] = {}
 
 def kg_graph(sf_dir: str):
     """Full KG build; memoized per sf_dir within the process (the
-    nodes/edges queries would otherwise each re-run parse+score)."""
+    linked/nodes/edges queries would otherwise each re-run parse+score).
+    Cache entries are validated cheaply — if the driver restarted Ray
+    between queries the cached object refs are dead and we rebuild."""
     from . import pipeline
 
-    if sf_dir not in _kg_cache:
-        _kg_cache[sf_dir] = pipeline.run_kg(sf_dir)
+    cached = _kg_cache.get(sf_dir)
+    if cached is not None:
+        try:
+            cached["nodes"].count()
+            return cached
+        except Exception:
+            _kg_cache.pop(sf_dir, None)
+    _kg_cache[sf_dir] = pipeline.run_kg(sf_dir)
     return _kg_cache[sf_dir]
 
 

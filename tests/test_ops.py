@@ -350,3 +350,40 @@ def test_kmeans_deterministic():
     a = ann.kmeans_centroids(S, 4, seed=7)
     b = ann.kmeans_centroids(S, 4, seed=7)
     assert np.array_equal(a, b)
+
+
+def test_media_image_resize_and_audio_frames():
+    from deepie_ray import synth
+
+    docs = synth.generate_documents(40, seed=11)
+    spans = media.explode_media_spans(docs)
+    images = rd.from_arrow(spans).map_batches(
+        lambda t: t.filter(pa.compute.equal(t["kind"], "image")),
+        batch_format="pyarrow",
+    )
+    out = images.map_batches(
+        media.ImageResize, batch_format="pyarrow", batch_size=16, concurrency=1
+    ).to_pandas()
+    if len(out):
+        assert all(len(p) == 16 * 16 for p in out["pixels"])
+        assert (out["src_h"] >= 32).all()
+        # deterministic: same ref -> same pixels
+        r = media.ImageResize()
+        t = pa.table({"media_ref": [out.iloc[0]["media_ref"]]})
+        assert list(r(t)["pixels"][0].as_py()) == list(out.iloc[0]["pixels"])
+    audio = rd.from_arrow(spans).map_batches(
+        lambda t: t.filter(pa.compute.equal(t["kind"], "audio")),
+        batch_format="pyarrow",
+    )
+    aout = audio.map_batches(
+        media.AudioFrameSample, batch_format="pyarrow", batch_size=16, concurrency=1
+    ).to_pandas()
+    if len(aout):
+        assert all(len(f) == 8 for f in aout["frame_energy"])
+        assert all(np.isfinite(f).all() for f in aout["frame_energy"].map(np.asarray))
+
+
+def test_image_resize_nn_exact():
+    img = np.arange(16, dtype=np.uint8).reshape(4, 4)
+    out = media.ImageResize.resize_nn(img, 2, 2)
+    assert out.tolist() == [[0, 2], [8, 10]]
