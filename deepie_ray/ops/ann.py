@@ -22,10 +22,21 @@ import pyarrow as pa
 import ray.data as rd
 
 
+_EMPTY_TOPK = pa.table(
+    {
+        "query_id": pa.array([], pa.int64()),
+        "neighbor_id": pa.array([], pa.int64()),
+        "cosine": pa.array([], pa.float64()),
+    }
+)
+
+
 def _to_matrix(col) -> np.ndarray:
     arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
     flat = arr.values.to_numpy(zero_copy_only=False).astype(np.float64)
     n = len(arr)
+    if n == 0:
+        return np.zeros((0, 0), dtype=np.float64)
     return flat.reshape(n, -1)
 
 
@@ -49,6 +60,8 @@ class BruteForceTopK:
         self.exclude_self = exclude_self
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return _EMPTY_TOPK
         M = _normalize(_to_matrix(batch["embedding"]))
         ids = batch["vec_id"].to_numpy()
         sims = self.Q @ M.T  # (nq, nb)
@@ -147,6 +160,8 @@ class IVFTopK:
         self.probe = [set(row) for row in order]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return _EMPTY_TOPK
         M = _normalize(_to_matrix(batch["embedding"]))
         ids = batch["vec_id"].to_numpy()
         assign = (M @ self.C.T).argmax(axis=1)

@@ -125,7 +125,12 @@ class MinHashBands:
 MAX_BUCKET_PAIRWISE = 64  # buckets above this pair against the bucket min only
 
 
-def minhash_candidate_pairs(ds: rd.Dataset, text_col: str = "text", id_col: str = "doc_id") -> rd.Dataset:
+def minhash_candidate_pairs(
+    ds: rd.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    distinct: bool = True,
+) -> rd.Dataset:
     """documents -> distinct candidate (id_a, id_b) pairs via LSH.
 
     Pair generation is a bucket-keyed SELF-JOIN (hash-partitioned) —
@@ -187,9 +192,15 @@ def minhash_candidate_pairs(ds: rd.Dataset, text_col: str = "text", id_col: str 
     def partial_distinct(df: pd.DataFrame) -> pd.DataFrame:
         return df.drop_duplicates()
 
+    # block-local dedup always (removes most of the <=16x band dups
+    # without a shuffle); the global distinct shuffle is optional —
+    # consumers whose downstream is duplicate-tolerant (union-find
+    # clustering) skip it
+    local = pairs.map_batches(partial_distinct, batch_format="pandas")
+    if not distinct:
+        return local
     return (
-        pairs.map_batches(partial_distinct, batch_format="pandas")
-        .groupby(["id_a", "id_b"])
+        local.groupby(["id_a", "id_b"])
         .count()
         .drop_columns(["count()"])
     )
@@ -245,7 +256,9 @@ def minhash_dedup(
     near-dup clusters (cluster_id = min doc_id of the component)."""
     import ray
 
-    cands = minhash_candidate_pairs(ds, text_col, id_col).materialize()
+    # duplicate candidate pairs are harmless downstream (set-union of
+    # ids + union-find over edges), so skip the global distinct shuffle
+    cands = minhash_candidate_pairs(ds, text_col, id_col, distinct=False).materialize()
     # shingle sets of CANDIDATE docs only: broadcast the candidate-id
     # set, compute shingles distributed, collect the (small) result
     cand_ids = set()
@@ -413,6 +426,13 @@ class EmbeddingNearDup:
         self.threshold = threshold
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table(
+                {
+                    "vec_a": pa.array([], pa.int64()),
+                    "vec_b": pa.array([], pa.int64()),
+                }
+            )
         q = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
         qn = q / np.linalg.norm(q, axis=1, keepdims=True)
         qids = batch["vec_id"].to_numpy()
