@@ -150,18 +150,33 @@ def gru_head_forward(
     token_ids: np.ndarray,   # (B, T) right-padded with 0 (zero embedding row)
     pos1: np.ndarray,
     pos2: np.ndarray,
+    lengths: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """biGRU over token embeddings; readout = [fwd;bwd] states at the
-    two head positions (reference ``rnnHeadIn``, rnnReModels.py:1377-88)."""
+    two head positions (reference ``rnnHeadIn``, rnnReModels.py:1377-88).
+
+    The backward pass runs from each row's TRUE last token (``lengths``)
+    — running it from the padded end would make a row's states depend
+    on how much padding its batch carries (per-batch padding must be
+    semantics-free, SURVEY M13 note).
+    """
     x = weights["E_word"][token_ids]  # (B, T, D)
+    B, T, _ = x.shape
+    if lengths is None:
+        lengths = np.full(B, T, dtype=np.int64)
     pf = {k[1:]: weights[k] for k in weights if k.startswith("f")}
     pb = {k[1:]: weights[k] for k in weights if k.startswith("b") and len(k) == 3}
     hf = nn.gru_forward(x, pf)
-    hb = nn.gru_forward(x, pb, reverse=True)
-    rows = np.arange(len(pos1))
-    rep = np.concatenate(
-        [hf[rows, pos1], hb[rows, pos1], hf[rows, pos2], hb[rows, pos2]], axis=1
-    )
+    # per-row reversal of the valid region only
+    idx = lengths[:, None] - 1 - np.arange(T)[None, :]
+    valid = idx >= 0
+    rows2d = np.arange(B)[:, None]
+    x_rev = np.where(valid[:, :, None], x[rows2d, np.clip(idx, 0, T - 1)], 0.0)
+    hb_rev = nn.gru_forward(x_rev, pb)
+    rows = np.arange(B)
+    hb_p1 = hb_rev[rows, lengths - 1 - pos1]
+    hb_p2 = hb_rev[rows, lengths - 1 - pos2]
+    rep = np.concatenate([hf[rows, pos1], hb_p1, hf[rows, pos2], hb_p2], axis=1)
     probs = nn.softmax(rep @ weights["W_out"] + weights["b_out"])
     return probs.argmax(axis=1), probs.astype(np.float32)
 
@@ -170,6 +185,14 @@ def gru_head_forward(
 
 CNN_WINDOWS = (2, 3)
 CNN_MAPS = 32
+
+# relative-position embeddings (reference dist1/dist2 tables sized
+# 2*maxLen-1 x 50, rnn_process_onlyExtra.py:687-699).  The reference
+# sizes the table from a global max-length aggregate (SURVEY §7.6.3);
+# the engine uses a configured cap instead — positions clip into
+# [-MAX_REL_POS, MAX_REL_POS], so no global pass gates the stream.
+MAX_REL_POS = 64
+DIST_DIM = WORD_DIM  # summed into the token channel
 
 
 def init_cnn_weights(seed: int = DEFAULT_SEED + 2) -> dict[str, np.ndarray]:
@@ -180,6 +203,8 @@ def init_cnn_weights(seed: int = DEFAULT_SEED + 2) -> dict[str, np.ndarray]:
 
     w = {"E_word": u(WORD_BUCKETS, WORD_DIM)}
     w["E_word"][0] = 0.0
+    w["E_dist1"] = u(2 * MAX_REL_POS + 1, DIST_DIM)
+    w["E_dist2"] = u(2 * MAX_REL_POS + 1, DIST_DIM)
     for win in CNN_WINDOWS:
         w[f"convW{win}"] = u(win * WORD_DIM, CNN_MAPS)
         w[f"convb{win}"] = np.zeros(CNN_MAPS, dtype=np.float32)
@@ -189,16 +214,41 @@ def init_cnn_weights(seed: int = DEFAULT_SEED + 2) -> dict[str, np.ndarray]:
     return w
 
 
+def rel_pos_ids(T: int, pos: np.ndarray) -> np.ndarray:
+    """(B,) head positions -> (B, T) clipped relative-position ids
+    (reference ``numPosition/2 + id - pos`` indexing, rnnRE.py:109-110,
+    with the engine's configured cap instead of the global max)."""
+    idx = np.arange(T)[None, :] - pos[:, None]
+    return np.clip(idx, -MAX_REL_POS, MAX_REL_POS) + MAX_REL_POS
+
+
 def cnn_forward(
-    weights: dict[str, np.ndarray], token_ids: np.ndarray
+    weights: dict[str, np.ndarray],
+    token_ids: np.ndarray,
+    pos1: np.ndarray | None = None,
+    pos2: np.ndarray | None = None,
+    lengths: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Multi-window CNN + tanh + global max-pool over token embeddings
-    (reference ``convolute``/``convContext``, rnnReModels.py:443-489)."""
+    (reference ``convolute``/``convContext``, rnnReModels.py:443-489),
+    with the reference's relative-position channels added in when head
+    positions are given (dist1/dist2 embeddings summed into the token
+    representation, masked beyond each row's true length).  ``lengths``
+    makes the max-pool padding-independent (nn.conv_maxpool)."""
     x = weights["E_word"][token_ids]
+    T = token_ids.shape[1]
+    if lengths is None:
+        lengths = np.full(len(token_ids), T, dtype=np.int64)
+    if pos1 is not None and pos2 is not None:
+        mask = (np.arange(T)[None, :] < lengths[:, None]).astype(np.float32)[:, :, None]
+        x = x + (
+            weights["E_dist1"][rel_pos_ids(T, pos1)]
+            + weights["E_dist2"][rel_pos_ids(T, pos2)]
+        ) * mask
     filters = {
         win: (weights[f"convW{win}"], weights[f"convb{win}"]) for win in CNN_WINDOWS
     }
-    rep = nn.conv_maxpool(x, filters)
+    rep = nn.conv_maxpool(x, filters, lengths)
     probs = nn.softmax(rep @ weights["W_out"] + weights["b_out"])
     return probs.argmax(axis=1), probs.astype(np.float32)
 

@@ -90,13 +90,23 @@ def ffrnn_forward(x: np.ndarray, W: np.ndarray, U: np.ndarray, b: np.ndarray,
     return out[0] if single else out
 
 
-def conv_maxpool(x: np.ndarray, filters: dict[int, tuple[np.ndarray, np.ndarray]]) -> np.ndarray:
+def conv_maxpool(
+    x: np.ndarray,
+    filters: dict[int, tuple[np.ndarray, np.ndarray]],
+    lengths: np.ndarray | None = None,
+) -> np.ndarray:
     """Multi-window CNN + tanh + global max-pool over time.
 
     x: (B, T, D).  ``filters``: window -> (W of shape (win*D, M), b of
     shape (M,)).  Output: (B, sum(M)) — concatenation over windows,
     reference ``convContext`` (``rnnReModels.py:478-489``).
     Implemented as im2col matmul (vectorized over batch and time).
+
+    ``lengths`` (B,) masks padded window positions out of the max-pool
+    so a row's output is independent of how much trailing padding its
+    batch happens to carry (per-batch padding determinism; rows
+    shorter than ``win`` use the single partially-padded window 0,
+    whose content is also batch-independent).
     """
     B, T, D = x.shape
     outs = []
@@ -112,6 +122,10 @@ def conv_maxpool(x: np.ndarray, filters: dict[int, tuple[np.ndarray, np.ndarray]
         cols = np.stack([xw[:, i : i + n_pos] for i in range(win)], axis=2)
         cols = cols.reshape(B, n_pos, win * D)
         conv = np.tanh(cols @ W + b)          # (B, n_pos, M)
+        if lengths is not None:
+            n_valid = np.maximum(1, np.minimum(lengths, Tw) - win + 1)
+            mask = np.arange(n_pos)[None, :] < n_valid[:, None]
+            conv = np.where(mask[:, :, None], conv, -np.inf)
         outs.append(conv.max(axis=1))          # global max-pool
     return np.concatenate(outs, axis=1)
 

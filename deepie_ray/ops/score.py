@@ -132,7 +132,8 @@ class GRUHeadScorer:
         toks = _token_ids_padded(batch)
         pos1 = batch["pos1"].to_numpy().astype(np.int64)
         pos2 = batch["pos2"].to_numpy().astype(np.int64)
-        preds, probs = M.gru_head_forward(self.weights, toks, pos1, pos2)
+        lengths = batch["n_tokens"].to_numpy().astype(np.int64)
+        preds, probs = M.gru_head_forward(self.weights, toks, pos1, pos2, lengths)
         return _emit(batch, preds, probs)
 
 
@@ -145,7 +146,10 @@ class CNNScorer:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         toks = _token_ids_padded(batch)
-        preds, probs = M.cnn_forward(self.weights, toks)
+        pos1 = batch["pos1"].to_numpy().astype(np.int64)
+        pos2 = batch["pos2"].to_numpy().astype(np.int64)
+        lengths = batch["n_tokens"].to_numpy().astype(np.int64)
+        preds, probs = M.cnn_forward(self.weights, toks, pos1, pos2, lengths)
         return _emit(batch, preds, probs)
 
 
@@ -164,7 +168,10 @@ class HybridScorer:
         head2 = batch["head2_id"].to_numpy().astype(np.int64)
         _, p_multi = M.multinn_forward(self.w_multi, flat, offsets, head1, head2)
         toks = _token_ids_padded(batch)
-        _, p_cnn = M.cnn_forward(self.w_cnn, toks)
+        pos1 = batch["pos1"].to_numpy().astype(np.int64)
+        pos2 = batch["pos2"].to_numpy().astype(np.int64)
+        lengths = batch["n_tokens"].to_numpy().astype(np.int64)
+        _, p_cnn = M.cnn_forward(self.w_cnn, toks, pos1, pos2, lengths)
         preds, probs = M.product_of_experts([p_multi, p_cnn])
         return _emit(batch, preds, probs)
 

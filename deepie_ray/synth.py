@@ -105,6 +105,74 @@ def interleave_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+_ACE_TYPES = ("PER", "ORG", "GPE", "LOC", "FAC")
+_ACE_LABELS = (
+    "NONE", "NONE", "NONE",  # weighted toward NONE like real corpora
+    "PHYS(e1,e2)", "PART-WHOLE(e2,e1)", "ORG-AFF(e1,e2)", "PER-SOC(e1,e2)",
+    "GEN-AFF(e2,e1)", "ART(e1,e2)",
+)
+
+
+def synth_ace_lines(
+    n_rows: int, seed: int = 42, layout14: bool = True, id_offset: int = 0
+) -> list[str]:
+    """Deterministic ACE-format relation-mention lines (FIXTURES.md F2;
+    format spec rnnRE/data/readMe.md:17-41).  All per-line alignment
+    invariants hold (token/POS/chunk/constit/deprel/governor lengths,
+    #1/#2 markers, dep-path endpoints = mention heads)."""
+    lines = []
+    for i in range(n_rows):
+        rid = i + id_offset
+        rng = np.random.default_rng(stable_u32(f"ace-{i}", f"as{seed}:"))
+        n = int(rng.integers(5, 13))
+        toks = [_VOCAB[int(j)] for j in rng.integers(0, len(_VOCAB), n)]
+        p1 = int(rng.integers(0, n - 1))
+        p2 = int(rng.integers(p1 + 1, n))
+        t1, t2 = (
+            _ACE_TYPES[int(rng.integers(0, len(_ACE_TYPES)))],
+            _ACE_TYPES[int(rng.integers(0, len(_ACE_TYPES)))],
+        )
+        label = _ACE_LABELS[int(rng.integers(0, len(_ACE_LABELS)))]
+        ann = []
+        for k, w in enumerate(toks):
+            if k == p1:
+                ann.append(f"{w}/B-{t1}.NAM#1")
+            elif k == p2:
+                ann.append(f"{w}/B-{t2}.NOM#2")
+            else:
+                ann.append(f"{w}/O")
+        feats = sorted(
+            {
+                f"qid:{rid}",
+                f"HM1={toks[p1]}",
+                f"HM2={toks[p2]}",
+                f"ET12={t1}--{t2}",
+                f"NUMWB={p2 - p1 - 1}",
+            }
+            | {f"WBO={w}" for w in toks[p1 + 1 : p2]}
+        )
+        constit = " ".join(["NP--VP"] * n)
+        pos_seq = " ".join(["NN"] * n)
+        chunk = " ".join(["B-NP"] * n)
+        dep = f"{toks[p1]}-{p1 + 1} dep {toks[p2]}-{p2 + 1}"
+        deprels = " ".join(["nsubj@det"] * n)
+        govs = " ".join([toks[0]] * n)
+        triples = f"dep({toks[p1]}-{p1 + 1}, {toks[p2]}-{p2 + 1})"
+        if layout14:
+            fields = [
+                str(rid), label, "(S (NP placeholder))", f"{t1}@{t2}",
+                " ".join(feats), " ".join(ann), constit, pos_seq, chunk,
+                dep, deprels, govs, triples,
+            ]
+        else:
+            fields = [
+                str(rid), label, " ".join(feats), f"{t1}@{t2}", " ".join(ann),
+                constit, pos_seq, chunk, dep, deprels, govs, triples,
+            ]
+        lines.append("\t".join(fields))
+    return lines
+
+
 def generate_documents(n_rows: int, seed: int = 42) -> pa.Table:
     """Standalone deterministic corpus: word-salad docs over a fixed
     vocabulary, then interleaved exactly like ``interleave_batch``."""

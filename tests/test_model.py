@@ -74,3 +74,38 @@ def test_gru_head_forward_shapes():
     preds, probs = M.gru_head_forward(w, toks, np.array([0, 1, 2, 3]), np.array([5, 6, 7, 8]))
     assert preds.shape == (4,) and probs.shape == (4, M.N_LABELS)
     assert np.allclose(probs.sum(axis=1), 1.0, atol=1e-5)
+
+
+def test_variant_forwards_padding_independent():
+    """A row's prediction must not depend on how much trailing padding
+    its batch carries (per-batch padding is semantics-free)."""
+    rng = np.random.default_rng(5)
+    L = 9
+    toks_row = rng.integers(1, M.WORD_BUCKETS, L).astype(np.int64)
+    pos1, pos2 = np.array([2]), np.array([6])
+    lengths = np.array([L])
+
+    cw = M.init_cnn_weights()
+    short = M.pad_token_batch([list(toks_row)], max_len=L)
+    long = M.pad_token_batch([list(toks_row)], max_len=L + 13)
+    _, p_short = M.cnn_forward(cw, short, pos1, pos2, lengths)
+    _, p_long = M.cnn_forward(cw, long, pos1, pos2, lengths)
+    assert np.allclose(p_short, p_long, atol=1e-6)
+
+    gw = M.init_gru_weights()
+    _, g_short = M.gru_head_forward(gw, short, pos1, pos2, lengths)
+    _, g_long = M.gru_head_forward(gw, long, pos1, pos2, lengths)
+    assert np.allclose(g_short, g_long, atol=1e-6)
+
+
+def test_cnn_position_channel_changes_output():
+    rng = np.random.default_rng(6)
+    toks = rng.integers(1, M.WORD_BUCKETS, (3, 8)).astype(np.int64)
+    lengths = np.full(3, 8, dtype=np.int64)
+    cw = M.init_cnn_weights()
+    _, with_pos = M.cnn_forward(cw, toks, np.array([0, 1, 2]), np.array([5, 6, 7]), lengths)
+    _, no_pos = M.cnn_forward(cw, toks, None, None, lengths)
+    assert not np.allclose(with_pos, no_pos)
+    # different head positions -> different distributions
+    _, other_pos = M.cnn_forward(cw, toks, np.array([1, 2, 3]), np.array([4, 5, 6]), lengths)
+    assert not np.allclose(with_pos, other_pos)
