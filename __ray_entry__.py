@@ -51,6 +51,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": Q.events_sessions,
         "events_topk_users": Q.events_topk_users,
         "events_distinct_users": Q.events_distinct_users,
+        "events_approx_distinct_users": Q.events_approx_distinct_users,
         "events_median_value": Q.events_median_value,
         "asof_events_orders": Q.asof_events_orders,
         "top3_orders_per_customer": Q.top3_orders_per_customer,
@@ -184,6 +185,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_distinct_users": """
             SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users
+            FROM events GROUP BY event_type
+        """,
+        "events_approx_distinct_users": """
+            SELECT event_type,
+                   count(DISTINCT user_id)::BIGINT AS approx_distinct
             FROM events GROUP BY event_type
         """,
         "events_median_value": """

@@ -387,3 +387,36 @@ def test_image_resize_nn_exact():
     img = np.arange(16, dtype=np.uint8).reshape(4, 4)
     out = media.ImageResize.resize_nn(img, 2, 2)
     assert out.tolist() == [[0, 2], [8, 10]]
+
+
+# ----------------------------------------------------------------- sketch
+
+
+def test_kmv_exact_below_k():
+    from deepie_ray.ops import sketch
+
+    df = pd.DataFrame({"k": ["a"] * 50, "v": [i % 20 for i in range(50)]})
+    out = sketch.grouped_approx_distinct(rd.from_pandas(df), "k", "v", k=256).to_pandas()
+    assert out["approx_distinct"].tolist() == [20]  # exact when n <= k
+
+
+def test_kmv_approx_error_bound():
+    from deepie_ray.ops import sketch
+
+    n = 20000
+    df = pd.DataFrame({"k": ["x"] * n, "v": np.arange(n)})
+    out = sketch.grouped_approx_distinct(rd.from_pandas(df), "k", "v", k=256).to_pandas()
+    est = out["approx_distinct"].iloc[0]
+    assert abs(est - n) / n < 0.25  # ~4 std errors at k=256
+
+
+def test_kmv_merge_equals_single_pass():
+    from deepie_ray.ops import sketch
+
+    vals = [f"v{i}" for i in range(5000)]
+    h = sketch.kmv_hash(vals)
+    whole = sketch.kmv_partial(h, 128)
+    merged = sketch.kmv_merge(
+        [sketch.kmv_partial(h[:2000], 128), sketch.kmv_partial(h[2000:], 128)], 128
+    )
+    assert np.array_equal(whole, merged)  # exact mergeability
