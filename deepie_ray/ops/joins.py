@@ -84,7 +84,32 @@ def asof_join(
     )
 
 
-_TIE_BITS = 24  # tie-break ids must fit in 24 bits (16.7M) for the packed argmax
+def _right_side_bounds(
+    right: rd.Dataset, right_ts: str, tie_break: str
+) -> tuple[int, int, int, int]:
+    """(tb_min, tb_max, epoch_min_s, epoch_max_s) of the right side —
+    one cheap streaming aggregate pass (the right side is the smaller
+    state table in an as-of join)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max, Min
+
+    def to_epoch(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t[right_ts], pa.timestamp("us")), pa.int64())
+        return pa.table(
+            {
+                "tb": pc.cast(t[tie_break], pa.int64()),
+                "es": pc.divide(us, 1_000_000),
+            }
+        )
+
+    agg = right.map_batches(to_epoch, batch_format="pyarrow").aggregate(
+        Min("tb", alias_name="tb_min"),
+        Max("tb", alias_name="tb_max"),
+        Min("es", alias_name="es_min"),
+        Max("es", alias_name="es_max"),
+    )
+    return agg["tb_min"], agg["tb_max"], agg["es_min"], agg["es_max"]
 
 
 def asof_join_argmax(
@@ -101,15 +126,34 @@ def asof_join_argmax(
 
     Same semantics as ``asof_join`` but fully vectorized: the per-left-
     row argmax over (right_ts, tie_break) is a grouped MAX over a
-    packed int64 sort key ``epoch_s(right_ts) << 24 | tie_break`` —
-    per-batch partial max (combiner) then one grouped aggregate, no
+    packed int64 sort key ``epoch_s(right_ts) << tie_bits | tie_break``
+    — per-batch partial max (combiner) then one grouped aggregate, no
     per-group pandas.  ~100x faster than the map_groups path; use it
     whenever only the matched right *id* is needed.
+
+    The packing width is MEASURED, not assumed: one cheap aggregate
+    pass over the right side bounds ``tie_break`` and ``right_ts``;
+    ``tie_bits`` is sized to the actual id range, and if the combined
+    widths cannot fit an int64 (or either value is negative) the
+    function falls back to the exact ``asof_join`` map_groups path
+    instead of silently corrupting the argmax.
     """
-    import numpy as np
     import pyarrow as pa
     import pyarrow.compute as pc
     from ray.data.aggregate import Max
+
+    tb_min, tb_max, es_min, es_max = _right_side_bounds(right, right_ts, tie_break)
+    tie_bits = max(1, int(tb_max).bit_length()) if tb_min is not None else 1
+    if tb_min is None or tb_min < 0 or es_min < 0 or tie_bits + int(es_max).bit_length() > 62:
+        # ids or timestamps outside packable range: exact fallback
+        return asof_join(
+            left, right, key, left_id, left_ts, right_ts, tie_break, num_partitions
+        ).map_batches(
+            lambda t: pa.table(
+                {left_id: t[left_id], tie_break: pc.cast(t[tie_break], pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
 
     joined = left.join(
         right, join_type="inner", num_partitions=num_partitions, on=(key,)
@@ -121,7 +165,7 @@ def asof_join_argmax(
         rts_us = pc.cast(pc.cast(t[right_ts], pa.timestamp("us")), pa.int64())
         epoch_s = pc.divide(rts_us, 1_000_000)
         packed = pc.add(
-            pc.shift_left(epoch_s, _TIE_BITS), pc.cast(t[tie_break], pa.int64())
+            pc.shift_left(epoch_s, tie_bits), pc.cast(t[tie_break], pa.int64())
         )
         part = (
             pa.table({left_id: t[left_id], "_packed": packed})
@@ -137,7 +181,7 @@ def asof_join_argmax(
     )
 
     def unpack(t: pa.Table) -> pa.Table:
-        tb = pc.bit_wise_and(t["_packed"], (1 << _TIE_BITS) - 1)
+        tb = pc.bit_wise_and(t["_packed"], (1 << tie_bits) - 1)
         return pa.table({left_id: t[left_id], tie_break: pc.cast(tb, pa.int64())})
 
     return agg.map_batches(unpack, batch_format="pyarrow")

@@ -90,3 +90,114 @@ def grouped_approx_distinct(
 
     partials = ds.map_batches(partial, batch_format="pandas")
     return partials.groupby(key_col).map_groups(merge, batch_format="pandas")
+
+
+# ------------------------------------------------------- quantile sketch
+#
+# Weighted-value quantile sketch in the same mold: per-batch partials
+# (distinct sorted values + counts), grouped merge, estimate.  EXACT
+# whenever the merged distinct-value count stays within ``cap`` (true
+# at every test scale — the oracle's quantile_cont verifies the whole
+# machinery); beyond ``cap`` adjacent value pairs are collapsed to
+# their weighted mean (each compaction pass at most halves resolution;
+# rank error after c passes is bounded by c * n / cap).  The shuffle
+# moves one (key, block) sketch row, never the values.
+
+QUANTILE_CAP = 65536
+
+
+def quantile_compress(vals: np.ndarray, weights: np.ndarray, cap: int):
+    """(sorted distinct values, weights) -> compacted to <= cap entries.
+    Returns (vals, weights, n_compactions)."""
+    comp = 0
+    while len(vals) > cap:
+        n = len(vals)
+        even = np.arange(0, n - 1, 2)
+        w_pair = weights[even] + weights[even + 1]
+        v_pair = (vals[even] * weights[even] + vals[even + 1] * weights[even + 1]) / w_pair
+        if n % 2:
+            vals = np.append(v_pair, vals[-1])
+            weights = np.append(w_pair, weights[-1])
+        else:
+            vals, weights = v_pair, w_pair
+        comp += 1
+    return vals, weights, comp
+
+
+def quantile_partial(values: np.ndarray, cap: int = QUANTILE_CAP):
+    """Raw values -> (sorted distinct values, counts, n_compactions)."""
+    vals, weights = np.unique(np.asarray(values, dtype=np.float64), return_counts=True)
+    return quantile_compress(vals, weights.astype(np.int64), cap)
+
+
+def quantile_merge_sketches(sketches, cap: int = QUANTILE_CAP):
+    """Merge [(vals, weights, comp), ...] -> one sketch (sorted, distinct)."""
+    all_v = np.concatenate([s[0] for s in sketches])
+    all_w = np.concatenate([s[1] for s in sketches])
+    comp = sum(int(s[2]) for s in sketches)
+    order = np.argsort(all_v, kind="mergesort")
+    v, w = all_v[order], all_w[order]
+    # collapse equal values
+    uniq, inv = np.unique(v, return_inverse=True)
+    wsum = np.zeros(len(uniq), dtype=np.int64)
+    np.add.at(wsum, inv, w)
+    v2, w2, c2 = quantile_compress(uniq, wsum, cap)
+    return v2, w2, comp + c2
+
+
+def quantile_value(vals: np.ndarray, weights: np.ndarray, q: float) -> float:
+    """Linear-interpolated quantile of the weighted multiset — identical
+    to numpy ``percentile(..., interpolation='linear')`` / DuckDB
+    ``quantile_cont`` over the expanded value sequence, computed from
+    cumulative weights without expanding."""
+    n = int(weights.sum())
+    if n == 0:
+        return float("nan")
+    pos = (n - 1) * q
+    lo, hi = int(np.floor(pos)), int(np.ceil(pos))
+    cum = np.cumsum(weights)  # cum[i] = # of expanded entries in vals[:i+1]
+    v_lo = vals[np.searchsorted(cum, lo + 1)]
+    v_hi = vals[np.searchsorted(cum, hi + 1)]
+    return float(v_lo + (pos - lo) * (v_hi - v_lo))
+
+
+def grouped_quantile(
+    ds: rd.Dataset,
+    key_col: str,
+    value_col: str,
+    q: float = 0.5,
+    cap: int = QUANTILE_CAP,
+    out_col: str = "median_value",
+    ndigits: int = 4,
+) -> rd.Dataset:
+    """-> (key, quantile) via mergeable per-block sketches: no task ever
+    holds a whole group's raw values (the round-1 map_groups gather did
+    — one task per event_type held corpus/5 rows)."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out_k, out_v, out_w, out_c = [], [], [], []
+        for key, grp in df.groupby(key_col, sort=False):
+            v, w, c = quantile_partial(grp[value_col].to_numpy(), cap)
+            out_k.append(key)
+            out_v.append(v.tolist())
+            out_w.append(w.tolist())
+            out_c.append(c)
+        return pd.DataFrame(
+            {key_col: out_k, "vals": out_v, "weights": out_w, "comp": out_c}
+        )
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        sketches = [
+            (np.asarray(v, dtype=np.float64), np.asarray(w, dtype=np.int64), c)
+            for v, w, c in zip(df["vals"], df["weights"], df["comp"])
+        ]
+        mv, mw, _ = quantile_merge_sketches(sketches, cap)
+        return pd.DataFrame(
+            {
+                key_col: [df[key_col].iloc[0]],
+                out_col: [round(quantile_value(mv, mw, q), ndigits)],
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    return partials.groupby(key_col).map_groups(merge, batch_format="pandas")

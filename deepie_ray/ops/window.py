@@ -102,36 +102,34 @@ def sliding_aggregate(
     slide_s: int = 1800,
     value_col: str = "value",
 ) -> rd.Dataset:
-    """Sliding windows: each row lands in width/slide windows (flat-map
-    the window assignment, then the same grouped aggregate)."""
+    """Sliding windows: each row lands in width/slide windows.  The
+    explode is pure Arrow — one vectorized window-id column per slide
+    offset, concatenated — no per-row Python (an event at epoch ``e``
+    belongs to window ``floor(e/slide)*slide - j*slide`` for every
+    ``j in [0, width/slide)``: ``e - w = (e mod slide) + j*slide <
+    width`` always holds, so no membership filter is needed)."""
     n_windows = width_s // slide_s
 
     def explode(batch: pa.Table) -> pa.Table:
-        epoch_s = pc.cast(
-            pc.divide(
-                pc.cast(pc.cast(batch[ts_col], pa.timestamp("us")), pa.int64()),
-                1_000_000,
-            ),
-            pa.int64(),
-        ).to_numpy()
-        keys = batch[key_col].to_pylist()
-        vals = batch[value_col].to_numpy(zero_copy_only=False)
-        out_k, out_w, out_v = [], [], []
-        for e, k, v in zip(epoch_s, keys, vals):
-            last = (e // slide_s) * slide_s
-            for j in range(n_windows):
-                w = last - j * slide_s
-                if w <= e < w + width_s:
-                    out_k.append(k)
-                    out_w.append(w)
-                    out_v.append(v)
-        return pa.table(
-            {
-                key_col: pa.array(out_k),
-                "window_start": pa.array(out_w, pa.int64()),
-                value_col: pa.array(out_v, pa.float64()),
-            }
+        epoch_s = pc.divide(
+            pc.cast(pc.cast(batch[ts_col], pa.timestamp("us")), pa.int64()),
+            1_000_000,
         )
+        last = pc.multiply(pc.divide(epoch_s, slide_s), slide_s)
+        vals = pc.cast(batch[value_col], pa.float64())
+        tables = [
+            pa.table(
+                {
+                    key_col: batch[key_col],
+                    "window_start": pc.cast(
+                        pc.subtract(last, j * slide_s), pa.int64()
+                    ),
+                    value_col: vals,
+                }
+            )
+            for j in range(n_windows)
+        ]
+        return pa.concat_tables(tables)
 
     exploded = events.map_batches(explode, batch_format="pyarrow")
 

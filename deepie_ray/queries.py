@@ -128,13 +128,13 @@ def q1_pricing_summary(sf_dir: str) -> rd.Dataset:
 def q3_top_revenue_orders(sf_dir: str) -> pd.DataFrame:
     """Top-10 BUILDING-segment orders by lineitem revenue (join +
     grouped agg + global top-k)."""
-    cust = (
-        _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
-        .to_pandas()
-    )
-    cust = cust[cust.c_mktsegment == "BUILDING"][["c_custkey"]].rename(
-        columns={"c_custkey": "o_custkey"}
-    )
+    # predicate pushed into the parquet read: only BUILDING keys leave storage
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey"],
+        filter=(pc.field("c_mktsegment") == "BUILDING"),
+    ).to_pandas()
+    cust = cust.rename(columns={"c_custkey": "o_custkey"})
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
     keep = joins.broadcast_join(orders, cust, on="o_custkey")
     li = _lineitem(sf_dir, ["l_orderkey", "l_extendedprice", "l_discount"])
@@ -519,20 +519,15 @@ def events_approx_distinct_users(sf_dir: str) -> rd.Dataset:
 
 
 def events_median_value(sf_dir: str) -> rd.Dataset:
-    """Exact grouped median (linear interpolation — numpy and DuckDB
-    quantile_cont agree).  Per-group exact: groups are bounded (one
-    per event_type); values are gathered per group in map_groups."""
+    """Grouped median via the mergeable quantile sketch (ops/sketch.py):
+    per-block partials, grouped merge — no task ever gathers a whole
+    group's raw values.  EXACT below the sketch cap (all test scales),
+    so the DuckDB quantile_cont oracle verifies it; linear interpolation
+    matches numpy/DuckDB."""
+    from .ops.sketch import grouped_quantile
+
     ev = _read(sf_dir, "events", ["event_type", "value"])
-
-    def med(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "event_type": [df["event_type"].iloc[0]],
-                "median_value": [round(float(np.percentile(df["value"], 50)), 4)],
-            }
-        )
-
-    return ev.groupby("event_type").map_groups(med, batch_format="pandas")
+    return grouped_quantile(ev, "event_type", "value", q=0.5)
 
 
 # ------------------------------------------------------------------- text
