@@ -40,7 +40,12 @@ def _partial_min(batch: pa.Table) -> pa.Table:
 
 
 def min_label_round(labels: rd.Dataset, edges: rd.Dataset, num_partitions: int) -> rd.Dataset:
-    """One propagation round. labels: (node, label); edges: (src, dst)."""
+    """One propagation round. labels: (node, label); edges: (src, dst).
+
+    The repartition on the neighbor stream merges away the zero-column
+    empty blocks that upstream shuffles emit for empty hash partitions
+    (Arrow's join rejects them) and balances the join input.
+    """
     fwd = edges.map_batches(
         lambda t: pa.table({"node": t["src"], "nbr": t["dst"]}),
         batch_format="pyarrow",
@@ -49,7 +54,7 @@ def min_label_round(labels: rd.Dataset, edges: rd.Dataset, num_partitions: int) 
         lambda t: pa.table({"node": t["dst"], "nbr": t["src"]}),
         batch_format="pyarrow",
     )
-    nbrs = fwd.union(rev)
+    nbrs = fwd.union(rev).repartition(num_partitions)
     # neighbor label: join on the neighbor's node id
     nbr_labels = nbrs.join(
         labels,
@@ -92,12 +97,20 @@ def connected_components(
         .groupby("node")
         .count()
     )
-    labels = nodes.map_batches(
-        lambda t: pa.table({"node": t["node"], "label": t["node"]}),
-        batch_format="pyarrow",
-    ).materialize()
+    labels = (
+        nodes.map_batches(
+            lambda t: pa.table({"node": t["node"], "label": t["node"]}),
+            batch_format="pyarrow",
+        )
+        .repartition(num_partitions)  # merge empty groupby blocks pre-join
+        .materialize()
+    )
     for _ in range(max_iters):
-        new_labels = min_label_round(labels, edges, num_partitions).materialize()
+        new_labels = (
+            min_label_round(labels, edges, num_partitions)
+            .repartition(num_partitions)
+            .materialize()
+        )
         # convergence: did any label change?  join old/new and compare
         changed = (
             new_labels.join(

@@ -677,40 +677,16 @@ def ann_topk_ivf(sf_dir: str) -> rd.Dataset:
 def ngram_jaccard_pairs(sf_dir: str) -> rd.Dataset:
     """n-gram Jaccard near-dup: LSH candidates verified with the TRUE
     3-gram Jaccard (id_a, id_b, jaccard) — rows-only (set arithmetic
-    is not reasonably SQL-expressible)."""
-    import ray
-
+    is not reasonably SQL-expressible).  Verification is the join-based
+    distributed path (candidates x per-doc shingle table), no driver
+    collection."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    cands = dedup.minhash_candidate_pairs(ds).materialize()
-    cand_ids = set()
-    for row in cands.take_all():
-        cand_ids.add(row["id_a"])
-        cand_ids.add(row["id_b"])
-    cand_ref = ray.put(cand_ids)
-
-    def cand_shingles(batch: pa.Table) -> pa.Table:
-        want = ray.get(cand_ref)
-        ids_, shs = [], []
-        for did, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
-            if did in want:
-                ids_.append(did)
-                shs.append(list(dedup.shingles(t)))
-        return pa.table(
-            {
-                "doc_id": pa.array(ids_, batch.schema.field("doc_id").type),
-                "sh": pa.array(shs, pa.list_(pa.int64())),
-            }
-        )
-
-    sh_map = {
-        r["doc_id"]: set(r["sh"])
-        for r in ds.map_batches(cand_shingles, batch_format="pyarrow").take_all()
-    }
-    return cands.map_batches(
-        dedup.JaccardVerify,
-        fn_constructor_kwargs={"shingle_ref": ray.put(sh_map), "threshold": 0.3},
-        batch_format="pyarrow",
-        concurrency=(1, 4),
+    cands = dedup.minhash_candidate_pairs(ds, distinct=False)
+    sh_tbl = dedup.shingle_table(ds)
+    verified = dedup.jaccard_verify_join(cands, sh_tbl, threshold=0.3)
+    # distinct AFTER verify (band-duplicate candidates verify redundantly)
+    return verified.groupby(["id_a", "id_b"]).aggregate(
+        Min("jaccard", alias_name="jaccard")
     )
 
 

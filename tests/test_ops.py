@@ -41,9 +41,11 @@ def test_minhash_finds_near_dupes():
         }
     )
     out = dedup.minhash_dedup(rd.from_arrow(docs), threshold=0.5).to_pandas()
+    # ids keep their native int type; cluster id = numeric min of the component
     clusters = out.groupby("cluster_id")["doc_id"].apply(set).tolist()
-    assert {"1", "2", "4"} in clusters
-    assert not any("3" in c for c in clusters)
+    assert {1, 2, 4} in clusters
+    assert not any(3 in c for c in clusters)
+    assert out["cluster_id"].tolist() == [1, 1, 1]
 
 
 def test_simhash_properties():
