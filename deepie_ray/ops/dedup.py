@@ -265,10 +265,14 @@ def jaccard_verify_join(
             batch_format="pyarrow",
         )
 
-    j = cands.join(
-        side("id_a"), join_type="inner", num_partitions=num_partitions, on=("id_a",)
-    ).join(
-        side("id_b"), join_type="inner", num_partitions=num_partitions, on=("id_b",)
+    j = (
+        cands.join(
+            side("id_a"), join_type="inner", num_partitions=num_partitions, on=("id_a",)
+        )
+        .repartition(num_partitions)  # join emits empty-partition blocks too
+        .join(
+            side("id_b"), join_type="inner", num_partitions=num_partitions, on=("id_b",)
+        )
     )
 
     def verify(batch: pa.Table) -> pa.Table:
@@ -449,6 +453,142 @@ def simhash_neardup_pairs(ds: rd.Dataset, max_hamming: int = 3) -> rd.Dataset:
 
 
 # ------------------------------------------------- embedding near-dup
+
+
+def embedding_neardup_blockjoin(
+    emb: rd.Dataset,
+    threshold: float,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    chunk_rows: int = 1024,
+    num_partitions: int = 8,
+) -> rd.Dataset:
+    """EXACT cosine threshold self-join, distributed as a block-pair
+    cross join -> (vec_a, vec_b) with vec_a < vec_b.
+
+    Scale design (replaces the round-1 driver-side full-matrix
+    broadcast, verdict item 3): vectors are grouped into fixed-size
+    chunks (``id // chunk_rows``), each chunk consolidated into ONE row
+    holding its ids + L2-normalized matrix as packed bytes; the C(C+1)/2
+    chunk pairs are enumerated as an (i, j) index table (ints only —
+    the one driver-side object, metadata-sized at N/chunk_rows entries)
+    and hash-joined to the chunk table on each side; every chunk-pair
+    task does one bounded matmul.  Memory per task is two chunk
+    matrices regardless of corpus size; nothing corpus-sized ever
+    lands on the driver.
+
+    Exactness note: at thresholds this low (cos 0.35 is barely above
+    random for 64-d data) LSH bucketing cannot prune without losing
+    recall, so the exact path is inherently O(N^2) compute — but
+    distributed and embarrassingly parallel over chunk pairs.  For
+    approximate near-dup at scale use ``HyperplaneLSH`` bucketing
+    (ops/ann.py) with a higher threshold.
+    """
+    from .ann import _normalize, _to_matrix
+
+    def to_chunk_rows(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy().astype(np.int64)
+        M = _normalize(_to_matrix(batch[emb_col]))
+        chunks = ids // chunk_rows
+        out_c, out_ids, out_mat = [], [], []
+        for c in np.unique(chunks):
+            m = chunks == c
+            out_c.append(int(c))
+            out_ids.append(ids[m].tobytes())
+            out_mat.append(np.ascontiguousarray(M[m]).tobytes())
+        return pa.table(
+            {
+                "chunk": pa.array(out_c, pa.int64()),
+                "ids": pa.array(out_ids, pa.binary()),
+                "mat": pa.array(out_mat, pa.binary()),
+            }
+        )
+
+    def merge_chunk(df: pd.DataFrame) -> pd.DataFrame:
+        ids = np.concatenate(
+            [np.frombuffer(b, dtype=np.int64) for b in df["ids"]]
+        )
+        dim = None
+        mats = []
+        for b, i in zip(df["mat"], df["ids"]):
+            n = len(np.frombuffer(i, dtype=np.int64))
+            m = np.frombuffer(b, dtype=np.float64).reshape(n, -1)
+            dim = m.shape[1]
+            mats.append(m)
+        M = np.vstack(mats)
+        order = np.argsort(ids)
+        return pd.DataFrame(
+            {
+                "chunk": [int(df["chunk"].iloc[0])],
+                "ids": [ids[order].tobytes()],
+                "mat": [np.ascontiguousarray(M[order]).tobytes()],
+                "dim": [dim],
+            }
+        )
+
+    chunks_ds = (
+        emb.map_batches(to_chunk_rows, batch_format="pyarrow")
+        .groupby("chunk")
+        .map_groups(merge_chunk, batch_format="pandas")
+        .repartition(num_partitions)  # merge empty groupby blocks pre-join
+        .materialize()  # two join consumers below
+    )
+    # chunk ids only — C = N/chunk_rows ints, metadata-sized
+    chunk_ids = sorted(
+        r["chunk"] for r in chunks_ds.select_columns(["chunk"]).take_all()
+    )
+    ci, cj = [], []
+    for x in range(len(chunk_ids)):
+        for y in range(x, len(chunk_ids)):
+            ci.append(chunk_ids[x])
+            cj.append(chunk_ids[y])
+    pairs_idx = rd.from_arrow(
+        pa.table({"ci": pa.array(ci, pa.int64()), "cj": pa.array(cj, pa.int64())})
+    ).repartition(num_partitions)
+
+    def side(name: str):
+        return chunks_ds.map_batches(
+            lambda t, n=name: pa.table(
+                {n: t["chunk"], f"ids_{n}": t["ids"], f"mat_{n}": t["mat"]}
+            ),
+            batch_format="pyarrow",
+        )
+
+    j = (
+        pairs_idx.join(
+            side("ci"), join_type="inner", num_partitions=num_partitions, on=("ci",)
+        )
+        .repartition(num_partitions)  # join also emits empty-partition blocks
+        .join(
+            side("cj"), join_type="inner", num_partitions=num_partitions, on=("cj",)
+        )
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        out_a, out_b = [], []
+        for r in range(len(batch)):
+            same = batch["ci"][r].as_py() == batch["cj"][r].as_py()
+            ia = np.frombuffer(batch["ids_ci"][r].as_py(), dtype=np.int64)
+            ib = np.frombuffer(batch["ids_cj"][r].as_py(), dtype=np.int64)
+            A = np.frombuffer(batch["mat_ci"][r].as_py(), dtype=np.float64).reshape(
+                len(ia), -1
+            )
+            B = np.frombuffer(batch["mat_cj"][r].as_py(), dtype=np.float64).reshape(
+                len(ib), -1
+            )
+            S = A @ B.T
+            xa, xb = np.nonzero(S >= threshold)
+            a, b = ia[xa], ib[xb]
+            keep = a < b if same else np.ones(len(a), dtype=bool)
+            out_a.append(np.minimum(a, b)[keep] if not same else a[keep])
+            out_b.append(np.maximum(a, b)[keep] if not same else b[keep])
+        a = np.concatenate(out_a) if out_a else np.array([], dtype=np.int64)
+        b = np.concatenate(out_b) if out_b else np.array([], dtype=np.int64)
+        return pa.table(
+            {"vec_a": pa.array(a, pa.int64()), "vec_b": pa.array(b, pa.int64())}
+        )
+
+    return j.map_batches(score, batch_format="pyarrow", batch_size=4)
 
 
 class EmbeddingNearDup:

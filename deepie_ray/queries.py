@@ -611,30 +611,11 @@ def simhash_neardup(sf_dir: str) -> rd.Dataset:
 
 
 def embedding_neardup(sf_dir: str) -> rd.Dataset:
-    """Embedding-cosine near-dup pairs (cos >= 0.35)."""
-    import ray
-
+    """Embedding-cosine near-dup pairs (cos >= 0.35), as the exact
+    distributed block-pair cross join (no driver-side matrix build;
+    memory per task = two chunk matrices regardless of corpus size)."""
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    tbl = emb.to_arrow_refs()
-    mats, ids = [], []
-    for ref in tbl:
-        t = ray.get(ref)
-        mats.append(ann._to_matrix(t["embedding"]))
-        ids.append(t["vec_id"].to_numpy())
-    M = ann._normalize(np.vstack(mats))
-    I = np.concatenate(ids)
-    out = emb.map_batches(
-        dedup.EmbeddingNearDup,
-        fn_constructor_kwargs={
-            "matrix_ref": ray.put(M),
-            "ids_ref": ray.put(I),
-            "threshold": 0.35,
-        },
-        batch_format="pyarrow",
-        batch_size=1024,
-        concurrency=(1, 4),
-    )
-    return out
+    return dedup.embedding_neardup_blockjoin(emb, threshold=0.35)
 
 
 # -------------------------------------------------------------------- ANN
