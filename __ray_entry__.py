@@ -76,10 +76,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triples": Q.kg_triples,
         "kg_triples_gru": Q.kg_triples_gru,
         "kg_triples_hybrid": Q.kg_triples_hybrid,
+        "kg_triples_dep": Q.kg_triples_dep,
+        "kg_triples_ensemble": Q.kg_triples_ensemble,
+        "kg_triples_att": Q.kg_triples_att,
         "kg_linked": Q.kg_linked,
         "kg_nodes": Q.kg_nodes,
         "kg_edges": Q.kg_edges,
         "media_span_stats": Q.media_span_stats,
+        "media_features": Q.media_features,
     }
 
 

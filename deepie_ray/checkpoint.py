@@ -52,9 +52,16 @@ def checkpoint_dataset(
     root: str,
     stage: str,
     run_id: str | None = None,
+    counter=None,
+    rows_in_stage: str | None = None,
 ) -> rd.Dataset:
     """Write ``ds`` to a stage checkpoint (unless already complete) and
-    return a dataset reading from it.  Atomic via tmp-dir rename."""
+    return a dataset reading from it.  Atomic via tmp-dir rename.
+
+    ``counter``: optional ``CounterActor`` handle — after the write
+    drains the stream, its per-stage totals are read and written into
+    the lineage rows (real counters, not placeholders); ``rows_in`` is
+    taken from ``rows_in_stage``'s rows_in total."""
     stage_dir = os.path.join(root, stage)
     data_dir = os.path.join(stage_dir, "data")
     if stage_complete(root, stage):
@@ -72,6 +79,14 @@ def checkpoint_dataset(
     os.replace(tmp_dir, data_dir)
     out = rd.read_parquet(data_dir)
     rows = out.count()
+    counters_json, rows_in = "{}", -1
+    if counter is not None:
+        import ray
+
+        counts = ray.get(counter.get.remote())
+        counters_json = json.dumps(counts, sort_keys=True)
+        if rows_in_stage and rows_in_stage in counts:
+            rows_in = int(counts[rows_in_stage]["rows_in"])
     append_lineage(
         root,
         [
@@ -79,9 +94,9 @@ def checkpoint_dataset(
                 "run_id": run_id,
                 "stage": stage,
                 "part_id": i,
-                "rows_in": -1,
+                "rows_in": rows_in,
                 "rows_out": pq.read_metadata(os.path.join(data_dir, f)).num_rows,
-                "counters": "{}",
+                "counters": counters_json,
                 "wall_ms": wall_ms,
             }
             for i, f in enumerate(sorted(os.listdir(data_dir)))

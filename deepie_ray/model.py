@@ -253,6 +253,450 @@ def cnn_forward(
     return probs.argmax(axis=1), probs.astype(np.float32)
 
 
+# ------------------------------------------------- weight save/load (S8)
+
+
+def save_weights(weights: dict[str, np.ndarray], path: str) -> None:
+    """S8 model-weight sink (reference: one .npy per named parameter,
+    ``rnnReModels.py:725-727``): one compressed npz holding every named
+    array — the checkpoint a *trained* weight set would arrive in."""
+    np.savez_compressed(path if path.endswith(".npz") else path + ".npz", **weights)
+
+
+def load_weights(path: str) -> dict[str, np.ndarray]:
+    """S8 source: load a named-parameter checkpoint saved by
+    ``save_weights``; scorer actors accept the result anywhere a
+    seeded ``init_weights()`` dict is accepted."""
+    with np.load(path if path.endswith(".npz") else path + ".npz") as z:
+        return {k: z[k] for k in z.files}
+
+
+# ----------------------------------------- pooled-GRU readouts (T10/T11)
+
+
+def _gru_params(rng_u, prefix_pairs=("f", "b"), in_dim=WORD_DIM, hid=GRU_HIDDEN):
+    w = {}
+    for d in prefix_pairs:
+        for g in ("z", "r", "h"):
+            w[f"{d}W{g}"] = rng_u(in_dim, hid)
+            w[f"{d}U{g}"] = rng_u(hid, hid)
+            w[f"{d}b{g}"] = np.zeros(hid, dtype=np.float32)
+    return w
+
+
+def _bigru_states(weights, token_ids, lengths):
+    """Shared biGRU machinery: returns (hf, hb_rev, x) where ``hb_rev``
+    holds the backward pass run from each row's TRUE last token (see
+    gru_head_forward for why padding must not feed the backward GRU)."""
+    x = weights["E_word"][token_ids]
+    B, T, _ = x.shape
+    pf = {k[1:]: weights[k] for k in weights if k.startswith("f") and len(k) == 3}
+    pb = {k[1:]: weights[k] for k in weights if k.startswith("b") and len(k) == 3}
+    hf = nn.gru_forward(x, pf)
+    idx = lengths[:, None] - 1 - np.arange(T)[None, :]
+    valid = idx >= 0
+    rows2d = np.arange(B)[:, None]
+    x_rev = np.where(valid[:, :, None], x[rows2d, np.clip(idx, 0, T - 1)], 0.0)
+    hb_rev = nn.gru_forward(x_rev, pb)
+    # re-align backward states to forward time order (position t of row i
+    # lives at reversed index lengths[i]-1-t); padded positions -> 0
+    hb = np.where(
+        valid[:, :, None], hb_rev[rows2d, np.clip(idx, 0, T - 1)], 0.0
+    )
+    return hf, hb, valid
+
+
+def init_gru_pool_weights(seed: int = DEFAULT_SEED + 3) -> dict[str, np.ndarray]:
+    """Weights for the max/mean-pooled biGRU readouts (reference
+    ``rnnMax``/``rnnSum`` families, rnnReModels.py:1390-1442)."""
+    rng = np.random.default_rng(seed)
+
+    def u(*shape):
+        return rng.uniform(-0.25, 0.25, size=shape).astype(np.float32)
+
+    w = {"E_word": u(WORD_BUCKETS, WORD_DIM)}
+    w["E_word"][0] = 0.0
+    w.update(_gru_params(u))
+    w["W_out"] = u(2 * GRU_HIDDEN, N_LABELS)
+    w["b_out"] = np.zeros(N_LABELS, dtype=np.float32)
+    w["b_out"][0] = 0.5
+    return w
+
+
+def gru_max_forward(
+    weights, token_ids, pos1=None, pos2=None, lengths=None
+) -> tuple[np.ndarray, np.ndarray]:
+    """biGRU + elementwise max-pool over the valid positions (reference
+    ``rnnMaxIn``, rnnReModels.py:1414-1419), padded positions masked to
+    -inf so pooling is padding-independent."""
+    B, T = token_ids.shape
+    if lengths is None:
+        lengths = np.full(B, T, dtype=np.int64)
+    hf, hb, valid = _bigru_states(weights, token_ids, lengths)
+    h = np.concatenate([hf, hb], axis=2)  # (B, T, 2H)
+    h = np.where(valid[:, :, None], h, -np.inf)
+    rep = h.max(axis=1)
+    probs = nn.softmax(rep @ weights["W_out"] + weights["b_out"])
+    return probs.argmax(axis=1), probs.astype(np.float32)
+
+
+def gru_sum_forward(
+    weights, token_ids, pos1=None, pos2=None, lengths=None
+) -> tuple[np.ndarray, np.ndarray]:
+    """biGRU + mean-pool over the valid positions (reference ``rnnSum``,
+    rnnReModels.py:1421-1442 — mean, not raw sum, matching the
+    reference's normalization by sentence length)."""
+    B, T = token_ids.shape
+    if lengths is None:
+        lengths = np.full(B, T, dtype=np.int64)
+    hf, hb, valid = _bigru_states(weights, token_ids, lengths)
+    h = np.concatenate([hf, hb], axis=2)
+    h = np.where(valid[:, :, None], h, 0.0)
+    rep = h.sum(axis=1) / np.maximum(lengths, 1)[:, None]
+    probs = nn.softmax(rep @ weights["W_out"] + weights["b_out"])
+    return probs.argmax(axis=1), probs.astype(np.float32)
+
+
+# --------------------------------------------- attention readouts (T12)
+
+
+def init_gru_att_weights(seed: int = DEFAULT_SEED + 4, head: bool = False):
+    """Weights for the attention-pooled biGRU (reference ``rnnAtt`` /
+    ``rnnAttHead``, rnnReModels.py:1444-1497): a learned projection +
+    context vector score softmax-pooled over time."""
+    rng = np.random.default_rng(seed)
+
+    def u(*shape):
+        return rng.uniform(-0.25, 0.25, size=shape).astype(np.float32)
+
+    w = {"E_word": u(WORD_BUCKETS, WORD_DIM)}
+    w["E_word"][0] = 0.0
+    w.update(_gru_params(u))
+    w["W_att"] = u(2 * GRU_HIDDEN, GRU_HIDDEN)
+    w["v_att"] = u(GRU_HIDDEN)
+    out_dim = 2 * GRU_HIDDEN * (3 if head else 1)
+    w["W_out"] = u(out_dim, N_LABELS)
+    w["b_out"] = np.zeros(N_LABELS, dtype=np.float32)
+    w["b_out"][0] = 0.5
+    return w
+
+
+def gru_att_forward(
+    weights, token_ids, pos1=None, pos2=None, lengths=None, head: bool = False
+) -> tuple[np.ndarray, np.ndarray]:
+    """biGRU + learned softmax attention pooling; ``head=True`` concats
+    the attended vector with the hidden states at (pos1, pos2) —
+    reference ``rnnAtt``/``rnnAttHead``."""
+    B, T = token_ids.shape
+    if lengths is None:
+        lengths = np.full(B, T, dtype=np.int64)
+    hf, hb, valid = _bigru_states(weights, token_ids, lengths)
+    h = np.concatenate([hf, hb], axis=2)  # (B, T, 2H)
+    scores = np.tanh(h @ weights["W_att"]) @ weights["v_att"]  # (B, T)
+    scores = np.where(valid, scores, -np.inf)
+    alpha = nn.softmax(scores)  # (B, T), zero on padding
+    rep = (alpha[:, :, None] * np.where(valid[:, :, None], h, 0.0)).sum(axis=1)
+    if head:
+        rows = np.arange(B)
+        rep = np.concatenate([rep, h[rows, pos1], h[rows, pos2]], axis=1)
+    probs = nn.softmax(rep @ weights["W_out"] + weights["b_out"])
+    return probs.argmax(axis=1), probs.astype(np.float32)
+
+
+# ------------------------------------- same-length CNN + sum pool (T8)
+
+
+def init_conv_sum_weights(seed: int = DEFAULT_SEED + 5):
+    """Weights for ``convoluteSum``/``convoluteSumDep`` (reference
+    rnnReModels.py:1324-1351): one same-length window-3 convolution,
+    mean- or span-masked-pooled."""
+    rng = np.random.default_rng(seed)
+
+    def u(*shape):
+        return rng.uniform(-0.25, 0.25, size=shape).astype(np.float32)
+
+    w = {"E_word": u(WORD_BUCKETS, WORD_DIM)}
+    w["E_word"][0] = 0.0
+    w["convW"] = u(3 * WORD_DIM, CNN_MAPS)
+    w["convb"] = np.zeros(CNN_MAPS, dtype=np.float32)
+    w["W_out"] = u(CNN_MAPS, N_LABELS)
+    w["b_out"] = np.zeros(N_LABELS, dtype=np.float32)
+    w["b_out"][0] = 0.5
+    return w
+
+
+def conv_sum_forward(
+    weights, token_ids, pos1=None, pos2=None, lengths=None,
+    dep_mask: np.ndarray | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Same-length CNN (zero-padded window 3, one feature map column per
+    position — reference ``convContextLs``, rnnReModels.py:431-441) +
+    mean-pool over valid positions; with ``dep_mask`` (B, T) the pool
+    sums over the masked span only (``convoluteSumDep``'s dep-path
+    masked pooling, :1338-1351)."""
+    x = weights["E_word"][token_ids]
+    B, T, D = x.shape
+    if lengths is None:
+        lengths = np.full(B, T, dtype=np.int64)
+    # same-length conv: pad one zero frame each side, window 3
+    pad = np.zeros((B, 1, D), dtype=x.dtype)
+    xp = np.concatenate([pad, x, pad], axis=1)  # (B, T+2, D)
+    cols = np.concatenate([xp[:, 0:T], xp[:, 1 : T + 1], xp[:, 2 : T + 2]], axis=2)
+    conv = np.tanh(cols @ weights["convW"] + weights["convb"])  # (B, T, M)
+    valid = np.arange(T)[None, :] < lengths[:, None]
+    mask = valid if dep_mask is None else (valid & dep_mask.astype(bool))
+    m = mask.astype(conv.dtype)[:, :, None]
+    denom = np.maximum(mask.sum(axis=1), 1)[:, None]
+    rep = (conv * m).sum(axis=1) / denom
+    probs = nn.softmax(rep @ weights["W_out"] + weights["b_out"])
+    return probs.argmax(axis=1), probs.astype(np.float32)
+
+
+def span_mask(T: int, pos1: np.ndarray, pos2: np.ndarray) -> np.ndarray:
+    """(B, T) mask of the inclusive [pos1, pos2] token span — the
+    engine's dep-path stand-in for plain text (the reference's fallback
+    path when no dependency parse exists is exactly the head-pair span,
+    rnn_process_onlyExtra.py:437-452)."""
+    idx = np.arange(T)[None, :]
+    return (idx >= pos1[:, None]) & (idx <= pos2[:, None])
+
+
+# --------------------------------- one-hot feature mode (M13 features==1)
+#
+# The reference expands categorical per-token features to one-hot /
+# multi-hot tensors when a feature's flag is 1 (rnnRE.py:82-118).  The
+# engine keeps INDEX form in Arrow end-to-end (SURVEY §7.6.8 — dense
+# one-hot would explode block sizes) and expands per batch inside the
+# actor, immediately before the matmul that consumes it.
+
+
+def onehot_expand(ids: np.ndarray, n_classes: int) -> np.ndarray:
+    """(B, T) int ids -> (B, T, n_classes) float32 one-hot; id 0 is the
+    reserved padding id and expands to the all-zero vector (the same
+    contract as embedding row 0)."""
+    B, T = ids.shape
+    out = np.zeros((B, T, n_classes), dtype=np.float32)
+    rows, cols = np.nonzero(ids > 0)
+    out[rows, cols, ids[rows, cols] - 1] = 1.0
+    return out
+
+
+def multihot_expand(
+    id_lists: list[list[list[int]]], T: int, n_classes: int
+) -> np.ndarray:
+    """Per-token id SETS -> (B, T, n_classes) multi-hot (the reference's
+    ``grammar`` dep-relation channel, rnnRE.py:95-118); ids are 1-based,
+    0/absent -> zero row."""
+    B = len(id_lists)
+    out = np.zeros((B, T, n_classes), dtype=np.float32)
+    for b, toks in enumerate(id_lists):
+        for t, ids in enumerate(toks[:T]):
+            for i in ids:
+                if i > 0:
+                    out[b, t, i - 1] = 1.0
+    return out
+
+
+def init_onehot_cnn_weights(seed: int, n_classes: int):
+    """CNN weights over [word embedding (+) one-hot categorical]
+    channels (the M13 ``features==1`` mode feeding the reference's
+    convolutional encoder)."""
+    rng = np.random.default_rng(seed)
+
+    def u(*shape):
+        return rng.uniform(-0.25, 0.25, size=shape).astype(np.float32)
+
+    D = WORD_DIM + n_classes
+    w = {"E_word": u(WORD_BUCKETS, WORD_DIM), "n_classes": np.array([n_classes])}
+    w["E_word"][0] = 0.0
+    for win in CNN_WINDOWS:
+        w[f"convW{win}"] = u(win * D, CNN_MAPS)
+        w[f"convb{win}"] = np.zeros(CNN_MAPS, dtype=np.float32)
+    w["W_out"] = u(len(CNN_WINDOWS) * CNN_MAPS, N_LABELS)
+    w["b_out"] = np.zeros(N_LABELS, dtype=np.float32)
+    w["b_out"][0] = 0.5
+    return w
+
+
+def onehot_cnn_forward(
+    weights, token_ids, class_ids, lengths=None
+) -> tuple[np.ndarray, np.ndarray]:
+    """Multi-window CNN + max-pool over [embedding ; one-hot] token
+    representations; one-hot expansion happens HERE, per batch."""
+    n_classes = int(weights["n_classes"][0])
+    x = np.concatenate(
+        [weights["E_word"][token_ids], onehot_expand(class_ids, n_classes)],
+        axis=2,
+    )
+    B, T, _ = x.shape
+    if lengths is None:
+        lengths = np.full(B, T, dtype=np.int64)
+    filters = {
+        win: (weights[f"convW{win}"], weights[f"convb{win}"]) for win in CNN_WINDOWS
+    }
+    rep = nn.conv_maxpool(x, filters, lengths)
+    probs = nn.softmax(rep @ weights["W_out"] + weights["b_out"])
+    return probs.argmax(axis=1), probs.astype(np.float32)
+
+
+# ------------------------------- stacked alternate family (T13, sample)
+
+
+def init_stacked_weights(seed: int = DEFAULT_SEED + 7):
+    """Weights for the stacked CNN->biGRU encoder with head readout —
+    one representative of the reference's ``alternateHead`` family
+    (rnnReModels.py:1148-1313): a same-length convolution re-represents
+    each token from its window, then the biGRU runs over conv features
+    instead of raw embeddings."""
+    rng = np.random.default_rng(seed)
+
+    def u(*shape):
+        return rng.uniform(-0.25, 0.25, size=shape).astype(np.float32)
+
+    w = {"E_word": u(WORD_BUCKETS, WORD_DIM)}
+    w["E_word"][0] = 0.0
+    w["convW"] = u(3 * WORD_DIM, CNN_MAPS)
+    w["convb"] = np.zeros(CNN_MAPS, dtype=np.float32)
+    w.update(_gru_params(u, in_dim=CNN_MAPS))
+    w["W_out"] = u(4 * GRU_HIDDEN, N_LABELS)
+    w["b_out"] = np.zeros(N_LABELS, dtype=np.float32)
+    w["b_out"][0] = 0.5
+    return w
+
+
+def stacked_head_forward(
+    weights, token_ids, pos1, pos2, lengths=None
+) -> tuple[np.ndarray, np.ndarray]:
+    """Stacked CNN->biGRU, head-state readout (``alternateHead``).  The
+    conv layer is same-length (zero-padded window 3) so positions stay
+    aligned; positions beyond a row's true length are zeroed before the
+    GRU so the readout is padding-independent."""
+    x = weights["E_word"][token_ids]
+    B, T, D = x.shape
+    if lengths is None:
+        lengths = np.full(B, T, dtype=np.int64)
+    pad = np.zeros((B, 1, D), dtype=x.dtype)
+    xp = np.concatenate([pad, x, pad], axis=1)
+    cols = np.concatenate([xp[:, 0:T], xp[:, 1 : T + 1], xp[:, 2 : T + 2]], axis=2)
+    conv = np.tanh(cols @ weights["convW"] + weights["convb"])  # (B, T, M)
+    valid = np.arange(T)[None, :] < lengths[:, None]
+    conv = np.where(valid[:, :, None], conv, 0.0)
+    # biGRU over conv features (reuse the shared machinery via a view
+    # whose "embedding" lookup is already done: feed states directly)
+    pf = {k[1:]: weights[k] for k in weights if k.startswith("f") and len(k) == 3}
+    pb = {k[1:]: weights[k] for k in weights if k.startswith("b") and len(k) == 3}
+    hf = nn.gru_forward(conv, pf)
+    idx = lengths[:, None] - 1 - np.arange(T)[None, :]
+    rows2d = np.arange(B)[:, None]
+    c_rev = np.where((idx >= 0)[:, :, None], conv[rows2d, np.clip(idx, 0, T - 1)], 0.0)
+    hb_rev = nn.gru_forward(c_rev, pb)
+    rows = np.arange(B)
+    rep = np.concatenate(
+        [
+            hf[rows, pos1], hb_rev[rows, lengths - 1 - pos1],
+            hf[rows, pos2], hb_rev[rows, lengths - 1 - pos2],
+        ],
+        axis=1,
+    )
+    probs = nn.softmax(rep @ weights["W_out"] + weights["b_out"])
+    return probs.argmax(axis=1), probs.astype(np.float32)
+
+
+# ------------------------------------- dep-path second channel (M14/T2)
+
+
+def dep_view_gather(
+    token_ids: np.ndarray, pos1: np.ndarray, pos2: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized M6/M14 gather: per row, the sentence-aligned token ids
+    at the dep-path indices.  For plain text the dep path is the
+    contiguous [pos1, pos2] span (the reference's __NULL__-path fallback
+    semantics); for parsed corpora pass real ``dep_idxs`` through
+    ``gather_at_indices`` instead.  Returns (dep_token_ids right-padded
+    with 0, dep_lengths); dep head positions are (0, len-1) by
+    construction (rnn_process_onlyExtra.py:474-489)."""
+    B, T = token_ids.shape
+    dep_len = pos2 - pos1 + 1
+    Td = int(dep_len.max()) if B else 1
+    idx = pos1[:, None] + np.arange(Td)[None, :]
+    valid = idx <= pos2[:, None]
+    rows2d = np.arange(B)[:, None]
+    dep = np.where(valid, token_ids[rows2d, np.clip(idx, 0, T - 1)], 0)
+    return dep, dep_len.astype(np.int64)
+
+
+def gather_at_indices(
+    features: np.ndarray, idxs: np.ndarray, valid: np.ndarray
+) -> np.ndarray:
+    """General M6 gather: sentence-aligned feature rows taken at
+    (padded) dep-path index matrix ``idxs``; invalid slots -> 0."""
+    rows2d = np.arange(len(features))[:, None]
+    out = features[rows2d, np.clip(idxs, 0, features.shape[1] - 1)]
+    return np.where(valid[..., None] if out.ndim == 3 else valid, out, 0)
+
+
+def init_dual_weights(seed: int = DEFAULT_SEED + 6) -> dict[str, np.ndarray]:
+    """Dual-channel weights (reference ``mainModel`` with seqType
+    ``-dep``, rnnReModels.py:729-770 + rnnRE.py:701-744): one biGRU per
+    channel (word embeddings TIED across channels like the reference's
+    ``sharedEmbs`` option), concat of both head readouts -> softmax."""
+    rng = np.random.default_rng(seed)
+
+    def u(*shape):
+        return rng.uniform(-0.25, 0.25, size=shape).astype(np.float32)
+
+    w = {"E_word": u(WORD_BUCKETS, WORD_DIM)}
+    w["E_word"][0] = 0.0
+    w.update(_gru_params(u))                       # channel 1 (sentence)
+    w.update({"d" + k: v for k, v in _gru_params(u).items()})  # channel 2 (dep)
+    w["W_out"] = u(8 * GRU_HIDDEN, N_LABELS)
+    w["b_out"] = np.zeros(N_LABELS, dtype=np.float32)
+    w["b_out"][0] = 0.5
+    return w
+
+
+def dual_channel_forward(
+    weights, token_ids, pos1, pos2, lengths=None, dep_view=None
+) -> tuple[np.ndarray, np.ndarray]:
+    """Channel 1: biGRU-head readout over the sentence.  Channel 2: the
+    same readout over the dep-path view (M14) — by default the span
+    gather of ``dep_view_gather``; pass ``dep_view=(dep_token_ids,
+    dep_lengths)`` to use a REAL parsed dependency path (the ACE
+    corpus path, M6 ``retrieveDepFeatures``).  Dep head positions are
+    (0, len-1) in both cases (rnn_process_onlyExtra.py:474-489).
+    Concat -> softmax — the reference's dual-channel concat
+    (`concatRep`, rnnReModels.py:103-150)."""
+    B, T = token_ids.shape
+    if lengths is None:
+        lengths = np.full(B, T, dtype=np.int64)
+    rows = np.arange(B)
+
+    def head_rep(w_prefixed, toks, p1, p2, lens):
+        sub = {"E_word": weights["E_word"]}
+        sub.update(w_prefixed)
+        hf, hb, _ = _bigru_states(sub, toks, lens)
+        return np.concatenate(
+            [hf[rows, p1], hb[rows, p1], hf[rows, p2], hb[rows, p2]], axis=1
+        )
+
+    ch1 = head_rep(
+        {k: v for k, v in weights.items() if len(k) == 3 and k[0] in "fb"},
+        token_ids, pos1, pos2, lengths,
+    )
+    if dep_view is not None:
+        dep, dep_len = dep_view
+        dep_len = np.asarray(dep_len, dtype=np.int64)
+    else:
+        dep, dep_len = dep_view_gather(token_ids, pos1, pos2)
+    ch2 = head_rep(
+        {k[1:]: v for k, v in weights.items() if k.startswith("d") and len(k) == 4},
+        dep, np.zeros(B, dtype=np.int64), dep_len - 1, dep_len,
+    )
+    rep = np.concatenate([ch1, ch2], axis=1)
+    probs = nn.softmax(rep @ weights["W_out"] + weights["b_out"])
+    return probs.argmax(axis=1), probs.astype(np.float32)
+
+
 def product_of_experts(prob_list: list[np.ndarray]) -> tuple[np.ndarray, np.ndarray]:
     """Hybrid combiner (T4/T6): renormalized product of expert
     distributions (reference exp-sum formulation, rnnReModels.py:

@@ -55,32 +55,43 @@ def micro_prf_distributed(
     }
 
 
-class CountingStage:
-    """Wrap a batch fn with per-batch row counters that are emitted as
-    lineage rows (north rule: every partition emits counters).  The
-    counts ride along in Ray task results via a side accumulator
-    column-free design: the wrapped fn appends nothing to the data;
-    counters are written to the checkpoint store by the caller using
-    ``pop_counts`` inside the same task (actor pools only)."""
+import ray
 
-    def __init__(self, fn, stage: str):
-        self.fn = fn
+
+@ray.remote(num_cpus=0)
+class CounterActor:
+    """Cluster-wide counter sink (north rule: per-partition counters to
+    a checkpoint store).  Stages flush per-batch deltas fire-and-forget;
+    the pipeline reads totals after each stage's stream is consumed."""
+
+    def __init__(self):
+        self.stages: dict[str, dict[str, int]] = {}
+
+    def add(self, stage: str, rows_in: int, rows_out: int, batches: int = 1) -> None:
+        s = self.stages.setdefault(
+            stage, {"rows_in": 0, "rows_out": 0, "batches": 0}
+        )
+        s["rows_in"] += rows_in
+        s["rows_out"] += rows_out
+        s["batches"] += batches
+
+    def get(self) -> dict[str, dict[str, int]]:
+        return {k: dict(v) for k, v in self.stages.items()}
+
+
+class CountingStage:
+    """map_batches callable wrapping another callable class with REAL
+    per-batch row counters, flushed to a ``CounterActor`` (one tiny
+    fire-and-forget RPC per batch — negligible against batch compute).
+    Used by the flagship pipeline when checkpointing, so lineage rows
+    carry truthful rows_in / counters instead of placeholders."""
+
+    def __init__(self, inner_cls, stage: str, counter, inner_kwargs: dict | None = None):
+        self.inner = inner_cls(**(inner_kwargs or {}))
         self.stage = stage
-        self.rows_in = 0
-        self.rows_out = 0
-        self.batches = 0
+        self.counter = counter
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        out = self.fn(batch)
-        self.rows_in += len(batch)
-        self.rows_out += len(out)
-        self.batches += 1
+        out = self.inner(batch)
+        self.counter.add.remote(self.stage, len(batch), len(out), 1)
         return out
-
-    def counts(self) -> dict[str, int]:
-        return {
-            "stage": self.stage,
-            "rows_in": self.rows_in,
-            "rows_out": self.rows_out,
-            "batches": self.batches,
-        }

@@ -19,7 +19,7 @@ import numpy as np
 import pyarrow as pa
 
 from .. import model as M
-from ..schema import TRIPLES
+from ..schema import TRIPLES, TRIPLES_NOPROB
 
 _LABELS_ARR = np.asarray(M.LABELS)
 
@@ -39,30 +39,64 @@ def _list_column_to_numpy(col: pa.ChunkedArray | pa.Array) -> tuple[np.ndarray, 
     return values, offsets
 
 
-def score_batch(weights: dict[str, np.ndarray], batch: pa.Table) -> pa.Table:
-    """Pure function: PAIRS batch -> TRIPLES batch (all rows, incl NONE)."""
+def score_batch(
+    weights: dict[str, np.ndarray], batch: pa.Table, with_prob: bool = True
+) -> pa.Table:
+    """Pure function: PAIRS batch -> TRIPLES batch (all rows, incl NONE).
+
+    ``with_prob=False`` omits the per-class probability column (the
+    .prob sink S7) — the extraction output narrows by ~1/3, which is
+    the lever that closes the single-node plasma-bandwidth scaling gap
+    (BASELINE.md); downstream link/canon/graph stages never read it.
+    """
     flat, offsets = _list_column_to_numpy(batch["feat_ids"])
     head1 = batch["head1_id"].to_numpy().astype(np.int64)
     head2 = batch["head2_id"].to_numpy().astype(np.int64)
     preds, probs = M.multinn_forward(weights, flat, offsets, head1, head2)
-    labels = pa.array(_LABELS_ARR[preds], pa.string())
-    n = len(batch)
-    prob_offsets = np.arange(0, (n + 1) * M.N_LABELS, M.N_LABELS, dtype=np.int32)
-    prob_col = pa.ListArray.from_arrays(
-        pa.array(prob_offsets), pa.array(probs.ravel(), pa.float32())
+    return _emit(batch, preds, probs, with_prob)
+
+
+def score_batch_emitted_narrow(
+    weights: dict[str, np.ndarray], batch: pa.Table
+) -> pa.Table:
+    """PAIRS batch -> EMITTED triples only (NONE filtered before any
+    column is built), with low-cardinality string columns
+    dictionary-encoded.  Same logical rows as ``score_batch`` +
+    ``drop_none``; the physical layout is ~2x narrower: labels/types
+    ship as int32 indices into a tiny per-batch dictionary and each
+    doc_id is stored once per batch instead of once per pair.  This is
+    the high-throughput stateless path — on a single shared plasma
+    store, output bytes are the measured scaling bottleneck
+    (BASELINE.md), and at cluster scale narrower blocks are less
+    object-store traffic per node."""
+    flat, offsets = _list_column_to_numpy(batch["feat_ids"])
+    head1 = batch["head1_id"].to_numpy().astype(np.int64)
+    head2 = batch["head2_id"].to_numpy().astype(np.int64)
+    preds, _ = M.multinn_forward(weights, flat, offsets, head1, head2)
+    keep = np.nonzero(preds != 0)[0]  # label 0 = NONE = no prediction
+    sub = batch.take(pa.array(keep, pa.int32()))
+    import pyarrow.compute as pc
+
+    labels = pa.DictionaryArray.from_arrays(
+        pa.array(preds[keep].astype(np.int32)), pa.array(_LABELS_ARR, pa.string())
     )
-    return pa.Table.from_arrays(
-        [
-            batch["doc_id"],
-            batch["pair_id"],
-            batch["subj"],
-            batch["subj_type"],
-            labels,
-            batch["obj"],
-            batch["obj_type"],
-            prob_col,
-        ],
-        schema=TRIPLES,
+
+    def enc(name: str):
+        col = sub[name]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        return pc.dictionary_encode(col)
+
+    return pa.table(
+        {
+            "doc_id": enc("doc_id"),
+            "pair_id": sub["pair_id"],
+            "subj": enc("subj"),
+            "subj_type": enc("subj_type"),
+            "pred_label": labels,
+            "obj": enc("obj"),
+            "obj_type": enc("obj_type"),
+        }
     )
 
 
@@ -75,16 +109,25 @@ class MultiNNScorer:
     function of the seed).
     """
 
-    def __init__(self, weights_ref=None, seed: int = M.DEFAULT_SEED):
-        if weights_ref is not None:
+    def __init__(
+        self,
+        weights_ref=None,
+        seed: int = M.DEFAULT_SEED,
+        with_prob: bool = True,
+        weights_path: str | None = None,
+    ):
+        if weights_path is not None:  # S8: trained-weight checkpoint
+            self.weights = M.load_weights(weights_path)
+        elif weights_ref is not None:
             import ray
 
             self.weights = ray.get(weights_ref)
         else:
             self.weights = M.init_weights(seed)
+        self.with_prob = with_prob
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        return score_batch(self.weights, batch)
+        return score_batch(self.weights, batch, self.with_prob)
 
 
 def drop_none(batch: pa.Table) -> pa.Table:
@@ -103,20 +146,22 @@ def _token_ids_padded(batch: pa.Table) -> np.ndarray:
     return M.pad_token_batch(lists)
 
 
-def _emit(batch: pa.Table, preds: np.ndarray, probs: np.ndarray) -> pa.Table:
+def _emit(
+    batch: pa.Table, preds: np.ndarray, probs: np.ndarray, with_prob: bool = True
+) -> pa.Table:
     labels = pa.array(_LABELS_ARR[preds], pa.string())
+    cols = [
+        batch["doc_id"], batch["pair_id"], batch["subj"], batch["subj_type"],
+        labels, batch["obj"], batch["obj_type"],
+    ]
+    if not with_prob:
+        return pa.Table.from_arrays(cols, schema=TRIPLES_NOPROB)
     n = len(batch)
     prob_offsets = np.arange(0, (n + 1) * M.N_LABELS, M.N_LABELS, dtype=np.int32)
     prob_col = pa.ListArray.from_arrays(
         pa.array(prob_offsets), pa.array(probs.ravel(), pa.float32())
     )
-    return pa.Table.from_arrays(
-        [
-            batch["doc_id"], batch["pair_id"], batch["subj"], batch["subj_type"],
-            labels, batch["obj"], batch["obj_type"], prob_col,
-        ],
-        schema=TRIPLES,
-    )
+    return pa.Table.from_arrays(cols + [prob_col], schema=TRIPLES)
 
 
 class GRUHeadScorer:
@@ -176,14 +221,173 @@ class HybridScorer:
         return _emit(batch, preds, probs)
 
 
+class _TokenScorer:
+    """Base for encoder scorers over the token-id pairs table: reads
+    (token_ids, pos1, pos2, n_tokens), delegates to a model forward."""
+
+    def _inputs(self, batch: pa.Table):
+        toks = _token_ids_padded(batch)
+        pos1 = batch["pos1"].to_numpy().astype(np.int64)
+        pos2 = batch["pos2"].to_numpy().astype(np.int64)
+        lengths = batch["n_tokens"].to_numpy().astype(np.int64)
+        return toks, pos1, pos2, lengths
+
+
+class GRUMaxScorer(_TokenScorer):
+    """biGRU + max-pool readout (reference ``rnnMax`` family,
+    rnnReModels.py:1390-1419)."""
+
+    def __init__(self, seed: int = M.DEFAULT_SEED + 3):
+        self.weights = M.init_gru_pool_weights(seed)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        preds, probs = M.gru_max_forward(self.weights, *self._inputs(batch))
+        return _emit(batch, preds, probs)
+
+
+class GRUSumScorer(_TokenScorer):
+    """biGRU + mean-pool readout (reference ``rnnSum``,
+    rnnReModels.py:1421-1442)."""
+
+    def __init__(self, seed: int = M.DEFAULT_SEED + 3):
+        self.weights = M.init_gru_pool_weights(seed)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        preds, probs = M.gru_sum_forward(self.weights, *self._inputs(batch))
+        return _emit(batch, preds, probs)
+
+
+class GRUAttScorer(_TokenScorer):
+    """biGRU + learned attention pooling (reference ``rnnAtt``,
+    rnnReModels.py:1444-1476)."""
+
+    head = False
+
+    def __init__(self, seed: int = M.DEFAULT_SEED + 4):
+        self.weights = M.init_gru_att_weights(seed, head=self.head)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        toks, pos1, pos2, lengths = self._inputs(batch)
+        preds, probs = M.gru_att_forward(
+            self.weights, toks, pos1, pos2, lengths, head=self.head
+        )
+        return _emit(batch, preds, probs)
+
+
+class GRUAttHeadScorer(GRUAttScorer):
+    """Attention pooling + head-state concat (reference ``rnnAttHead``,
+    rnnReModels.py:1478-1497)."""
+
+    head = True
+
+
+class ConvSumScorer(_TokenScorer):
+    """Same-length CNN + span-masked sum pooling (reference
+    ``convoluteSum``/``convoluteSumDep``, rnnReModels.py:1324-1351);
+    the mask is the [pos1, pos2] span — the dep-path stand-in for
+    plain text (model.span_mask)."""
+
+    def __init__(self, seed: int = M.DEFAULT_SEED + 5):
+        self.weights = M.init_conv_sum_weights(seed)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        toks, pos1, pos2, lengths = self._inputs(batch)
+        mask = M.span_mask(toks.shape[1], pos1, pos2)
+        preds, probs = M.conv_sum_forward(
+            self.weights, toks, pos1, pos2, lengths, dep_mask=mask
+        )
+        return _emit(batch, preds, probs)
+
+
+class DualChannelScorer(_TokenScorer):
+    """Dual-channel ``-dep`` scorer (M14): sentence biGRU-head readout
+    concat dep-path-view biGRU-head readout (reference ``mainModel``
+    with seqType ``-dep``, rnnReModels.py:729-770, vectorizer
+    rnnRE.py:212-372)."""
+
+    def __init__(self, seed: int = M.DEFAULT_SEED + 6):
+        self.weights = M.init_dual_weights(seed)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        preds, probs = M.dual_channel_forward(self.weights, *self._inputs(batch))
+        return _emit(batch, preds, probs)
+
+
+class PoE3Scorer(_TokenScorer):
+    """Three-expert product of experts: exp(GRU-head) x exp(CNN) x
+    exp(log-linear) renormalized — the reference's full
+    ``rnnHeadMultiExpNN`` (rnnReModels.py:835-936), completing the
+    round-1 two-expert partial."""
+
+    def __init__(self, seed: int = M.DEFAULT_SEED):
+        self.w_multi = M.init_weights(seed)
+        self.w_gru = M.init_gru_weights(seed + 1)
+        self.w_cnn = M.init_cnn_weights(seed + 2)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        flat, offsets = _list_column_to_numpy(batch["feat_ids"])
+        head1 = batch["head1_id"].to_numpy().astype(np.int64)
+        head2 = batch["head2_id"].to_numpy().astype(np.int64)
+        _, p_multi = M.multinn_forward(self.w_multi, flat, offsets, head1, head2)
+        toks, pos1, pos2, lengths = self._inputs(batch)
+        _, p_gru = M.gru_head_forward(self.w_gru, toks, pos1, pos2, lengths)
+        _, p_cnn = M.cnn_forward(self.w_cnn, toks, pos1, pos2, lengths)
+        preds, probs = M.product_of_experts([p_gru, p_cnn, p_multi])
+        return _emit(batch, preds, probs)
+
+
+class StackedHeadScorer(_TokenScorer):
+    """Stacked CNN->biGRU, head readout (reference ``alternateHead``
+    family, rnnReModels.py:1148-1313)."""
+
+    def __init__(self, seed: int = M.DEFAULT_SEED + 7):
+        self.weights = M.init_stacked_weights(seed)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        preds, probs = M.stacked_head_forward(self.weights, *self._inputs(batch))
+        return _emit(batch, preds, probs)
+
+
+class EnsembleScorer(_TokenScorer):
+    """Two-encoder product of experts (reference ``ensembleModel``,
+    ``a_b`` model names, rnnReModels.py:938-1047): renormalized product
+    of the biGRU-head and CNN expert distributions."""
+
+    def __init__(self, seed: int = M.DEFAULT_SEED):
+        self.w_gru = M.init_gru_weights(seed + 1)
+        self.w_cnn = M.init_cnn_weights(seed + 2)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        toks, pos1, pos2, lengths = self._inputs(batch)
+        _, p_gru = M.gru_head_forward(self.w_gru, toks, pos1, pos2, lengths)
+        _, p_cnn = M.cnn_forward(self.w_cnn, toks, pos1, pos2, lengths)
+        preds, probs = M.product_of_experts([p_gru, p_cnn])
+        return _emit(batch, preds, probs)
+
+
 # §2.10: explicit registry (the reference selects models by string +
-# eval; the engine maps names to classes — no eval)
+# eval; the engine maps names to classes — no eval).  Names mirror the
+# reference's selector grammar: '#'-hybrids -> 'hybrid', 'a_b'
+# ensembles -> 'ensemble_*', '-dep' dual channel -> 'dual_dep'.
 MODELS: dict[str, type] = {
     "multinn": MultiNNScorer,
     "gru_head": GRUHeadScorer,
     "cnn": CNNScorer,
     "hybrid": HybridScorer,
+    "gru_max": GRUMaxScorer,
+    "gru_sum": GRUSumScorer,
+    "gru_att": GRUAttScorer,
+    "gru_att_head": GRUAttHeadScorer,
+    "conv_sum": ConvSumScorer,
+    "dual_dep": DualChannelScorer,
+    "ensemble_gru_cnn": EnsembleScorer,
+    "stacked_head": StackedHeadScorer,
+    "poe3": PoE3Scorer,
 }
 
 # which models need the token-id pairs table (parse with_tokens=True)
-NEEDS_TOKENS = {"gru_head", "cnn", "hybrid"}
+NEEDS_TOKENS = {
+    "gru_head", "cnn", "hybrid", "gru_max", "gru_sum", "gru_att",
+    "gru_att_head", "conv_sum", "dual_dep", "ensemble_gru_cnn",
+    "stacked_head", "poe3",
+}

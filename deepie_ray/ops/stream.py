@@ -14,9 +14,12 @@ PER BUCKET.  Partitioning assumptions (documented, asserted):
 
 * all events of one key route to one bucket (hash(key) % n_buckets) —
   the same co-location contract as a keyed shuffle;
-* within a bucket, feed order is non-decreasing in event time (a
-  per-partition ordered log; Kafka-like sources provide this).  Late
-  events beyond ``allowed_lateness_s`` are counted, not applied.
+* within a bucket, feed order is non-decreasing in event time up to
+  ``allowed_lateness_s`` (a per-partition ordered log; Kafka-like
+  sources provide this).  Events older than watermark - lateness are
+  COUNTED in ``n_late`` and skipped by default — construct the actor
+  with ``strict=True`` to raise on the first violation instead
+  (turns a silently fragmented session into a loud contract failure).
 
 The final ``flush()`` closes any sessions still open — calling it
 makes results identical to the batch ``window.sessionize`` over the
@@ -42,17 +45,25 @@ class SessionStateActor:
     (gap exceeded) during it; ``flush`` closes the rest.
     """
 
-    def __init__(self, gap_s: int = 1800, allowed_lateness_s: int = 0):
+    def __init__(
+        self, gap_s: int = 1800, allowed_lateness_s: int = 0, strict: bool = False
+    ):
         self.gap_us = gap_s * 1_000_000
         self.late_us = allowed_lateness_s * 1_000_000
         self.open: dict = {}
         self.watermark = -(1 << 62)
         self.n_late = 0
+        self.strict = strict
 
     def feed(self, keys: list, ts_us: list[int]) -> list[tuple]:
         closed = []
         for k, t in zip(keys, ts_us):
             if t < self.watermark - self.late_us:
+                if self.strict:
+                    raise ValueError(
+                        f"event-time order violated: ts {t} below watermark "
+                        f"{self.watermark} - lateness {self.late_us}"
+                    )
                 self.n_late += 1
                 continue
             self.watermark = max(self.watermark, t)

@@ -65,6 +65,8 @@ def extract_triples(
     parse_concurrency: int | tuple = (1, 16),
     score_concurrency: int | tuple = (1, 4),
     score_batch_size: int = 4096,
+    with_prob: bool = True,
+    counter=None,
 ) -> rd.Dataset:
     """documents -> scored pairs (TRIPLES schema, NONE rows included).
 
@@ -74,16 +76,43 @@ def extract_triples(
     whole sf0.1 corpus collapsed to 2 tasks).  Two distinct pools keep
     the stage boundary, so parse parallelism is doc-batch-sized and
     scoring batches are pair-sized.
+
+    ``counter``: optional ``CounterActor`` handle — wraps both pools in
+    ``CountingStage`` so lineage gets real per-stage row counts.
     """
+    from .ops.metrics import CountingStage
+
+    if counter is None:
+        pairs = docs.map_batches(
+            ExtractPairs,
+            batch_format="pyarrow",
+            batch_size=256,
+            concurrency=parse_concurrency,
+        )
+        return pairs.map_batches(
+            MultiNNScorer,
+            fn_constructor_kwargs={"weights_ref": weights_ref, "with_prob": with_prob},
+            batch_format="pyarrow",
+            batch_size=score_batch_size,
+            concurrency=score_concurrency,
+        )
     pairs = docs.map_batches(
-        ExtractPairs,
+        CountingStage,
+        fn_constructor_kwargs={
+            "inner_cls": ExtractPairs, "stage": "parse", "counter": counter,
+        },
         batch_format="pyarrow",
         batch_size=256,
         concurrency=parse_concurrency,
     )
     return pairs.map_batches(
-        MultiNNScorer,
-        fn_constructor_kwargs={"weights_ref": weights_ref},
+        CountingStage,
+        fn_constructor_kwargs={
+            "inner_cls": MultiNNScorer,
+            "stage": "score",
+            "counter": counter,
+            "inner_kwargs": {"weights_ref": weights_ref, "with_prob": with_prob},
+        },
         batch_format="pyarrow",
         batch_size=score_batch_size,
         concurrency=score_concurrency,
@@ -133,24 +162,32 @@ def emitted_triples(docs: rd.Dataset, weights_ref=None, **kw) -> rd.Dataset:
 
 
 def extract_triples_tasks(
-    docs: rd.Dataset, weights_ref, batch_size: int = 256
+    docs: rd.Dataset, weights_ref, batch_size: int = 256, with_prob: bool = False
 ) -> rd.Dataset:
     """All-stateless-task variant of the extraction pipeline (parse +
     score + filter fused into one task stage; weights read zero-copy
     from the object store per task).  Identical output to
-    ``emitted_triples``.  Used for scaling measurements: no actor-pool
-    spawn latency, so wall time tracks compute, and task elasticity
-    follows the CPU count exactly.
+    ``emitted_triples`` (modulo the optional prob column).  Used for
+    scaling measurements: no actor-pool spawn latency, so wall time
+    tracks compute, and task elasticity follows the CPU count exactly.
+    ``with_prob`` defaults off: the probability sink is the one
+    consumer of that column, and on a single shared plasma store the
+    extra ~44 B/row is the measured 8->32-cpu scaling bottleneck.
     """
     import ray
 
     from .ops.parse import extract_pairs_fn
-    from .ops.score import score_batch
+    from .ops.score import score_batch, score_batch_emitted_narrow
 
-    def fused(batch: pa.Table) -> pa.Table:
-        pairs = extract_pairs_fn(batch)
-        scored = score_batch(ray.get(weights_ref), pairs)
-        return scored.filter(pc.not_equal(scored["pred_label"], "NONE"))
+    if with_prob:
+        def fused(batch: pa.Table) -> pa.Table:
+            pairs = extract_pairs_fn(batch)
+            scored = score_batch(ray.get(weights_ref), pairs, True)
+            return scored.filter(pc.not_equal(scored["pred_label"], "NONE"))
+    else:
+        def fused(batch: pa.Table) -> pa.Table:
+            pairs = extract_pairs_fn(batch)
+            return score_batch_emitted_narrow(ray.get(weights_ref), pairs)
 
     return docs.map_batches(fused, batch_format="pyarrow", batch_size=batch_size)
 
@@ -264,11 +301,23 @@ def run_kg(
     pinned in the object store (small-scale runs).
     """
     docs = read_documents(sf_dir)
+    # narrow path: link/canon/graph never read prob (S7 is a separate sink)
+    extract_kw.setdefault("with_prob", False)
+    counter = None
+    if checkpoint_dir:
+        # real per-stage row counters for the lineage store (north rule)
+        from .ops.metrics import CounterActor
+
+        counter = CounterActor.remote()
+        extract_kw.setdefault("counter", counter)
     triples = emitted_triples(docs, **extract_kw)
     if checkpoint_dir:
         from .checkpoint import checkpoint_dataset
 
-        triples = checkpoint_dataset(triples, checkpoint_dir, "triples")
+        triples = checkpoint_dataset(
+            triples, checkpoint_dir, "triples",
+            counter=counter, rows_in_stage="parse",
+        )
     else:
         triples = triples.materialize()
 
@@ -278,9 +327,19 @@ def run_kg(
     alias_ref = ray.put(alias_map)
     canon_ref = ray.put(canon_map)
 
+    link_kwargs: dict = {"alias_ref": alias_ref, "canon_ref": canon_ref}
+    if counter is not None:
+        from .ops.metrics import CountingStage
+
+        link_fn, link_ctor = CountingStage, {
+            "inner_cls": LinkEntities, "stage": "link",
+            "counter": counter, "inner_kwargs": link_kwargs,
+        }
+    else:
+        link_fn, link_ctor = LinkEntities, link_kwargs
     linked = triples.map_batches(
-        LinkEntities,
-        fn_constructor_kwargs={"alias_ref": alias_ref, "canon_ref": canon_ref},
+        link_fn,
+        fn_constructor_kwargs=link_ctor,
         batch_format="pyarrow",
         batch_size=8192,
         concurrency=(1, 8),
@@ -288,7 +347,10 @@ def run_kg(
     if checkpoint_dir:
         from .checkpoint import checkpoint_dataset
 
-        linked = checkpoint_dataset(linked, checkpoint_dir, "linked")
+        linked = checkpoint_dataset(
+            linked, checkpoint_dir, "linked",
+            counter=counter, rows_in_stage="link",
+        )
     else:
         linked = linked.materialize()
     nodes, edges = build_graph(linked)

@@ -678,8 +678,7 @@ def kg_triples(sf_dir: str) -> rd.Dataset:
     from . import pipeline
 
     docs = pipeline.read_documents(sf_dir)
-    t = pipeline.emitted_triples(docs)
-    return t.drop_columns(["prob"])
+    return pipeline.emitted_triples(docs, with_prob=False)
 
 
 _kg_cache: dict[str, dict] = {}
@@ -727,6 +726,45 @@ def kg_triples_hybrid(sf_dir: str) -> rd.Dataset:
     )
 
 
+def kg_triples_dep(sf_dir: str) -> rd.Dataset:
+    """Dual-channel ``-dep`` extraction (sentence + dep-path-view biGRU
+    channels, reference default seqType) — rows-only."""
+    from . import pipeline
+
+    docs = pipeline.read_documents(sf_dir)
+    out = pipeline.extract_triples_model(docs, "dual_dep")
+    return out.map_batches(
+        lambda t: t.filter(pc.not_equal(t["pred_label"], "NONE")).drop_columns(["prob"]),
+        batch_format="pyarrow",
+    )
+
+
+def kg_triples_ensemble(sf_dir: str) -> rd.Dataset:
+    """Two-encoder ensemble (biGRU-head x CNN product of experts,
+    reference ``a_b`` models) — rows-only."""
+    from . import pipeline
+
+    docs = pipeline.read_documents(sf_dir)
+    out = pipeline.extract_triples_model(docs, "ensemble_gru_cnn")
+    return out.map_batches(
+        lambda t: t.filter(pc.not_equal(t["pred_label"], "NONE")).drop_columns(["prob"]),
+        batch_format="pyarrow",
+    )
+
+
+def kg_triples_att(sf_dir: str) -> rd.Dataset:
+    """Attention-pooled biGRU extraction (reference ``rnnAttHead``) —
+    rows-only."""
+    from . import pipeline
+
+    docs = pipeline.read_documents(sf_dir)
+    out = pipeline.extract_triples_model(docs, "gru_att_head")
+    return out.map_batches(
+        lambda t: t.filter(pc.not_equal(t["pred_label"], "NONE")).drop_columns(["prob"]),
+        batch_format="pyarrow",
+    )
+
+
 def kg_linked(sf_dir: str) -> rd.Dataset:
     """Entity-linked triples (subj/obj canonical entity ids) — rows-only."""
     return kg_graph(sf_dir)["linked"]
@@ -740,6 +778,34 @@ def kg_edges(sf_dir: str) -> rd.Dataset:
     return kg_graph(sf_dir)["edges"]
 
 
+def media_features(sf_dir: str) -> rd.Dataset:
+    """Media spans -> fixed-dim features through the actor-pool stage
+    (decode stubbed — env has no codecs; real plumbing) — rows-only."""
+    from . import pipeline
+    from .ops import media
+
+    docs = pipeline.read_documents(sf_dir)
+    spans = docs.map_batches(media.explode_media_spans, batch_format="pyarrow")
+    feats = spans.map_batches(
+        media.MediaFeatureExtractor, batch_format="pyarrow",
+        batch_size=1024, concurrency=(1, 2),
+    )
+    return feats.map_batches(
+        lambda t: t.drop_columns(["features"]).append_column(
+            "feat_norm",
+            pa.array(
+                np.linalg.norm(
+                    np.asarray(t["features"].to_pylist(), dtype=np.float32), axis=1
+                ).round(4)
+                if len(t)
+                else np.array([], dtype=np.float32),
+                pa.float32(),
+            ),
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def media_span_stats(sf_dir: str) -> rd.Dataset:
     """Modality histogram over interleaved spans (media plumbing)."""
     from . import pipeline
@@ -747,11 +813,10 @@ def media_span_stats(sf_dir: str) -> rd.Dataset:
 
     docs = pipeline.read_documents(sf_dir)
     spans = docs.map_batches(media.explode_media_spans, batch_format="pyarrow")
-    feats = spans.map_batches(
-        media.MediaFeatureExtractor, batch_format="pyarrow", concurrency=(1, 2)
-    )
+    # histogram straight off the exploded spans — the feature extractor
+    # has its own query/tests and is not needed to count kinds
     return (
-        feats.map_batches(media.media_stats, batch_format="pyarrow")
+        spans.map_batches(media.media_stats, batch_format="pyarrow")
         .groupby("kind")
         .aggregate(Sum("n", alias_name="n"))
         .map_batches(

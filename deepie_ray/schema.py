@@ -48,7 +48,11 @@ PAIRS = pa.schema(
     ]
 )
 
-# reference emitted-triple sink (.best.txt + .prob, SURVEY §1.1f) as a table
+# reference emitted-triple sink (.best.txt + .prob, SURVEY §1.1f) as a table.
+# ``prob`` (the .prob sink, S7) is OPTIONAL on the emitted path: only the
+# probability-sink consumer needs it, and dropping it from the extraction
+# output cuts ~1/3 of the bytes every triple pushes through the object
+# store (the measured scaling bottleneck on a shared single-node plasma).
 TRIPLES = pa.schema(
     [
         ("doc_id", pa.string()),
@@ -61,6 +65,8 @@ TRIPLES = pa.schema(
         ("prob", pa.list_(pa.float32())),    # per-class probabilities, order = model.LABELS
     ]
 )
+
+TRIPLES_NOPROB = pa.schema([f for f in TRIPLES if f.name != "prob"])
 
 LINKED_TRIPLES = pa.schema(
     [

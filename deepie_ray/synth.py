@@ -114,7 +114,11 @@ _ACE_LABELS = (
 
 
 def synth_ace_lines(
-    n_rows: int, seed: int = 42, layout14: bool = True, id_offset: int = 0
+    n_rows: int,
+    seed: int = 42,
+    layout14: bool = True,
+    id_offset: int = 0,
+    with_kernel: bool = False,
 ) -> list[str]:
     """Deterministic ACE-format relation-mention lines (FIXTURES.md F2;
     format spec rnnRE/data/readMe.md:17-41).  All per-line alignment
@@ -164,6 +168,16 @@ def synth_ace_lines(
                 " ".join(feats), " ".join(ann), constit, pos_seq, chunk,
                 dep, deprels, govs, triples,
             ]
+            if with_kernel:
+                # field 13: 'PRED  label:score ...' (data/readMe.md; the
+                # kernel SVM's per-class scores, J3)
+                from .model import LABELS
+
+                kpred = LABELS[int(rng.integers(0, len(LABELS)))]
+                scores = " ".join(
+                    f"{l}:{rng.uniform(-2, 2):.4f}" for l in LABELS
+                )
+                fields.append(f"{kpred} {scores}")
         else:
             fields = [
                 str(rid), label, " ".join(feats), f"{t1}@{t2}", " ".join(ann),

@@ -44,6 +44,92 @@ def test_ace_corpus_scoring_matches_oracle(tmp_path):
     assert prf["num_key"] > 0
 
 
+def test_ace_kernel_expert_matches_oracle(tmp_path):
+    """Kernel-score expert (J3/T6): parsed field-13 scores re-keyed
+    through the label dict multiply into the hybrid as exp(kernelScore);
+    distributed == oracle, and the expert actually changes predictions
+    somewhere in the corpus."""
+    lines = synth.synth_ace_lines(100, seed=5, with_kernel=True)
+    p = tmp_path / "kernel.full.txt"
+    p.write_text("\n".join(lines) + "\n")
+
+    scored, prf, _ = ace_pipeline.score_ace_corpus(str(p), cutoff=2, use_kernel=True)
+    gold = ace_pipeline.oracle_score_ace(lines, cutoff=2, use_kernel=True)
+    got = {
+        r["pair_id"]: r["pred_label"]
+        for r in scored.select_columns(["pair_id", "pred_label"]).take_all()
+    }
+    want = {r["pair_id"]: r["pred_label"] for r in gold.to_pylist()}
+    assert got == want
+
+    # the kernel expert is not a no-op: predictions differ vs no-kernel
+    base = ace_pipeline.oracle_score_ace(lines, cutoff=2, use_kernel=False)
+    b = [r["pred_label"] for r in base.to_pylist()]
+    k = [r["pred_label"] for r in gold.to_pylist()]
+    assert b != k
+
+
+def test_ace_dual_channel_uses_real_dep_path():
+    """The -dep channel consumes the PARSED dep path (M6 gather at
+    dep_idxs), not the span fallback: on synth lines the dep path is
+    the 2-node head pair, which differs from the [pos1,pos2] span when
+    the mentions are non-adjacent — so the two dep views must produce
+    different distributions, and batch padding must not matter."""
+    import numpy as np
+
+    from deepie_ray import model as M
+    from deepie_ray.sources.ace import parse_ace_line
+
+    lines = synth.synth_ace_lines(30, seed=7)
+    rows = [parse_ace_line(l, strict=True) for l in lines]
+    batch = pa.Table.from_pylist(rows)
+    token_ids, lengths, pos1, pos2, dep_view = ace_pipeline.ace_dep_view(batch)
+    # dep view holds each row's real path (2 nodes on synth lines)
+    assert (dep_view[1] == 2).all()
+    w = M.init_dual_weights()
+    _, p_real = M.dual_channel_forward(
+        w, token_ids, pos1, pos2, lengths, dep_view=dep_view
+    )
+    _, p_span = M.dual_channel_forward(w, token_ids, pos1, pos2, lengths)
+    wide = pos2 - pos1 > 1  # rows where path != span
+    assert wide.any()
+    assert not np.allclose(p_real[wide], p_span[wide])
+    # adjacent mentions: path == span == 2 tokens -> identical output
+    adj = pos2 - pos1 == 1
+    if adj.any():
+        assert np.allclose(p_real[adj], p_span[adj], atol=1e-6)
+
+    scored = ace_pipeline.AceDualChannelScorer()(batch)
+    assert "pred_label" in scored.column_names
+    assert len(scored) == len(batch)
+
+
+def test_ace_onehot_cnn_scorer_runs():
+    from deepie_ray.sources.ace import parse_ace_line
+
+    lines = synth.synth_ace_lines(20, seed=8)
+    rows = [parse_ace_line(l, strict=True) for l in lines]
+    batch = pa.Table.from_pylist(rows)
+    pos_tags = sorted({p for r in rows for p in r["pos_seq"]})
+    pos_dict = {p: i for i, p in enumerate(pos_tags, 1)}
+    scored = ace_pipeline.AceOneHotCNNScorer(pos_dict)(batch)
+    assert len(scored) == len(batch)
+    assert "pred_label" in scored.column_names
+
+
+def test_kernel_score_matrix_parses_and_rekeys():
+    from deepie_ray import model as M
+
+    rows = ["PHYS:1.5 NONE:-0.25 BOGUS:9.9", "", "PER-SOC:0.75"]
+    K = ace_pipeline.kernel_score_matrix(rows)
+    assert K.shape == (3, M.N_LABELS)
+    assert K[0, M.LABEL_TO_ID["PHYS"]] == 1.5
+    assert K[0, M.LABEL_TO_ID["NONE"]] == -0.25
+    assert K[0].sum() == 1.25  # unknown labels dropped (zero-fill)
+    assert (K[1] == 0).all()
+    assert K[2, M.LABEL_TO_ID["PER-SOC"]] == 0.75
+
+
 def test_ace_synth_lines_parse_clean():
     from deepie_ray.sources.ace import parse_ace_line
 

@@ -84,7 +84,11 @@ def test_model_variants_run_and_match_oracle_math():
 
     docs_t = synth.generate_documents(40, seed=9)
     docs = rd.from_arrow(docs_t)
-    for name in ("gru_head", "cnn", "hybrid"):
+    for name in (
+        "gru_head", "cnn", "hybrid", "gru_max", "gru_sum", "gru_att",
+        "gru_att_head", "conv_sum", "dual_dep", "ensemble_gru_cnn",
+        "stacked_head", "poe3",
+    ):
         out = pipeline.extract_triples_model(
             docs, name, parse_concurrency=1, score_concurrency=1
         ).to_pandas()
@@ -93,18 +97,21 @@ def test_model_variants_run_and_match_oracle_math():
         probs = np.array(out["prob"].tolist())
         assert np.allclose(probs.sum(axis=1), 1.0, atol=1e-4), name
 
-    # cnn variant: distributed == single-process forward on same pairs
+    # variant parity: distributed == single-process forward on same pairs
     from deepie_ray.ops.parse import extract_pairs_tokens_fn
-    from deepie_ray.ops.score import CNNScorer
+    from deepie_ray.ops.score import CNNScorer, DualChannelScorer
 
     pairs = extract_pairs_tokens_fn(docs_t)
-    local = CNNScorer()(pairs).to_pandas().sort_values("pair_id")
-    dist = (
-        pipeline.extract_triples_model(docs, "cnn", parse_concurrency=1, score_concurrency=1)
-        .to_pandas()
-        .sort_values("pair_id")
-    )
-    assert local["pred_label"].tolist() == dist["pred_label"].tolist()
+    for name, cls in (("cnn", CNNScorer), ("dual_dep", DualChannelScorer)):
+        local = cls()(pairs).to_pandas().sort_values("pair_id")
+        dist = (
+            pipeline.extract_triples_model(
+                docs, name, parse_concurrency=1, score_concurrency=1
+            )
+            .to_pandas()
+            .sort_values("pair_id")
+        )
+        assert local["pred_label"].tolist() == dist["pred_label"].tolist(), name
 
 
 # ---------------------------------------------------------- checkpoint

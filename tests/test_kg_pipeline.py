@@ -51,6 +51,24 @@ def test_triple_payload_matches_oracle(docs_table, kg_result):
     assert np.allclose(gp, pp, atol=1e-5)
 
 
+def test_stateless_task_path_matches_pooled(docs_table, kg_result):
+    """The fused stateless-task extraction (narrow dictionary-encoded
+    output) emits the same logical triples as the actor-pool path."""
+    import ray
+
+    from deepie_ray import model as M
+
+    docs = rd.from_arrow(docs_table)
+    narrow = pipeline.extract_triples_tasks(
+        docs, ray.put(M.init_weights())
+    ).to_pandas()
+    pooled = kg_result.to_pandas()
+    cols = ["doc_id", "pair_id", "subj", "subj_type", "pred_label", "obj", "obj_type"]
+    a = narrow[cols].astype(str).sort_values("pair_id").reset_index(drop=True)
+    b = pooled[cols].astype(str).sort_values("pair_id").reset_index(drop=True)
+    assert a.equals(b)
+
+
 def test_span_sequence_invariant(docs_table):
     """The parse stage reads spans; the document stream itself must pass
     through bit-identical (kind, text, media_ref, order)."""

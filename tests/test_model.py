@@ -67,6 +67,23 @@ def test_label_mix_includes_none_and_relations():
     assert len(np.unique(preds)) >= 3
 
 
+def test_weight_save_load_roundtrip(tmp_path):
+    """S8: weights survive a checkpoint round-trip bit-exactly, and a
+    scorer built from the file scores identically to one built from
+    the in-memory dict."""
+    w = M.init_weights(123)
+    p = str(tmp_path / "ckpt")
+    M.save_weights(w, p)
+    w2 = M.load_weights(p)
+    assert set(w) == set(w2)
+    for k in w:
+        assert np.array_equal(w[k], w2[k]), k
+    flat, offsets, h1, h2 = _toy_batch()
+    a = M.multinn_forward(w, flat, offsets, h1, h2)
+    b = M.multinn_forward(w2, flat, offsets, h1, h2)
+    assert np.array_equal(a[0], b[0]) and np.allclose(a[1], b[1])
+
+
 def test_gru_head_forward_shapes():
     w = M.init_gru_weights()
     rng = np.random.default_rng(2)
@@ -96,6 +113,114 @@ def test_variant_forwards_padding_independent():
     _, g_short = M.gru_head_forward(gw, short, pos1, pos2, lengths)
     _, g_long = M.gru_head_forward(gw, long, pos1, pos2, lengths)
     assert np.allclose(g_short, g_long, atol=1e-6)
+
+
+def test_pooled_and_attention_variants_padding_independent():
+    """Every encoder readout must be invariant to trailing batch padding
+    (per-batch padding is semantics-free: pad id 0 = zero embedding,
+    pools masked to true length)."""
+    rng = np.random.default_rng(7)
+    L = 11
+    toks_row = rng.integers(1, M.WORD_BUCKETS, L).astype(np.int64)
+    pos1, pos2 = np.array([1]), np.array([7])
+    lengths = np.array([L])
+    short = M.pad_token_batch([list(toks_row)], max_len=L)
+    long = M.pad_token_batch([list(toks_row)], max_len=L + 9)
+
+    cases = [
+        (M.init_gru_pool_weights(), M.gru_max_forward, {}),
+        (M.init_gru_pool_weights(), M.gru_sum_forward, {}),
+        (M.init_gru_att_weights(), M.gru_att_forward, {"head": False}),
+        (M.init_gru_att_weights(head=True), M.gru_att_forward, {"head": True}),
+        (M.init_conv_sum_weights(), M.conv_sum_forward, {}),
+        (M.init_dual_weights(), M.dual_channel_forward, {}),
+        (M.init_stacked_weights(), M.stacked_head_forward, {}),
+    ]
+    for w, fwd, kw in cases:
+        _, p_short = fwd(w, short, pos1, pos2, lengths, **kw)
+        _, p_long = fwd(w, long, pos1, pos2, lengths, **kw)
+        assert np.allclose(p_short, p_long, atol=1e-6), fwd.__name__
+        assert np.allclose(p_short.sum(axis=1), 1.0, atol=1e-5), fwd.__name__
+
+
+def test_variant_readouts_differ():
+    """The pooled/attention/dual readouts are genuinely different
+    functions — same inputs, different distributions."""
+    rng = np.random.default_rng(8)
+    toks = rng.integers(1, M.WORD_BUCKETS, (5, 10)).astype(np.int64)
+    pos1 = np.array([0, 1, 2, 0, 1])
+    pos2 = np.array([5, 6, 7, 8, 9])
+    lengths = np.full(5, 10, dtype=np.int64)
+    w_pool = M.init_gru_pool_weights()
+    _, p_max = M.gru_max_forward(w_pool, toks, pos1, pos2, lengths)
+    _, p_sum = M.gru_sum_forward(w_pool, toks, pos1, pos2, lengths)
+    assert not np.allclose(p_max, p_sum)
+    w_att = M.init_gru_att_weights(head=True)
+    _, p_att = M.gru_att_forward(w_att, toks, pos1, pos2, lengths, head=True)
+    # attention-head readout must depend on the head positions
+    _, p_att2 = M.gru_att_forward(
+        w_att, toks, pos1 + 1, pos2 - 1, lengths, head=True
+    )
+    assert not np.allclose(p_att, p_att2)
+
+
+def test_dep_view_gather_matches_rowwise_slice():
+    rng = np.random.default_rng(9)
+    toks = rng.integers(1, M.WORD_BUCKETS, (4, 12)).astype(np.int64)
+    pos1 = np.array([0, 2, 5, 1])
+    pos2 = np.array([3, 8, 6, 10])
+    dep, dep_len = M.dep_view_gather(toks, pos1, pos2)
+    assert dep_len.tolist() == [4, 7, 2, 10]
+    for i in range(4):
+        row = toks[i, pos1[i] : pos2[i] + 1]
+        assert dep[i, : len(row)].tolist() == row.tolist()
+        assert (dep[i, len(row):] == 0).all()  # right-padded with 0
+
+
+def test_dual_channel_uses_dep_view():
+    """Changing a token INSIDE the [pos1,pos2] span shifts both
+    channels; changing one OUTSIDE shifts only channel 1 — the dual
+    output must differ from the single-channel output in both cases."""
+    rng = np.random.default_rng(10)
+    toks = rng.integers(1, M.WORD_BUCKETS, (1, 10)).astype(np.int64)
+    pos1, pos2 = np.array([2]), np.array([6])
+    lengths = np.array([10])
+    w = M.init_dual_weights()
+    _, base = M.dual_channel_forward(w, toks, pos1, pos2, lengths)
+    inside = toks.copy(); inside[0, 4] = (inside[0, 4] + 7) % M.WORD_BUCKETS or 1
+    _, p_in = M.dual_channel_forward(w, inside, pos1, pos2, lengths)
+    assert not np.allclose(base, p_in)
+
+
+def test_onehot_expansion_and_cnn_mode():
+    """M13 features==1: index form expands to one-hot inside the actor;
+    id 0 -> zero row; the categorical channel changes predictions; the
+    forward is padding-independent."""
+    ids = np.array([[1, 3, 0], [2, 0, 0]])
+    oh = M.onehot_expand(ids, 4)
+    assert oh.shape == (2, 3, 4)
+    assert oh[0, 0].tolist() == [1, 0, 0, 0]
+    assert oh[0, 1].tolist() == [0, 0, 1, 0]
+    assert (oh[0, 2] == 0).all() and (oh[1, 1] == 0).all()
+    mh = M.multihot_expand([[[1, 2], []], [[4]]], T=2, n_classes=4)
+    assert mh[0, 0].tolist() == [1, 1, 0, 0]
+    assert (mh[0, 1] == 0).all()
+    assert mh[1, 0].tolist() == [0, 0, 0, 1]
+
+    rng = np.random.default_rng(11)
+    toks = rng.integers(1, M.WORD_BUCKETS, (3, 8)).astype(np.int64)
+    classes = rng.integers(1, 5, (3, 8)).astype(np.int64)
+    lengths = np.full(3, 8, dtype=np.int64)
+    w = M.init_onehot_cnn_weights(1, n_classes=5)
+    _, p = M.onehot_cnn_forward(w, toks, classes, lengths)
+    assert np.allclose(p.sum(axis=1), 1.0, atol=1e-5)
+    _, p2 = M.onehot_cnn_forward(w, toks, (classes % 4) + 1, lengths)
+    assert not np.allclose(p, p2)  # categorical channel matters
+    # padding independence
+    toks_pad = np.concatenate([toks, np.zeros((3, 5), np.int64)], axis=1)
+    cls_pad = np.concatenate([classes, np.zeros((3, 5), np.int64)], axis=1)
+    _, p3 = M.onehot_cnn_forward(w, toks_pad, cls_pad, lengths)
+    assert np.allclose(p, p3, atol=1e-6)
 
 
 def test_cnn_position_channel_changes_output():

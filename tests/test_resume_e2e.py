@@ -83,6 +83,22 @@ def test_run_kg_with_checkpoint_dir(tmp_path):
     total = sum(pq.read_metadata(os.path.join(data_dir, f)).num_rows for f in files)
     assert total == out["triples"].count()
 
+    # lineage counters are REAL (north rule): parse/score/link stage
+    # totals recorded, rows_in truthful (not the old -1 placeholder)
+    import json
+
+    lin = checkpoint.read_lineage(str(tmp_path / "ck")).to_pandas()
+    trip_rows = lin[lin.stage == "triples"]
+    assert (trip_rows["rows_in"] > 0).all()
+    counts = json.loads(trip_rows["counters"].iloc[0])
+    assert counts["parse"]["rows_in"] > 0            # documents parsed
+    assert counts["score"]["rows_in"] == counts["parse"]["rows_out"]  # pairs scored
+    assert counts["score"]["rows_out"] >= out["triples"].count()  # pre-NONE-filter
+    link_rows = lin[lin.stage == "linked"]
+    lcounts = json.loads(link_rows["counters"].iloc[0])
+    assert lcounts["link"]["rows_in"] == out["triples"].count()
+    assert lcounts["link"]["rows_out"] == out["linked"].count()
+
 
 def test_materialize_graph_writes_parquet(tmp_path):
     import pyarrow.parquet as pq
