@@ -39,13 +39,13 @@ def _partial_min(batch: pa.Table) -> pa.Table:
     return pa.table({"node": g["node"], "label": g["label_min"]})
 
 
-def min_label_round(labels: rd.Dataset, edges: rd.Dataset, num_partitions: int) -> rd.Dataset:
-    """One propagation round. labels: (node, label); edges: (src, dst).
-
-    The repartition on the neighbor stream merges away the zero-column
-    empty blocks that upstream shuffles emit for empty hash partitions
-    (Arrow's join rejects them) and balances the join input.
-    """
+def build_neighbor_stream(edges: rd.Dataset, num_partitions: int) -> rd.Dataset:
+    """edges -> symmetric (node, nbr) stream, repartitioned (merges the
+    zero-column empty blocks upstream shuffles emit for empty hash
+    partitions — Arrow's join rejects them — and balances the join
+    input).  Built ONCE per components run: it only depends on the edge
+    set, so rebuilding it every propagation round (round 1's layout)
+    paid two maps + a union + a shuffle per round for nothing."""
     fwd = edges.map_batches(
         lambda t: pa.table({"node": t["src"], "nbr": t["dst"]}),
         batch_format="pyarrow",
@@ -54,7 +54,12 @@ def min_label_round(labels: rd.Dataset, edges: rd.Dataset, num_partitions: int) 
         lambda t: pa.table({"node": t["dst"], "nbr": t["src"]}),
         batch_format="pyarrow",
     )
-    nbrs = fwd.union(rev).repartition(num_partitions)
+    return fwd.union(rev).repartition(num_partitions)
+
+
+def min_label_round(labels: rd.Dataset, nbrs: rd.Dataset, num_partitions: int) -> rd.Dataset:
+    """One propagation round. labels: (node, label); nbrs: (node, nbr)
+    from ``build_neighbor_stream`` (materialized by the caller)."""
     # neighbor label: join on the neighbor's node id
     nbr_labels = nbrs.join(
         labels,
@@ -79,20 +84,19 @@ def connected_components(
     num_partitions: int = 16,
     max_iters: int = 16,
 ) -> rd.Dataset:
-    """edges (src:string, dst:string) -> (node, label) component map.
+    """edges (src, dst) -> (node, label) component map.
 
     Iterates to fixpoint (checked via a tiny count aggregate per round:
     rows whose label changed).  Each round materializes the label map —
-    it is one row per node, far smaller than the corpus.
+    it is one row per node, far smaller than the corpus.  The neighbor
+    stream is built and pinned once; ``num_partitions`` should track
+    the label-map size (a few per node at cluster scale — at bench
+    scale callers pass a small value to cut per-round actor latency).
     """
+    nbrs = build_neighbor_stream(edges, num_partitions).materialize()
     nodes = (
-        edges.map_batches(
-            lambda t: pa.table(
-                {"node": pa.concat_arrays(
-                    [t["src"].combine_chunks(), t["dst"].combine_chunks()]
-                )}
-            ),
-            batch_format="pyarrow",
+        nbrs.map_batches(
+            lambda t: pa.table({"node": t["node"]}), batch_format="pyarrow"
         )
         .groupby("node")
         .count()
@@ -107,7 +111,7 @@ def connected_components(
     )
     for _ in range(max_iters):
         new_labels = (
-            min_label_round(labels, edges, num_partitions)
+            min_label_round(labels, nbrs, num_partitions)
             .repartition(num_partitions)
             .materialize()
         )
@@ -135,13 +139,14 @@ def connected_components(
     return labels
 
 
-def connected_components_driver(edge_list: list[tuple[str, str]]) -> dict[str, str]:
-    """Union-find fast path for post-aggregation-small graphs.
-    Canonical label = lexicographic min of the component (same fixpoint
-    as min-label propagation)."""
-    parent: dict[str, str] = {}
+def connected_components_driver(edge_list) -> dict:
+    """Union-find fast path for post-aggregation-small graphs.  Ids may
+    be any hashable ordered type (strings, int64 doc ids, ...);
+    canonical label = the native min of the component — the same
+    fixpoint as min-label propagation over the same ids."""
+    parent: dict = {}
 
-    def find(x: str) -> str:
+    def find(x):
         while parent.setdefault(x, x) != x:
             parent[x] = parent[parent[x]]
             x = parent[x]

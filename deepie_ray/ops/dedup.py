@@ -305,24 +305,36 @@ def jaccard_verify_join(
     return j.map_batches(verify, batch_format="pyarrow")
 
 
+# verified near-dup edge sets at or below this size cluster on the
+# driver (union-find over a bounded list — canon.py's documented fast
+# path for post-AGGREGATION-small graphs; the edges here are
+# post-LSH-and-verification, orders of magnitude below corpus size).
+# Larger graphs take the distributed min-label components.
+DRIVER_CC_MAX_EDGES = 2_000_000
+
+
 def minhash_dedup(
     ds: rd.Dataset,
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.7,
     num_partitions: int = 8,
+    force_distributed_cc: bool = False,
 ) -> rd.Dataset:
     """Full MinHash-LSH near-dedup: -> (doc_id, cluster_id) for docs in
     near-dup clusters (cluster_id = min doc_id of the component).
 
-    Fully distributed end-to-end: LSH candidates (bucket self-join) ->
-    join-based Jaccard verification (``jaccard_verify_join``) ->
-    distributed min-label connected components (``ops/canon.py``).  No
-    ``take_all`` / driver union-find anywhere; doc ids keep their input
-    type (cluster representative = the native min of the component, so
-    int64 ids cluster to the numeric min, not the lexicographic
-    string min)."""
-    from .canon import connected_components
+    Distributed end-to-end: LSH candidates (bucket self-join) ->
+    join-based Jaccard verification (``jaccard_verify_join``; no
+    driver-side shingle broadcast) -> connected components.  The
+    component step is size-gated: verified edge sets are never
+    corpus-sized (LSH + verification pruned), so graphs up to
+    ``DRIVER_CC_MAX_EDGES`` use the union-find fast path (bounded
+    driver list) and anything larger runs the distributed min-label
+    propagation (``ops/canon.py``) — which a near-dup-heavy 100-TB
+    corpus will take.  Ids keep their input type throughout (int64
+    clusters get the numeric min as representative)."""
+    from .canon import connected_components, connected_components_driver
 
     # distinct=False: duplicate candidate pairs are harmless downstream
     # (connected components is edge-multiset-tolerant) and the distinct
@@ -333,16 +345,40 @@ def minhash_dedup(
     verified = jaccard_verify_join(
         cands, sh_tbl, id_col, threshold, num_partitions
     )
-    # materialize: connected_components iterates over the edge set —
-    # without pinning, every propagation round would re-run the whole
-    # candidate+verify lineage.  The verified edge set is object-store
-    # blocks (LSH-pruned, far smaller than the corpus), NOT a driver
+    # materialize: the component step iterates (or re-reads) the edge
+    # set — without pinning, every consumer would re-run the whole
+    # candidate+verify lineage.  Object-store blocks, not a driver
     # collection.
     edges = verified.map_batches(
         lambda t: pa.table({"src": t["id_a"], "dst": t["id_b"]}),
         batch_format="pyarrow",
     ).materialize()
-    comp = connected_components(edges, num_partitions=num_partitions)
+    n_edges = edges.count()
+    if not force_distributed_cc and n_edges <= DRIVER_CC_MAX_EDGES:
+        id_type = None
+        pairs: list[tuple] = []
+        for ref in edges.to_arrow_refs():
+            import ray
+
+            t = ray.get(ref)
+            if t.num_columns:
+                id_type = t.schema.field("src").type
+                pairs.extend(zip(t["src"].to_pylist(), t["dst"].to_pylist()))
+        comp = connected_components_driver(pairs)
+        rows = sorted(comp.items())
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([r[0] for r in rows], id_type),
+                    "cluster_id": pa.array([r[1] for r in rows], id_type),
+                }
+            )
+        )
+    # partition count tracks the (post-verification) graph size: tiny
+    # label maps on many partitions pay per-round actor latency for
+    # nothing; ~1 partition per 100k edges, bounded by the caller's cap
+    cc_parts = max(2, min(num_partitions, n_edges // 100_000 + 2))
+    comp = connected_components(edges, num_partitions=cc_parts)
     return comp.map_batches(
         lambda t: pa.table({"doc_id": t["node"], "cluster_id": t["label"]}),
         batch_format="pyarrow",

@@ -47,6 +47,19 @@ def test_minhash_finds_near_dupes():
     assert not any(3 in c for c in clusters)
     assert out["cluster_id"].tolist() == [1, 1, 1]
 
+    # the distributed-components path (what a >DRIVER_CC_MAX_EDGES graph
+    # takes) produces the identical cluster map
+    dist = (
+        dedup.minhash_dedup(
+            rd.from_arrow(docs), threshold=0.5, force_distributed_cc=True
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert dist["doc_id"].tolist() == sorted(out["doc_id"].tolist())
+    assert dist["cluster_id"].tolist() == [1, 1, 1]
+
 
 def test_simhash_properties():
     a = dedup.simhash64("the quick brown fox jumps over the lazy dog")
