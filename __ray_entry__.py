@@ -54,6 +54,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_approx_distinct_users": Q.events_approx_distinct_users,
         "events_median_value": Q.events_median_value,
         "asof_events_orders": Q.asof_events_orders,
+        "range_events_burst": Q.range_events_burst,
         "top3_orders_per_customer": Q.top3_orders_per_customer,
         # text analysis
         "text_token_counts": Q.text_token_counts,
@@ -209,6 +210,16 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
               FROM orders
             ) WHERE rank <= 3
+        """,
+        "range_events_burst": """
+            SELECT a.event_id,
+                   count(b.ts)::BIGINT AS n_matches
+            FROM events a
+            LEFT JOIN events b
+              ON b.user_id = a.user_id
+             AND b.ts >= a.ts - INTERVAL '1 hour'
+             AND b.ts < a.ts
+            GROUP BY a.event_id
         """,
         "asof_events_orders": """
             SELECT event_id, o_orderkey FROM (

@@ -187,6 +187,88 @@ def asof_join_argmax(
     return agg.map_batches(unpack, batch_format="pyarrow")
 
 
+def range_join_count(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    key: str,
+    left_id: str,
+    left_ts: str,
+    right_ts: str,
+    lo_s: int,
+    hi_s: int,
+    num_partitions: int = 8,
+    hi_exclusive: bool = False,
+) -> rd.Dataset:
+    """Interval join, aggregated: for each left row, COUNT right rows
+    with the same ``key`` and ``right_ts`` in ``[left_ts + lo_s,
+    left_ts + hi_s]`` seconds (upper bound strict when
+    ``hi_exclusive`` — the self-join shape that excludes the row
+    itself) -> (left_id, n_matches:int64, left rows with zero matches
+    included).
+
+    Implementation: hash-partitioned equi-join on ``key`` (the only
+    all-to-all) + vectorized Arrow range filter + per-batch partial
+    count (combiner) + grouped sum, then a left anti-fill for
+    zero-match rows via a second cheap join of the left ids.  Assumes
+    bounded per-key right cardinality, like ``asof_join`` — for
+    unbounded keys bucket by (key, time-bucket) so each row joins only
+    its ±1 bucket neighborhood.
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    joined = left.join(
+        right, join_type="inner", num_partitions=num_partitions, on=(key,)
+    )
+
+    def in_range_count(t: pa.Table) -> pa.Table:
+        lts = pc.cast(pc.cast(t[left_ts], pa.timestamp("us")), pa.int64())
+        rts = pc.cast(pc.cast(t[right_ts], pa.timestamp("us")), pa.int64())
+        delta = pc.subtract(rts, lts)
+        upper = (
+            pc.less(delta, hi_s * 1_000_000)
+            if hi_exclusive
+            else pc.less_equal(delta, hi_s * 1_000_000)
+        )
+        ok = pc.and_(pc.greater_equal(delta, lo_s * 1_000_000), upper)
+        t = t.filter(ok)
+        g = (
+            pa.table({left_id: t[left_id]})
+            .group_by(left_id)
+            .aggregate([([], "count_all")])
+        )
+        return pa.table({left_id: g[left_id], "n_matches": g["count_all"]})
+
+    counts = (
+        joined.map_batches(in_range_count, batch_format="pyarrow")
+        .groupby(left_id)
+        .aggregate(Sum("n_matches", alias_name="n_matches"))
+    )
+
+    # zero-match left rows: left ids joined against the match counts
+    # (left outer), nulls -> 0
+    left_ids = left.map_batches(
+        lambda t: pa.table({left_id: t[left_id]}), batch_format="pyarrow"
+    )
+    filled = left_ids.join(
+        counts.repartition(num_partitions),  # merge empty groupby blocks
+        join_type="left_outer",
+        num_partitions=num_partitions,
+        on=(left_id,),
+    )
+    return filled.map_batches(
+        lambda t: pa.table(
+            {
+                left_id: t[left_id],
+                "n_matches": pc.cast(
+                    pc.fill_null(t["n_matches"], 0), pa.int64()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def hash_join(
     left: rd.Dataset,
     right: rd.Dataset,

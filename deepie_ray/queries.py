@@ -434,6 +434,24 @@ def asof_events_orders(sf_dir: str) -> rd.Dataset:
     )
 
 
+def range_events_burst(sf_dir: str) -> rd.Dataset:
+    """Interval SELF-join (burst detection): per event, how many
+    earlier events the same user fired in the preceding hour (equi-join
+    on user + vectorized range filter + combiner-first count;
+    zero-match events kept)."""
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    right = _read(sf_dir, "events", ["user_id", "ts"]).map_batches(
+        lambda t: pa.table({"user_id": t["user_id"], "ts_r": t["ts"]}),
+        batch_format="pyarrow",
+    )
+    return joins.range_join_count(
+        ev, right,
+        key="user_id", left_id="event_id",
+        left_ts="ts", right_ts="ts_r",
+        lo_s=-3600, hi_s=0, hi_exclusive=True,
+    )
+
+
 def top3_orders_per_customer(sf_dir: str) -> rd.Dataset:
     """Per-key top-k (window-function shape): each customer's 3 most
     expensive orders.  Combiner-first: per-batch top-3 per key, then a

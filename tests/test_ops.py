@@ -327,6 +327,40 @@ def test_asof_argmax_unpackable_ids_fall_back_exactly():
     assert dict(zip(got["event_id"], got["rid"])) == _asof_expect(left, right)
 
 
+def test_range_join_count_vs_pandas():
+    """Interval join with zero-match fill and strict upper bound."""
+    rng = np.random.default_rng(13)
+    left = pd.DataFrame(
+        {
+            "event_id": range(25),
+            "k": rng.integers(0, 3, 25),
+            "ts": pd.to_datetime("2024-06-01")
+            + pd.to_timedelta(rng.integers(0, 600, 25), unit="m"),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k": rng.integers(0, 3, 40),
+            "rts": pd.to_datetime("2024-06-01")
+            + pd.to_timedelta(rng.integers(0, 600, 40), unit="m"),
+        }
+    )
+    got = joins.range_join_count(
+        rd.from_pandas(left), rd.from_pandas(right),
+        key="k", left_id="event_id", left_ts="ts", right_ts="rts",
+        lo_s=-3600, hi_s=0, hi_exclusive=True, num_partitions=2,
+    ).to_pandas()
+    got_map = dict(zip(got["event_id"], got["n_matches"]))
+    for _, e in left.iterrows():
+        cand = right[
+            (right.k == e.k)
+            & (right.rts >= e.ts - pd.Timedelta(hours=1))
+            & (right.rts < e.ts)
+        ]
+        assert got_map[e.event_id] == len(cand), e.event_id
+    assert len(got) == len(left)  # zero-match rows present
+
+
 def test_broadcast_join():
     big = rd.from_pandas(pd.DataFrame({"k": [1, 2, 3, 2], "v": [10, 20, 30, 40]}))
     small = pd.DataFrame({"k": [2, 3], "name": ["b", "c"]})
