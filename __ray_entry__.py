@@ -61,6 +61,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_quality": Q.text_quality,
         "doc_fingerprints": Q.doc_fingerprints,
         "word_count_global": Q.word_count_global,
+        "train_val_test_split": Q.train_val_test_split,
+        "doc_packing": Q.doc_packing,
         "lang_id": Q.lang_id,
         # dedup family
         "dedup_exact_documents": Q.dedup_exact_documents,
@@ -255,6 +257,18 @@ def oracle_sql() -> dict[str, str]:
               SELECT unnest(regexp_split_to_array(text, '\s+')) AS word
               FROM documents
             ) GROUP BY word
+        """,
+        "train_val_test_split": """
+            SELECT doc_id, bucket,
+                   CASE WHEN bucket < 5 THEN 'test'
+                        WHEN bucket < 10 THEN 'val'
+                        ELSE 'train' END AS split
+            FROM (
+              SELECT doc_id,
+                     ('0x' || substr(md5(doc_id || ':split-v1'), 1, 8))::BIGINT
+                       % 100 AS bucket
+              FROM documents
+            )
         """,
         "dedup_exact_documents": """
             SELECT md5(text) AS fingerprint,

@@ -130,6 +130,75 @@ def bpe_token_count_batch(batch: pa.Table) -> pa.Table:
     return pa.table({"doc_id": batch["doc_id"], "n_bpe_tokens": n})
 
 
+def split_batch(batch: pa.Table, salt: str = "split-v1", val_pct: int = 5, test_pct: int = 5) -> pa.Table:
+    """Deterministic train/val/test splitter: bucket = first 8 hex
+    chars of md5(doc_id || ':' || salt) mod 100.  Content-addressed, so
+    any partitioning of the corpus over any number of workers assigns
+    every doc the same split — and the rule is ANSI-SQL-expressible, so
+    the DuckDB oracle value-hash-verifies it end to end."""
+    ids = batch["doc_id"].to_pylist()
+    buckets = np.fromiter(
+        (int(md5_hex(f"{d}:{salt}")[:8], 16) % 100 for d in ids),
+        dtype=np.int64,
+        count=len(ids),
+    )
+    split = np.where(
+        buckets < test_pct,
+        "test",
+        np.where(buckets < test_pct + val_pct, "val", "train"),
+    )
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "bucket": pa.array(buckets, pa.int64()),
+            "split": pa.array(split.tolist(), pa.string()),
+        }
+    )
+
+
+def pack_sequences(
+    ds, budget_tokens: int = 4096, id_col: str = "doc_id", text_col: str = "text"
+):
+    """Sequence packing (training-shard assembly): greedily bin docs
+    into packs of <= ``budget_tokens`` whitespace tokens, one pack id
+    per doc -> (doc_id, n_tokens, pack_id:string, pack_slot:int).
+
+    Scale shape: packing is BLOCK-LOCAL (each block's docs pack into
+    that block's own pack sequence, pack ids namespaced by a stable
+    block fingerprint) — global packing would be an all-to-all sort for
+    no training benefit, since shards only need bounded token budgets,
+    not any particular global order.  Oversized docs get a singleton
+    pack (flagged by n_tokens > budget) rather than being dropped.
+    """
+    import pyarrow.compute as pc_
+
+    def pack(batch: pa.Table) -> pa.Table:
+        toks = pc_.split_pattern_regex(batch[text_col], pattern=r"\s+")
+        n = pc_.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = batch[id_col].to_pylist()
+        block_fp = md5_hex("|".join(str(i) for i in ids))[:12]
+        pack_ids, slots = [], []
+        cur_pack, cur_tokens, cur_slot = 0, 0, 0
+        for ni in n:
+            if cur_tokens and cur_tokens + ni > budget_tokens:
+                cur_pack += 1
+                cur_tokens, cur_slot = 0, 0
+            pack_ids.append(f"{block_fp}:{cur_pack}")
+            slots.append(cur_slot)
+            cur_tokens += int(ni)
+            cur_slot += 1
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "n_tokens": pa.array(n, pa.int64()),
+                "pack_id": pa.array(pack_ids, pa.string()),
+                "pack_slot": pa.array(slots, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(pack, batch_format="pyarrow")
+
+
 def rolling_fingerprint_batch(batch: pa.Table, window: int = 8) -> pa.Table:
     """Winnowing-style document fingerprint: min rolling hash over
     ``window``-token shingles (robust to small edits, unlike md5)."""

@@ -572,6 +572,22 @@ def lang_id(sf_dir: str) -> rd.Dataset:
     return ds.map_batches(text.LangId, batch_format="pyarrow", concurrency=(1, 4))
 
 
+def train_val_test_split(sf_dir: str) -> rd.Dataset:
+    """Deterministic content-addressed train/val/test split (5/5/90 by
+    md5 bucket) — partitioning-independent by construction; DuckDB
+    oracle verifies the full assignment."""
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    return ds.map_batches(text.split_batch, batch_format="pyarrow")
+
+
+def doc_packing(sf_dir: str) -> rd.Dataset:
+    """Sequence packing into <=4096-token shards (block-local greedy
+    binning; training-shard assembly) — rows-only (pack ids depend on
+    block boundaries by design; invariants pytest-checked)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return text.pack_sequences(ds, budget_tokens=4096)
+
+
 def word_count_global(sf_dir: str) -> rd.Dataset:
     """Global token frequency (A1 vocab count as a Ray op)."""
     ds = _read(sf_dir, "documents", ["text"])

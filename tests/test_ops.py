@@ -540,6 +540,44 @@ def test_kmv_merge_equals_single_pass():
     assert np.array_equal(whole, merged)  # exact mergeability
 
 
+def test_split_batch_deterministic_and_partition_independent():
+    import pyarrow as pa
+
+    from deepie_ray.ops import text as T
+
+    t = pa.table({"doc_id": list(range(200))})
+    whole = T.split_batch(t).to_pandas()
+    parts = pd.concat(
+        [T.split_batch(t.slice(0, 67)).to_pandas(),
+         T.split_batch(t.slice(67, 70)).to_pandas(),
+         T.split_batch(t.slice(137)).to_pandas()]
+    ).reset_index(drop=True)
+    assert whole.equals(parts)  # content-addressed: partitioning-free
+    frac_train = (whole["split"] == "train").mean()
+    assert 0.8 < frac_train < 0.98
+    assert set(whole["split"]) == {"train", "val", "test"}
+
+
+def test_pack_sequences_budget_and_coverage():
+    from deepie_ray.ops import text as T
+
+    docs = pa.table(
+        {
+            "doc_id": list(range(50)),
+            "text": [" ".join(["w"] * (10 + 37 * (i % 9))) for i in range(50)],
+        }
+    )
+    out = T.pack_sequences(rd.from_arrow(docs), budget_tokens=300).to_pandas()
+    assert len(out) == 50  # every doc assigned exactly once
+    by_pack = out.groupby("pack_id")["n_tokens"].sum()
+    # packs respect the budget except singleton oversized docs
+    singles = out.groupby("pack_id").size() == 1
+    assert ((by_pack <= 300) | singles).all()
+    # slots are dense within packs
+    for _, g in out.groupby("pack_id"):
+        assert sorted(g["pack_slot"]) == list(range(len(g)))
+
+
 def test_quantile_sketch_exact_below_cap():
     """Below the cap the sketch degenerates to exact: grouped median ==
     numpy percentile over the raw values, regardless of partitioning."""
