@@ -591,18 +591,36 @@ def embedding_neardup_blockjoin(
         .repartition(num_partitions)  # merge empty groupby blocks pre-join
         .materialize()  # two join consumers below
     )
-    # chunk ids only — C = N/chunk_rows ints, metadata-sized
+    # chunk-pair enumeration: the chunk ID LIST (C = N/chunk_rows ints)
+    # is the only driver-side object; the C(C+1)/2 PAIR ROWS are
+    # generated distributed — each chunk row flat-maps to its (ci, cj)
+    # partners — because the pair table itself is quadratic in C and
+    # must never be a driver list.
+    import ray
+
     chunk_ids = sorted(
         r["chunk"] for r in chunks_ds.select_columns(["chunk"]).take_all()
     )
-    ci, cj = [], []
-    for x in range(len(chunk_ids)):
-        for y in range(x, len(chunk_ids)):
-            ci.append(chunk_ids[x])
-            cj.append(chunk_ids[y])
-    pairs_idx = rd.from_arrow(
-        pa.table({"ci": pa.array(ci, pa.int64()), "cj": pa.array(cj, pa.int64())})
-    ).repartition(num_partitions)
+    ids_ref = ray.put(np.asarray(chunk_ids, dtype=np.int64))
+
+    def expand_pairs(batch: pa.Table) -> pa.Table:
+        all_ids = ray.get(ids_ref)
+        ci_out, cj_out = [], []
+        for c in batch["chunk"].to_pylist():
+            partners = all_ids[all_ids >= c]
+            ci_out.append(np.full(len(partners), c, dtype=np.int64))
+            cj_out.append(partners)
+        ci_a = np.concatenate(ci_out) if ci_out else np.array([], dtype=np.int64)
+        cj_a = np.concatenate(cj_out) if cj_out else np.array([], dtype=np.int64)
+        return pa.table(
+            {"ci": pa.array(ci_a, pa.int64()), "cj": pa.array(cj_a, pa.int64())}
+        )
+
+    pairs_idx = (
+        chunks_ds.select_columns(["chunk"])
+        .map_batches(expand_pairs, batch_format="pyarrow")
+        .repartition(num_partitions)
+    )
 
     def side(name: str):
         return chunks_ds.map_batches(
