@@ -59,26 +59,58 @@ def kmv_estimate(sketch: np.ndarray, k: int) -> float:
     return (k - 1) / (kth / _SPACE)
 
 
+def _content_salt(arr: np.ndarray, buckets: int) -> int:
+    """Deterministic salt from sketch CONTENT (not randomness, not task
+    ids): identical under task retries, spreads a key's per-block
+    sketch rows over ``buckets`` level-1 reducers."""
+    if len(arr) == 0:
+        return 0
+    return int(arr[0] % np.uint64(buckets))
+
+
 def grouped_approx_distinct(
     ds: rd.Dataset,
     key_col: str,
     value_col: str,
     k: int = 256,
+    salt_buckets: int = 64,
 ) -> rd.Dataset:
     """-> (key, approx_distinct:int64).  One KMV sketch row per
-    (key, block) crosses the shuffle."""
+    (key, block) crosses the shuffle, and the merge is TWO-LEVEL
+    (salted): level 1 merges each key's sketch rows within a salt
+    bucket, level 2 merges the <= ``salt_buckets`` survivors — so no
+    single task ever holds O(#blocks) sketches for a hot key (at 100 TB
+    #blocks is ~10^6; one-level merge would gather k x 8 B x 10^6 per
+    key).  Merging is exact, so the two-level shape changes nothing in
+    the answer."""
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        out_k, out_s = [], []
+        out_k, out_s, out_salt = [], [], []
         for key, grp in df.groupby(key_col, sort=False):
+            s = kmv_partial(kmv_hash(grp[value_col].tolist()), k)
             out_k.append(key)
-            out_s.append(kmv_partial(kmv_hash(grp[value_col].tolist()), k))
+            out_s.append(s)
+            out_salt.append(_content_salt(s, salt_buckets))
         # bit-preserving uint64 -> int64 reinterpretation for Arrow transport
         return pd.DataFrame(
-            {key_col: out_k, "sketch": [s.view(np.int64).tolist() for s in out_s]}
+            {
+                key_col: out_k,
+                "_salt": out_salt,
+                "sketch": [s.view(np.int64).tolist() for s in out_s],
+            }
         )
 
-    def merge(df: pd.DataFrame) -> pd.DataFrame:
+    def merge_lvl1(df: pd.DataFrame) -> pd.DataFrame:
+        sketches = [np.asarray(s, dtype=np.int64).view(np.uint64) for s in df["sketch"]]
+        m = kmv_merge(sketches, k)
+        return pd.DataFrame(
+            {
+                key_col: [df[key_col].iloc[0]],
+                "sketch": [m.view(np.int64).tolist()],
+            }
+        )
+
+    def merge_final(df: pd.DataFrame) -> pd.DataFrame:
         sketches = [np.asarray(s, dtype=np.int64).view(np.uint64) for s in df["sketch"]]
         m = kmv_merge(sketches, k)
         return pd.DataFrame(
@@ -89,7 +121,10 @@ def grouped_approx_distinct(
         )
 
     partials = ds.map_batches(partial, batch_format="pandas")
-    return partials.groupby(key_col).map_groups(merge, batch_format="pandas")
+    lvl1 = partials.groupby([key_col, "_salt"]).map_groups(
+        merge_lvl1, batch_format="pandas"
+    )
+    return lvl1.groupby(key_col).map_groups(merge_final, batch_format="pandas")
 
 
 # ------------------------------------------------------- quantile sketch
@@ -169,29 +204,52 @@ def grouped_quantile(
     cap: int = QUANTILE_CAP,
     out_col: str = "median_value",
     ndigits: int = 4,
+    salt_buckets: int = 64,
 ) -> rd.Dataset:
     """-> (key, quantile) via mergeable per-block sketches: no task ever
     holds a whole group's raw values (the round-1 map_groups gather did
-    — one task per event_type held corpus/5 rows)."""
+    — one task per event_type held corpus/5 rows).  The merge is
+    two-level (content-salted) like ``grouped_approx_distinct``: a hot
+    key's per-block sketch rows fan out over ``salt_buckets`` level-1
+    merges, so final-merge state is bounded by buckets, not by block
+    count.  Merging below ``cap`` is exact, so the tree shape does not
+    change the answer."""
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        out_k, out_v, out_w, out_c = [], [], [], []
+        out_k, out_v, out_w, out_c, out_s = [], [], [], [], []
         for key, grp in df.groupby(key_col, sort=False):
             v, w, c = quantile_partial(grp[value_col].to_numpy(), cap)
             out_k.append(key)
             out_v.append(v.tolist())
             out_w.append(w.tolist())
             out_c.append(c)
+            out_s.append(_content_salt(v.view(np.uint64), salt_buckets))
         return pd.DataFrame(
-            {key_col: out_k, "vals": out_v, "weights": out_w, "comp": out_c}
+            {
+                key_col: out_k, "_salt": out_s,
+                "vals": out_v, "weights": out_w, "comp": out_c,
+            }
         )
 
-    def merge(df: pd.DataFrame) -> pd.DataFrame:
-        sketches = [
+    def _sketches(df: pd.DataFrame):
+        return [
             (np.asarray(v, dtype=np.float64), np.asarray(w, dtype=np.int64), c)
             for v, w, c in zip(df["vals"], df["weights"], df["comp"])
         ]
-        mv, mw, _ = quantile_merge_sketches(sketches, cap)
+
+    def merge_lvl1(df: pd.DataFrame) -> pd.DataFrame:
+        mv, mw, mc = quantile_merge_sketches(_sketches(df), cap)
+        return pd.DataFrame(
+            {
+                key_col: [df[key_col].iloc[0]],
+                "vals": [mv.tolist()],
+                "weights": [mw.tolist()],
+                "comp": [mc],
+            }
+        )
+
+    def merge_final(df: pd.DataFrame) -> pd.DataFrame:
+        mv, mw, _ = quantile_merge_sketches(_sketches(df), cap)
         return pd.DataFrame(
             {
                 key_col: [df[key_col].iloc[0]],
@@ -200,4 +258,7 @@ def grouped_quantile(
         )
 
     partials = ds.map_batches(partial, batch_format="pandas")
-    return partials.groupby(key_col).map_groups(merge, batch_format="pandas")
+    lvl1 = partials.groupby([key_col, "_salt"]).map_groups(
+        merge_lvl1, batch_format="pandas"
+    )
+    return lvl1.groupby(key_col).map_groups(merge_final, batch_format="pandas")
