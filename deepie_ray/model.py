@@ -542,12 +542,13 @@ def onehot_cnn_forward(
 # ------------------------------- stacked alternate family (T13, sample)
 
 
-def init_stacked_weights(seed: int = DEFAULT_SEED + 7):
-    """Weights for the stacked CNN->biGRU encoder with head readout —
-    one representative of the reference's ``alternateHead`` family
+def init_stacked_weights(seed: int = DEFAULT_SEED + 7, readout: str = "head"):
+    """Weights for the stacked CNN->biGRU encoders — representatives of
+    the reference's ``alternateHead``/``alternateMax`` families
     (rnnReModels.py:1148-1313): a same-length convolution re-represents
     each token from its window, then the biGRU runs over conv features
-    instead of raw embeddings."""
+    instead of raw embeddings.  ``readout``: 'head' (states at
+    pos1/pos2, 4H out) or 'max' (masked max-pool over time, 2H out)."""
     rng = np.random.default_rng(seed)
 
     def u(*shape):
@@ -558,31 +559,26 @@ def init_stacked_weights(seed: int = DEFAULT_SEED + 7):
     w["convW"] = u(3 * WORD_DIM, CNN_MAPS)
     w["convb"] = np.zeros(CNN_MAPS, dtype=np.float32)
     w.update(_gru_params(u, in_dim=CNN_MAPS))
-    w["W_out"] = u(4 * GRU_HIDDEN, N_LABELS)
+    out_dim = 4 * GRU_HIDDEN if readout == "head" else 2 * GRU_HIDDEN
+    w["W_out"] = u(out_dim, N_LABELS)
     w["b_out"] = np.zeros(N_LABELS, dtype=np.float32)
     w["b_out"][0] = 0.5
     return w
 
 
-def stacked_head_forward(
-    weights, token_ids, pos1, pos2, lengths=None
-) -> tuple[np.ndarray, np.ndarray]:
-    """Stacked CNN->biGRU, head-state readout (``alternateHead``).  The
-    conv layer is same-length (zero-padded window 3) so positions stay
-    aligned; positions beyond a row's true length are zeroed before the
-    GRU so the readout is padding-independent."""
+def _stacked_states(weights, token_ids, lengths):
+    """Shared stacked machinery: same-length conv (zero-padded window 3,
+    positions stay aligned; positions beyond a row's true length zeroed
+    before the GRU so readouts are padding-independent) -> biGRU states
+    (hf, hb_rev, valid)."""
     x = weights["E_word"][token_ids]
     B, T, D = x.shape
-    if lengths is None:
-        lengths = np.full(B, T, dtype=np.int64)
     pad = np.zeros((B, 1, D), dtype=x.dtype)
     xp = np.concatenate([pad, x, pad], axis=1)
     cols = np.concatenate([xp[:, 0:T], xp[:, 1 : T + 1], xp[:, 2 : T + 2]], axis=2)
     conv = np.tanh(cols @ weights["convW"] + weights["convb"])  # (B, T, M)
     valid = np.arange(T)[None, :] < lengths[:, None]
     conv = np.where(valid[:, :, None], conv, 0.0)
-    # biGRU over conv features (reuse the shared machinery via a view
-    # whose "embedding" lookup is already done: feed states directly)
     pf = {k[1:]: weights[k] for k in weights if k.startswith("f") and len(k) == 3}
     pb = {k[1:]: weights[k] for k in weights if k.startswith("b") and len(k) == 3}
     hf = nn.gru_forward(conv, pf)
@@ -590,6 +586,17 @@ def stacked_head_forward(
     rows2d = np.arange(B)[:, None]
     c_rev = np.where((idx >= 0)[:, :, None], conv[rows2d, np.clip(idx, 0, T - 1)], 0.0)
     hb_rev = nn.gru_forward(c_rev, pb)
+    return hf, hb_rev, valid
+
+
+def stacked_head_forward(
+    weights, token_ids, pos1, pos2, lengths=None
+) -> tuple[np.ndarray, np.ndarray]:
+    """Stacked CNN->biGRU, head-state readout (``alternateHead``)."""
+    B, T = token_ids.shape
+    if lengths is None:
+        lengths = np.full(B, T, dtype=np.int64)
+    hf, hb_rev, _ = _stacked_states(weights, token_ids, lengths)
     rows = np.arange(B)
     rep = np.concatenate(
         [
@@ -598,6 +605,28 @@ def stacked_head_forward(
         ],
         axis=1,
     )
+    probs = nn.softmax(rep @ weights["W_out"] + weights["b_out"])
+    return probs.argmax(axis=1), probs.astype(np.float32)
+
+
+def stacked_max_forward(
+    weights, token_ids, pos1=None, pos2=None, lengths=None
+) -> tuple[np.ndarray, np.ndarray]:
+    """Stacked CNN->biGRU, length-masked max-pool readout
+    (``alternateMax``, rnnReModels.py:1148-1313)."""
+    B, T = token_ids.shape
+    if lengths is None:
+        lengths = np.full(B, T, dtype=np.int64)
+    hf, hb_rev, valid = _stacked_states(weights, token_ids, lengths)
+    # re-align backward states to forward order, mask, concat, max-pool
+    idx = lengths[:, None] - 1 - np.arange(T)[None, :]
+    rows2d = np.arange(B)[:, None]
+    hb = np.where(
+        (idx >= 0)[:, :, None], hb_rev[rows2d, np.clip(idx, 0, T - 1)], 0.0
+    )
+    h = np.concatenate([hf, hb], axis=2)
+    h = np.where(valid[:, :, None], h, -np.inf)
+    rep = h.max(axis=1)
     probs = nn.softmax(rep @ weights["W_out"] + weights["b_out"])
     return probs.argmax(axis=1), probs.astype(np.float32)
 

@@ -341,10 +341,22 @@ class StackedHeadScorer(_TokenScorer):
     family, rnnReModels.py:1148-1313)."""
 
     def __init__(self, seed: int = M.DEFAULT_SEED + 7):
-        self.weights = M.init_stacked_weights(seed)
+        self.weights = M.init_stacked_weights(seed, readout="head")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         preds, probs = M.stacked_head_forward(self.weights, *self._inputs(batch))
+        return _emit(batch, preds, probs)
+
+
+class StackedMaxScorer(_TokenScorer):
+    """Stacked CNN->biGRU, max-pool readout (reference ``alternateMax``
+    family, rnnReModels.py:1148-1313)."""
+
+    def __init__(self, seed: int = M.DEFAULT_SEED + 7):
+        self.weights = M.init_stacked_weights(seed, readout="max")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        preds, probs = M.stacked_max_forward(self.weights, *self._inputs(batch))
         return _emit(batch, preds, probs)
 
 
@@ -382,6 +394,7 @@ MODELS: dict[str, type] = {
     "dual_dep": DualChannelScorer,
     "ensemble_gru_cnn": EnsembleScorer,
     "stacked_head": StackedHeadScorer,
+    "stacked_max": StackedMaxScorer,
     "poe3": PoE3Scorer,
 }
 
@@ -389,5 +402,5 @@ MODELS: dict[str, type] = {
 NEEDS_TOKENS = {
     "gru_head", "cnn", "hybrid", "gru_max", "gru_sum", "gru_att",
     "gru_att_head", "conv_sum", "dual_dep", "ensemble_gru_cnn",
-    "stacked_head", "poe3",
+    "stacked_head", "stacked_max", "poe3",
 }

@@ -454,28 +454,34 @@ def range_events_burst(sf_dir: str) -> rd.Dataset:
 
 def top3_orders_per_customer(sf_dir: str) -> rd.Dataset:
     """Per-key top-k (window-function shape): each customer's 3 most
-    expensive orders.  Combiner-first: per-batch top-3 per key, then a
-    final per-key top-3 over the partials — the shuffle carries at most
-    3 rows per (key, block)."""
+    expensive orders.  THREE-level: per-batch top-3 per key (combiner),
+    salted per-(key, salt) top-3 (a hot key's per-block partials fan
+    out over 16 reducers instead of one), then the final per-key top-3
+    — final-merge state is bounded by 3 x salt buckets, not by block
+    count.  Top-k is associative, so the tree shape changes nothing."""
     orders = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
 
+    def topk(df: pd.DataFrame, by_key: bool) -> pd.DataFrame:
+        s = df.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True])
+        return s.groupby("o_custkey", sort=False).head(3) if by_key else s.head(3)
+
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        return (
-            df.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True])
-            .groupby("o_custkey", sort=False)
-            .head(3)
-        )
+        out = topk(df, by_key=True).copy()
+        out["_salt"] = out["o_orderkey"] % 16  # deterministic, retry-stable
+        return out
+
+    def lvl1(df: pd.DataFrame) -> pd.DataFrame:
+        return topk(df, by_key=False)[["o_custkey", "o_orderkey", "o_totalprice"]]
 
     def final(df: pd.DataFrame) -> pd.DataFrame:
-        out = df.sort_values(
-            ["o_totalprice", "o_orderkey"], ascending=[False, True]
-        ).head(3)
-        out = out.copy()
+        out = topk(df, by_key=False).copy()
         out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
         return out[["o_custkey", "o_orderkey", "o_totalprice", "rank"]]
 
     return (
         orders.map_batches(partial, batch_format="pandas")
+        .groupby(["o_custkey", "_salt"])
+        .map_groups(lvl1, batch_format="pandas")
         .groupby("o_custkey")
         .map_groups(final, batch_format="pandas")
     )

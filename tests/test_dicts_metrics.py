@@ -87,7 +87,7 @@ def test_model_variants_run_and_match_oracle_math():
     for name in (
         "gru_head", "cnn", "hybrid", "gru_max", "gru_sum", "gru_att",
         "gru_att_head", "conv_sum", "dual_dep", "ensemble_gru_cnn",
-        "stacked_head", "poe3",
+        "stacked_head", "stacked_max", "poe3",
     ):
         out = pipeline.extract_triples_model(
             docs, name, parse_concurrency=1, score_concurrency=1

@@ -135,6 +135,7 @@ def test_pooled_and_attention_variants_padding_independent():
         (M.init_conv_sum_weights(), M.conv_sum_forward, {}),
         (M.init_dual_weights(), M.dual_channel_forward, {}),
         (M.init_stacked_weights(), M.stacked_head_forward, {}),
+        (M.init_stacked_weights(readout="max"), M.stacked_max_forward, {}),
     ]
     for w, fwd, kw in cases:
         _, p_short = fwd(w, short, pos1, pos2, lengths, **kw)
