@@ -341,18 +341,23 @@ def gru_max_forward(
 
 
 def gru_sum_forward(
-    weights, token_ids, pos1=None, pos2=None, lengths=None
+    weights, token_ids, pos1=None, pos2=None, lengths=None,
+    dep_mask: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """biGRU + mean-pool over the valid positions (reference ``rnnSum``,
     rnnReModels.py:1421-1442 — mean, not raw sum, matching the
-    reference's normalization by sentence length)."""
+    reference's normalization by sentence length).  With ``dep_mask``
+    (B, T) the pool averages over the masked span only — the
+    ``rnnSumDep`` dep-masked pooling (:1432-1442)."""
     B, T = token_ids.shape
     if lengths is None:
         lengths = np.full(B, T, dtype=np.int64)
     hf, hb, valid = _bigru_states(weights, token_ids, lengths)
     h = np.concatenate([hf, hb], axis=2)
-    h = np.where(valid[:, :, None], h, 0.0)
-    rep = h.sum(axis=1) / np.maximum(lengths, 1)[:, None]
+    mask = valid if dep_mask is None else (valid & dep_mask.astype(bool))
+    h = np.where(mask[:, :, None], h, 0.0)
+    denom = np.maximum(mask.sum(axis=1), 1)[:, None]
+    rep = h.sum(axis=1) / denom
     probs = nn.softmax(rep @ weights["W_out"] + weights["b_out"])
     return probs.argmax(axis=1), probs.astype(np.float32)
 

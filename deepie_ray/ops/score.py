@@ -257,6 +257,23 @@ class GRUSumScorer(_TokenScorer):
         return _emit(batch, preds, probs)
 
 
+class GRUSumDepScorer(_TokenScorer):
+    """biGRU + dep-span-masked mean-pool (reference ``rnnSumDep``,
+    rnnReModels.py:1432-1442); the mask is the [pos1, pos2] span
+    (model.span_mask), the dep-path stand-in for plain text."""
+
+    def __init__(self, seed: int = M.DEFAULT_SEED + 3):
+        self.weights = M.init_gru_pool_weights(seed)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        toks, pos1, pos2, lengths = self._inputs(batch)
+        mask = M.span_mask(toks.shape[1], pos1, pos2)
+        preds, probs = M.gru_sum_forward(
+            self.weights, toks, pos1, pos2, lengths, dep_mask=mask
+        )
+        return _emit(batch, preds, probs)
+
+
 class GRUAttScorer(_TokenScorer):
     """biGRU + learned attention pooling (reference ``rnnAtt``,
     rnnReModels.py:1444-1476)."""
@@ -388,6 +405,7 @@ MODELS: dict[str, type] = {
     "hybrid": HybridScorer,
     "gru_max": GRUMaxScorer,
     "gru_sum": GRUSumScorer,
+    "gru_sum_dep": GRUSumDepScorer,
     "gru_att": GRUAttScorer,
     "gru_att_head": GRUAttHeadScorer,
     "conv_sum": ConvSumScorer,
@@ -400,7 +418,7 @@ MODELS: dict[str, type] = {
 
 # which models need the token-id pairs table (parse with_tokens=True)
 NEEDS_TOKENS = {
-    "gru_head", "cnn", "hybrid", "gru_max", "gru_sum", "gru_att",
+    "gru_head", "cnn", "hybrid", "gru_max", "gru_sum", "gru_sum_dep", "gru_att",
     "gru_att_head", "conv_sum", "dual_dep", "ensemble_gru_cnn",
     "stacked_head", "stacked_max", "poe3",
 }
