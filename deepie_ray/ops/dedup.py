@@ -171,16 +171,30 @@ def minhash_candidate_pairs(
     This is the standard LSH recall/cost trade at hot buckets, chosen
     over O(n^2) pairing on near-identical floods.
     """
-    bands = ds.map_batches(
-        MinHashBands,
-        fn_constructor_kwargs={"text_col": text_col, "id_col": id_col},
-        batch_format="pyarrow",
-        concurrency=(1, 8),
-    ).materialize()
+    bands = (
+        ds.map_batches(
+            MinHashBands,
+            fn_constructor_kwargs={"text_col": text_col, "id_col": id_col},
+            batch_format="pyarrow",
+            concurrency=(1, 8),
+        )
+        .repartition(8)  # merge empty blocks pre-join
+        .materialize()
+    )
+    if bands.count() == 0:
+        # Ray's join cannot finalize zero-row partitions at all, so an
+        # empty corpus must exit before any join; count() on the pinned
+        # bands is metadata-free
+        from .joins import _field_type
+
+        id_type = _field_type(ds, id_col)
+        return rd.from_arrow(
+            pa.table({"id_a": pa.array([], id_type), "id_b": pa.array([], id_type)})
+        )
 
     stats = bands.groupby(["band", "band_hash"]).aggregate(
         Count(alias_name="bucket_n"), Min("doc_id", alias_name="bucket_min")
-    )
+    ).repartition(8)
     # materialize: two consumers below (pairwise + star branches) —
     # without pinning, the bands+stats+join lineage re-executes per branch
     joined = bands.join(
@@ -191,7 +205,7 @@ def minhash_candidate_pairs(
         df = df[(df["bucket_n"] > 1) & (df["bucket_n"] <= MAX_BUCKET_PAIRWISE)]
         return df[["band", "band_hash", "doc_id"]]
 
-    small_rows = joined.map_batches(filt_small, batch_format="pandas")
+    small_rows = joined.map_batches(filt_small, batch_format="pandas").repartition(8)
     selfj = small_rows.join(
         small_rows,
         join_type="inner",
@@ -279,7 +293,22 @@ def jaccard_verify_join(
     # merges blocks and restores one consistent schema — and doubles as
     # load-balancing of the candidate stream before the join.  The pair
     # rows are narrow (two ids), so this shuffle is cheap at any scale.
-    cands = cands.repartition(num_partitions)
+    # The pin + count also guards the no-candidates case (Ray joins
+    # cannot finalize zero-row partitions at all).
+    cands = cands.repartition(num_partitions).materialize()
+    if cands.count() == 0:
+        from .joins import _field_type
+
+        id_type = _field_type(cands, "id_a")
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "id_a": pa.array([], id_type),
+                    "id_b": pa.array([], id_type),
+                    "jaccard": pa.array([], pa.float64()),
+                }
+            )
+        )
 
     def side(name: str):
         return sh_tbl.map_batches(
@@ -376,6 +405,18 @@ def minhash_dedup(
         batch_format="pyarrow",
     ).materialize()
     n_edges = edges.count()
+    if n_edges == 0:
+        from .joins import _field_type
+
+        id_type = _field_type(ds, id_col)
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([], id_type),
+                    "cluster_id": pa.array([], id_type),
+                }
+            )
+        )
     if not force_distributed_cc and n_edges <= DRIVER_CC_MAX_EDGES:
         id_type = None
         pairs: list[tuple] = []
@@ -601,6 +642,12 @@ def embedding_neardup_blockjoin(
     chunk_ids = sorted(
         r["chunk"] for r in chunks_ds.select_columns(["chunk"]).take_all()
     )
+    if not chunk_ids:  # empty corpus: Ray joins can't finalize 0-row partitions
+        return rd.from_arrow(
+            pa.table(
+                {"vec_a": pa.array([], pa.int64()), "vec_b": pa.array([], pa.int64())}
+            )
+        )
     ids_ref = ray.put(np.asarray(chunk_ids, dtype=np.int64))
 
     def expand_pairs(batch: pa.Table) -> pa.Table:

@@ -84,6 +84,22 @@ def asof_join(
     )
 
 
+def _field_type(ds: rd.Dataset, name: str, default=None):
+    """Arrow type of a column, robust to Arrow- and pandas-block
+    schemas (from_pandas datasets report a PandasBlockSchema)."""
+    sch = ds.schema()
+    base = getattr(sch, "base_schema", None)
+    try:
+        if isinstance(base, pa.Schema):
+            return base.field(name).type
+        if isinstance(sch, pa.Schema):
+            return sch.field(name).type
+        idx = list(sch.names).index(name)
+        return pa.from_numpy_dtype(sch.types[idx])
+    except Exception:
+        return default if default is not None else pa.int64()
+
+
 def _right_side_bounds(
     right: rd.Dataset, right_ts: str, tie_break: str
 ) -> tuple[int, int, int, int]:
@@ -143,8 +159,17 @@ def asof_join_argmax(
     from ray.data.aggregate import Max
 
     tb_min, tb_max, es_min, es_max = _right_side_bounds(right, right_ts, tie_break)
-    tie_bits = max(1, int(tb_max).bit_length()) if tb_min is not None else 1
-    if tb_min is None or tb_min < 0 or es_min < 0 or tie_bits + int(es_max).bit_length() > 62:
+    if tb_min is None:
+        # empty right side: inner as-of matches nothing — emit the typed
+        # empty result directly (Ray joins can't finalize 0-row partitions)
+        lid_type = _field_type(left, left_id)
+        return rd.from_arrow(
+            pa.table(
+                {left_id: pa.array([], lid_type), tie_break: pa.array([], pa.int64())}
+            )
+        )
+    tie_bits = max(1, int(tb_max).bit_length())
+    if tb_min < 0 or es_min < 0 or tie_bits + int(es_max).bit_length() > 62:
         # ids or timestamps outside packable range: exact fallback
         return asof_join(
             left, right, key, left_id, left_ts, right_ts, tie_break, num_partitions
@@ -217,6 +242,25 @@ def range_join_count(
     import pyarrow.compute as pc
     from ray.data.aggregate import Sum
 
+    def _zero_fill() -> rd.Dataset:
+        return left.map_batches(
+            lambda t: pa.table(
+                {
+                    left_id: t[left_id],
+                    "n_matches": pa.array([0] * len(t), pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
+    # pin the right side (the bounded state table — the smaller side of
+    # a range join by construction): reused by the join, and an empty
+    # right must short-circuit because Ray's join cannot finalize
+    # zero-row partitions
+    right = right.materialize()
+    if right.count() == 0:
+        return _zero_fill()
+
     joined = left.join(
         right, join_type="inner", num_partitions=num_partitions, on=(key,)
     )
@@ -246,12 +290,19 @@ def range_join_count(
     )
 
     # zero-match left rows: left ids joined against the match counts
-    # (left outer), nulls -> 0
+    # (left outer), nulls -> 0.  The counts are pinned (post-aggregation
+    # small — one row per matched left id) both to merge empty groupby
+    # blocks and to short-circuit the no-matches-anywhere case: Ray's
+    # join cannot finalize zero-row partitions, and an empty or
+    # non-overlapping right side would otherwise crash it.
     left_ids = left.map_batches(
         lambda t: pa.table({left_id: t[left_id]}), batch_format="pyarrow"
     )
+    counts = counts.repartition(num_partitions).materialize()
+    if counts.count() == 0:
+        return _zero_fill()
     filled = left_ids.join(
-        counts.repartition(num_partitions),  # merge empty groupby blocks
+        counts,
         join_type="left_outer",
         num_partitions=num_partitions,
         on=(left_id,),

@@ -119,6 +119,81 @@ def test_embedding_neardup_exact():
     )
     assert (3, 5) in set(zip(out["vec_a"], out["vec_b"]))
 
+    # the distributed block-pair cross join finds the identical pair set
+    bj = dedup.embedding_neardup_blockjoin(
+        rd.from_arrow(t), threshold=0.95, chunk_rows=7, num_partitions=2
+    ).to_pandas()
+    assert set(zip(bj["vec_a"], bj["vec_b"])) == set(zip(out["vec_a"], out["vec_b"]))
+
+
+def test_new_ops_handle_empty_inputs():
+    """Empty / degenerate inputs: no crash, empty (or zero-filled)
+    results with the right columns."""
+    from deepie_ray.ops import sketch, text as T
+
+    empty_docs = pa.table(
+        {"doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string())}
+    )
+    out = dedup.minhash_dedup(rd.from_arrow(empty_docs), threshold=0.5).to_pandas()
+    assert len(out) == 0
+
+    emb = pa.table(
+        {
+            "vec_id": pa.array([], pa.int64()),
+            "embedding": pa.array([], pa.list_(pa.float32())),
+        }
+    )
+    bj = dedup.embedding_neardup_blockjoin(
+        rd.from_arrow(emb), threshold=0.5, num_partitions=2
+    ).to_pandas()
+    assert len(bj) == 0
+
+    # range join: empty right side -> every left row reports 0 matches
+    left = pd.DataFrame(
+        {
+            "event_id": [1, 2],
+            "k": [0, 1],
+            "ts": pd.to_datetime(["2024-01-01", "2024-01-02"]),
+        }
+    )
+    right = pd.DataFrame(
+        {"k": pd.Series([], dtype="int64"), "rts": pd.Series([], dtype="datetime64[us]")}
+    )
+    rj = joins.range_join_count(
+        rd.from_pandas(left), rd.from_pandas(right),
+        key="k", left_id="event_id", left_ts="ts", right_ts="rts",
+        lo_s=-3600, hi_s=0, num_partitions=2,
+    ).to_pandas()
+    assert sorted(rj["event_id"]) == [1, 2]
+    assert (rj["n_matches"] == 0).all()
+
+    # as-of join with an empty right side: typed empty result, no crash
+    aj = joins.asof_join_argmax(
+        rd.from_pandas(left), rd.from_pandas(right.rename(columns={"rts": "rts"})),
+        key="k", left_id="event_id", left_ts="ts", right_ts="rts",
+        tie_break="k", num_partitions=2,
+    ).to_pandas()
+    # (Ray's to_pandas drops column names on fully-empty datasets, so
+    # only the row count is asserted)
+    assert len(aj) == 0
+
+    # quantile sketch over an empty frame: no rows, no crash
+    q = sketch.grouped_quantile(
+        rd.from_pandas(pd.DataFrame({"k": pd.Series([], dtype=str), "v": []})),
+        "k", "v",
+    ).to_pandas()
+    assert len(q) == 0
+
+    # packing over empty docs
+    p = T.pack_sequences(
+        rd.from_arrow(
+            pa.table(
+                {"doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string())}
+            )
+        )
+    ).to_pandas()
+    assert len(p) == 0
+
 
 # -------------------------------------------------------------------- ANN
 
