@@ -171,6 +171,69 @@ class AceOneHotCNNScorer:
         return batch.append_column("pred_label", labels)
 
 
+def build_ace_channel_dicts(rows: rd.Dataset) -> dict[str, dict[str, int]]:
+    """Deterministic sorted-id dictionaries for every per-token
+    categorical channel (M12 second pass for the M13 channel set):
+    POS (preter), chunk (prepreter), constituent labels, dep-relation
+    sets (grammar).  Broadcast small sides."""
+    from .ops.dicts import build_dict
+
+    return {
+        "pos": build_dict(rows, "pos_seq"),
+        "chunk": build_dict(rows, "chunk_seq"),
+        "constit1": build_dict(rows, "constit1"),
+        "constit2": build_dict(rows, "constit2"),
+        "grammar": build_dict(rows, "dep_rel_sets"),
+    }
+
+
+class AceFullChannelScorer:
+    """The FULL M13 per-token channel set, vectorized (rnnRE.py:31-210
+    ``_generatePartialDataInstance``): word embeddings (+) one-hot POS,
+    chunk, constit1/2 (+) multi-hot grammar (dep-relation sets), fed to
+    the multi-window CNN.  Index form rides in Arrow; expansion to
+    one-/multi-hot happens per batch inside the actor (SURVEY §7.6.8)."""
+
+    def __init__(self, dicts: dict[str, dict[str, int]], seed: int = M.DEFAULT_SEED + 9):
+        self.d = dicts
+        self.dims = {k: len(v) + 1 for k, v in dicts.items()}
+        extra = sum(self.dims.values())
+        self.weights = M.init_channel_cnn_weights(seed, extra_dim=extra)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .features import WORD_BUCKETS, token_hash
+
+        toks = batch["tokens"].to_pylist()
+        lengths = np.array([len(t) for t in toks], dtype=np.int64)
+        token_ids = M.pad_token_batch(
+            [[token_hash(w) % WORD_BUCKETS for w in t] for t in toks]
+        )
+        B, T = token_ids.shape
+
+        def ids_of(col: str, d: dict[str, int]) -> np.ndarray:
+            out = np.zeros((B, T), dtype=np.int64)
+            for i, seq in enumerate(batch[col].to_pylist()):
+                for j, v in enumerate(seq[:T]):
+                    out[i, j] = d.get(v, 0)
+            return out
+
+        x = [self.weights["E_word"][token_ids]]
+        for col, key in (
+            ("pos_seq", "pos"), ("chunk_seq", "chunk"),
+            ("constit1", "constit1"), ("constit2", "constit2"),
+        ):
+            x.append(M.onehot_expand(ids_of(col, self.d[key]), self.dims[key]))
+        gram = [
+            [[self.d["grammar"].get(g, 0) for g in tok_set] for tok_set in row]
+            for row in batch["dep_rel_sets"].to_pylist()
+        ]
+        x.append(M.multihot_expand(gram, T, self.dims["grammar"]))
+        rep = np.concatenate(x, axis=2)
+        preds, _ = M.channel_cnn_forward(self.weights, rep, lengths)
+        labels = pa.array(np.asarray(M.LABELS)[preds], pa.string())
+        return batch.append_column("pred_label", labels)
+
+
 class AceKernelHybridScorer(AceScorer):
     """Hybrid with the optional kernel-score expert (reference
     ``hybridModel`` with ``kernelFets`` on, rnnReModels.py:1049-1146:

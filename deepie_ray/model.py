@@ -502,6 +502,42 @@ def multihot_expand(
     return out
 
 
+def init_channel_cnn_weights(seed: int, extra_dim: int):
+    """CNN weights over [word embedding (+) ``extra_dim`` categorical
+    channels] — the full M13 channel set (type/POS/chunk/constit one-hot
+    + grammar multi-hot, rnnRE.py:82-118) expanded per batch inside the
+    actor."""
+    rng = np.random.default_rng(seed)
+
+    def u(*shape):
+        return rng.uniform(-0.25, 0.25, size=shape).astype(np.float32)
+
+    D = WORD_DIM + extra_dim
+    w = {"E_word": u(WORD_BUCKETS, WORD_DIM)}
+    w["E_word"][0] = 0.0
+    for win in CNN_WINDOWS:
+        w[f"convW{win}"] = u(win * D, CNN_MAPS)
+        w[f"convb{win}"] = np.zeros(CNN_MAPS, dtype=np.float32)
+    w["W_out"] = u(len(CNN_WINDOWS) * CNN_MAPS, N_LABELS)
+    w["b_out"] = np.zeros(N_LABELS, dtype=np.float32)
+    w["b_out"][0] = 0.5
+    return w
+
+
+def channel_cnn_forward(weights, x: np.ndarray, lengths=None):
+    """Multi-window CNN + max-pool over a PRE-ASSEMBLED (B, T, D) token
+    representation (word embeddings + expanded categorical channels)."""
+    B, T, _ = x.shape
+    if lengths is None:
+        lengths = np.full(B, T, dtype=np.int64)
+    filters = {
+        win: (weights[f"convW{win}"], weights[f"convb{win}"]) for win in CNN_WINDOWS
+    }
+    rep = nn.conv_maxpool(x, filters, lengths)
+    probs = nn.softmax(rep @ weights["W_out"] + weights["b_out"])
+    return probs.argmax(axis=1), probs.astype(np.float32)
+
+
 def init_onehot_cnn_weights(seed: int, n_classes: int):
     """CNN weights over [word embedding (+) one-hot categorical]
     channels (the M13 ``features==1`` mode feeding the reference's

@@ -35,7 +35,7 @@ def build_dict(
 
     def distinct(t: pa.Table) -> pa.Table:
         arr = t[col].combine_chunks()
-        if pa.types.is_list(arr.type):
+        while pa.types.is_list(arr.type):  # nested lists (e.g. per-token sets)
             arr = arr.flatten()
         return pa.table({"v": pc.unique(arr)})
 

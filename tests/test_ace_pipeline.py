@@ -104,6 +104,51 @@ def test_ace_dual_channel_uses_real_dep_path():
     assert len(scored) == len(batch)
 
 
+def test_ace_full_channel_scorer(tmp_path):
+    """Full M13 channel set: word + POS/chunk/constit one-hot + grammar
+    multi-hot through the CNN; channels genuinely contribute (altering
+    the grammar channel changes some prediction), and the scorer runs
+    distributed over the parsed corpus."""
+    import numpy as np
+    import ray.data as rd
+
+    from deepie_ray.sources.ace import parse_ace_line
+
+    lines = synth.synth_ace_lines(60, seed=11)
+    rows = [parse_ace_line(l, strict=True) for l in lines]
+    batch = pa.Table.from_pylist(rows)
+    ds = rd.from_arrow(batch)
+    dicts = ace_pipeline.build_ace_channel_dicts(ds)
+    assert all(len(d) >= 1 for d in dicts.values())
+    # ids deterministic sorted
+    for d in dicts.values():
+        assert list(d.values()) == sorted(d.values())
+
+    scorer = ace_pipeline.AceFullChannelScorer(dicts)
+    out = scorer(batch)
+    assert len(out) == len(batch)
+
+    # distributed run matches the single-process call
+    dist = ds.map_batches(
+        lambda t: ace_pipeline.AceFullChannelScorer(dicts)(t),
+        batch_format="pyarrow",
+    ).to_pandas().sort_values("rel_id")
+    local = out.to_pandas().sort_values("rel_id")
+    assert dist["pred_label"].tolist() == local["pred_label"].tolist()
+
+    # grammar channel is consumed: zeroing it shifts predictions somewhere
+    batch2 = batch.set_column(
+        batch.schema.get_field_index("dep_rel_sets"),
+        "dep_rel_sets",
+        pa.array(
+            [[[] for _ in row] for row in batch["dep_rel_sets"].to_pylist()],
+            pa.list_(pa.list_(pa.string())),
+        ),
+    )
+    out2 = scorer(batch2).to_pandas()
+    assert out2["pred_label"].tolist() != local["pred_label"].tolist()
+
+
 def test_ace_onehot_cnn_scorer_runs():
     from deepie_ray.sources.ace import parse_ace_line
 
