@@ -75,6 +75,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_lsh": Q.ann_topk_lsh,
         "ann_topk_ivf": Q.ann_topk_ivf,
         "ngram_jaccard_pairs": Q.ngram_jaccard_pairs,
+        # reference-shaped ACE workflow (S1+A5+M12+T3+A6)
+        "ace_relation_extraction": Q.ace_relation_extraction,
         # flagship KG pipeline
         "kg_triples": Q.kg_triples,
         "kg_triples_gru": Q.kg_triples_gru,

@@ -714,6 +714,26 @@ def ngram_jaccard_pairs(sf_dir: str) -> rd.Dataset:
 # ------------------------------------------------------------ KG pipeline
 
 
+def ace_relation_extraction(sf_dir: str) -> rd.Dataset:
+    """The reference's own E1+E3 workflow end-to-end (ACE TSV read ->
+    feature dict with cutoff -> dict-encode -> MultiNN pool -> P/R/F1):
+    runs over a deterministic synthetic ACE corpus (seeded; the driver's
+    sf tables don't carry ACE annotations) — rows-only; exact parity vs
+    the single-threaded oracle is pytest-checked (test_ace_pipeline)."""
+    import os
+    import tempfile
+
+    from . import ace_pipeline, synth
+
+    lines = synth.synth_ace_lines(200, seed=13)
+    lines += synth.synth_ace_lines(50, seed=14, layout14=False, id_offset=5000)
+    path = os.path.join(tempfile.gettempdir(), "ace_query_corpus.full.txt")
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    scored, _prf, _fdict = ace_pipeline.score_ace_corpus(path, cutoff=2)
+    return scored.select_columns(["pair_id", "gold_label", "pred_label"])
+
+
 def kg_triples(sf_dir: str) -> rd.Dataset:
     from . import pipeline
 
