@@ -181,6 +181,35 @@ def gru_head_forward(
     return probs.argmax(axis=1), probs.astype(np.float32)
 
 
+def gru_head_fwd_forward(
+    weights, token_ids, pos1, pos2, lengths=None
+) -> tuple[np.ndarray, np.ndarray]:
+    """FORWARD-only GRU head readout (the reference's single-direction
+    ``rnnHead`` members, rnnReModels.py:1353-1375): states at (pos1,
+    pos2) of the forward pass only.  Reuses the biGRU weight set
+    (ignores the backward half; W_out_fwd covers the 2H readout)."""
+    x = weights["E_word"][token_ids]
+    B, T, _ = x.shape
+    if lengths is None:
+        lengths = np.full(B, T, dtype=np.int64)
+    pf = {k[1:]: weights[k] for k in weights if k.startswith("f") and len(k) == 3}
+    hf = nn.gru_forward(x, pf)
+    rows = np.arange(B)
+    rep = np.concatenate([hf[rows, pos1], hf[rows, pos2]], axis=1)
+    probs = nn.softmax(rep @ weights["W_out_fwd"] + weights["b_out"])
+    return probs.argmax(axis=1), probs.astype(np.float32)
+
+
+def init_gru_fwd_weights(seed: int = DEFAULT_SEED + 1) -> dict[str, np.ndarray]:
+    """init_gru_weights plus the 2H forward-only readout matrix."""
+    w = init_gru_weights(seed)
+    rng = np.random.default_rng(seed + 1000)
+    w["W_out_fwd"] = rng.uniform(
+        -0.25, 0.25, size=(2 * GRU_HIDDEN, N_LABELS)
+    ).astype(np.float32)
+    return w
+
+
 # ------------------------------------------------------- CNN variant (T7)
 
 CNN_WINDOWS = (2, 3)

@@ -257,6 +257,18 @@ class GRUSumScorer(_TokenScorer):
         return _emit(batch, preds, probs)
 
 
+class GRUHeadFwdScorer(_TokenScorer):
+    """Forward-only GRU head readout (single-direction ``rnnHead``
+    member, rnnReModels.py:1353-1375)."""
+
+    def __init__(self, seed: int = M.DEFAULT_SEED + 1):
+        self.weights = M.init_gru_fwd_weights(seed)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        preds, probs = M.gru_head_fwd_forward(self.weights, *self._inputs(batch))
+        return _emit(batch, preds, probs)
+
+
 class GRUSumDepScorer(_TokenScorer):
     """biGRU + dep-span-masked mean-pool (reference ``rnnSumDep``,
     rnnReModels.py:1432-1442); the mask is the [pos1, pos2] span
@@ -401,6 +413,7 @@ class EnsembleScorer(_TokenScorer):
 MODELS: dict[str, type] = {
     "multinn": MultiNNScorer,
     "gru_head": GRUHeadScorer,
+    "gru_head_fwd": GRUHeadFwdScorer,
     "cnn": CNNScorer,
     "hybrid": HybridScorer,
     "gru_max": GRUMaxScorer,
@@ -418,7 +431,8 @@ MODELS: dict[str, type] = {
 
 # which models need the token-id pairs table (parse with_tokens=True)
 NEEDS_TOKENS = {
-    "gru_head", "cnn", "hybrid", "gru_max", "gru_sum", "gru_sum_dep", "gru_att",
+    "gru_head", "gru_head_fwd", "cnn", "hybrid", "gru_max", "gru_sum",
+    "gru_sum_dep", "gru_att",
     "gru_att_head", "conv_sum", "dual_dep", "ensemble_gru_cnn",
     "stacked_head", "stacked_max", "poe3",
 }

@@ -85,7 +85,8 @@ def test_model_variants_run_and_match_oracle_math():
     docs_t = synth.generate_documents(40, seed=9)
     docs = rd.from_arrow(docs_t)
     for name in (
-        "gru_head", "cnn", "hybrid", "gru_max", "gru_sum", "gru_sum_dep", "gru_att",
+        "gru_head", "gru_head_fwd", "cnn", "hybrid", "gru_max", "gru_sum",
+        "gru_sum_dep", "gru_att",
         "gru_att_head", "conv_sum", "dual_dep", "ensemble_gru_cnn",
         "stacked_head", "stacked_max", "poe3",
     ):

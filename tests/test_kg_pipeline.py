@@ -126,6 +126,48 @@ def test_full_kg_matches_oracle(docs_table, tmp_path):
     assert pn["n_mentions"].tolist() == gn["n_mentions"].tolist()
 
 
+def test_empty_and_media_only_documents_yield_zero_triples():
+    """Verify-skill probes: empty corpus and media-only/empty-text docs
+    flow through extraction without crashing and emit nothing."""
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.string()),
+            "spans": pa.array(
+                [],
+                pa.list_(
+                    pa.struct(
+                        [
+                            ("kind", pa.string()),
+                            ("text", pa.string()),
+                            ("media_ref", pa.string()),
+                            ("offset", pa.int32()),
+                        ]
+                    )
+                ),
+            ),
+        }
+    )
+    out = pipeline.emitted_triples(
+        rd.from_arrow(empty), parse_concurrency=1, score_concurrency=1
+    )
+    assert out.count() == 0
+
+    media_only = pa.table(
+        {
+            "doc_id": ["m1", "m2", "m3"],
+            "spans": [
+                [{"kind": "image", "text": "", "media_ref": "media://x", "offset": 0}],
+                [{"kind": "text", "text": "", "media_ref": "", "offset": 0}],
+                [],
+            ],
+        }
+    )
+    out2 = pipeline.emitted_triples(
+        rd.from_arrow(media_only), parse_concurrency=1, score_concurrency=1
+    )
+    assert out2.count() == 0
+
+
 def test_hot_entity_skew_present(docs_table):
     """The skew knob must actually fire: the hot entity exists and is
     among the highest-degree nodes."""
