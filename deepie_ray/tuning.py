@@ -13,6 +13,16 @@ Measured on this Ray build (2.49, single node, 32 cpus, sf0.1):
   with 8-block inputs / num_partitions=8, but 105s with 64-block
   inputs / num_partitions=32.  Keep join partitions ~= a few per node,
   not per core.
+* ``Dataset.join`` spawns HashShuffleAggregator actors per join that
+  linger for the session; join-heavy pipelines run back-to-back get
+  measurably slower per run (observed: identical near-dedup runs 17.6s
+  then 26.0s).  Minimize join count per pipeline (hoist loop-invariant
+  streams, size-gate component steps) rather than re-tuning partitions.
+* Ray joins CANNOT finalize zero-row partitions (ArrowInvalid "no
+  match for key field") and shuffle operators emit ZERO-COLUMN blocks
+  for empty partitions which propagate through map stages; every join
+  input needs a repartition and every possibly-empty side needs a
+  count-guard (see ops/dedup.py, ops/joins.py).
 
 Policy: reads of *small-to-medium* tables override to
 ``read_blocks()`` blocks (enough for task parallelism, few enough for
