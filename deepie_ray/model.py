@@ -314,9 +314,12 @@ def _gru_params(rng_u, prefix_pairs=("f", "b"), in_dim=WORD_DIM, hid=GRU_HIDDEN)
 
 
 def _bigru_states(weights, token_ids, lengths):
-    """Shared biGRU machinery: returns (hf, hb_rev, x) where ``hb_rev``
-    holds the backward pass run from each row's TRUE last token (see
-    gru_head_forward for why padding must not feed the backward GRU)."""
+    """Shared biGRU machinery: returns (hf, hb, valid) — ``hb`` is the
+    backward pass (run from each row's TRUE last token; see
+    gru_head_forward for why padding must not feed the backward GRU)
+    RE-ALIGNED to forward time order, so ``hb[rows, pos]`` is position
+    ``pos``'s backward state directly (unlike ``_stacked_states``,
+    whose second element stays in reversed order)."""
     x = weights["E_word"][token_ids]
     B, T, _ = x.shape
     pf = {k[1:]: weights[k] for k in weights if k.startswith("f") and len(k) == 3}

@@ -392,7 +392,9 @@ def minhash_dedup(
     # groupby's empty blocks would break the verify joins (see
     # jaccard_verify_join)
     cands = minhash_candidate_pairs(ds, text_col, id_col, distinct=False)
-    sh_tbl = shingle_table(ds, text_col, id_col)
+    # pin: jaccard_verify_join consumes the shingle table on BOTH join
+    # sides — unpinned, the whole-corpus shingling would execute twice
+    sh_tbl = shingle_table(ds, text_col, id_col).materialize()
     verified = jaccard_verify_join(
         cands, sh_tbl, id_col, threshold, num_partitions
     )
@@ -607,13 +609,10 @@ def embedding_neardup_blockjoin(
         ids = np.concatenate(
             [np.frombuffer(b, dtype=np.int64) for b in df["ids"]]
         )
-        dim = None
         mats = []
         for b, i in zip(df["mat"], df["ids"]):
             n = len(np.frombuffer(i, dtype=np.int64))
-            m = np.frombuffer(b, dtype=np.float64).reshape(n, -1)
-            dim = m.shape[1]
-            mats.append(m)
+            mats.append(np.frombuffer(b, dtype=np.float64).reshape(n, -1))
         M = np.vstack(mats)
         order = np.argsort(ids)
         return pd.DataFrame(
@@ -621,7 +620,6 @@ def embedding_neardup_blockjoin(
                 "chunk": [int(df["chunk"].iloc[0])],
                 "ids": [ids[order].tobytes()],
                 "mat": [np.ascontiguousarray(M[order]).tobytes()],
-                "dim": [dim],
             }
         )
 

@@ -95,7 +95,10 @@ def _field_type(ds: rd.Dataset, name: str, default=None):
         if isinstance(sch, pa.Schema):
             return sch.field(name).type
         idx = list(sch.names).index(name)
-        return pa.from_numpy_dtype(sch.types[idx])
+        dtype = sch.types[idx]
+        if getattr(dtype, "kind", None) == "O":  # pandas object = strings
+            return pa.string()
+        return pa.from_numpy_dtype(dtype)
     except Exception:
         return default if default is not None else pa.int64()
 
@@ -159,9 +162,10 @@ def asof_join_argmax(
     from ray.data.aggregate import Max
 
     tb_min, tb_max, es_min, es_max = _right_side_bounds(right, right_ts, tie_break)
-    if tb_min is None:
-        # empty right side: inner as-of matches nothing — emit the typed
-        # empty result directly (Ray joins can't finalize 0-row partitions)
+    if tb_min is None or left.limit(1).count() == 0:
+        # empty side: inner as-of matches nothing — emit the typed
+        # empty result directly (Ray joins can't finalize 0-row
+        # partitions; limit(1) probes the left without a full pass)
         lid_type = _field_type(left, left_id)
         return rd.from_arrow(
             pa.table(
@@ -256,9 +260,10 @@ def range_join_count(
     # pin the right side (the bounded state table — the smaller side of
     # a range join by construction): reused by the join, and an empty
     # right must short-circuit because Ray's join cannot finalize
-    # zero-row partitions
+    # zero-row partitions.  The left side gets the cheap emptiness
+    # probe (limit(1) stops the stream after one row — no full pass).
     right = right.materialize()
-    if right.count() == 0:
+    if right.count() == 0 or left.limit(1).count() == 0:
         return _zero_fill()
 
     joined = left.join(

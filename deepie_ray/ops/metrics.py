@@ -84,7 +84,14 @@ class CountingStage:
     per-batch row counters, flushed to a ``CounterActor`` (one tiny
     fire-and-forget RPC per batch — negligible against batch compute).
     Used by the flagship pipeline when checkpointing, so lineage rows
-    carry truthful rows_in / counters instead of placeholders."""
+    carry truthful rows_in / counters instead of placeholders.
+
+    Semantics: AT-LEAST-ONCE.  If a task is retried after a worker
+    failure (or a non-pinned block is recomputed), its batches count
+    again — the counters are a lineage diagnostic, not an exactness
+    contract; the checkpoint's parquet row counts are the ground truth
+    (and a counters-vs-rows_out mismatch is itself the signal that
+    retries happened)."""
 
     def __init__(self, inner_cls, stage: str, counter, inner_kwargs: dict | None = None):
         self.inner = inner_cls(**(inner_kwargs or {}))

@@ -703,7 +703,8 @@ def ngram_jaccard_pairs(sf_dir: str) -> rd.Dataset:
     collection."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     cands = dedup.minhash_candidate_pairs(ds, distinct=False)
-    sh_tbl = dedup.shingle_table(ds)
+    # pinned: consumed by both verify-join sides
+    sh_tbl = dedup.shingle_table(ds).materialize()
     verified = dedup.jaccard_verify_join(cands, sh_tbl, threshold=0.3)
     # distinct AFTER verify (band-duplicate candidates verify redundantly)
     return verified.groupby(["id_a", "id_b"]).aggregate(
@@ -722,12 +723,17 @@ def ace_relation_extraction(sf_dir: str) -> rd.Dataset:
     the single-threaded oracle is pytest-checked (test_ace_pipeline)."""
     import os
     import tempfile
+    import uuid
 
     from . import ace_pipeline, synth
 
     lines = synth.synth_ace_lines(200, seed=13)
     lines += synth.synth_ace_lines(50, seed=14, layout14=False, id_offset=5000)
-    path = os.path.join(tempfile.gettempdir(), "ace_query_corpus.full.txt")
+    # unique path: fixed names in the shared tmp dir race concurrent
+    # bench/driver runs (and are symlink-attackable on multi-user boxes)
+    path = os.path.join(
+        tempfile.gettempdir(), f"ace_query_{uuid.uuid4().hex[:12]}.full.txt"
+    )
     with open(path, "w") as f:
         f.write("\n".join(lines) + "\n")
     scored, _prf, _fdict = ace_pipeline.score_ace_corpus(path, cutoff=2)
@@ -762,67 +768,46 @@ def kg_graph(sf_dir: str):
     return _kg_cache[sf_dir]
 
 
-def kg_triples_gru(sf_dir: str) -> rd.Dataset:
-    """Encoder-variant extraction (biGRU head readout) — rows-only."""
+def _kg_model_query(sf_dir: str, model_name: str) -> rd.Dataset:
+    """Shared wrapper for encoder-variant extraction queries: registry
+    scorer over the token-id pairs table, emitted (non-NONE) triples
+    without the prob column."""
     from . import pipeline
+    from .ops.score import drop_none
 
     docs = pipeline.read_documents(sf_dir)
-    out = pipeline.extract_triples_model(docs, "gru_head")
+    out = pipeline.extract_triples_model(docs, model_name)
     return out.map_batches(
-        lambda t: t.filter(pc.not_equal(t["pred_label"], "NONE")).drop_columns(["prob"]),
-        batch_format="pyarrow",
+        lambda t: drop_none(t).drop_columns(["prob"]), batch_format="pyarrow"
     )
+
+
+def kg_triples_gru(sf_dir: str) -> rd.Dataset:
+    """Encoder-variant extraction (biGRU head readout) — rows-only."""
+    return _kg_model_query(sf_dir, "gru_head")
 
 
 def kg_triples_hybrid(sf_dir: str) -> rd.Dataset:
     """Hybrid product-of-experts (MultiNN x CNN) extraction — rows-only."""
-    from . import pipeline
-
-    docs = pipeline.read_documents(sf_dir)
-    out = pipeline.extract_triples_model(docs, "hybrid")
-    return out.map_batches(
-        lambda t: t.filter(pc.not_equal(t["pred_label"], "NONE")).drop_columns(["prob"]),
-        batch_format="pyarrow",
-    )
+    return _kg_model_query(sf_dir, "hybrid")
 
 
 def kg_triples_dep(sf_dir: str) -> rd.Dataset:
     """Dual-channel ``-dep`` extraction (sentence + dep-path-view biGRU
     channels, reference default seqType) — rows-only."""
-    from . import pipeline
-
-    docs = pipeline.read_documents(sf_dir)
-    out = pipeline.extract_triples_model(docs, "dual_dep")
-    return out.map_batches(
-        lambda t: t.filter(pc.not_equal(t["pred_label"], "NONE")).drop_columns(["prob"]),
-        batch_format="pyarrow",
-    )
+    return _kg_model_query(sf_dir, "dual_dep")
 
 
 def kg_triples_ensemble(sf_dir: str) -> rd.Dataset:
     """Two-encoder ensemble (biGRU-head x CNN product of experts,
     reference ``a_b`` models) — rows-only."""
-    from . import pipeline
-
-    docs = pipeline.read_documents(sf_dir)
-    out = pipeline.extract_triples_model(docs, "ensemble_gru_cnn")
-    return out.map_batches(
-        lambda t: t.filter(pc.not_equal(t["pred_label"], "NONE")).drop_columns(["prob"]),
-        batch_format="pyarrow",
-    )
+    return _kg_model_query(sf_dir, "ensemble_gru_cnn")
 
 
 def kg_triples_att(sf_dir: str) -> rd.Dataset:
     """Attention-pooled biGRU extraction (reference ``rnnAttHead``) —
     rows-only."""
-    from . import pipeline
-
-    docs = pipeline.read_documents(sf_dir)
-    out = pipeline.extract_triples_model(docs, "gru_att_head")
-    return out.map_batches(
-        lambda t: t.filter(pc.not_equal(t["pred_label"], "NONE")).drop_columns(["prob"]),
-        batch_format="pyarrow",
-    )
+    return _kg_model_query(sf_dir, "gru_att_head")
 
 
 def kg_linked(sf_dir: str) -> rd.Dataset:

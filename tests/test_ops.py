@@ -177,6 +177,31 @@ def test_new_ops_handle_empty_inputs():
     # only the row count is asserted)
     assert len(aj) == 0
 
+    # empty LEFT sides (review finding): zero-row result, no crash
+    eleft = pd.DataFrame(
+        {
+            "event_id": pd.Series([], dtype="int64"),
+            "k": pd.Series([], dtype="int64"),
+            "ts": pd.Series([], dtype="datetime64[us]"),
+        }
+    )
+    full_right = pd.DataFrame(
+        {"k": [0, 1], "rts": pd.to_datetime(["2024-01-01", "2024-01-02"])}
+    )
+    rj2 = joins.range_join_count(
+        rd.from_pandas(eleft), rd.from_pandas(full_right),
+        key="k", left_id="event_id", left_ts="ts", right_ts="rts",
+        lo_s=-3600, hi_s=0, num_partitions=2,
+    ).to_pandas()
+    assert len(rj2) == 0
+    aj2 = joins.asof_join_argmax(
+        rd.from_pandas(eleft),
+        rd.from_pandas(full_right.assign(rid=[7, 8])),
+        key="k", left_id="event_id", left_ts="ts", right_ts="rts",
+        tie_break="rid", num_partitions=2,
+    ).to_pandas()
+    assert len(aj2) == 0
+
     # quantile sketch over an empty frame: no rows, no crash
     q = sketch.grouped_quantile(
         rd.from_pandas(pd.DataFrame({"k": pd.Series([], dtype=str), "v": []})),
