@@ -205,20 +205,16 @@ def minhash_candidate_pairs(
         df = df[(df["bucket_n"] > 1) & (df["bucket_n"] <= MAX_BUCKET_PAIRWISE)]
         return df[["band", "band_hash", "doc_id"]]
 
-    small_rows = joined.map_batches(filt_small, batch_format="pandas").repartition(8)
-    selfj = small_rows.join(
-        small_rows,
-        join_type="inner",
-        num_partitions=8,
-        on=("band", "band_hash"),
-        right_suffix="_r",
+    # pin + count-guard BOTH branches before any further join/union: a
+    # duplicate-free corpus (every LSH bucket a singleton) makes both
+    # zero-row, and Ray's join cannot finalize zero-row partitions (the
+    # same failure mode as the empty-corpus case above).  The pinned
+    # tables are bucket-filtered band rows — tiny relative to the corpus.
+    small_rows = (
+        joined.map_batches(filt_small, batch_format="pandas")
+        .repartition(8)
+        .materialize()
     )
-
-    def ordered(df: pd.DataFrame) -> pd.DataFrame:
-        df = df[df["doc_id"] < df["doc_id_r"]]
-        return pd.DataFrame({"id_a": df["doc_id"], "id_b": df["doc_id_r"]})
-
-    small = selfj.map_batches(ordered, batch_format="pandas")
 
     def pairs_star(df: pd.DataFrame) -> pd.DataFrame:
         df = df[
@@ -227,8 +223,38 @@ def minhash_candidate_pairs(
         ]
         return pd.DataFrame({"id_a": df["bucket_min"], "id_b": df["doc_id"]})
 
-    star = joined.map_batches(pairs_star, batch_format="pandas")
-    pairs = small.union(star)
+    star = (
+        joined.map_batches(pairs_star, batch_format="pandas")
+        .repartition(4)
+        .materialize()
+    )
+    have_small = small_rows.count() > 0
+    have_star = star.count() > 0
+    if not have_small and not have_star:
+        from .joins import _field_type
+
+        id_type = _field_type(ds, id_col)
+        return rd.from_arrow(
+            pa.table({"id_a": pa.array([], id_type), "id_b": pa.array([], id_type)})
+        )
+
+    if have_small:
+        selfj = small_rows.join(
+            small_rows,
+            join_type="inner",
+            num_partitions=8,
+            on=("band", "band_hash"),
+            right_suffix="_r",
+        )
+
+        def ordered(df: pd.DataFrame) -> pd.DataFrame:
+            df = df[df["doc_id"] < df["doc_id_r"]]
+            return pd.DataFrame({"id_a": df["doc_id"], "id_b": df["doc_id_r"]})
+
+        small = selfj.map_batches(ordered, batch_format="pandas")
+        pairs = small.union(star) if have_star else small
+    else:
+        pairs = star
 
     def partial_distinct(df: pd.DataFrame) -> pd.DataFrame:
         return df.drop_duplicates()

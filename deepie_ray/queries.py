@@ -11,8 +11,9 @@ Parity rules (driver hashes values after sorting columns by name):
 * window starts are int64 epoch seconds (no timestamp-zone hazards).
 
 Scale rules: every read prunes columns; every groupby is preceded by a
-per-batch partial aggregate; small sides broadcast (ray.put / pandas
-merge), never shuffle-joined.
+per-batch partial aggregate; genuinely fixed-size sides (nation/region,
+post-top-k key lists) broadcast, while sf-scaled sides (customer,
+supplier) go through hash-partitioned Dataset.joins.
 """
 
 from __future__ import annotations
@@ -127,16 +128,23 @@ def q1_pricing_summary(sf_dir: str) -> rd.Dataset:
 
 def q3_top_revenue_orders(sf_dir: str) -> pd.DataFrame:
     """Top-10 BUILDING-segment orders by lineitem revenue (join +
-    grouped agg + global top-k)."""
+    grouped agg + global top-k).
+
+    Scale shape: the BUILDING customer subset is ~1/5 of an sf-scaled
+    table, so it is NOT driver-sized — the orders|x|customer semi-join
+    is a hash-partitioned Dataset.join (customer keys are unique, so an
+    inner join on the key column IS the semi-join), never a driver
+    ``to_pandas`` broadcast."""
     # predicate pushed into the parquet read: only BUILDING keys leave storage
     cust = rd.read_parquet(
         f"{sf_dir}/customer.parquet",
         columns=["c_custkey"],
         filter=(pc.field("c_mktsegment") == "BUILDING"),
-    ).to_pandas()
-    cust = cust.rename(columns={"c_custkey": "o_custkey"})
+    )
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
-    keep = joins.broadcast_join(orders, cust, on="o_custkey")
+    keep = joins.hash_join(
+        orders, cust, on="o_custkey", right_on="c_custkey", num_partitions=8
+    )
     li = _lineitem(sf_dir, ["l_orderkey", "l_extendedprice", "l_discount"])
 
     def rev(t: pa.Table) -> pa.Table:
@@ -167,23 +175,30 @@ def q3_top_revenue_orders(sf_dir: str) -> pd.DataFrame:
 def q5_region_revenue(sf_dir: str) -> rd.Dataset:
     """Multi-join star query: revenue by nation for region AMERICA where
     customer and supplier share the nation (TPC-H Q5 shape).
-    Dimensions broadcast; the only shuffles are lineitem|x|orders and
-    the final small groupby."""
+
+    Scale shape: nation/region are genuinely fixed-size (25/5 rows) and
+    stay driver-broadcast; customer and supplier SCALE WITH THE CORPUS,
+    so both go through hash-partitioned Dataset.joins — customer into
+    orders on custkey, supplier into the lineitem join on suppkey.  The
+    AMERICA nation-key filter is pushed into the customer parquet read
+    so only the region's customers leave storage."""
     nation = _read(sf_dir, "nation").to_pandas()
     region = _read(sf_dir, "region").to_pandas()
     nk = nation.merge(
         region[region.r_name == "AMERICA"], left_on="n_regionkey", right_on="r_regionkey"
     )[["n_nationkey", "n_name"]]
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
-    cust = cust.merge(nk, left_on="c_nationkey", right_on="n_nationkey")[
-        ["c_custkey", "c_nationkey", "n_name"]
-    ]
-    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    nation_keys = nk["n_nationkey"].tolist()
+    name_of = dict(zip(nk["n_nationkey"], nk["n_name"]))
 
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey"],
+        filter=(pc.field("c_nationkey").isin(nation_keys)),
+    )
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
-    ordersc = joins.broadcast_join(
-        orders, cust.rename(columns={"c_custkey": "o_custkey"}), on="o_custkey"
-    ).select_columns(["o_orderkey", "c_nationkey", "n_name"])
+    ordersc = joins.hash_join(
+        orders, cust, on="o_custkey", right_on="c_custkey", num_partitions=8
+    ).select_columns(["o_orderkey", "c_nationkey"])
 
     li = _lineitem(
         sf_dir, ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]
@@ -191,8 +206,9 @@ def q5_region_revenue(sf_dir: str) -> rd.Dataset:
     lo = joins.hash_join(
         li, ordersc, on="l_orderkey", right_on="o_orderkey", num_partitions=8
     )
-    los = joins.broadcast_join(
-        lo, supp.rename(columns={"s_suppkey": "l_suppkey"}), on="l_suppkey"
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    los = joins.hash_join(
+        lo, supp, on="l_suppkey", right_on="s_suppkey", num_partitions=8
     )
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
@@ -200,7 +216,8 @@ def q5_region_revenue(sf_dir: str) -> rd.Dataset:
         if df.empty:
             return pd.DataFrame({"n_name": pd.Series([], dtype=str), "revenue": []})
         rev = df["l_extendedprice"] * (1 - df["l_discount"])
-        out = rev.groupby(df["n_name"]).sum().reset_index()
+        names = df["c_nationkey"].map(name_of)
+        out = rev.groupby(names).sum().reset_index()
         out.columns = ["n_name", "revenue"]
         return out
 
@@ -264,7 +281,14 @@ def top10_customers_by_spend(sf_dir: str) -> pd.DataFrame:
     )
     top = agg.sort(["spend", "o_custkey"], descending=[True, False]).limit(10)
     df = top.to_pandas()
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"]).to_pandas()
+    # label AFTER the top-k: only the 10 winning keys are pushed into
+    # the customer read (predicate pushdown) — the sf-scaled customer
+    # table never reaches the driver
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name"],
+        filter=(pc.field("c_custkey").isin(df["o_custkey"].tolist())),
+    ).to_pandas()
     df = df.merge(cust, left_on="o_custkey", right_on="c_custkey")
     df["spend"] = _round2_series(df["spend"])
     return df[["c_custkey", "c_name", "spend"]]
@@ -336,13 +360,36 @@ def distinct_mktsegments(sf_dir: str) -> rd.Dataset:
 
 
 def supplier_nation_balance(sf_dir: str) -> pd.DataFrame:
-    supp = _read(sf_dir, "supplier", ["s_nationkey", "s_acctbal"]).to_pandas()
-    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
-    df = supp.merge(nation, left_on="s_nationkey", right_on="n_nationkey")
-    out = (
-        df.groupby("n_name")["s_acctbal"].agg(["sum", "count"]).reset_index()
+    """Balance totals per nation.  Scale shape: supplier is sf-scaled,
+    so the aggregation runs distributed (combiner-first per-batch
+    partials -> grouped sum over at most 25 nation keys); only the
+    fixed-size nation table and the 25-row aggregate touch the driver."""
+    supp = _read(sf_dir, "supplier", ["s_nationkey", "s_acctbal"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("s_nationkey").aggregate(
+            [("s_acctbal", "sum"), ([], "count_all")]
+        )
+        return pa.table(
+            {
+                "s_nationkey": g["s_nationkey"],
+                "total_balance": g["s_acctbal_sum"],
+                "n_suppliers": g["count_all"],
+            }
+        )
+
+    agg = (
+        supp.map_batches(partial, batch_format="pyarrow")
+        .groupby("s_nationkey")
+        .aggregate(
+            Sum("total_balance", alias_name="total_balance"),
+            Sum("n_suppliers", alias_name="n_suppliers"),
+        )
     )
-    out.columns = ["n_name", "total_balance", "n_suppliers"]
+    out = agg.to_pandas()  # <= 25 rows (one per nation)
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    out = out.merge(nation, left_on="s_nationkey", right_on="n_nationkey")
+    out = out[["n_name", "total_balance", "n_suppliers"]]
     out["total_balance"] = _round2_series(out["total_balance"])
     out["n_suppliers"] = out["n_suppliers"].astype("int64")
     return out

@@ -137,6 +137,29 @@ def test_new_ops_handle_empty_inputs():
     out = dedup.minhash_dedup(rd.from_arrow(empty_docs), threshold=0.5).to_pandas()
     assert len(out) == 0
 
+    # duplicate-free corpus: every LSH bucket is a singleton, so the
+    # candidate stage has zero pairs on BOTH branches (small + star) —
+    # must return typed-empty, not crash in the bucket self-join
+    # (ADVICE r2: ArrowInvalid 'No match for key field')
+    uniq_docs = pa.table(
+        {
+            "doc_id": pa.array(range(12), pa.int64()),
+            "text": pa.array(
+                [
+                    " ".join(f"tok{i}w{j}" for j in range(30))
+                    for i in range(12)
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    cands = dedup.minhash_candidate_pairs(
+        rd.from_arrow(uniq_docs), distinct=False
+    ).to_pandas()
+    assert len(cands) == 0
+    out = dedup.minhash_dedup(rd.from_arrow(uniq_docs), threshold=0.5).to_pandas()
+    assert len(out) == 0
+
     emb = pa.table(
         {
             "vec_id": pa.array([], pa.int64()),
