@@ -105,30 +105,41 @@ def _field_type(ds: rd.Dataset, name: str, default=None):
 
 def _right_side_bounds(
     right: rd.Dataset, right_ts: str, tie_break: str
-) -> tuple[int, int, int, int]:
-    """(tb_min, tb_max, epoch_min_s, epoch_max_s) of the right side —
-    one cheap streaming aggregate pass (the right side is the smaller
-    state table in an as-of join)."""
+) -> tuple[int, int, int, int, int]:
+    """(tb_min, tb_max, epoch_min_us, epoch_max_us, subsec_max_us) of
+    the right side — one cheap streaming aggregate pass (the right side
+    is the smaller state table in an as-of join).  ``subsec_max_us`` is
+    the largest sub-second component: 0 proves every right timestamp is
+    whole-second, making second-granularity packing EXACT."""
     import pyarrow as pa
     import pyarrow.compute as pc
     from ray.data.aggregate import Max, Min
 
     def to_epoch(t: pa.Table) -> pa.Table:
         us = pc.cast(pc.cast(t[right_ts], pa.timestamp("us")), pa.int64())
+        es = pc.divide(us, 1_000_000)  # truncating; negatives take the fallback
         return pa.table(
             {
                 "tb": pc.cast(t[tie_break], pa.int64()),
-                "es": pc.divide(us, 1_000_000),
+                "eu": us,
+                "sub": pc.subtract(us, pc.multiply(es, 1_000_000)),
             }
         )
 
     agg = right.map_batches(to_epoch, batch_format="pyarrow").aggregate(
         Min("tb", alias_name="tb_min"),
         Max("tb", alias_name="tb_max"),
-        Min("es", alias_name="es_min"),
-        Max("es", alias_name="es_max"),
+        Min("eu", alias_name="eu_min"),
+        Max("eu", alias_name="eu_max"),
+        Max("sub", alias_name="sub_max"),
     )
-    return agg["tb_min"], agg["tb_max"], agg["es_min"], agg["es_max"]
+    return (
+        agg["tb_min"],
+        agg["tb_max"],
+        agg["eu_min"],
+        agg["eu_max"],
+        agg["sub_max"],
+    )
 
 
 def asof_join_argmax(
@@ -152,8 +163,13 @@ def asof_join_argmax(
 
     The packing width is MEASURED, not assumed: one cheap aggregate
     pass over the right side bounds ``tie_break`` and ``right_ts``;
-    ``tie_bits`` is sized to the actual id range, and if the combined
-    widths cannot fit an int64 (or either value is negative) the
+    ``tie_bits`` is sized to the actual id range.  Timestamp
+    granularity is also measured: when every right timestamp is a
+    whole second (``subsec_max == 0``) the pack uses epoch SECONDS
+    (widest id headroom); otherwise epoch MICROSECONDS when the
+    combined widths still fit 62 bits — so sub-second feeds order
+    exactly rather than collapsing same-second rows to tie-break
+    order.  If neither fits an int64 (or any value is negative) the
     function falls back to the exact ``asof_join`` map_groups path
     instead of silently corrupting the argmax.
     """
@@ -161,7 +177,9 @@ def asof_join_argmax(
     import pyarrow.compute as pc
     from ray.data.aggregate import Max
 
-    tb_min, tb_max, es_min, es_max = _right_side_bounds(right, right_ts, tie_break)
+    tb_min, tb_max, eu_min, eu_max, sub_max = _right_side_bounds(
+        right, right_ts, tie_break
+    )
     if tb_min is None or left.limit(1).count() == 0:
         # empty side: inner as-of matches nothing — emit the typed
         # empty result directly (Ray joins can't finalize 0-row
@@ -173,7 +191,12 @@ def asof_join_argmax(
             )
         )
     tie_bits = max(1, int(tb_max).bit_length())
-    if tb_min < 0 or es_min < 0 or tie_bits + int(es_max).bit_length() > 62:
+    es_bits = int(int(eu_max) // 1_000_000).bit_length()
+    if tb_min >= 0 and eu_min >= 0 and sub_max == 0 and tie_bits + es_bits <= 62:
+        ts_div = 1_000_000  # whole-second feed: pack epoch seconds
+    elif tb_min >= 0 and eu_min >= 0 and tie_bits + int(eu_max).bit_length() <= 62:
+        ts_div = 1  # sub-second feed: pack epoch microseconds
+    else:
         # ids or timestamps outside packable range: exact fallback
         return asof_join(
             left, right, key, left_id, left_ts, right_ts, tie_break, num_partitions
@@ -192,9 +215,9 @@ def asof_join_argmax(
         ok = pc.less_equal(t[right_ts], t[left_ts])
         t = t.filter(ok)
         rts_us = pc.cast(pc.cast(t[right_ts], pa.timestamp("us")), pa.int64())
-        epoch_s = pc.divide(rts_us, 1_000_000)
+        epoch = pc.divide(rts_us, ts_div) if ts_div > 1 else rts_us
         packed = pc.add(
-            pc.shift_left(epoch_s, tie_bits), pc.cast(t[tie_break], pa.int64())
+            pc.shift_left(epoch, tie_bits), pc.cast(t[tie_break], pa.int64())
         )
         part = (
             pa.table({left_id: t[left_id], "_packed": packed})

@@ -66,19 +66,34 @@ class LinkEntities:
         ent, etype, score = hit
         return self.canon.get(ent, ent), etype, score
 
+    def _link_column(self, col) -> tuple[pa.Array, pa.Array]:
+        """(entity, score) arrays for a surface column: dict lookups run
+        once per DISTINCT surface, then fan back out with ``take`` —
+        O(distinct-per-batch) Python instead of O(rows).  The emitted
+        triples stream is already dictionary-encoded (ops/score.py), so
+        the encode below is usually a no-op reuse of its indices."""
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        if not pa.types.is_dictionary(arr.type):
+            arr = arr.dictionary_encode()
+        ents, scores = [], []
+        for s in arr.dictionary.to_pylist():
+            ent, _etype, score = self._link(s)
+            ents.append(ent)
+            scores.append(score)
+        import pyarrow.compute as pc
+
+        idx = arr.indices
+        return (
+            pc.take(pa.array(ents, pa.string()), idx),
+            pc.take(pa.array(scores, pa.float32()), idx),
+        )
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        subj = batch["subj"].to_pylist()
-        obj = batch["obj"].to_pylist()
-        se, oe, sc = [], [], []
-        for s, o in zip(subj, obj):
-            e1, _, s1 = self._link(s)
-            e2, _, _ = self._link(o)
-            se.append(e1)
-            oe.append(e2)
-            sc.append(s1)
+        se, sc = self._link_column(batch["subj"])
+        oe, _ = self._link_column(batch["obj"])
         out = batch.drop_columns(["prob"]) if "prob" in batch.column_names else batch
         return (
-            out.append_column("subj_entity", pa.array(se, pa.string()))
-            .append_column("obj_entity", pa.array(oe, pa.string()))
-            .append_column("link_score", pa.array(sc, pa.float32()))
+            out.append_column("subj_entity", se)
+            .append_column("obj_entity", oe)
+            .append_column("link_score", sc)
         )

@@ -36,26 +36,39 @@ def quality_batch(batch: pa.Table) -> pa.Table:
     """Quality-scoring features as exact integer counts (ratios are a
     trivial division downstream; integers value-hash-match the SQL
     oracle with no float-rounding hazard): text length, punctuation
-    chars, word count, stopword count."""
-    texts = batch["text"].to_pylist()
-    n_chars = np.empty(len(texts), dtype=np.int64)
-    n_punct = np.empty(len(texts), dtype=np.int64)
-    n_words = np.empty(len(texts), dtype=np.int64)
-    n_stop = np.empty(len(texts), dtype=np.int64)
-    for i, t in enumerate(texts):
-        t = t or ""
-        n_chars[i] = len(t)
-        n_punct[i] = len(_PUNCT.findall(t))
-        words = [w for w in _WS.split(t.lower()) if w]
-        n_words[i] = len(words)
-        n_stop[i] = sum(w in STOPWORDS for w in words)
+    chars, word count, stopword count.
+
+    Fully Arrow-vectorized — char/punct/word counts are single compute
+    kernels; the stopword count splits to a list column once and
+    reduces per row with ``np.cumsum`` over the list offsets (no
+    per-row Python).  RE2 (Arrow) and DuckDB share regex semantics, so
+    the counts stay oracle-hash-exact."""
+    text = pc.fill_null(batch["text"], "")
+    n_chars = pc.cast(pc.utf8_length(text), pa.int64())
+    n_punct = pc.cast(
+        pc.count_substring_regex(text, pattern=r"[^\w\s]"), pa.int64()
+    )
+    toks = pc.split_pattern_regex(pc.utf8_lower(text), pattern=r"\s+")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = toks.flatten()
+    nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    stop = pc.is_in(
+        flat, value_set=pa.array(STOPWORDS, pa.string())
+    ).to_numpy(zero_copy_only=False)
+    offs = toks.offsets.to_numpy(zero_copy_only=False)
+    base = offs[0]  # offsets of a sliced ListArray need not start at 0
+    cum_ne = np.concatenate(([0], np.cumsum(nonempty)))
+    cum_st = np.concatenate(([0], np.cumsum(stop & nonempty)))
+    n_words = cum_ne[offs[1:] - base] - cum_ne[offs[:-1] - base]
+    n_stop = cum_st[offs[1:] - base] - cum_st[offs[:-1] - base]
     return pa.table(
         {
             "doc_id": batch["doc_id"],
             "n_chars_m": n_chars,
             "n_punct": n_punct,
-            "n_words": n_words,
-            "n_stopwords": n_stop,
+            "n_words": pa.array(n_words, pa.int64()),
+            "n_stopwords": pa.array(n_stop, pa.int64()),
         }
     )
 

@@ -27,10 +27,12 @@ def add_tumbling_window(
     """Vectorized window assignment: epoch-seconds floored to width.
     Emits int64 epoch seconds (timezone-proof for oracle comparison)."""
     ts = pc.cast(batch[ts_col], pa.timestamp("us"))  # normalize ns/us units
-    epoch_us = pc.cast(ts, pa.int64())
-    width_us = width_s * 1_000_000
-    win = pc.multiply(pc.divide(epoch_us, width_us), width_s)
-    return batch.append_column(out_col, pc.cast(win, pa.int64()))
+    epoch_us = pc.cast(ts, pa.int64()).to_numpy(zero_copy_only=False)
+    # numpy floor division, NOT Arrow's divide (which truncates toward
+    # zero): pre-1970 timestamps must land in the window at or BELOW
+    # them, same as the floor(epoch/width) windowing definition
+    win = (epoch_us // (width_s * 1_000_000)) * width_s
+    return batch.append_column(out_col, pa.array(win, pa.int64()))
 
 
 def tumbling_aggregate(
@@ -111,19 +113,20 @@ def sliding_aggregate(
     n_windows = width_s // slide_s
 
     def explode(batch: pa.Table) -> pa.Table:
-        epoch_s = pc.divide(
-            pc.cast(pc.cast(batch[ts_col], pa.timestamp("us")), pa.int64()),
-            1_000_000,
-        )
-        last = pc.multiply(pc.divide(epoch_s, slide_s), slide_s)
+        # numpy floor division throughout: Arrow's integer divide
+        # truncates toward zero, which for pre-1970 epochs would assign
+        # rows to windows ABOVE them (and, with the membership filter
+        # removed, silently mislabel instead of drop them)
+        epoch_us = pc.cast(
+            pc.cast(batch[ts_col], pa.timestamp("us")), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        last = (epoch_us // 1_000_000 // slide_s) * slide_s
         vals = pc.cast(batch[value_col], pa.float64())
         tables = [
             pa.table(
                 {
                     key_col: batch[key_col],
-                    "window_start": pc.cast(
-                        pc.subtract(last, j * slide_s), pa.int64()
-                    ),
+                    "window_start": pa.array(last - j * slide_s, pa.int64()),
                     value_col: vals,
                 }
             )
