@@ -84,6 +84,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triples_dep": Q.kg_triples_dep,
         "kg_triples_ensemble": Q.kg_triples_ensemble,
         "kg_triples_att": Q.kg_triples_att,
+        "kg_triples_ffrnn": Q.kg_triples_ffrnn,
+        "kg_triples_altconv": Q.kg_triples_altconv,
+        "kg_triples_dep_cnn": Q.kg_triples_dep_cnn,
         "kg_linked": Q.kg_linked,
         "kg_nodes": Q.kg_nodes,
         "kg_edges": Q.kg_edges,

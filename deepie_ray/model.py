@@ -201,13 +201,35 @@ def gru_head_fwd_forward(
 
 
 def init_gru_fwd_weights(seed: int = DEFAULT_SEED + 1) -> dict[str, np.ndarray]:
-    """init_gru_weights plus the 2H forward-only readout matrix."""
+    """init_gru_weights plus the 2H single-direction readout matrices
+    (forward-only ``rnnHeadForward`` and backward-only
+    ``rnnHeadBackward``, rnnReModels.py:1357-1363)."""
     w = init_gru_weights(seed)
     rng = np.random.default_rng(seed + 1000)
     w["W_out_fwd"] = rng.uniform(
         -0.25, 0.25, size=(2 * GRU_HIDDEN, N_LABELS)
     ).astype(np.float32)
+    w["W_out_bwd"] = rng.uniform(
+        -0.25, 0.25, size=(2 * GRU_HIDDEN, N_LABELS)
+    ).astype(np.float32)
     return w
+
+
+def gru_head_bwd_forward(
+    weights, token_ids, pos1, pos2, lengths=None
+) -> tuple[np.ndarray, np.ndarray]:
+    """BACKWARD-only GRU head readout (reference ``rnnHeadBackward``,
+    rnnReModels.py:1361-1363): states at (pos1, pos2) of the backward
+    pass only — the backward GRU runs from each row's TRUE last token
+    (padding-independent, see gru_head_forward)."""
+    B, T = token_ids.shape
+    if lengths is None:
+        lengths = np.full(B, T, dtype=np.int64)
+    _, hb, _ = _bigru_states(weights, token_ids, lengths)
+    rows = np.arange(B)
+    rep = np.concatenate([hb[rows, pos1], hb[rows, pos2]], axis=1)
+    probs = nn.softmax(rep @ weights["W_out_bwd"] + weights["b_out"])
+    return probs.argmax(axis=1), probs.astype(np.float32)
 
 
 # ------------------------------------------------------- CNN variant (T7)
@@ -350,25 +372,35 @@ def init_gru_pool_weights(seed: int = DEFAULT_SEED + 3) -> dict[str, np.ndarray]
     w["E_word"][0] = 0.0
     w.update(_gru_params(u))
     w["W_out"] = u(2 * GRU_HIDDEN, N_LABELS)
+    w["W_out_f"] = u(GRU_HIDDEN, N_LABELS)  # single-direction readouts
+    w["W_out_b"] = u(GRU_HIDDEN, N_LABELS)  # (rnnMaxForward/Backward)
     w["b_out"] = np.zeros(N_LABELS, dtype=np.float32)
     w["b_out"][0] = 0.5
     return w
 
 
 def gru_max_forward(
-    weights, token_ids, pos1=None, pos2=None, lengths=None
+    weights, token_ids, pos1=None, pos2=None, lengths=None,
+    direction: str = "bi",
 ) -> tuple[np.ndarray, np.ndarray]:
     """biGRU + elementwise max-pool over the valid positions (reference
     ``rnnMaxIn``, rnnReModels.py:1414-1419), padded positions masked to
-    -inf so pooling is padding-independent."""
+    -inf so pooling is padding-independent.  ``direction``: 'bi' (2H,
+    ``rnnMax``), 'fwd' (H, ``rnnMaxForward``) or 'bwd' (H,
+    ``rnnMaxBackward``, :1390-1400)."""
     B, T = token_ids.shape
     if lengths is None:
         lengths = np.full(B, T, dtype=np.int64)
     hf, hb, valid = _bigru_states(weights, token_ids, lengths)
-    h = np.concatenate([hf, hb], axis=2)  # (B, T, 2H)
+    if direction == "bi":
+        h, W = np.concatenate([hf, hb], axis=2), weights["W_out"]
+    elif direction == "fwd":
+        h, W = hf, weights["W_out_f"]
+    else:
+        h, W = hb, weights["W_out_b"]
     h = np.where(valid[:, :, None], h, -np.inf)
     rep = h.max(axis=1)
-    probs = nn.softmax(rep @ weights["W_out"] + weights["b_out"])
+    probs = nn.softmax(rep @ W + weights["b_out"])
     return probs.argmax(axis=1), probs.astype(np.float32)
 
 
@@ -377,20 +409,118 @@ def gru_sum_forward(
     dep_mask: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """biGRU + mean-pool over the valid positions (reference ``rnnSum``,
-    rnnReModels.py:1421-1442 — mean, not raw sum, matching the
-    reference's normalization by sentence length).  With ``dep_mask``
-    (B, T) the pool averages over the masked span only — the
-    ``rnnSumDep`` dep-masked pooling (:1432-1442)."""
+    rnnReModels.py:1421-1430 — ``_x.mean(1)``).  With ``dep_mask``
+    (B, T) the pool is the RAW masked sum over the span — reference
+    ``rnnSumDep`` pools ``(x_i * dep_i).sum(0)`` with NO length
+    normalization (:1432-1442); only the plain rnnSum is a mean."""
     B, T = token_ids.shape
     if lengths is None:
         lengths = np.full(B, T, dtype=np.int64)
     hf, hb, valid = _bigru_states(weights, token_ids, lengths)
     h = np.concatenate([hf, hb], axis=2)
-    mask = valid if dep_mask is None else (valid & dep_mask.astype(bool))
-    h = np.where(mask[:, :, None], h, 0.0)
-    denom = np.maximum(mask.sum(axis=1), 1)[:, None]
-    rep = h.sum(axis=1) / denom
+    if dep_mask is None:
+        h = np.where(valid[:, :, None], h, 0.0)
+        denom = np.maximum(valid.sum(axis=1), 1)[:, None]
+        rep = h.sum(axis=1) / denom
+    else:
+        mask = valid & dep_mask.astype(bool)
+        rep = np.where(mask[:, :, None], h, 0.0).sum(axis=1)
     probs = nn.softmax(rep @ weights["W_out"] + weights["b_out"])
+    return probs.argmax(axis=1), probs.astype(np.float32)
+
+
+# ----------------------------------------- FF-RNN (sigmoid) family (T9/T10)
+
+
+def init_ffrnn_weights(seed: int = DEFAULT_SEED + 8) -> dict[str, np.ndarray]:
+    """Weights for the sigmoid feed-forward-RNN encoder members
+    (reference ``rnnHeadFf*``/``rnnMaxFf*``, rnnReModels.py:1365-1375,
+    1402-1413; cell ``rnn_ff`` :213-230): one FF-RNN per direction plus
+    readout matrices for every member's output width (4H bi-head, 2H
+    single-direction head / bi max, H single-direction max)."""
+    rng = np.random.default_rng(seed)
+
+    def u(*shape):
+        return rng.uniform(-0.25, 0.25, size=shape).astype(np.float32)
+
+    w = {"E_word": u(WORD_BUCKETS, WORD_DIM)}
+    w["E_word"][0] = 0.0
+    for d in ("fw", "bw"):
+        w[f"{d}W"] = u(WORD_DIM, GRU_HIDDEN)
+        w[f"{d}U"] = u(GRU_HIDDEN, GRU_HIDDEN)
+        w[f"{d}b"] = np.zeros(GRU_HIDDEN, dtype=np.float32)
+    w["W_out4"] = u(4 * GRU_HIDDEN, N_LABELS)
+    w["W_out2f"] = u(2 * GRU_HIDDEN, N_LABELS)
+    w["W_out2b"] = u(2 * GRU_HIDDEN, N_LABELS)
+    w["W_out2m"] = u(2 * GRU_HIDDEN, N_LABELS)
+    w["W_out1f"] = u(GRU_HIDDEN, N_LABELS)
+    w["W_out1b"] = u(GRU_HIDDEN, N_LABELS)
+    w["b_out"] = np.zeros(N_LABELS, dtype=np.float32)
+    w["b_out"][0] = 0.5
+    return w
+
+
+def _ffrnn_states(weights, token_ids, lengths):
+    """Shared FF-RNN machinery, mirroring ``_bigru_states``: forward
+    states plus backward states run from each row's TRUE last token and
+    re-aligned to forward time order (padding-independent)."""
+    x = weights["E_word"][token_ids]
+    B, T, _ = x.shape
+    hf = nn.ffrnn_forward(x, weights["fwW"], weights["fwU"], weights["fwb"])
+    idx = lengths[:, None] - 1 - np.arange(T)[None, :]
+    valid = idx >= 0
+    rows2d = np.arange(B)[:, None]
+    x_rev = np.where(valid[:, :, None], x[rows2d, np.clip(idx, 0, T - 1)], 0.0)
+    hb_rev = nn.ffrnn_forward(x_rev, weights["bwW"], weights["bwU"], weights["bwb"])
+    hb = np.where(valid[:, :, None], hb_rev[rows2d, np.clip(idx, 0, T - 1)], 0.0)
+    return hf, hb, valid
+
+
+def ffrnn_head_forward(
+    weights, token_ids, pos1, pos2, lengths=None, direction: str = "bi"
+) -> tuple[np.ndarray, np.ndarray]:
+    """FF-RNN head-state readout (reference ``rnnHeadFf`` 4H /
+    ``rnnHeadFfForward`` / ``rnnHeadFfBackward`` 2H,
+    rnnReModels.py:1365-1375 via ``rnnHeadIn``)."""
+    B, T = token_ids.shape
+    if lengths is None:
+        lengths = np.full(B, T, dtype=np.int64)
+    hf, hb, _ = _ffrnn_states(weights, token_ids, lengths)
+    rows = np.arange(B)
+    if direction == "bi":
+        rep = np.concatenate(
+            [hf[rows, pos1], hb[rows, pos1], hf[rows, pos2], hb[rows, pos2]], axis=1
+        )
+        W = weights["W_out4"]
+    elif direction == "fwd":
+        rep = np.concatenate([hf[rows, pos1], hf[rows, pos2]], axis=1)
+        W = weights["W_out2f"]
+    else:
+        rep = np.concatenate([hb[rows, pos1], hb[rows, pos2]], axis=1)
+        W = weights["W_out2b"]
+    probs = nn.softmax(rep @ W + weights["b_out"])
+    return probs.argmax(axis=1), probs.astype(np.float32)
+
+
+def ffrnn_max_forward(
+    weights, token_ids, pos1=None, pos2=None, lengths=None, direction: str = "bi"
+) -> tuple[np.ndarray, np.ndarray]:
+    """FF-RNN + length-masked max-pool (reference ``rnnMaxFf`` 2H /
+    ``rnnMaxFfForward`` / ``rnnMaxFfBackward`` H,
+    rnnReModels.py:1402-1413 via ``rnnMaxIn``)."""
+    B, T = token_ids.shape
+    if lengths is None:
+        lengths = np.full(B, T, dtype=np.int64)
+    hf, hb, valid = _ffrnn_states(weights, token_ids, lengths)
+    if direction == "bi":
+        h, W = np.concatenate([hf, hb], axis=2), weights["W_out2m"]
+    elif direction == "fwd":
+        h, W = hf, weights["W_out1f"]
+    else:
+        h, W = hb, weights["W_out1b"]
+    h = np.where(valid[:, :, None], h, -np.inf)
+    rep = h.max(axis=1)
+    probs = nn.softmax(rep @ W + weights["b_out"])
     return probs.argmax(axis=1), probs.astype(np.float32)
 
 
@@ -399,8 +529,10 @@ def gru_sum_forward(
 
 def init_gru_att_weights(seed: int = DEFAULT_SEED + 4, head: bool = False):
     """Weights for the attention-pooled biGRU (reference ``rnnAtt`` /
-    ``rnnAttHead``, rnnReModels.py:1444-1497): a learned projection +
-    context vector score softmax-pooled over time."""
+    ``rnnAttHead``, rnnReModels.py:1444-1497): a plain LINEAR score —
+    ``IW`` (2H -> 1) + scalar ``Ib``, exponentiated and normalized over
+    time — exactly the reference's ``alpha = exp(x_i.IW + Ib)`` (not a
+    Bahdanau projection+context form)."""
     rng = np.random.default_rng(seed)
 
     def u(*shape):
@@ -409,8 +541,8 @@ def init_gru_att_weights(seed: int = DEFAULT_SEED + 4, head: bool = False):
     w = {"E_word": u(WORD_BUCKETS, WORD_DIM)}
     w["E_word"][0] = 0.0
     w.update(_gru_params(u))
-    w["W_att"] = u(2 * GRU_HIDDEN, GRU_HIDDEN)
-    w["v_att"] = u(GRU_HIDDEN)
+    w["IW"] = u(2 * GRU_HIDDEN)
+    w["Ib"] = np.zeros(1, dtype=np.float32)
     out_dim = 2 * GRU_HIDDEN * (3 if head else 1)
     w["W_out"] = u(out_dim, N_LABELS)
     w["b_out"] = np.zeros(N_LABELS, dtype=np.float32)
@@ -421,15 +553,16 @@ def init_gru_att_weights(seed: int = DEFAULT_SEED + 4, head: bool = False):
 def gru_att_forward(
     weights, token_ids, pos1=None, pos2=None, lengths=None, head: bool = False
 ) -> tuple[np.ndarray, np.ndarray]:
-    """biGRU + learned softmax attention pooling; ``head=True`` concats
-    the attended vector with the hidden states at (pos1, pos2) —
-    reference ``rnnAtt``/``rnnAttHead``."""
+    """biGRU + linear-scored softmax attention pooling (reference
+    ``rnnAtt``: ``alpha = softmax(x_i . IW + Ib)`` over time,
+    rnnReModels.py:1452-1461); ``head=True`` concats the attended
+    vector with the hidden states at (pos1, pos2) — ``rnnAttHead``."""
     B, T = token_ids.shape
     if lengths is None:
         lengths = np.full(B, T, dtype=np.int64)
     hf, hb, valid = _bigru_states(weights, token_ids, lengths)
     h = np.concatenate([hf, hb], axis=2)  # (B, T, 2H)
-    scores = np.tanh(h @ weights["W_att"]) @ weights["v_att"]  # (B, T)
+    scores = h @ weights["IW"] + weights["Ib"][0]  # (B, T) linear score
     scores = np.where(valid, scores, -np.inf)
     alpha = nn.softmax(scores)  # (B, T), zero on padding
     rep = (alpha[:, :, None] * np.where(valid[:, :, None], h, 0.0)).sum(axis=1)
@@ -615,13 +748,25 @@ def onehot_cnn_forward(
 # ------------------------------- stacked alternate family (T13, sample)
 
 
-def init_stacked_weights(seed: int = DEFAULT_SEED + 7, readout: str = "head"):
-    """Weights for the stacked CNN->biGRU encoders — representatives of
-    the reference's ``alternateHead``/``alternateMax`` families
-    (rnnReModels.py:1148-1313): a same-length convolution re-represents
-    each token from its window, then the biGRU runs over conv features
-    instead of raw embeddings.  ``readout``: 'head' (states at
-    pos1/pos2, 4H out) or 'max' (masked max-pool over time, 2H out)."""
+def _dir_width(direction: str) -> int:
+    return 2 if direction == "bi" else 1
+
+
+def init_stacked_weights(
+    seed: int = DEFAULT_SEED + 7,
+    readout: str = "head",
+    direction: str = "bi",
+    depth: int = 1,
+):
+    """Weights for the stacked CNN->GRU encoders — the reference's full
+    ``alternateHead``/``alternateMax`` families (rnnReModels.py:
+    1148-1277): per level, a same-length convolution re-represents each
+    token from its window, then the GRU runs over conv features instead
+    of raw embeddings.  ``direction``: 'bi'/'fwd'/'bwd' (the
+    ``*Forward``/``*Backward`` members run one GRU direction only);
+    ``depth=2`` repeats the conv->GRU block (``alternateHeadDeep``/
+    ``alternateMaxDeep``, :1200-1216,1260-1277).  ``readout``: 'head'
+    (states at pos1/pos2) or 'max' (masked max-pool over time)."""
     rng = np.random.default_rng(seed)
 
     def u(*shape):
@@ -629,77 +774,158 @@ def init_stacked_weights(seed: int = DEFAULT_SEED + 7, readout: str = "head"):
 
     w = {"E_word": u(WORD_BUCKETS, WORD_DIM)}
     w["E_word"][0] = 0.0
-    w["convW"] = u(3 * WORD_DIM, CNN_MAPS)
-    w["convb"] = np.zeros(CNN_MAPS, dtype=np.float32)
-    w.update(_gru_params(u, in_dim=CNN_MAPS))
-    out_dim = 4 * GRU_HIDDEN if readout == "head" else 2 * GRU_HIDDEN
+    in_dim = WORD_DIM
+    for lvl in range(depth):
+        w[f"convW{lvl}"] = u(3 * in_dim, CNN_MAPS)
+        w[f"convb{lvl}"] = np.zeros(CNN_MAPS, dtype=np.float32)
+        w.update(
+            {f"L{lvl}{k}": v for k, v in _gru_params(u, in_dim=CNN_MAPS).items()}
+        )
+        in_dim = _dir_width(direction) * GRU_HIDDEN
+    per_pos = _dir_width(direction) * GRU_HIDDEN
+    out_dim = 2 * per_pos if readout == "head" else per_pos
     w["W_out"] = u(out_dim, N_LABELS)
     w["b_out"] = np.zeros(N_LABELS, dtype=np.float32)
     w["b_out"][0] = 0.5
     return w
 
 
-def _stacked_states(weights, token_ids, lengths):
-    """Shared stacked machinery: same-length conv (zero-padded window 3,
-    positions stay aligned; positions beyond a row's true length zeroed
-    before the GRU so readouts are padding-independent) -> biGRU states
-    (hf, hb_rev, valid)."""
-    x = weights["E_word"][token_ids]
+def _samelen_conv(x: np.ndarray, W: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Same-length window-3 convolution (zero-padded one frame per
+    side, positions stay aligned — reference ``convContextLs``,
+    rnnReModels.py:431-441)."""
     B, T, D = x.shape
     pad = np.zeros((B, 1, D), dtype=x.dtype)
     xp = np.concatenate([pad, x, pad], axis=1)
     cols = np.concatenate([xp[:, 0:T], xp[:, 1 : T + 1], xp[:, 2 : T + 2]], axis=2)
-    conv = np.tanh(cols @ weights["convW"] + weights["convb"])  # (B, T, M)
+    return np.tanh(cols @ W + b)
+
+
+def _stacked_states(weights, token_ids, lengths, direction="bi", depth=1):
+    """Shared stacked machinery: ``depth`` x (same-length conv ->
+    GRU), positions beyond a row's true length zeroed before each GRU
+    so readouts are padding-independent.  Returns (h, valid) with the
+    backward pass re-aligned to forward time order; h is (B, T, 2H)
+    for 'bi', (B, T, H) for single directions."""
+    x = weights["E_word"][token_ids]
+    B, T, _ = x.shape
     valid = np.arange(T)[None, :] < lengths[:, None]
-    conv = np.where(valid[:, :, None], conv, 0.0)
-    pf = {k[1:]: weights[k] for k in weights if k.startswith("f") and len(k) == 3}
-    pb = {k[1:]: weights[k] for k in weights if k.startswith("b") and len(k) == 3}
-    hf = nn.gru_forward(conv, pf)
     idx = lengths[:, None] - 1 - np.arange(T)[None, :]
     rows2d = np.arange(B)[:, None]
-    c_rev = np.where((idx >= 0)[:, :, None], conv[rows2d, np.clip(idx, 0, T - 1)], 0.0)
-    hb_rev = nn.gru_forward(c_rev, pb)
-    return hf, hb_rev, valid
+    h = x
+    for lvl in range(depth):
+        conv = _samelen_conv(h, weights[f"convW{lvl}"], weights[f"convb{lvl}"])
+        conv = np.where(valid[:, :, None], conv, 0.0)
+        parts = []
+        if direction in ("bi", "fwd"):
+            pf = {
+                k[len(f"L{lvl}f"):]: v
+                for k, v in weights.items()
+                if k.startswith(f"L{lvl}f")
+            }
+            parts.append(nn.gru_forward(conv, pf))
+        if direction in ("bi", "bwd"):
+            pb = {
+                k[len(f"L{lvl}b"):]: v
+                for k, v in weights.items()
+                if k.startswith(f"L{lvl}b")
+            }
+            c_rev = np.where(
+                (idx >= 0)[:, :, None], conv[rows2d, np.clip(idx, 0, T - 1)], 0.0
+            )
+            hb_rev = nn.gru_forward(c_rev, pb)
+            parts.append(
+                np.where(
+                    (idx >= 0)[:, :, None], hb_rev[rows2d, np.clip(idx, 0, T - 1)], 0.0
+                )
+            )
+        h = parts[0] if len(parts) == 1 else np.concatenate(parts, axis=2)
+        # zero padded positions: the forward GRU keeps evolving into the
+        # padded tail, and the NEXT level's conv window at the last
+        # valid position would otherwise see padding-dependent values
+        h = np.where(valid[:, :, None], h, 0.0)
+    return h, valid
 
 
 def stacked_head_forward(
-    weights, token_ids, pos1, pos2, lengths=None
+    weights, token_ids, pos1, pos2, lengths=None, direction="bi", depth=1
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Stacked CNN->biGRU, head-state readout (``alternateHead``)."""
+    """Stacked CNN->GRU, head-state readout (``alternateHead`` and its
+    Forward/Backward/Deep members, rnnReModels.py:1148-1216)."""
     B, T = token_ids.shape
     if lengths is None:
         lengths = np.full(B, T, dtype=np.int64)
-    hf, hb_rev, _ = _stacked_states(weights, token_ids, lengths)
+    h, _ = _stacked_states(weights, token_ids, lengths, direction, depth)
     rows = np.arange(B)
-    rep = np.concatenate(
-        [
-            hf[rows, pos1], hb_rev[rows, lengths - 1 - pos1],
-            hf[rows, pos2], hb_rev[rows, lengths - 1 - pos2],
-        ],
-        axis=1,
-    )
+    rep = np.concatenate([h[rows, pos1], h[rows, pos2]], axis=1)
     probs = nn.softmax(rep @ weights["W_out"] + weights["b_out"])
     return probs.argmax(axis=1), probs.astype(np.float32)
 
 
 def stacked_max_forward(
-    weights, token_ids, pos1=None, pos2=None, lengths=None
+    weights, token_ids, pos1=None, pos2=None, lengths=None, direction="bi", depth=1
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Stacked CNN->biGRU, length-masked max-pool readout
-    (``alternateMax``, rnnReModels.py:1148-1313)."""
+    """Stacked CNN->GRU, length-masked max-pool readout
+    (``alternateMax`` and its Forward/Backward/Deep members,
+    rnnReModels.py:1218-1277)."""
     B, T = token_ids.shape
     if lengths is None:
         lengths = np.full(B, T, dtype=np.int64)
-    hf, hb_rev, valid = _stacked_states(weights, token_ids, lengths)
-    # re-align backward states to forward order, mask, concat, max-pool
-    idx = lengths[:, None] - 1 - np.arange(T)[None, :]
-    rows2d = np.arange(B)[:, None]
-    hb = np.where(
-        (idx >= 0)[:, :, None], hb_rev[rows2d, np.clip(idx, 0, T - 1)], 0.0
-    )
-    h = np.concatenate([hf, hb], axis=2)
+    h, valid = _stacked_states(weights, token_ids, lengths, direction, depth)
     h = np.where(valid[:, :, None], h, -np.inf)
     rep = h.max(axis=1)
+    probs = nn.softmax(rep @ weights["W_out"] + weights["b_out"])
+    return probs.argmax(axis=1), probs.astype(np.float32)
+
+
+# ------------------------------- GRU->CNN alternate family (T13 cont.)
+
+
+def init_altconv_weights(seed: int = DEFAULT_SEED + 9, direction: str = "bi"):
+    """Weights for ``alternateConv``/``alternateConvForward``/
+    ``alternateConvBackward`` (rnnReModels.py:1279-1313): the OPPOSITE
+    stacking order — GRU states first, then a multi-window convolution
+    + max-pool over them."""
+    rng = np.random.default_rng(seed)
+
+    def u(*shape):
+        return rng.uniform(-0.25, 0.25, size=shape).astype(np.float32)
+
+    w = {"E_word": u(WORD_BUCKETS, WORD_DIM)}
+    w["E_word"][0] = 0.0
+    w.update(_gru_params(u))
+    in_dim = _dir_width(direction) * GRU_HIDDEN
+    for win in CNN_WINDOWS:
+        w[f"convW{win}"] = u(win * in_dim, CNN_MAPS)
+        w[f"convb{win}"] = np.zeros(CNN_MAPS, dtype=np.float32)
+    w["W_out"] = u(len(CNN_WINDOWS) * CNN_MAPS, N_LABELS)
+    w["b_out"] = np.zeros(N_LABELS, dtype=np.float32)
+    w["b_out"][0] = 0.5
+    return w
+
+
+def altconv_forward(
+    weights, token_ids, pos1=None, pos2=None, lengths=None, direction="bi"
+) -> tuple[np.ndarray, np.ndarray]:
+    """GRU -> multi-window CNN + masked max-pool (reference
+    ``alternateConv*``, rnnReModels.py:1279-1313).  Windows straddling
+    a row's padded tail are masked out of the pool (nn.conv_maxpool),
+    so the readout is padding-independent."""
+    B, T = token_ids.shape
+    if lengths is None:
+        lengths = np.full(B, T, dtype=np.int64)
+    hf, hb, valid = _bigru_states(weights, token_ids, lengths)
+    if direction == "bi":
+        h = np.concatenate([hf, hb], axis=2)
+    elif direction == "fwd":
+        h = hf
+    else:
+        h = hb
+    h = np.where(valid[:, :, None], h, 0.0)
+    filters = {
+        win: (weights[f"convW{win}"], weights[f"convb{win}"]) for win in CNN_WINDOWS
+    }
+    rep = nn.conv_maxpool(h, filters, lengths)
     probs = nn.softmax(rep @ weights["W_out"] + weights["b_out"])
     return probs.argmax(axis=1), probs.astype(np.float32)
 
@@ -794,6 +1020,61 @@ def dual_channel_forward(
         {k[1:]: v for k, v in weights.items() if k.startswith("d") and len(k) == 4},
         dep, np.zeros(B, dtype=np.int64), dep_len - 1, dep_len,
     )
+    rep = np.concatenate([ch1, ch2], axis=1)
+    probs = nn.softmax(rep @ weights["W_out"] + weights["b_out"])
+    return probs.argmax(axis=1), probs.astype(np.float32)
+
+
+def init_dual_cnn_weights(seed: int = DEFAULT_SEED + 10) -> dict[str, np.ndarray]:
+    """Dual-channel CNN weights (the reference's ``-`` grammar pairs
+    ANY encoder with the dep channel, rnnRE.py:701-744 — this is the
+    CNN member of that matrix): one multi-window conv stack per
+    channel, word embeddings tied, concat of both max-pooled reps."""
+    rng = np.random.default_rng(seed)
+
+    def u(*shape):
+        return rng.uniform(-0.25, 0.25, size=shape).astype(np.float32)
+
+    w = {"E_word": u(WORD_BUCKETS, WORD_DIM)}
+    w["E_word"][0] = 0.0
+    for ch in ("s", "d"):  # sentence / dep-path channels
+        for win in CNN_WINDOWS:
+            w[f"{ch}convW{win}"] = u(win * WORD_DIM, CNN_MAPS)
+            w[f"{ch}convb{win}"] = np.zeros(CNN_MAPS, dtype=np.float32)
+    w["W_out"] = u(2 * len(CNN_WINDOWS) * CNN_MAPS, N_LABELS)
+    w["b_out"] = np.zeros(N_LABELS, dtype=np.float32)
+    w["b_out"][0] = 0.5
+    return w
+
+
+def dual_cnn_forward(
+    weights, token_ids, pos1, pos2, lengths=None, dep_view=None
+) -> tuple[np.ndarray, np.ndarray]:
+    """Dual-channel CNN scorer: channel 1 = multi-window CNN + masked
+    max-pool over the sentence; channel 2 = the same over the dep-path
+    view (span gather by default, real parsed path via ``dep_view``),
+    concat -> softmax — completing the dual-channel matrix beyond the
+    GRU-head member (reference ``mainModel`` seqType ``-dep`` with a
+    convolutional model1/model2, rnnReModels.py:729-770)."""
+    B, T = token_ids.shape
+    if lengths is None:
+        lengths = np.full(B, T, dtype=np.int64)
+
+    def chan(prefix: str, toks, lens):
+        x = weights["E_word"][toks]
+        filters = {
+            win: (weights[f"{prefix}convW{win}"], weights[f"{prefix}convb{win}"])
+            for win in CNN_WINDOWS
+        }
+        return nn.conv_maxpool(x, filters, lens)
+
+    ch1 = chan("s", token_ids, lengths)
+    if dep_view is not None:
+        dep, dep_len = dep_view
+        dep_len = np.asarray(dep_len, dtype=np.int64)
+    else:
+        dep, dep_len = dep_view_gather(token_ids, pos1, pos2)
+    ch2 = chan("d", dep, dep_len)
     rep = np.concatenate([ch1, ch2], axis=1)
     probs = nn.softmax(rep @ weights["W_out"] + weights["b_out"])
     return probs.argmax(axis=1), probs.astype(np.float32)

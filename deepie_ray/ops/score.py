@@ -365,28 +365,198 @@ class PoE3Scorer(_TokenScorer):
         return _emit(batch, preds, probs)
 
 
-class StackedHeadScorer(_TokenScorer):
-    """Stacked CNN->biGRU, head readout (reference ``alternateHead``
-    family, rnnReModels.py:1148-1313)."""
+class GRUHeadBwdScorer(_TokenScorer):
+    """Backward-only GRU head readout (reference ``rnnHeadBackward``,
+    rnnReModels.py:1361-1363)."""
 
-    def __init__(self, seed: int = M.DEFAULT_SEED + 7):
-        self.weights = M.init_stacked_weights(seed, readout="head")
+    def __init__(self, seed: int = M.DEFAULT_SEED + 1):
+        self.weights = M.init_gru_fwd_weights(seed)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        preds, probs = M.stacked_head_forward(self.weights, *self._inputs(batch))
+        preds, probs = M.gru_head_bwd_forward(self.weights, *self._inputs(batch))
         return _emit(batch, preds, probs)
 
 
-class StackedMaxScorer(_TokenScorer):
-    """Stacked CNN->biGRU, max-pool readout (reference ``alternateMax``
-    family, rnnReModels.py:1148-1313)."""
+class _GRUMaxDirScorer(_TokenScorer):
+    """Single-direction GRU + max-pool members (reference
+    ``rnnMaxForward``/``rnnMaxBackward``, rnnReModels.py:1394-1400)."""
 
-    def __init__(self, seed: int = M.DEFAULT_SEED + 7):
-        self.weights = M.init_stacked_weights(seed, readout="max")
+    direction = "fwd"
+
+    def __init__(self, seed: int = M.DEFAULT_SEED + 3):
+        self.weights = M.init_gru_pool_weights(seed)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        preds, probs = M.stacked_max_forward(self.weights, *self._inputs(batch))
+        preds, probs = M.gru_max_forward(
+            self.weights, *self._inputs(batch), direction=self.direction
+        )
         return _emit(batch, preds, probs)
+
+
+class GRUMaxFwdScorer(_GRUMaxDirScorer):
+    direction = "fwd"
+
+
+class GRUMaxBwdScorer(_GRUMaxDirScorer):
+    direction = "bwd"
+
+
+class _FfHeadScorer(_TokenScorer):
+    """Sigmoid FF-RNN head-readout members (reference ``rnnHeadFf``/
+    ``rnnHeadFfForward``/``rnnHeadFfBackward``,
+    rnnReModels.py:1365-1375; cell ``rnn_ff`` :213-230)."""
+
+    direction = "bi"
+
+    def __init__(self, seed: int = M.DEFAULT_SEED + 8):
+        self.weights = M.init_ffrnn_weights(seed)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        preds, probs = M.ffrnn_head_forward(
+            self.weights, *self._inputs(batch), direction=self.direction
+        )
+        return _emit(batch, preds, probs)
+
+
+class FfHeadScorer(_FfHeadScorer):
+    direction = "bi"
+
+
+class FfHeadFwdScorer(_FfHeadScorer):
+    direction = "fwd"
+
+
+class FfHeadBwdScorer(_FfHeadScorer):
+    direction = "bwd"
+
+
+class _FfMaxScorer(_TokenScorer):
+    """Sigmoid FF-RNN max-pool members (reference ``rnnMaxFf``/
+    ``rnnMaxFfForward``/``rnnMaxFfBackward``, rnnReModels.py:1402-1413)."""
+
+    direction = "bi"
+
+    def __init__(self, seed: int = M.DEFAULT_SEED + 8):
+        self.weights = M.init_ffrnn_weights(seed)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        preds, probs = M.ffrnn_max_forward(
+            self.weights, *self._inputs(batch), direction=self.direction
+        )
+        return _emit(batch, preds, probs)
+
+
+class FfMaxScorer(_FfMaxScorer):
+    direction = "bi"
+
+
+class FfMaxFwdScorer(_FfMaxScorer):
+    direction = "fwd"
+
+
+class FfMaxBwdScorer(_FfMaxScorer):
+    direction = "bwd"
+
+
+class DualCNNScorer(_TokenScorer):
+    """Dual-channel CNN scorer (M14 beyond the GRU member: the
+    reference's ``-`` grammar pairs any encoder with the dep channel,
+    rnnRE.py:701-744)."""
+
+    def __init__(self, seed: int = M.DEFAULT_SEED + 10):
+        self.weights = M.init_dual_cnn_weights(seed)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        preds, probs = M.dual_cnn_forward(self.weights, *self._inputs(batch))
+        return _emit(batch, preds, probs)
+
+
+class _StackedScorer(_TokenScorer):
+    """Stacked CNN->GRU family (reference ``alternateHead``/
+    ``alternateMax`` + Forward/Backward/Deep members,
+    rnnReModels.py:1148-1277)."""
+
+    readout = "head"
+    direction = "bi"
+    depth = 1
+
+    def __init__(self, seed: int = M.DEFAULT_SEED + 7):
+        self.weights = M.init_stacked_weights(
+            seed, readout=self.readout, direction=self.direction, depth=self.depth
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        fwd = (
+            M.stacked_head_forward if self.readout == "head" else M.stacked_max_forward
+        )
+        preds, probs = fwd(
+            self.weights,
+            *self._inputs(batch),
+            direction=self.direction,
+            depth=self.depth,
+        )
+        return _emit(batch, preds, probs)
+
+
+class StackedHeadScorer(_StackedScorer):
+    readout = "head"
+
+
+class StackedMaxScorer(_StackedScorer):
+    readout = "max"
+
+
+class StackedHeadFwdScorer(_StackedScorer):
+    readout, direction = "head", "fwd"
+
+
+class StackedHeadBwdScorer(_StackedScorer):
+    readout, direction = "head", "bwd"
+
+
+class StackedMaxFwdScorer(_StackedScorer):
+    readout, direction = "max", "fwd"
+
+
+class StackedMaxBwdScorer(_StackedScorer):
+    readout, direction = "max", "bwd"
+
+
+class StackedHeadDeepScorer(_StackedScorer):
+    readout, depth = "head", 2
+
+
+class StackedMaxDeepScorer(_StackedScorer):
+    readout, depth = "max", 2
+
+
+class _AltConvScorer(_TokenScorer):
+    """GRU->CNN alternate family (reference ``alternateConv``/
+    ``alternateConvForward``/``alternateConvBackward``,
+    rnnReModels.py:1279-1313)."""
+
+    direction = "bi"
+
+    def __init__(self, seed: int = M.DEFAULT_SEED + 9):
+        self.weights = M.init_altconv_weights(seed, direction=self.direction)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        preds, probs = M.altconv_forward(
+            self.weights, *self._inputs(batch), direction=self.direction
+        )
+        return _emit(batch, preds, probs)
+
+
+class AltConvScorer(_AltConvScorer):
+    direction = "bi"
+
+
+class AltConvFwdScorer(_AltConvScorer):
+    direction = "fwd"
+
+
+class AltConvBwdScorer(_AltConvScorer):
+    direction = "bwd"
 
 
 class EnsembleScorer(_TokenScorer):
@@ -414,25 +584,40 @@ MODELS: dict[str, type] = {
     "multinn": MultiNNScorer,
     "gru_head": GRUHeadScorer,
     "gru_head_fwd": GRUHeadFwdScorer,
+    "gru_head_bwd": GRUHeadBwdScorer,
     "cnn": CNNScorer,
     "hybrid": HybridScorer,
     "gru_max": GRUMaxScorer,
+    "gru_max_fwd": GRUMaxFwdScorer,
+    "gru_max_bwd": GRUMaxBwdScorer,
     "gru_sum": GRUSumScorer,
     "gru_sum_dep": GRUSumDepScorer,
     "gru_att": GRUAttScorer,
     "gru_att_head": GRUAttHeadScorer,
+    "ffrnn_head": FfHeadScorer,
+    "ffrnn_head_fwd": FfHeadFwdScorer,
+    "ffrnn_head_bwd": FfHeadBwdScorer,
+    "ffrnn_max": FfMaxScorer,
+    "ffrnn_max_fwd": FfMaxFwdScorer,
+    "ffrnn_max_bwd": FfMaxBwdScorer,
     "conv_sum": ConvSumScorer,
     "dual_dep": DualChannelScorer,
+    "dual_dep_cnn": DualCNNScorer,
     "ensemble_gru_cnn": EnsembleScorer,
     "stacked_head": StackedHeadScorer,
+    "stacked_head_fwd": StackedHeadFwdScorer,
+    "stacked_head_bwd": StackedHeadBwdScorer,
+    "stacked_head_deep": StackedHeadDeepScorer,
     "stacked_max": StackedMaxScorer,
+    "stacked_max_fwd": StackedMaxFwdScorer,
+    "stacked_max_bwd": StackedMaxBwdScorer,
+    "stacked_max_deep": StackedMaxDeepScorer,
+    "altconv": AltConvScorer,
+    "altconv_fwd": AltConvFwdScorer,
+    "altconv_bwd": AltConvBwdScorer,
     "poe3": PoE3Scorer,
 }
 
-# which models need the token-id pairs table (parse with_tokens=True)
-NEEDS_TOKENS = {
-    "gru_head", "gru_head_fwd", "cnn", "hybrid", "gru_max", "gru_sum",
-    "gru_sum_dep", "gru_att",
-    "gru_att_head", "conv_sum", "dual_dep", "ensemble_gru_cnn",
-    "stacked_head", "stacked_max", "poe3",
-}
+# which models need the token-id pairs table (parse with_tokens=True):
+# every encoder except the sparse-feature log-linear MultiNN
+NEEDS_TOKENS = set(MODELS) - {"multinn"}

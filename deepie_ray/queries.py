@@ -852,9 +852,30 @@ def kg_triples_ensemble(sf_dir: str) -> rd.Dataset:
 
 
 def kg_triples_att(sf_dir: str) -> rd.Dataset:
-    """Attention-pooled biGRU extraction (reference ``rnnAttHead``) —
-    rows-only."""
+    """Attention-pooled biGRU extraction (reference ``rnnAttHead``,
+    linear exp(h.IW+Ib) scoring) — rows-only."""
     return _kg_model_query(sf_dir, "gru_att_head")
+
+
+def kg_triples_ffrnn(sf_dir: str) -> rd.Dataset:
+    """Sigmoid FF-RNN extraction (reference ``rnnHeadFf``,
+    rnnReModels.py:1365-1367; representative of the 6 registered
+    ffrnn_* members) — rows-only."""
+    return _kg_model_query(sf_dir, "ffrnn_head")
+
+
+def kg_triples_altconv(sf_dir: str) -> rd.Dataset:
+    """GRU->CNN alternate extraction (reference ``alternateConv``,
+    rnnReModels.py:1279-1289; representative of the altconv_* members)
+    — rows-only."""
+    return _kg_model_query(sf_dir, "altconv")
+
+
+def kg_triples_dep_cnn(sf_dir: str) -> rd.Dataset:
+    """Dual-channel CNN extraction (sentence + dep-path-view conv
+    channels — the CNN member of the reference's ``-`` dual-channel
+    grammar) — rows-only."""
+    return _kg_model_query(sf_dir, "dual_dep_cnn")
 
 
 def kg_linked(sf_dir: str) -> rd.Dataset:
