@@ -71,7 +71,13 @@ def _run_bench() -> None:
         timings[name] = round(best, 3)
         return out
 
-    # headline: flagship KG extraction (triples/sec is the BASELINE metric)
+    # headline: flagship KG extraction (triples/sec is the BASELINE
+    # metric), with the lineage CounterActor wired in — the bench path
+    # exercises the same per-stage counters the checkpoint store uses
+    # (north rule), not an uncounted fast path
+    from deepie_ray.ops.metrics import CounterActor
+
+    counter = CounterActor.remote()
     docs = pipeline.read_documents(sf_dir)
     triples = timed(
         "kg_extract",
@@ -79,10 +85,15 @@ def _run_bench() -> None:
             docs,
             score_concurrency=(1, max(2, min(8, num_cpus // 2))),
             with_prob=False,  # prob is the S7 sink's column; graph path never reads it
+            counter=counter,
         ).materialize(),
     )
     n_triples = triples.count()
     triples_per_sec = round(n_triples / timings["kg_extract"], 1)
+    # counters accumulate over all timed reps (at-least-once lineage
+    # semantics documented in ops/metrics.py); sanity: the scorer is
+    # 1:1 per pair, so parse rows_out == score rows_in == score rows_out
+    lineage = ray.get(counter.get.remote())
 
     # full graph build on top of the extracted triples
     timed("kg_graph", lambda: [d.materialize() for d in _graph(triples)])
@@ -109,6 +120,7 @@ def _run_bench() -> None:
                 "num_cpus": num_cpus,
                 "n_triples": n_triples,
                 "triples_per_sec": triples_per_sec,
+                "lineage": lineage,
             }
         )
     )
@@ -182,6 +194,105 @@ def _run_scaling_work() -> None:
                 "value": round(dt, 3),
                 "n_triples": n,
                 "triples_per_sec": round(n / dt, 1),
+                "num_cpus": num_cpus,
+                "replicate": factor,
+            }
+        )
+    )
+    ray.shutdown()
+
+
+def _run_scaling_shuffle_work() -> None:
+    """One SHUFFLE-HEAVY scaling measurement in this process: the q5
+    core hash join (replicated lineitem |x| orders, hash-partitioned)
+    followed by a combiner-first grouped aggregation over ~150k
+    customer keys — the all-to-all exchange path, complementing the
+    map-only flagship probe (round-2 verdict: the efficiency claim
+    rested on an embarrassingly-parallel workload).
+
+    Partition count is FIXED across CPU levels (8) so both levels run
+    the identical plan and only the worker pool varies — the same
+    control a real N- vs 4N-node comparison would use."""
+    import warnings
+
+    warnings.filterwarnings("ignore")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    factor = int(os.environ.get("GRAFT_SCALING_REPLICATE", "8"))
+
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from deepie_ray.tuning import apply_recommended_context
+
+    apply_recommended_context()
+    import logging
+
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from deepie_ray.ops import joins
+
+    def rep(batch: pa.Table) -> pa.Table:
+        return pa.concat_tables([batch] * factor)
+
+    # input prep (untimed): replicated lineitem + orders pinned in the
+    # object store — the timed job is shuffle + join + grouped agg
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        override_num_blocks=max(8, num_cpus),
+    ).map_batches(rep, batch_format="pyarrow").materialize()
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    ).materialize()
+
+    def job(left):
+        j = joins.hash_join(
+            left, orders, on="l_orderkey", right_on="o_orderkey", num_partitions=8
+        )
+
+        def partial(t: pa.Table) -> pa.Table:
+            rev = pc.multiply(
+                t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+            )
+            g = (
+                pa.table({"o_custkey": t["o_custkey"], "rev": rev})
+                .group_by("o_custkey")
+                .aggregate([("rev", "sum")])
+            )
+            return pa.table({"o_custkey": g["o_custkey"], "rev": g["rev_sum"]})
+
+        return (
+            j.map_batches(partial, batch_format="pyarrow")
+            .groupby("o_custkey")
+            .aggregate(Sum("rev", alias_name="rev"))
+            .count()
+        )
+
+    # warm-up (untimed): spawn workers + join aggregator actors once
+    job(li.limit(20_000))
+    n_rows = li.count()
+    t0 = time.monotonic()
+    n_groups = job(li)
+    dt = time.monotonic() - t0
+    print(
+        json.dumps(
+            {
+                "value": round(dt, 3),
+                "n_rows_joined": n_rows,
+                "n_groups": n_groups,
+                "rows_per_sec": round(n_rows / dt, 1),
                 "num_cpus": num_cpus,
                 "replicate": factor,
             }
@@ -278,17 +389,26 @@ def _controls(lo: int, hi: int) -> dict:
                 os.environ[k] = v
 
 
-def _measure_pair(lo: int, hi: int, replicate: int, reps: int) -> dict:
+def _measure_pair(
+    lo: int,
+    hi: int,
+    replicate: int,
+    reps: int,
+    mode: str = "scaling_work",
+    thr_key: str = "triples_per_sec",
+) -> dict:
     """Best-of-``reps`` per level, INTERLEAVED lo/hi so slow ambient
     drift (thermal/turbo state, background load) hits both levels
-    equally."""
+    equally.  ``mode`` selects the probe workload: ``scaling_work``
+    (map-only flagship extraction) or ``scaling_shuffle`` (hash join +
+    grouped aggregation — the all-to-all path)."""
     results: dict[int, dict] = {}
     for _ in range(reps):
         for n in (lo, hi):
             env = dict(
                 os.environ,
                 RAY_GRAFT_CPUS=str(n),
-                GRAFT_BENCH_MODE="scaling_work",
+                GRAFT_BENCH_MODE=mode,
                 GRAFT_SCALING_REPLICATE=str(replicate),
             )
             out = subprocess.run(
@@ -309,9 +429,8 @@ def _measure_pair(lo: int, hi: int, replicate: int, reps: int) -> dict:
         "replicate": replicate,
         "sec_lo": t_lo,
         "sec_hi": t_hi,
-        "thr_lo_triples_per_sec": results[lo]["triples_per_sec"],
-        "thr_hi_triples_per_sec": results[hi]["triples_per_sec"],
-        "n_triples": results[hi]["n_triples"],
+        f"thr_lo_{thr_key}": results[lo][thr_key],
+        f"thr_hi_{thr_key}": results[hi][thr_key],
         "scaling_efficiency": round((t_lo / t_hi) / (hi / lo), 3),
     }
 
@@ -327,6 +446,13 @@ def _run_scaling() -> None:
     pair measures the machine; both are printed."""
     pair_2v8 = _measure_pair(2, 8, replicate=48, reps=2)
     pair_8v32 = _measure_pair(8, 32, replicate=96, reps=3)
+    # shuffle-heavy probe (round-2 verdict #3): hash join + grouped agg
+    shuffle_2v8 = _measure_pair(
+        2, 8, replicate=8, reps=2, mode="scaling_shuffle", thr_key="rows_per_sec"
+    )
+    shuffle_8v32 = _measure_pair(
+        8, 32, replicate=8, reps=2, mode="scaling_shuffle", thr_key="rows_per_sec"
+    )
     controls = _controls(8, 32)
     print(
         json.dumps(
@@ -335,6 +461,8 @@ def _run_scaling() -> None:
                 "scaling_efficiency": pair_2v8["scaling_efficiency"],
                 "pair_2v8": pair_2v8,
                 "pair_8v32": pair_8v32,
+                "shuffle_pair_2v8": shuffle_2v8,
+                "shuffle_pair_8v32": shuffle_8v32,
                 "controls_8v32": controls,
             }
         )
@@ -346,5 +474,7 @@ if __name__ == "__main__":
         _run_scaling()
     elif os.environ.get("GRAFT_BENCH_MODE") == "scaling_work":
         _run_scaling_work()
+    elif os.environ.get("GRAFT_BENCH_MODE") == "scaling_shuffle":
+        _run_scaling_shuffle_work()
     else:
         _run_bench()

@@ -117,3 +117,26 @@ def test_materialize_graph_writes_parquet(tmp_path):
         "/root/testdata/sf0.001", str(tmp_path / "graph")
     )
     assert again == paths
+
+
+def test_bench_path_counters_match_rows():
+    """The BENCH flagship path (emitted_triples with a CounterActor, no
+    checkpoint_dir) exercises real lineage counters: the scorer is 1:1
+    per pair, so parse rows_out == score rows_in == score rows_out, and
+    the emitted (non-NONE) triples are a subset of the scored rows
+    (round-2 verdict #8 — lineage where performance is measured)."""
+    import ray
+
+    from deepie_ray.ops.metrics import CounterActor
+
+    counter = CounterActor.remote()
+    docs = _docs()
+    n_docs = docs.count()
+    emitted = pipeline.emitted_triples(docs, counter=counter).materialize()
+    n_emitted = emitted.count()
+    counts = ray.get(counter.get.remote())
+    assert set(counts) == {"parse", "score"}
+    assert counts["parse"]["rows_in"] == n_docs
+    assert counts["parse"]["rows_out"] == counts["score"]["rows_in"]
+    assert counts["score"]["rows_in"] == counts["score"]["rows_out"]
+    assert 0 < n_emitted <= counts["score"]["rows_out"]
