@@ -75,6 +75,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_lsh": Q.ann_topk_lsh,
         "ann_topk_ivf": Q.ann_topk_ivf,
         "ngram_jaccard_pairs": Q.ngram_jaccard_pairs,
+        "ngram_jaccard_exact": Q.ngram_jaccard_exact,
         # reference-shaped ACE workflow (S1+A5+M12+T3+A6)
         "ace_relation_extraction": Q.ace_relation_extraction,
         # flagship KG pipeline
@@ -134,6 +135,32 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(o_totalprice), 2) AS total_price,
                    count(*)::BIGINT            AS n_orders
             FROM orders GROUP BY o_orderstatus
+        """,
+        "ngram_jaccard_exact": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                 x -> x <> '') AS t
+              FROM documents
+            ),
+            sh AS (
+              SELECT doc_id,
+                     CASE
+                       WHEN len(t) = 0 THEN []::VARCHAR[]
+                       WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                       ELSE list_distinct(list_transform(range(1, len(t) - 1),
+                                          i -> array_to_string(t[i:i+2], ' ')))
+                     END AS s
+              FROM toks
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   len(list_intersect(a.s, b.s))::BIGINT AS n_inter,
+                   (len(a.s) + len(b.s)
+                    - len(list_intersect(a.s, b.s)))::BIGINT AS n_union
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE len(a.s) > 0 AND len(b.s) > 0
+              AND len(list_intersect(a.s, b.s)) * 10
+                  >= 3 * (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
         """,
         "top10_customers_by_spend": """
             SELECT c.c_custkey, c.c_name, round(sum(o.o_totalprice), 2) AS spend

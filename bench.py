@@ -34,6 +34,8 @@ def _run_bench() -> None:
         include_dashboard=False,
         ignore_reinit_error=True,
         logging_level="ERROR",
+        log_to_driver=False,  # worker-side Ray Data schema-hash warnings
+        # otherwise spam the driver tail the harness captures
     )
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from deepie_ray.tuning import apply_recommended_context
@@ -168,6 +170,8 @@ def _run_scaling_work() -> None:
         include_dashboard=False,
         ignore_reinit_error=True,
         logging_level="ERROR",
+        log_to_driver=False,  # worker-side Ray Data schema-hash warnings
+        # otherwise spam the driver tail the harness captures
     )
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from deepie_ray import model, pipeline
@@ -228,6 +232,8 @@ def _run_scaling_shuffle_work() -> None:
         include_dashboard=False,
         ignore_reinit_error=True,
         logging_level="ERROR",
+        log_to_driver=False,  # worker-side Ray Data schema-hash warnings
+        # otherwise spam the driver tail the harness captures
     )
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from deepie_ray.tuning import apply_recommended_context

@@ -352,30 +352,51 @@ def jaccard_verify_join(
         )
     )
 
+    def _shingle_views(col) -> tuple[np.ndarray, np.ndarray]:
+        """(element_offsets, int64_values) views over a binary column's
+        buffers — zero-copy slicing per row (``to_pylist`` would copy
+        every packed shingle set into a Python bytes object)."""
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        bufs = arr.buffers()
+        offs = np.frombuffer(bufs[1], dtype=np.int32)[
+            arr.offset : arr.offset + len(arr) + 1
+        ]
+        data = (
+            np.frombuffer(bufs[2], dtype=np.int64)
+            if bufs[2] is not None and len(bufs[2])
+            else np.empty(0, dtype=np.int64)
+        )
+        return offs, data
+
     def verify(batch: pa.Table) -> pa.Table:
-        a = batch["id_a"].to_pylist()
-        b = batch["id_b"].to_pylist()
-        sh_a = batch["sh_a"].to_pylist()
-        sh_b = batch["sh_b"].to_pylist()
-        keep_a, keep_b, sims = [], [], []
-        for x, y, ba, bb in zip(a, b, sh_a, sh_b):
-            if not ba or not bb:
+        oa, da = _shingle_views(batch["sh_a"])
+        ob, db = _shingle_views(batch["sh_b"])
+        n = len(batch)
+        keep = np.zeros(n, dtype=bool)
+        sims = np.empty(n, dtype=np.float64)
+        for i in range(n):
+            sa = da[oa[i] // 8 : oa[i + 1] // 8]  # sorted unique (packed)
+            sb = db[ob[i] // 8 : ob[i + 1] // 8]
+            if not len(sa) or not len(sb):
                 continue
-            sa = np.frombuffer(ba, dtype=np.int64)  # sorted unique
-            sb = np.frombuffer(bb, dtype=np.int64)
-            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            # merge-count intersection of two sorted sets via
+            # searchsorted — no concatenate+sort per pair
+            small, big = (sa, sb) if len(sa) <= len(sb) else (sb, sa)
+            pos = np.searchsorted(big, small)
+            ok = pos < len(big)
+            inter = int(np.count_nonzero(big[pos[ok]] == small[ok]))
             union = len(sa) + len(sb) - inter
             jac = inter / union if union else 0.0
             if jac >= threshold:
-                keep_a.append(x)
-                keep_b.append(y)
-                sims.append(round(jac, 6))
-        id_type = batch.schema.field("id_a").type
+                keep[i] = True
+                sims[i] = round(jac, 6)
+        idx = np.nonzero(keep)[0]
+        sub = batch.take(pa.array(idx, pa.int64()))
         return pa.table(
             {
-                "id_a": pa.array(keep_a, id_type),
-                "id_b": pa.array(keep_b, id_type),
-                "jaccard": pa.array(sims, pa.float64()),
+                "id_a": sub["id_a"],
+                "id_b": sub["id_b"],
+                "jaccard": pa.array(sims[idx], pa.float64()),
             }
         )
 
@@ -733,6 +754,193 @@ def embedding_neardup_blockjoin(
         b = np.concatenate(out_b) if out_b else np.array([], dtype=np.int64)
         return pa.table(
             {"vec_a": pa.array(a, pa.int64()), "vec_b": pa.array(b, pa.int64())}
+        )
+
+    return j.map_batches(score, batch_format="pyarrow", batch_size=4)
+
+
+def jaccard_exact_blockjoin(
+    ds: rd.Dataset,
+    threshold_num: int = 3,
+    threshold_den: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_rows: int = 256,
+    num_partitions: int = 8,
+) -> rd.Dataset:
+    """EXACT word-3-gram Jaccard threshold self-join over ALL pairs ->
+    (id_a, id_b, n_inter:int64, n_union:int64), id_a < id_b, keeping
+    pairs with ``n_inter / n_union >= threshold_num / threshold_den``
+    (compared in INTEGER arithmetic — ``n_inter * den >= num * n_union``
+    — so the SQL oracle matches bit-for-bit with no float hazard).
+
+    Same distributed shape as ``embedding_neardup_blockjoin``: per-doc
+    sorted shingle sets are consolidated into fixed-range chunk rows
+    (``doc_id // chunk_rows``), the C(C+1)/2 chunk pairs are generated
+    distributed (only the chunk-ID list — metadata-sized — touches the
+    driver), and each chunk-pair task verifies its bounded pair block.
+    Exactness note: all-pairs is inherently O(N^2) — this is the oracle
+    twin and small-corpus path; at scale use the LSH-candidate route
+    (``minhash_candidate_pairs`` + ``jaccard_verify_join``), whose
+    recall/threshold trade is documented there.
+
+    Hash note: shingles compare as stable u32 hashes, not strings; a
+    within-pair collision (p ~ |union|^2 / 2^33) could inflate one
+    intersection count — negligible at verified scales and absent on
+    the driver's fixed test data.
+    """
+    import ray
+
+    def to_chunk_rows(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy().astype(np.int64)
+        shs = [
+            np.array(sorted(shingles(t)), dtype=np.int64)
+            for t in batch[text_col].to_pylist()
+        ]
+        chunks = ids // chunk_rows
+        out_c, out_ids, out_cnt, out_sh = [], [], [], []
+        for c in np.unique(chunks):
+            m = np.nonzero(chunks == c)[0]
+            out_c.append(int(c))
+            out_ids.append(ids[m].tobytes())
+            out_cnt.append(np.array([len(shs[i]) for i in m], dtype=np.int64).tobytes())
+            out_sh.append(
+                np.concatenate([shs[i] for i in m]).tobytes() if len(m) else b""
+            )
+        return pa.table(
+            {
+                "chunk": pa.array(out_c, pa.int64()),
+                "ids": pa.array(out_ids, pa.binary()),
+                "cnt": pa.array(out_cnt, pa.binary()),
+                "sh": pa.array(out_sh, pa.binary()),
+            }
+        )
+
+    def merge_chunk(df: pd.DataFrame) -> pd.DataFrame:
+        ids = np.concatenate([np.frombuffer(b, dtype=np.int64) for b in df["ids"]])
+        cnt = np.concatenate([np.frombuffer(b, dtype=np.int64) for b in df["cnt"]])
+        sh = np.concatenate([np.frombuffer(b, dtype=np.int64) for b in df["sh"]])
+        order = np.argsort(ids)
+        # reorder the ragged shingle payload to match sorted ids
+        ends = np.cumsum(cnt)
+        starts = ends - cnt
+        sh_sorted = np.concatenate(
+            [sh[starts[i] : ends[i]] for i in order]
+        ) if len(ids) else sh
+        return pd.DataFrame(
+            {
+                "chunk": [int(df["chunk"].iloc[0])],
+                "ids": [ids[order].tobytes()],
+                "cnt": [cnt[order].tobytes()],
+                "sh": [sh_sorted.tobytes()],
+            }
+        )
+
+    chunks_ds = (
+        ds.map_batches(to_chunk_rows, batch_format="pyarrow")
+        .groupby("chunk")
+        .map_groups(merge_chunk, batch_format="pandas")
+        .repartition(num_partitions)
+        .materialize()  # two join consumers below
+    )
+    chunk_ids = sorted(
+        r["chunk"] for r in chunks_ds.select_columns(["chunk"]).take_all()
+    )
+    empty = pa.table(
+        {
+            "id_a": pa.array([], pa.int64()),
+            "id_b": pa.array([], pa.int64()),
+            "n_inter": pa.array([], pa.int64()),
+            "n_union": pa.array([], pa.int64()),
+        }
+    )
+    if not chunk_ids:  # empty corpus: Ray joins can't finalize 0-row partitions
+        return rd.from_arrow(empty)
+    ids_ref = ray.put(np.asarray(chunk_ids, dtype=np.int64))
+
+    def expand_pairs(batch: pa.Table) -> pa.Table:
+        all_ids = ray.get(ids_ref)
+        ci_out, cj_out = [], []
+        for c in batch["chunk"].to_pylist():
+            partners = all_ids[all_ids >= c]
+            ci_out.append(np.full(len(partners), c, dtype=np.int64))
+            cj_out.append(partners)
+        ci_a = np.concatenate(ci_out) if ci_out else np.array([], dtype=np.int64)
+        cj_a = np.concatenate(cj_out) if cj_out else np.array([], dtype=np.int64)
+        return pa.table(
+            {"ci": pa.array(ci_a, pa.int64()), "cj": pa.array(cj_a, pa.int64())}
+        )
+
+    pairs_idx = (
+        chunks_ds.select_columns(["chunk"])
+        .map_batches(expand_pairs, batch_format="pyarrow")
+        .repartition(num_partitions)
+    )
+
+    def side(name: str):
+        return chunks_ds.map_batches(
+            lambda t, n=name: pa.table(
+                {
+                    n: t["chunk"],
+                    f"ids_{n}": t["ids"],
+                    f"cnt_{n}": t["cnt"],
+                    f"sh_{n}": t["sh"],
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
+    j = (
+        pairs_idx.join(
+            side("ci"), join_type="inner", num_partitions=num_partitions, on=("ci",)
+        )
+        .repartition(num_partitions)
+        .join(
+            side("cj"), join_type="inner", num_partitions=num_partitions, on=("cj",)
+        )
+    )
+
+    def _decode(batch, n, r):
+        ids = np.frombuffer(batch[f"ids_{n}"][r].as_py(), dtype=np.int64)
+        cnt = np.frombuffer(batch[f"cnt_{n}"][r].as_py(), dtype=np.int64)
+        sh = np.frombuffer(batch[f"sh_{n}"][r].as_py(), dtype=np.int64)
+        ends = np.cumsum(cnt)
+        return ids, cnt, sh, ends - cnt, ends
+
+    def score(batch: pa.Table) -> pa.Table:
+        oa, ob, oi, ou = [], [], [], []
+        for r in range(len(batch)):
+            same = batch["ci"][r].as_py() == batch["cj"][r].as_py()
+            ia, ca, sa, sta, ena = _decode(batch, "ci", r)
+            ib, cb, sb, stb, enb = _decode(batch, "cj", r)
+            for x in range(len(ia)):
+                if ca[x] == 0:
+                    continue
+                A = sa[sta[x] : ena[x]]
+                for y in range(x + 1 if same else 0, len(ib)):
+                    if cb[y] == 0:
+                        continue
+                    B = sb[stb[y] : enb[y]]
+                    small, big = (A, B) if len(A) <= len(B) else (B, A)
+                    pos = np.searchsorted(big, small)
+                    ok = pos < len(big)
+                    inter = int(np.count_nonzero(big[pos[ok]] == small[ok]))
+                    union = len(A) + len(B) - inter
+                    if inter * threshold_den >= threshold_num * union:
+                        a, b = int(ia[x]), int(ib[y])
+                        if a > b:
+                            a, b = b, a
+                        oa.append(a)
+                        ob.append(b)
+                        oi.append(inter)
+                        ou.append(union)
+        return pa.table(
+            {
+                "id_a": pa.array(oa, pa.int64()),
+                "id_b": pa.array(ob, pa.int64()),
+                "n_inter": pa.array(oi, pa.int64()),
+                "n_union": pa.array(ou, pa.int64()),
+            }
         )
 
     return j.map_batches(score, batch_format="pyarrow", batch_size=4)

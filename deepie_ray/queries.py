@@ -759,6 +759,16 @@ def ngram_jaccard_pairs(sf_dir: str) -> rd.Dataset:
     )
 
 
+def ngram_jaccard_exact(sf_dir: str) -> rd.Dataset:
+    """EXACT all-pairs word-3-gram Jaccard (>= 0.3) as the distributed
+    block-pair cross join -> (id_a, id_b, n_inter, n_union) in integer
+    arithmetic — the oracle-checkable twin of the LSH-candidate
+    ``ngram_jaccard_pairs`` (DuckDB recomputes the shingle sets with
+    list kernels and value-hash-verifies the counts)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return dedup.jaccard_exact_blockjoin(ds, threshold_num=3, threshold_den=10)
+
+
 # ------------------------------------------------------------ KG pipeline
 
 

@@ -812,3 +812,41 @@ def test_quantile_sketch_merge_matches_whole():
     assert sketch.quantile_value(*merged[:2], 0.5) == float(
         np.percentile(vals, 50)
     )
+
+
+def test_jaccard_exact_blockjoin_matches_bruteforce():
+    """jaccard_exact_blockjoin (distributed chunk-pair cross join) ==
+    brute-force all-pairs over the same shingle sets, integer
+    inter/union arithmetic."""
+    texts = []
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    for i in range(30):
+        words = base.split()
+        if i % 3 == 0:
+            words[i % len(words)] = f"mut{i}"
+        texts.append(" ".join(words) + f" tail{i // 10}")
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(30), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    got = (
+        dedup.jaccard_exact_blockjoin(
+            rd.from_arrow(t), threshold_num=3, threshold_den=10, chunk_rows=7
+        )
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    want = []
+    sets = [dedup.shingles(x) for x in texts]
+    for a in range(30):
+        for b in range(a + 1, 30):
+            if not sets[a] or not sets[b]:
+                continue
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            if inter * 10 >= 3 * union:
+                want.append((a, b, inter, union))
+    assert list(map(tuple, got.to_records(index=False))) == want
