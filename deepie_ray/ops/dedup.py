@@ -171,13 +171,14 @@ def minhash_candidate_pairs(
     This is the standard LSH recall/cost trade at hot buckets, chosen
     over O(n^2) pairing on near-identical floods.
     """
+    # stateless TASKS, not an actor pool: the per-call state
+    # (_perm_params) costs ~50us to rebuild, far below the pool's spawn
+    # latency, and task elasticity follows the CPU count exactly
+    def bands_fn(batch: pa.Table, _tc=text_col, _ic=id_col) -> pa.Table:
+        return MinHashBands(_tc, _ic)(batch)
+
     bands = (
-        ds.map_batches(
-            MinHashBands,
-            fn_constructor_kwargs={"text_col": text_col, "id_col": id_col},
-            batch_format="pyarrow",
-            concurrency=(1, 8),
-        )
+        ds.map_batches(bands_fn, batch_format="pyarrow")
         .repartition(8)  # merge empty blocks pre-join
         .materialize()
     )
