@@ -76,6 +76,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_ivf": Q.ann_topk_ivf,
         "ngram_jaccard_pairs": Q.ngram_jaccard_pairs,
         "ngram_jaccard_exact": Q.ngram_jaccard_exact,
+        "contamination_ngram": Q.contamination_ngram,
         # reference-shaped ACE workflow (S1+A5+M12+T3+A6)
         "ace_relation_extraction": Q.ace_relation_extraction,
         # flagship KG pipeline
@@ -161,6 +162,31 @@ def oracle_sql() -> dict[str, str]:
             WHERE len(a.s) > 0 AND len(b.s) > 0
               AND len(list_intersect(a.s, b.s)) * 10
                   >= 3 * (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+        """,
+        "contamination_ngram": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                 x -> x <> '') AS t
+              FROM documents
+            ),
+            sh AS (
+              SELECT doc_id,
+                     CASE
+                       WHEN len(t) = 0 THEN []::VARCHAR[]
+                       WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                       ELSE list_distinct(list_transform(range(1, len(t) - 1),
+                                          i -> array_to_string(t[i:i+2], ' ')))
+                     END AS s
+              FROM toks
+            ),
+            bench AS (
+              SELECT list_distinct(flatten(list(s))) AS bs FROM sh WHERE doc_id < 10
+            )
+            SELECT doc_id,
+                   len(s)::BIGINT AS n_shingles,
+                   len(list_intersect(s, bs))::BIGINT AS n_overlap
+            FROM sh CROSS JOIN bench WHERE doc_id >= 10
         """,
         "top10_customers_by_spend": """
             SELECT c.c_custkey, c.c_name, round(sum(o.o_totalprice), 2) AS spend

@@ -760,6 +760,68 @@ def embedding_neardup_blockjoin(
     return j.map_batches(score, batch_format="pyarrow", batch_size=4)
 
 
+def benchmark_shingles(bench_ds: rd.Dataset, text_col: str = "text") -> np.ndarray:
+    """Union of word-3-gram hashes of a BENCHMARK corpus, as a sorted
+    int64 array for broadcast.  Benchmark/eval sets are fixed-size by
+    definition (they do not scale with the training corpus), so the
+    driver-side union is bounded — the same justification as the
+    alias-map broadcast in ops/link.py."""
+    out: set[int] = set()
+    for batch in bench_ds.iter_batches(batch_format="pyarrow"):
+        for t in batch[text_col].to_pylist():
+            out |= shingles(t)
+    return np.array(sorted(out), dtype=np.int64)
+
+
+def contamination_counts(
+    ds: rd.Dataset,
+    bench: np.ndarray,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> rd.Dataset:
+    """Benchmark decontamination (training-data staple): per corpus doc,
+    the word-3-gram overlap with a broadcast benchmark shingle set ->
+    (doc_id, n_shingles:int64, n_overlap:int64) in integer arithmetic
+    (flagging/thresholding is a trivial downstream filter; integer
+    counts value-hash-match the DuckDB list-kernel oracle).
+
+    Scale shape: the benchmark array ships via ``ray.put`` ONCE and is
+    read in each actor's ``__init__``; the corpus streams through
+    ``map_batches`` — no shuffle, no driver materialization of corpus
+    data.  Overlap is a sorted-array ``searchsorted`` merge count per
+    doc."""
+    import ray
+
+    bench_ref = ray.put(np.sort(np.asarray(bench, dtype=np.int64)))
+
+    class Contam:
+        def __init__(self):
+            self.bench = ray.get(bench_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            texts = batch[text_col].to_pylist()
+            ns = np.zeros(len(texts), dtype=np.int64)
+            nov = np.zeros(len(texts), dtype=np.int64)
+            for i, t in enumerate(texts):
+                s = np.fromiter(shingles(t), dtype=np.int64)
+                ns[i] = len(s)
+                if not len(s) or not len(self.bench):
+                    continue
+                s.sort()
+                pos = np.searchsorted(self.bench, s)
+                ok = pos < len(self.bench)
+                nov[i] = int(np.count_nonzero(self.bench[pos[ok]] == s[ok]))
+            return pa.table(
+                {
+                    id_col: batch[id_col],
+                    "n_shingles": pa.array(ns, pa.int64()),
+                    "n_overlap": pa.array(nov, pa.int64()),
+                }
+            )
+
+    return ds.map_batches(Contam, batch_format="pyarrow", concurrency=(1, 8))
+
+
 def jaccard_exact_blockjoin(
     ds: rd.Dataset,
     threshold_num: int = 3,

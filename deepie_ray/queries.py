@@ -759,6 +759,26 @@ def ngram_jaccard_pairs(sf_dir: str) -> rd.Dataset:
     )
 
 
+def contamination_ngram(sf_dir: str) -> rd.Dataset:
+    """Benchmark decontamination: per corpus doc (doc_id >= 10), the
+    word-3-gram overlap with the doc_id < 10 'benchmark' set ->
+    (doc_id, n_shingles, n_overlap).  The benchmark union broadcasts
+    via ray.put (fixed-size by definition); the corpus streams.
+    Oracle: DuckDB recomputes both sides with list kernels."""
+    bench_ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text"],
+        filter=(pc.field("doc_id") < 10),
+    )
+    bench = dedup.benchmark_shingles(bench_ds)
+    corpus = rd.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text"],
+        filter=(pc.field("doc_id") >= 10),
+    )
+    return dedup.contamination_counts(corpus, bench)
+
+
 def ngram_jaccard_exact(sf_dir: str) -> rd.Dataset:
     """EXACT all-pairs word-3-gram Jaccard (>= 0.3) as the distributed
     block-pair cross join -> (id_a, id_b, n_inter, n_union) in integer

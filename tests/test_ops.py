@@ -850,3 +850,34 @@ def test_jaccard_exact_blockjoin_matches_bruteforce():
             if inter * 10 >= 3 * union:
                 want.append((a, b, inter, union))
     assert list(map(tuple, got.to_records(index=False))) == want
+
+
+def test_contamination_counts_broadcast():
+    """Benchmark-overlap counts: a doc copied from the benchmark scores
+    full overlap; an unrelated doc scores zero; counts are exact ints."""
+    bench_texts = ["alpha beta gamma delta epsilon zeta", "one two three four five"]
+    bench = dedup.benchmark_shingles(
+        rd.from_arrow(pa.table({"text": pa.array(bench_texts, pa.string())}))
+    )
+    corpus = pa.table(
+        {
+            "doc_id": pa.array([10, 11, 12], pa.int64()),
+            "text": pa.array(
+                [
+                    "alpha beta gamma delta epsilon zeta",  # fully contaminated
+                    "nope zip zilch nada niente rien du tout",  # clean
+                    "",  # empty
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    out = (
+        dedup.contamination_counts(rd.from_arrow(corpus), bench)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["n_overlap"].tolist()[0] == out["n_shingles"].tolist()[0] > 0
+    assert out["n_overlap"].tolist()[1] == 0
+    assert out["n_shingles"].tolist()[2] == 0 and out["n_overlap"].tolist()[2] == 0
