@@ -77,6 +77,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": Q.ngram_jaccard_pairs,
         "ngram_jaccard_exact": Q.ngram_jaccard_exact,
         "contamination_ngram": Q.contamination_ngram,
+        "repeated_ngrams": Q.repeated_ngrams,
+        "docs_by_lang": Q.docs_by_lang,
         # reference-shaped ACE workflow (S1+A5+M12+T3+A6)
         "ace_relation_extraction": Q.ace_relation_extraction,
         # flagship KG pipeline
@@ -162,6 +164,34 @@ def oracle_sql() -> dict[str, str]:
             WHERE len(a.s) > 0 AND len(b.s) > 0
               AND len(list_intersect(a.s, b.s)) * 10
                   >= 3 * (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+        """,
+        "repeated_ngrams": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                 x -> x <> '') AS t
+              FROM documents
+            ),
+            sh AS (
+              SELECT doc_id,
+                     CASE
+                       WHEN len(t) = 0 THEN []::VARCHAR[]
+                       WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                       ELSE list_distinct(list_transform(range(1, len(t) - 1),
+                                          i -> array_to_string(t[i:i+2], ' ')))
+                     END AS s
+              FROM toks
+            )
+            SELECT u.gram, count(*)::BIGINT AS n_docs
+            FROM sh, unnest(sh.s) AS u(gram)
+            GROUP BY u.gram
+            HAVING count(*) >= 5
+        """,
+        "docs_by_lang": """
+            SELECT lang,
+                   sum(n_chars)::BIGINT AS total_chars,
+                   count(*)::BIGINT     AS n_docs
+            FROM documents GROUP BY lang
         """,
         "contamination_ngram": r"""
             WITH toks AS (

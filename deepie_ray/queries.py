@@ -759,6 +759,83 @@ def ngram_jaccard_pairs(sf_dir: str) -> rd.Dataset:
     )
 
 
+def repeated_ngrams(sf_dir: str) -> rd.Dataset:
+    """Corpus-level boilerplate detection: word-3-grams appearing in
+    >= 5 distinct documents -> (gram, n_docs).  Combiner-first: each
+    batch emits its DISTINCT (gram, doc) pairs pre-counted per gram,
+    then one grouped sum — the same partial-aggregate shape as
+    word_count_global, over n-grams."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for txt in t["text"].to_pylist():
+            toks = (txt or "").lower().split()
+            if len(toks) < 3:
+                grams = {" ".join(toks)} if toks else set()
+            else:
+                grams = {
+                    " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+                }
+            c.update(grams)  # distinct per doc
+        return pa.table(
+            {
+                "gram": pa.array(list(c.keys()), pa.string()),
+                "n_docs": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("gram")
+        .aggregate(Sum("n_docs", alias_name="n_docs"))
+    )
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t["n_docs"], 5))
+        return pa.table(
+            {"gram": t["gram"], "n_docs": pc.cast(t["n_docs"], pa.int64())}
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def docs_by_lang(sf_dir: str) -> rd.Dataset:
+    """Per-language corpus rollup (doc count + char sum) — the routine
+    monitoring aggregate of a training-data pipeline."""
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("lang").aggregate([("n_chars", "sum"), ([], "count_all")])
+        return pa.table(
+            {
+                "lang": g["lang"],
+                "total_chars": g["n_chars_sum"],
+                "n_docs": g["count_all"],
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(
+            Sum("total_chars", alias_name="total_chars"),
+            Sum("n_docs", alias_name="n_docs"),
+        )
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "lang": t["lang"],
+                "total_chars": pc.cast(t["total_chars"], pa.int64()),
+                "n_docs": pc.cast(t["n_docs"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def contamination_ngram(sf_dir: str) -> rd.Dataset:
     """Benchmark decontamination: per corpus doc (doc_id >= 10), the
     word-3-gram overlap with the doc_id < 10 'benchmark' set ->
