@@ -292,6 +292,7 @@ def build_graph(
 def run_kg(
     sf_dir: str,
     checkpoint_dir: str | None = None,
+    model_name: str = "multinn",
     **extract_kw,
 ) -> dict[str, rd.Dataset]:
     """Full pipeline.  Returns {'triples', 'linked', 'nodes', 'edges'}.
@@ -299,6 +300,12 @@ def run_kg(
     With ``checkpoint_dir`` the emitted triples are written to
     partitioned parquet and re-read (resume point); without it they are
     pinned in the object store (small-scale runs).
+
+    ``model_name`` selects the extraction scorer from the registry
+    (ops/score.MODELS — the engine's counterpart of the reference's
+    evaluate.py model-selector grammar); the default is the flagship
+    MultiNN path, which also supports counters/with_prob via
+    ``extract_kw``.
     """
     docs = read_documents(sf_dir)
     # narrow path: link/canon/graph never read prob (S7 is a separate sink)
@@ -310,7 +317,14 @@ def run_kg(
 
         counter = CounterActor.remote()
         extract_kw.setdefault("counter", counter)
-    triples = emitted_triples(docs, **extract_kw)
+    if model_name == "multinn":
+        triples = emitted_triples(docs, **extract_kw)
+    else:
+        from .ops.score import drop_none
+
+        triples = extract_triples_model(docs, model_name).map_batches(
+            lambda t: drop_none(t).drop_columns(["prob"]), batch_format="pyarrow"
+        )
     if checkpoint_dir:
         from .checkpoint import checkpoint_dataset
 

@@ -34,6 +34,11 @@ def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--input", required=True, help="corpus dir (documents.parquet)")
     ap.add_argument("--output", required=True, help="checkpoint/output dir")
+    ap.add_argument(
+        "--model",
+        default="multinn",
+        help="extraction scorer from deepie_ray.ops.score.MODELS",
+    )
     args = ap.parse_args()
 
     import ray
@@ -53,7 +58,7 @@ def main() -> None:
     apply_recommended_context()
 
     t0 = time.monotonic()
-    paths = pipeline.materialize_graph(args.input, args.output)
+    paths = pipeline.materialize_graph(args.input, args.output, model_name=args.model)
     dt = time.monotonic() - t0
 
     import pyarrow.parquet as pq
@@ -67,6 +72,7 @@ def main() -> None:
                 "status": "ok",
                 "input": args.input,
                 "output": args.output,
+                "model": args.model,
                 "wall_sec": round(dt, 2),
                 "rows": counts,
             }

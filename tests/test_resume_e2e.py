@@ -140,3 +140,13 @@ def test_bench_path_counters_match_rows():
     assert counts["parse"]["rows_out"] == counts["score"]["rows_in"]
     assert counts["score"]["rows_in"] == counts["score"]["rows_out"]
     assert 0 < n_emitted <= counts["score"]["rows_out"]
+
+
+def test_run_kg_model_selectable():
+    """run_kg accepts a registry model (the engine's counterpart of the
+    reference evaluate.py selector grammar): full pipeline end-to-end
+    on a non-default encoder."""
+    out = pipeline.run_kg("/root/testdata/sf0.001", model_name="gru_head")
+    n = out["triples"].count()
+    assert n > 0
+    assert out["nodes"].count() > 0 and out["edges"].count() > 0
