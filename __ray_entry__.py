@@ -246,7 +246,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_tumbling_1h": """
             SELECT event_type,
-                   (epoch_us(ts) // 3600000000) * 3600    AS window_start,
+                   -- floor division (DuckDB's // truncates toward zero,
+                   -- which would mis-bucket pre-1970 timestamps); the
+                   -- double quotient is exact for any epoch below 2^53 us
+                   CAST(floor(epoch_us(ts) / 3600000000.0) AS BIGINT) * 3600 AS window_start,
                    count(*)::BIGINT                        AS n_events,
                    round(sum(value), 2)                    AS sum_value
             FROM events GROUP BY event_type, window_start
@@ -256,8 +259,8 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 2) AS sum_value
             FROM (
               SELECT event_type, value,
-                     unnest([(epoch_us(ts) // 1800000000) * 1800,
-                             (epoch_us(ts) // 1800000000) * 1800 - 1800]) AS window_start
+                     unnest([CAST(floor(epoch_us(ts) / 1800000000.0) AS BIGINT) * 1800,
+                             CAST(floor(epoch_us(ts) / 1800000000.0) AS BIGINT) * 1800 - 1800]) AS window_start
               FROM events
             ) GROUP BY event_type, window_start
         """,
@@ -330,7 +333,7 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": r"""
             SELECT doc_id,
                    length(text)::BIGINT AS n_chars_m,
-                   len(regexp_extract_all(text, '[^\w\s]'))::BIGINT AS n_punct,
+                   len(regexp_extract_all(text, '[^\p{L}\p{N}_\s]'))::BIGINT AS n_punct,
                    len(list_filter(regexp_split_to_array(lower(text), '\s+'),
                                    x -> x <> ''))::BIGINT AS n_words,
                    len(list_filter(regexp_split_to_array(lower(text), '\s+'),

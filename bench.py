@@ -209,8 +209,8 @@ def _run_scaling_work() -> None:
 def _run_scaling_shuffle_work() -> None:
     """One SHUFFLE-HEAVY scaling measurement in this process: the q5
     core hash join (replicated lineitem |x| orders, hash-partitioned)
-    followed by a combiner-first grouped aggregation over ~150k
-    customer keys — the all-to-all exchange path, complementing the
+    followed by a combiner-first grouped aggregation over ~15k
+    customer keys (sf0.1) — the all-to-all exchange path, complementing the
     map-only flagship probe (round-2 verdict: the efficiency claim
     rested on an embarrassingly-parallel workload).
 

@@ -81,18 +81,9 @@ def checkpoint_dataset(
     rows = out.count()
     counters_json, rows_in = "{}", -1
     if counter is not None:
-        import ray
+        from .ops.metrics import read_counters
 
-        # counter adds are fire-and-forget from many workers; the write
-        # has drained the stream but a last delta may still be in the
-        # actor's mailbox — poll until two consecutive reads agree
-        counts = ray.get(counter.get.remote())
-        for _ in range(20):
-            time.sleep(0.05)
-            again = ray.get(counter.get.remote())
-            if again == counts:
-                break
-            counts = again
+        counts = read_counters(counter)
         counters_json = json.dumps(counts, sort_keys=True)
         if rows_in_stage and rows_in_stage in counts:
             rows_in = int(counts[rows_in_stage]["rows_in"])

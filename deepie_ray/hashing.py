@@ -17,9 +17,22 @@ ids and blake2b for fingerprints.
 from __future__ import annotations
 
 import hashlib
+import re
 from zlib import crc32
 
 import numpy as np
+
+# RE2's \s is exactly [\t\n\f\r ] (ASCII, no VT, no Unicode spaces) in
+# both pyarrow and DuckDB — verified empirically.  Oracle-checked n-gram
+# operators must tokenize with THIS class, not str.split(), whose
+# Unicode whitespace rule (NBSP, VT, ...) silently diverges from the
+# regexp_split_to_array('\s+') the SQL oracles use.
+_RE2_WS = re.compile(r"[\t\n\f\r ]+")
+
+
+def ws_tokens(text: str) -> list[str]:
+    """Whitespace tokens under RE2 ``\\s`` semantics (oracle-exact)."""
+    return [t for t in _RE2_WS.split(text) if t]
 
 
 def stable_u32(s: str, salt: str = "") -> int:

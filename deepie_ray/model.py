@@ -225,7 +225,7 @@ def gru_head_bwd_forward(
     B, T = token_ids.shape
     if lengths is None:
         lengths = np.full(B, T, dtype=np.int64)
-    _, hb, _ = _bigru_states(weights, token_ids, lengths)
+    _, hb, _ = _bigru_states(weights, token_ids, lengths, direction="bwd")
     rows = np.arange(B)
     rep = np.concatenate([hb[rows, pos1], hb[rows, pos2]], axis=1)
     probs = nn.softmax(rep @ weights["W_out_bwd"] + weights["b_out"])
@@ -335,28 +335,34 @@ def _gru_params(rng_u, prefix_pairs=("f", "b"), in_dim=WORD_DIM, hid=GRU_HIDDEN)
     return w
 
 
-def _bigru_states(weights, token_ids, lengths):
+def _bigru_states(weights, token_ids, lengths, direction: str = "bi"):
     """Shared biGRU machinery: returns (hf, hb, valid) — ``hb`` is the
     backward pass (run from each row's TRUE last token; see
     gru_head_forward for why padding must not feed the backward GRU)
     RE-ALIGNED to forward time order, so ``hb[rows, pos]`` is position
-    ``pos``'s backward state directly (unlike ``_stacked_states``,
-    whose second element stays in reversed order)."""
+    ``pos``'s backward state directly (``_stacked_states`` re-aligns
+    the same way).  ``direction``: 'fwd'/'bwd' skip the unused
+    recurrence entirely — the per-timestep GRU loop dominates encoder
+    cost, so single-direction members must not pay for both passes —
+    returning None in the skipped slot."""
     x = weights["E_word"][token_ids]
     B, T, _ = x.shape
-    pf = {k[1:]: weights[k] for k in weights if k.startswith("f") and len(k) == 3}
-    pb = {k[1:]: weights[k] for k in weights if k.startswith("b") and len(k) == 3}
-    hf = nn.gru_forward(x, pf)
     idx = lengths[:, None] - 1 - np.arange(T)[None, :]
     valid = idx >= 0
-    rows2d = np.arange(B)[:, None]
-    x_rev = np.where(valid[:, :, None], x[rows2d, np.clip(idx, 0, T - 1)], 0.0)
-    hb_rev = nn.gru_forward(x_rev, pb)
-    # re-align backward states to forward time order (position t of row i
-    # lives at reversed index lengths[i]-1-t); padded positions -> 0
-    hb = np.where(
-        valid[:, :, None], hb_rev[rows2d, np.clip(idx, 0, T - 1)], 0.0
-    )
+    hf = hb = None
+    if direction in ("bi", "fwd"):
+        pf = {k[1:]: weights[k] for k in weights if k.startswith("f") and len(k) == 3}
+        hf = nn.gru_forward(x, pf)
+    if direction in ("bi", "bwd"):
+        pb = {k[1:]: weights[k] for k in weights if k.startswith("b") and len(k) == 3}
+        rows2d = np.arange(B)[:, None]
+        x_rev = np.where(valid[:, :, None], x[rows2d, np.clip(idx, 0, T - 1)], 0.0)
+        hb_rev = nn.gru_forward(x_rev, pb)
+        # re-align backward states to forward time order (position t of
+        # row i lives at reversed index lengths[i]-1-t); padding -> 0
+        hb = np.where(
+            valid[:, :, None], hb_rev[rows2d, np.clip(idx, 0, T - 1)], 0.0
+        )
     return hf, hb, valid
 
 
@@ -391,7 +397,7 @@ def gru_max_forward(
     B, T = token_ids.shape
     if lengths is None:
         lengths = np.full(B, T, dtype=np.int64)
-    hf, hb, valid = _bigru_states(weights, token_ids, lengths)
+    hf, hb, valid = _bigru_states(weights, token_ids, lengths, direction)
     if direction == "bi":
         h, W = np.concatenate([hf, hb], axis=2), weights["W_out"]
     elif direction == "fwd":
@@ -460,19 +466,23 @@ def init_ffrnn_weights(seed: int = DEFAULT_SEED + 8) -> dict[str, np.ndarray]:
     return w
 
 
-def _ffrnn_states(weights, token_ids, lengths):
+def _ffrnn_states(weights, token_ids, lengths, direction: str = "bi"):
     """Shared FF-RNN machinery, mirroring ``_bigru_states``: forward
     states plus backward states run from each row's TRUE last token and
-    re-aligned to forward time order (padding-independent)."""
+    re-aligned to forward time order (padding-independent).
+    'fwd'/'bwd' skip the unused recurrence (None in its slot)."""
     x = weights["E_word"][token_ids]
     B, T, _ = x.shape
-    hf = nn.ffrnn_forward(x, weights["fwW"], weights["fwU"], weights["fwb"])
     idx = lengths[:, None] - 1 - np.arange(T)[None, :]
     valid = idx >= 0
-    rows2d = np.arange(B)[:, None]
-    x_rev = np.where(valid[:, :, None], x[rows2d, np.clip(idx, 0, T - 1)], 0.0)
-    hb_rev = nn.ffrnn_forward(x_rev, weights["bwW"], weights["bwU"], weights["bwb"])
-    hb = np.where(valid[:, :, None], hb_rev[rows2d, np.clip(idx, 0, T - 1)], 0.0)
+    hf = hb = None
+    if direction in ("bi", "fwd"):
+        hf = nn.ffrnn_forward(x, weights["fwW"], weights["fwU"], weights["fwb"])
+    if direction in ("bi", "bwd"):
+        rows2d = np.arange(B)[:, None]
+        x_rev = np.where(valid[:, :, None], x[rows2d, np.clip(idx, 0, T - 1)], 0.0)
+        hb_rev = nn.ffrnn_forward(x_rev, weights["bwW"], weights["bwU"], weights["bwb"])
+        hb = np.where(valid[:, :, None], hb_rev[rows2d, np.clip(idx, 0, T - 1)], 0.0)
     return hf, hb, valid
 
 
@@ -485,7 +495,7 @@ def ffrnn_head_forward(
     B, T = token_ids.shape
     if lengths is None:
         lengths = np.full(B, T, dtype=np.int64)
-    hf, hb, _ = _ffrnn_states(weights, token_ids, lengths)
+    hf, hb, _ = _ffrnn_states(weights, token_ids, lengths, direction)
     rows = np.arange(B)
     if direction == "bi":
         rep = np.concatenate(
@@ -511,7 +521,7 @@ def ffrnn_max_forward(
     B, T = token_ids.shape
     if lengths is None:
         lengths = np.full(B, T, dtype=np.int64)
-    hf, hb, valid = _ffrnn_states(weights, token_ids, lengths)
+    hf, hb, valid = _ffrnn_states(weights, token_ids, lengths, direction)
     if direction == "bi":
         h, W = np.concatenate([hf, hb], axis=2), weights["W_out2m"]
     elif direction == "fwd":
@@ -914,7 +924,7 @@ def altconv_forward(
     B, T = token_ids.shape
     if lengths is None:
         lengths = np.full(B, T, dtype=np.int64)
-    hf, hb, valid = _bigru_states(weights, token_ids, lengths)
+    hf, hb, valid = _bigru_states(weights, token_ids, lengths, direction)
     if direction == "bi":
         h = np.concatenate([hf, hb], axis=2)
     elif direction == "fwd":

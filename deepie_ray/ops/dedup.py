@@ -24,7 +24,7 @@ import pyarrow as pa
 import ray.data as rd
 from ray.data.aggregate import Count, Min
 
-from ..hashing import fingerprint64, md5_hex, stable_u32
+from ..hashing import fingerprint64, md5_hex, stable_u32, ws_tokens
 
 # ------------------------------------------------------------ exact dedup
 
@@ -76,8 +76,10 @@ def _perm_params(n_perm: int = N_PERM, seed: int = 97) -> tuple[np.ndarray, np.n
 
 
 def shingles(text: str, k: int = 3) -> set[int]:
-    """Word k-shingles as stable 32-bit hashes."""
-    toks = (text or "").lower().split()
+    """Word k-shingles as stable 32-bit hashes.  Tokenized with RE2
+    ``\\s`` semantics (hashing.ws_tokens) so shingle sets match the
+    DuckDB oracles' ``regexp_split_to_array('\\s+')`` exactly."""
+    toks = ws_tokens((text or "").lower())
     if len(toks) < k:
         return {stable_u32(" ".join(toks), "sh:")} if toks else set()
     return {
@@ -504,7 +506,7 @@ def minhash_dedup(
 def simhash64(text: str) -> int:
     """64-bit SimHash over word features (unweighted), vectorized over
     the token set's bit matrix."""
-    toks = set((text or "").lower().split())
+    toks = set(ws_tokens((text or "").lower()))
     if not toks:
         return 0
     hs = np.array(

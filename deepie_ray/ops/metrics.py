@@ -79,6 +79,24 @@ class CounterActor:
         return {k: dict(v) for k, v in self.stages.items()}
 
 
+def read_counters(counter) -> dict[str, dict[str, int]]:
+    """Settled read of a ``CounterActor``: the caller has drained the
+    stream, but a last fire-and-forget delta may still be in the actor's
+    mailbox — poll until two consecutive reads agree."""
+    import time
+
+    import ray
+
+    counts = ray.get(counter.get.remote())
+    for _ in range(20):
+        time.sleep(0.05)
+        again = ray.get(counter.get.remote())
+        if again == counts:
+            break
+        counts = again
+    return counts
+
+
 class CountingStage:
     """map_batches callable wrapping another callable class with REAL
     per-batch row counters, flushed to a ``CounterActor`` (one tiny

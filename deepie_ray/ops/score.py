@@ -179,7 +179,7 @@ class GRUHeadScorer:
         pos2 = batch["pos2"].to_numpy().astype(np.int64)
         lengths = batch["n_tokens"].to_numpy().astype(np.int64)
         preds, probs = M.gru_head_forward(self.weights, toks, pos1, pos2, lengths)
-        return _emit(batch, preds, probs)
+        return _emit(batch, preds, probs, getattr(self, "with_prob", True))
 
 
 class CNNScorer:
@@ -195,7 +195,7 @@ class CNNScorer:
         pos2 = batch["pos2"].to_numpy().astype(np.int64)
         lengths = batch["n_tokens"].to_numpy().astype(np.int64)
         preds, probs = M.cnn_forward(self.weights, toks, pos1, pos2, lengths)
-        return _emit(batch, preds, probs)
+        return _emit(batch, preds, probs, getattr(self, "with_prob", True))
 
 
 class HybridScorer:
@@ -218,7 +218,7 @@ class HybridScorer:
         lengths = batch["n_tokens"].to_numpy().astype(np.int64)
         _, p_cnn = M.cnn_forward(self.w_cnn, toks, pos1, pos2, lengths)
         preds, probs = M.product_of_experts([p_multi, p_cnn])
-        return _emit(batch, preds, probs)
+        return _emit(batch, preds, probs, getattr(self, "with_prob", True))
 
 
 class _TokenScorer:
@@ -242,7 +242,7 @@ class GRUMaxScorer(_TokenScorer):
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         preds, probs = M.gru_max_forward(self.weights, *self._inputs(batch))
-        return _emit(batch, preds, probs)
+        return _emit(batch, preds, probs, getattr(self, "with_prob", True))
 
 
 class GRUSumScorer(_TokenScorer):
@@ -254,7 +254,7 @@ class GRUSumScorer(_TokenScorer):
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         preds, probs = M.gru_sum_forward(self.weights, *self._inputs(batch))
-        return _emit(batch, preds, probs)
+        return _emit(batch, preds, probs, getattr(self, "with_prob", True))
 
 
 class GRUHeadFwdScorer(_TokenScorer):
@@ -266,7 +266,7 @@ class GRUHeadFwdScorer(_TokenScorer):
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         preds, probs = M.gru_head_fwd_forward(self.weights, *self._inputs(batch))
-        return _emit(batch, preds, probs)
+        return _emit(batch, preds, probs, getattr(self, "with_prob", True))
 
 
 class GRUSumDepScorer(_TokenScorer):
@@ -283,7 +283,7 @@ class GRUSumDepScorer(_TokenScorer):
         preds, probs = M.gru_sum_forward(
             self.weights, toks, pos1, pos2, lengths, dep_mask=mask
         )
-        return _emit(batch, preds, probs)
+        return _emit(batch, preds, probs, getattr(self, "with_prob", True))
 
 
 class GRUAttScorer(_TokenScorer):
@@ -300,7 +300,7 @@ class GRUAttScorer(_TokenScorer):
         preds, probs = M.gru_att_forward(
             self.weights, toks, pos1, pos2, lengths, head=self.head
         )
-        return _emit(batch, preds, probs)
+        return _emit(batch, preds, probs, getattr(self, "with_prob", True))
 
 
 class GRUAttHeadScorer(GRUAttScorer):
@@ -325,7 +325,7 @@ class ConvSumScorer(_TokenScorer):
         preds, probs = M.conv_sum_forward(
             self.weights, toks, pos1, pos2, lengths, dep_mask=mask
         )
-        return _emit(batch, preds, probs)
+        return _emit(batch, preds, probs, getattr(self, "with_prob", True))
 
 
 class DualChannelScorer(_TokenScorer):
@@ -339,7 +339,7 @@ class DualChannelScorer(_TokenScorer):
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         preds, probs = M.dual_channel_forward(self.weights, *self._inputs(batch))
-        return _emit(batch, preds, probs)
+        return _emit(batch, preds, probs, getattr(self, "with_prob", True))
 
 
 class PoE3Scorer(_TokenScorer):
@@ -362,7 +362,7 @@ class PoE3Scorer(_TokenScorer):
         _, p_gru = M.gru_head_forward(self.w_gru, toks, pos1, pos2, lengths)
         _, p_cnn = M.cnn_forward(self.w_cnn, toks, pos1, pos2, lengths)
         preds, probs = M.product_of_experts([p_gru, p_cnn, p_multi])
-        return _emit(batch, preds, probs)
+        return _emit(batch, preds, probs, getattr(self, "with_prob", True))
 
 
 class GRUHeadBwdScorer(_TokenScorer):
@@ -374,7 +374,7 @@ class GRUHeadBwdScorer(_TokenScorer):
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         preds, probs = M.gru_head_bwd_forward(self.weights, *self._inputs(batch))
-        return _emit(batch, preds, probs)
+        return _emit(batch, preds, probs, getattr(self, "with_prob", True))
 
 
 class _GRUMaxDirScorer(_TokenScorer):
@@ -390,7 +390,7 @@ class _GRUMaxDirScorer(_TokenScorer):
         preds, probs = M.gru_max_forward(
             self.weights, *self._inputs(batch), direction=self.direction
         )
-        return _emit(batch, preds, probs)
+        return _emit(batch, preds, probs, getattr(self, "with_prob", True))
 
 
 class GRUMaxFwdScorer(_GRUMaxDirScorer):
@@ -415,7 +415,7 @@ class _FfHeadScorer(_TokenScorer):
         preds, probs = M.ffrnn_head_forward(
             self.weights, *self._inputs(batch), direction=self.direction
         )
-        return _emit(batch, preds, probs)
+        return _emit(batch, preds, probs, getattr(self, "with_prob", True))
 
 
 class FfHeadScorer(_FfHeadScorer):
@@ -443,7 +443,7 @@ class _FfMaxScorer(_TokenScorer):
         preds, probs = M.ffrnn_max_forward(
             self.weights, *self._inputs(batch), direction=self.direction
         )
-        return _emit(batch, preds, probs)
+        return _emit(batch, preds, probs, getattr(self, "with_prob", True))
 
 
 class FfMaxScorer(_FfMaxScorer):
@@ -468,7 +468,7 @@ class DualCNNScorer(_TokenScorer):
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         preds, probs = M.dual_cnn_forward(self.weights, *self._inputs(batch))
-        return _emit(batch, preds, probs)
+        return _emit(batch, preds, probs, getattr(self, "with_prob", True))
 
 
 class _StackedScorer(_TokenScorer):
@@ -495,7 +495,7 @@ class _StackedScorer(_TokenScorer):
             direction=self.direction,
             depth=self.depth,
         )
-        return _emit(batch, preds, probs)
+        return _emit(batch, preds, probs, getattr(self, "with_prob", True))
 
 
 class StackedHeadScorer(_StackedScorer):
@@ -544,7 +544,7 @@ class _AltConvScorer(_TokenScorer):
         preds, probs = M.altconv_forward(
             self.weights, *self._inputs(batch), direction=self.direction
         )
-        return _emit(batch, preds, probs)
+        return _emit(batch, preds, probs, getattr(self, "with_prob", True))
 
 
 class AltConvScorer(_AltConvScorer):
@@ -573,7 +573,7 @@ class EnsembleScorer(_TokenScorer):
         _, p_gru = M.gru_head_forward(self.w_gru, toks, pos1, pos2, lengths)
         _, p_cnn = M.cnn_forward(self.w_cnn, toks, pos1, pos2, lengths)
         preds, probs = M.product_of_experts([p_gru, p_cnn])
-        return _emit(batch, preds, probs)
+        return _emit(batch, preds, probs, getattr(self, "with_prob", True))
 
 
 # §2.10: explicit registry (the reference selects models by string +

@@ -42,11 +42,19 @@ def quality_batch(batch: pa.Table) -> pa.Table:
     kernels; the stopword count splits to a list column once and
     reduces per row with ``np.cumsum`` over the list offsets (no
     per-row Python).  RE2 (Arrow) and DuckDB share regex semantics, so
-    the counts stay oracle-hash-exact."""
+    the counts stay oracle-hash-exact.
+
+    Character-class contract (RE2 on both sides): punctuation is any
+    char that is not a Unicode letter/digit, underscore, or ASCII
+    whitespace (``[^\\p{L}\\p{N}_\\s]`` — accented letters are NOT
+    punctuation); word boundaries are RE2 ``\\s`` = ASCII whitespace
+    only, so Unicode spaces (NBSP etc.) count as punctuation rather
+    than separators.  This is a deliberate, documented deviation from
+    Python's fully-Unicode ``\\w``/``\\s``."""
     text = pc.fill_null(batch["text"], "")
     n_chars = pc.cast(pc.utf8_length(text), pa.int64())
     n_punct = pc.cast(
-        pc.count_substring_regex(text, pattern=r"[^\w\s]"), pa.int64()
+        pc.count_substring_regex(text, pattern=r"[^\p{L}\p{N}_\s]"), pa.int64()
     )
     toks = pc.split_pattern_regex(pc.utf8_lower(text), pattern=r"\s+")
     if isinstance(toks, pa.ChunkedArray):
@@ -215,12 +223,12 @@ def pack_sequences(
 def rolling_fingerprint_batch(batch: pa.Table, window: int = 8) -> pa.Table:
     """Winnowing-style document fingerprint: min rolling hash over
     ``window``-token shingles (robust to small edits, unlike md5)."""
-    from ..hashing import stable_u32
+    from ..hashing import stable_u32, ws_tokens
 
     texts = batch["text"].to_pylist()
     out = np.empty(len(texts), dtype=np.int64)
     for i, t in enumerate(texts):
-        toks = (t or "").lower().split()
+        toks = ws_tokens((t or "").lower())
         if len(toks) < window:
             out[i] = stable_u32(" ".join(toks), "roll:")
         else:

@@ -27,12 +27,14 @@ def add_tumbling_window(
     """Vectorized window assignment: epoch-seconds floored to width.
     Emits int64 epoch seconds (timezone-proof for oracle comparison)."""
     ts = pc.cast(batch[ts_col], pa.timestamp("us"))  # normalize ns/us units
-    epoch_us = pc.cast(ts, pa.int64()).to_numpy(zero_copy_only=False)
+    epoch = pc.cast(ts, pa.int64())
+    null_mask = pc.is_null(epoch).to_numpy(zero_copy_only=False)
+    epoch_us = pc.fill_null(epoch, 0).to_numpy(zero_copy_only=False)
     # numpy floor division, NOT Arrow's divide (which truncates toward
     # zero): pre-1970 timestamps must land in the window at or BELOW
     # them, same as the floor(epoch/width) windowing definition
     win = (epoch_us // (width_s * 1_000_000)) * width_s
-    return batch.append_column(out_col, pa.array(win, pa.int64()))
+    return batch.append_column(out_col, pa.array(win, pa.int64(), mask=null_mask))
 
 
 def tumbling_aggregate(
@@ -117,16 +119,16 @@ def sliding_aggregate(
         # truncates toward zero, which for pre-1970 epochs would assign
         # rows to windows ABOVE them (and, with the membership filter
         # removed, silently mislabel instead of drop them)
-        epoch_us = pc.cast(
-            pc.cast(batch[ts_col], pa.timestamp("us")), pa.int64()
-        ).to_numpy(zero_copy_only=False)
+        epoch = pc.cast(pc.cast(batch[ts_col], pa.timestamp("us")), pa.int64())
+        null_mask = pc.is_null(epoch).to_numpy(zero_copy_only=False)
+        epoch_us = pc.fill_null(epoch, 0).to_numpy(zero_copy_only=False)
         last = (epoch_us // 1_000_000 // slide_s) * slide_s
         vals = pc.cast(batch[value_col], pa.float64())
         tables = [
             pa.table(
                 {
                     key_col: batch[key_col],
-                    "window_start": pa.array(last - j * slide_s, pa.int64()),
+                    "window_start": pa.array(last - j * slide_s, pa.int64(), mask=null_mask),
                     value_col: vals,
                 }
             )

@@ -125,30 +125,51 @@ def extract_triples_model(
     parse_concurrency: int | tuple = (1, 16),
     score_concurrency: int | tuple = (1, 4),
     score_batch_size: int = 4096,
+    with_prob: bool = True,
+    counter=None,
 ) -> rd.Dataset:
     """Extraction with a registry-selected scorer (§2.10: explicit
     name->class registry; encoder variants consume the token-id pairs
-    table)."""
+    table).  Same contract as ``extract_triples``: ``with_prob=False``
+    skips building the prob list column entirely, ``counter`` wraps
+    both pools in ``CountingStage`` for real lineage counts."""
+    from .ops.metrics import CountingStage
     from .ops.parse import extract_pairs_tokens_fn
     from .ops.score import MODELS, NEEDS_TOKENS
 
     cls = MODELS[model_name]
+
     if model_name in NEEDS_TOKENS:
-        class ParseTok:
+        class ParseStage:
             def __call__(self, batch):
                 return extract_pairs_tokens_fn(batch)
-
-        pairs = docs.map_batches(
-            ParseTok, batch_format="pyarrow", batch_size=256,
-            concurrency=parse_concurrency,
-        )
     else:
-        pairs = docs.map_batches(
-            ExtractPairs, batch_format="pyarrow", batch_size=256,
-            concurrency=parse_concurrency,
-        )
+        ParseStage = ExtractPairs
+
+    class ScoreStage:
+        def __init__(self):
+            self.inner = cls()
+            # variant scorers read this via getattr in their _emit call
+            self.inner.with_prob = with_prob
+
+        def __call__(self, batch):
+            return self.inner(batch)
+
+    if counter is None:
+        parse_fn, parse_ctor = ParseStage, None
+        score_fn, score_ctor = ScoreStage, None
+    else:
+        parse_fn = score_fn = CountingStage
+        parse_ctor = {"inner_cls": ParseStage, "stage": "parse", "counter": counter}
+        score_ctor = {"inner_cls": ScoreStage, "stage": "score", "counter": counter}
+
+    pairs = docs.map_batches(
+        parse_fn, fn_constructor_kwargs=parse_ctor,
+        batch_format="pyarrow", batch_size=256,
+        concurrency=parse_concurrency,
+    )
     return pairs.map_batches(
-        cls,
+        score_fn, fn_constructor_kwargs=score_ctor,
         batch_format="pyarrow",
         batch_size=score_batch_size,
         concurrency=score_concurrency,
@@ -322,8 +343,8 @@ def run_kg(
     else:
         from .ops.score import drop_none
 
-        triples = extract_triples_model(docs, model_name).map_batches(
-            lambda t: drop_none(t).drop_columns(["prob"]), batch_format="pyarrow"
+        triples = extract_triples_model(docs, model_name, **extract_kw).map_batches(
+            drop_none, batch_format="pyarrow"
         )
     if checkpoint_dir:
         from .checkpoint import checkpoint_dataset

@@ -26,6 +26,7 @@ import pyarrow.compute as pc
 import ray.data as rd
 from ray.data.aggregate import Min, Sum
 
+from .hashing import ws_tokens
 from .ops import ann, dedup, joins, text, window
 from .ops.agg import grouped_count
 
@@ -161,7 +162,9 @@ def q3_top_revenue_orders(sf_dir: str) -> pd.DataFrame:
     li_rev = li.map_batches(rev, batch_format="pyarrow")
     joined = joins.hash_join(
         li_rev,
-        keep.select_columns(["o_orderkey"]),
+        # repartition: the first join emits zero-column blocks for empty
+        # hash partitions; merging blocks restores one schema pre-join
+        keep.select_columns(["o_orderkey"]).repartition(8),
         on="o_orderkey",
         num_partitions=8,
     )
@@ -196,16 +199,20 @@ def q5_region_revenue(sf_dir: str) -> rd.Dataset:
         filter=(pc.field("c_nationkey").isin(nation_keys)),
     )
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
-    ordersc = joins.hash_join(
-        orders, cust, on="o_custkey", right_on="c_custkey", num_partitions=8
-    ).select_columns(["o_orderkey", "c_nationkey"])
+    ordersc = (
+        joins.hash_join(
+            orders, cust, on="o_custkey", right_on="c_custkey", num_partitions=8
+        )
+        .select_columns(["o_orderkey", "c_nationkey"])
+        .repartition(8)  # merge empty join-output blocks before the next join
+    )
 
     li = _lineitem(
         sf_dir, ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]
     )
     lo = joins.hash_join(
         li, ordersc, on="l_orderkey", right_on="o_orderkey", num_partitions=8
-    )
+    ).repartition(8)  # same guard for the join-into-join chain below
     supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
     los = joins.hash_join(
         lo, supp, on="l_suppkey", right_on="s_suppkey", num_partitions=8
@@ -772,7 +779,7 @@ def repeated_ngrams(sf_dir: str) -> rd.Dataset:
 
         c: Counter = Counter()
         for txt in t["text"].to_pylist():
-            toks = (txt or "").lower().split()
+            toks = ws_tokens((txt or "").lower())  # RE2-\s-exact (oracle parity)
             if len(toks) < 3:
                 grams = {" ".join(toks)} if toks else set()
             else:
@@ -930,10 +937,8 @@ def _kg_model_query(sf_dir: str, model_name: str) -> rd.Dataset:
     from .ops.score import drop_none
 
     docs = pipeline.read_documents(sf_dir)
-    out = pipeline.extract_triples_model(docs, model_name)
-    return out.map_batches(
-        lambda t: drop_none(t).drop_columns(["prob"]), batch_format="pyarrow"
-    )
+    out = pipeline.extract_triples_model(docs, model_name, with_prob=False)
+    return out.map_batches(drop_none, batch_format="pyarrow")
 
 
 def kg_triples_gru(sf_dir: str) -> rd.Dataset:

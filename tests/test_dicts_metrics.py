@@ -98,6 +98,27 @@ def test_model_variants_run_and_match_oracle_math():
         probs = np.array(out["prob"].tolist())
         assert np.allclose(probs.sum(axis=1), 1.0, atol=1e-4), name
 
+    # with_prob=False skips the prob column at the source (no build+drop)
+    noprob = pipeline.extract_triples_model(
+        docs, "gru_head", parse_concurrency=1, score_concurrency=1, with_prob=False
+    ).to_pandas()
+    assert "prob" not in noprob.columns
+    assert len(noprob) > 0
+
+    # counter= wires CountingStage through BOTH pools (run_kg's model
+    # branch must not silently drop lineage, review r3)
+    import ray
+
+    counter = metrics.CounterActor.remote()
+    counted = pipeline.extract_triples_model(
+        docs, "gru_head", parse_concurrency=1, score_concurrency=1,
+        with_prob=False, counter=counter,
+    ).to_pandas()
+    counts = metrics.read_counters(counter)
+    assert counts["score"]["rows_out"] == len(counted)
+    assert counts["parse"]["rows_in"] == 40  # one per document
+    assert counts["parse"]["rows_out"] == counts["score"]["rows_in"]
+
     # variant parity: distributed == single-process forward on same pairs
     from deepie_ray.ops.parse import extract_pairs_tokens_fn
     from deepie_ray.ops.score import CNNScorer, DualChannelScorer

@@ -361,6 +361,57 @@ def test_windows_floor_negative_epochs():
     assert row["n_events"] == 2  # both events share the -1800 window
 
 
+def test_windows_negative_epoch_matches_floor_oracle():
+    """The engine's floor windows must match the oracle SQL's
+    CAST(floor(epoch/width) AS BIGINT)*width expression (DuckDB's //
+    truncates toward zero — the oracle deliberately avoids it)."""
+    import duckdb
+
+    df = pd.DataFrame(
+        {
+            "event_type": ["a"] * 3,
+            "ts": pd.to_datetime(
+                ["1969-12-31 23:59:59", "1969-06-01 12:00:00", "1970-01-01 00:30:00"]
+            ),
+            "value": [1.0, 1.0, 1.0],
+        }
+    )
+    got = (
+        window.tumbling_aggregate(rd.from_pandas(df), width_s=3600)
+        .to_pandas()["window_start"]
+        .sort_values()
+        .tolist()
+    )
+    con = duckdb.connect()
+    con.register("events", df)
+    want = [
+        r[0]
+        for r in con.execute(
+            "SELECT DISTINCT CAST(floor(epoch_us(ts) / 3600000000.0) AS BIGINT) * 3600"
+            " FROM events ORDER BY 1"
+        ).fetchall()
+    ]
+    assert got == want
+
+
+def test_windows_null_ts_propagates_not_crashes():
+    """A null timestamp must flow through as a null window key (it
+    groups into its own bucket), not crash the int64 conversion."""
+    df = pd.DataFrame(
+        {
+            "event_type": ["a", "a", "b"],
+            "ts": pd.to_datetime(["2024-01-01 00:10:00", None, None]),
+            "value": [1.0, 2.0, 3.0],
+        }
+    )
+    tout = window.tumbling_aggregate(rd.from_pandas(df)).to_pandas()
+    assert len(tout) == 3  # (a, real), (a, null), (b, null)
+    assert tout["window_start"].isna().sum() == 2
+    sout = window.sliding_aggregate(rd.from_pandas(df)).to_pandas()
+    assert sout["n_events"].sum() == 6  # every row still lands in 2 windows
+    assert sout["window_start"].isna().sum() == 2  # null groups, one per key
+
+
 # ------------------------------------------------------------------ joins
 
 
@@ -593,6 +644,42 @@ def test_token_count_matches_python():
         text.token_count_batch, batch_format="pyarrow"
     ).to_pandas()
     assert out["n_tokens"].tolist() == [3, 2]
+
+
+def test_ws_tokens_is_re2_exact():
+    """Engine tokenization must match RE2 '\\s+' (the oracle split):
+    NBSP and vertical tab are NOT separators, unlike str.split()."""
+    import pyarrow.compute as pc
+
+    from deepie_ray.hashing import ws_tokens
+
+    samples = ["foo bar the", "a\x0bb", "x \t y\nz", "", "  lead trail  "]
+    for s in samples:
+        arrow = pc.split_pattern_regex(pa.array([s]), pattern=r"\s+")[0].as_py()
+        assert ws_tokens(s) == [t for t in arrow if t], repr(s)
+    # and these genuinely differ from str.split() — the bug this guards
+    assert ws_tokens("foo bar") == ["foo bar"] != "foo bar".split()
+
+
+def test_quality_batch_unicode_contract():
+    """Accented letters are NOT punctuation; NBSP is punctuation, not a
+    separator (documented RE2 character-class contract) — and the
+    DuckDB oracle expression agrees exactly."""
+    import duckdb
+
+    t = pa.table(
+        {"doc_id": [1, 2], "text": ["café crème, naïve!", "foo bar the end"]}
+    )
+    out = text.quality_batch(t).to_pydict()
+    assert out["n_punct"] == [2, 1]  # comma+bang; NBSP
+    assert out["n_words"] == [3, 3]  # NBSP does not split a word
+    con = duckdb.connect()
+    con.register("documents", t)
+    sql = con.execute(
+        r"SELECT len(regexp_extract_all(text, '[^\p{L}\p{N}_\s]'))::BIGINT"
+        r" FROM documents ORDER BY doc_id"
+    ).fetchall()
+    assert [r[0] for r in sql] == out["n_punct"]
 
 
 def test_langid_deterministic():
