@@ -60,6 +60,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_token_counts": Q.text_token_counts,
         "text_quality": Q.text_quality,
         "doc_fingerprints": Q.doc_fingerprints,
+        "doc_chunks": Q.doc_chunks,
+        "tfidf_top_terms": Q.tfidf_top_terms,
+        "pii_scan": Q.pii_scan,
+        "length_filter_quantile": Q.length_filter_quantile,
         "word_count_global": Q.word_count_global,
         "train_val_test_split": Q.train_val_test_split,
         "doc_packing": Q.doc_packing,
@@ -342,6 +346,81 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_fingerprints": """
             SELECT doc_id, md5(lower(text)) AS fingerprint FROM documents
+        """,
+        "length_filter_quantile": r"""
+            WITH c AS (
+              SELECT doc_id,
+                     len(regexp_split_to_array(text, '\s+'))::BIGINT AS n_tokens
+              FROM documents
+            ),
+            b AS (
+              SELECT quantile_cont(n_tokens, 0.05) AS lo,
+                     quantile_cont(n_tokens, 0.95) AS hi
+              FROM c
+            )
+            SELECT doc_id, n_tokens
+            FROM c, b WHERE n_tokens >= lo AND n_tokens <= hi
+        """,
+        "pii_scan": r"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '[\w.+-]+@[\w-]+\.[\w.-]+'))::BIGINT AS n_email,
+                   len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))::BIGINT AS n_ipv4,
+                   len(regexp_extract_all(text, '\+?\d[\d()\s-]{7,}\d'))::BIGINT AS n_phone,
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(text,
+                         '[\w.+-]+@[\w-]+\.[\w.-]+', '<EMAIL>', 'g'),
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+                     '\+?\d[\d()\s-]{7,}\d', '<PHONE>', 'g') AS redacted
+            FROM documents
+        """,
+        "tfidf_top_terms": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                 x -> x <> '') AS t
+              FROM documents
+            ),
+            tf AS (
+              SELECT doc_id, u.term AS term, count(*)::BIGINT AS tf
+              FROM toks, unnest(t) AS u(term)
+              GROUP BY doc_id, u.term
+            ),
+            dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+            n AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+            scored AS (
+              SELECT tf.doc_id, tf.term, tf.tf,
+                     -- integer idf: // is safe here (operands positive)
+                     (tf.tf * ((n.n_docs * 1000000) // dfreq.df))::BIGINT AS score
+              FROM tf JOIN dfreq USING (term) CROSS JOIN n
+            )
+            SELECT doc_id, rank::BIGINT AS rank, term, tf, score FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+              FROM scored
+            ) WHERE rank <= 3
+        """,
+        "doc_chunks": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                 x -> x <> '') AS t
+              FROM documents
+            ),
+            nc AS (
+              SELECT doc_id, t, len(t) AS n,
+                     -- add-then-floor ceil: DuckDB // truncates toward
+                     -- zero, so only non-negative operands are safe
+                     CASE WHEN len(t) = 0 THEN 0
+                          ELSE 1 + (greatest(0, len(t) - 32) + 23) // 24
+                     END AS n_chunks
+              FROM toks
+            )
+            SELECT doc_id, i AS chunk_id,
+                   least(n - i*24, 32)::BIGINT AS n_tokens,
+                   array_to_string(t[i*24 + 1 : i*24 + least(n - i*24, 32)],
+                                   ' ') AS chunk_text
+            FROM nc, unnest(range(0, CAST(n_chunks AS BIGINT))) AS u(i)
         """,
         "word_count_global": r"""
             SELECT word, count(*)::BIGINT AS n FROM (

@@ -200,10 +200,10 @@ def grouped_quantile(
     ds: rd.Dataset,
     key_col: str,
     value_col: str,
-    q: float = 0.5,
+    q: float | dict = 0.5,
     cap: int = QUANTILE_CAP,
     out_col: str = "median_value",
-    ndigits: int = 4,
+    ndigits: int | None = 4,
     salt_buckets: int = 64,
 ) -> rd.Dataset:
     """-> (key, quantile) via mergeable per-block sketches: no task ever
@@ -250,12 +250,14 @@ def grouped_quantile(
 
     def merge_final(df: pd.DataFrame) -> pd.DataFrame:
         mv, mw, _ = quantile_merge_sketches(_sketches(df), cap)
-        return pd.DataFrame(
-            {
-                key_col: [df[key_col].iloc[0]],
-                out_col: [round(quantile_value(mv, mw, q), ndigits)],
-            }
-        )
+        # q may be one quantile (out_col named) or a {col: q} dict —
+        # one merged sketch answers any number of quantiles for free
+        qmap = q if isinstance(q, dict) else {out_col: q}
+        row: dict = {key_col: [df[key_col].iloc[0]]}
+        for col, qq in qmap.items():
+            val = quantile_value(mv, mw, qq)
+            row[col] = [round(val, ndigits) if ndigits is not None else val]
+        return pd.DataFrame(row)
 
     partials = ds.map_batches(partial, batch_format="pandas")
     lvl1 = partials.groupby([key_col, "_salt"]).map_groups(

@@ -220,6 +220,121 @@ def pack_sequences(
     return ds.map_batches(pack, batch_format="pyarrow")
 
 
+def _nonempty_token_lists(text_col) -> pa.ListArray:
+    """list<string> of lower-cased NONEMPTY whitespace tokens per row,
+    tokenized with RE2 ``\\s`` semantics (oracle parity) — built from
+    one Arrow split kernel plus numpy offset arithmetic, no per-row
+    Python."""
+    toks = pc.split_pattern_regex(
+        pc.utf8_lower(pc.fill_null(text_col, "")), pattern=r"\s+"
+    )
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = toks.flatten()
+    ne = pc.not_equal(flat, "")
+    ne_np = ne.to_numpy(zero_copy_only=False)
+    offs = toks.offsets.to_numpy(zero_copy_only=False)
+    base = offs[0]  # offsets of a sliced ListArray need not start at 0
+    cum = np.concatenate(([0], np.cumsum(ne_np)))
+    new_offs = cum[offs - base]
+    return pa.ListArray.from_arrays(
+        pa.array(new_offs, pa.int32()), flat.filter(ne)
+    )
+
+
+def chunk_batch(batch: pa.Table, size: int = 32, stride: int = 24) -> pa.Table:
+    """Overlapping fixed-size token chunking (LLM context-window prep):
+    each doc explodes into chunks of ``size`` tokens starting every
+    ``stride`` tokens (overlap = size - stride); the final chunk is the
+    (possibly short) tail.  -> (doc_id, chunk_id, n_tokens, chunk_text).
+
+    Fully vectorized: one Arrow split kernel, numpy explode arithmetic,
+    one ``take`` of the flat token buffer, one ``binary_join`` — no
+    Python loop at any fan-out level.  ``n_chunks = 1 + ceil(max(0,
+    n - size)/stride)`` uses the add-then-floor form so the DuckDB
+    oracle can reproduce it with ``//`` on non-negative operands
+    (DuckDB ``//`` truncates toward zero — only safe for positives).
+    Zero-token docs emit no chunks."""
+    tok_list = _nonempty_token_lists(batch["text"])
+    offs = tok_list.offsets.to_numpy(zero_copy_only=False)
+    n = np.diff(offs).astype(np.int64)
+    n_chunks = np.where(n > 0, 1 + (np.maximum(0, n - size) + stride - 1) // stride, 0)
+    doc_idx = np.repeat(np.arange(len(n)), n_chunks)
+    total_chunks = int(n_chunks.sum())
+    cend = np.cumsum(n_chunks)
+    chunk_id = np.arange(total_chunks) - np.repeat(cend - n_chunks, n_chunks)
+    starts = chunk_id * stride
+    lens = np.minimum(n[doc_idx] - starts, size)
+    flat_start = offs[:-1][doc_idx] + starts
+    total_toks = int(lens.sum())
+    within = np.arange(total_toks) - np.repeat(np.cumsum(lens) - lens, lens)
+    take_idx = np.repeat(flat_start, lens) + within
+    taken = tok_list.values.take(pa.array(take_idx, pa.int64()))
+    chunks = pa.ListArray.from_arrays(
+        pa.array(np.concatenate(([0], np.cumsum(lens))), pa.int32()), taken
+    )
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"].take(pa.array(doc_idx, pa.int64())),
+            "chunk_id": pa.array(chunk_id, pa.int64()),
+            "n_tokens": pa.array(lens, pa.int64()),
+            "chunk_text": pc.binary_join(chunks, " "),
+        }
+    )
+
+
+# (name, RE2 pattern, replacement) — applied in ORDER for redaction;
+# counts are taken on the original text.  Patterns are deliberately
+# RE2-only constructs so the DuckDB oracle runs the identical regexes.
+PII_PATTERNS = (
+    ("email", r"[\w.+-]+@[\w-]+\.[\w.-]+", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d[\d()\s-]{7,}\d", "<PHONE>"),
+)
+
+
+def pii_scan_batch(batch: pa.Table) -> pa.Table:
+    """PII detection + redaction (training-data scrubbing staple):
+    per-doc match counts for email/IPv4/phone patterns plus the
+    redacted text.  One RE2 kernel per pattern (count on the original,
+    replace sequentially in PII_PATTERNS order) — no per-row Python.
+    The synthetic corpus contains no PII (counts are all zero there);
+    the operator's real behavior is pinned by the pytest DuckDB oracle
+    over a PII-laden table (test_pii_scan_matches_duckdb)."""
+    text_col = pc.fill_null(batch["text"], "")
+    cols: dict = {"doc_id": batch["doc_id"]}
+    red = text_col
+    for name, pat, tok in PII_PATTERNS:
+        cols[f"n_{name}"] = pc.cast(
+            pc.count_substring_regex(text_col, pattern=pat), pa.int64()
+        )
+        red = pc.replace_substring_regex(red, pattern=pat, replacement=tok)
+    cols["redacted"] = red
+    return pa.table(cols)
+
+
+def term_frequencies(batch: pa.Table) -> pa.Table:
+    """(doc_id, term, tf) per-doc term counts.  Docs are rows, so each
+    doc's counts are COMPLETE within its own batch — the explode needs
+    no shuffle; one Arrow hash-group per batch does all the counting."""
+    tok_list = _nonempty_token_lists(batch["text"])
+    offs = tok_list.offsets.to_numpy(zero_copy_only=False)
+    n = np.diff(offs)
+    doc_idx = pa.array(np.repeat(np.arange(len(n)), n), pa.int64())
+    g = (
+        pa.table({"doc_id": batch["doc_id"].take(doc_idx), "term": tok_list.values})
+        .group_by(["doc_id", "term"])
+        .aggregate([([], "count_all")])
+    )
+    return pa.table(
+        {
+            "doc_id": g["doc_id"],
+            "term": g["term"],
+            "tf": pc.cast(g["count_all"], pa.int64()),
+        }
+    )
+
+
 def rolling_fingerprint_batch(batch: pa.Table, window: int = 8) -> pa.Table:
     """Winnowing-style document fingerprint: min rolling hash over
     ``window``-token shingles (robust to small edits, unlike md5)."""

@@ -626,6 +626,141 @@ def doc_fingerprints(sf_dir: str) -> rd.Dataset:
     return ds.map_batches(text.fingerprint_batch, batch_format="pyarrow")
 
 
+def tfidf_top_terms(sf_dir: str) -> rd.Dataset:
+    """Per-doc top-3 terms by tf-idf -> (doc_id, rank, term, tf, score).
+
+    Integer scoring so the DuckDB oracle value-hashes exactly:
+    ``score = tf * ((n_docs * 1e6) // df)`` — monotone in the usual
+    tf/df ordering, no float logs to round.
+
+    Scale shape: term frequencies are computed entirely inside each
+    doc's batch (docs are rows — zero shuffle); document frequency is a
+    combiner-first grouped sum over narrow (term, count) rows; the
+    (term -> idf) map is pulled to the driver and BROADCAST via
+    ``ray.put`` — vocabulary is sublinear in corpus size (Heaps' law),
+    the same documented bound as the flagship's alias map (J1 pattern).
+    The scoring+top-3 stage is then shuffle-free: each doc's terms are
+    already co-resident, so the per-key top-k never leaves the batch."""
+    import ray
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    n_docs = ds.count()
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        tf = text.term_frequencies(t)
+        g = tf.group_by("term").aggregate([([], "count_all")])
+        return pa.table({"term": g["term"], "n_partial": g["count_all"]})
+
+    df_tbl = (
+        ds.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("n_partial", alias_name="df"))
+        .to_pandas()
+    )
+    idf = {
+        t: (n_docs * 1_000_000) // int(d)
+        for t, d in zip(df_tbl["term"], df_tbl["df"])
+    }
+    idf_ref = ray.put(idf)
+
+    class ScoreTop3:
+        """Scores DOC batches (rows are whole docs, so a doc's term set
+        can never straddle a batch at any batch/block size) — tf is
+        recomputed per batch, one cheap Arrow hash-group, rather than
+        materializing a corpus-sized tf table between stages."""
+
+        def __init__(self):
+            self.idf = ray.get(idf_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            df = text.term_frequencies(t).to_pandas()
+            if df.empty:
+                return pa.table(
+                    {
+                        "doc_id": pa.array([], pa.int64()),
+                        "rank": pa.array([], pa.int64()),
+                        "term": pa.array([], pa.string()),
+                        "tf": pa.array([], pa.int64()),
+                        "score": pa.array([], pa.int64()),
+                    }
+                )
+            score = df["tf"] * df["term"].map(self.idf).astype("int64")
+            out = df.assign(score=score).sort_values(
+                ["doc_id", "score", "term"], ascending=[True, False, True]
+            )
+            top = out.groupby("doc_id", sort=False).head(3).copy()
+            top["rank"] = (top.groupby("doc_id", sort=False).cumcount() + 1).astype(
+                "int64"
+            )
+            return pa.Table.from_pandas(
+                top[["doc_id", "rank", "term", "tf", "score"]], preserve_index=False
+            )
+
+    return ds.map_batches(ScoreTop3, batch_format="pyarrow", concurrency=(1, 8))
+
+
+def length_filter_quantile(sf_dir: str) -> rd.Dataset:
+    """Quantile-gated length filter (quality staple: drop the tails):
+    keep docs whose whitespace token count lies within [p05, p95] of
+    the corpus distribution -> (doc_id, n_tokens).
+
+    Scale shape: the bounds come from the MERGEABLE quantile sketch
+    over per-batch token counts (one constant group key, two-level
+    salted merge — exact below the sketch cap, which covers all test
+    scales so the DuckDB quantile_cont oracle verifies it); the two
+    resulting floats broadcast trivially into the filter pass.  Two
+    streaming passes over the corpus, no all-to-all."""
+    from .ops.sketch import grouped_quantile
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    counts = ds.map_batches(text.token_count_batch, batch_format="pyarrow")
+
+    def add_key(t: pa.Table) -> pa.Table:
+        return t.append_column("_g", pa.array(np.zeros(len(t), np.int64)))
+
+    bounds = (
+        grouped_quantile(
+            counts.map_batches(add_key, batch_format="pyarrow"),
+            "_g",
+            "n_tokens",
+            q={"lo": 0.05, "hi": 0.95},
+            ndigits=None,
+        )
+        .to_pandas()
+        .iloc[0]
+    )
+    lo, hi = float(bounds["lo"]), float(bounds["hi"])
+
+    def keep(t: pa.Table) -> pa.Table:
+        n = t["n_tokens"]
+        mask = pc.and_(
+            pc.greater_equal(n, pa.scalar(lo)), pc.less_equal(n, pa.scalar(hi))
+        )
+        return t.filter(mask)
+
+    return counts.map_batches(keep, batch_format="pyarrow")
+
+
+def pii_scan(sf_dir: str) -> rd.Dataset:
+    """PII scan + redact over documents (scrubbing stage).  The synth
+    corpus is PII-free, so the driver oracle verifies the zero-count +
+    identity-redaction plumbing; the pattern behavior itself is pinned
+    by the pytest DuckDB oracle on a PII-laden table."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(text.pii_scan_batch, batch_format="pyarrow")
+
+
+def doc_chunks(sf_dir: str) -> rd.Dataset:
+    """Overlapping fixed-size token chunking (context-window prep for
+    LLM training): 32-token chunks every 24 tokens.  Row-parallel
+    explode — each doc's chunks are produced entirely inside its own
+    batch, so the stage shuffles nothing at any corpus size."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        lambda t: text.chunk_batch(t, size=32, stride=24), batch_format="pyarrow"
+    )
+
+
 def lang_id(sf_dir: str) -> rd.Dataset:
     """Language ID (heuristic) — rows-only check (no SQL oracle)."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])

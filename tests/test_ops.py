@@ -682,6 +682,96 @@ def test_quality_batch_unicode_contract():
     assert [r[0] for r in sql] == out["n_punct"]
 
 
+def test_chunk_batch_invariants():
+    """Overlapping chunking: full coverage, correct overlap, tail chunk,
+    zero-token docs dropped, single short doc = one chunk."""
+    t = pa.table(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": ["a b c d e f g h i j", "", "t " * 33, "one two"],
+        }
+    )
+    out = text.chunk_batch(t, size=8, stride=6).to_pandas()
+    assert 1 not in set(out["doc_id"])  # empty doc emits nothing
+    d0 = out[out.doc_id == 0].sort_values("chunk_id")
+    assert d0["chunk_text"].tolist() == ["a b c d e f g h", "g h i j"]
+    assert d0["n_tokens"].tolist() == [8, 4]
+    # every token position covered: last chunk reaches the end
+    d2 = out[out.doc_id == 2]
+    assert d2["chunk_id"].max() * 6 + d2["n_tokens"].iloc[-1] >= 33
+    assert out[out.doc_id == 3]["chunk_text"].tolist() == ["one two"]
+
+
+def test_pii_scan_matches_duckdb():
+    """The synthetic corpus is PII-free, so the driver oracle only sees
+    zeros — this is the real check: engine counts and redaction must
+    equal DuckDB's on a PII-laden table, pattern for pattern."""
+    import duckdb
+
+    t = pa.table(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                "contact bob.smith+x@example.co.uk or sue@a-b.org today",
+                "server at 10.0.255.3 rebooted; backup 192.168.1.1 ok",
+                "call +1 (555) 123-4567 or 555-867-5309 now",
+                "nothing sensitive here",
+            ],
+        }
+    )
+    eng = (
+        rd.from_arrow(t)
+        .map_batches(text.pii_scan_batch, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert eng["n_email"].tolist() == [2, 0, 0, 0]
+    assert eng["n_ipv4"].tolist() == [0, 2, 0, 0]
+    assert eng["n_phone"].tolist() == [0, 0, 2, 0]
+    assert "<EMAIL>" in eng["redacted"][0] and "@" not in eng["redacted"][0]
+    con = duckdb.connect()
+    con.register("documents", t)
+    sql = __import__("__ray_entry__").oracle_sql()["pii_scan"]
+    odf = con.execute(sql).df().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        eng[["doc_id", "n_email", "n_ipv4", "n_phone", "redacted"]],
+        odf[["doc_id", "n_email", "n_ipv4", "n_phone", "redacted"]],
+        check_dtype=False,
+    )
+
+
+def test_tfidf_rare_term_outranks_common():
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        t = pa.table(
+            {
+                "doc_id": [0, 1, 2],
+                "text": [
+                    "common rare rare",
+                    "common common filler",
+                    "common filler filler",
+                ],
+                "lang": ["en"] * 3,
+                "source": ["s"] * 3,
+                "n_chars": [1, 1, 1],
+            }
+        )
+        import pyarrow.parquet as pq
+
+        pq.write_table(t, f"{d}/documents.parquet")
+        from deepie_ray import queries as Q
+
+        out = Q.tfidf_top_terms(d).to_pandas()
+        d0 = out[out.doc_id == 0].sort_values("rank")
+        # rare: tf=2, df=1 -> score 2*(3e6//1) = 6e6; common: tf=1,
+        # df=3 -> 1e6 -- the rare term must outrank the ubiquitous one
+        assert d0.iloc[0]["term"] == "rare" and d0.iloc[0]["score"] == 6_000_000
+        assert d0["rank"].tolist() == list(range(1, len(d0) + 1))
+        assert (d0["score"].diff().dropna() <= 0).all()
+
+
 def test_langid_deterministic():
     lid = text.LangId()
     t = pa.table({"doc_id": [1], "text": ["the running of the things"]})
