@@ -68,6 +68,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "train_val_test_split": Q.train_val_test_split,
         "doc_packing": Q.doc_packing,
         "lang_id": Q.lang_id,
+        "unigram_rarity_scores": Q.unigram_rarity_scores,
+        "inverted_index": Q.inverted_index,
+        # sampling / mixing / shuffle export
+        "mix_sources": Q.mix_sources,
+        "shuffle_shards_docs": Q.shuffle_shards_docs,
         # dedup family
         "dedup_exact_documents": Q.dedup_exact_documents,
         "minhash_dedup_documents": Q.minhash_dedup_documents,
@@ -100,6 +105,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_edges": Q.kg_edges,
         "media_span_stats": Q.media_span_stats,
         "media_features": Q.media_features,
+        # graph analytics / clustering
+        "copurchase_edges": Q.copurchase_edges,
+        "graph_pagerank": Q.graph_pagerank,
+        "embedding_kmeans": Q.embedding_kmeans,
     }
 
 
@@ -346,6 +355,82 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_fingerprints": """
             SELECT doc_id, md5(lower(text)) AS fingerprint FROM documents
+        """,
+        "mix_sources": """
+            SELECT doc_id, source, bucket, rate_permille FROM (
+              SELECT doc_id, source,
+                     ('0x' || substr(md5(doc_id || ':mix-v1'), 1, 8))::BIGINT
+                       % 1000 AS bucket,
+                     100 + ('0x' || substr(md5(source || ':rate-v1'), 1, 4))::BIGINT
+                       % 900 AS rate_permille
+              FROM documents
+            ) WHERE bucket < rate_permille
+        """,
+        "shuffle_shards_docs": """
+            WITH h AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5(doc_id || ':shuffle-v1'), 1, 12))::BIGINT
+                       AS key
+              FROM documents
+            )
+            SELECT doc_id, key % 16 AS shard,
+                   (row_number() OVER (
+                      PARTITION BY key % 16 ORDER BY key, doc_id) - 1)::BIGINT
+                     AS pos
+            FROM h
+        """,
+        "unigram_rarity_scores": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                 x -> x <> '') AS t
+              FROM documents
+            ),
+            tf AS (
+              SELECT doc_id, u.term AS term, count(*)::BIGINT AS tf
+              FROM toks, unnest(t) AS u(term)
+              GROUP BY doc_id, u.term
+            ),
+            g AS (SELECT term, sum(tf)::BIGINT AS n FROM tf GROUP BY term),
+            tot AS (SELECT sum(n)::BIGINT AS total FROM g)
+            SELECT tf.doc_id,
+                   sum(tf.tf)::BIGINT AS n_tokens,
+                   sum(tf.tf * ((tot.total * 1000000) // g.n))::BIGINT
+                     AS rarity_sum,
+                   (sum(tf.tf * ((tot.total * 1000000) // g.n))
+                      // sum(tf.tf))::BIGINT AS avg_rarity
+            FROM tf JOIN g USING (term) CROSS JOIN tot
+            GROUP BY tf.doc_id
+        """,
+        "inverted_index": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                 x -> x <> '') AS t
+              FROM documents
+            ),
+            pairs AS (
+              SELECT DISTINCT doc_id, u.term AS term
+              FROM toks, unnest(t) AS u(term)
+            ),
+            ranked AS (
+              SELECT term, doc_id,
+                     row_number() OVER (
+                       PARTITION BY term ORDER BY doc_id) AS rn
+              FROM pairs
+            )
+            SELECT term, count(*)::BIGINT AS df,
+                   string_agg(CASE WHEN rn <= 100 THEN doc_id::VARCHAR END,
+                              ',' ORDER BY doc_id) AS postings
+            FROM ranked GROUP BY term
+        """,
+        "copurchase_edges": """
+            WITH p AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+            SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                   count(*)::BIGINT AS co_count
+            FROM p a JOIN p b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2
         """,
         "length_filter_quantile": r"""
             WITH c AS (

@@ -1,0 +1,409 @@
+"""Graph construction + iterative graph analytics on Ray Data.
+
+The KG side of this engine (ops/canon.py connected components,
+pipeline node/edge dedup) covers entity graphs; this module adds the
+generic large-graph operators a data-pipeline user needs:
+
+* ``copurchase_edges`` — build a co-occurrence graph from a relational
+  fact table (parts sharing an order), the standard "construct the
+  graph AT SCALE" step: per-key groups are bounded (an order holds at
+  most 7 lineitems), the pair explode happens inside the group, and
+  the edge-count aggregation is combiner-first so only narrow
+  (a, b, partial_count) rows shuffle.
+* ``pagerank`` — damped PageRank by iterated JOIN + grouped SUM: the
+  textbook bulk-synchronous formulation, expressed purely with
+  Dataset joins/groupbys so every iteration is an ordinary
+  hash-partitioned exchange (no driver-side adjacency).  Per-iteration
+  driver traffic is one scalar (dangling mass).
+
+Scale notes: ranks/edges stay distributed end to end; the edge list is
+pre-joined with out-degrees ONCE (weights materialized) so each
+iteration only re-shuffles the rank vector, not the adjacency.  Each
+iteration costs exactly ONE Dataset.join (contributions) plus ONE
+grouped sum (contrib merge — node completion rides the same groupby
+via a zero-contribution base dataset unioned in, instead of a second
+join) plus ONE streaming aggregate (dangling mass from a flag column)
+— join-aggregator setup, not data volume, dominates at bench scale, so
+the join count per iteration is the constant that matters.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+from ray.data.aggregate import Max, Min, Sum
+
+from .joins import hash_join
+
+
+def copurchase_edges(lineitem: rd.Dataset, min_count: int = 1) -> rd.Dataset:
+    """(part_a, part_b, co_count): undirected co-purchase edges —
+    distinct part pairs within each order, counted across orders,
+    ``part_a < part_b`` canonical orientation.
+
+    The pair explode is a hash-partitioned SELF-JOIN on the order key
+    (per-key multiplicity is bounded by order width, so the join fans
+    out at most width^2 per order — never corpus-quadratic), after a
+    distinct pass; NOT per-order ``map_groups``, whose one-Python-call-
+    per-group overhead cost 17s where this shape costs 5s at sf0.01.
+    The cross-order count is combiner-first: per-batch partial counts,
+    then one grouped sum of narrow integer rows."""
+
+    def distinct_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["l_orderkey", "l_partkey"]).aggregate([])
+        return g
+
+    p = (
+        lineitem.map_batches(distinct_partial, batch_format="pyarrow")
+        .groupby(["l_orderkey", "l_partkey"])
+        .aggregate(Min("l_partkey", alias_name="_m"))
+        .select_columns(["l_orderkey", "l_partkey"])
+        # both join sides read p; without this the distinct shuffle
+        # runs twice (lazy DAG duplication)
+        .materialize()
+    )
+    right = p.map_batches(
+        lambda t: pa.table(
+            {"l_orderkey": t["l_orderkey"], "part_b": t["l_partkey"]}
+        ),
+        batch_format="pyarrow",
+    )
+    left = p.map_batches(
+        lambda t: pa.table(
+            {"l_orderkey": t["l_orderkey"], "part_a": t["l_partkey"]}
+        ),
+        batch_format="pyarrow",
+    )
+    joined = hash_join(left, right, on="l_orderkey")
+
+    def partial_count(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less(t["part_a"], t["part_b"]))
+        g = t.group_by(["part_a", "part_b"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "part_a": g["part_a"],
+                "part_b": g["part_b"],
+                "n_partial": g["count_all"],
+            }
+        )
+
+    edges = (
+        joined.map_batches(partial_count, batch_format="pyarrow")
+        .groupby(["part_a", "part_b"])
+        .aggregate(Sum("n_partial", alias_name="co_count"))
+    )
+    if min_count > 1:
+        edges = edges.filter(expr=f"co_count >= {min_count}")
+    return edges
+
+
+def _pagerank_dense(
+    e: rd.Dataset,
+    nodes: rd.Dataset,
+    n_nodes: int,
+    iters: int,
+    damping: float,
+) -> rd.Dataset:
+    """Dense-vector PageRank for graphs whose NODE set fits the driver
+    (edges still stream distributed — they are indexed once and never
+    leave their blocks).  Per iteration: broadcast the (rank/outdeg)
+    vector, one streaming pass emitting per-block dense contribution
+    vectors, driver-side streaming fold.  Driver bandwidth per
+    iteration = n_blocks x n_nodes x 8B, which is why the caller gates
+    this path on ``dense_node_cap`` — above it, the join path keeps
+    everything distributed."""
+    import ray
+
+    node_arr = np.sort(nodes.to_pandas()["node"].to_numpy())
+    nref = ray.put(node_arr)
+
+    def index_edges(t: pa.Table) -> pa.Table:
+        na = ray.get(nref)
+        return pa.table(
+            {
+                "si": pa.array(
+                    np.searchsorted(na, t["src"].to_numpy(zero_copy_only=False)),
+                    pa.int64(),
+                ),
+                "di": pa.array(
+                    np.searchsorted(na, t["dst"].to_numpy(zero_copy_only=False)),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    # few fat blocks: the driver fold reads one dense vector per block
+    n_blocks = 32
+    idx = (
+        e.map_batches(index_edges, batch_format="pyarrow")
+        .repartition(n_blocks)
+        .materialize()
+    )
+
+    def fold(ds: rd.Dataset, n: int) -> np.ndarray:
+        acc = np.zeros(n)
+        for b in ds.iter_batches(batch_format="pyarrow", batch_size=None):
+            for v in b["vec"].to_pylist():
+                acc += np.asarray(v)
+        return acc
+
+    outdeg = fold(
+        idx.map_batches(
+            lambda t: pa.table(
+                {
+                    "vec": pa.array(
+                        [
+                            np.bincount(
+                                t["si"].to_numpy(zero_copy_only=False),
+                                minlength=n_nodes,
+                            ).astype(np.float64)
+                        ],
+                        pa.list_(pa.float64()),
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        n_nodes,
+    )
+    r = np.full(n_nodes, 1.0 / n_nodes)
+    safe_out = np.maximum(outdeg, 1.0)
+    dang = outdeg == 0
+    for _ in range(iters):
+        d_mass = r[dang].sum()
+        wref = ray.put(r / safe_out)
+
+        def contrib_block(t: pa.Table) -> pa.Table:
+            w = ray.get(wref)
+            si = t["si"].to_numpy(zero_copy_only=False)
+            di = t["di"].to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "vec": pa.array(
+                        [np.bincount(di, weights=w[si], minlength=n_nodes)],
+                        pa.list_(pa.float64()),
+                    )
+                }
+            )
+
+        contrib = fold(
+            idx.map_batches(contrib_block, batch_format="pyarrow"), n_nodes
+        )
+        r = (1.0 - damping) / n_nodes + damping * (contrib + d_mass / n_nodes)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "node": pa.array(node_arr, pa.int64()),
+                "rank": pa.array(r, pa.float64()),
+            }
+        )
+    )
+
+
+def pagerank(
+    edges: rd.Dataset,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iters: int = 5,
+    damping: float = 0.85,
+    num_partitions: int = 8,
+    dense_node_cap: int = 500_000,
+    force_join: bool = False,
+) -> rd.Dataset:
+    """Damped PageRank over a directed edge list -> (node, rank).
+
+    Bulk-synchronous iterations:
+      contrib(v) = sum over u->v of rank(u) / outdeg(u)
+      rank'(v)   = (1-d)/N + d * (contrib(v) + dangling_mass / N)
+    Dangling mass (rank held by nodes with no out-edges) is
+    redistributed uniformly — the standard formulation, the one a
+    numpy power-iteration oracle reproduces.
+
+    SIZE-GATED like ops/canon.py components: when the node count is
+    at most ``dense_node_cap`` the dense-vector path runs (edges
+    indexed once, never re-shuffled; per-iteration cost is ONE
+    streaming pass + a driver fold of per-block vectors); above the
+    cap — or with ``force_join=True`` — the all-distributed join path
+    below runs.  Both paths produce identical math and both are
+    pinned by the numpy parity test.
+
+    Join path: the rank vector carries a precomputed ``dang`` 0/1 flag so the
+    dangling mass is a plain streaming sum of ``rank * dang`` — no
+    per-iteration join for it.  Node completion (nodes with no
+    in-links must still receive the base rank) unions a static
+    zero-contribution base dataset into the contribution groupby
+    instead of left-joining, so each iteration is one join + one
+    grouped sum.  Each iteration materializes; PageRank is inherently
+    synchronous, so the barrier is semantic, not accidental."""
+
+    def rename(t: pa.Table, mapping: dict) -> pa.Table:
+        return t.rename_columns([mapping.get(c, c) for c in t.column_names])
+
+    e = edges.map_batches(
+        lambda t: rename(t, {src_col: "src", dst_col: "dst"}).select(
+            ["src", "dst"]
+        ),
+        batch_format="pyarrow",
+    )
+    nodes = (
+        e.map_batches(
+            lambda t: pa.table(
+                {
+                    "node": pa.chunked_array(
+                        t["src"].cast(pa.int64()).chunks
+                        + t["dst"].cast(pa.int64()).chunks
+                    ).combine_chunks()
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("node")
+        .aggregate(Sum("node", alias_name="_s"))
+        .select_columns(["node"])
+        .materialize()
+    )
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return nodes.map_batches(
+            lambda t: pa.table(
+                {"node": pa.array([], pa.int64()), "rank": pa.array([], pa.float64())}
+            ),
+            batch_format="pyarrow",
+        )
+    if not force_join and n_nodes <= dense_node_cap:
+        return _pagerank_dense(e, nodes, n_nodes, iters, damping)
+
+    outdeg = (
+        e.map_batches(
+            lambda t: (
+                lambda g: pa.table(
+                    {"src": g["src"], "n_partial": g["count_all"]}
+                )
+            )(
+                pa.table({"src": t["src"]})
+                .group_by("src")
+                .aggregate([([], "count_all")])
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("src")
+        .aggregate(Sum("n_partial", alias_name="outdeg"))
+    )
+    # adjacency weighted once: edge weight = 1/outdeg(src)
+    ew = (
+        hash_join(e, outdeg, on="src", num_partitions=num_partitions)
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "src": t["src"],
+                    "dst": t["dst"],
+                    "w": pc.divide(
+                        pa.scalar(1.0), t["outdeg"].cast(pa.float64())
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    # per-node dangling flag (no out-edges), attached once via ONE
+    # left-outer join; rides inside the rank vector thereafter
+    flagged = (
+        hash_join(
+            nodes,
+            outdeg,
+            on="node",
+            right_on="src",
+            how="left_outer",
+            num_partitions=num_partitions,
+        )
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "node": t["node"],
+                    "dang": pc.cast(pc.is_null(t["outdeg"]), pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    # static base rows: every node with zero contribution — unioned
+    # into each iteration's groupby so no node drops out (replaces a
+    # per-iteration left-outer join)
+    base_rows = flagged.map_batches(
+        lambda t: pa.table(
+            {
+                "node": t["node"],
+                "c_partial": pa.array(np.zeros(len(t)), pa.float64()),
+                "dang": t["dang"],
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    ranks = flagged.map_batches(
+        lambda t: pa.table(
+            {
+                "node": t["node"],
+                "rank": pa.array(np.full(len(t), 1.0 / n_nodes), pa.float64()),
+                "dang": t["dang"],
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    for _ in range(iters):
+        d_mass = (
+            ranks.map_batches(
+                lambda t: pa.table(
+                    {
+                        "dmass": pc.multiply(
+                            t["rank"], pc.cast(t["dang"], pa.float64())
+                        )
+                    }
+                ),
+                batch_format="pyarrow",
+            ).sum("dmass")
+            or 0.0
+        )
+        contrib_partials = hash_join(
+            ew, ranks, on="src", right_on="node", num_partitions=num_partitions
+        ).map_batches(
+            lambda t: pa.table(
+                {
+                    "node": t["dst"],
+                    "c_partial": pc.multiply(t["w"], t["rank"]),
+                    "dang": pa.array(
+                        np.zeros(len(t), np.int64)
+                    ),  # Max() with base_rows restores the true flag
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        merged = (
+            contrib_partials.union(base_rows)
+            .groupby("node")
+            .aggregate(
+                Sum("c_partial", alias_name="contrib"),
+                Max("dang", alias_name="dang"),
+            )
+        )
+        base = (1.0 - damping) / n_nodes + damping * d_mass / n_nodes
+
+        def apply_rank(t: pa.Table, base=base) -> pa.Table:
+            c = t["contrib"].combine_chunks().to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "node": t["node"],
+                    "rank": pa.array(base + damping * c, pa.float64()),
+                    "dang": t["dang"],
+                }
+            )
+
+        ranks = merged.map_batches(apply_rank, batch_format="pyarrow").materialize()
+    return ranks.select_columns(["node", "rank"])

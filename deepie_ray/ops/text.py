@@ -335,6 +335,55 @@ def term_frequencies(batch: pa.Table) -> pa.Table:
     )
 
 
+def inverted_index_partials(batch: pa.Table, postings_cap: int = 100) -> pa.Table:
+    """Per-batch inverted-index partials -> (term, df_partial,
+    postings_partial).  ``postings_partial`` is the batch's lowest
+    ``postings_cap`` doc_ids per term, sorted — the global lowest-cap
+    is a subset of the union of per-batch lowest-caps, so the merge
+    stage (sort + head) is exact while every shuffled row stays
+    bounded at cap ids.  df is an exact distinct-doc count (term
+    frequencies are per-doc distinct by construction)."""
+    tf = term_frequencies(batch).to_pandas()
+    if tf.empty:
+        return pa.table(
+            {
+                "term": pa.array([], pa.string()),
+                "df_partial": pa.array([], pa.int64()),
+                "postings_partial": pa.array([], pa.list_(pa.int64())),
+            }
+        )
+    g = tf.sort_values(["term", "doc_id"]).groupby("term", sort=True)["doc_id"]
+    terms, dfs, posts = [], [], []
+    for term, ids in g:
+        terms.append(term)
+        dfs.append(len(ids))
+        posts.append(ids.to_numpy()[:postings_cap])
+    return pa.table(
+        {
+            "term": pa.array(terms, pa.string()),
+            "df_partial": pa.array(dfs, pa.int64()),
+            "postings_partial": pa.array(posts, pa.list_(pa.int64())),
+        }
+    )
+
+
+def merge_inverted_index(df, postings_cap: int = 100):
+    """map_groups merge of per-batch partials for ONE term:
+    df = sum of partials; postings = lowest ``postings_cap`` of the
+    union, comma-joined (strings value-hash exactly against the SQL
+    oracle's ``string_agg``)."""
+    import pandas as pd
+
+    ids = np.sort(np.concatenate(df["postings_partial"].to_numpy()))[:postings_cap]
+    return pd.DataFrame(
+        {
+            "term": [df["term"].iloc[0]],
+            "df": [int(df["df_partial"].sum())],
+            "postings": [",".join(str(i) for i in ids)],
+        }
+    )
+
+
 def rolling_fingerprint_batch(batch: pa.Table, window: int = 8) -> pa.Table:
     """Winnowing-style document fingerprint: min rolling hash over
     ``window``-token shingles (robust to small edits, unlike md5)."""

@@ -1184,3 +1184,175 @@ def media_span_stats(sf_dir: str) -> rd.Dataset:
             batch_format="pyarrow",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# round 3: sampling / mixing / shuffle-export / index / graph / clustering
+
+
+def mix_sources(sf_dir: str) -> rd.Dataset:
+    """Weighted deterministic source mixing (domain re-weighting for a
+    training corpus): per-source keep rates derived from the source
+    NAME hash, per-doc keep decision from the doc-id hash — both
+    content-addressed, so the mix is reproducible under any
+    partitioning and SQL-expressible.  Pure map, zero shuffle."""
+    from .ops import sample
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+    return ds.map_batches(sample.mix_sources_batch, batch_format="pyarrow")
+
+
+def shuffle_shards_docs(sf_dir: str) -> rd.Dataset:
+    """Deterministic global shuffle for training-data export ->
+    (doc_id, shard, pos): md5-bucketed shard + rank within shard by the
+    md5 shuffle key.  One hash exchange + per-shard rank; shard count
+    is the scale knob (grow it with the corpus)."""
+    from .ops import sample
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    return sample.shuffle_shards(ds, n_shards=16)
+
+
+def unigram_rarity_scores(sf_dir: str) -> rd.Dataset:
+    """Unigram-LM quality proxy (the perplexity-filter staple, in
+    exact integer arithmetic so the oracle value-hashes): global term
+    counts (combiner-first grouped sum), broadcast {term: count}
+    (Heaps-bounded vocabulary, same documented bound as tf-idf's idf
+    map), then per-doc
+    ``rarity_sum = sum_tokens tf * ((total * 1e6) // count(term))``
+    and ``avg_rarity = rarity_sum // n_tokens``.  High avg_rarity =
+    improbable under the corpus unigram model (rare/garbled text) —
+    the integer-order-preserving analogue of high perplexity."""
+    import ray
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        tf = text.term_frequencies(t)
+        g = tf.group_by("term").aggregate([("tf", "sum")])
+        return pa.table({"term": g["term"], "n_partial": g["tf_sum"]})
+
+    counts = (
+        ds.map_batches(count_partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("n_partial", alias_name="n"))
+        .to_pandas()
+    )
+    total = int(counts["n"].sum())
+    cmap = {t: int(n) for t, n in zip(counts["term"], counts["n"])}
+    ref = ray.put(cmap)
+
+    class Score:
+        def __init__(self):
+            self.cmap = ray.get(ref)
+            self.total = total
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            tf = text.term_frequencies(t).to_pandas()
+            if tf.empty:
+                return pa.table(
+                    {
+                        "doc_id": pa.array([], pa.int64()),
+                        "n_tokens": pa.array([], pa.int64()),
+                        "rarity_sum": pa.array([], pa.int64()),
+                        "avg_rarity": pa.array([], pa.int64()),
+                    }
+                )
+            unit = (self.total * 1_000_000) // tf["term"].map(self.cmap).astype(
+                "int64"
+            )
+            tf = tf.assign(r=tf["tf"] * unit)
+            g = tf.groupby("doc_id", sort=False).agg(
+                n_tokens=("tf", "sum"), rarity_sum=("r", "sum")
+            )
+            g = g.reset_index()
+            g["avg_rarity"] = g["rarity_sum"] // g["n_tokens"]
+            return pa.Table.from_pandas(
+                g[["doc_id", "n_tokens", "rarity_sum", "avg_rarity"]].astype(
+                    "int64"
+                ),
+                preserve_index=False,
+            )
+
+    return ds.map_batches(Score, batch_format="pyarrow", concurrency=(1, 8))
+
+
+def inverted_index(sf_dir: str) -> rd.Dataset:
+    """Term -> (df, postings) search-index build: per-batch partials
+    (df count + lowest-100 doc_ids per term — every shuffled row is
+    bounded at 100 ids regardless of term frequency, so stopword-grade
+    hot terms cannot blow up a reducer), merged per term with an exact
+    sort+head.  Postings are comma-joined strings for oracle parity."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    partials = ds.map_batches(
+        lambda t: text.inverted_index_partials(t, postings_cap=100),
+        batch_format="pyarrow",
+    )
+    return partials.groupby("term").map_groups(
+        lambda df: text.merge_inverted_index(df, postings_cap=100),
+        batch_format="pandas",
+    )
+
+
+def copurchase_edges(sf_dir: str) -> rd.Dataset:
+    """Co-purchase graph construction from the lineitem fact table:
+    distinct part pairs within each order, counted across orders
+    (part_a < part_b).  Group explode is bounded by order width; edge
+    counting is combiner-first."""
+    from .ops import graph
+
+    li = _lineitem(sf_dir, ["l_orderkey", "l_partkey"])
+    return graph.copurchase_edges(li)
+
+
+def graph_pagerank(sf_dir: str) -> rd.Dataset:
+    """PageRank over the co-purchase graph (undirected -> both edge
+    directions), 5 damped iterations of join + grouped sum — the
+    iterative-analytics capability check.  Ranks are rounded to 9 dp
+    for stable cross-run comparison; no SQL oracle (iterative), pinned
+    instead by the numpy power-iteration parity test in
+    tests/test_graph_cluster.py."""
+    from .ops import graph
+
+    li = _lineitem(sf_dir, ["l_orderkey", "l_partkey"])
+    e = graph.copurchase_edges(li).map_batches(
+        lambda t: pa.table(
+            {
+                "src": pa.chunked_array(
+                    t["part_a"].chunks + t["part_b"].chunks
+                ).combine_chunks(),
+                "dst": pa.chunked_array(
+                    t["part_b"].chunks + t["part_a"].chunks
+                ).combine_chunks(),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    # num_partitions=2 at bench scale: join-aggregator SETUP, not data,
+    # dominates tiny graphs (tuning.py); at cluster scale raise it to a
+    # few per node like every other hash_join call site
+    ranks = graph.pagerank(e, iters=5, num_partitions=2)
+    return ranks.map_batches(
+        lambda t: pa.table(
+            {
+                "node": t["node"],
+                "rank": pa.array(
+                    [round(float(v), 9) for v in t["rank"].to_pylist()],
+                    pa.float64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def embedding_kmeans(sf_dir: str) -> rd.Dataset:
+    """k-means over the embeddings table (k=8, 5 Lloyd iterations,
+    min-id deterministic init): centroids broadcast per iteration, the
+    corpus streams partial sums — the big side never shuffles.  No SQL
+    oracle (iterative); pinned by the numpy Lloyd parity test."""
+    from .ops import cluster
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    C = cluster.kmeans_fit(ds, k=8, iters=5)
+    return cluster.kmeans_assign(ds, C)

@@ -1,0 +1,270 @@
+"""Graph analytics (co-purchase construction, PageRank) and k-means
+clustering — numpy/DuckDB parity on small in-memory datasets, plus the
+partitioning-independence properties of the sampling operators."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from deepie_ray.ops import cluster, graph, sample
+
+
+# ------------------------------------------------------------- copurchase
+
+
+def test_copurchase_edges_matches_duckdb():
+    t = pa.table(
+        {
+            "l_orderkey": [1, 1, 1, 2, 2, 3, 3, 3, 4],
+            # order 3 holds a repeated part: pairs must be DISTINCT
+            "l_partkey": [10, 20, 30, 10, 20, 20, 20, 30, 40],
+        }
+    )
+    out = (
+        graph.copurchase_edges(rd.from_arrow(t))
+        .to_pandas()
+        .sort_values(["part_a", "part_b"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("lineitem", t)
+    odf = (
+        con.execute(
+            """
+            WITH p AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+            SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                   count(*)::BIGINT AS co_count
+            FROM p a JOIN p b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2 ORDER BY 1, 2
+            """
+        )
+        .df()
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, odf, check_dtype=False)
+    # (10,20) co-occurs in orders 1 and 2; single-part order 4 emits none
+    assert out.set_index(["part_a", "part_b"]).loc[(10, 20), "co_count"] == 2
+    assert 40 not in set(out["part_a"]) | set(out["part_b"])
+
+
+# --------------------------------------------------------------- pagerank
+
+
+def _pagerank_numpy(edges, iters, damping=0.85):
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    out = np.zeros(n)
+    for u, _ in edges:
+        out[idx[u]] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        d_mass = r[out == 0].sum()
+        contrib = np.zeros(n)
+        for u, v in edges:
+            contrib[idx[v]] += r[idx[u]] / out[idx[u]]
+        r = (1 - damping) / n + damping * (contrib + 0.0) + damping * d_mass / n
+    return dict(zip(nodes, r))
+
+
+def test_pagerank_matches_numpy_power_iteration():
+    # includes a dangling node (4) and an in-link-free node (1)
+    edges = [(1, 2), (1, 3), (2, 3), (3, 4), (2, 4), (5, 3), (3, 5)]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([u for u, _ in edges], pa.int64()),
+                "dst": pa.array([v for _, v in edges], pa.int64()),
+            }
+        )
+    )
+    want = _pagerank_numpy(edges, iters=4)
+    # both size-gate paths must match the same oracle
+    for force_join in (False, True):
+        got = (
+            graph.pagerank(ds, iters=4, num_partitions=2, force_join=force_join)
+            .to_pandas()
+            .set_index("node")["rank"]
+            .to_dict()
+        )
+        assert set(got) == set(want)
+        for n in want:
+            assert got[n] == pytest.approx(want[n], abs=1e-12), (force_join, n)
+        assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_pagerank_empty_edges():
+    ds = rd.from_arrow(
+        pa.table({"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())})
+    )
+    assert graph.pagerank(ds, iters=2).count() == 0
+
+
+# ----------------------------------------------------------------- kmeans
+
+
+def _kmeans_numpy(X, ids, k, iters):
+    order = np.argsort(ids)
+    C = X[order[:k]].astype(np.float64).copy()
+    for _ in range(iters):
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        a = d.argmin(axis=1)
+        for c in range(k):
+            if (a == c).any():
+                C[c] = X[a == c].mean(axis=0)
+    d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    return C, d.argmin(axis=1)
+
+
+def test_kmeans_matches_numpy_lloyd():
+    rng = np.random.default_rng(7)
+    # three well-separated blobs so assignments are unambiguous
+    X = np.concatenate(
+        [rng.normal(c, 0.05, size=(40, 8)) for c in (0.0, 5.0, -5.0)]
+    )
+    ids = np.arange(len(X))
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "embedding": pa.array(list(X), pa.list_(pa.float64())),
+            }
+        )
+    ).repartition(4)
+    C = cluster.kmeans_fit(ds, k=3, iters=4)
+    got = (
+        cluster.kmeans_assign(ds, C)
+        .to_pandas()
+        .sort_values("vec_id")["cluster"]
+        .to_numpy()
+    )
+    Cw, want = _kmeans_numpy(X, ids, k=3, iters=4)
+    assert np.allclose(np.sort(Cw, axis=0), np.sort(C, axis=0), atol=1e-9)
+    assert (got == want).all()
+
+
+def test_kmeans_partitioning_independent():
+    rng = np.random.default_rng(11)
+    X = rng.normal(size=(60, 6))
+    ids = np.arange(60)
+    t = pa.table(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array(list(X), pa.list_(pa.float64())),
+        }
+    )
+    a1 = (
+        cluster.kmeans_assign(
+            rd.from_arrow(t).repartition(1),
+            cluster.kmeans_fit(rd.from_arrow(t).repartition(1), k=4, iters=3),
+        )
+        .to_pandas()
+        .sort_values("vec_id")["cluster"]
+        .to_numpy()
+    )
+    a8 = (
+        cluster.kmeans_assign(
+            rd.from_arrow(t).repartition(8),
+            cluster.kmeans_fit(rd.from_arrow(t).repartition(8), k=4, iters=3),
+        )
+        .to_pandas()
+        .sort_values("vec_id")["cluster"]
+        .to_numpy()
+    )
+    # centroid folding order differs across partitionings; assignments
+    # (the discrete output) must not
+    assert (a1 == a8).all()
+
+
+# ------------------------------------------------------- sampling / shards
+
+
+def test_mix_sources_partitioning_independent_and_bounded():
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(400), pa.int64()),
+            "source": pa.array(
+                [f"src{i % 4}" for i in range(400)], pa.string()
+            ),
+        }
+    )
+    out1 = (
+        rd.from_arrow(t)
+        .repartition(1)
+        .map_batches(sample.mix_sources_batch, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    out8 = (
+        rd.from_arrow(t)
+        .repartition(8)
+        .map_batches(sample.mix_sources_batch, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out1, out8)
+    # every kept row satisfies the keep rule; rates in [100, 999]
+    assert (out1["bucket"] < out1["rate_permille"]).all()
+    assert out1["rate_permille"].between(100, 999).all()
+    # each source keeps roughly its rate (binomial, generous bounds)
+    for src, grp in out1.groupby("source"):
+        rate = sample.source_rate_permille(src) / 1000
+        assert abs(len(grp) / 100 - rate) < 0.2, src
+
+
+def test_shuffle_shards_is_permutation():
+    t = pa.table({"doc_id": pa.array(range(300), pa.int64())})
+    out = sample.shuffle_shards(rd.from_arrow(t), n_shards=8).to_pandas()
+    assert len(out) == 300
+    assert out["shard"].between(0, 7).all()
+    for _, grp in out.groupby("shard"):
+        assert sorted(grp["pos"]) == list(range(len(grp)))
+    # deterministic across runs/partitionings
+    out2 = sample.shuffle_shards(
+        rd.from_arrow(t).repartition(5), n_shards=8
+    ).to_pandas()
+    m1 = out.sort_values("doc_id").reset_index(drop=True)
+    m2 = out2.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(m1, m2)
+
+
+# ----------------------------------------------------------- inverted index
+
+
+def test_inverted_index_cap_and_merge():
+    from deepie_ray.ops import text
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(10), pa.int64()),
+            "text": pa.array(
+                ["common special" if i < 3 else "common" for i in range(10)],
+                pa.string(),
+            ),
+        }
+    )
+    parts = rd.from_arrow(docs).repartition(4).map_batches(
+        lambda t: text.inverted_index_partials(t, postings_cap=2),
+        batch_format="pyarrow",
+    )
+    out = (
+        parts.groupby("term")
+        .map_groups(
+            lambda df: text.merge_inverted_index(df, postings_cap=2),
+            batch_format="pandas",
+        )
+        .to_pandas()
+        .set_index("term")
+    )
+    # df is exact even beyond the postings cap; postings = lowest-2 ids
+    assert out.loc["common", "df"] == 10
+    assert out.loc["common", "postings"] == "0,1"
+    assert out.loc["special", "df"] == 3
+    assert out.loc["special", "postings"] == "0,1"
