@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scan": Q.pii_scan,
         "length_filter_quantile": Q.length_filter_quantile,
         "word_count_global": Q.word_count_global,
+        "word_topk_approx": Q.word_topk_approx,
         "train_val_test_split": Q.train_val_test_split,
         "doc_packing": Q.doc_packing,
         "lang_id": Q.lang_id,
@@ -506,6 +507,18 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(t[i*24 + 1 : i*24 + least(n - i*24, 32)],
                                    ' ') AS chunk_text
             FROM nc, unnest(range(0, CAST(n_chunks AS BIGINT))) AS u(i)
+        """,
+        "word_topk_approx": r"""
+            SELECT rank, word, n FROM (
+              SELECT word, n,
+                     row_number() OVER (ORDER BY n DESC, word)::BIGINT AS rank
+              FROM (
+                SELECT word, count(*)::BIGINT AS n FROM (
+                  SELECT unnest(regexp_split_to_array(text, '\s+')) AS word
+                  FROM documents
+                ) GROUP BY word
+              )
+            ) WHERE rank <= 20
         """,
         "word_count_global": r"""
             SELECT word, count(*)::BIGINT AS n FROM (

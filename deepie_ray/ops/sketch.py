@@ -264,3 +264,94 @@ def grouped_quantile(
         merge_lvl1, batch_format="pandas"
     )
     return lvl1.groupby(key_col).map_groups(merge_final, batch_format="pandas")
+
+
+# ------------------------------------------------------------ heavy hitters
+
+
+def mg_partial(items: np.ndarray, counts: np.ndarray, cap: int):
+    """Misra-Gries summary of (item, count) pairs: if more than ``cap``
+    distinct items, subtract the (cap+1)-th largest count from all and
+    keep the positive remainder (the classic decrement step, batched).
+    Counts become UNDERestimates with error <= N/cap; when distinct <=
+    cap the summary is EXACT — the same exact-degenerate contract as
+    the KMV and quantile sketches above."""
+    if len(items) <= cap:
+        return items, counts
+    order = np.argsort(counts)[::-1]
+    thresh = counts[order[cap]]
+    keep = order[:cap]
+    kept_counts = counts[keep] - thresh
+    pos = kept_counts > 0
+    return items[keep][pos], kept_counts[pos]
+
+
+def mg_merge(parts: list[tuple[np.ndarray, np.ndarray]], cap: int):
+    """Merge MG summaries: sum counts per item, then one decrement
+    step.  Merged error bounds add (Agarwal et al., 'Mergeable
+    Summaries'); exactness is preserved while the union stays <= cap."""
+    if not parts:
+        return np.array([], dtype=object), np.array([], dtype=np.int64)
+    items = np.concatenate([p[0] for p in parts])
+    counts = np.concatenate([p[1] for p in parts])
+    u, inv = np.unique(items, return_inverse=True)
+    summed = np.zeros(len(u), dtype=np.int64)
+    np.add.at(summed, inv, counts)
+    return mg_partial(u, summed, cap)
+
+
+def global_topk_heavy_hitters(
+    ds: rd.Dataset,
+    item_col: str,
+    count_col: str,
+    k: int = 20,
+    cap: int = 4096,
+    salt_buckets: int = 32,
+) -> rd.Dataset:
+    """Approximate global top-k over (item, partial_count) rows via
+    mergeable Misra-Gries summaries: per-batch summary -> two-level
+    salted merge (no task ever holds O(#blocks) summaries; a hot
+    stream fans over ``salt_buckets`` level-1 reducers) -> final top-k
+    ordered by (count desc, item).  Exact whenever the true distinct
+    item count is <= cap, which is what the DuckDB oracle verifies at
+    test scale; at 100 TB the summary rows crossing the shuffle are
+    O(blocks x cap), never the corpus."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        items = np.asarray(t[item_col].to_pylist(), dtype=object)
+        counts = t[count_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        u, inv = np.unique(items, return_inverse=True)
+        summed = np.zeros(len(u), dtype=np.int64)
+        np.add.at(summed, inv, counts)
+        it, ct = mg_partial(u, summed, cap)
+        salt = (
+            int(fingerprint64("hh:" + str(it[0])) % salt_buckets) if len(it) else 0
+        )
+        return pa.table(
+            {
+                "_salt": pa.array(np.full(len(it), salt, np.int64)),
+                item_col: pa.array([str(x) for x in it], pa.string()),
+                "n": pa.array(ct, pa.int64()),
+            }
+        )
+
+    def merge_lvl(df: pd.DataFrame) -> pd.DataFrame:
+        it, ct = mg_merge(
+            [(df[item_col].to_numpy(dtype=object), df["n"].to_numpy())], cap
+        )
+        out = pd.DataFrame({item_col: it.astype(str), "n": ct})
+        out["_g"] = 0
+        return out
+
+    def final_topk(df: pd.DataFrame) -> pd.DataFrame:
+        it, ct = mg_merge(
+            [(df[item_col].to_numpy(dtype=object), df["n"].to_numpy())], cap
+        )
+        out = pd.DataFrame({item_col: it.astype(str), "n": ct})
+        out = out.sort_values(["n", item_col], ascending=[False, True]).head(k)
+        out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+        return out[["rank", item_col, "n"]]
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    lvl1 = partials.groupby("_salt").map_groups(merge_lvl, batch_format="pandas")
+    return lvl1.groupby("_g").map_groups(final_topk, batch_format="pandas")

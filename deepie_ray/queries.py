@@ -1356,3 +1356,22 @@ def embedding_kmeans(sf_dir: str) -> rd.Dataset:
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     C = cluster.kmeans_fit(ds, k=8, iters=5)
     return cluster.kmeans_assign(ds, C)
+
+
+def word_topk_approx(sf_dir: str) -> rd.Dataset:
+    """Approximate global top-20 words via the mergeable Misra-Gries
+    heavy-hitter sketch (two-level salted merge) -> (rank, word, n).
+    Exact — and therefore DuckDB-oracle-checkable — whenever the true
+    vocabulary fits the 4096-item capacity, which holds at every test
+    scale; at 100 TB only O(blocks x cap) summary rows shuffle."""
+    from .ops import sketch
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def explode_count(t: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(pc.split_pattern_regex(t["text"], pattern=r"\s+"))
+        g = pa.table({"word": toks}).group_by("word").aggregate([([], "count_all")])
+        return pa.table({"word": g["word"], "n": g["count_all"]})
+
+    counts = ds.map_batches(explode_count, batch_format="pyarrow")
+    return sketch.global_topk_heavy_hitters(counts, "word", "n", k=20, cap=4096)

@@ -268,3 +268,50 @@ def test_inverted_index_cap_and_merge():
     assert out.loc["common", "postings"] == "0,1"
     assert out.loc["special", "df"] == 3
     assert out.loc["special", "postings"] == "0,1"
+
+
+# ------------------------------------------------------- heavy hitters (MG)
+
+
+def test_misra_gries_exact_below_cap_and_bounded_beyond():
+    from deepie_ray.ops import sketch
+
+    # exact-degenerate: distinct <= cap -> exact counts back
+    it, ct = sketch.mg_merge(
+        [
+            (np.array(["a", "b"], object), np.array([5, 3])),
+            (np.array(["b", "c"], object), np.array([4, 1])),
+        ],
+        cap=10,
+    )
+    assert dict(zip(it, ct)) == {"a": 5, "b": 7, "c": 1}
+    # beyond cap: heavy item survives, count underestimates by <= N/cap
+    rng = np.random.default_rng(3)
+    items = np.array([f"t{i}" for i in rng.integers(0, 500, 5000)], object)
+    items = np.concatenate([items, np.array(["HH"] * 800, object)])
+    u, c = np.unique(items, return_counts=True)
+    it, ct = sketch.mg_partial(u, c, cap=50)
+    got = dict(zip(it, ct))
+    n = len(items)
+    assert "HH" in got
+    assert 800 - n / 50 <= got["HH"] <= 800
+
+
+def test_global_topk_heavy_hitters_beyond_cap_keeps_heavy_item():
+    from deepie_ray.ops import sketch
+
+    rng = np.random.default_rng(5)
+    words = [f"w{i}" for i in rng.integers(0, 300, 4000)] + ["HEAVY"] * 500
+    t = pa.table({"word": pa.array(words, pa.string())})
+    counts = rd.from_arrow(t).repartition(6).map_batches(
+        lambda b: (
+            lambda g: pa.table({"word": g["word"], "n": g["count_all"]})
+        )(b.group_by("word").aggregate([([], "count_all")])),
+        batch_format="pyarrow",
+    )
+    out = sketch.global_topk_heavy_hitters(
+        counts, "word", "n", k=5, cap=64
+    ).to_pandas()
+    assert out.iloc[0]["word"] == "HEAVY"
+    assert out.iloc[0]["rank"] == 1
+    assert len(out) == 5
