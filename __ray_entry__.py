@@ -74,6 +74,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sampling / mixing / shuffle export
         "mix_sources": Q.mix_sources,
         "shuffle_shards_docs": Q.shuffle_shards_docs,
+        "sample_per_source": Q.sample_per_source,
+        "latest_event_per_user": Q.latest_event_per_user,
         # dedup family
         "dedup_exact_documents": Q.dedup_exact_documents,
         "minhash_dedup_documents": Q.minhash_dedup_documents,
@@ -356,6 +358,26 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_fingerprints": """
             SELECT doc_id, md5(lower(text)) AS fingerprint FROM documents
+        """,
+        "sample_per_source": """
+            SELECT source, doc_id, rank FROM (
+              SELECT source, doc_id,
+                     row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY md5(doc_id || ':sample-v1'), doc_id
+                     )::BIGINT AS rank
+              FROM documents
+            ) WHERE rank <= 5
+        """,
+        "latest_event_per_user": """
+            SELECT user_id, event_id AS last_event_id,
+                   epoch_us(ts)::BIGINT AS last_ts_us,
+                   event_type AS last_event_type
+            FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events
+            ) WHERE rn = 1
         """,
         "mix_sources": """
             SELECT doc_id, source, bucket, rate_permille FROM (

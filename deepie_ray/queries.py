@@ -1375,3 +1375,66 @@ def word_topk_approx(sf_dir: str) -> rd.Dataset:
 
     counts = ds.map_batches(explode_count, batch_format="pyarrow")
     return sketch.global_topk_heavy_hitters(counts, "word", "n", k=20, cap=4096)
+
+
+def sample_per_source(sf_dir: str) -> rd.Dataset:
+    """Deterministic stratified sample: the 5 docs per source with the
+    smallest md5(doc_id || ':sample-v1') -> (source, doc_id, rank).
+    Content-addressed (reproducible under any partitioning) and
+    combiner-first: each batch forwards at most 5 candidate rows per
+    source, so the per-source merge group is O(5 x blocks) no matter
+    how large the source is."""
+    from .hashing import md5_hex
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+    K = 5
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(
+            _h=[md5_hex(f"{d}:sample-v1") for d in df["doc_id"]]
+        )
+        df = df.sort_values(["source", "_h", "doc_id"])
+        return df.groupby("source", sort=False).head(K)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["_h", "doc_id"]).head(K).copy()
+        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        return df[["source", "doc_id", "rank"]]
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("source")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+def latest_event_per_user(sf_dir: str) -> rd.Dataset:
+    """Keep-latest-per-key dedup (the CDC/upsert compaction staple):
+    each user's most recent event, ties on timestamp broken by the
+    larger event_id -> (user_id, last_event_id, last_ts_us,
+    last_event_type).  Combiner-first argmax: each batch forwards ONE
+    candidate row per user, the per-user merge group is O(blocks)."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+
+    def best(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"])
+        return df.groupby("user_id", sort=False).tail(1)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        row = df.sort_values(["ts", "event_id"]).tail(1)
+        return pd.DataFrame(
+            {
+                "user_id": row["user_id"].to_numpy(),
+                "last_event_id": row["event_id"].to_numpy(),
+                "last_ts_us": (
+                    row["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+                ),
+                "last_event_type": row["event_type"].to_numpy(),
+            }
+        )
+
+    return (
+        ds.map_batches(best, batch_format="pandas")
+        .groupby("user_id")
+        .map_groups(finish, batch_format="pandas")
+    )
