@@ -248,7 +248,11 @@ def pagerank(
             ["src", "dst"]
         ),
         batch_format="pyarrow",
-    )
+        # node-set, out-degree and adjacency-weighting all read e: without
+        # this the caller's (possibly expensive) edge pipeline re-executes
+        # once per consumer — lazy-DAG duplication, same hazard as
+        # copurchase_edges' p
+    ).materialize()
     nodes = (
         e.map_batches(
             lambda t: pa.table(
