@@ -376,7 +376,7 @@ def oracle_sql() -> dict[str, str]:
             FROM (
               SELECT *, row_number() OVER (
                 PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
-              FROM events
+              FROM events WHERE ts IS NOT NULL
             ) WHERE rn = 1
         """,
         "mix_sources": """

@@ -111,7 +111,7 @@ def kmeans_assign(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> rd.Dataset:
-    """-> (id, cluster, dist2) final assignments under centroids ``C``
+    """-> (id, cluster) final assignments under centroids ``C``
     (broadcast once; pure streaming map)."""
     ref = ray.put(C)
 

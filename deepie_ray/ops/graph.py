@@ -61,11 +61,17 @@ def copurchase_edges(lineitem: rd.Dataset, min_count: int = 1) -> rd.Dataset:
         lineitem.map_batches(distinct_partial, batch_format="pyarrow")
         .groupby(["l_orderkey", "l_partkey"])
         .aggregate(Min("l_partkey", alias_name="_m"))
+        # merge away the groupby's zero-column empty-partition blocks
+        # before any column access
+        .repartition(8)
         .select_columns(["l_orderkey", "l_partkey"])
         # both join sides read p; without this the distinct shuffle
         # runs twice (lazy DAG duplication)
         .materialize()
     )
+    # p is repartitioned above, so both join inputs are clean; the
+    # join OUTPUT still needs its empty zero-column blocks merged away
+    # before partial_count accesses columns
     right = p.map_batches(
         lambda t: pa.table(
             {"l_orderkey": t["l_orderkey"], "part_b": t["l_partkey"]}
@@ -78,7 +84,7 @@ def copurchase_edges(lineitem: rd.Dataset, min_count: int = 1) -> rd.Dataset:
         ),
         batch_format="pyarrow",
     )
-    joined = hash_join(left, right, on="l_orderkey")
+    joined = hash_join(left, right, on="l_orderkey").repartition(8)
 
     def partial_count(t: pa.Table) -> pa.Table:
         t = t.filter(pc.less(t["part_a"], t["part_b"]))
@@ -215,6 +221,9 @@ def pagerank(
     force_join: bool = False,
 ) -> rd.Dataset:
     """Damped PageRank over a directed edge list -> (node, rank).
+    Node ids must be integers (cast to int64 internally; the dense
+    path additionally relies on numeric ``searchsorted``) — hash or
+    dictionary-encode string ids upstream (ops/dicts.py) first.
 
     Bulk-synchronous iterations:
       contrib(v) = sum over u->v of rank(u) / outdeg(u)
@@ -268,6 +277,9 @@ def pagerank(
         .groupby("node")
         .aggregate(Sum("node", alias_name="_s"))
         .select_columns(["node"])
+        # joined below (flagged): repartition clears the groupby's
+        # zero-column empty-partition blocks (tuning.py join rule)
+        .repartition(num_partitions)
         .materialize()
     )
     n_nodes = nodes.count()
@@ -296,10 +308,19 @@ def pagerank(
         )
         .groupby("src")
         .aggregate(Sum("n_partial", alias_name="outdeg"))
+        # repartition before EVERY join input that comes out of a
+        # groupby/join: empty hash partitions carry zero-COLUMN blocks
+        # that crash the Arrow join (tuning.py rule; reproduced here
+        # with num_partitions=8 on a 3-node graph)
+        .repartition(num_partitions)
+        .materialize()
     )
     # adjacency weighted once: edge weight = 1/outdeg(src)
     ew = (
         hash_join(e, outdeg, on="src", num_partitions=num_partitions)
+        # repartition directly after the join: empty hash partitions
+        # emit zero-COLUMN blocks that break column access downstream
+        .repartition(num_partitions)
         .map_batches(
             lambda t: pa.table(
                 {
@@ -312,6 +333,8 @@ def pagerank(
             ),
             batch_format="pyarrow",
         )
+        # joined against ranks every iteration: clear empty join blocks
+        .repartition(num_partitions)
         .materialize()
     )
     # per-node dangling flag (no out-edges), attached once via ONE
@@ -325,6 +348,9 @@ def pagerank(
             how="left_outer",
             num_partitions=num_partitions,
         )
+        # merge the join's empty zero-column output blocks away before
+        # any column access (derivatives feed joins/groupbys too)
+        .repartition(num_partitions)
         .map_batches(
             lambda t: pa.table(
                 {
@@ -377,7 +403,7 @@ def pagerank(
         )
         contrib_partials = hash_join(
             ew, ranks, on="src", right_on="node", num_partitions=num_partitions
-        ).map_batches(
+        ).repartition(num_partitions).map_batches(
             lambda t: pa.table(
                 {
                     "node": t["dst"],
@@ -409,5 +435,12 @@ def pagerank(
                 }
             )
 
-        ranks = merged.map_batches(apply_rank, batch_format="pyarrow").materialize()
+        # repartition between the groupby and apply_rank (zero-column
+        # empty partitions would break column access) — and the result
+        # is next iteration's join input, which needs it anyway
+        ranks = (
+            merged.repartition(num_partitions)
+            .map_batches(apply_rank, batch_format="pyarrow")
+            .materialize()
+        )
     return ranks.select_columns(["node", "rank"])

@@ -300,6 +300,25 @@ def mg_merge(parts: list[tuple[np.ndarray, np.ndarray]], cap: int):
     return mg_partial(u, summed, cap)
 
 
+def summary_salt(items: np.ndarray, counts: np.ndarray, buckets: int) -> int:
+    """Level-1 reducer salt from the WHOLE summary's content, not its
+    first item — item[0] is the lexicographic minimum, which is the
+    same token in almost every block of a text corpus, and would
+    collapse the 'salted fan-out' to a single reducer.  Count totals
+    differ per block, so hashing (size, total, ends, first count)
+    spreads; still deterministic under task retries (content-addressed,
+    same contract as _content_salt above)."""
+    if len(items) == 0:
+        return 0
+    return int(
+        fingerprint64(
+            f"hh:{len(items)}|{int(counts.sum())}|{items[0]}|{items[-1]}|"
+            f"{int(counts[0])}"
+        )
+        % buckets
+    )
+
+
 def global_topk_heavy_hitters(
     ds: rd.Dataset,
     item_col: str,
@@ -324,9 +343,7 @@ def global_topk_heavy_hitters(
         summed = np.zeros(len(u), dtype=np.int64)
         np.add.at(summed, inv, counts)
         it, ct = mg_partial(u, summed, cap)
-        salt = (
-            int(fingerprint64("hh:" + str(it[0])) % salt_buckets) if len(it) else 0
-        )
+        salt = summary_salt(it, ct, salt_buckets)
         return pa.table(
             {
                 "_salt": pa.array(np.full(len(it), salt, np.int64)),

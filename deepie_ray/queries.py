@@ -713,7 +713,12 @@ def length_filter_quantile(sf_dir: str) -> rd.Dataset:
     from .ops.sketch import grouped_quantile
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    counts = ds.map_batches(text.token_count_batch, batch_format="pyarrow")
+    # consumed twice (bounds pass + filter pass): materialize or the
+    # read+tokenize stage re-executes (lazy-DAG duplication); the
+    # materialized set is narrow (doc_id, n_tokens)
+    counts = ds.map_batches(
+        text.token_count_batch, batch_format="pyarrow"
+    ).materialize()
 
     def add_key(t: pa.Table) -> pa.Table:
         return t.append_column("_g", pa.array(np.zeros(len(t), np.int64)))
@@ -1413,11 +1418,14 @@ def latest_event_per_user(sf_dir: str) -> rd.Dataset:
     each user's most recent event, ties on timestamp broken by the
     larger event_id -> (user_id, last_event_id, last_ts_us,
     last_event_type).  Combiner-first argmax: each batch forwards ONE
-    candidate row per user, the per-user merge group is O(blocks)."""
+    candidate row per user, the per-user merge group is O(blocks).
+    Null timestamps are EXCLUDED on both sides (oracle: WHERE ts IS
+    NOT NULL) — pandas would otherwise sort NaT last and crown it the
+    'latest', silently diverging from SQL's NULLS-last DESC order."""
     ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
 
     def best(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["user_id", "ts", "event_id"])
+        df = df.dropna(subset=["ts"]).sort_values(["user_id", "ts", "event_id"])
         return df.groupby("user_id", sort=False).tail(1)
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:

@@ -315,3 +315,95 @@ def test_global_topk_heavy_hitters_beyond_cap_keeps_heavy_item():
     assert out.iloc[0]["word"] == "HEAVY"
     assert out.iloc[0]["rank"] == 1
     assert len(out) == 5
+
+
+# --------------------------------------------------- review regressions
+
+
+def test_pagerank_join_path_with_empty_hash_partitions():
+    """3 nodes, 8 join partitions: most hash partitions are empty, the
+    exact configuration whose zero-column blocks crashed Dataset.join
+    before the repartition guards (reproduced pre-fix)."""
+    edges = [(1, 2), (2, 3), (3, 1)]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([u for u, _ in edges], pa.int64()),
+                "dst": pa.array([v for _, v in edges], pa.int64()),
+            }
+        )
+    )
+    want = _pagerank_numpy(edges, iters=3)
+    got = (
+        graph.pagerank(ds, iters=3, num_partitions=8, force_join=True)
+        .to_pandas()
+        .set_index("node")["rank"]
+        .to_dict()
+    )
+    for n in want:
+        assert got[n] == pytest.approx(want[n], abs=1e-12), n
+
+
+def test_latest_event_per_user_excludes_null_ts(tmp_path):
+    import duckdb
+    import pyarrow.parquet as pq
+
+    t = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "ts": pa.array(
+                [
+                    pd.Timestamp("2024-01-01 10:00:00"),
+                    None,  # NaT must NOT be crowned the latest
+                    pd.Timestamp("2024-01-02 09:00:00"),
+                    None,
+                ],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([7, 7, 8, 9], pa.int64()),
+            "event_type": pa.array(["a", "b", "c", "d"], pa.string()),
+            "value": pa.array([1.0, 2.0, 3.0, 4.0]),
+            "props": pa.array(["{}"] * 4, pa.string()),
+        }
+    )
+    pq.write_table(t, f"{tmp_path}/events.parquet")
+    from deepie_ray import queries as Q
+
+    eng = (
+        Q.latest_event_per_user(str(tmp_path))
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("events", t)
+    sql = __import__("__ray_entry__").oracle_sql()["latest_event_per_user"]
+    odf = con.execute(sql).df().sort_values("user_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        eng[sorted(eng.columns)], odf[sorted(odf.columns)], check_dtype=False
+    )
+    # user 7's latest is the non-null event 1; all-null user 9 is absent
+    assert eng.set_index("user_id").loc[7, "last_event_id"] == 1
+    assert 9 not in set(eng["user_id"])
+
+
+def test_heavy_hitter_salt_spreads_across_blocks():
+    """Blocks sharing the same lexicographic-minimum token must not all
+    collapse into one level-1 reducer (pre-fix: salt = hash(item[0]),
+    identical for every block whose smallest token is e.g. 'a')."""
+    from deepie_ray.ops import sketch
+
+    rng = np.random.default_rng(13)
+    salts = set()
+    for i in range(12):
+        # every synthetic block summary starts with the same min item
+        words = ["a"] + [f"w{v}" for v in rng.integers(0, 50, 200 + 7 * i)]
+        u, inv = np.unique(np.asarray(words, dtype=object), return_inverse=True)
+        summed = np.zeros(len(u), dtype=np.int64)
+        np.add.at(summed, inv, 1)
+        it, ct = sketch.mg_partial(u, summed, 64)
+        assert it[0] == "a"
+        salts.add(sketch.summary_salt(it, ct, 32))
+    assert len(salts) >= 4
+    # deterministic (retry-safe): same summary -> same salt
+    assert sketch.summary_salt(it, ct, 32) == sketch.summary_salt(it, ct, 32)
