@@ -89,6 +89,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": Q.ngram_jaccard_pairs,
         "ngram_jaccard_exact": Q.ngram_jaccard_exact,
         "contamination_ngram": Q.contamination_ngram,
+        "contamination_bloom": Q.contamination_bloom,
         "repeated_ngrams": Q.repeated_ngrams,
         "docs_by_lang": Q.docs_by_lang,
         # reference-shaped ACE workflow (S1+A5+M12+T3+A6)

@@ -1047,3 +1047,113 @@ class EmbeddingNearDup:
                 "vec_b": pa.array(b[keep], pa.int64()),
             }
         )
+
+
+# --------------------------------------------------------- bloom decontam
+
+# odd 64-bit mixing constants (splitmix64 family); k derived hash
+# functions h_j(x) = (x*A + j*B) mod 2^64 >> (64 - log2(m)) are
+# deterministic and vectorize over whole shingle arrays
+_BLOOM_A = np.uint64(0x9E3779B97F4A7C15)
+_BLOOM_B = np.uint64(0xC2B2AE3D27D4EB4F)
+
+
+def _bloom_positions(hashes: np.ndarray, j: int, m_bits: int) -> np.ndarray:
+    with np.errstate(over="ignore"):
+        mixed = hashes.astype(np.uint64) * _BLOOM_A + np.uint64(j) * _BLOOM_B
+        mixed ^= mixed >> np.uint64(33)
+        mixed *= _BLOOM_B
+        mixed ^= mixed >> np.uint64(29)
+    return (mixed % np.uint64(m_bits)).astype(np.int64)
+
+
+def bloom_build(
+    bench_ds: rd.Dataset,
+    m_bits: int = 1 << 22,
+    k: int = 7,
+    text_col: str = "text",
+) -> np.ndarray:
+    """Bloom filter over a benchmark corpus's word-3-gram hashes, built
+    DISTRIBUTED: each batch emits a partial bit array (m/8 bytes — the
+    sketch, never the shingles), and partials merge by bitwise OR (the
+    Bloom filter is an OR-mergeable sketch).  Unlike
+    ``benchmark_shingles`` this stays fixed-size even when the eval
+    suite grows to billions of n-grams: the scale path for
+    decontamination, trading exact counts for a bounded false-positive
+    rate (~(1-e^{-kn/m})^k; 0 false NEGATIVES by construction)."""
+    words = m_bits // 64
+
+    def partial(t: pa.Table) -> pa.Table:
+        bits = np.zeros(words, dtype=np.uint64)
+        for txt in t[text_col].to_pylist():
+            sh = shingles(txt)
+            if not sh:
+                continue
+            h = np.fromiter(sh, dtype=np.int64, count=len(sh))
+            for j in range(k):
+                pos = _bloom_positions(h, j, m_bits)
+                np.bitwise_or.at(
+                    bits, pos >> 6, np.uint64(1) << (pos & 63).astype(np.uint64)
+                )
+        return pa.table({"bits": pa.array([bits.tobytes()], pa.binary())})
+
+    acc = np.zeros(words, dtype=np.uint64)
+    for b in bench_ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow", batch_size=None
+    ):
+        for raw in b["bits"].to_pylist():
+            acc |= np.frombuffer(raw, dtype=np.uint64)
+    return acc
+
+
+def contamination_bloom_counts(
+    ds: rd.Dataset,
+    bloom_bits: np.ndarray,
+    m_bits: int,
+    k: int = 7,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> rd.Dataset:
+    """Approximate decontamination against a broadcast Bloom filter ->
+    (doc_id, n_shingles, n_overlap_approx).  ``n_overlap_approx >=``
+    the exact overlap for every doc (no false negatives — pinned by
+    test), so thresholding on it never *misses* contamination.  Scale
+    shape identical to ``contamination_counts``: bits ship via
+    ``ray.put`` once, corpus streams, no shuffle."""
+    import ray
+
+    bits_ref = ray.put(bloom_bits)
+
+    class BloomContam:
+        def __init__(self):
+            self.bits = ray.get(bits_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            texts = batch[text_col].to_pylist()
+            ns = np.zeros(len(texts), dtype=np.int64)
+            nov = np.zeros(len(texts), dtype=np.int64)
+            for i, t in enumerate(texts):
+                sh = shingles(t)
+                ns[i] = len(sh)
+                if not sh:
+                    continue
+                h = np.fromiter(sh, dtype=np.int64, count=len(sh))
+                member = np.ones(len(h), dtype=bool)
+                for j in range(k):
+                    pos = _bloom_positions(h, j, m_bits)
+                    word = self.bits[pos >> 6]
+                    member &= (
+                        word >> (pos & 63).astype(np.uint64)
+                    ).astype(np.uint64) & np.uint64(1) == 1
+                    if not member.any():
+                        break
+                nov[i] = int(member.sum())
+            return pa.table(
+                {
+                    id_col: batch[id_col],
+                    "n_shingles": pa.array(ns, pa.int64()),
+                    "n_overlap_approx": pa.array(nov, pa.int64()),
+                }
+            )
+
+    return ds.map_batches(BloomContam, batch_format="pyarrow", concurrency=(1, 8))

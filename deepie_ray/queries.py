@@ -1446,3 +1446,26 @@ def latest_event_per_user(sf_dir: str) -> rd.Dataset:
         .groupby("user_id")
         .map_groups(finish, batch_format="pandas")
     )
+
+
+def contamination_bloom(sf_dir: str) -> rd.Dataset:
+    """Approximate decontamination — the SCALE path twin of
+    ``contamination_ngram``: the benchmark's n-grams become an
+    OR-mergeable Bloom filter (fixed 4M bits however large the eval
+    suite), broadcast once; the corpus streams.  n_overlap_approx is
+    an overestimate with no false negatives (pinned by pytest against
+    the exact operator); rows-only for the driver (approximate by
+    design, not SQL-expressible bit-for-bit)."""
+    bench_ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text"],
+        filter=(pc.field("doc_id") < 10),
+    )
+    m_bits = 1 << 22
+    bits = dedup.bloom_build(bench_ds, m_bits=m_bits, k=7)
+    corpus = rd.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text"],
+        filter=(pc.field("doc_id") >= 10),
+    )
+    return dedup.contamination_bloom_counts(corpus, bits, m_bits, k=7)

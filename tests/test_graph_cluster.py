@@ -407,3 +407,56 @@ def test_heavy_hitter_salt_spreads_across_blocks():
     assert len(salts) >= 4
     # deterministic (retry-safe): same summary -> same salt
     assert sketch.summary_salt(it, ct, 32) == sketch.summary_salt(it, ct, 32)
+
+
+# -------------------------------------------------------- bloom decontam
+
+
+def test_bloom_contamination_no_false_negatives(tmp_path):
+    """Every exact-overlap shingle must pass the Bloom filter: the
+    approximate count dominates the exact count per doc; at 4M bits /
+    tiny benchmark, the false-positive rate is ~0 so the counts are
+    equal on this fixture."""
+    import pyarrow.parquet as pq
+
+    from deepie_ray.ops import dedup as dd
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(30), pa.int64()),
+            "text": pa.array(
+                [
+                    # benchmark docs (id < 10) with distinctive 3-grams
+                    *[f"alpha beta gamma delta{i} epsilon zeta" for i in range(10)],
+                    # contaminated corpus docs quoting the benchmark
+                    *[f"noise{i} alpha beta gamma delta{i % 10} tail" for i in range(10)],
+                    # clean corpus docs
+                    *[f"clean{i} words only here {i}" for i in range(10)],
+                ],
+                pa.string(),
+            ),
+            "lang": pa.array(["en"] * 30),
+            "source": pa.array(["s"] * 30),
+            "n_chars": pa.array([1] * 30, pa.int64()),
+        }
+    )
+    pq.write_table(docs, f"{tmp_path}/documents.parquet")
+    from deepie_ray import queries as Q
+
+    approx = (
+        Q.contamination_bloom(str(tmp_path))
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    exact = (
+        Q.contamination_ngram(str(tmp_path))
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert (approx["n_shingles"] == exact["n_shingles"]).all()
+    assert (approx["n_overlap_approx"] >= exact["n_overlap"]).all()
+    # contaminated docs flagged, clean docs not (fp ~0 at this m/n)
+    assert (approx.loc[10:19, "n_overlap_approx"] > 0).all()
+    assert (approx.loc[20:29, "n_overlap_approx"] == 0).all()
