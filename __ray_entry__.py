@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": Q.ann_topk,
         "ann_topk_lsh": Q.ann_topk_lsh,
         "ann_topk_ivf": Q.ann_topk_ivf,
+        "ann_topk_pq": Q.ann_topk_pq,
         "ngram_jaccard_pairs": Q.ngram_jaccard_pairs,
         "ngram_jaccard_exact": Q.ngram_jaccard_exact,
         "contamination_ngram": Q.contamination_ngram,

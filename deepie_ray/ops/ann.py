@@ -286,3 +286,132 @@ def lsh_topk(
         BucketFilterTopK, batch_format="pyarrow", batch_size=4096, concurrency=(1, 8)
     )
     return merge_topk(partials, k)
+
+
+# -------------------------------------------------------------------- PQ
+
+
+def pq_train(
+    sample: np.ndarray, n_subspaces: int = 8, n_codes: int = 16, iters: int = 8
+) -> np.ndarray:
+    """Product-quantization codebooks (n_subspaces, n_codes, d_sub)
+    trained on an L2-normalized corpus sample (driver-side, bounded —
+    the same documented contract as the IVF coarse quantizer above).
+    Deterministic: per-subspace Lloyd with min-index init and a fixed
+    iteration count."""
+    n, d = sample.shape
+    assert d % n_subspaces == 0, "dim must divide into subspaces"
+    dsub = d // n_subspaces
+    books = np.zeros((n_subspaces, n_codes, dsub))
+    for s in range(n_subspaces):
+        X = sample[:, s * dsub : (s + 1) * dsub]
+        kk = min(n_codes, len(X))
+        C = X[:kk].copy()
+        for _ in range(iters):
+            d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            a = d2.argmin(axis=1)
+            for c in range(kk):
+                m = X[a == c]
+                if len(m):
+                    C[c] = m.mean(axis=0)
+        books[s, :kk] = C
+        if kk < n_codes:
+            books[s, kk:] = C[0]  # degenerate fill for tiny samples
+    return books
+
+
+class PQTopK:
+    """ADC (asymmetric distance computation) batch stage: corpus
+    vectors are PQ-encoded on the fly (one argmin per subspace — the
+    encode IS the compression; at scale you would persist the codes),
+    each query carries a (n_subspaces x n_codes) lookup table of
+    partial squared distances, and the approximate distance is a pure
+    table-gather sum.  For L2-normalized vectors cos ~ 1 - d2/2, so
+    the emitted score is directly comparable with the exact operator."""
+
+    def __init__(self, queries_ref, books_ref, k: int, exclude_self: bool):
+        import ray
+
+        qids, qmat = ray.get(queries_ref)
+        self.qids = np.asarray(qids)
+        Q = _normalize(np.asarray(qmat, dtype=np.float64))
+        self.books = ray.get(books_ref)  # (S, K, dsub)
+        S, K, dsub = self.books.shape
+        # per-query LUT: ||q_s - c_{s,k}||^2
+        self.lut = np.zeros((len(Q), S, K))
+        for s in range(S):
+            qs = Q[:, s * dsub : (s + 1) * dsub]
+            diff = qs[:, None, :] - self.books[s][None, :, :]
+            self.lut[:, s, :] = (diff * diff).sum(axis=2)
+        self.k = k
+        self.exclude_self = exclude_self
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return _EMPTY_TOPK
+        M = _normalize(_to_matrix(batch["embedding"]))
+        ids = batch["vec_id"].to_numpy()
+        S, K, dsub = self.books.shape
+        codes = np.zeros((len(M), S), dtype=np.int64)
+        for s in range(S):
+            xs = M[:, s * dsub : (s + 1) * dsub]
+            d2 = ((xs[:, None, :] - self.books[s][None, :, :]) ** 2).sum(axis=2)
+            codes[:, s] = d2.argmin(axis=1)
+        # approx squared distance per (query, vec): gather + sum over s
+        d2 = np.zeros((self.lut.shape[0], len(M)))
+        for s in range(S):
+            d2 += self.lut[:, s, :][:, codes[:, s]]
+        sims = 1.0 - d2 / 2.0  # cosine surrogate for normalized vectors
+        if self.exclude_self:
+            mask = self.qids[:, None] == ids[None, :]
+            sims = np.where(mask, -2.0, sims)
+        k = min(self.k, sims.shape[1])
+        idx = np.argpartition(-sims, kth=k - 1, axis=1)[:, :k]
+        rows_q = np.repeat(self.qids, k)
+        rows_n = ids[idx.ravel()]
+        rows_s = np.take_along_axis(sims, idx, axis=1).ravel()
+        keep = rows_s > -2.0
+        return pa.table(
+            {
+                "query_id": pa.array(rows_q[keep], pa.int64()),
+                "neighbor_id": pa.array(rows_n[keep], pa.int64()),
+                "cosine": pa.array(rows_s[keep], pa.float64()),
+            }
+        )
+
+
+def pq_topk(
+    corpus: rd.Dataset,
+    query_ids: np.ndarray,
+    query_matrix: np.ndarray,
+    k: int = 10,
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    sample_limit: int = 4096,
+    exclude_self: bool = True,
+) -> rd.Dataset:
+    """PQ-compressed ANN: train codebooks on a bounded driver sample,
+    broadcast them, ADC-score per batch, global top-k merge.  The
+    memory story is the point: a PQ-encoded corpus is n_subspaces
+    BYTES per vector (vs 8*d), which is what makes billion-vector
+    search fit a cluster's RAM."""
+    import ray
+
+    sample_tbl = corpus.limit(sample_limit).to_pandas()
+    S = _normalize(np.asarray(list(sample_tbl["embedding"]), dtype=np.float64))
+    books = pq_train(S, n_subspaces=n_subspaces, n_codes=n_codes)
+    qref = ray.put((query_ids, query_matrix))
+    bref = ray.put(books)
+    partials = corpus.map_batches(
+        PQTopK,
+        fn_constructor_kwargs={
+            "queries_ref": qref,
+            "books_ref": bref,
+            "k": k,
+            "exclude_self": exclude_self,
+        },
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=(1, 8),
+    )
+    return merge_topk(partials, k)

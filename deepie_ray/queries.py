@@ -889,6 +889,16 @@ def ann_topk_ivf(sf_dir: str) -> rd.Dataset:
     return ann.ivf_topk(corpus, ids, mat, k=10, n_centroids=16, nprobe=6)
 
 
+def ann_topk_pq(sf_dir: str) -> rd.Dataset:
+    """Product-quantization ANN (8 subspaces x 16 codes, ADC scoring):
+    the compressed-corpus scale path — a PQ code is 8 bytes/vector vs
+    512 for the raw embedding.  Approximate; rows-only for the driver,
+    recall-vs-exact pinned by pytest."""
+    ids, mat = _query_vectors(sf_dir)
+    corpus = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return ann.pq_topk(corpus, ids, mat, k=10, n_subspaces=8, n_codes=16)
+
+
 def ngram_jaccard_pairs(sf_dir: str) -> rd.Dataset:
     """n-gram Jaccard near-dup: LSH candidates verified with the TRUE
     3-gram Jaccard (id_a, id_b, jaccard) — rows-only (set arithmetic

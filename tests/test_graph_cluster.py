@@ -460,3 +460,53 @@ def test_bloom_contamination_no_false_negatives(tmp_path):
     # contaminated docs flagged, clean docs not (fp ~0 at this m/n)
     assert (approx.loc[10:19, "n_overlap_approx"] > 0).all()
     assert (approx.loc[20:29, "n_overlap_approx"] == 0).all()
+
+
+# ------------------------------------------------------------------- PQ
+
+
+def test_pq_topk_recall_vs_exact():
+    from deepie_ray.ops import ann
+
+    rng = np.random.default_rng(17)
+    X = rng.normal(size=(400, 32))
+    ids = np.arange(400)
+    t = pa.table(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array(list(X), pa.list_(pa.float64())),
+        }
+    )
+    corpus = rd.from_arrow(t).repartition(4)
+    qids = ids[:5]
+    qmat = X[:5]
+    exact = (
+        ann.brute_force_topk(corpus, qids, qmat, k=10)
+        .to_pandas()
+        .groupby("query_id")["neighbor_id"]
+        .apply(set)
+    )
+    approx = (
+        ann.pq_topk(corpus, qids, qmat, k=10, n_subspaces=8, n_codes=32)
+        .to_pandas()
+        .groupby("query_id")["neighbor_id"]
+        .apply(set)
+    )
+    recalls = [
+        len(exact[q] & approx[q]) / len(exact[q]) for q in exact.index
+    ]
+    assert np.mean(recalls) >= 0.5, recalls
+    # deterministic across runs
+    again = (
+        ann.pq_topk(corpus, qids, qmat, k=10, n_subspaces=8, n_codes=32)
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    first = (
+        ann.pq_topk(corpus, qids, qmat, k=10, n_subspaces=8, n_codes=32)
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(first, again)
