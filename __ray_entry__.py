@@ -45,6 +45,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_brand_stats": Q.part_brand_stats,
         "distinct_mktsegments": Q.distinct_mktsegments,
         "supplier_nation_balance": Q.supplier_nation_balance,
+        "customers_with_big_orders": Q.customers_with_big_orders,
+        "customers_without_big_orders": Q.customers_without_big_orders,
         # events / windows / as-of
         "events_tumbling_1h": Q.events_tumbling_1h,
         "events_sliding_1h_30m": Q.events_sliding_1h_30m,
@@ -53,6 +55,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_distinct_users": Q.events_distinct_users,
         "events_approx_distinct_users": Q.events_approx_distinct_users,
         "events_median_value": Q.events_median_value,
+        "events_p95_value": Q.events_p95_value,
+        "events_running_user_totals": Q.events_running_user_totals,
+        "events_value_histogram": Q.events_value_histogram,
+        "events_value_quartiles": Q.events_value_quartiles,
+        "user_event_type_pivot": Q.user_event_type_pivot,
         "asof_events_orders": Q.asof_events_orders,
         "range_events_burst": Q.range_events_burst,
         "top3_orders_per_customer": Q.top3_orders_per_customer,
@@ -112,8 +119,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": Q.media_features,
         # graph analytics / clustering
         "copurchase_edges": Q.copurchase_edges,
+        "copurchase_triangles": Q.copurchase_triangles,
         "graph_pagerank": Q.graph_pagerank,
         "embedding_kmeans": Q.embedding_kmeans,
+        "semantic_dedup_embeddings": Q.semantic_dedup_embeddings,
     }
 
 
@@ -262,6 +271,18 @@ def oracle_sql() -> dict[str, str]:
             FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
             GROUP BY n.n_name
         """,
+        "customers_with_big_orders": """
+            SELECT c_custkey, c_name FROM customer c
+            WHERE EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_totalprice > 400000.0)
+        """,
+        "customers_without_big_orders": """
+            SELECT c_custkey, c_name FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_totalprice > 400000.0)
+        """,
         "events_tumbling_1h": """
             SELECT event_type,
                    -- floor division (DuckDB's // truncates toward zero,
@@ -312,6 +333,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type,
                    round(quantile_cont(value, 0.5), 4) AS median_value
             FROM events GROUP BY event_type
+        """,
+        "events_p95_value": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.95), 4) AS p95_value
+            FROM events GROUP BY event_type
+        """,
+        "events_running_user_totals": """
+            SELECT user_id, event_id,
+                   row_number() OVER w ::BIGINT AS seq,
+                   (sum(CAST(floor(value * 100) AS BIGINT)) OVER w)::BIGINT
+                     AS cum_cents,
+                   coalesce(date_diff('microsecond',
+                                      lag(ts) OVER w, ts), -1)::BIGINT AS gap_us
+            FROM events WHERE ts IS NOT NULL
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "events_value_histogram": """
+            SELECT event_type,
+                   CAST(floor(value / 50.0) AS BIGINT) AS bin,
+                   count(*)::BIGINT AS n_events
+            FROM events GROUP BY event_type, bin
+        """,
+        "events_value_quartiles": """
+            SELECT user_id, event_id,
+                   ntile(4) OVER w ::BIGINT AS ntile4,
+                   percent_rank() OVER w AS pct_rank
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)
+        """,
+        "user_event_type_pivot": """
+            SELECT user_id,
+                   sum(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END)::BIGINT AS click,
+                   sum(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END)::BIGINT AS error,
+                   sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS purchase,
+                   sum(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END)::BIGINT AS signup,
+                   sum(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END)::BIGINT AS view,
+                   count(*)::BIGINT AS total
+            FROM events GROUP BY user_id
         """,
         "top3_orders_per_customer": """
             SELECT o_custkey, o_orderkey, o_totalprice, rank FROM (
@@ -456,6 +515,19 @@ def oracle_sql() -> dict[str, str]:
             FROM p a JOIN p b
               ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
             GROUP BY 1, 2
+        """,
+        "copurchase_triangles": """
+            WITH p AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+                 e AS (SELECT a.l_partkey AS a, b.l_partkey AS b
+                       FROM p a JOIN p b
+                         ON a.l_orderkey = b.l_orderkey
+                        AND a.l_partkey < b.l_partkey
+                       GROUP BY 1, 2)
+            SELECT e1.a AS node, count(*)::BIGINT AS n_triangles
+            FROM e e1
+            JOIN e e2 ON e2.a = e1.b
+            JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+            GROUP BY e1.a
         """,
         "length_filter_quantile": r"""
             WITH c AS (

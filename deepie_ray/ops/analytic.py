@@ -1,0 +1,125 @@
+"""Per-key ORDERED analytics — the SQL window-function family
+(``... OVER (PARTITION BY key ORDER BY ts)``): running aggregates,
+row numbering, lag deltas.
+
+The reference has no ordered-frame operator (its per-sentence maps are
+order-free), but every training-data pipeline over event/log tables
+needs one (session position features, inter-arrival gaps, running
+spend).  Scale shape: ONE shuffle on the partition key
+(``groupby.map_groups``); each task holds exactly one key's rows —
+bounded by per-entity event volume (the same contract as
+sessionization, ops/window.py §sessionize), never by corpus size.
+Within a group everything is numpy (stable sort + cumsum + diff); no
+per-row Python anywhere.
+
+Determinism: ordering ties on the timestamp are broken by the id
+column (mergesort = stable), so output is independent of partitioning
+and of arrival order — required for the driver's value-hash oracle and
+for retry/resume idempotence.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+import ray.data as rd
+
+
+def ordered_apply(
+    ds: rd.Dataset,
+    key_col: str,
+    order_cols: list[str],
+    fn,
+) -> rd.Dataset:
+    """Generic per-key ordered transform: shuffle once on ``key_col``,
+    sort each group by ``order_cols`` (stable), apply ``fn`` (pandas ->
+    pandas, vectorized)."""
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        return fn(df.sort_values(order_cols, kind="mergesort"))
+
+    return ds.groupby(key_col).map_groups(per_key, batch_format="pandas")
+
+
+def running_totals(
+    ds: rd.Dataset,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    value_col: str,
+) -> rd.Dataset:
+    """-> (key, id, seq, cum_cents, gap_us): per key in (ts, id) order,
+    the 1-based row number, the running sum of ``floor(value*100)``
+    (integer cents — exact, so the DuckDB ``SUM(...) OVER`` twin
+    value-hashes bit-for-bit; a float running sum would be at the mercy
+    of the oracle engine's segment-tree summation order), and the
+    microseconds since the key's previous row (-1 for the first row —
+    SQL's ``COALESCE(date_diff(..., lag(ts) OVER w, ts), -1)``).
+
+    Null timestamps are excluded on both sides (same rule as
+    keep-latest compaction, queries.latest_event_per_user)."""
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        ts_us = df[ts_col].astype("datetime64[us]").astype("int64").to_numpy()
+        cents = np.floor(df[value_col].to_numpy() * 100.0).astype(np.int64)
+        gap_us = np.empty(n, dtype=np.int64)
+        gap_us[0] = -1
+        gap_us[1:] = ts_us[1:] - ts_us[:-1]
+        return pd.DataFrame(
+            {
+                key_col: df[key_col].to_numpy(),
+                id_col: df[id_col].to_numpy(),
+                "seq": np.arange(1, n + 1, dtype=np.int64),
+                "cum_cents": np.cumsum(cents),
+                "gap_us": gap_us,
+            }
+        )
+
+    clean = ds.map_batches(
+        lambda df: df.dropna(subset=[ts_col]), batch_format="pandas"
+    )
+    return ordered_apply(clean, key_col, [ts_col, id_col], per_key)
+
+
+def rank_features(
+    ds: rd.Dataset,
+    key_col: str,
+    value_col: str,
+    id_col: str,
+    k: int = 4,
+) -> rd.Dataset:
+    """-> (key, id, ntile{k}, pct_rank): per key in ascending
+    (value, id) order, SQL ``NTILE(k)`` (first ``n % k`` buckets get
+    the extra row — the standard semantics) and ``PERCENT_RANK()``
+    ((rank-1)/(n-1), 0.0 for a single-row partition).  The (value, id)
+    ordering is tie-free (ids unique), so rank == row number and the
+    double division is bit-identical to any SQL engine's.
+
+    Same scale contract as ``running_totals``: one shuffle on the key,
+    per-task state is one key's rows, all-numpy within a group."""
+
+    ntile_col = f"ntile{k}"
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        idx = np.arange(n, dtype=np.int64)
+        base, rem = divmod(n, k)
+        cut = (base + 1) * rem
+        nt = np.empty(n, dtype=np.int64)
+        big = idx < cut
+        nt[big] = idx[big] // (base + 1) + 1
+        if base:
+            nt[~big] = rem + (idx[~big] - cut) // base + 1
+        pct = np.zeros(n, dtype=np.float64) if n == 1 else idx / (n - 1)
+        return pd.DataFrame(
+            {
+                key_col: df[key_col].to_numpy(),
+                id_col: df[id_col].to_numpy(),
+                ntile_col: nt,
+                "pct_rank": pct,
+            }
+        )
+
+    return ordered_apply(ds, key_col, [value_col, id_col], per_key)

@@ -137,3 +137,82 @@ def kmeans_assign(
             )
 
     return ds.map_batches(Assign, batch_format="pyarrow", concurrency=(1, 8))
+
+
+def semantic_dedup(
+    ds: rd.Dataset,
+    k: int = 8,
+    threshold: float = 0.35,
+    iters: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> rd.Dataset:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space with k-means, then
+    prune near-duplicates WITHIN each cluster by pairwise cosine —
+    the cluster step turns the intractable corpus-wide O(N^2) into
+    k * O((N/k)^2), and at 100 TB ``k`` scales with the corpus so the
+    per-cluster pair block stays bounded (the paper uses 50k clusters
+    for LAION-scale; the knob is ``k``, not the algorithm).
+
+    Keep rule (deterministic, partitioning-independent): within a
+    cluster, visit members in ascending id order; a member is DROPPED
+    iff some smaller-id member of the same cluster has cosine >=
+    ``threshold`` with it.  No RNG, no arrival-order dependence — the
+    numpy oracle in tests reproduces it exactly.
+
+    Output: (id, cluster, keep) for every input row; filter keep=true
+    for the surviving corpus.  Scale shape: centroids broadcast
+    (kmeans_fit's bounded driver reduce), assignment is a streaming
+    map, and the only shuffle groups (id, cluster, vector) rows by
+    cluster — each map_groups task holds one cluster's vectors."""
+    C = kmeans_fit(ds, k=k, iters=iters, vec_col=vec_col, id_col=id_col)
+    ref = ray.put(C)
+
+    class AssignKeep:
+        def __init__(self):
+            self.C = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            X = _batch_matrix(t, vec_col).astype(np.float64)
+            if X.shape[0] == 0:
+                return pa.table(
+                    {
+                        id_col: pa.array([], pa.int64()),
+                        "cluster": pa.array([], pa.int64()),
+                        vec_col: pa.array([], pa.list_(pa.float32())),
+                    }
+                )
+            a = _assign(X, self.C)
+            return pa.table(
+                {
+                    id_col: t[id_col],
+                    "cluster": pa.array(a.astype(np.int64), pa.int64()),
+                    vec_col: t[vec_col],
+                }
+            )
+
+    assigned = ds.map_batches(AssignKeep, batch_format="pyarrow", concurrency=(1, 8))
+
+    def prune(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")
+        t = t.take(pa.array(order, pa.int64()))
+        ids = ids[order]
+        X = _batch_matrix(t, vec_col).astype(np.float64)
+        norms = np.linalg.norm(X, axis=1)
+        norms[norms == 0.0] = 1.0
+        U = X / norms[:, None]
+        S = U @ U.T
+        # strictly-lower-triangular mask: j is dropped iff any i<j passes
+        dup = (np.tril(S, k=-1) >= threshold).any(axis=1)
+        cl = t["cluster"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "cluster": pa.array(cl, pa.int64()),
+                "keep": pa.array(~dup),
+            }
+        )
+
+    return assigned.groupby("cluster").map_groups(prune, batch_format="pyarrow")

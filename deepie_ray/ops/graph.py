@@ -444,3 +444,70 @@ def pagerank(
             .materialize()
         )
     return ranks.select_columns(["node", "rank"])
+
+
+def triangle_counts(
+    edges: rd.Dataset,
+    src: str = "part_a",
+    dst: str = "part_b",
+    num_partitions: int = 8,
+) -> rd.Dataset:
+    """Per-node triangle counts -> (node, n_triangles), where ``node``
+    is each triangle's SMALLEST vertex (so every triangle is counted
+    exactly once and the output doubles as a distribution, not just a
+    scalar).  Input edges must be distinct and canonically oriented
+    ``src < dst`` (copurchase_edges' contract).
+
+    Two hash-partitioned joins — the standard distributed triangle
+    enumeration: (1) wedges (a,b),(b,c) joined on the midpoint b give
+    ordered paths a<b<c; (2) the wedge closes iff (a,c) is an edge — a
+    composite-key join against the edge set itself.  Per-node counting
+    is combiner-first (ops/agg.grouped_count).  Scale shape: wedge
+    volume is sum_b deg(b)^2 — hub vertices fan out across hash
+    partitions rather than gathering per node; no driver-side state,
+    nothing materializes beyond the (narrow, 2-int) edge list that
+    feeds three join sides."""
+    from .agg import grouped_count
+
+    e = (
+        edges.select_columns([src, dst])
+        .repartition(num_partitions)
+        .materialize()  # three consumers below; don't recompute the input
+    )
+    if e.count() == 0:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array([], pa.int64()),
+                    "n_triangles": pa.array([], pa.int64()),
+                }
+            )
+        )
+    e1 = e.map_batches(
+        lambda t: pa.table({"a": t[src], "b": t[dst]}), batch_format="pyarrow"
+    )
+    e2 = e.map_batches(
+        lambda t: pa.table({"b2": t[src], "c": t[dst]}), batch_format="pyarrow"
+    )
+    wedges = hash_join(
+        e1, e2, on="b", right_on="b2", num_partitions=num_partitions
+    ).repartition(num_partitions)
+    closing = e.map_batches(
+        lambda t: pa.table({"a2": t[src], "c2": t[dst]}), batch_format="pyarrow"
+    )
+    tri = hash_join(
+        wedges,
+        closing,
+        on=("a", "c"),
+        right_on=("a2", "c2"),
+        num_partitions=num_partitions,
+    ).repartition(num_partitions)
+
+    out = grouped_count(
+        tri.map_batches(
+            lambda t: pa.table({"node": t["a"]}), batch_format="pyarrow"
+        ),
+        ["node"],
+        "n_triangles",
+    )
+    return out

@@ -351,20 +351,121 @@ def range_join_count(
 def hash_join(
     left: rd.Dataset,
     right: rd.Dataset,
-    on: str,
-    right_on: str | None = None,
+    on: str | tuple[str, ...],
+    right_on: str | tuple[str, ...] | None = None,
     how: str = "inner",
     num_partitions: int = 8,
 ) -> rd.Dataset:
-    """Hash-partitioned large-large join (Ray Dataset.join).
+    """Hash-partitioned large-large join (Ray Dataset.join); ``on`` /
+    ``right_on`` may be a single column or a composite-key tuple.
 
     Keep ``num_partitions`` at a few per NODE: join aggregator actors
     cost ~O(partitions) in setup; 8 partitions joined 600k x 150k rows
     in 0.8s where 32 partitions took 105s (tuning.py)."""
+    on_t = (on,) if isinstance(on, str) else tuple(on)
+    right_t: tuple[str, ...] | None = None
+    if right_on is not None:
+        right_t = (right_on,) if isinstance(right_on, str) else tuple(right_on)
     return left.join(
         right,
         join_type=how,
         num_partitions=num_partitions,
-        on=(on,),
-        right_on=(right_on,) if right_on else None,
+        on=on_t,
+        right_on=right_t,
     )
+
+
+def _distinct_keys(ds: rd.Dataset, key: str) -> rd.Dataset:
+    """Combiner-first distinct: per-batch dedup (pyarrow group_by, no
+    aggregate) so the shuffle moves O(distinct-per-block) narrow key
+    rows, then one grouped pass keeps the first of each key."""
+    import pyarrow.compute as pc  # noqa: F401  (kept for symmetry with callers)
+
+    def local_distinct(t: pa.Table) -> pa.Table:
+        return t.select([key]).group_by([key]).aggregate([])
+
+    return (
+        ds.map_batches(local_distinct, batch_format="pyarrow")
+        .groupby(key)
+        .map_groups(
+            lambda t: t.slice(0, 1),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def semi_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    on: str,
+    right_on: str | None = None,
+    num_partitions: int = 8,
+) -> rd.Dataset:
+    """Left rows whose key EXISTS in right (SQL semi-join), fully
+    distributed: right collapses to its DISTINCT keys (combiner-first —
+    the shuffle moves narrow key rows, never right's payload), then one
+    hash-partitioned inner join against a key-only side.  Distinctness
+    of the build side guarantees no row multiplication, so the output
+    schema is exactly ``left``'s.
+
+    Empty-build guard: Ray's join aggregators cannot finalize zero-row
+    partitions (tuning.py), and an empty key set means an empty result
+    anyway — return a typed empty slice of left."""
+    rk = right_on or on
+    # materialize the (already key-only, distinct) build side so the
+    # empty guard's count() doesn't recompute the distinct pipeline
+    # when the join consumes it
+    keys = _distinct_keys(right, rk).repartition(num_partitions).materialize()
+    if keys.count() == 0:
+        return left.limit(0)
+    return hash_join(
+        left.repartition(num_partitions),
+        keys,
+        on=on,
+        right_on=rk if rk != on else None,
+        num_partitions=num_partitions,
+    )
+
+
+def anti_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    on: str,
+    right_on: str | None = None,
+    num_partitions: int = 8,
+) -> rd.Dataset:
+    """Left rows whose key does NOT exist in right (SQL anti-join):
+    distinct right keys tagged with a marker column, LEFT OUTER
+    hash join, keep rows where the marker stayed null, drop the marker.
+    Same distinct-build + empty-build guards as ``semi_join`` (an empty
+    key set keeps every left row)."""
+    import pyarrow.compute as pc
+
+    rk = right_on or on
+    keys = (
+        _distinct_keys(right, rk)
+        .map_batches(
+            lambda t: t.append_column(
+                "_present", pa.array([1] * t.num_rows, pa.int8())
+            ),
+            batch_format="pyarrow",
+        )
+        .repartition(num_partitions)
+        .materialize()  # pin: count() guard + join both consume it
+    )
+    if keys.count() == 0:
+        return left
+    joined = hash_join(
+        left.repartition(num_partitions),
+        keys,
+        on=on,
+        right_on=rk if rk != on else None,
+        how="left_outer",
+        num_partitions=num_partitions,
+    )
+
+    def keep_missing(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_null(t["_present"]))
+        return t.drop_columns(["_present"])
+
+    return joined.map_batches(keep_missing, batch_format="pyarrow")

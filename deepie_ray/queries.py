@@ -1479,3 +1479,163 @@ def contamination_bloom(sf_dir: str) -> rd.Dataset:
         filter=(pc.field("doc_id") >= 10),
     )
     return dedup.contamination_bloom_counts(corpus, bits, m_bits, k=7)
+
+
+# ------------------------------------------------- ordered analytics
+
+
+def events_running_user_totals(sf_dir: str) -> rd.Dataset:
+    """SQL window functions over a (PARTITION BY user ORDER BY ts)
+    frame -> (user_id, event_id, seq, cum_cents, gap_us): per-user row
+    number, running spend in integer cents (exact — a float running
+    sum would be at the mercy of the oracle's summation order), and
+    inter-arrival microseconds (-1 on each user's first event).  One
+    shuffle on user_id; per-task state is one user's events
+    (ops/analytic.py)."""
+    from .ops import analytic
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    return analytic.running_totals(ev, "user_id", "ts", "event_id", "value")
+
+
+def events_p95_value(sf_dir: str) -> rd.Dataset:
+    """Grouped 95th percentile via the same mergeable quantile sketch
+    as events_median_value — one sketch answers any quantile, exact
+    below the cap (all test scales), so the DuckDB quantile_cont
+    oracle verifies it."""
+    from .ops.sketch import grouped_quantile
+
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+    return grouped_quantile(ev, "event_type", "value", q={"p95_value": 0.95})
+
+
+# ------------------------------------------------- semi / anti joins
+
+
+def _big_order_custkeys(sf_dir: str) -> rd.Dataset:
+    # predicate pushed into the read: only the key column of qualifying
+    # rows leaves storage
+    return rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey"],
+        filter=(pc.field("o_totalprice") > 400000.0),
+        override_num_blocks=read_blocks(),
+    )
+
+
+def customers_without_big_orders(sf_dir: str) -> rd.Dataset:
+    """Anti-join (NOT EXISTS): customers with no order over 400k ->
+    (c_custkey, c_name).  Fully distributed: the build side collapses
+    to distinct keys combiner-first, then a hash-partitioned left-outer
+    join + null filter (ops/joins.anti_join) — no driver-side key set,
+    no broadcast of an sf-scaled side."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    return joins.anti_join(
+        cust, _big_order_custkeys(sf_dir), on="c_custkey", right_on="o_custkey"
+    )
+
+
+def customers_with_big_orders(sf_dir: str) -> rd.Dataset:
+    """Semi-join (EXISTS) twin of customers_without_big_orders ->
+    (c_custkey, c_name): distinct build keys guarantee no row
+    multiplication, so the output schema is exactly the left side's."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    return joins.semi_join(
+        cust, _big_order_custkeys(sf_dir), on="c_custkey", right_on="o_custkey"
+    )
+
+
+# ------------------------------------------------- semantic dedup
+
+
+def semantic_dedup_embeddings(sf_dir: str) -> rd.Dataset:
+    """SemDeDup (k-means clusters, then within-cluster cosine pruning,
+    threshold 0.35) -> (vec_id, cluster, keep) for every embedding.
+    No SQL oracle (iterative k-means); pinned by the numpy-parity and
+    partitioning-independence tests in tests/test_graph_cluster.py."""
+    from .ops import cluster
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return cluster.semantic_dedup(emb, k=8, threshold=0.35, iters=5)
+
+
+# ---------------------------------------------- histogram / pivot / ranks
+
+
+def events_value_histogram(sf_dir: str) -> rd.Dataset:
+    """Fixed-width value histogram per event type -> (event_type, bin,
+    n_events), bin = floor(value / 50).  Binning is a vectorized numpy
+    floor division per batch (NOT Arrow integer divide, which truncates
+    toward zero for negative values); counting is combiner-first, so
+    the shuffle moves one narrow row per (type, bin) per block."""
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+
+    def binify(t: pa.Table) -> pa.Table:
+        b = np.floor(
+            t["value"].to_numpy(zero_copy_only=False) / 50.0
+        ).astype(np.int64)
+        return pa.table({"event_type": t["event_type"], "bin": pa.array(b)})
+
+    return grouped_count(
+        ev.map_batches(binify, batch_format="pyarrow"),
+        ["event_type", "bin"],
+        "n_events",
+    )
+
+
+def events_value_quartiles(sf_dir: str) -> rd.Dataset:
+    """SQL NTILE(4) + PERCENT_RANK() over (PARTITION BY user ORDER BY
+    value, event_id) -> (user_id, event_id, ntile4, pct_rank)
+    (ops/analytic.rank_features)."""
+    from .ops import analytic
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+    return analytic.rank_features(ev, "user_id", "value", "event_id", k=4)
+
+
+def user_event_type_pivot(sf_dir: str) -> rd.Dataset:
+    """Pivot (wide conditional aggregate): one row per user with a
+    count column PER EVENT TYPE plus a total -> (user_id, click, error,
+    purchase, signup, view, total) at this corpus.
+
+    The column set is discovered distributed (combiner-first distinct
+    over event_type) and collected to the driver — a TYPE VOCABULARY,
+    metadata-sized by definition (a pivot with corpus-scaled column
+    count is malformed output, not a scale problem).  The pivot itself
+    is combiner-first: per-batch indicator columns (vectorized
+    ``pc.equal``) pre-aggregated per user inside the batch, then ONE
+    grouped sum over narrow integer rows — event rows never shuffle."""
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+    types = sorted(
+        t["event_type"]
+        for t in joins._distinct_keys(ev, "event_type").take_all()
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        cols: dict = {"user_id": t["user_id"]}
+        for ty in types:
+            cols[ty] = pc.cast(pc.equal(t["event_type"], ty), pa.int64())
+        cols["total"] = pa.array(np.ones(t.num_rows, np.int64))
+        g = (
+            pa.table(cols)
+            .group_by(["user_id"])
+            .aggregate([(c, "sum") for c in [*types, "total"]])
+        )
+        return g.rename_columns(["user_id", *types, "total"])
+
+    agg = ev.map_batches(partial, batch_format="pyarrow").groupby("user_id")
+    return agg.aggregate(
+        *[Sum(c, alias_name=c) for c in [*types, "total"]]
+    )
+
+
+def copurchase_triangles(sf_dir: str) -> rd.Dataset:
+    """Triangle counts on the co-purchase graph -> (node, n_triangles)
+    with node = each triangle's smallest part key (ops/graph.
+    triangle_counts: wedge join on the midpoint, composite-key closing
+    join, combiner-first count)."""
+    from .ops import graph
+
+    li = _lineitem(sf_dir, ["l_orderkey", "l_partkey"])
+    edges = graph.copurchase_edges(li)
+    return graph.triangle_counts(edges)

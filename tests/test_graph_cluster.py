@@ -181,6 +181,89 @@ def test_kmeans_partitioning_independent():
     assert (a1 == a8).all()
 
 
+def _emb_table(X: np.ndarray) -> pa.Table:
+    return pa.table(
+        {
+            "vec_id": pa.array(np.arange(len(X)), pa.int64()),
+            "embedding": pa.array(list(X.astype(np.float64)), pa.list_(pa.float64())),
+        }
+    )
+
+
+def test_semantic_dedup_keep_rule_matches_numpy():
+    """The within-cluster prune must reproduce the deterministic
+    ascending-id greedy rule exactly: given the op's own cluster
+    assignment, a numpy re-derivation of keep/drop agrees per row."""
+    rng = np.random.default_rng(7)
+    X = rng.normal(size=(80, 8))
+    # plant near-duplicate pairs (id, id+40): tiny perturbation
+    X[40:60] = X[0:20] + rng.normal(scale=1e-3, size=(20, 8))
+    out = (
+        cluster.semantic_dedup(
+            rd.from_arrow(_emb_table(X)).repartition(4),
+            k=4,
+            threshold=0.9,
+            iters=3,
+        )
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    assert len(out) == 80
+    U = X / np.linalg.norm(X, axis=1, keepdims=True)
+    for cl, grp in out.groupby("cluster"):
+        ids = grp["vec_id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        keep = grp["keep"].to_numpy()[order]
+        S = U[ids] @ U[ids].T
+        expect = ~(np.tril(S, k=-1) >= 0.9).any(axis=1)
+        assert (keep == expect).all(), f"cluster {cl}"
+
+
+def test_semantic_dedup_prunes_planted_dupes_keeps_min_id():
+    rng = np.random.default_rng(3)
+    X = rng.normal(size=(30, 8))
+    X[20:30] = X[0:10] + rng.normal(scale=1e-4, size=(10, 8))
+    out = (
+        cluster.semantic_dedup(
+            rd.from_arrow(_emb_table(X)).repartition(3),
+            k=3,
+            threshold=0.95,
+            iters=4,
+        )
+        .to_pandas()
+        .set_index("vec_id")
+    )
+    for lo, hi in zip(range(0, 10), range(20, 30)):
+        # same cluster (near-identical vectors) -> exactly the smaller
+        # id survives; different clusters (quantizer split) -> both do
+        if out.loc[lo, "cluster"] == out.loc[hi, "cluster"]:
+            assert bool(out.loc[lo, "keep"]) and not bool(out.loc[hi, "keep"])
+        else:
+            assert bool(out.loc[lo, "keep"]) and bool(out.loc[hi, "keep"])
+
+
+def test_semantic_dedup_partitioning_independent():
+    rng = np.random.default_rng(19)
+    X = rng.normal(size=(50, 6))
+    X[25:35] = X[0:10] + rng.normal(scale=1e-3, size=(10, 6))
+    outs = []
+    for parts in (1, 8):
+        outs.append(
+            cluster.semantic_dedup(
+                rd.from_arrow(_emb_table(X)).repartition(parts),
+                k=4,
+                threshold=0.9,
+                iters=3,
+            )
+            .to_pandas()
+            .sort_values("vec_id")
+            .reset_index(drop=True)
+        )
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
 # ------------------------------------------------------- sampling / shards
 
 
@@ -510,3 +593,59 @@ def test_pq_topk_recall_vs_exact():
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(first, again)
+
+
+# ------------------------------------------------------------- triangles
+
+
+def test_triangle_counts_vs_bruteforce():
+    from deepie_ray.ops import graph
+
+    rng = np.random.default_rng(23)
+    n = 40
+    # random undirected graph, canonical a<b orientation, distinct
+    pairs = set()
+    for _ in range(200):
+        a, b = rng.integers(0, n, 2)
+        if a != b:
+            pairs.add((min(a, b), max(a, b)))
+    ed = sorted(pairs)
+    t = pa.table(
+        {
+            "part_a": pa.array([a for a, _ in ed], pa.int64()),
+            "part_b": pa.array([b for _, b in ed], pa.int64()),
+        }
+    )
+    out = (
+        graph.triangle_counts(rd.from_arrow(t).repartition(4), num_partitions=4)
+        .to_pandas()
+        .set_index("node")["n_triangles"]
+    )
+    # brute force: adjacency matrix walk
+    A = np.zeros((n, n), dtype=bool)
+    for a, b in ed:
+        A[a, b] = A[b, a] = True
+    expect = {}
+    for a in range(n):
+        for b in range(a + 1, n):
+            if not A[a, b]:
+                continue
+            for c in range(b + 1, n):
+                if A[b, c] and A[a, c]:
+                    expect[a] = expect.get(a, 0) + 1
+    assert out.to_dict() == expect
+    assert int(out.sum()) == np.trace(
+        np.linalg.matrix_power(A.astype(np.int64), 3)
+    ) // 6
+
+
+def test_triangle_counts_empty_edges():
+    from deepie_ray.ops import graph
+
+    t = pa.table(
+        {
+            "part_a": pa.array([], pa.int64()),
+            "part_b": pa.array([], pa.int64()),
+        }
+    )
+    assert graph.triangle_counts(rd.from_arrow(t)).count() == 0

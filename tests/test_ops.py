@@ -593,6 +593,72 @@ def test_range_join_count_vs_pandas():
     assert len(got) == len(left)  # zero-match rows present
 
 
+def test_semi_and_anti_join_vs_pandas():
+    left = pd.DataFrame({"k": [1, 2, 3, 4, 5], "name": list("abcde")})
+    # duplicate + renamed right keys: semi must NOT multiply rows
+    right = pd.DataFrame({"rk": [2, 2, 4, 4, 4, 9], "payload": [0] * 6})
+    lds, rds = rd.from_pandas(left), rd.from_pandas(right)
+
+    semi = joins.semi_join(lds, rds, on="k", right_on="rk", num_partitions=4).to_pandas()
+    assert sorted(semi.columns) == ["k", "name"]  # no right-side leakage
+    assert sorted(semi["k"]) == [2, 4]
+
+    anti = joins.anti_join(lds, rds, on="k", right_on="rk", num_partitions=4).to_pandas()
+    assert sorted(anti.columns) == ["k", "name"]
+    assert sorted(anti["k"]) == [1, 3, 5]
+
+
+def test_semi_and_anti_join_empty_right():
+    left = pd.DataFrame({"k": [1, 2], "name": ["a", "b"]})
+    empty = pd.DataFrame({"k": pd.array([], dtype="int64")})
+    lds, eds = rd.from_pandas(left), rd.from_pandas(empty)
+    assert joins.semi_join(lds, eds, on="k").count() == 0
+    anti = joins.anti_join(lds, eds, on="k").to_pandas()
+    assert sorted(anti["k"]) == [1, 2]
+
+
+def test_running_totals_vs_pandas():
+    from deepie_ray.ops import analytic
+
+    rng = np.random.default_rng(5)
+    n = 400
+    base = pd.Timestamp("2024-01-01")
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": rng.integers(0, 12, n),
+            # second-granularity with collisions: ties within a user
+            # must be broken by event_id
+            "ts": base + pd.to_timedelta(rng.integers(0, 180, n), unit="s"),
+            "value": rng.uniform(0, 100, n),
+        }
+    )
+    df.loc[3, "ts"] = pd.NaT  # excluded on both sides
+    out = (
+        analytic.running_totals(
+            rd.from_pandas(df).repartition(6), "user_id", "ts", "event_id", "value"
+        )
+        .to_pandas()
+        .sort_values(["user_id", "seq"])
+        .reset_index(drop=True)
+    )
+
+    ref = df.dropna(subset=["ts"]).sort_values(["user_id", "ts", "event_id"])
+    ref_cents = np.floor(ref["value"].to_numpy() * 100.0).astype(np.int64)
+    ref = ref.assign(cents=ref_cents)
+    ref["seq"] = ref.groupby("user_id").cumcount() + 1
+    ref["cum_cents"] = ref.groupby("user_id")["cents"].cumsum()
+    ts_us = ref["ts"].astype("datetime64[us]").astype("int64")
+    ref["gap_us"] = (ts_us - ts_us.groupby(ref["user_id"]).shift(1)).fillna(-1).astype(
+        "int64"
+    )
+    ref = ref.reset_index(drop=True)
+
+    assert len(out) == len(ref) == n - 1
+    for col in ("user_id", "event_id", "seq", "cum_cents", "gap_us"):
+        assert (out[col].to_numpy() == ref[col].to_numpy()).all(), col
+
+
 def test_broadcast_join():
     big = rd.from_pandas(pd.DataFrame({"k": [1, 2, 3, 2], "v": [10, 20, 30, 40]}))
     small = pd.DataFrame({"k": [2, 3], "name": ["b", "c"]})
@@ -1058,3 +1124,43 @@ def test_contamination_counts_broadcast():
     assert out["n_overlap"].tolist()[0] == out["n_shingles"].tolist()[0] > 0
     assert out["n_overlap"].tolist()[1] == 0
     assert out["n_shingles"].tolist()[2] == 0 and out["n_overlap"].tolist()[2] == 0
+
+
+def test_rank_features_vs_duckdb():
+    import duckdb
+
+    from deepie_ray.ops import analytic
+
+    rng = np.random.default_rng(9)
+    n = 300
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": rng.integers(0, 9, n),
+            # coarse values: force ties within a user so the id
+            # tie-break is exercised
+            "value": rng.integers(0, 20, n).astype(np.float64),
+        }
+    )
+    out = (
+        analytic.rank_features(
+            rd.from_pandas(df).repartition(5), "user_id", "value", "event_id", k=4
+        )
+        .to_pandas()
+        .sort_values(["user_id", "event_id"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("events", df)
+    want = con.execute(
+        """
+        SELECT user_id, event_id,
+               ntile(4) OVER w ::BIGINT AS ntile4,
+               percent_rank() OVER w AS pct_rank
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)
+        ORDER BY user_id, event_id
+        """
+    ).df()
+    assert (out["ntile4"].to_numpy() == want["ntile4"].to_numpy()).all()
+    assert (out["pct_rank"].to_numpy() == want["pct_rank"].to_numpy()).all()
