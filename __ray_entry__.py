@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "word_count_global": Q.word_count_global,
         "word_topk_approx": Q.word_topk_approx,
         "train_val_test_split": Q.train_val_test_split,
+        "llm_corpus_prep": Q.llm_corpus_prep,
         "doc_packing": Q.doc_packing,
         "lang_id": Q.lang_id,
         "unigram_rarity_scores": Q.unigram_rarity_scores,
@@ -633,6 +634,56 @@ def oracle_sql() -> dict[str, str]:
                        % 100 AS bucket
               FROM documents
             )
+        """,
+        "llm_corpus_prep": r"""
+            WITH c AS (
+              SELECT doc_id,
+                     len(regexp_split_to_array(text, '\s+'))::BIGINT AS n_tokens
+              FROM documents
+            ),
+            b AS (
+              SELECT quantile_cont(n_tokens, 0.05) AS lo,
+                     quantile_cont(n_tokens, 0.95) AS hi
+              FROM c
+            ),
+            k AS (
+              SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+            ),
+            toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                 x -> x <> '') AS t
+              FROM documents
+            ),
+            sh AS (
+              SELECT doc_id,
+                     CASE
+                       WHEN len(t) = 0 THEN []::VARCHAR[]
+                       WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                       ELSE list_distinct(list_transform(range(1, len(t) - 1),
+                                          i -> array_to_string(t[i:i+2], ' ')))
+                     END AS s
+              FROM toks
+            ),
+            bench AS (
+              SELECT list_distinct(flatten(list(s))) AS bs FROM sh WHERE doc_id < 10
+            ),
+            cont AS (
+              SELECT doc_id FROM sh CROSS JOIN bench
+              WHERE doc_id >= 10 AND len(s) > 0
+                AND len(list_intersect(s, bs)) * 5 >= len(s)
+            )
+            SELECT c.doc_id, c.n_tokens,
+                   CASE WHEN ('0x' || substr(md5(c.doc_id || ':split-v1'), 1, 8))::BIGINT
+                             % 100 < 5 THEN 'test'
+                        WHEN ('0x' || substr(md5(c.doc_id || ':split-v1'), 1, 8))::BIGINT
+                             % 100 < 10 THEN 'val'
+                        ELSE 'train' END AS split
+            FROM c, b
+            WHERE c.doc_id >= 10
+              AND c.n_tokens >= b.lo AND c.n_tokens <= b.hi
+              AND c.doc_id IN (SELECT doc_id FROM k)
+              AND c.doc_id NOT IN (SELECT doc_id FROM cont)
         """,
         "dedup_exact_documents": """
             SELECT md5(text) AS fingerprint,

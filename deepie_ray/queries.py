@@ -1639,3 +1639,109 @@ def copurchase_triangles(sf_dir: str) -> rd.Dataset:
     li = _lineitem(sf_dir, ["l_orderkey", "l_partkey"])
     edges = graph.copurchase_edges(li)
     return graph.triangle_counts(edges)
+
+
+# ------------------------------------------------ composed corpus prep
+
+
+def llm_corpus_prep(sf_dir: str) -> rd.Dataset:
+    """Composed end-to-end LLM corpus preparation — the staple data ops
+    chained as ONE pipeline over the corpus (doc_id >= 10; doc_id < 10
+    is the held-out eval set), exactly how a training-data run would
+    compose them:
+
+      1. token counts (vectorized) -> corpus-wide p05/p95 length bounds
+         from the mergeable quantile sketch (two broadcast floats);
+      2. exact-dedup keep set (min doc_id per content hash) applied as
+         a hash-partitioned SEMI-join — the keep set is corpus-scaled,
+         so it never broadcasts to the driver;
+      3. decontamination: drop docs whose word-3-gram overlap with the
+         eval set reaches 20% (n_overlap * 5 >= n_shingles), applied as
+         an ANTI-join;
+      4. deterministic content-addressed train/val/test assignment.
+
+    -> (doc_id, n_tokens, split) for the surviving corpus.  Every stage
+    is individually oracle-checked by its own query; the composed
+    DuckDB twin verifies the whole pipeline end to end."""
+    from .ops.sketch import grouped_quantile
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    # narrow (doc_id, n_tokens); consumed by the bounds pass AND the
+    # gate pass — materialize or the read+tokenize re-executes
+    counts = docs.map_batches(
+        text.token_count_batch, batch_format="pyarrow"
+    ).materialize()
+
+    def add_key(t: pa.Table) -> pa.Table:
+        return t.append_column("_g", pa.array(np.zeros(len(t), np.int64)))
+
+    bounds = (
+        grouped_quantile(
+            counts.map_batches(add_key, batch_format="pyarrow"),
+            "_g",
+            "n_tokens",
+            q={"lo": 0.05, "hi": 0.95},
+            ndigits=None,
+        )
+        .to_pandas()
+        .iloc[0]
+    )
+    lo, hi = float(bounds["lo"]), float(bounds["hi"])
+
+    def gate(t: pa.Table) -> pa.Table:
+        n = t["n_tokens"]
+        mask = pc.and_(
+            pc.greater_equal(t["doc_id"], pa.scalar(10)),
+            pc.and_(
+                pc.greater_equal(n, pa.scalar(lo)),
+                pc.less_equal(n, pa.scalar(hi)),
+            ),
+        )
+        return t.filter(mask)
+
+    gated = counts.map_batches(gate, batch_format="pyarrow")
+
+    # dedup keep set: repartition merges the groupby's zero-column
+    # empty-partition blocks before any column access
+    keep_ids = (
+        dedup.exact_dedup_keys(docs)
+        .repartition(8)
+        .map_batches(lambda t: t.select(["doc_id"]), batch_format="pyarrow")
+    )
+    survivors = joins.semi_join(gated, keep_ids, on="doc_id")
+
+    bench_ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text"],
+        filter=(pc.field("doc_id") < 10),
+    )
+    corpus = rd.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text"],
+        filter=(pc.field("doc_id") >= 10),
+    )
+    cont = dedup.contamination_counts(corpus, dedup.benchmark_shingles(bench_ds))
+    contaminated = cont.map_batches(
+        lambda t: t.filter(
+            pc.and_(
+                pc.greater(t["n_shingles"], pa.scalar(0)),
+                pc.greater_equal(
+                    pc.multiply(t["n_overlap"], pa.scalar(5)), t["n_shingles"]
+                ),
+            )
+        ).select(["doc_id"]),
+        batch_format="pyarrow",
+    )
+    survivors = joins.anti_join(survivors, contaminated, on="doc_id")
+
+    def add_split(t: pa.Table) -> pa.Table:
+        s = text.split_batch(t)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": t["n_tokens"],
+                "split": s["split"],
+            }
+        )
+
+    return survivors.map_batches(add_split, batch_format="pyarrow")
