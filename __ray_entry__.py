@@ -121,6 +121,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # graph analytics / clustering
         "copurchase_edges": Q.copurchase_edges,
         "copurchase_triangles": Q.copurchase_triangles,
+        "copurchase_degree_distribution": Q.copurchase_degree_distribution,
+        "user_funnel": Q.user_funnel,
         "graph_pagerank": Q.graph_pagerank,
         "embedding_kmeans": Q.embedding_kmeans,
         "semantic_dedup_embeddings": Q.semantic_dedup_embeddings,
@@ -516,6 +518,35 @@ def oracle_sql() -> dict[str, str]:
             FROM p a JOIN p b
               ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
             GROUP BY 1, 2
+        """,
+        "user_funnel": """
+            WITH f AS (
+              SELECT user_id,
+                     min(CASE WHEN event_type = 'view'     THEN ts END) AS v,
+                     min(CASE WHEN event_type = 'click'    THEN ts END) AS c,
+                     min(CASE WHEN event_type = 'purchase' THEN ts END) AS p
+              FROM events GROUP BY user_id
+            )
+            SELECT user_id,
+                   (CASE WHEN v IS NULL THEN 0
+                         WHEN c IS NULL OR c <= v THEN 1
+                         WHEN p IS NULL OR p <= c THEN 2
+                         ELSE 3 END)::BIGINT AS funnel_stage
+            FROM f
+        """,
+        "copurchase_degree_distribution": """
+            WITH p AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+                 e AS (SELECT a.l_partkey AS a, b.l_partkey AS b
+                       FROM p a JOIN p b
+                         ON a.l_orderkey = b.l_orderkey
+                        AND a.l_partkey < b.l_partkey
+                       GROUP BY 1, 2),
+                 d AS (SELECT node, count(*)::BIGINT AS degree FROM (
+                         SELECT a AS node FROM e
+                         UNION ALL SELECT b AS node FROM e
+                       ) GROUP BY node)
+            SELECT degree, count(*)::BIGINT AS n_nodes
+            FROM d GROUP BY degree
         """,
         "copurchase_triangles": """
             WITH p AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),

@@ -1745,3 +1745,84 @@ def llm_corpus_prep(sf_dir: str) -> rd.Dataset:
         )
 
     return survivors.map_batches(add_split, batch_format="pyarrow")
+
+
+def user_funnel(sf_dir: str) -> rd.Dataset:
+    """Funnel analysis (view -> click -> purchase, strictly ordered by
+    first occurrence) -> (user_id, funnel_stage in 0..3).
+
+    One shuffle: per-batch conditional-min pivot (first view/click/
+    purchase timestamp per user as three nullable int64-us columns,
+    pyarrow grouped min), one grouped Min per column, then a vectorized
+    stage computation — no per-user Python, no ordered gather; the
+    sequence logic needs only the three firsts, not the event stream."""
+    ev = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts_us = pc.cast(t["ts"], pa.int64())
+        cols: dict = {"user_id": t["user_id"]}
+        for name, ty in (("v_us", "view"), ("c_us", "click"), ("p_us", "purchase")):
+            cols[name] = pc.if_else(
+                pc.equal(t["event_type"], ty), ts_us, pa.scalar(None, pa.int64())
+            )
+        g = (
+            pa.table(cols)
+            .group_by(["user_id"])
+            .aggregate([("v_us", "min"), ("c_us", "min"), ("p_us", "min")])
+        )
+        return g.rename_columns(["user_id", "v_us", "c_us", "p_us"])
+
+    firsts = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(
+            Min("v_us", alias_name="v_us", ignore_nulls=True),
+            Min("c_us", alias_name="c_us", ignore_nulls=True),
+            Min("p_us", alias_name="p_us", ignore_nulls=True),
+        )
+        .repartition(8)  # merge the groupby's zero-column empty blocks
+    )
+
+    def stage(t: pa.Table) -> pa.Table:
+        v = t["v_us"].to_numpy(zero_copy_only=False).astype(np.float64)
+        c = t["c_us"].to_numpy(zero_copy_only=False).astype(np.float64)
+        p = t["p_us"].to_numpy(zero_copy_only=False).astype(np.float64)
+        # nulls arrive as NaN; NaN comparisons are False, which is the
+        # "missing step" semantics we want
+        s = np.zeros(len(t), np.int64)
+        has_v = ~np.isnan(v)
+        s[has_v] = 1
+        adv = has_v & (c > v)
+        s[adv] = 2
+        s[adv & (p > c)] = 3
+        return pa.table({"user_id": t["user_id"], "funnel_stage": pa.array(s)})
+
+    return firsts.map_batches(stage, batch_format="pyarrow")
+
+
+def copurchase_degree_distribution(sf_dir: str) -> rd.Dataset:
+    """Degree distribution of the co-purchase graph -> (degree,
+    n_nodes): endpoints exploded per batch, combiner-first count per
+    node, combiner-first count per degree — two narrow shuffles."""
+    from .ops import graph
+
+    li = _lineitem(sf_dir, ["l_orderkey", "l_partkey"])
+    edges = graph.copurchase_edges(li)
+
+    def endpoints(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"node": pa.concat_arrays(
+                [t["part_a"].combine_chunks(), t["part_b"].combine_chunks()]
+            )}
+        )
+
+    deg = grouped_count(
+        edges.map_batches(endpoints, batch_format="pyarrow"), ["node"], "degree"
+    ).repartition(8)
+    return grouped_count(
+        deg.map_batches(
+            lambda t: t.select(["degree"]), batch_format="pyarrow"
+        ),
+        ["degree"],
+        "n_nodes",
+    )
