@@ -57,6 +57,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_median_value": Q.events_median_value,
         "events_p95_value": Q.events_p95_value,
         "events_running_user_totals": Q.events_running_user_totals,
+        "events_moving_sum": Q.events_moving_sum,
         "events_value_histogram": Q.events_value_histogram,
         "events_value_quartiles": Q.events_value_quartiles,
         "user_event_type_pivot": Q.user_event_type_pivot,
@@ -351,6 +352,15 @@ def oracle_sql() -> dict[str, str]:
                                       lag(ts) OVER w, ts), -1)::BIGINT AS gap_us
             FROM events WHERE ts IS NOT NULL
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "events_moving_sum": """
+            SELECT user_id, event_id,
+                   (sum(CAST(floor(value * 100) AS BIGINT)) OVER w)::BIGINT
+                     AS win_cents,
+                   (count(*) OVER w)::BIGINT AS win_n
+            FROM events WHERE ts IS NOT NULL
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
         """,
         "events_value_histogram": """
             SELECT event_type,

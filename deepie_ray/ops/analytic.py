@@ -123,3 +123,40 @@ def rank_features(
         )
 
     return ordered_apply(ds, key_col, [value_col, id_col], per_key)
+
+
+def moving_sums(
+    ds: rd.Dataset,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    value_col: str,
+    frame_rows: int = 4,
+) -> rd.Dataset:
+    """Frame-bounded moving aggregate — SQL ``SUM(...) OVER (PARTITION
+    BY key ORDER BY ts, id ROWS BETWEEN frame_rows-1 PRECEDING AND
+    CURRENT ROW)`` -> (key, id, win_cents, win_n): the trailing sum of
+    ``floor(value*100)`` in integer cents (exact, hash-stable — see
+    running_totals) and the actual row count in the frame (< frame_rows
+    near the head).  Vectorized as a cumsum difference; same
+    one-shuffle / per-key-task scale contract as ``running_totals``."""
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        cents = np.floor(df[value_col].to_numpy() * 100.0).astype(np.int64)
+        cum = np.concatenate(([0], np.cumsum(cents)))
+        lo = np.maximum(0, np.arange(n) - (frame_rows - 1))
+        win = cum[1:] - cum[lo]
+        return pd.DataFrame(
+            {
+                key_col: df[key_col].to_numpy(),
+                id_col: df[id_col].to_numpy(),
+                "win_cents": win,
+                "win_n": np.arange(1, n + 1, dtype=np.int64) - lo,
+            }
+        )
+
+    clean = ds.map_batches(
+        lambda df: df.dropna(subset=[ts_col]), batch_format="pandas"
+    )
+    return ordered_apply(clean, key_col, [ts_col, id_col], per_key)

@@ -1826,3 +1826,13 @@ def copurchase_degree_distribution(sf_dir: str) -> rd.Dataset:
         ["degree"],
         "n_nodes",
     )
+
+
+def events_moving_sum(sf_dir: str) -> rd.Dataset:
+    """Trailing 4-row moving spend per user (frame-bounded SQL window
+    aggregate) -> (user_id, event_id, win_cents, win_n)
+    (ops/analytic.moving_sums)."""
+    from .ops import analytic
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    return analytic.moving_sums(ev, "user_id", "ts", "event_id", "value")

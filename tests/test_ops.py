@@ -1164,3 +1164,45 @@ def test_rank_features_vs_duckdb():
     ).df()
     assert (out["ntile4"].to_numpy() == want["ntile4"].to_numpy()).all()
     assert (out["pct_rank"].to_numpy() == want["pct_rank"].to_numpy()).all()
+
+
+def test_moving_sums_vs_duckdb():
+    import duckdb
+
+    from deepie_ray.ops import analytic
+
+    rng = np.random.default_rng(13)
+    n = 250
+    base = pd.Timestamp("2024-03-01")
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": rng.integers(0, 7, n),
+            "ts": base + pd.to_timedelta(rng.integers(0, 120, n), unit="s"),
+            "value": rng.uniform(0, 50, n),
+        }
+    )
+    out = (
+        analytic.moving_sums(
+            rd.from_pandas(df).repartition(5),
+            "user_id", "ts", "event_id", "value", frame_rows=4,
+        )
+        .to_pandas()
+        .sort_values(["user_id", "event_id"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("events", df)
+    want = con.execute(
+        """
+        SELECT user_id, event_id,
+               (sum(CAST(floor(value * 100) AS BIGINT)) OVER w)::BIGINT AS win_cents,
+               (count(*) OVER w)::BIGINT AS win_n
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+        ORDER BY user_id, event_id
+        """
+    ).df()
+    for col in ("win_cents", "win_n"):
+        assert (out[col].to_numpy() == want[col].to_numpy()).all(), col
