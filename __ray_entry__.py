@@ -366,7 +366,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type,
                    CAST(floor(value / 50.0) AS BIGINT) AS bin,
                    count(*)::BIGINT AS n_events
-            FROM events GROUP BY event_type, bin
+            FROM events WHERE value IS NOT NULL
+            GROUP BY event_type, bin
         """,
         "events_value_quartiles": """
             SELECT user_id, event_id,

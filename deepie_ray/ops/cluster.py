@@ -204,8 +204,12 @@ def semantic_dedup(
         norms[norms == 0.0] = 1.0
         U = X / norms[:, None]
         S = U @ U.T
-        # strictly-lower-triangular mask: j is dropped iff any i<j passes
-        dup = (np.tril(S, k=-1) >= threshold).any(axis=1)
+        # strictly-lower-triangular mask by INDEX comparison (i < j), not
+        # np.tril zeroing — zeroed entries would count as matches for any
+        # threshold <= 0
+        idx = np.arange(len(ids))
+        lower = idx[None, :] < idx[:, None]
+        dup = ((S >= threshold) & lower).any(axis=1)
         cl = t["cluster"].to_numpy(zero_copy_only=False)
         return pa.table(
             {

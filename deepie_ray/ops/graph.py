@@ -489,9 +489,25 @@ def triangle_counts(
     e2 = e.map_batches(
         lambda t: pa.table({"b2": t[src], "c": t[dst]}), batch_format="pyarrow"
     )
-    wedges = hash_join(
-        e1, e2, on="b", right_on="b2", num_partitions=num_partitions
-    ).repartition(num_partitions)
+    wedges = (
+        hash_join(e1, e2, on="b", right_on="b2", num_partitions=num_partitions)
+        .repartition(num_partitions)
+        # pinned: the empty guard's count() and the closing join both
+        # consume the wedge set
+        .materialize()
+    )
+    if wedges.count() == 0:
+        # a triangle-free edge set (e.g. a perfect matching) produces
+        # zero wedges; the closing join cannot finalize a zero-row side
+        # (tuning.py), so exit with the typed empty result here
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array([], pa.int64()),
+                    "n_triangles": pa.array([], pa.int64()),
+                }
+            )
+        )
     closing = e.map_batches(
         lambda t: pa.table({"a2": t[src], "c2": t[dst]}), batch_format="pyarrow"
     )

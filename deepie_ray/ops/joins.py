@@ -379,7 +379,6 @@ def _distinct_keys(ds: rd.Dataset, key: str) -> rd.Dataset:
     """Combiner-first distinct: per-batch dedup (pyarrow group_by, no
     aggregate) so the shuffle moves O(distinct-per-block) narrow key
     rows, then one grouped pass keeps the first of each key."""
-    import pyarrow.compute as pc  # noqa: F401  (kept for symmetry with callers)
 
     def local_distinct(t: pa.Table) -> pa.Table:
         return t.select([key]).group_by([key]).aggregate([])
@@ -408,10 +407,13 @@ def semi_join(
     of the build side guarantees no row multiplication, so the output
     schema is exactly ``left``'s.
 
-    Empty-build guard: Ray's join aggregators cannot finalize zero-row
-    partitions (tuning.py), and an empty key set means an empty result
-    anyway — return a typed empty slice of left."""
+    Empty-side guards: Ray's join aggregators cannot finalize zero-row
+    partitions (tuning.py), so BOTH possibly-empty sides are guarded —
+    an empty left (limit(1) probe, streaming-cheap) or an empty key set
+    means an empty result anyway; return a typed empty slice of left."""
     rk = right_on or on
+    if left.limit(1).count() == 0:
+        return left.limit(0)
     # materialize the (already key-only, distinct) build side so the
     # empty guard's count() doesn't recompute the distinct pipeline
     # when the join consumes it
@@ -437,11 +439,14 @@ def anti_join(
     """Left rows whose key does NOT exist in right (SQL anti-join):
     distinct right keys tagged with a marker column, LEFT OUTER
     hash join, keep rows where the marker stayed null, drop the marker.
-    Same distinct-build + empty-build guards as ``semi_join`` (an empty
-    key set keeps every left row)."""
+    Same distinct-build + empty-side guards as ``semi_join`` (an empty
+    key set keeps every left row; an empty left is already its own
+    result)."""
     import pyarrow.compute as pc
 
     rk = right_on or on
+    if left.limit(1).count() == 0:
+        return left.limit(0)
     keys = (
         _distinct_keys(right, rk)
         .map_batches(

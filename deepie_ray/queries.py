@@ -1564,13 +1564,17 @@ def semantic_dedup_embeddings(sf_dir: str) -> rd.Dataset:
 
 def events_value_histogram(sf_dir: str) -> rd.Dataset:
     """Fixed-width value histogram per event type -> (event_type, bin,
-    n_events), bin = floor(value / 50).  Binning is a vectorized numpy
-    floor division per batch (NOT Arrow integer divide, which truncates
-    toward zero for negative values); counting is combiner-first, so
-    the shuffle moves one narrow row per (type, bin) per block."""
+    n_events), bin = floor(value / 50) over OBSERVED (non-null) values
+    — null values carry no bin and are dropped on both sides (NaN
+    through floor->int64 would otherwise land in a garbage bin).
+    Binning is a vectorized numpy floor division per batch (NOT Arrow
+    integer divide, which truncates toward zero for negative values);
+    counting is combiner-first, so the shuffle moves one narrow row per
+    (type, bin) per block."""
     ev = _read(sf_dir, "events", ["event_type", "value"])
 
     def binify(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["value"]))
         b = np.floor(
             t["value"].to_numpy(zero_copy_only=False) / 50.0
         ).astype(np.int64)
@@ -1610,6 +1614,13 @@ def user_event_type_pivot(sf_dir: str) -> rd.Dataset:
         t["event_type"]
         for t in joins._distinct_keys(ev, "event_type").take_all()
     )
+    # discovered values become COLUMN NAMES: a value colliding with the
+    # key/total columns (or a null) would silently overwrite them — fail
+    # loudly instead (a pivot with such a vocabulary is malformed output)
+    reserved = {"user_id", "total", None}
+    bad = [ty for ty in types if ty in reserved]
+    if bad:
+        raise ValueError(f"pivot column collision with reserved names: {bad}")
 
     def partial(t: pa.Table) -> pa.Table:
         cols: dict = {"user_id": t["user_id"]}

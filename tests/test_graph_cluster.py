@@ -649,3 +649,51 @@ def test_triangle_counts_empty_edges():
         }
     )
     assert graph.triangle_counts(rd.from_arrow(t)).count() == 0
+
+
+def test_triangle_counts_wedge_free_and_open_wedge():
+    from deepie_ray.ops import graph
+
+    # perfect matching: edges but zero wedges (review finding: the
+    # closing join must not see a zero-row side)
+    t = pa.table(
+        {
+            "part_a": pa.array([1, 3], pa.int64()),
+            "part_b": pa.array([2, 4], pa.int64()),
+        }
+    )
+    assert graph.triangle_counts(rd.from_arrow(t)).count() == 0
+
+    # open wedge (path 1-2-3, no closing edge): wedges exist, zero
+    # triangles — the count stage must handle the empty join output
+    t2 = pa.table(
+        {
+            "part_a": pa.array([1, 2], pa.int64()),
+            "part_b": pa.array([2, 3], pa.int64()),
+        }
+    )
+    assert graph.triangle_counts(rd.from_arrow(t2)).count() == 0
+
+
+def test_semantic_dedup_threshold_zero_mask():
+    """threshold=0.0 must drop j only when some i<j has cos >= 0 —
+    NOT unconditionally (the old tril-zeroing bug counted masked-out
+    entries as matches for any threshold <= 0)."""
+    # two orthogonal-ish clusters of mutually NEGATIVE similarity inside
+    X = np.array(
+        [
+            [1.0, 0.0],
+            [-1.0, 0.1],   # cos vs id0 < 0 -> must survive at thr=0
+            [0.9, 0.1],    # cos vs id0 > 0 -> dropped if same cluster
+        ]
+    )
+    out = (
+        cluster.semantic_dedup(
+            rd.from_arrow(_emb_table(X)), k=1, threshold=0.0, iters=2
+        )
+        .to_pandas()
+        .set_index("vec_id")
+    )
+    assert bool(out.loc[0, "keep"])
+    assert bool(out.loc[1, "keep"])  # negative similarity to everything before it
+    assert not bool(out.loc[2, "keep"])

@@ -1206,3 +1206,11 @@ def test_moving_sums_vs_duckdb():
     ).df()
     for col in ("win_cents", "win_n"):
         assert (out[col].to_numpy() == want[col].to_numpy()).all(), col
+
+
+def test_semi_and_anti_join_empty_left():
+    empty = pd.DataFrame({"k": pd.array([], dtype="int64"), "name": pd.array([], dtype="str")})
+    right = pd.DataFrame({"k": [1, 2]})
+    eds, rds = rd.from_pandas(empty), rd.from_pandas(right)
+    assert joins.semi_join(eds, rds, on="k").count() == 0
+    assert joins.anti_join(eds, rds, on="k").count() == 0
