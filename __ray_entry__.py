@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_filter_quantile": Q.length_filter_quantile,
         "word_count_global": Q.word_count_global,
         "word_topk_approx": Q.word_topk_approx,
+        "top_terms_per_lang": Q.top_terms_per_lang,
         "train_val_test_split": Q.train_val_test_split,
         "llm_corpus_prep": Q.llm_corpus_prep,
         "doc_packing": Q.doc_packing,
@@ -658,6 +659,20 @@ def oracle_sql() -> dict[str, str]:
                 ) GROUP BY word
               )
             ) WHERE rank <= 20
+        """,
+        "top_terms_per_lang": r"""
+            WITH wc AS (
+              SELECT lang, word, count(*)::BIGINT AS n FROM (
+                SELECT lang, unnest(regexp_split_to_array(text, '\s+')) AS word
+                FROM documents
+              ) GROUP BY lang, word
+            )
+            SELECT lang, word, n, rank FROM (
+              SELECT lang, word, n,
+                     row_number() OVER (
+                       PARTITION BY lang ORDER BY n DESC, word)::BIGINT AS rank
+              FROM wc
+            ) WHERE rank <= 5
         """,
         "word_count_global": r"""
             SELECT word, count(*)::BIGINT AS n FROM (

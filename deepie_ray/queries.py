@@ -1847,3 +1847,59 @@ def events_moving_sum(sf_dir: str) -> rd.Dataset:
 
     ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
     return analytic.moving_sums(ev, "user_id", "ts", "event_id", "value")
+
+
+def top_terms_per_lang(sf_dir: str) -> rd.Dataset:
+    """Per-language top-5 tokens by corpus frequency -> (lang, word, n,
+    rank): grouped word counts (combiner-first, same explode as
+    word_count_global) followed by the three-level salted per-key top-k
+    (same shape as top3_orders_per_customer — per-batch top-5 per lang,
+    content-salted level-1 reduce, bounded final merge)."""
+    import zlib
+
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+
+    def explode_count(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(t["text"], pattern=r"\s+")
+        lang = pc.take(t["lang"], pc.list_parent_indices(toks))
+        g = (
+            pa.table({"lang": lang, "word": pc.list_flatten(toks)})
+            .group_by(["lang", "word"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table({"lang": g["lang"], "word": g["word"], "n": g["count_all"]})
+
+    counts = (
+        ds.map_batches(explode_count, batch_format="pyarrow")
+        .groupby(["lang", "word"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def topk(df: pd.DataFrame, by_key: bool) -> pd.DataFrame:
+        s = df.sort_values(["n", "word"], ascending=[False, True])
+        return s.groupby("lang", sort=False).head(5) if by_key else s.head(5)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = topk(df, by_key=True).copy()
+        # content-derived salt: deterministic under retries/partitioning
+        out["_salt"] = [
+            zlib.crc32(w.encode()) % 16 for w in out["word"]
+        ]
+        return out
+
+    def lvl1(df: pd.DataFrame) -> pd.DataFrame:
+        return topk(df, by_key=False)[["lang", "word", "n"]]
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        out = topk(df, by_key=False).copy()
+        out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+        out["n"] = out["n"].astype(np.int64)
+        return out[["lang", "word", "n", "rank"]]
+
+    return (
+        counts.map_batches(partial, batch_format="pandas")
+        .groupby(["lang", "_salt"])
+        .map_groups(lvl1, batch_format="pandas")
+        .groupby("lang")
+        .map_groups(final, batch_format="pandas")
+    )
