@@ -47,6 +47,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_nation_balance": Q.supplier_nation_balance,
         "customers_with_big_orders": Q.customers_with_big_orders,
         "customers_without_big_orders": Q.customers_without_big_orders,
+        "orders_rollup": Q.orders_rollup,
+        "customer_big_order_coverage": Q.customer_big_order_coverage,
         # events / windows / as-of
         "events_tumbling_1h": Q.events_tumbling_1h,
         "events_sliding_1h_30m": Q.events_sliding_1h_30m,
@@ -275,6 +277,24 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_suppliers
             FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
             GROUP BY n.n_name
+        """,
+        "orders_rollup": """
+            SELECT o_orderstatus, o_orderpriority,
+                   round(sum(o_totalprice), 2) AS total_price,
+                   count(*)::BIGINT AS n_orders
+            FROM orders
+            GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        """,
+        "customer_big_order_coverage": """
+            SELECT coalesce(a.o_custkey, b.c_custkey) AS c_custkey,
+                   a.n_big, b.c_name
+            FROM (SELECT o_custkey, count(*)::BIGINT AS n_big
+                  FROM orders WHERE o_totalprice > 400000.0
+                  GROUP BY o_custkey) a
+            FULL OUTER JOIN
+                 (SELECT c_custkey, c_name FROM customer
+                  WHERE c_mktsegment = 'BUILDING') b
+              ON a.o_custkey = b.c_custkey
         """,
         "customers_with_big_orders": """
             SELECT c_custkey, c_name FROM customer c

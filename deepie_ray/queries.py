@@ -1903,3 +1903,104 @@ def top_terms_per_lang(sf_dir: str) -> rd.Dataset:
         .groupby("lang")
         .map_groups(final, batch_format="pandas")
     )
+
+
+def orders_rollup(sf_dir: str) -> rd.Dataset:
+    """SQL GROUP BY ROLLUP(o_orderstatus, o_orderpriority) ->
+    (o_orderstatus, o_orderpriority, total_price, n_orders) at three
+    levels: (status, priority), per-status subtotal (priority NULL),
+    grand total (both NULL).
+
+    ONE per-batch partial pass feeds all three levels (rollup levels
+    are re-aggregations of the same partials — the corpus is read
+    once); each level is a combiner-first grouped sum over <= 15 narrow
+    partial rows per block, unioned with typed NULL fills."""
+    orders = _read(
+        sf_dir, "orders", ["o_orderstatus", "o_orderpriority", "o_totalprice"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["o_orderstatus", "o_orderpriority"]).aggregate(
+            [("o_totalprice", "sum"), ([], "count_all")]
+        )
+        return pa.table(
+            {
+                "o_orderstatus": g["o_orderstatus"],
+                "o_orderpriority": g["o_orderpriority"],
+                "price_sum": g["o_totalprice_sum"],
+                "n": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    # consumed by all three levels: pin, don't re-read the corpus
+    partials = orders.map_batches(partial, batch_format="pyarrow").materialize()
+
+    def finalize(t: pa.Table, with_status: bool, with_priority: bool) -> pa.Table:
+        n_rows = t.num_rows
+        nulls = pa.array([None] * n_rows, pa.string())
+        return pa.table(
+            {
+                "o_orderstatus": t["o_orderstatus"] if with_status else nulls,
+                "o_orderpriority": t["o_orderpriority"] if with_priority else nulls,
+                "total_price": _round2(t["price_sum"]),
+                "n_orders": pc.cast(t["n"], pa.int64()),
+            }
+        )
+
+    lvl2 = (
+        partials.groupby(["o_orderstatus", "o_orderpriority"])
+        .aggregate(Sum("price_sum", alias_name="price_sum"), Sum("n", alias_name="n"))
+        .repartition(2)
+        .map_batches(lambda t: finalize(t, True, True), batch_format="pyarrow")
+    )
+    lvl1 = (
+        partials.groupby("o_orderstatus")
+        .aggregate(Sum("price_sum", alias_name="price_sum"), Sum("n", alias_name="n"))
+        .repartition(2)
+        .map_batches(lambda t: finalize(t, True, False), batch_format="pyarrow")
+    )
+    lvl0 = (
+        partials.map_batches(
+            lambda t: t.append_column("_g", pa.array(np.zeros(t.num_rows, np.int64))),
+            batch_format="pyarrow",
+        )
+        .groupby("_g")
+        .aggregate(Sum("price_sum", alias_name="price_sum"), Sum("n", alias_name="n"))
+        .repartition(2)
+        .map_batches(lambda t: finalize(t, False, False), batch_format="pyarrow")
+    )
+    return lvl2.union(lvl1).union(lvl0)
+
+
+def customer_big_order_coverage(sf_dir: str) -> rd.Dataset:
+    """FULL OUTER join coverage report -> (c_custkey, n_big, c_name):
+    per-customer count of orders over 400k (combiner-first, left side)
+    full-outer-joined with BUILDING-segment customers (right side) —
+    rows surviving from either side with typed NULL fill on the other.
+    Ray's hash join coalesces the key across sides, so right-only rows
+    keep their key under the left column name."""
+    big = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey"],
+        filter=(pc.field("o_totalprice") > 400000.0),
+        override_num_blocks=read_blocks(),
+    )
+    n_big = grouped_count(
+        big.map_batches(
+            lambda t: pa.table({"c_custkey": t["o_custkey"]}),
+            batch_format="pyarrow",
+        ),
+        ["c_custkey"],
+        "n_big",
+    ).repartition(8)
+    bldg = (
+        _read(sf_dir, "customer", ["c_custkey", "c_name", "c_mktsegment"])
+        .map_batches(
+            lambda t: t.filter(
+                pc.equal(t["c_mktsegment"], "BUILDING")
+            ).select(["c_custkey", "c_name"]),
+            batch_format="pyarrow",
+        )
+        .repartition(8)
+    )
+    return joins.hash_join(n_big, bldg, on="c_custkey", how="full_outer")
