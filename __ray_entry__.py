@@ -49,6 +49,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_without_big_orders": Q.customers_without_big_orders,
         "orders_rollup": Q.orders_rollup,
         "customer_big_order_coverage": Q.customer_big_order_coverage,
+        "events_customer_enriched": Q.events_customer_enriched,
         # events / windows / as-of
         "events_tumbling_1h": Q.events_tumbling_1h,
         "events_sliding_1h_30m": Q.events_sliding_1h_30m,
@@ -284,6 +285,10 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_orders
             FROM orders
             GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        """,
+        "events_customer_enriched": """
+            SELECT e.event_id, e.user_id, c.c_name
+            FROM events e JOIN customer c ON e.user_id = c.c_custkey
         """,
         "customer_big_order_coverage": """
             SELECT coalesce(a.o_custkey, b.c_custkey) AS c_custkey,

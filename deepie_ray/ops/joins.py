@@ -474,3 +474,100 @@ def anti_join(
         return t.drop_columns(["_present"])
 
     return joined.map_batches(keep_missing, batch_format="pyarrow")
+
+
+def skew_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    on: str,
+    right_on: str | None = None,
+    hot_k: int = 4,
+    num_partitions: int = 8,
+) -> rd.Dataset:
+    """Hybrid skew-aware inner join: detect the left side's hottest
+    keys, join THOSE map-side against a broadcast of the right side's
+    matching rows (a hot key never funnels through one hash partition),
+    and hash-join only the cold tail.  Output rows/columns are exactly
+    ``hash_join``'s; hotness is pure ROUTING, so the approximate
+    detection cannot affect correctness — only which path a key takes.
+
+    Detection: per-block top-8 partial counts (narrow (key, n) rows,
+    O(blocks x 8) = metadata-sized) are summed on the driver and the
+    top ``hot_k`` keys become the hot set — a key hot globally is hot
+    in many blocks, the same partial-evidence argument as the
+    Misra-Gries sketch (ops/sketch.py).  Scale contract: the broadcast
+    side is ``hot_k`` keys x the right side's per-key multiplicity —
+    bounded whenever the right side is bounded per key (the dimension
+    -table shape skew joins exist for); corpus-scaled-per-key right
+    sides should use plain hash_join with more partitions instead."""
+    import pyarrow.compute as pc
+
+    lk, rk = on, right_on or on
+
+    def local_top(t: pa.Table) -> pa.Table:
+        g = t.group_by([lk]).aggregate([([], "count_all")])
+        g = g.sort_by([("count_all", "descending")]).slice(0, 8)
+        return pa.table({lk: g[lk], "n": pc.cast(g["count_all"], pa.int64())})
+
+    tops = left.map_batches(local_top, batch_format="pyarrow").take_all()
+    if not tops:
+        return left.limit(0)
+    agg: dict = {}
+    for r in tops:
+        agg[r[lk]] = agg.get(r[lk], 0) + r["n"]
+    hot = [k for k, _ in sorted(agg.items(), key=lambda kv: (-kv[1], kv[0]))[:hot_k]]
+    hot_arr = pa.array(hot)
+
+    left_hot = left.map_batches(
+        lambda t: t.filter(pc.is_in(t[lk], value_set=hot_arr)),
+        batch_format="pyarrow",
+    )
+    left_cold = left.map_batches(
+        lambda t: t.filter(pc.invert(pc.is_in(t[lk], value_set=hot_arr))),
+        batch_format="pyarrow",
+    )
+    # right rows for hot keys: hot_k keys x per-key multiplicity —
+    # bounded by contract, safe to gather and broadcast
+    right_hot_df = (
+        right.map_batches(
+            lambda t: t.filter(pc.is_in(t[rk], value_set=hot_arr)),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+        .rename(columns={rk: lk})
+    )
+    payload_cols = [c for c in right_hot_df.columns if c != lk]
+    hot_out = broadcast_join(left_hot, right_hot_df, on=lk)
+
+    right_cold = right.map_batches(
+        lambda t: t.filter(pc.invert(pc.is_in(t[rk], value_set=hot_arr))),
+        batch_format="pyarrow",
+    ).repartition(num_partitions)
+    if (
+        left_cold.limit(1).count() == 0
+        or right_cold.limit(1).count() == 0
+    ):
+        # a zero-row side cannot enter the hash join (tuning.py); an
+        # empty side means an empty cold result — produce it map-side
+        # so its columns match the hot path's
+        cold_out = broadcast_join(left_cold.limit(0), right_hot_df.head(0), on=lk)
+    else:
+        cold_out = hash_join(
+            left_cold.repartition(num_partitions),
+            right_cold,
+            on=lk,
+            right_on=rk if rk != lk else None,
+            num_partitions=num_partitions,
+        )
+
+    left_cols = [c for c in left.schema().names]
+    final_cols = left_cols + payload_cols
+    hot_out = hot_out.map_batches(
+        lambda t, cols=tuple(final_cols): t.select(list(cols)),
+        batch_format="pyarrow",
+    )
+    cold_out = cold_out.map_batches(
+        lambda t, cols=tuple(final_cols): t.select(list(cols)),
+        batch_format="pyarrow",
+    )
+    return hot_out.union(cold_out)

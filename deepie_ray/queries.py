@@ -2004,3 +2004,14 @@ def customer_big_order_coverage(sf_dir: str) -> rd.Dataset:
         .repartition(8)
     )
     return joins.hash_join(n_big, bldg, on="c_custkey", how="full_outer")
+
+
+def events_customer_enriched(sf_dir: str) -> rd.Dataset:
+    """Skew-aware event enrichment -> (event_id, user_id, c_name): the
+    hybrid skew join (ops/joins.skew_join) routes the hottest user_ids
+    map-side against a broadcast of their customer rows and hash-joins
+    only the cold tail — the hot-key funnel that makes plain hash joins
+    collapse under power-law keys never forms."""
+    ev = _read(sf_dir, "events", ["event_id", "user_id"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    return joins.skew_join(ev, cust, on="user_id", right_on="c_custkey", hot_k=4)

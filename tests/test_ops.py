@@ -1214,3 +1214,45 @@ def test_semi_and_anti_join_empty_left():
     eds, rds = rd.from_pandas(empty), rd.from_pandas(right)
     assert joins.semi_join(eds, rds, on="k").count() == 0
     assert joins.anti_join(eds, rds, on="k").count() == 0
+
+
+def test_skew_join_matches_pandas_merge():
+    rng = np.random.default_rng(21)
+    n = 2000
+    # power-law-ish: 60% of rows hit key 7
+    keys = np.where(rng.random(n) < 0.6, 7, rng.integers(0, 40, n))
+    left = pd.DataFrame({"k": keys, "row": np.arange(n, dtype=np.int64)})
+    right = pd.DataFrame(
+        {"rk": np.arange(0, 35, dtype=np.int64), "name": [f"n{i}" for i in range(35)]}
+    )
+    out = (
+        joins.skew_join(
+            rd.from_pandas(left).repartition(6),
+            rd.from_pandas(right).repartition(3),
+            on="k",
+            right_on="rk",
+            hot_k=3,
+            num_partitions=4,
+        )
+        .to_pandas()
+        .sort_values(["row"])
+        .reset_index(drop=True)
+    )
+    want = (
+        left.merge(right.rename(columns={"rk": "k"}), on="k")
+        .sort_values(["row"])
+        .reset_index(drop=True)
+    )
+    assert sorted(out.columns) == sorted(want.columns)
+    assert len(out) == len(want)
+    for c in ("k", "row", "name"):
+        assert (out[c].to_numpy() == want[c].to_numpy()).all(), c
+
+    # hot set covering EVERY key (cold side empty on both halves)
+    out2 = joins.skew_join(
+        rd.from_pandas(left[left.k < 3]).repartition(2),
+        rd.from_pandas(right).repartition(2),
+        on="k", right_on="rk", hot_k=8,
+    ).to_pandas()
+    want2 = left[left.k < 3].merge(right.rename(columns={"rk": "k"}), on="k")
+    assert len(out2) == len(want2)
