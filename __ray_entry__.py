@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # text analysis
         "text_token_counts": Q.text_token_counts,
         "text_quality": Q.text_quality,
+        "text_normalized": Q.text_normalized,
         "doc_fingerprints": Q.doc_fingerprints,
         "doc_chunks": Q.doc_chunks,
         "tfidf_top_terms": Q.tfidf_top_terms,
@@ -455,6 +456,16 @@ def oracle_sql() -> dict[str, str]:
                                    x -> x <> ''))::BIGINT AS n_words,
                    len(list_filter(regexp_split_to_array(lower(text), '\s+'),
                                    x -> x IN """ + _STOP_LIST_SQL + r"""))::BIGINT AS n_stopwords
+            FROM documents
+        """,
+        "text_normalized": r"""
+            SELECT doc_id,
+                   nfc_normalize(trim(regexp_replace(lower(text),
+                                                     '\s+', ' ', 'g')))
+                     AS norm_text,
+                   (nfc_normalize(trim(regexp_replace(lower(text),
+                                                      '\s+', ' ', 'g')))
+                      <> text) AS changed
             FROM documents
         """,
         "doc_fingerprints": """

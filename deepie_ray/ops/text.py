@@ -401,3 +401,45 @@ def rolling_fingerprint_batch(batch: pa.Table, window: int = 8) -> pa.Table:
                 for j in range(len(toks) - window + 1)
             )
     return pa.table({"doc_id": batch["doc_id"], "roll_fp": out})
+
+
+def normalize_batch(batch: pa.Table) -> pa.Table:
+    """Unicode text normalization (LLM-prep staple) -> (doc_id,
+    norm_text, changed): Unicode lowercase, whitespace runs collapsed
+    to one space, outer whitespace trimmed, then NFC canonical
+    composition — bit-exact with the SQL twin
+    ``nfc_normalize(trim(regexp_replace(lower(text), '\\s+', ' ',
+    'g')))`` because the operation ORDER matches, not just the
+    operation set (probed on combining accents and sharp-s).
+
+    Lower/collapse/trim are Arrow kernels.  NFC composition is NOT:
+    this Arrow build's ``utf8_normalize`` decomposes but never composes
+    (measured: NFC of e+U+0301 stays decomposed), so composition falls
+    back to ``unicodedata`` — applied ONLY to rows containing non-ASCII
+    bytes (ASCII is NFC by construction), so the typical corpus batch
+    never leaves the vectorized path."""
+    import unicodedata
+
+    norm = pc.utf8_trim_whitespace(
+        pc.replace_substring_regex(
+            pc.utf8_lower(batch["text"]),
+            pattern=r"\s+",
+            replacement=" ",
+        )
+    )
+    nonascii = pc.match_substring_regex(norm, pattern=r"[^\x00-\x7F]")
+    if pc.any(nonascii).as_py():
+        vals = norm.to_pylist()
+        mask = nonascii.to_pylist()
+        vals = [
+            unicodedata.normalize("NFC", v) if (m and v is not None) else v
+            for v, m in zip(vals, mask)
+        ]
+        norm = pa.array(vals, pa.string())
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "norm_text": norm,
+            "changed": pc.invert(pc.equal(norm, batch["text"])),
+        }
+    )

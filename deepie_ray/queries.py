@@ -2015,3 +2015,10 @@ def events_customer_enriched(sf_dir: str) -> rd.Dataset:
     ev = _read(sf_dir, "events", ["event_id", "user_id"])
     cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
     return joins.skew_join(ev, cust, on="user_id", right_on="c_custkey", hot_k=4)
+
+
+def text_normalized(sf_dir: str) -> rd.Dataset:
+    """Unicode normalization pass over documents (ops/text.
+    normalize_batch): row-parallel, zero shuffle."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(text.normalize_batch, batch_format="pyarrow")

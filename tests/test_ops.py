@@ -1256,3 +1256,34 @@ def test_skew_join_matches_pandas_merge():
     ).to_pandas()
     want2 = left[left.k < 3].merge(right.rename(columns={"rk": "k"}), on="k")
     assert len(out2) == len(want2)
+
+
+def test_normalize_batch_matches_duckdb_unicode():
+    import duckdb
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(
+                [
+                    "Café  ZEBRA",   # combining accent -> NFC composes
+                    "straße\tx\n\ny", # sharp-s + mixed whitespace
+                    "  already clean  ",
+                    "nochange",
+                ]
+            ),
+        }
+    )
+    out = text.normalize_batch(t).to_pandas().set_index("doc_id")
+    con = duckdb.connect()
+    con.register("documents", t)
+    want = con.execute(
+        r"""
+        SELECT doc_id,
+               nfc_normalize(trim(regexp_replace(lower(text),
+                                                 '\s+', ' ', 'g'))) AS norm_text
+        FROM documents ORDER BY doc_id
+        """
+    ).df().set_index("doc_id")
+    assert (out["norm_text"] == want["norm_text"]).all()
+    assert out["changed"].tolist() == [True, True, True, False]
