@@ -88,6 +88,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sampling / mixing / shuffle export
         "mix_sources": Q.mix_sources,
         "shuffle_shards_docs": Q.shuffle_shards_docs,
+        "export_events_partitioned": Q.export_events_partitioned,
         "sample_per_source": Q.sample_per_source,
         "latest_event_per_user": Q.latest_event_per_user,
         # dedup family
@@ -500,6 +501,10 @@ def oracle_sql() -> dict[str, str]:
                        % 900 AS rate_permille
               FROM documents
             ) WHERE bucket < rate_permille
+        """,
+        "export_events_partitioned": """
+            SELECT event_type, count(*)::BIGINT AS n_rows
+            FROM events GROUP BY event_type
         """,
         "shuffle_shards_docs": """
             WITH h AS (

@@ -2022,3 +2022,40 @@ def text_normalized(sf_dir: str) -> rd.Dataset:
     normalize_batch): row-parallel, zero shuffle."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return ds.map_batches(text.normalize_batch, batch_format="pyarrow")
+
+
+def export_events_partitioned(sf_dir: str) -> pa.Table:
+    """Partitioned-sink round trip -> (event_type, n_rows): write the
+    events table as hive-partitioned parquet (one directory per
+    event_type — the resumable-output layout: a re-run can skip
+    finished partitions, and no partition is one giant file), then
+    report per-partition row counts from the written files' parquet
+    FOOTERS (metadata only — the verification pass reads zero data
+    pages).  The DuckDB twin recomputes the counts from the source
+    table, closing the loop on what was actually written."""
+    import hashlib
+    import shutil
+
+    import pyarrow.dataset as pads
+
+    out_dir = (
+        "/tmp/deepie_export/events_"
+        + hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)  # idempotent re-run
+    ev = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+    ev.write_parquet(out_dir, partition_cols=["event_type"])
+
+    written = pads.dataset(out_dir, format="parquet", partitioning="hive")
+    counts: dict[str, int] = {}
+    for frag in written.get_fragments():
+        # hive dir name: .../event_type=<value>/<file>.parquet
+        part = frag.path.split("event_type=")[1].split("/")[0]
+        counts[part] = counts.get(part, 0) + frag.count_rows()
+    keys = sorted(counts)
+    return pa.table(
+        {
+            "event_type": pa.array(keys, pa.string()),
+            "n_rows": pa.array([counts[k] for k in keys], pa.int64()),
+        }
+    )
