@@ -125,6 +125,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_edges": Q.kg_edges,
         "media_span_stats": Q.media_span_stats,
         "media_features": Q.media_features,
+        "media_decode_features": Q.media_decode_features,
         # graph analytics / clustering
         "copurchase_edges": Q.copurchase_edges,
         "copurchase_triangles": Q.copurchase_triangles,

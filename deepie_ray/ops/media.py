@@ -191,3 +191,143 @@ def media_stats(batch: pa.Table) -> pa.Table:
     modality histogram)."""
     g = batch.group_by("kind").aggregate([([], "count_all")])
     return pa.table({"kind": g["kind"], "n": g["count_all"]})
+
+
+# ------------------------------------------------ REAL codecs (no deps)
+#
+# The stubbed stages above stand in for formats whose codecs are absent
+# from this container (jpeg/png/mp3/...).  The formats below are
+# decodable with the stdlib + numpy alone, so their paths are REAL end
+# to end: real bytes -> real decode -> the same real resize/frame math.
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 -> binary PPM (P6) bytes."""
+    h, w, c = img.shape
+    assert c == 3 and img.dtype == np.uint8
+    return b"P6\n%d %d\n255\n" % (w, h) + img.tobytes()
+
+
+def decode_ppm(data: bytes) -> np.ndarray:
+    """Binary PPM (P6) bytes -> (H, W, 3) uint8.  Pure bytes/numpy
+    parsing: magic, whitespace/comment-tolerant header, raster."""
+    if not data.startswith(b"P6"):
+        raise ValueError("not a binary PPM (P6) payload")
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(data) and data[pos : pos + 1].isspace():
+            pos += 1
+        if data[pos : pos + 1] == b"#":  # comment to end of line
+            pos = data.index(b"\n", pos) + 1
+            continue
+        start = pos
+        while pos < len(data) and not data[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(data[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval != 255:
+        raise ValueError("only 8-bit PPM supported")
+    raster = np.frombuffer(data, np.uint8, count=h * w * 3, offset=pos)
+    return raster.reshape(h, w, 3).copy()
+
+
+def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
+    """float32 [-1, 1] mono -> 16-bit PCM WAV bytes (stdlib wave)."""
+    import io
+    import wave
+
+    pcm = np.clip(samples, -1.0, 1.0)
+    pcm = (pcm * 32767.0).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(rate)
+        f.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """16-bit PCM WAV bytes -> (float32 mono samples in [-1, 1], rate)."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(data), "rb") as f:
+        if f.getsampwidth() != 2:
+            raise ValueError("only 16-bit PCM WAV supported")
+        rate = f.getframerate()
+        raw = f.readframes(f.getnframes())
+        pcm = np.frombuffer(raw, "<i2").astype(np.float32) / 32767.0
+        if f.getnchannels() > 1:
+            pcm = pcm.reshape(-1, f.getnchannels()).mean(axis=1)
+    return pcm, rate
+
+
+def synth_payload(kind: str, ref: str) -> bytes:
+    """Deterministic REAL media payload for a span reference: a valid
+    P6 PPM for image spans, a valid 16-bit PCM WAV for audio spans —
+    the test stand-in for fetching the bytes ``media_ref`` points at
+    (content is seeded by the ref, so any partitioning/retry re-creates
+    identical bytes)."""
+    rng = np.random.default_rng(stable_u32(kind + ":" + ref, "payload:"))
+    if kind == "image":
+        h = 8 + int(rng.integers(0, 24))
+        w = 8 + int(rng.integers(0, 24))
+        return encode_ppm(rng.integers(0, 256, (h, w, 3), dtype=np.uint8))
+    if kind == "audio":
+        n = 1600 + int(rng.integers(0, 4800))
+        t = np.arange(n, dtype=np.float32)
+        freq = 100.0 + float(rng.integers(0, 300))
+        return encode_wav(0.5 * np.sin(2 * np.pi * freq * t / 16000.0))
+    raise NotImplementedError(f"no synthesizable codec for kind={kind!r}")
+
+
+class BinaryMediaDecoder:
+    """Actor-pool stage over REAL binary payloads -> per-row features:
+    image (PPM) rows decode, nearest-neighbor-resize to 8x8 grayscale
+    and emit the 64 pixels + source dims; audio (WAV) rows decode and
+    emit 8 frame RMS energies + sample count.  Output is one row per
+    input with a fixed-width float32 ``media_feat`` column (images:
+    pixels/255; audio: energies zero-padded to 64) so both modalities
+    union into one feature table.
+
+    This is the non-stub twin of MediaFeatureExtractor: the decode is
+    real for container-decodable formats; formats needing external
+    codecs still route to the strict stub.  batch_size stays small —
+    rows are wide (binary payloads)."""
+
+    WIDTH = 64
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        kinds = batch["kind"].to_pylist()
+        payloads = batch["payload"].to_pylist()
+        n = len(kinds)
+        feats = np.zeros((n, self.WIDTH), np.float32)
+        dims = np.zeros((n, 2), np.int32)
+        for i, (k, data) in enumerate(zip(kinds, payloads)):
+            if k == "image":
+                img = decode_ppm(data)
+                gray = img.mean(axis=2).astype(np.uint8)
+                small = ImageResize.resize_nn(gray, 8, 8)
+                feats[i] = small.ravel().astype(np.float32) / 255.0
+                dims[i] = (img.shape[0], img.shape[1])
+            elif k == "audio":
+                pcm, rate = decode_wav(data)
+                frame = max(1, len(pcm) // 8)
+                for j in range(8):
+                    seg = pcm[j * frame : (j + 1) * frame]
+                    feats[i, j] = float(np.sqrt((seg**2).mean())) if len(seg) else 0.0
+                dims[i] = (len(pcm), rate)
+            else:
+                raise NotImplementedError(f"no codec for kind={k!r}")
+        offs = np.arange(0, (n + 1) * self.WIDTH, self.WIDTH)
+        col = pa.ListArray.from_arrays(
+            pa.array(offs, pa.int32()), pa.array(feats.ravel(), pa.float32())
+        )
+        return (
+            batch.drop_columns(["payload"])
+            .append_column("media_feat", col)
+            .append_column("dim0", pa.array(dims[:, 0], pa.int32()))
+            .append_column("dim1", pa.array(dims[:, 1], pa.int32()))
+        )

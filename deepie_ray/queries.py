@@ -2059,3 +2059,50 @@ def export_events_partitioned(sf_dir: str) -> pa.Table:
             "n_rows": pa.array([counts[k] for k in keys], pa.int64()),
         }
     )
+
+
+def media_decode_features(sf_dir: str) -> rd.Dataset:
+    """REAL multimodal decode path -> (doc_id, span_idx, kind,
+    media_ref, feat_norm, dim0, dim1): image/audio spans are paired
+    with deterministic REAL payloads (valid P6 PPM / 16-bit PCM WAV
+    bytes synthesized from the ref — the test stand-in for the blob
+    fetch ``media_ref`` points at), then an actor-pool stage DECODES
+    the actual bytes and runs the same resize/frame-energy math as the
+    stubbed path (ops/media.BinaryMediaDecoder).  'table' spans (no
+    container-decodable codec) stay on the stub route.  Rows-only;
+    codec round-trips are pinned by pytest."""
+    from . import pipeline
+    from .ops import media
+
+    docs = pipeline.read_documents(sf_dir)
+    spans = docs.map_batches(media.explode_media_spans, batch_format="pyarrow")
+    decodable = spans.map_batches(
+        lambda t: t.filter(pc.is_in(t["kind"], value_set=pa.array(["image", "audio"]))),
+        batch_format="pyarrow",
+    )
+
+    def attach_payload(t: pa.Table) -> pa.Table:
+        payloads = [
+            media.synth_payload(k, r)
+            for k, r in zip(t["kind"].to_pylist(), t["media_ref"].to_pylist())
+        ]
+        return t.append_column("payload", pa.array(payloads, pa.binary()))
+
+    feats = decodable.map_batches(
+        attach_payload, batch_format="pyarrow"
+    ).map_batches(
+        media.BinaryMediaDecoder,
+        batch_format="pyarrow",
+        batch_size=256,  # wide binary rows
+        concurrency=(1, 2),
+    )
+
+    def narrow(t: pa.Table) -> pa.Table:
+        norms = np.linalg.norm(
+            np.asarray(t["media_feat"].to_pylist(), dtype=np.float32), axis=1
+        ).round(4)
+        return t.drop_columns(["media_feat"]).append_column(
+            "feat_norm", pa.array(norms.astype(np.float64))
+        )
+
+    return feats.map_batches(narrow, batch_format="pyarrow")

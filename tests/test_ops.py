@@ -1287,3 +1287,47 @@ def test_normalize_batch_matches_duckdb_unicode():
     ).df().set_index("doc_id")
     assert (out["norm_text"] == want["norm_text"]).all()
     assert out["changed"].tolist() == [True, True, True, False]
+
+
+def test_ppm_wav_codecs_round_trip():
+    rng = np.random.default_rng(31)
+    img = rng.integers(0, 256, (13, 9, 3), dtype=np.uint8)
+    assert (media.decode_ppm(media.encode_ppm(img)) == img).all()
+    # header-comment tolerance
+    data = media.encode_ppm(img)
+    commented = data[:2] + b"\n# a comment\n" + data[2:]
+    assert (media.decode_ppm(commented) == img).all()
+
+    samples = 0.4 * np.sin(np.linspace(0, 40, 3000)).astype(np.float32)
+    pcm, rate = media.decode_wav(media.encode_wav(samples, rate=8000))
+    assert rate == 8000
+    assert len(pcm) == 3000
+    assert np.abs(pcm - samples).max() <= 1.5 / 32767.0
+
+
+def test_binary_media_decoder_real_payloads():
+    rows = pa.table(
+        {
+            "doc_id": pa.array(["a", "b"], pa.string()),
+            "span_idx": pa.array([0, 1], pa.int32()),
+            "kind": pa.array(["image", "audio"], pa.string()),
+            "media_ref": pa.array(["img://1", "aud://2"], pa.string()),
+            "payload": pa.array(
+                [
+                    media.synth_payload("image", "img://1"),
+                    media.synth_payload("audio", "aud://2"),
+                ],
+                pa.binary(),
+            ),
+        }
+    )
+    out = media.BinaryMediaDecoder()(rows).to_pandas()
+    img_feat = np.array(out.loc[0, "media_feat"])
+    assert img_feat.shape == (64,) and 0.0 <= img_feat.min() and img_feat.max() <= 1.0
+    assert out.loc[0, "dim0"] >= 8 and out.loc[0, "dim1"] >= 8  # real decoded dims
+    aud_feat = np.array(out.loc[1, "media_feat"])
+    assert (aud_feat[:8] > 0).all() and (aud_feat[8:] == 0).all()  # RMS + padding
+    assert out.loc[1, "dim1"] == 16000  # real sample rate from the WAV header
+
+    with pytest.raises(NotImplementedError):
+        media.synth_payload("table", "tbl://3")
