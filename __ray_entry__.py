@@ -133,6 +133,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_funnel": Q.user_funnel,
         "graph_pagerank": Q.graph_pagerank,
         "embedding_kmeans": Q.embedding_kmeans,
+        "embedding_centroids": Q.embedding_centroids,
         "semantic_dedup_embeddings": Q.semantic_dedup_embeddings,
     }
 
@@ -789,6 +790,12 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id)::BIGINT AS doc_id,
                    count(*)::BIGINT    AS n_dupes
             FROM documents GROUP BY md5(text)
+        """,
+        "embedding_centroids": """
+            SELECT vec_id % 8 AS grp, i AS dim,
+                   round(avg(embedding[i+1]::DOUBLE), 6) AS centroid
+            FROM embeddings, range(0, 64) r(i)
+            GROUP BY grp, i
         """,
         "embedding_neardup": """
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b

@@ -2106,3 +2106,62 @@ def media_decode_features(sf_dir: str) -> rd.Dataset:
         )
 
     return feats.map_batches(narrow, batch_format="pyarrow")
+
+
+def embedding_centroids(sf_dir: str) -> rd.Dataset:
+    """Grouped VECTOR aggregate -> (grp, dim, centroid): per-dimension
+    mean embedding for each of 8 deterministic groups (vec_id % 8 — an
+    SQL-expressible stand-in for a cluster/lang column), emitted LONG
+    (one row per group x dimension) so the driver value-hash covers
+    every component.
+
+    Combiner-first on matrices: each batch reduces to at most 8 rows of
+    (grp, 64-float sum, count) — the shuffle moves per-block partial
+    VECTORS, never embeddings; the final per-group merge holds
+    O(blocks) 64-float rows (salt the merge like ops/sketch if group
+    count x blocks ever matters)."""
+    from .ops.cluster import _batch_matrix
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        X = _batch_matrix(t, "embedding").astype(np.float64)
+        if X.shape[0] == 0:
+            return pa.table(
+                {
+                    "grp": pa.array([], pa.int64()),
+                    "sums": pa.array([], pa.list_(pa.float64())),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        g = (ids % 8).astype(np.int64)
+        grps = np.unique(g)
+        sums = [X[g == gg].sum(axis=0) for gg in grps]
+        ns = np.array([(g == gg).sum() for gg in grps], np.int64)
+        return pa.table(
+            {
+                "grp": pa.array(grps),
+                "sums": pa.array([s.tolist() for s in sums], pa.list_(pa.float64())),
+                "n": pa.array(ns),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        S = np.asarray(t["sums"].to_pylist(), np.float64).sum(axis=0)
+        n = int(pc.sum(t["n"]).as_py())
+        c = S / n
+        grp = t["grp"][0].as_py()
+        return pa.table(
+            {
+                "grp": pa.array(np.full(len(c), grp, np.int64)),
+                "dim": pa.array(np.arange(len(c), dtype=np.int64)),
+                "centroid": pa.array([round(float(v), 6) for v in c], pa.float64()),
+            }
+        )
+
+    return (
+        emb.map_batches(partial, batch_format="pyarrow")
+        .groupby("grp")
+        .map_groups(merge, batch_format="pyarrow")
+    )
