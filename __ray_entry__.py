@@ -462,14 +462,15 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "text_normalized": r"""
-            SELECT doc_id,
-                   nfc_normalize(trim(regexp_replace(lower(text),
-                                                     '\s+', ' ', 'g')))
-                     AS norm_text,
-                   (nfc_normalize(trim(regexp_replace(lower(text),
-                                                      '\s+', ' ', 'g')))
-                      <> text) AS changed
-            FROM documents
+            WITH n AS (
+              SELECT doc_id,
+                     nfc_normalize(regexp_replace(
+                       regexp_replace(lower(text), '\s+', ' ', 'g'),
+                       '^\s+|\s+$', '', 'g')) AS norm_text
+              FROM documents
+            )
+            SELECT n.doc_id, n.norm_text, (n.norm_text <> d.text) AS changed
+            FROM n JOIN documents d ON n.doc_id = d.doc_id
         """,
         "doc_fingerprints": """
             SELECT doc_id, md5(lower(text)) AS fingerprint FROM documents

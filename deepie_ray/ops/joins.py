@@ -503,6 +503,25 @@ def skew_join(
     import pyarrow.compute as pc
 
     lk, rk = on, right_on or on
+    # both inputs feed multiple consumers (detection + hot/cold splits
+    # + the joins): pin them so the source lineage executes once —
+    # blocks spill rather than recompute
+    left = left.materialize()
+    right = right.materialize()
+    payload_schema = [
+        (name, _field_type(right, name))
+        for name in right.schema().names
+        if name != rk
+    ]
+    left_cols = list(left.schema().names)
+
+    def _typed_empty() -> rd.Dataset:
+        cols = {
+            name: pa.array([], _field_type(left, name)) for name in left_cols
+        }
+        for name, typ in payload_schema:
+            cols[name] = pa.array([], typ)
+        return rd.from_arrow(pa.table(cols))
 
     def local_top(t: pa.Table) -> pa.Table:
         g = t.group_by([lk]).aggregate([([], "count_all")])
@@ -511,7 +530,9 @@ def skew_join(
 
     tops = left.map_batches(local_top, batch_format="pyarrow").take_all()
     if not tops:
-        return left.limit(0)
+        # contract: output columns are hash_join's (left + right
+        # payload) even when left is empty
+        return _typed_empty()
     agg: dict = {}
     for r in tops:
         agg[r[lk]] = agg.get(r[lk], 0) + r["n"]
@@ -560,7 +581,6 @@ def skew_join(
             num_partitions=num_partitions,
         )
 
-    left_cols = [c for c in left.schema().names]
     final_cols = left_cols + payload_cols
     hot_out = hot_out.map_batches(
         lambda t, cols=tuple(final_cols): t.select(list(cols)),

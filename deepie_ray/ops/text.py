@@ -407,10 +407,11 @@ def normalize_batch(batch: pa.Table) -> pa.Table:
     """Unicode text normalization (LLM-prep staple) -> (doc_id,
     norm_text, changed): Unicode lowercase, whitespace runs collapsed
     to one space, outer whitespace trimmed, then NFC canonical
-    composition — bit-exact with the SQL twin
-    ``nfc_normalize(trim(regexp_replace(lower(text), '\\s+', ' ',
-    'g')))`` because the operation ORDER matches, not just the
-    operation set (probed on combining accents and sharp-s).
+    composition — bit-exact with the SQL twin because the operation
+    ORDER matches AND both trims are the same RE2 ``\\s`` class (NOT
+    Arrow's utf8_trim_whitespace, whose Unicode whitespace set strips
+    U+2028-style spaces that RE2's ASCII ``\\s`` — and therefore the
+    DuckDB twin — keeps).  Probed on combining accents and sharp-s.
 
     Lower/collapse/trim are Arrow kernels.  NFC composition is NOT:
     this Arrow build's ``utf8_normalize`` decomposes but never composes
@@ -420,12 +421,14 @@ def normalize_batch(batch: pa.Table) -> pa.Table:
     never leaves the vectorized path."""
     import unicodedata
 
-    norm = pc.utf8_trim_whitespace(
+    norm = pc.replace_substring_regex(
         pc.replace_substring_regex(
             pc.utf8_lower(batch["text"]),
             pattern=r"\s+",
             replacement=" ",
-        )
+        ),
+        pattern=r"^\s+|\s+$",
+        replacement="",
     )
     nonascii = pc.match_substring_regex(norm, pattern=r"[^\x00-\x7F]")
     if pc.any(nonascii).as_py():

@@ -1978,7 +1978,10 @@ def customer_big_order_coverage(sf_dir: str) -> rd.Dataset:
     full-outer-joined with BUILDING-segment customers (right side) —
     rows surviving from either side with typed NULL fill on the other.
     Ray's hash join coalesces the key across sides, so right-only rows
-    keep their key under the left column name."""
+    keep their key under the left column name.  Either side can filter
+    to empty, and Ray's join cannot finalize a zero-row side
+    (tuning.py) — an empty side degenerates to the OTHER side plus a
+    typed NULL column, produced map-side."""
     big = rd.read_parquet(
         f"{sf_dir}/orders.parquet",
         columns=["o_custkey"],
@@ -2003,6 +2006,29 @@ def customer_big_order_coverage(sf_dir: str) -> rd.Dataset:
         )
         .repartition(8)
     )
+
+    def with_null(ds: rd.Dataset, col: str, typ: pa.DataType) -> rd.Dataset:
+        return ds.map_batches(
+            lambda t: t.append_column(col, pa.array([None] * t.num_rows, typ)),
+            batch_format="pyarrow",
+        )
+
+    n_big = n_big.materialize()  # guard probe + join both consume it
+    bldg = bldg.materialize()
+    if n_big.count() == 0 and bldg.count() == 0:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "c_custkey": pa.array([], pa.int64()),
+                    "n_big": pa.array([], pa.int64()),
+                    "c_name": pa.array([], pa.string()),
+                }
+            )
+        )
+    if n_big.count() == 0:
+        return with_null(bldg, "n_big", pa.int64())
+    if bldg.count() == 0:
+        return with_null(n_big, "c_name", pa.string())
     return joins.hash_join(n_big, bldg, on="c_custkey", how="full_outer")
 
 
@@ -2032,14 +2058,23 @@ def export_events_partitioned(sf_dir: str) -> pa.Table:
     report per-partition row counts from the written files' parquet
     FOOTERS (metadata only — the verification pass reads zero data
     pages).  The DuckDB twin recomputes the counts from the source
-    table, closing the loop on what was actually written."""
+    table, closing the loop on what was actually written.
+
+    Path contract: write tasks and the verifying reader must share a
+    filesystem.  True here (single node, local /tmp); on a multi-node
+    cluster pass an object-store / shared-fs URI instead — node-local
+    paths would scatter partitions across workers invisible to the
+    reader.  The directory is per-process (pid in the path), so
+    concurrent drivers never rmtree each other's in-flight writes;
+    re-runs within one process stay idempotent."""
     import hashlib
+    import os
     import shutil
 
     import pyarrow.dataset as pads
 
     out_dir = (
-        "/tmp/deepie_export/events_"
+        f"/tmp/deepie_export/p{os.getpid()}_events_"
         + hashlib.md5(sf_dir.encode()).hexdigest()[:12]
     )
     shutil.rmtree(out_dir, ignore_errors=True)  # idempotent re-run

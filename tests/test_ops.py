@@ -1263,13 +1263,17 @@ def test_normalize_batch_matches_duckdb_unicode():
 
     t = pa.table(
         {
-            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
             "text": pa.array(
                 [
                     "Café  ZEBRA",   # combining accent -> NFC composes
                     "straße\tx\n\ny", # sharp-s + mixed whitespace
                     "  already clean  ",
                     "nochange",
+                    # U+2028 line separator: NOT in RE2's \s — must be
+                    # KEPT by both engines (review finding: Arrow's
+                    # Unicode trim stripped it, DuckDB's didn't)
+                    "\u2028edge",
                 ]
             ),
         }
@@ -1280,13 +1284,15 @@ def test_normalize_batch_matches_duckdb_unicode():
     want = con.execute(
         r"""
         SELECT doc_id,
-               nfc_normalize(trim(regexp_replace(lower(text),
-                                                 '\s+', ' ', 'g'))) AS norm_text
+               nfc_normalize(regexp_replace(
+                 regexp_replace(lower(text), '\s+', ' ', 'g'),
+                 '^\s+|\s+$', '', 'g')) AS norm_text
         FROM documents ORDER BY doc_id
         """
     ).df().set_index("doc_id")
     assert (out["norm_text"] == want["norm_text"]).all()
-    assert out["changed"].tolist() == [True, True, True, False]
+    assert out.loc[5, "norm_text"].startswith("\u2028")
+    assert out["changed"].tolist() == [True, True, True, False, False]
 
 
 def test_ppm_wav_codecs_round_trip():
@@ -1331,3 +1337,17 @@ def test_binary_media_decoder_real_payloads():
 
     with pytest.raises(NotImplementedError):
         media.synth_payload("table", "tbl://3")
+
+
+def test_skew_join_empty_left_keeps_joined_schema():
+    """Review finding: an empty left must still produce hash_join's
+    column set (left + right payload), not left's alone."""
+    left = pd.DataFrame(
+        {"k": pd.array([], dtype="int64"), "row": pd.array([], dtype="int64")}
+    )
+    right = pd.DataFrame({"rk": [1, 2], "name": ["a", "b"]})
+    out = joins.skew_join(
+        rd.from_pandas(left), rd.from_pandas(right), on="k", right_on="rk"
+    )
+    assert out.count() == 0
+    assert sorted(out.schema().names) == ["k", "name", "row"]
