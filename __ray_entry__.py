@@ -107,6 +107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contamination_ngram": Q.contamination_ngram,
         "contamination_bloom": Q.contamination_bloom,
         "repeated_ngrams": Q.repeated_ngrams,
+        "duplicate_spans": Q.duplicate_spans,
         "docs_by_lang": Q.docs_by_lang,
         # reference-shaped ACE workflow (S1+A5+M12+T3+A6)
         "ace_relation_extraction": Q.ace_relation_extraction,
@@ -225,6 +226,24 @@ def oracle_sql() -> dict[str, str]:
             FROM sh, unnest(sh.s) AS u(gram)
             GROUP BY u.gram
             HAVING count(*) >= 5
+        """,
+        "duplicate_spans": """
+            WITH g AS (
+              SELECT doc_id, substr(text, CAST(i*20+1 AS BIGINT), 40) AS gram
+              -- 4096 bounds grams/doc at 80k chars, far above any sf's
+              -- max doc length (553 at sf0.01); WHERE drops the rest
+              FROM documents, range(0, 4096) r(i)
+              WHERE i*20 + 40 <= length(text)
+            ),
+            d AS (
+              SELECT gram FROM g GROUP BY gram
+              HAVING count(DISTINCT doc_id) >= 2
+            )
+            SELECT g.doc_id,
+                   count(*)::BIGINT AS n_spans,
+                   sum(CASE WHEN g.gram IN (SELECT gram FROM d)
+                            THEN 1 ELSE 0 END)::BIGINT AS n_dup_spans
+            FROM g GROUP BY g.doc_id
         """,
         "docs_by_lang": """
             SELECT lang,

@@ -2200,3 +2200,87 @@ def embedding_centroids(sf_dir: str) -> rd.Dataset:
         .groupby("grp")
         .map_groups(merge, batch_format="pyarrow")
     )
+
+
+def duplicate_spans(sf_dir: str) -> rd.Dataset:
+    """Exact substring-level duplicate-span detection — the char-k-gram
+    core of 'Deduplicating Training Data Makes Language Models Better'
+    (Lee et al. 2022, arXiv:2107.06499): 40-char grams at stride 20; a
+    span is DUPLICATED iff its gram occurs in >= 2 distinct documents
+    -> (doc_id, n_spans, n_dup_spans) for every doc long enough to
+    carry a span.
+
+    Scale shape: occurrences shuffle as narrow (doc_id, gram) rows;
+    dup-gram detection is per-batch-distinct pairs (one doc = one row =
+    one batch, so per-batch distinct is globally distinct) + a
+    combiner-first grouped count; the per-occurrence dup test is a
+    hash-partitioned SEMI-join, never a driver-side gram set; both
+    final counts are combiner-first.  At 100 TB swap the fixed-stride
+    grams for winnowed fingerprints (Schleimer et al. 2003) — same
+    pipeline, boundedly fewer rows per doc."""
+    K, S = 40, 20
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def grams(t: pa.Table) -> pa.Table:
+        ids_out: list[int] = []
+        gs: list[str] = []
+        for did, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            txt = txt or ""
+            if len(txt) < K:
+                continue
+            for i in range((len(txt) - K) // S + 1):
+                ids_out.append(did)
+                gs.append(txt[i * S : i * S + K])
+        return pa.table(
+            {
+                "doc_id": pa.array(ids_out, pa.int64()),
+                "gram": pa.array(gs, pa.string()),
+            }
+        )
+
+    # reused by the totals count AND the semi-join probe: pin once
+    occ = docs.map_batches(grams, batch_format="pyarrow").materialize()
+
+    pairs = occ.map_batches(
+        lambda t: t.group_by(["gram", "doc_id"]).aggregate([]),
+        batch_format="pyarrow",
+    )
+    dup_grams = grouped_count(pairs, ["gram"], "n_docs").map_batches(
+        lambda t: t.filter(pc.greater_equal(t["n_docs"], pa.scalar(2))).select(
+            ["gram"]
+        ),
+        batch_format="pyarrow",
+    )
+    totals = grouped_count(
+        occ.map_batches(lambda t: t.select(["doc_id"]), batch_format="pyarrow"),
+        ["doc_id"],
+        "n_spans",
+    ).repartition(8)
+
+    dup_occ = joins.semi_join(occ, dup_grams, on="gram")
+    if dup_occ.limit(1).count() == 0:
+        # duplicate-free corpus: all-zero dup counts, no join needed
+        return totals.map_batches(
+            lambda t: t.append_column(
+                "n_dup_spans", pa.array(np.zeros(t.num_rows, np.int64))
+            ),
+            batch_format="pyarrow",
+        )
+    dups = grouped_count(
+        dup_occ.map_batches(lambda t: t.select(["doc_id"]), batch_format="pyarrow"),
+        ["doc_id"],
+        "n_dup_spans",
+    ).repartition(8)
+    joined = joins.hash_join(totals, dups, on="doc_id", how="left_outer")
+    return joined.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_spans": t["n_spans"],
+                "n_dup_spans": pc.cast(
+                    pc.fill_null(t["n_dup_spans"], 0), pa.int64()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
