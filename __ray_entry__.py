@@ -108,6 +108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contamination_bloom": Q.contamination_bloom,
         "repeated_ngrams": Q.repeated_ngrams,
         "duplicate_spans": Q.duplicate_spans,
+        "duplicate_spans_winnowed": Q.duplicate_spans_winnowed,
         "docs_by_lang": Q.docs_by_lang,
         # reference-shaped ACE workflow (S1+A5+M12+T3+A6)
         "ace_relation_extraction": Q.ace_relation_extraction,

@@ -1157,3 +1157,73 @@ def contamination_bloom_counts(
             )
 
     return ds.map_batches(BloomContam, batch_format="pyarrow", concurrency=(1, 8))
+
+
+# ------------------------------------------------------------- winnowing
+
+
+WINNOW_BASE = np.uint64(1000003)
+WINNOW_MASK = np.uint64(0x7FFFFFFFFFFFFFFF)
+
+
+def winnow_fingerprints(text: str, k: int = 40, w: int = 8) -> list[tuple[int, int]]:
+    """Winnowing fingerprint selection (Schleimer, Wilkerson, Aiken,
+    SIGMOD 2003): polynomial rolling hash over all k-char grams, then
+    the RIGHTMOST minimal hash in every window of ``w`` consecutive
+    grams -> sorted distinct (pos, hash) pairs.
+
+    Guarantee (the reason this is the dup-span scale path): any shared
+    substring of length >= w + k - 1 between two documents contributes
+    at least one IDENTICAL selected fingerprint to both — so winnowed
+    detection never misses long duplicates while keeping only
+    ~2/(w+1) of the grams.  All numpy: the gram hashes are one
+    sliding-window matvec, the window minima one argmin over a stride
+    trick — no per-gram Python."""
+    n = len(text)
+    if n < k:
+        return []
+    c = np.frombuffer(text.encode("utf-8", "surrogatepass"), dtype=np.uint8)
+    # NOTE: byte-based grams; for the ASCII corpora here byte == char.
+    if len(c) < k:
+        return []
+    powers = np.empty(k, dtype=np.uint64)
+    powers[k - 1] = np.uint64(1)
+    for j in range(k - 2, -1, -1):
+        powers[j] = powers[j + 1] * WINNOW_BASE  # uint64 wraparound mod 2^64
+    win = np.lib.stride_tricks.sliding_window_view(c, k).astype(np.uint64)
+    h = (win * powers[None, :]).sum(axis=1) & WINNOW_MASK
+    if len(h) <= w:
+        pos = int(len(h) - 1 - np.argmin(h[::-1]))
+        return [(pos, int(h[pos]))]
+    hw = np.lib.stride_tricks.sliding_window_view(h, w)
+    # rightmost minimum per window: argmin over the reversed window
+    right_arg = w - 1 - np.argmin(hw[:, ::-1], axis=1)
+    pos = np.arange(len(hw)) + right_arg
+    sel = np.unique(pos)
+    return [(int(p), int(h[p])) for p in sel]
+
+
+def winnowed_gram_table(
+    ds: rd.Dataset, text_col: str = "text", id_col: str = "doc_id",
+    k: int = 40, w: int = 8,
+) -> rd.Dataset:
+    """documents -> (doc_id, pos, h): each doc's winnowed fingerprints
+    as narrow rows — the bounded-rows-per-doc replacement for the
+    every-stride gram explode in duplicate-span detection."""
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids, poss, hs = [], [], []
+        for did, txt in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
+            for p, hv in winnow_fingerprints(txt or "", k, w):
+                ids.append(did)
+                poss.append(p)
+                hs.append(hv)
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "pos": pa.array(poss, pa.int64()),
+                "h": pa.array(hs, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(explode, batch_format="pyarrow")

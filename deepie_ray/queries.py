@@ -2284,3 +2284,55 @@ def duplicate_spans(sf_dir: str) -> rd.Dataset:
         ),
         batch_format="pyarrow",
     )
+
+
+def duplicate_spans_winnowed(sf_dir: str) -> rd.Dataset:
+    """Winnowed duplicate-span detection — the documented SCALE path of
+    ``duplicate_spans``: per-doc fingerprints selected by winnowing
+    (ops/dedup.winnow_fingerprints, ~2/(w+1) of the grams, with the
+    guarantee that any shared substring >= w+k-1 chars still collides)
+    -> (doc_id, n_fps, n_dup_fps).  Same dup pipeline shape as the
+    exact variant (distinct-doc count per fingerprint, semi-join,
+    combiner counts); rows-only (the window-minimum selection is not
+    SQL-expressible) — the winnowing guarantee and numpy parity are
+    pytest-pinned."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    occ = dedup.winnowed_gram_table(docs, k=40, w=8).materialize()
+
+    pairs = occ.map_batches(
+        lambda t: t.select(["h", "doc_id"]).group_by(["h", "doc_id"]).aggregate([]),
+        batch_format="pyarrow",
+    )
+    dup_h = grouped_count(pairs, ["h"], "n_docs").map_batches(
+        lambda t: t.filter(pc.greater_equal(t["n_docs"], pa.scalar(2))).select(["h"]),
+        batch_format="pyarrow",
+    )
+    totals = grouped_count(
+        occ.map_batches(lambda t: t.select(["doc_id"]), batch_format="pyarrow"),
+        ["doc_id"],
+        "n_fps",
+    ).repartition(8)
+    dup_occ = joins.semi_join(occ, dup_h, on="h")
+    if dup_occ.limit(1).count() == 0:
+        return totals.map_batches(
+            lambda t: t.append_column(
+                "n_dup_fps", pa.array(np.zeros(t.num_rows, np.int64))
+            ),
+            batch_format="pyarrow",
+        )
+    dups = grouped_count(
+        dup_occ.map_batches(lambda t: t.select(["doc_id"]), batch_format="pyarrow"),
+        ["doc_id"],
+        "n_dup_fps",
+    ).repartition(8)
+    joined = joins.hash_join(totals, dups, on="doc_id", how="left_outer")
+    return joined.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_fps": t["n_fps"],
+                "n_dup_fps": pc.cast(pc.fill_null(t["n_dup_fps"], 0), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )

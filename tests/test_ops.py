@@ -1351,3 +1351,39 @@ def test_skew_join_empty_left_keeps_joined_schema():
     )
     assert out.count() == 0
     assert sorted(out.schema().names) == ["k", "name", "row"]
+
+
+def test_winnowing_guarantee_and_selectivity():
+    """Winnowing's defining property: any shared substring of length
+    >= w + k - 1 yields at least one identical fingerprint in both
+    docs; and the selection keeps a window-coverage subset, far fewer
+    than all grams."""
+    rng = np.random.default_rng(41)
+    k, w = 40, 8
+
+    def rand_text(n):
+        return "".join(chr(97 + c) for c in rng.integers(0, 26, n))
+
+    shared = rand_text(k + w - 1 + 30)  # comfortably above the bound
+    a = rand_text(200) + shared + rand_text(150)
+    b = rand_text(120) + shared + rand_text(260)
+    fa = dedup.winnow_fingerprints(a, k, w)
+    fb = dedup.winnow_fingerprints(b, k, w)
+    assert {h for _, h in fa} & {h for _, h in fb}, "shared substring missed"
+
+    # every window of w consecutive grams contains a selected position
+    pos = np.array([p for p, _ in fa])
+    n_grams = len(a) - k + 1
+    for start in range(0, n_grams - w + 1):
+        assert ((pos >= start) & (pos < start + w)).any()
+    # and selection is sparse: ~2/(w+1) of grams, never all of them
+    assert len(fa) < 0.5 * n_grams
+
+    # unrelated docs share nothing (26^40 gram space)
+    fc = dedup.winnow_fingerprints(rand_text(400), k, w)
+    assert not ({h for _, h in fa} & {h for _, h in fc})
+
+    # short-doc edges
+    assert dedup.winnow_fingerprints("", k, w) == []
+    assert dedup.winnow_fingerprints("x" * (k - 1), k, w) == []
+    assert len(dedup.winnow_fingerprints("x" * k, k, w)) == 1
