@@ -89,6 +89,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mix_sources": Q.mix_sources,
         "shuffle_shards_docs": Q.shuffle_shards_docs,
         "export_events_partitioned": Q.export_events_partitioned,
+        "export_jsonl_roundtrip": Q.export_jsonl_roundtrip,
         "sample_per_source": Q.sample_per_source,
         "latest_event_per_user": Q.latest_event_per_user,
         # dedup family
@@ -528,6 +529,9 @@ def oracle_sql() -> dict[str, str]:
         "export_events_partitioned": """
             SELECT event_type, count(*)::BIGINT AS n_rows
             FROM events GROUP BY event_type
+        """,
+        "export_jsonl_roundtrip": """
+            SELECT doc_id, md5(text) AS fingerprint FROM documents
         """,
         "shuffle_shards_docs": """
             WITH h AS (

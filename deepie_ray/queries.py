@@ -2336,3 +2336,38 @@ def duplicate_spans_winnowed(sf_dir: str) -> rd.Dataset:
         ),
         batch_format="pyarrow",
     )
+
+
+def export_jsonl_roundtrip(sf_dir: str) -> rd.Dataset:
+    """JSONL sink + source round trip -> (doc_id, fingerprint): write
+    the documents table as JSON-lines shards (Ray's distributed
+    write_json), read the shards back with read_json, and fingerprint
+    the text that survived the trip.  The DuckDB twin fingerprints the
+    ORIGINAL table, so a hash match proves byte-exact text round-trip
+    through JSON escaping (newlines, quotes, non-ASCII).  Same
+    shared-filesystem path contract as export_events_partitioned."""
+    import hashlib
+    import os
+    import shutil
+
+    from .hashing import md5_hex
+
+    out_dir = (
+        f"/tmp/deepie_export/p{os.getpid()}_jsonl_"
+        + hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    docs.write_json(out_dir)
+    back = rd.read_json(out_dir)
+
+    def fp(t: pa.Table) -> pa.Table:
+        fps = [md5_hex(x or "") for x in t["text"].to_pylist()]
+        return pa.table(
+            {
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "fingerprint": pa.array(fps, pa.string()),
+            }
+        )
+
+    return back.map_batches(fp, batch_format="pyarrow")
