@@ -1387,3 +1387,18 @@ def test_winnowing_guarantee_and_selectivity():
     assert dedup.winnow_fingerprints("", k, w) == []
     assert dedup.winnow_fingerprints("x" * (k - 1), k, w) == []
     assert len(dedup.winnow_fingerprints("x" * k, k, w)) == 1
+
+
+def test_semi_anti_join_null_keys_sql_semantics():
+    """SQL semantics: a NULL key matches nothing — null left rows are
+    excluded by EXISTS (semi) and kept by NOT EXISTS (anti), and null
+    right keys match no left row (probed against Ray's hash join;
+    pinned here so an engine upgrade can't silently flip it)."""
+    left = pd.DataFrame(
+        {"k": pd.array([1, 2, None, 4], dtype="Int64"), "v": [10, 20, 30, 40]}
+    )
+    right = pd.DataFrame({"k": pd.array([2, None], dtype="Int64"), "p": ["x", "y"]})
+    semi = joins.semi_join(rd.from_pandas(left), rd.from_pandas(right), on="k").to_pandas()
+    anti = joins.anti_join(rd.from_pandas(left), rd.from_pandas(right), on="k").to_pandas()
+    assert sorted(semi["v"].tolist()) == [20]
+    assert sorted(anti["v"].tolist()) == [10, 30, 40]
