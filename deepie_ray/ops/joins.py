@@ -524,6 +524,9 @@ def skew_join(
         return rd.from_arrow(pa.table(cols))
 
     def local_top(t: pa.Table) -> pa.Table:
+        # null keys can never match an inner join — keep them out of
+        # detection (a null group would crash the driver's hot sort)
+        t = t.filter(pc.is_valid(t[lk]))
         g = t.group_by([lk]).aggregate([([], "count_all")])
         g = g.sort_by([("count_all", "descending")]).slice(0, 8)
         return pa.table({lk: g[lk], "n": pc.cast(g["count_all"], pa.int64())})

@@ -1402,3 +1402,17 @@ def test_semi_anti_join_null_keys_sql_semantics():
     anti = joins.anti_join(rd.from_pandas(left), rd.from_pandas(right), on="k").to_pandas()
     assert sorted(semi["v"].tolist()) == [20]
     assert sorted(anti["v"].tolist()) == [10, 30, 40]
+
+
+def test_skew_join_null_keys_inner_semantics():
+    """A null left key crashed hot-key detection (None vs int in the
+    driver sort); fixed by excluding nulls from detection — they can
+    never match an inner join, so the output equals hash_join's."""
+    left = pd.DataFrame(
+        {"k": pd.array([1, 1, 1, None, 4], dtype="Int64"), "v": [1, 2, 3, 4, 5]}
+    )
+    right = pd.DataFrame({"rk": pd.array([1, 4], dtype="Int64"), "p": ["a", "b"]})
+    out = joins.skew_join(
+        rd.from_pandas(left), rd.from_pandas(right), on="k", right_on="rk", hot_k=1
+    ).to_pandas()
+    assert sorted(out["v"].tolist()) == [1, 2, 3, 5]
