@@ -48,6 +48,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_with_big_orders": Q.customers_with_big_orders,
         "customers_without_big_orders": Q.customers_without_big_orders,
         "orders_rollup": Q.orders_rollup,
+        "orders_price_ranked": Q.orders_price_ranked,
         "customer_big_order_coverage": Q.customer_big_order_coverage,
         "events_customer_enriched": Q.events_customer_enriched,
         # events / windows / as-of
@@ -303,6 +304,27 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_suppliers
             FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
             GROUP BY n.n_name
+        """,
+        "orders_price_ranked": """
+            WITH b AS (
+              SELECT quantile_cont(o_totalprice, 0.25) AS q1,
+                     quantile_cont(o_totalprice, 0.50) AS q2,
+                     quantile_cont(o_totalprice, 0.75) AS q3
+              FROM orders
+            ),
+            s AS (
+              SELECT o_orderkey, o_totalprice,
+                     (CASE WHEN o_totalprice < q1 THEN 0
+                           WHEN o_totalprice < q2 THEN 1
+                           WHEN o_totalprice < q3 THEN 2
+                           ELSE 3 END)::BIGINT AS shard
+              FROM orders, b
+            )
+            SELECT o_orderkey, shard,
+                   (row_number() OVER (
+                      PARTITION BY shard
+                      ORDER BY o_totalprice, o_orderkey) - 1)::BIGINT AS pos
+            FROM s
         """,
         "orders_rollup": """
             SELECT o_orderstatus, o_orderpriority,

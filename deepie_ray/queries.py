@@ -2371,3 +2371,61 @@ def export_jsonl_roundtrip(sf_dir: str) -> rd.Dataset:
         )
 
     return back.map_batches(fp, batch_format="pyarrow")
+
+
+def orders_price_ranked(sf_dir: str) -> rd.Dataset:
+    """Range-partitioned distributed SORT -> (o_orderkey, shard, pos):
+    the textbook scale shape for a global sort — quartile boundaries
+    from the mergeable quantile sketch (three broadcast floats), rows
+    routed to their range shard by a vectorized searchsorted, then ONE
+    shuffle on shard and a per-shard local sort with positions.  Output
+    is a total order: (shard, pos) ascends with (o_totalprice,
+    o_orderkey).  Shard count is the knob — here 4 for the oracle; at
+    scale use ~cluster-cores boundaries so per-task state is
+    corpus/shards."""
+    from .ops.sketch import grouped_quantile
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"]).materialize()
+
+    def add_key(t: pa.Table) -> pa.Table:
+        return t.append_column("_g", pa.array(np.zeros(t.num_rows, np.int64)))
+
+    b = (
+        grouped_quantile(
+            orders.map_batches(add_key, batch_format="pyarrow"),
+            "_g",
+            "o_totalprice",
+            q={"q1": 0.25, "q2": 0.5, "q3": 0.75},
+            ndigits=None,
+        )
+        .to_pandas()
+        .iloc[0]
+    )
+    bounds = np.array([b["q1"], b["q2"], b["q3"]], dtype=np.float64)
+
+    def shard(t: pa.Table) -> pa.Table:
+        p = t["o_totalprice"].to_numpy(zero_copy_only=False)
+        s = np.searchsorted(bounds, p, side="right").astype(np.int64)
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "o_totalprice": t["o_totalprice"],
+                "shard": pa.array(s),
+            }
+        )
+
+    def local_sort(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["o_totalprice", "o_orderkey"], kind="mergesort")
+        return pd.DataFrame(
+            {
+                "o_orderkey": df["o_orderkey"].to_numpy(),
+                "shard": df["shard"].to_numpy(),
+                "pos": np.arange(len(df), dtype=np.int64),
+            }
+        )
+
+    return (
+        orders.map_batches(shard, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(local_sort, batch_format="pandas")
+    )
