@@ -1176,9 +1176,12 @@ def winnow_fingerprints(text: str, k: int = 40, w: int = 8) -> list[tuple[int, i
     substring of length >= w + k - 1 between two documents contributes
     at least one IDENTICAL selected fingerprint to both — so winnowed
     detection never misses long duplicates while keeping only
-    ~2/(w+1) of the grams.  All numpy: the gram hashes are one
-    sliding-window matvec, the window minima one argmin over a stride
-    trick — no per-gram Python."""
+    ~2/(w+1) of the grams.  All numpy: the gram hashes are a Horner
+    rolling evaluation — k strided vectorized passes over ONE length-n
+    uint64 vector (O(n) memory; an (n x k) window matrix would cost
+    ~640 bytes per input char on the path documented as the 100 TB
+    one), the window minima one argmin over a stride trick — no
+    per-gram Python, no scalar uint64 ops (whose wraparound warns)."""
     n = len(text)
     if n < k:
         return []
@@ -1186,12 +1189,13 @@ def winnow_fingerprints(text: str, k: int = 40, w: int = 8) -> list[tuple[int, i
     # NOTE: byte-based grams; for the ASCII corpora here byte == char.
     if len(c) < k:
         return []
-    powers = np.empty(k, dtype=np.uint64)
-    powers[k - 1] = np.uint64(1)
-    for j in range(k - 2, -1, -1):
-        powers[j] = powers[j + 1] * WINNOW_BASE  # uint64 wraparound mod 2^64
-    win = np.lib.stride_tricks.sliding_window_view(c, k).astype(np.uint64)
-    h = (win * powers[None, :]).sum(axis=1) & WINNOW_MASK
+    n_grams = len(c) - k + 1
+    # Horner: h_i = ((c_i*B + c_{i+1})*B + ...) — identical to
+    # sum(c_{i+j} * B^{k-1-j}) mod 2^64; array ops wrap silently
+    h = np.zeros(n_grams, dtype=np.uint64)
+    for j in range(k):
+        h = h * WINNOW_BASE + c[j : j + n_grams]
+    h &= WINNOW_MASK
     if len(h) <= w:
         pos = int(len(h) - 1 - np.argmin(h[::-1]))
         return [(pos, int(h[pos]))]
@@ -1207,22 +1211,29 @@ def winnowed_gram_table(
     ds: rd.Dataset, text_col: str = "text", id_col: str = "doc_id",
     k: int = 40, w: int = 8,
 ) -> rd.Dataset:
-    """documents -> (doc_id, pos, h): each doc's winnowed fingerprints
-    as narrow rows — the bounded-rows-per-doc replacement for the
-    every-stride gram explode in duplicate-span detection."""
+    """documents -> (doc_id, pos, h, first): each doc's winnowed
+    fingerprints as narrow rows — the bounded-rows-per-doc replacement
+    for the every-stride gram explode in duplicate-span detection.
+    ``first`` == 1 marks the first occurrence of a hash within its doc,
+    computed HERE at the document row so the per-(doc, hash) distinct
+    set stays exact under any later block splitting."""
 
     def explode(t: pa.Table) -> pa.Table:
-        ids, poss, hs = [], [], []
+        ids, poss, hs, firsts = [], [], [], []
         for did, txt in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
+            seen: set[int] = set()
             for p, hv in winnow_fingerprints(txt or "", k, w):
                 ids.append(did)
                 poss.append(p)
                 hs.append(hv)
+                firsts.append(0 if hv in seen else 1)
+                seen.add(hv)
         return pa.table(
             {
                 id_col: pa.array(ids, pa.int64()),
                 "pos": pa.array(poss, pa.int64()),
                 "h": pa.array(hs, pa.int64()),
+                "first": pa.array(firsts, pa.int8()),
             }
         )
 

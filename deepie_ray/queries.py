@@ -2202,88 +2202,107 @@ def embedding_centroids(sf_dir: str) -> rd.Dataset:
     )
 
 
-def duplicate_spans(sf_dir: str) -> rd.Dataset:
-    """Exact substring-level duplicate-span detection — the char-k-gram
-    core of 'Deduplicating Training Data Makes Language Models Better'
-    (Lee et al. 2022, arXiv:2107.06499): 40-char grams at stride 20; a
-    span is DUPLICATED iff its gram occurs in >= 2 distinct documents
-    -> (doc_id, n_spans, n_dup_spans) for every doc long enough to
-    carry a span.
+def _dup_span_counts(
+    occ: rd.Dataset, key_col: str, total_col: str, dup_col: str
+) -> rd.Dataset:
+    """Shared duplicate-span counting pipeline over an occurrence table
+    ``(doc_id, <key_col>, first)`` WITH multiplicity, where ``first``
+    == 1 marks the first occurrence of the key within its document —
+    computed at the document row, so the (doc, key) distinct set is
+    exact regardless of how Ray later splits blocks (per-batch re-dedup
+    would double-count a doc whose rows straddle a block boundary).
 
-    Scale shape: occurrences shuffle as narrow (doc_id, gram) rows;
-    dup-gram detection is per-batch-distinct pairs (one doc = one row =
-    one batch, so per-batch distinct is globally distinct) + a
-    combiner-first grouped count; the per-occurrence dup test is a
-    hash-partitioned SEMI-join, never a driver-side gram set; both
-    final counts are combiner-first.  At 100 TB swap the fixed-stride
-    grams for winnowed fingerprints (Schleimer et al. 2003) — same
-    pipeline, boundedly fewer rows per doc."""
-    K, S = 40, 20
-    docs = _read(sf_dir, "documents", ["doc_id", "text"])
-
-    def grams(t: pa.Table) -> pa.Table:
-        ids_out: list[int] = []
-        gs: list[str] = []
-        for did, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-            txt = txt or ""
-            if len(txt) < K:
-                continue
-            for i in range((len(txt) - K) // S + 1):
-                ids_out.append(did)
-                gs.append(txt[i * S : i * S + K])
-        return pa.table(
-            {
-                "doc_id": pa.array(ids_out, pa.int64()),
-                "gram": pa.array(gs, pa.string()),
-            }
-        )
-
-    # reused by the totals count AND the semi-join probe: pin once
-    occ = docs.map_batches(grams, batch_format="pyarrow").materialize()
-
+    -> (doc_id, total_col, dup_col): keys seen in >= 2 distinct docs
+    are found combiner-first over the ``first`` rows; the
+    per-occurrence dup test is a hash-partitioned SEMI-join; the dup
+    counts are materialized ONCE so the empty-corpus probe does not
+    re-execute the join lineage."""
+    occ = occ.materialize()
     pairs = occ.map_batches(
-        lambda t: t.group_by(["gram", "doc_id"]).aggregate([]),
+        lambda t: t.filter(pc.equal(t["first"], pa.scalar(1))).select(
+            [key_col, "doc_id"]
+        ),
         batch_format="pyarrow",
     )
-    dup_grams = grouped_count(pairs, ["gram"], "n_docs").map_batches(
+    dup_keys = grouped_count(pairs, [key_col], "n_docs").map_batches(
         lambda t: t.filter(pc.greater_equal(t["n_docs"], pa.scalar(2))).select(
-            ["gram"]
+            [key_col]
         ),
         batch_format="pyarrow",
     )
     totals = grouped_count(
         occ.map_batches(lambda t: t.select(["doc_id"]), batch_format="pyarrow"),
         ["doc_id"],
-        "n_spans",
+        total_col,
     ).repartition(8)
-
-    dup_occ = joins.semi_join(occ, dup_grams, on="gram")
-    if dup_occ.limit(1).count() == 0:
-        # duplicate-free corpus: all-zero dup counts, no join needed
+    dups = (
+        grouped_count(
+            joins.semi_join(occ, dup_keys, on=key_col).map_batches(
+                lambda t: t.select(["doc_id"]), batch_format="pyarrow"
+            ),
+            ["doc_id"],
+            dup_col,
+        )
+        .repartition(8)
+        .materialize()  # probe + join both consume it: run the join once
+    )
+    if dups.count() == 0:
         return totals.map_batches(
             lambda t: t.append_column(
-                "n_dup_spans", pa.array(np.zeros(t.num_rows, np.int64))
+                dup_col, pa.array(np.zeros(t.num_rows, np.int64))
             ),
             batch_format="pyarrow",
         )
-    dups = grouped_count(
-        dup_occ.map_batches(lambda t: t.select(["doc_id"]), batch_format="pyarrow"),
-        ["doc_id"],
-        "n_dup_spans",
-    ).repartition(8)
     joined = joins.hash_join(totals, dups, on="doc_id", how="left_outer")
     return joined.map_batches(
         lambda t: pa.table(
             {
                 "doc_id": t["doc_id"],
-                "n_spans": t["n_spans"],
-                "n_dup_spans": pc.cast(
-                    pc.fill_null(t["n_dup_spans"], 0), pa.int64()
-                ),
+                total_col: t[total_col],
+                dup_col: pc.cast(pc.fill_null(t[dup_col], 0), pa.int64()),
             }
         ),
         batch_format="pyarrow",
     )
+
+
+def duplicate_spans(sf_dir: str) -> rd.Dataset:
+    """Exact substring-level duplicate-span detection — the char-k-gram
+    core of 'Deduplicating Training Data Makes Language Models Better'
+    (Lee et al. 2022, arXiv:2107.06499): 40-char grams at stride 20; a
+    span is DUPLICATED iff its gram occurs in >= 2 distinct documents
+    -> (doc_id, n_spans, n_dup_spans) for every doc long enough to
+    carry a span.  Counting pipeline: ``_dup_span_counts``.  At 100 TB
+    use ``duplicate_spans_winnowed`` — same pipeline over boundedly
+    fewer rows per doc."""
+    K, S = 40, 20
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def grams(t: pa.Table) -> pa.Table:
+        ids_out: list[int] = []
+        gs: list[str] = []
+        firsts: list[int] = []
+        for did, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            txt = txt or ""
+            if len(txt) < K:
+                continue
+            seen: set[str] = set()
+            for i in range((len(txt) - K) // S + 1):
+                g = txt[i * S : i * S + K]
+                ids_out.append(did)
+                gs.append(g)
+                firsts.append(0 if g in seen else 1)
+                seen.add(g)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids_out, pa.int64()),
+                "gram": pa.array(gs, pa.string()),
+                "first": pa.array(firsts, pa.int8()),
+            }
+        )
+
+    occ = docs.map_batches(grams, batch_format="pyarrow")
+    return _dup_span_counts(occ, "gram", "n_spans", "n_dup_spans")
 
 
 def duplicate_spans_winnowed(sf_dir: str) -> rd.Dataset:
@@ -2291,51 +2310,18 @@ def duplicate_spans_winnowed(sf_dir: str) -> rd.Dataset:
     ``duplicate_spans``: per-doc fingerprints selected by winnowing
     (ops/dedup.winnow_fingerprints, ~2/(w+1) of the grams, with the
     guarantee that any shared substring >= w+k-1 chars still collides)
-    -> (doc_id, n_fps, n_dup_fps).  Same dup pipeline shape as the
-    exact variant (distinct-doc count per fingerprint, semi-join,
-    combiner counts); rows-only (the window-minimum selection is not
-    SQL-expressible) — the winnowing guarantee and numpy parity are
+    -> (doc_id, n_fps, n_dup_fps).  Counting pipeline:
+    ``_dup_span_counts``.  Rows-only (the window-minimum selection is
+    not SQL-expressible) — the winnowing guarantee and numpy parity are
     pytest-pinned."""
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
-    occ = dedup.winnowed_gram_table(docs, k=40, w=8).materialize()
-
-    pairs = occ.map_batches(
-        lambda t: t.select(["h", "doc_id"]).group_by(["h", "doc_id"]).aggregate([]),
-        batch_format="pyarrow",
-    )
-    dup_h = grouped_count(pairs, ["h"], "n_docs").map_batches(
-        lambda t: t.filter(pc.greater_equal(t["n_docs"], pa.scalar(2))).select(["h"]),
-        batch_format="pyarrow",
-    )
-    totals = grouped_count(
-        occ.map_batches(lambda t: t.select(["doc_id"]), batch_format="pyarrow"),
-        ["doc_id"],
-        "n_fps",
-    ).repartition(8)
-    dup_occ = joins.semi_join(occ, dup_h, on="h")
-    if dup_occ.limit(1).count() == 0:
-        return totals.map_batches(
-            lambda t: t.append_column(
-                "n_dup_fps", pa.array(np.zeros(t.num_rows, np.int64))
-            ),
-            batch_format="pyarrow",
-        )
-    dups = grouped_count(
-        dup_occ.map_batches(lambda t: t.select(["doc_id"]), batch_format="pyarrow"),
-        ["doc_id"],
-        "n_dup_fps",
-    ).repartition(8)
-    joined = joins.hash_join(totals, dups, on="doc_id", how="left_outer")
-    return joined.map_batches(
+    occ = dedup.winnowed_gram_table(docs, k=40, w=8).map_batches(
         lambda t: pa.table(
-            {
-                "doc_id": t["doc_id"],
-                "n_fps": t["n_fps"],
-                "n_dup_fps": pc.cast(pc.fill_null(t["n_dup_fps"], 0), pa.int64()),
-            }
+            {"doc_id": t["doc_id"], "h": t["h"], "first": t["first"]}
         ),
         batch_format="pyarrow",
     )
+    return _dup_span_counts(occ, "h", "n_fps", "n_dup_fps")
 
 
 def export_jsonl_roundtrip(sf_dir: str) -> rd.Dataset:
@@ -2390,6 +2376,11 @@ def orders_price_ranked(sf_dir: str) -> rd.Dataset:
     def add_key(t: pa.Table) -> pa.Table:
         return t.append_column("_g", pa.array(np.zeros(t.num_rows, np.int64)))
 
+    # cap raised so the sketch stays EXACT through sf0.1 (~150k rows;
+    # default 65k cap would compact and nudge boundaries off the
+    # oracle's quantile_cont).  Approximate boundaries would still
+    # yield a correct TOTAL ORDER — they only skew shard balance — but
+    # the oracle compare needs the exact ones at test scales.
     b = (
         grouped_quantile(
             orders.map_batches(add_key, batch_format="pyarrow"),
@@ -2397,6 +2388,7 @@ def orders_price_ranked(sf_dir: str) -> rd.Dataset:
             "o_totalprice",
             q={"q1": 0.25, "q2": 0.5, "q3": 0.75},
             ndigits=None,
+            cap=1 << 18,
         )
         .to_pandas()
         .iloc[0]
