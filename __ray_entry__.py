@@ -134,6 +134,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "copurchase_edges": Q.copurchase_edges,
         "copurchase_triangles": Q.copurchase_triangles,
         "copurchase_degree_distribution": Q.copurchase_degree_distribution,
+        "copurchase_assoc": Q.copurchase_assoc,
+        "event_type_transitions": Q.event_type_transitions,
         "user_funnel": Q.user_funnel,
         "graph_pagerank": Q.graph_pagerank,
         "embedding_kmeans": Q.embedding_kmeans,
@@ -635,6 +637,30 @@ def oracle_sql() -> dict[str, str]:
                          WHEN p IS NULL OR p <= c THEN 2
                          ELSE 3 END)::BIGINT AS funnel_stage
             FROM f
+        """,
+        "event_type_transitions": """
+            SELECT from_type, to_type, count(*)::BIGINT AS n FROM (
+              SELECT event_type AS from_type,
+                     lead(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+              FROM events WHERE ts IS NOT NULL
+            ) WHERE to_type IS NOT NULL
+            GROUP BY from_type, to_type
+        """,
+        "copurchase_assoc": """
+            WITH p AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+                 c AS (SELECT l_partkey, count(*)::BIGINT AS n
+                       FROM p GROUP BY l_partkey),
+                 e AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                              count(*)::BIGINT AS co_count
+                       FROM p a JOIN p b
+                         ON a.l_orderkey = b.l_orderkey
+                        AND a.l_partkey < b.l_partkey
+                       GROUP BY 1, 2)
+            SELECT e.part_a, e.part_b, e.co_count,
+                   ca.n AS n_a, cb.n AS n_b
+            FROM e JOIN c ca ON ca.l_partkey = e.part_a
+                   JOIN c cb ON cb.l_partkey = e.part_b
         """,
         "copurchase_degree_distribution": """
             WITH p AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),

@@ -40,7 +40,33 @@ from ray.data.aggregate import Max, Min, Sum
 from .joins import hash_join
 
 
-def copurchase_edges(lineitem: rd.Dataset, min_count: int = 1) -> rd.Dataset:
+def distinct_order_parts(lineitem: rd.Dataset) -> rd.Dataset:
+    """Globally-distinct (l_orderkey, l_partkey) pairs: per-batch
+    combiner distinct then ONE grouped pass — per-batch distinct alone
+    would double-count a pair whose rows straddle a block split.
+    Pinned (materialized): every caller feeds it to multiple
+    consumers."""
+
+    def distinct_partial(t: pa.Table) -> pa.Table:
+        return t.group_by(["l_orderkey", "l_partkey"]).aggregate([])
+
+    return (
+        lineitem.map_batches(distinct_partial, batch_format="pyarrow")
+        .groupby(["l_orderkey", "l_partkey"])
+        .aggregate(Min("l_partkey", alias_name="_m"))
+        # merge away the groupby's zero-column empty-partition blocks
+        # before any column access
+        .repartition(8)
+        .select_columns(["l_orderkey", "l_partkey"])
+        .materialize()
+    )
+
+
+def copurchase_edges(
+    lineitem: rd.Dataset,
+    min_count: int = 1,
+    pairs: rd.Dataset | None = None,
+) -> rd.Dataset:
     """(part_a, part_b, co_count): undirected co-purchase edges —
     distinct part pairs within each order, counted across orders,
     ``part_a < part_b`` canonical orientation.
@@ -53,22 +79,11 @@ def copurchase_edges(lineitem: rd.Dataset, min_count: int = 1) -> rd.Dataset:
     The cross-order count is combiner-first: per-batch partial counts,
     then one grouped sum of narrow integer rows."""
 
-    def distinct_partial(t: pa.Table) -> pa.Table:
-        g = t.group_by(["l_orderkey", "l_partkey"]).aggregate([])
-        return g
-
-    p = (
-        lineitem.map_batches(distinct_partial, batch_format="pyarrow")
-        .groupby(["l_orderkey", "l_partkey"])
-        .aggregate(Min("l_partkey", alias_name="_m"))
-        # merge away the groupby's zero-column empty-partition blocks
-        # before any column access
-        .repartition(8)
-        .select_columns(["l_orderkey", "l_partkey"])
-        # both join sides read p; without this the distinct shuffle
-        # runs twice (lazy DAG duplication)
-        .materialize()
-    )
+    # both join sides read p; distinct_order_parts materializes it so
+    # the distinct shuffle runs once (lazy-DAG duplication otherwise).
+    # Callers that also need the pair set (e.g. association support
+    # counts) pass it in so the distinct pass isn't rebuilt.
+    p = pairs if pairs is not None else distinct_order_parts(lineitem)
     # p is repartitioned above, so both join inputs are clean; the
     # join OUTPUT still needs its empty zero-column blocks merged away
     # before partial_count accesses columns

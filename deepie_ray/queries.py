@@ -2421,3 +2421,80 @@ def orders_price_ranked(sf_dir: str) -> rd.Dataset:
         .groupby("shard")
         .map_groups(local_sort, batch_format="pandas")
     )
+
+
+def event_type_transitions(sf_dir: str) -> rd.Dataset:
+    """First-order transition counts over each user's time-ordered
+    event stream (Markov bigram matrix) -> (from_type, to_type, n):
+    per-user consecutive pairs via the ordered-analytics shuffle
+    (ops/analytic.ordered_apply — one shuffle on user_id, numpy pair
+    slicing within a group), then a combiner-first grouped count over
+    the narrow (from, to) rows."""
+    from .ops import analytic
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
+    clean = ev.map_batches(
+        lambda df: df.dropna(subset=["ts"]), batch_format="pandas"
+    )
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        et = df["event_type"].to_numpy()
+        if len(et) < 2:
+            return pd.DataFrame({"from_type": [], "to_type": []})
+        return pd.DataFrame({"from_type": et[:-1], "to_type": et[1:]})
+
+    pairs = analytic.ordered_apply(clean, "user_id", ["ts", "event_id"], per_key)
+    return grouped_count(pairs, ["from_type", "to_type"], "n")
+
+
+def copurchase_assoc(sf_dir: str) -> rd.Dataset:
+    """Association-mining counts on the co-purchase graph ->
+    (part_a, part_b, co_count, n_a, n_b): each edge's co-occurrence
+    count joined with both endpoints' distinct-order support counts —
+    the integer-exact inputs to PMI / lift / confidence (emitted as
+    counts, not floats, so the oracle value-hash is bitwise).  Two
+    hash-partitioned joins against the (small, per-part) support
+    table; edges never gather on the driver."""
+    li = _lineitem(sf_dir, ["l_orderkey", "l_partkey"])
+    from .ops import graph
+
+    # one distinct pass feeds BOTH the edge build and the support counts
+    p = graph.distinct_order_parts(li)
+    edges = graph.copurchase_edges(li, pairs=p).materialize()
+    if edges.count() == 0:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "part_a": pa.array([], pa.int64()),
+                    "part_b": pa.array([], pa.int64()),
+                    "co_count": pa.array([], pa.int64()),
+                    "n_a": pa.array([], pa.int64()),
+                    "n_b": pa.array([], pa.int64()),
+                }
+            )
+        )
+
+    # support from the GLOBALLY-distinct pair set (per-batch distinct
+    # alone double-counts pairs straddling block splits)
+    support = grouped_count(
+        p.map_batches(
+            lambda t: t.select(["l_partkey"]), batch_format="pyarrow"
+        ),
+        ["l_partkey"],
+        "n",
+    ).repartition(8)
+
+    sa = support.map_batches(
+        lambda t: pa.table({"part_a": t["l_partkey"], "n_a": t["n"]}),
+        batch_format="pyarrow",
+    )
+    sb = support.map_batches(
+        lambda t: pa.table({"part_b": t["l_partkey"], "n_b": t["n"]}),
+        batch_format="pyarrow",
+    )
+    out = joins.hash_join(edges.repartition(8), sa, on="part_a")
+    out = joins.hash_join(out.repartition(8), sb, on="part_b")
+    return out.map_batches(
+        lambda t: t.select(["part_a", "part_b", "co_count", "n_a", "n_b"]),
+        batch_format="pyarrow",
+    )
