@@ -34,7 +34,16 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    # ORDER CONTRACT (round-3 verdict #2): the driver's correctness
+    # window covers the FIRST 50 entries of this dict — every entry in
+    # that window must have an ``oracle_sql()`` twin.  All SQL-oracle-
+    # backed queries are therefore listed FIRST (the window plus the
+    # overflow that scripts/check_correctness.py covers), and the
+    # rows-only / pytest-oracled pipelines (neural KG, LSH clustering,
+    # media, heuristics) come after.  Adding a new query: oracle-backed
+    # -> first block; rows-only -> second block.
     return {
+        # --- SQL-oracle-backed block (driver window + harness overflow) ---
         # relational (SURVEY §2.4-2.7)
         "q1_pricing_summary": Q.q1_pricing_summary,
         "q3_top_revenue_orders": Q.q3_top_revenue_orders,
@@ -68,6 +77,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_events_orders": Q.asof_events_orders,
         "range_events_burst": Q.range_events_burst,
         "top3_orders_per_customer": Q.top3_orders_per_customer,
+        "event_type_transitions": Q.event_type_transitions,
+        "user_funnel": Q.user_funnel,
+        "latest_event_per_user": Q.latest_event_per_user,
+        "export_events_partitioned": Q.export_events_partitioned,
         # text analysis
         "text_token_counts": Q.text_token_counts,
         "text_quality": Q.text_quality,
@@ -80,38 +93,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "word_count_global": Q.word_count_global,
         "word_topk_approx": Q.word_topk_approx,
         "top_terms_per_lang": Q.top_terms_per_lang,
-        "train_val_test_split": Q.train_val_test_split,
-        "llm_corpus_prep": Q.llm_corpus_prep,
-        "doc_packing": Q.doc_packing,
-        "lang_id": Q.lang_id,
         "unigram_rarity_scores": Q.unigram_rarity_scores,
         "inverted_index": Q.inverted_index,
-        # sampling / mixing / shuffle export
+        "docs_by_lang": Q.docs_by_lang,
+        "dedup_exact_documents": Q.dedup_exact_documents,
+        # --- end of the 50-entry driver window; oracle-backed overflow ---
+        "train_val_test_split": Q.train_val_test_split,
+        "llm_corpus_prep": Q.llm_corpus_prep,
         "mix_sources": Q.mix_sources,
         "shuffle_shards_docs": Q.shuffle_shards_docs,
-        "export_events_partitioned": Q.export_events_partitioned,
         "export_jsonl_roundtrip": Q.export_jsonl_roundtrip,
         "sample_per_source": Q.sample_per_source,
-        "latest_event_per_user": Q.latest_event_per_user,
-        # dedup family
-        "dedup_exact_documents": Q.dedup_exact_documents,
+        "ngram_jaccard_exact": Q.ngram_jaccard_exact,
+        "contamination_ngram": Q.contamination_ngram,
+        "repeated_ngrams": Q.repeated_ngrams,
+        "duplicate_spans": Q.duplicate_spans,
+        "embedding_neardup": Q.embedding_neardup,
+        "ann_topk": Q.ann_topk,
+        "copurchase_edges": Q.copurchase_edges,
+        "copurchase_triangles": Q.copurchase_triangles,
+        "copurchase_degree_distribution": Q.copurchase_degree_distribution,
+        "copurchase_assoc": Q.copurchase_assoc,
+        "embedding_centroids": Q.embedding_centroids,
+        # --- rows-only / pytest-oracled block (no SQL twin by nature) ---
+        "doc_packing": Q.doc_packing,
+        "lang_id": Q.lang_id,
         "minhash_dedup_documents": Q.minhash_dedup_documents,
         "simhash_signatures": Q.simhash_signatures,
         "simhash_neardup": Q.simhash_neardup,
-        "embedding_neardup": Q.embedding_neardup,
-        # similarity search
-        "ann_topk": Q.ann_topk,
         "ann_topk_lsh": Q.ann_topk_lsh,
         "ann_topk_ivf": Q.ann_topk_ivf,
         "ann_topk_pq": Q.ann_topk_pq,
         "ngram_jaccard_pairs": Q.ngram_jaccard_pairs,
-        "ngram_jaccard_exact": Q.ngram_jaccard_exact,
-        "contamination_ngram": Q.contamination_ngram,
         "contamination_bloom": Q.contamination_bloom,
-        "repeated_ngrams": Q.repeated_ngrams,
-        "duplicate_spans": Q.duplicate_spans,
         "duplicate_spans_winnowed": Q.duplicate_spans_winnowed,
-        "docs_by_lang": Q.docs_by_lang,
         # reference-shaped ACE workflow (S1+A5+M12+T3+A6)
         "ace_relation_extraction": Q.ace_relation_extraction,
         # flagship KG pipeline
@@ -130,16 +145,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_span_stats": Q.media_span_stats,
         "media_features": Q.media_features,
         "media_decode_features": Q.media_decode_features,
-        # graph analytics / clustering
-        "copurchase_edges": Q.copurchase_edges,
-        "copurchase_triangles": Q.copurchase_triangles,
-        "copurchase_degree_distribution": Q.copurchase_degree_distribution,
-        "copurchase_assoc": Q.copurchase_assoc,
-        "event_type_transitions": Q.event_type_transitions,
-        "user_funnel": Q.user_funnel,
         "graph_pagerank": Q.graph_pagerank,
         "embedding_kmeans": Q.embedding_kmeans,
-        "embedding_centroids": Q.embedding_centroids,
         "semantic_dedup_embeddings": Q.semantic_dedup_embeddings,
     }
 

@@ -21,6 +21,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data as rd
@@ -139,6 +140,30 @@ def kmeans_assign(
     return ds.map_batches(Assign, batch_format="pyarrow", concurrency=(1, 8))
 
 
+def _l2_rows(X: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(X, axis=1)
+    norms[norms == 0.0] = 1.0
+    return X / norms[:, None]
+
+
+_SMX_GAMMA = np.uint64(0x9E3779B97F4A7C15)
+_SMX_M1 = np.uint64(0xBF58476D1CE4E5B9)
+_SMX_M2 = np.uint64(0x94D049BB133111EB)
+
+
+def _mix_ids(ids: np.ndarray) -> np.ndarray:
+    """splitmix64 of the id column — a stable, partitioning-independent
+    chunk router (plain ``id % n`` would put planted dup pairs with
+    correlated ids in correlated chunks)."""
+    x = ids.astype(np.uint64)
+    with np.errstate(over="ignore"):
+        x = (x + _SMX_GAMMA) * _SMX_M1
+        x ^= x >> np.uint64(27)
+        x *= _SMX_M2
+        x ^= x >> np.uint64(31)
+    return x
+
+
 def semantic_dedup(
     ds: rd.Dataset,
     k: int = 8,
@@ -146,26 +171,36 @@ def semantic_dedup(
     iters: int = 5,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    chunk_rows: int = 2048,
 ) -> rd.Dataset:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster the embedding space with k-means, then
-    prune near-duplicates WITHIN each cluster by pairwise cosine —
-    the cluster step turns the intractable corpus-wide O(N^2) into
-    k * O((N/k)^2), and at 100 TB ``k`` scales with the corpus so the
-    per-cluster pair block stays bounded (the paper uses 50k clusters
-    for LAION-scale; the knob is ``k``, not the algorithm).
+    prune near-duplicates WITHIN each cluster by pairwise cosine.
 
-    Keep rule (deterministic, partitioning-independent): within a
-    cluster, visit members in ascending id order; a member is DROPPED
-    iff some smaller-id member of the same cluster has cosine >=
-    ``threshold`` with it.  No RNG, no arrival-order dependence — the
-    numpy oracle in tests reproduces it exactly.
+    Keep rule (deterministic, partitioning-independent): a member is
+    DROPPED iff some smaller-id member of the same cluster has cosine
+    >= ``threshold`` with it — i.e. against ALL smaller-id members, not
+    only surviving ones, so the within-cluster scan is embarrassingly
+    parallel over chunk pairs (no keep-mask propagation).  The numpy
+    oracle in tests reproduces it exactly.
+
+    Scale shape (round-3 verdict #1 — per-task memory bounded by
+    ``chunk_rows``, NOT by cluster size): clusters whose size fits
+    ``chunk_rows`` prune in one ``map_groups`` task (one bounded
+    matmul); clusters LARGER than the cap go through a chunk-pair scan
+    — members route to ~size/chunk_rows hash chunks, each chunk
+    consolidates into one packed row (ids + L2-normalized matrix
+    bytes), chunk pairs are enumerated distributed and hash-joined to
+    the chunk table on both sides, and every pair task does one
+    chunk x chunk matmul emitting per-member dup flags that a final
+    max-aggregate folds.  Same contract as
+    ``embedding_neardup_blockjoin`` (ops/dedup.py) — the engine no
+    longer relies on the caller picking ``k`` large enough.
 
     Output: (id, cluster, keep) for every input row; filter keep=true
-    for the surviving corpus.  Scale shape: centroids broadcast
-    (kmeans_fit's bounded driver reduce), assignment is a streaming
-    map, and the only shuffle groups (id, cluster, vector) rows by
-    cluster — each map_groups task holds one cluster's vectors."""
+    for the surviving corpus."""
+    from ray.data.aggregate import Count, Max, Min
+
     C = kmeans_fit(ds, k=k, iters=iters, vec_col=vec_col, id_col=id_col)
     ref = ray.put(C)
 
@@ -192,17 +227,28 @@ def semantic_dedup(
                 }
             )
 
-    assigned = ds.map_batches(AssignKeep, batch_format="pyarrow", concurrency=(1, 8))
+    # two consumers below (small-cluster groupby + big-cluster chunk
+    # scan) — pin so assignment doesn't re-execute per branch
+    assigned = ds.map_batches(
+        AssignKeep, batch_format="pyarrow", concurrency=(1, 8)
+    ).materialize()
+
+    # cluster sizes: a k-row aggregate (bounded by k, never corpus-sized)
+    sizes = (
+        assigned.groupby("cluster").aggregate(Count(alias_name="n")).to_pandas()
+    )
+    big = {
+        int(c): int(n)
+        for c, n in zip(sizes["cluster"], sizes["n"])
+        if int(n) > chunk_rows
+    }
 
     def prune(t: pa.Table) -> pa.Table:
         ids = t[id_col].to_numpy(zero_copy_only=False)
         order = np.argsort(ids, kind="stable")
         t = t.take(pa.array(order, pa.int64()))
         ids = ids[order]
-        X = _batch_matrix(t, vec_col).astype(np.float64)
-        norms = np.linalg.norm(X, axis=1)
-        norms[norms == 0.0] = 1.0
-        U = X / norms[:, None]
+        U = _l2_rows(_batch_matrix(t, vec_col).astype(np.float64))
         S = U @ U.T
         # strictly-lower-triangular mask by INDEX comparison (i < j), not
         # np.tril zeroing — zeroed entries would count as matches for any
@@ -219,4 +265,174 @@ def semantic_dedup(
             }
         )
 
-    return assigned.groupby("cluster").map_groups(prune, batch_format="pyarrow")
+    big_set = frozenset(big)
+
+    def only_small(t: pa.Table) -> pa.Table:
+        cl = t["cluster"].to_numpy(zero_copy_only=False)
+        m = ~np.isin(cl, np.fromiter(big_set, np.int64, len(big_set)))
+        return t.filter(pa.array(m))
+
+    small_out = None
+    if len(big) < len(sizes):
+        src = assigned.map_batches(only_small, batch_format="pyarrow") if big else assigned
+        small_out = src.groupby("cluster").map_groups(prune, batch_format="pyarrow")
+    if not big:
+        return small_out
+
+    # ---- chunk-pair scan for clusters above the cap ----
+    # dense per-cluster (base, n_chunks) arrays: cluster ids are
+    # 0..k-1 by construction (argmin over centroids)
+    kk = C.shape[0]
+    base_arr = np.zeros(kk, dtype=np.int64)
+    nch_arr = np.zeros(kk, dtype=np.int64)
+    off = 0
+    for c in sorted(big):
+        n_chunks = -(-big[c] // chunk_rows)
+        base_arr[c] = off
+        nch_arr[c] = n_chunks
+        off += n_chunks
+    layout_ref = ray.put((base_arr, nch_arr))
+
+    def to_chunk_rows(t: pa.Table) -> pa.Table:
+        base, nch = ray.get(layout_ref)
+        cl = t["cluster"].to_numpy(zero_copy_only=False)
+        m = nch[cl] > 0
+        t = t.filter(pa.array(m))
+        cl = cl[m]
+        empty = {
+            "gchunk": pa.array([], pa.int64()),
+            "cluster": pa.array([], pa.int64()),
+            "ids": pa.array([], pa.binary()),
+            "mat": pa.array([], pa.binary()),
+        }
+        if len(t) == 0:
+            return pa.table(empty)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        U = _l2_rows(_batch_matrix(t, vec_col).astype(np.float64))
+        g = base[cl] + (_mix_ids(ids) % nch[cl].astype(np.uint64)).astype(np.int64)
+        out_g, out_c, out_ids, out_mat = [], [], [], []
+        for gc in np.unique(g):
+            sel = g == gc
+            out_g.append(int(gc))
+            out_c.append(int(cl[sel][0]))
+            out_ids.append(ids[sel].tobytes())
+            out_mat.append(np.ascontiguousarray(U[sel]).tobytes())
+        return pa.table(
+            {
+                "gchunk": pa.array(out_g, pa.int64()),
+                "cluster": pa.array(out_c, pa.int64()),
+                "ids": pa.array(out_ids, pa.binary()),
+                "mat": pa.array(out_mat, pa.binary()),
+            }
+        )
+
+    def merge_chunk(df: pd.DataFrame) -> pd.DataFrame:
+        ids = np.concatenate([np.frombuffer(b, dtype=np.int64) for b in df["ids"]])
+        mats = []
+        for b, i in zip(df["mat"], df["ids"]):
+            n = len(np.frombuffer(i, dtype=np.int64))
+            mats.append(np.frombuffer(b, dtype=np.float64).reshape(n, -1))
+        M = np.vstack(mats)
+        return pd.DataFrame(
+            {
+                "gchunk": [int(df["gchunk"].iloc[0])],
+                "cluster": [int(df["cluster"].iloc[0])],
+                "ids": [ids.tobytes()],
+                "mat": [np.ascontiguousarray(M).tobytes()],
+            }
+        )
+
+    chunks_ds = (
+        assigned.map_batches(to_chunk_rows, batch_format="pyarrow")
+        .groupby("gchunk")
+        .map_groups(merge_chunk, batch_format="pandas")
+        .repartition(8)
+        .materialize()  # pair expansion + two join sides below
+    )
+
+    def expand_pairs(t: pa.Table) -> pa.Table:
+        base, nch = ray.get(layout_ref)
+        ci_out, cj_out = [], []
+        for g, c in zip(t["gchunk"].to_pylist(), t["cluster"].to_pylist()):
+            partners = np.arange(g, base[c] + nch[c], dtype=np.int64)
+            ci_out.append(np.full(len(partners), g, dtype=np.int64))
+            cj_out.append(partners)
+        ci = np.concatenate(ci_out) if ci_out else np.array([], dtype=np.int64)
+        cj = np.concatenate(cj_out) if cj_out else np.array([], dtype=np.int64)
+        return pa.table({"ci": pa.array(ci, pa.int64()), "cj": pa.array(cj, pa.int64())})
+
+    pairs_idx = (
+        chunks_ds.select_columns(["gchunk", "cluster"])
+        .map_batches(expand_pairs, batch_format="pyarrow")
+        .repartition(8)
+    )
+
+    def side(name: str):
+        return chunks_ds.map_batches(
+            lambda t, n=name: pa.table(
+                {n: t["gchunk"], f"ids_{n}": t["ids"], f"mat_{n}": t["mat"],
+                 **({"cluster": t["cluster"]} if n == "ci" else {})}
+            ),
+            batch_format="pyarrow",
+        )
+
+    j = (
+        pairs_idx.join(side("ci"), join_type="inner", num_partitions=8, on=("ci",))
+        .repartition(8)  # join emits empty-partition blocks
+        .join(side("cj"), join_type="inner", num_partitions=8, on=("cj",))
+    )
+
+    def score_flags(batch: pa.Table) -> pa.Table:
+        out_id, out_cl, out_dup = [], [], []
+        for r in range(len(batch)):
+            ia = np.frombuffer(batch["ids_ci"][r].as_py(), dtype=np.int64)
+            ib = np.frombuffer(batch["ids_cj"][r].as_py(), dtype=np.int64)
+            A = np.frombuffer(batch["mat_ci"][r].as_py(), dtype=np.float64).reshape(
+                len(ia), -1
+            )
+            B = np.frombuffer(batch["mat_cj"][r].as_py(), dtype=np.float64).reshape(
+                len(ib), -1
+            )
+            cl = int(batch["cluster"][r].as_py())
+            hit = (A @ B.T) >= threshold
+            a_lt_b = ia[:, None] < ib[None, :]
+            dup_b = (hit & a_lt_b).any(axis=0)
+            same = int(batch["ci"][r].as_py()) == int(batch["cj"][r].as_py())
+            # self pair: emit every member once (dup flags from i<j);
+            # cross pair: emit flags for BOTH directions (id order is
+            # not aligned with chunk order under hash routing)
+            out_id.append(ib)
+            out_cl.append(np.full(len(ib), cl, dtype=np.int64))
+            out_dup.append(dup_b.astype(np.int8))
+            if not same:
+                dup_a = (hit & ~a_lt_b).any(axis=1)
+                out_id.append(ia)
+                out_cl.append(np.full(len(ia), cl, dtype=np.int64))
+                out_dup.append(dup_a.astype(np.int8))
+        ids = np.concatenate(out_id) if out_id else np.array([], dtype=np.int64)
+        cls = np.concatenate(out_cl) if out_cl else np.array([], dtype=np.int64)
+        dups = np.concatenate(out_dup) if out_dup else np.array([], dtype=np.int8)
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "cluster": pa.array(cls, pa.int64()),
+                "dup": pa.array(dups, pa.int8()),
+            }
+        )
+
+    flags = j.map_batches(score_flags, batch_format="pyarrow")
+    big_out = (
+        flags.groupby(id_col)
+        .aggregate(Min("cluster", alias_name="cluster"), Max("dup", alias_name="dup"))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    id_col: t[id_col],
+                    "cluster": t["cluster"],
+                    "keep": pc.equal(t["dup"], 0),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    return small_out.union(big_out) if small_out is not None else big_out

@@ -29,12 +29,43 @@ from ..hashing import fingerprint64, md5_hex, stable_u32, ws_tokens
 # ------------------------------------------------------------ exact dedup
 
 
+def _md5_hex_utf8_slices(arr: pa.Array) -> list[str]:
+    """md5 hexdigests straight off the Arrow string array's utf-8 data
+    buffer (offset slices of one memoryview) — no per-row ``to_pylist``
+    str materialization + re-encode.  Null rows hash the empty slice,
+    matching ``md5_hex(t or "")``.  md5 itself is required for oracle
+    parity (DuckDB ``md5(text)``)."""
+    import hashlib
+
+    if len(arr) == 0:
+        return []
+    if pa.types.is_large_string(arr.type):
+        off_dt = np.int64
+    else:
+        off_dt = np.int32
+    bufs = arr.buffers()
+    offsets = np.frombuffer(
+        bufs[1],
+        dtype=off_dt,
+        count=len(arr) + 1,
+        offset=arr.offset * np.dtype(off_dt).itemsize,
+    )
+    mv = memoryview(bufs[2]) if bufs[2] is not None else memoryview(b"")
+    return [
+        hashlib.md5(mv[offsets[i] : offsets[i + 1]]).hexdigest()
+        for i in range(len(arr))
+    ]
+
+
 def exact_dedup_keys(ds: rd.Dataset, text_col: str = "text", id_col: str = "doc_id") -> rd.Dataset:
     """-> (fingerprint, doc_id=min id, n_dupes) — one row per distinct
     content.  Combiner-first: per-batch min/count, then global groupby."""
 
     def fp(batch: pa.Table) -> pa.Table:
-        fps = [md5_hex((t or "")) for t in batch[text_col].to_pylist()]
+        col = batch[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        fps = _md5_hex_utf8_slices(col)
         return pa.table({"fingerprint": pa.array(fps), id_col: batch[id_col]})
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -97,14 +128,42 @@ def minhash_signature(sh: set[int], a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return vals.min(axis=1)
 
 
+_SMX_GAMMA = np.uint64(0x9E3779B97F4A7C15)
+_SMX_M1 = np.uint64(0xBF58476D1CE4E5B9)
+_SMX_M2 = np.uint64(0x94D049BB133111EB)
+_SMX_SEED = np.uint64(0x6D696E686173680A)  # arbitrary fixed seed
+
+
+def band_hashes_vec(sigs: np.ndarray) -> np.ndarray:
+    """(n, N_PERM) minhash signature matrix -> (n, N_BANDS) int64 band
+    hashes: a splitmix64-style mixing fold over each band's
+    ROWS_PER_BAND signature lanes — ROWS_PER_BAND vectorized passes over
+    the whole batch, zero per-doc Python (round-3 verdict #3; replaces
+    the per-(doc x band) string-join + blake2b of rounds 1-3).  Equal
+    band slices hash equal (pure function of the lane values), and the
+    finalizer mixing makes cross-band collisions of distinct slices
+    ~2^-64 — the only property LSH bucketing needs."""
+    n = sigs.shape[0]
+    lanes = sigs.astype(np.uint64).reshape(n, N_BANDS, _ROWS_PER_BAND)
+    acc = np.full((n, N_BANDS), _SMX_SEED, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(_ROWS_PER_BAND):
+            acc ^= lanes[:, :, j] + _SMX_GAMMA * np.uint64(j + 1)
+            acc ^= acc >> np.uint64(30)
+            acc *= _SMX_M1
+            acc ^= acc >> np.uint64(27)
+            acc *= _SMX_M2
+            acc ^= acc >> np.uint64(31)
+    return acc.view(np.int64)
+
+
 class MinHashBands:
     """documents batch -> (band, band_hash, doc_id) rows for LSH
     grouping.  The signature computation is vectorized across the WHOLE
     batch: one flat shingle array + ``np.minimum.reduceat`` per-doc
     segment minima, one (docs x perms) matrix — no per-doc Python in
-    the permutation math.  Band hashing stays the per-chunk
-    ``fingerprint64`` of round 1, so bucket assignments (and therefore
-    candidate pairs) are byte-identical to the row-wise path."""
+    the permutation math.  Band hashing is the vectorized splitmix fold
+    (``band_hashes_vec``) — also no per-doc Python."""
 
     def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
         self.a, self.b = _perm_params()
@@ -127,13 +186,8 @@ class MinHashBands:
             mins = np.minimum.reduceat(vals, starts, axis=1)  # (P, n_nonempty)
             sigs[nonempty] = mins.T
         band_ids = np.tile(np.arange(N_BANDS, dtype=np.int64), n)
-        band_hashes = [
-            fingerprint64(
-                "|".join(map(str, sigs[i, b * _ROWS_PER_BAND : (b + 1) * _ROWS_PER_BAND]))
-            )
-            for i in range(n)
-            for b in range(N_BANDS)
-        ]
+        # row-major flatten matches the (doc, band) order of band_ids
+        band_hashes = band_hashes_vec(sigs).reshape(-1)
         doc_ids = batch[self.id_col].take(
             pa.array(np.repeat(np.arange(n), N_BANDS), pa.int64())
         )
@@ -503,26 +557,58 @@ def minhash_dedup(
 # --------------------------------------------------------------- SimHash
 
 
-def simhash64(text: str) -> int:
-    """64-bit SimHash over word features (unweighted), vectorized over
-    the token set's bit matrix."""
-    toks = set(ws_tokens((text or "").lower()))
-    if not toks:
-        return 0
-    hs = np.array(
-        [fingerprint64("simh:" + t) for t in toks], dtype=np.int64
+def _simhash_many(texts: list[str | None]) -> np.ndarray:
+    """Vectorized SimHash over a whole batch (round-3 verdict #4): one
+    ``fingerprint64`` call per DISTINCT token across the batch (values
+    byte-identical to the historical per-doc path), then the bit
+    expansion, per-doc majority vote (``np.add.reduceat`` over the flat
+    token-index array) and bit packing all as batch-level numpy — no
+    per-doc Python bit loop."""
+    n = len(texts)
+    vocab: dict[str, int] = {}
+    idx_flat: list[int] = []
+    counts = np.zeros(n, dtype=np.int64)
+    for i, t in enumerate(texts):
+        s = set(ws_tokens((t or "").lower()))
+        counts[i] = len(s)
+        for tok in s:
+            idx_flat.append(vocab.setdefault(tok, len(vocab)))
+    sigs = np.zeros(n, dtype=np.int64)
+    if not vocab:
+        return sigs
+    hs = np.fromiter(
+        (fingerprint64("simh:" + t) for t in vocab), dtype=np.int64, count=len(vocab)
     ).view(np.uint64)
-    bits = (hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
-    acc = (2 * bits.astype(np.int64) - 1).sum(axis=0)
-    word = np.uint64(0)
-    for i in np.nonzero(acc > 0)[0]:
-        word |= np.uint64(1) << np.uint64(i)
-    out = int(word)
-    return out - (1 << 64) if out >= (1 << 63) else out
+    # (V, 64) signed bit matrix, gathered to (total_tokens, 64)
+    signed = (
+        2
+        * ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
+            np.int32
+        )
+        - 1
+    )
+    flat = signed[np.asarray(idx_flat, dtype=np.int64)]
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    nz = counts > 0
+    acc = np.zeros((n, 64), dtype=np.int64)
+    # reduceat over only the non-empty segments: their starts are
+    # strictly increasing because every included segment has count > 0
+    acc[nz] = np.add.reduceat(flat, starts[nz], axis=0)
+    majority = (acc > 0).astype(np.uint64)
+    # disjoint bit values: the sum sets each bit at most once, no overflow
+    words = (majority << np.arange(64, dtype=np.uint64)[None, :]).sum(
+        axis=1, dtype=np.uint64
+    )
+    return words.view(np.int64)
+
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash over word features (unweighted)."""
+    return int(_simhash_many([text])[0])
 
 
 def simhash_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    sh = [simhash64(t) for t in batch[text_col].to_pylist()]
+    sh = _simhash_many(batch[text_col].to_pylist())
     return pa.table({"doc_id": batch["doc_id"], "simhash": pa.array(sh, pa.int64())})
 
 
@@ -1168,25 +1254,34 @@ WINNOW_MASK = np.uint64(0x7FFFFFFFFFFFFFFF)
 
 def winnow_fingerprints(text: str, k: int = 40, w: int = 8) -> list[tuple[int, int]]:
     """Winnowing fingerprint selection (Schleimer, Wilkerson, Aiken,
-    SIGMOD 2003): polynomial rolling hash over all k-char grams, then
+    SIGMOD 2003): polynomial rolling hash over all k-gram windows, then
     the RIGHTMOST minimal hash in every window of ``w`` consecutive
     grams -> sorted distinct (pos, hash) pairs.
 
-    Guarantee (the reason this is the dup-span scale path): any shared
-    substring of length >= w + k - 1 between two documents contributes
-    at least one IDENTICAL selected fingerprint to both — so winnowed
-    detection never misses long duplicates while keeping only
-    ~2/(w+1) of the grams.  All numpy: the gram hashes are a Horner
-    rolling evaluation — k strided vectorized passes over ONE length-n
-    uint64 vector (O(n) memory; an (n x k) window matrix would cost
-    ~640 bytes per input char on the path documented as the 100 TB
-    one), the window minima one argmin over a stride trick — no
-    per-gram Python, no scalar uint64 ops (whose wraparound warns)."""
-    n = len(text)
-    if n < k:
-        return []
+    DOMAIN CONTRACT (round-3 verdict #6): grams are ``k`` BYTES of the
+    text's UTF-8 encoding and ``pos`` is a byte offset.  The winnowing
+    guarantee therefore reads: any shared substring whose UTF-8
+    encoding is >= w + k - 1 BYTES long contributes at least one
+    IDENTICAL selected fingerprint to both documents (a shared char
+    substring always shares its byte encoding, and multi-byte chars
+    only make the byte run LONGER, so the byte-domain guarantee is at
+    least as strong as the char-domain one — pinned by the non-ASCII
+    test).  For ASCII text byte == char and the two domains coincide
+    with the char-gram exact twin (``queries.duplicate_spans``); on
+    multi-byte text the selected gram BOUNDARIES differ from the
+    twin's char strides, which only affects which spans are counted,
+    never whether a long duplicate is detected.
+
+    Winnowed detection keeps only ~2/(w+1) of the grams.  All numpy:
+    the gram hashes are a Horner rolling evaluation — k strided
+    vectorized passes over ONE length-n uint64 vector (O(n) memory; an
+    (n x k) window matrix would cost ~640 bytes per input char on the
+    path documented as the 100 TB one), the window minima one argmin
+    over a stride trick — no per-gram Python, no scalar uint64 ops
+    (whose wraparound warns)."""
     c = np.frombuffer(text.encode("utf-8", "surrogatepass"), dtype=np.uint8)
-    # NOTE: byte-based grams; for the ASCII corpora here byte == char.
+    # byte-length gate only: a char-count gate would drop multi-byte
+    # docs shorter than k chars but >= k bytes, breaking the guarantee
     if len(c) < k:
         return []
     n_grams = len(c) - k + 1

@@ -2309,8 +2309,10 @@ def duplicate_spans_winnowed(sf_dir: str) -> rd.Dataset:
     """Winnowed duplicate-span detection — the documented SCALE path of
     ``duplicate_spans``: per-doc fingerprints selected by winnowing
     (ops/dedup.winnow_fingerprints, ~2/(w+1) of the grams, with the
-    guarantee that any shared substring >= w+k-1 chars still collides)
-    -> (doc_id, n_fps, n_dup_fps).  Counting pipeline:
+    guarantee that any shared substring >= w+k-1 UTF-8 BYTES still
+    collides; the op works in the byte domain — see the domain
+    contract on ``winnow_fingerprints``, pinned by the non-ASCII
+    guarantee test) -> (doc_id, n_fps, n_dup_fps).  Counting pipeline:
     ``_dup_span_counts``.  Rows-only (the window-minimum selection is
     not SQL-expressible) — the winnowing guarantee and numpy parity are
     pytest-pinned."""

@@ -244,6 +244,74 @@ def test_semantic_dedup_prunes_planted_dupes_keeps_min_id():
             assert bool(out.loc[lo, "keep"]) and bool(out.loc[hi, "keep"])
 
 
+def test_semantic_dedup_skewed_cluster_above_cap_chunked():
+    """Round-3 verdict #1: a cluster LARGER than ``chunk_rows`` must go
+    through the chunk-pair scan (per-task memory bounded by the cap,
+    not cluster size) and still reproduce the numpy keep rule exactly.
+    k=1 forces every row into one cluster of 300 rows with cap 64 ->
+    ~5 hash chunks, 15 chunk pairs."""
+    rng = np.random.default_rng(23)
+    X = rng.normal(size=(300, 8))
+    # plant dup pairs spread across the id range (and therefore across
+    # hash chunks): (i, i+150) for i in 0..50
+    X[150:200] = X[0:50] + rng.normal(scale=1e-3, size=(50, 8))
+    out = (
+        cluster.semantic_dedup(
+            rd.from_arrow(_emb_table(X)).repartition(4),
+            k=1,
+            threshold=0.9,
+            iters=2,
+            chunk_rows=64,
+        )
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    assert len(out) == 300
+    assert out["vec_id"].tolist() == list(range(300))
+    U = X / np.linalg.norm(X, axis=1, keepdims=True)
+    S = U @ U.T
+    expect = ~(np.tril(S, k=-1) >= 0.9).any(axis=1)
+    assert (out["keep"].to_numpy() == expect).all()
+    # the planted dups must actually be dropped (the test has teeth)
+    assert not expect[150:200].any()
+
+
+def test_semantic_dedup_mixed_small_and_big_clusters():
+    """One cluster above the cap and others below it: the size-gated
+    union of the map_groups path and the chunk-pair path must cover
+    every row exactly once and agree with the numpy rule per cluster."""
+    rng = np.random.default_rng(31)
+    # a tight blob of 150 near-identical rows (one hot cluster) plus 60
+    # well-spread rows
+    blob = rng.normal(size=(1, 6)) + rng.normal(scale=1e-3, size=(150, 6))
+    rest = rng.normal(size=(60, 6)) * 5.0
+    X = np.vstack([blob, rest])
+    out = (
+        cluster.semantic_dedup(
+            rd.from_arrow(_emb_table(X)).repartition(3),
+            k=4,
+            threshold=0.9,
+            iters=3,
+            chunk_rows=48,
+        )
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    assert len(out) == 210
+    assert out["vec_id"].tolist() == list(range(210))
+    U = X / np.linalg.norm(X, axis=1, keepdims=True)
+    for cl, grp in out.groupby("cluster"):
+        ids = grp["vec_id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        keep = grp["keep"].to_numpy()[order]
+        S = U[ids] @ U[ids].T
+        expect = ~(np.tril(S, k=-1) >= 0.9).any(axis=1)
+        assert (keep == expect).all(), f"cluster {cl}"
+
+
 def test_semantic_dedup_partitioning_independent():
     rng = np.random.default_rng(19)
     X = rng.normal(size=(50, 6))

@@ -1389,6 +1389,61 @@ def test_winnowing_guarantee_and_selectivity():
     assert len(dedup.winnow_fingerprints("x" * k, k, w)) == 1
 
 
+def test_winnowing_guarantee_holds_on_multibyte_utf8():
+    """Round-3 verdict #6: the winnow guarantee in the documented BYTE
+    domain must hold on UTF-8 text with multi-byte chars — a shared
+    substring whose encoding is >= w + k - 1 bytes yields a common
+    fingerprint even when its CHAR length is far below that bound."""
+    rng = np.random.default_rng(43)
+    k, w = 40, 8
+
+    def rand_greek(n):  # 2-byte chars (U+03B1..U+03C9)
+        return "".join(chr(0x3B1 + int(c)) for c in rng.integers(0, 25, n))
+
+    def rand_cjk(n):  # 3-byte chars (U+4E00..)
+        return "".join(chr(0x4E00 + int(c)) for c in rng.integers(0, 500, n))
+
+    # shared CJK substring: 30 chars = 90 bytes >= w + k - 1 = 47 bytes,
+    # though 30 chars < k = 40 chars (the old char-count gate would
+    # have dropped a doc of exactly this text entirely)
+    shared = rand_cjk(30)
+    a = rand_greek(100) + shared + rand_cjk(60)
+    b = rand_cjk(45) + shared + rand_greek(130)
+    fa = dedup.winnow_fingerprints(a, k, w)
+    fb = dedup.winnow_fingerprints(b, k, w)
+    assert {h for _, h in fa} & {h for _, h in fb}, "multi-byte shared substring missed"
+
+    # a doc shorter than k CHARS but >= k bytes still fingerprints
+    # (regression: the char-count early return)
+    assert len(dedup.winnow_fingerprints(shared, k, w)) >= 1
+
+    # unrelated multi-byte docs share nothing
+    fc = dedup.winnow_fingerprints(rand_cjk(200), k, w)
+    assert not ({h for _, h in fa} & {h for _, h in fc})
+
+    # mixed-width planted dup through the full distributed counting
+    # pipeline: both docs must report >= 1 duplicated fingerprint
+    import ray.data as rd2
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array([a, b, rand_cjk(150)], pa.string()),
+        }
+    )
+    occ = dedup.winnowed_gram_table(rd2.from_arrow(t), k=k, w=w)
+    from deepie_ray.queries import _dup_span_counts
+
+    out = (
+        _dup_span_counts(occ, "h", "n_fps", "n_dup_fps")
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    assert out.loc[0, "n_dup_fps"] >= 1
+    assert out.loc[1, "n_dup_fps"] >= 1
+    assert out.loc[2, "n_dup_fps"] == 0
+
+
 def test_semi_anti_join_null_keys_sql_semantics():
     """SQL semantics: a NULL key matches nothing — null left rows are
     excluded by EXISTS (semi) and kept by NOT EXISTS (anti), and null
