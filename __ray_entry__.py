@@ -115,6 +115,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "copurchase_degree_distribution": Q.copurchase_degree_distribution,
         "copurchase_assoc": Q.copurchase_assoc,
         "embedding_centroids": Q.embedding_centroids,
+        # round-4 coverage extensions (all oracle-backed)
+        "orders_cube": Q.orders_cube,
+        "events_value_stats": Q.events_value_stats,
+        "revenue_by_nation_year": Q.revenue_by_nation_year,
+        "users_view_and_purchase": Q.users_view_and_purchase,
+        "orders_date_dense_rank": Q.orders_date_dense_rank,
         # --- rows-only / pytest-oracled block (no SQL twin by nature) ---
         "doc_packing": Q.doc_packing,
         "lang_id": Q.lang_id,
@@ -896,6 +902,43 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT vec_id, embedding::DOUBLE[] e FROM embeddings) c
               WHERE q.vec_id <> c.vec_id
             ) WHERE rank <= 10
+        """,
+        "orders_cube": """
+            SELECT o_orderstatus, o_orderpriority,
+                   round(sum(o_totalprice), 2) AS total_price,
+                   count(*)::BIGINT AS n_orders
+            FROM orders
+            GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        """,
+        "events_value_stats": """
+            SELECT event_type,
+                   count(*)::BIGINT AS n_events,
+                   sum(CAST(floor(value * 100) AS BIGINT))::BIGINT AS sum_cents,
+                   round(stddev_samp(CAST(floor(value * 100) AS BIGINT)), 4)
+                     AS stddev_cents
+            FROM events WHERE value IS NOT NULL
+            GROUP BY event_type
+        """,
+        "revenue_by_nation_year": """
+            SELECT n.n_name,
+                   date_part('year', o.o_orderdate)::BIGINT AS o_year,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+            FROM lineitem l
+            JOIN orders o   ON l.l_orderkey = o.o_orderkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n   ON s.s_nationkey = n.n_nationkey
+            GROUP BY n.n_name, o_year
+        """,
+        "users_view_and_purchase": """
+            SELECT user_id FROM events WHERE event_type = 'view'
+            INTERSECT
+            SELECT user_id FROM events WHERE event_type = 'purchase'
+        """,
+        "orders_date_dense_rank": """
+            SELECT o_custkey, o_orderkey,
+                   dense_rank() OVER (
+                     PARTITION BY o_custkey ORDER BY o_orderdate)::BIGINT AS rank
+            FROM orders
         """,
         # rows-only (no SQL twin): lang_id, minhash_dedup_documents,
         # simhash_signatures, simhash_neardup, ann_topk_lsh, kg_triples,

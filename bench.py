@@ -146,6 +146,7 @@ def _graph(triples):
         batch_format="pyarrow",
         batch_size=8192,
         concurrency=(1, 8),
+        **pipeline.POOL_REMOTE_ARGS,
     ).materialize()
     nodes, edges = pipeline.build_graph(linked)
     return nodes, edges
@@ -191,6 +192,74 @@ def _run_scaling_work() -> None:
     pipeline.extract_triples_tasks(docs, weights_ref).count()
     t0 = time.monotonic()
     n = pipeline.extract_triples_tasks(big, weights_ref).count()
+    dt = time.monotonic() - t0
+    print(
+        json.dumps(
+            {
+                "value": round(dt, 3),
+                "n_triples": n,
+                "triples_per_sec": round(n / dt, 1),
+                "num_cpus": num_cpus,
+                "replicate": factor,
+            }
+        )
+    )
+    ray.shutdown()
+
+
+def _run_scaling_pooled_work() -> None:
+    """One POOLED-ACTOR scaling measurement: flagship extraction
+    exactly as the bench's kg_extract runs it — separate parse/score
+    ACTOR POOLS with the weights broadcast into actor constructors —
+    complementing the stateless-task map probe and the shuffle probe,
+    both task-based (round-3 verdict #5: the north-rule flagship runs
+    pools).  Pool concurrency caps scale with the CPU level; actor
+    spawn latency is inside the timed region at BOTH levels (it is part
+    of the pooled regime being measured)."""
+    import warnings
+
+    warnings.filterwarnings("ignore")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    factor = int(os.environ.get("GRAFT_SCALING_REPLICATE", "4"))
+
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+        log_to_driver=False,
+    )
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from deepie_ray import model, pipeline
+    from deepie_ray.tuning import apply_recommended_context
+
+    apply_recommended_context()
+    import logging
+
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    # FIXED 32-block plan at both CPU levels (same-plan control as the
+    # shuffle probe) and FIXED-size pools: autoscaling-from-1 pools
+    # spend most of a ~10-20s probe ramping (measured: (1,8)/(1,8)
+    # pools 18.7s vs fixed (4,4)/(4,4) 9.1s on the identical job)
+    docs = pipeline.read_documents(sf_dir, num_blocks=32).materialize()
+    big = pipeline.replicate_documents(docs, factor).materialize()
+    weights_ref = ray.put(model.init_weights())
+    half = max(1, num_cpus // 2)
+    kw = dict(
+        weights_ref=weights_ref,
+        parse_concurrency=(half, half),
+        score_concurrency=(half, half),
+        with_prob=False,
+    )
+    # warm-up (untimed): worker processes + one pool generation
+    pipeline.emitted_triples(docs, **kw).count()
+    t0 = time.monotonic()
+    n = pipeline.emitted_triples(big, **kw).count()
     dt = time.monotonic() - t0
     print(
         json.dumps(
@@ -459,6 +528,9 @@ def _run_scaling() -> None:
     shuffle_8v32 = _measure_pair(
         8, 32, replicate=8, reps=2, mode="scaling_shuffle", thr_key="rows_per_sec"
     )
+    # pooled-actor probe (round-3 verdict #5): flagship extraction as
+    # the bench runs it — parse/score ACTOR POOLS, not stateless tasks
+    pooled_2v8 = _measure_pair(2, 8, replicate=4, reps=2, mode="scaling_pooled")
     controls = _controls(8, 32)
     print(
         json.dumps(
@@ -469,6 +541,7 @@ def _run_scaling() -> None:
                 "pair_8v32": pair_8v32,
                 "shuffle_pair_2v8": shuffle_2v8,
                 "shuffle_pair_8v32": shuffle_8v32,
+                "pooled_pair_2v8": pooled_2v8,
                 "controls_8v32": controls,
             }
         )
@@ -482,5 +555,7 @@ if __name__ == "__main__":
         _run_scaling_work()
     elif os.environ.get("GRAFT_BENCH_MODE") == "scaling_shuffle":
         _run_scaling_shuffle_work()
+    elif os.environ.get("GRAFT_BENCH_MODE") == "scaling_pooled":
+        _run_scaling_pooled_work()
     else:
         _run_bench()

@@ -125,6 +125,38 @@ def rank_features(
     return ordered_apply(ds, key_col, [value_col, id_col], per_key)
 
 
+def dense_ranks(
+    ds: rd.Dataset,
+    key_col: str,
+    order_col: str,
+    id_col: str,
+) -> rd.Dataset:
+    """SQL ``DENSE_RANK() OVER (PARTITION BY key ORDER BY order_col)``
+    -> (key, id, rank): ties on ``order_col`` share a rank and leave no
+    gaps (rank advances by 1 at each DISTINCT order value — a cumsum of
+    value-change flags, vs row_number's unconditional increment).
+    Deterministic under ties by construction: the rank of a row depends
+    only on its order value, never on intra-tie arrival order.  Same
+    one-shuffle / per-key-task / all-numpy contract as the other
+    window functions here."""
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        vals = df[order_col].to_numpy()
+        step = np.empty(n, dtype=np.int64)
+        step[0] = 1
+        step[1:] = (vals[1:] != vals[:-1]).astype(np.int64)
+        return pd.DataFrame(
+            {
+                key_col: df[key_col].to_numpy(),
+                id_col: df[id_col].to_numpy(),
+                "rank": np.cumsum(step),
+            }
+        )
+
+    return ordered_apply(ds, key_col, [order_col, id_col], per_key)
+
+
 def moving_sums(
     ds: rd.Dataset,
     key_col: str,

@@ -59,6 +59,16 @@ def read_documents(sf_dir: str, num_blocks: int | None = None) -> rd.Dataset:
     return ds.map_batches(interleave_batch, batch_format="pyarrow")
 
 
+# Flagship actor pools: their constructors hold object-store refs
+# (weights broadcast, counter handle) and Ray Data ships the transform
+# closure through the object store, so in-place actor restart could not
+# reconstruct them — core_worker logs an E-level warning per pool
+# (ray-project/ray#53727).  Pin max_restarts=0: failure recovery is the
+# streaming executor's TASK retry on a fresh pool actor, not in-place
+# actor restart, so nothing is lost (round-3 verdict #8).
+POOL_REMOTE_ARGS = {"max_restarts": 0}
+
+
 def extract_triples(
     docs: rd.Dataset,
     weights_ref=None,
@@ -88,6 +98,7 @@ def extract_triples(
             batch_format="pyarrow",
             batch_size=256,
             concurrency=parse_concurrency,
+            **POOL_REMOTE_ARGS,
         )
         return pairs.map_batches(
             MultiNNScorer,
@@ -95,6 +106,7 @@ def extract_triples(
             batch_format="pyarrow",
             batch_size=score_batch_size,
             concurrency=score_concurrency,
+            **POOL_REMOTE_ARGS,
         )
     pairs = docs.map_batches(
         CountingStage,
@@ -104,6 +116,7 @@ def extract_triples(
         batch_format="pyarrow",
         batch_size=256,
         concurrency=parse_concurrency,
+        **POOL_REMOTE_ARGS,
     )
     return pairs.map_batches(
         CountingStage,
@@ -116,6 +129,7 @@ def extract_triples(
         batch_format="pyarrow",
         batch_size=score_batch_size,
         concurrency=score_concurrency,
+        **POOL_REMOTE_ARGS,
     )
 
 
@@ -167,12 +181,14 @@ def extract_triples_model(
         parse_fn, fn_constructor_kwargs=parse_ctor,
         batch_format="pyarrow", batch_size=256,
         concurrency=parse_concurrency,
+        **POOL_REMOTE_ARGS,
     )
     return pairs.map_batches(
         score_fn, fn_constructor_kwargs=score_ctor,
         batch_format="pyarrow",
         batch_size=score_batch_size,
         concurrency=score_concurrency,
+        **POOL_REMOTE_ARGS,
     )
 
 
@@ -378,6 +394,7 @@ def run_kg(
         batch_format="pyarrow",
         batch_size=8192,
         concurrency=(1, 8),
+        **POOL_REMOTE_ARGS,
     )
     if checkpoint_dir:
         from .checkpoint import checkpoint_dataset

@@ -2500,3 +2500,248 @@ def copurchase_assoc(sf_dir: str) -> rd.Dataset:
         lambda t: t.select(["part_a", "part_b", "co_count", "n_a", "n_b"]),
         batch_format="pyarrow",
     )
+
+
+# ------------------------------------------- round-4 coverage extensions
+
+
+def orders_cube(sf_dir: str) -> rd.Dataset:
+    """SQL GROUP BY CUBE(o_orderstatus, o_orderpriority) -> the four
+    grouping combinations: (status, priority), per-status (priority
+    NULL), per-priority (status NULL), grand total (both NULL).
+
+    Same shape as ``orders_rollup`` plus the priority-only level: ONE
+    per-batch partial pass feeds all four levels (cube levels are
+    re-aggregations of the same <=15-row-per-block partials; the corpus
+    is read once)."""
+    orders = _read(
+        sf_dir, "orders", ["o_orderstatus", "o_orderpriority", "o_totalprice"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["o_orderstatus", "o_orderpriority"]).aggregate(
+            [("o_totalprice", "sum"), ([], "count_all")]
+        )
+        return pa.table(
+            {
+                "o_orderstatus": g["o_orderstatus"],
+                "o_orderpriority": g["o_orderpriority"],
+                "price_sum": g["o_totalprice_sum"],
+                "n": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    partials = orders.map_batches(partial, batch_format="pyarrow").materialize()
+
+    def finalize(t: pa.Table, with_status: bool, with_priority: bool) -> pa.Table:
+        nulls = pa.array([None] * t.num_rows, pa.string())
+        return pa.table(
+            {
+                "o_orderstatus": t["o_orderstatus"] if with_status else nulls,
+                "o_orderpriority": t["o_orderpriority"] if with_priority else nulls,
+                "total_price": _round2(t["price_sum"]),
+                "n_orders": pc.cast(t["n"], pa.int64()),
+            }
+        )
+
+    def level(keys: list[str], with_status: bool, with_priority: bool):
+        if keys:
+            g = partials.groupby(keys if len(keys) > 1 else keys[0])
+        else:
+            g = partials.map_batches(
+                lambda t: t.append_column(
+                    "_g", pa.array(np.zeros(t.num_rows, np.int64))
+                ),
+                batch_format="pyarrow",
+            ).groupby("_g")
+        return (
+            g.aggregate(
+                Sum("price_sum", alias_name="price_sum"), Sum("n", alias_name="n")
+            )
+            .repartition(2)
+            .map_batches(
+                lambda t: finalize(t, with_status, with_priority),
+                batch_format="pyarrow",
+            )
+        )
+
+    return (
+        level(["o_orderstatus", "o_orderpriority"], True, True)
+        .union(level(["o_orderstatus"], True, False))
+        .union(level(["o_orderpriority"], False, True))
+        .union(level([], False, False))
+    )
+
+
+def events_value_stats(sf_dir: str) -> rd.Dataset:
+    """Grouped variance/stddev via the classic mergeable moment sketch:
+    per-batch (n, sum, sum-of-squares) partials over INTEGER CENTS
+    (floor(value*100) — int64 sums are exact, so the merge order cannot
+    perturb the result the way float partial sums can), a tiny global
+    groupby, and the sample-variance finalizer (ss - s^2/n)/(n-1) on
+    exactly-represented integers -> (event_type, n_events, sum_cents,
+    stddev_cents).  The DuckDB twin runs stddev_samp over the same
+    cents column; both sides round to 4dp."""
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["value"]))
+        cents = pc.cast(pc.floor(pc.multiply(t["value"], 100.0)), pa.int64())
+        sq = pc.multiply(cents, cents)
+        g = (
+            pa.table({"event_type": t["event_type"], "c": cents, "sq": sq})
+            .group_by("event_type")
+            .aggregate([("c", "sum"), ("sq", "sum"), ([], "count_all")])
+        )
+        return pa.table(
+            {
+                "event_type": g["event_type"],
+                "s": g["c_sum"],
+                "ss": g["sq_sum"],
+                "n": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    agg = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("s", alias_name="s"),
+            Sum("ss", alias_name="ss"),
+            Sum("n", alias_name="n"),
+        )
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        s = t["s"].to_numpy(zero_copy_only=False).astype(np.float64)
+        ss = t["ss"].to_numpy(zero_copy_only=False).astype(np.float64)
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        var = np.where(n > 1, (ss - s * s / n) / np.maximum(n - 1, 1), np.nan)
+        sd = np.sqrt(np.maximum(var, 0.0))
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "n_events": pc.cast(t["n"], pa.int64()),
+                "sum_cents": pc.cast(t["s"], pa.int64()),
+                "stddev_cents": pa.array(
+                    [None if np.isnan(x) else round(float(x), 4) for x in sd],
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
+def revenue_by_nation_year(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q9-shaped multi-join rollup: supplier-nation revenue per
+    ORDER YEAR -> (n_name, o_year, revenue).  Scale shape: the big-big
+    lineitem |x| orders join and the sf-scaled supplier join are
+    hash-partitioned (same contract as q5); nation (25 rows, genuinely
+    fixed) broadcasts as a driver dict; year extraction and the
+    (nation, year) pre-aggregation happen inside the per-batch partial
+    so the global shuffle moves <= 25 x n_years rows per block."""
+    nation = _read(sf_dir, "nation").to_pandas()
+    name_of = dict(zip(nation["n_nationkey"], nation["n_name"]))
+
+    li = _lineitem(
+        sf_dir, ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]
+    )
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+    lo = joins.hash_join(
+        li, orders, on="l_orderkey", right_on="o_orderkey", num_partitions=8
+    ).repartition(8)  # merge empty join-output blocks before the next join
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    los = joins.hash_join(
+        lo, supp, on="l_suppkey", right_on="s_suppkey", num_partitions=8
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {
+                    "n_name": pd.Series([], dtype=str),
+                    "o_year": pd.Series([], dtype=np.int64),
+                    "revenue": pd.Series([], dtype=np.float64),
+                }
+            )
+        rev = df["l_extendedprice"] * (1 - df["l_discount"])
+        yr = pd.to_datetime(df["o_orderdate"]).dt.year.astype(np.int64)
+        names = df["s_nationkey"].map(name_of)
+        out = rev.groupby([names, yr]).sum().reset_index()
+        out.columns = ["n_name", "o_year", "revenue"]
+        return out
+
+    agg = (
+        los.map_batches(partial, batch_format="pandas")
+        .groupby(["n_name", "o_year"])
+        .aggregate(Sum("revenue", alias_name="revenue"))
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "n_name": t["n_name"],
+                "o_year": pc.cast(t["o_year"], pa.int64()),
+                "revenue": _round2(t["revenue"]),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def users_view_and_purchase(sf_dir: str) -> rd.Dataset:
+    """SQL INTERSECT as a distributed flag-fold: users with >= 1 'view'
+    AND >= 1 'purchase' event -> (user_id).  Per-batch max-flag partials
+    (one row per distinct user per block), a tiny global max-groupby,
+    then a filter — set intersection without materializing either
+    operand, and the only shuffle moves (user, 2 flag ints) rows."""
+    from ray.data.aggregate import Max
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = pc.cast(pc.equal(t["event_type"], "view"), pa.int64())
+        p = pc.cast(pc.equal(t["event_type"], "purchase"), pa.int64())
+        g = (
+            pa.table({"user_id": t["user_id"], "v": v, "p": p})
+            .group_by("user_id")
+            .aggregate([("v", "max"), ("p", "max")])
+        )
+        return pa.table(
+            {"user_id": g["user_id"], "v": g["v_max"], "p": g["p_max"]}
+        )
+
+    agg = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Max("v", alias_name="v"), Max("p", alias_name="p"))
+    )
+    return agg.map_batches(
+        lambda t: t.filter(
+            pc.and_(pc.equal(t["v"], 1), pc.equal(t["p"], 1))
+        ).select(["user_id"]),
+        batch_format="pyarrow",
+    )
+
+
+def orders_date_dense_rank(sf_dir: str) -> rd.Dataset:
+    """DENSE_RANK per customer by order date -> (o_custkey, o_orderkey,
+    rank): ties (same-day orders of one customer) share a rank with no
+    gaps — the tie-sharing member of the ranking family, complementing
+    row_number (top3_orders_per_customer) and NTILE/PERCENT_RANK
+    (events_value_quartiles).  ops/analytic.dense_ranks: one shuffle on
+    the customer key, numpy cumsum-of-change-flags within each group."""
+    from .ops import analytic
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_orderdate"])
+    out = analytic.dense_ranks(orders, "o_custkey", "o_orderdate", "o_orderkey")
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "o_custkey": t["o_custkey"],
+                "o_orderkey": t["o_orderkey"],
+                "rank": pc.cast(t["rank"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )

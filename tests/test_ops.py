@@ -1311,6 +1311,48 @@ def test_ppm_wav_codecs_round_trip():
     assert np.abs(pcm - samples).max() <= 1.5 / 32767.0
 
 
+def test_png_roundtrip_all_filter_types():
+    """encode_png cycles row filters 0-4, so a >=5-row image round-trip
+    exercises None/Sub/Up/Average/Paeth defiltering exactly; gray and
+    RGB, including gradient rows where Sub/Paeth residuals wrap mod
+    256."""
+    rng = np.random.default_rng(47)
+    rgb = rng.integers(0, 256, (11, 7, 3), dtype=np.uint8)
+    assert (media.decode_png(media.encode_png(rgb)) == rgb).all()
+    gray = rng.integers(0, 256, (9, 13), dtype=np.uint8)
+    assert (media.decode_png(media.encode_png(gray)) == gray).all()
+    # smooth gradient (filters produce small residuals) + hard edges
+    grad = (np.arange(8)[:, None] * 32 + np.arange(8)[None, :]).astype(np.uint8)
+    assert (media.decode_png(media.encode_png(grad)) == grad).all()
+    # 1x1 and 1-row edges
+    one = np.array([[200]], dtype=np.uint8)
+    assert (media.decode_png(media.encode_png(one)) == one).all()
+    with pytest.raises(ValueError):
+        media.decode_png(b"not a png")
+
+
+def test_binary_media_decoder_handles_png_rows():
+    """media_decode_features' decoder must accept PNG payloads (round-3
+    verdict #7) and produce the same 8x8 grayscale features as the PPM
+    path for identical pixels."""
+    rng = np.random.default_rng(53)
+    pixels = rng.integers(0, 256, (16, 12, 3), dtype=np.uint8)
+    rows = pa.table(
+        {
+            "doc_id": pa.array(["d1", "d2"], pa.string()),
+            "kind": pa.array(["image", "image"], pa.string()),
+            "payload": pa.array(
+                [media.encode_png(pixels), media.encode_ppm(pixels)], pa.binary()
+            ),
+        }
+    )
+    out = media.BinaryMediaDecoder()(rows).to_pandas()
+    assert list(out["dim0"]) == [16, 16] and list(out["dim1"]) == [12, 12]
+    assert np.allclose(
+        np.array(out["media_feat"][0]), np.array(out["media_feat"][1])
+    )
+
+
 def test_binary_media_decoder_real_payloads():
     rows = pa.table(
         {
@@ -1351,6 +1393,31 @@ def test_skew_join_empty_left_keeps_joined_schema():
     )
     assert out.count() == 0
     assert sorted(out.schema().names) == ["k", "name", "row"]
+
+
+def test_dense_ranks_tie_semantics():
+    """DENSE_RANK: ties share a rank, no gaps after a tie group, ranks
+    restart per partition — and the output is identical however the
+    input is partitioned (tie order must not matter)."""
+    from deepie_ray.ops import analytic
+
+    df = pd.DataFrame(
+        {
+            "k": [1, 1, 1, 1, 2, 2],
+            "id": [10, 11, 12, 13, 20, 21],
+            "v": [5, 5, 7, 9, 3, 3],
+        }
+    )
+    for parts in (1, 4):
+        out = (
+            analytic.dense_ranks(
+                rd.from_pandas(df).repartition(parts), "k", "v", "id"
+            )
+            .to_pandas()
+            .sort_values(["k", "id"])
+            .reset_index(drop=True)
+        )
+        assert out["rank"].tolist() == [1, 1, 2, 3, 1, 1]
 
 
 def test_winnowing_guarantee_and_selectivity():
