@@ -121,6 +121,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_nation_year": Q.revenue_by_nation_year,
         "users_view_and_purchase": Q.users_view_and_purchase,
         "orders_date_dense_rank": Q.orders_date_dense_rank,
+        "orders_above_customer_avg": Q.orders_above_customer_avg,
+        "part_name_first_word_stats": Q.part_name_first_word_stats,
+        "events_first_last_value": Q.events_first_last_value,
+        "events_p50_disc": Q.events_p50_disc,
         # --- rows-only / pytest-oracled block (no SQL twin by nature) ---
         "doc_packing": Q.doc_packing,
         "lang_id": Q.lang_id,
@@ -939,6 +943,40 @@ def oracle_sql() -> dict[str, str]:
                    dense_rank() OVER (
                      PARTITION BY o_custkey ORDER BY o_orderdate)::BIGINT AS rank
             FROM orders
+        """,
+        "orders_above_customer_avg": """
+            WITH a AS (
+              SELECT o_custkey,
+                     sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS s,
+                     count(*)::BIGINT AS n
+              FROM orders GROUP BY o_custkey
+            )
+            SELECT o.o_orderkey, o.o_custkey
+            FROM orders o JOIN a USING (o_custkey)
+            WHERE CAST(floor(o.o_totalprice * 100) AS BIGINT) * a.n > a.s
+        """,
+        "part_name_first_word_stats": """
+            SELECT split_part(p_name, ' ', 1) AS word,
+                   count(*)::BIGINT AS n_parts,
+                   round(sum(p_retailprice), 2) AS sum_price
+            FROM part GROUP BY word
+        """,
+        "events_first_last_value": """
+            SELECT user_id,
+                   CAST(floor(first(value ORDER BY ts, event_id) * 100) AS BIGINT)
+                     AS first_cents,
+                   CAST(floor(last(value ORDER BY ts, event_id) * 100) AS BIGINT)
+                     AS last_cents,
+                   count(*)::BIGINT AS n_events
+            FROM events WHERE ts IS NOT NULL
+            GROUP BY user_id
+        """,
+        "events_p50_disc": """
+            SELECT event_type,
+                   CAST(floor(quantile_disc(value, 0.5) * 100) AS BIGINT)
+                     AS p50_cents
+            FROM events WHERE value IS NOT NULL
+            GROUP BY event_type
         """,
         # rows-only (no SQL twin): lang_id, minhash_dedup_documents,
         # simhash_signatures, simhash_neardup, ann_topk_lsh, kg_triples,

@@ -20,6 +20,7 @@ import pandas as pd
 import pyarrow as pa
 
 import ray.data as rd
+from ..tuning import POOL_REMOTE_ARGS
 
 
 _EMPTY_TOPK = pa.table(
@@ -113,6 +114,7 @@ def brute_force_topk(
         batch_format="pyarrow",
         batch_size=4096,
         concurrency=(1, 8),
+        **POOL_REMOTE_ARGS,
     )
     return merge_topk(partials, k)
 
@@ -222,6 +224,7 @@ def ivf_topk(
         batch_format="pyarrow",
         batch_size=4096,
         concurrency=(1, 8),
+        **POOL_REMOTE_ARGS,
     )
     return merge_topk(partials, k)
 
@@ -283,7 +286,8 @@ def lsh_topk(
             return super().__call__(batch.filter(pa.array(keep)))
 
     partials = corpus.map_batches(
-        BucketFilterTopK, batch_format="pyarrow", batch_size=4096, concurrency=(1, 8)
+        BucketFilterTopK, batch_format="pyarrow", batch_size=4096,
+        concurrency=(1, 8), **POOL_REMOTE_ARGS,
     )
     return merge_topk(partials, k)
 
@@ -413,5 +417,6 @@ def pq_topk(
         batch_format="pyarrow",
         batch_size=4096,
         concurrency=(1, 8),
+        **POOL_REMOTE_ARGS,
     )
     return merge_topk(partials, k)

@@ -25,6 +25,7 @@ import pyarrow.compute as pc
 
 import ray
 import ray.data as rd
+from ..tuning import POOL_REMOTE_ARGS
 
 
 def _batch_matrix(batch: pa.Table, vec_col: str) -> np.ndarray:
@@ -93,7 +94,7 @@ def kmeans_fit(
                 )
 
         partials = ds.map_batches(
-            Partial, batch_format="pyarrow", concurrency=(1, 8)
+            Partial, batch_format="pyarrow", concurrency=(1, 8), **POOL_REMOTE_ARGS
         ).to_pandas()  # k x n_blocks rows — bounded, independent of corpus rows
         newC = C.copy()
         if len(partials):
@@ -137,7 +138,9 @@ def kmeans_assign(
                 }
             )
 
-    return ds.map_batches(Assign, batch_format="pyarrow", concurrency=(1, 8))
+    return ds.map_batches(
+        Assign, batch_format="pyarrow", concurrency=(1, 8), **POOL_REMOTE_ARGS
+    )
 
 
 def _l2_rows(X: np.ndarray) -> np.ndarray:
@@ -230,7 +233,7 @@ def semantic_dedup(
     # two consumers below (small-cluster groupby + big-cluster chunk
     # scan) — pin so assignment doesn't re-execute per branch
     assigned = ds.map_batches(
-        AssignKeep, batch_format="pyarrow", concurrency=(1, 8)
+        AssignKeep, batch_format="pyarrow", concurrency=(1, 8), **POOL_REMOTE_ARGS
     ).materialize()
 
     # cluster sizes: a k-row aggregate (bounded by k, never corpus-sized)

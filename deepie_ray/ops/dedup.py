@@ -22,6 +22,7 @@ import pandas as pd
 import pyarrow as pa
 
 import ray.data as rd
+from ..tuning import POOL_REMOTE_ARGS
 from ray.data.aggregate import Count, Min
 
 from ..hashing import fingerprint64, md5_hex, stable_u32, ws_tokens
@@ -907,7 +908,9 @@ def contamination_counts(
                 }
             )
 
-    return ds.map_batches(Contam, batch_format="pyarrow", concurrency=(1, 8))
+    return ds.map_batches(
+        Contam, batch_format="pyarrow", concurrency=(1, 8), **POOL_REMOTE_ARGS
+    )
 
 
 def jaccard_exact_blockjoin(
@@ -1242,7 +1245,9 @@ def contamination_bloom_counts(
                 }
             )
 
-    return ds.map_batches(BloomContam, batch_format="pyarrow", concurrency=(1, 8))
+    return ds.map_batches(
+        BloomContam, batch_format="pyarrow", concurrency=(1, 8), **POOL_REMOTE_ARGS
+    )
 
 
 # ------------------------------------------------------------- winnowing

@@ -66,7 +66,7 @@ def read_documents(sf_dir: str, num_blocks: int | None = None) -> rd.Dataset:
 # (ray-project/ray#53727).  Pin max_restarts=0: failure recovery is the
 # streaming executor's TASK retry on a fresh pool actor, not in-place
 # actor restart, so nothing is lost (round-3 verdict #8).
-POOL_REMOTE_ARGS = {"max_restarts": 0}
+from .tuning import POOL_REMOTE_ARGS  # noqa: E402 (single shared definition)
 
 
 def extract_triples(

@@ -2745,3 +2745,143 @@ def orders_date_dense_rank(sf_dir: str) -> rd.Dataset:
         ),
         batch_format="pyarrow",
     )
+
+
+def orders_above_customer_avg(sf_dir: str) -> rd.Dataset:
+    """Correlated-aggregate filter (SQL ``WHERE o_totalprice > (SELECT
+    avg(...) ... same customer)``) -> (o_orderkey, o_custkey): orders
+    strictly above their own customer's average order price.
+
+    Two-pass shape: a combiner-first per-customer (sum, n) aggregate —
+    never AVG partials, averages don't merge — hash-joined back to the
+    orders stream, then a vectorized filter.  The comparison is EXACT
+    integer arithmetic on cents (``cents * n > sum_cents``), so the
+    boundary can't flip on a float-summation-order ulp the way
+    ``price > sum/n`` could against the oracle's avg()."""
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.floor(pc.multiply(t["o_totalprice"], 100.0)), pa.int64())
+        g = (
+            pa.table({"o_custkey": t["o_custkey"], "c": cents})
+            .group_by("o_custkey")
+            .aggregate([("c", "sum"), ([], "count_all")])
+        )
+        return pa.table(
+            {
+                "o_custkey": g["o_custkey"],
+                "s": g["c_sum"],
+                "n": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    stats = (
+        orders.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+        .repartition(8)
+    )
+    joined = joins.hash_join(orders, stats, on="o_custkey", num_partitions=8)
+
+    def filt(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.floor(pc.multiply(t["o_totalprice"], 100.0)), pa.int64())
+        keep = pc.greater(pc.multiply(cents, t["n"]), t["s"])
+        return t.filter(keep).select(["o_orderkey", "o_custkey"])
+
+    return joined.map_batches(filt, batch_format="pyarrow")
+
+
+def part_name_first_word_stats(sf_dir: str) -> rd.Dataset:
+    """String-kernel grouped aggregate -> (word, n_parts, sum_price):
+    the FIRST word of every part name (Arrow ``split_pattern`` +
+    ``list_element`` — vectorized, no per-row Python), combiner-first
+    counts and price sums."""
+    part = _read(sf_dir, "part", ["p_name", "p_retailprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        w = pc.list_element(pc.split_pattern(t["p_name"], " "), 0)
+        g = (
+            pa.table({"word": w, "p": t["p_retailprice"]})
+            .group_by("word")
+            .aggregate([("p", "sum"), ([], "count_all")])
+        )
+        return pa.table(
+            {
+                "word": g["word"],
+                "sum_price": g["p_sum"],
+                "n_parts": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    agg = (
+        part.map_batches(partial, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(
+            Sum("sum_price", alias_name="sum_price"),
+            Sum("n_parts", alias_name="n_parts"),
+        )
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "word": t["word"],
+                "n_parts": pc.cast(t["n_parts"], pa.int64()),
+                "sum_price": _round2(t["sum_price"]),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def events_first_last_value(sf_dir: str) -> rd.Dataset:
+    """Ordered FIRST/LAST aggregate per key -> (user_id, first_cents,
+    last_cents, n_events): the first and last event value of each user
+    in (ts, event_id) order, in integer cents (exact hash).  One
+    shuffle on the key (ops/analytic.ordered_apply); the DuckDB twin is
+    the ordered-aggregate form ``first(x ORDER BY ...)``."""
+    from .ops import analytic
+
+    ev = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+    clean = ev.map_batches(
+        lambda df: df.dropna(subset=["ts"]), batch_format="pandas"
+    )
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.floor(df["value"].to_numpy() * 100.0).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "user_id": [df["user_id"].iloc[0]],
+                "first_cents": [cents[0]],
+                "last_cents": [cents[-1]],
+                "n_events": np.array([len(df)], dtype=np.int64),
+            }
+        )
+
+    return analytic.ordered_apply(clean, "user_id", ["ts", "event_id"], per_key)
+
+
+def events_p50_disc(sf_dir: str) -> rd.Dataset:
+    """Exact DISCRETE median per group (quantile_disc: an actual
+    element, not an interpolation — the partner of the KMV-sketch
+    quantile_cont queries) -> (event_type, p50_cents).  Groups are
+    low-cardinality (5 event types), so one map_groups task per group
+    holds that group's values: sort + index floor(q*(n-1)) — pinned to
+    DuckDB's quantile_disc index rule by the oracle."""
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+    clean = ev.map_batches(
+        lambda df: df.dropna(subset=["value"]), batch_format="pandas"
+    )
+
+    def per_type(df: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(df["value"].to_numpy())
+        idx = int(np.floor(0.5 * (len(v) - 1)))
+        return pd.DataFrame(
+            {
+                "event_type": [df["event_type"].iloc[0]],
+                "p50_cents": np.array(
+                    [np.floor(v[idx] * 100.0)], dtype=np.int64
+                ),
+            }
+        )
+
+    return clean.groupby("event_type").map_groups(per_type, batch_format="pandas")

@@ -33,6 +33,14 @@ cheap shuffles).  At real 100TB scale, leave Ray's size-based default
 from __future__ import annotations
 
 
+# Actor pools whose constructors hold object-store refs (broadcast
+# weights/queries/filters) cannot be restarted in place -- Ray's
+# core_worker logs an E-level warning per pool when max_restarts > 0
+# (ray-project/ray#53727).  Failure recovery for map stages is the
+# streaming executor's task retry on a fresh actor, so pin restarts off.
+POOL_REMOTE_ARGS = {"max_restarts": 0}
+
+
 def read_blocks(lo: int = 8, hi: int = 32) -> int:
     """Block count for benchmark-scale reads: ~1 per cpu, in [lo, hi]."""
     try:
