@@ -204,20 +204,69 @@ class MinHashBands:
 MAX_BUCKET_PAIRWISE = 64  # buckets above this pair against the bucket min only
 
 
+def _bucket_pairs_table(
+    band: np.ndarray, bh: np.ndarray, ids: np.ndarray, id_type: pa.DataType
+) -> pa.Table:
+    """All-numpy bucket-local pair generation over co-located band
+    rows: lexsort by (band, band_hash, id), find bucket runs by
+    boundary flags, emit C(n,2) pairs for buckets up to
+    MAX_BUCKET_PAIRWISE and star pairs (vs the bucket min) above it.
+    Python touches only the multi-member buckets (dup-rate-sized,
+    never corpus-sized)."""
+    order = np.lexsort((ids, bh, band))
+    band, bh, ids = band[order], bh[order], ids[order]
+    n = len(ids)
+    new = np.ones(n, dtype=bool)
+    new[1:] = (band[1:] != band[:-1]) | (bh[1:] != bh[:-1])
+    starts = np.nonzero(new)[0]
+    ends = np.append(starts[1:], n)
+    sizes = ends - starts
+    out_a, out_b = [], []
+    for s, e, sz in zip(starts[sizes >= 2], ends[sizes >= 2], sizes[sizes >= 2]):
+        grp = ids[s:e]  # id-sorted within the bucket (lexsort minor key)
+        if sz <= MAX_BUCKET_PAIRWISE:
+            ia, ib = np.triu_indices(sz, 1)
+            out_a.append(grp[ia])
+            out_b.append(grp[ib])
+        else:  # star pairing against the bucket min
+            out_a.append(np.full(sz - 1, grp[0]))
+            out_b.append(grp[1:])
+    if out_a:
+        return pa.table(
+            {
+                "id_a": pa.array(np.concatenate(out_a), id_type),
+                "id_b": pa.array(np.concatenate(out_b), id_type),
+            }
+        )
+    return pa.table(
+        {"id_a": pa.array([], id_type), "id_b": pa.array([], id_type)}
+    )
+
+
 def minhash_candidate_pairs(
     ds: rd.Dataset,
     text_col: str = "text",
     id_col: str = "doc_id",
     distinct: bool = True,
+    num_partitions: int = 8,
 ) -> rd.Dataset:
     """documents -> distinct candidate (id_a, id_b) pairs via LSH.
 
-    Pair generation is a bucket-keyed SELF-JOIN (hash-partitioned) —
-    per-group map_groups over tens of thousands of tiny buckets costs
-    one Python call + DataFrame per bucket and measured ~10x slower.
-    Skew guard: bucket sizes are counted first (cheap aggregate); rows
-    in buckets larger than MAX_BUCKET_PAIRWISE pair against the bucket
-    min only (star pairing — O(n) per hot bucket instead of O(n^2)).
+    Pair generation (round-4 rewrite): band rows carry a derived
+    ``part = band_hash mod P`` column, ONE sort-shuffle groups the P
+    partitions (all rows of a bucket share its part), and each of the P
+    ``map_groups`` tasks generates its buckets' pairs with all-numpy
+    run detection (``_bucket_pairs_table``).  This replaces round 3's
+    bucket-stats groupby + bands join + self-join + union chain — the
+    same candidate set from one shuffle + one vectorized map instead of
+    two shuffles, three joins and four pinned intermediates (measured
+    5-6s of fixed stage cost on 80k narrow rows at sf0.1).  Per-group
+    Python over tens of thousands of tiny buckets (round 1, ~10x
+    slower) is equally avoided: P tasks, not one call per bucket.
+
+    Skew guard unchanged: buckets larger than MAX_BUCKET_PAIRWISE pair
+    against the bucket min only (star pairing — O(n) per hot bucket
+    instead of O(n^2)).
 
     Recall note for hot buckets: star pairs are verified downstream
     like any other candidate, so two true near-dups A~B in a hot
@@ -228,91 +277,31 @@ def minhash_candidate_pairs(
     This is the standard LSH recall/cost trade at hot buckets, chosen
     over O(n^2) pairing on near-identical floods.
     """
+    from .joins import _field_type
+
+    id_type = _field_type(ds, id_col)
+
     # stateless TASKS, not an actor pool: the per-call state
     # (_perm_params) costs ~50us to rebuild, far below the pool's spawn
     # latency, and task elasticity follows the CPU count exactly
     def bands_fn(batch: pa.Table, _tc=text_col, _ic=id_col) -> pa.Table:
-        return MinHashBands(_tc, _ic)(batch)
+        t = MinHashBands(_tc, _ic)(batch)
+        bh = t["band_hash"].to_numpy()
+        part = (bh & (2**62 - 1)) % num_partitions  # mask: non-negative
+        return t.append_column("part", pa.array(part.astype(np.int64), pa.int64()))
 
-    bands = (
-        ds.map_batches(bands_fn, batch_format="pyarrow")
-        .repartition(8)  # merge empty blocks pre-join
-        .materialize()
-    )
-    if bands.count() == 0:
-        # Ray's join cannot finalize zero-row partitions at all, so an
-        # empty corpus must exit before any join; count() on the pinned
-        # bands is metadata-free
-        from .joins import _field_type
+    bands = ds.map_batches(bands_fn, batch_format="pyarrow")
 
-        id_type = _field_type(ds, id_col)
-        return rd.from_arrow(
-            pa.table({"id_a": pa.array([], id_type), "id_b": pa.array([], id_type)})
+    def pairs_group(df: pd.DataFrame) -> pd.DataFrame:
+        t = _bucket_pairs_table(
+            df["band"].to_numpy(),
+            df["band_hash"].to_numpy(),
+            df["doc_id"].to_numpy(),
+            id_type,
         )
+        return t.to_pandas()
 
-    stats = bands.groupby(["band", "band_hash"]).aggregate(
-        Count(alias_name="bucket_n"), Min("doc_id", alias_name="bucket_min")
-    ).repartition(8)
-    # materialize: two consumers below (pairwise + star branches) —
-    # without pinning, the bands+stats+join lineage re-executes per branch
-    joined = bands.join(
-        stats, join_type="inner", num_partitions=8, on=("band", "band_hash")
-    ).materialize()
-
-    def filt_small(df: pd.DataFrame) -> pd.DataFrame:
-        df = df[(df["bucket_n"] > 1) & (df["bucket_n"] <= MAX_BUCKET_PAIRWISE)]
-        return df[["band", "band_hash", "doc_id"]]
-
-    # pin + count-guard BOTH branches before any further join/union: a
-    # duplicate-free corpus (every LSH bucket a singleton) makes both
-    # zero-row, and Ray's join cannot finalize zero-row partitions (the
-    # same failure mode as the empty-corpus case above).  The pinned
-    # tables are bucket-filtered band rows — tiny relative to the corpus.
-    small_rows = (
-        joined.map_batches(filt_small, batch_format="pandas")
-        .repartition(8)
-        .materialize()
-    )
-
-    def pairs_star(df: pd.DataFrame) -> pd.DataFrame:
-        df = df[
-            (df["bucket_n"] > MAX_BUCKET_PAIRWISE)
-            & (df["doc_id"] != df["bucket_min"])
-        ]
-        return pd.DataFrame({"id_a": df["bucket_min"], "id_b": df["doc_id"]})
-
-    star = (
-        joined.map_batches(pairs_star, batch_format="pandas")
-        .repartition(4)
-        .materialize()
-    )
-    have_small = small_rows.count() > 0
-    have_star = star.count() > 0
-    if not have_small and not have_star:
-        from .joins import _field_type
-
-        id_type = _field_type(ds, id_col)
-        return rd.from_arrow(
-            pa.table({"id_a": pa.array([], id_type), "id_b": pa.array([], id_type)})
-        )
-
-    if have_small:
-        selfj = small_rows.join(
-            small_rows,
-            join_type="inner",
-            num_partitions=8,
-            on=("band", "band_hash"),
-            right_suffix="_r",
-        )
-
-        def ordered(df: pd.DataFrame) -> pd.DataFrame:
-            df = df[df["doc_id"] < df["doc_id_r"]]
-            return pd.DataFrame({"id_a": df["doc_id"], "id_b": df["doc_id_r"]})
-
-        small = selfj.map_batches(ordered, batch_format="pandas")
-        pairs = small.union(star) if have_star else small
-    else:
-        pairs = star
+    pairs = bands.groupby("part").map_groups(pairs_group, batch_format="pandas")
 
     def partial_distinct(df: pd.DataFrame) -> pd.DataFrame:
         return df.drop_duplicates()
