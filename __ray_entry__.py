@@ -125,6 +125,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_name_first_word_stats": Q.part_name_first_word_stats,
         "events_first_last_value": Q.events_first_last_value,
         "events_p50_disc": Q.events_p50_disc,
+        "text_bpe_token_counts": Q.text_bpe_token_counts,
+        "term_cooccurrence": Q.term_cooccurrence,
         # --- rows-only / pytest-oracled block (no SQL twin by nature) ---
         "doc_packing": Q.doc_packing,
         "lang_id": Q.lang_id,
@@ -977,6 +979,29 @@ def oracle_sql() -> dict[str, str]:
                      AS p50_cents
             FROM events WHERE value IS NOT NULL
             GROUP BY event_type
+        """,
+        "text_bpe_token_counts": r"""
+            SELECT doc_id,
+                   len(regexp_extract_all(
+                     text, ' ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+'
+                   ))::BIGINT AS n_bpe_tokens
+            FROM documents
+        """,
+        "term_cooccurrence": r"""
+            WITH toks AS (
+              SELECT DISTINCT doc_id, u.term AS term
+              FROM (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                   x -> x <> '') AS t
+                FROM documents
+              ), unnest(t) AS u(term)
+            )
+            SELECT a.term AS term_a, b.term AS term_b,
+                   count(*)::BIGINT AS n_docs
+            FROM toks a JOIN toks b
+              ON a.doc_id = b.doc_id AND a.term < b.term
+            GROUP BY a.term, b.term
         """,
         # rows-only (no SQL twin): lang_id, minhash_dedup_documents,
         # simhash_signatures, simhash_neardup, ann_topk_lsh, kg_triples,

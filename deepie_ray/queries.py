@@ -2885,3 +2885,83 @@ def events_p50_disc(sf_dir: str) -> rd.Dataset:
         )
 
     return clean.groupby("event_type").map_groups(per_type, batch_format="pandas")
+
+
+def text_bpe_token_counts(sf_dir: str) -> rd.Dataset:
+    """BPE-style pre-tokenizer counts -> (doc_id, n_bpe_tokens): the
+    GPT-2-family pre-tokenization classes (space-prefixed letter runs,
+    digit runs, punctuation runs) counted with ONE vectorized RE2 pass
+    (``pc.count_substring_regex``) — the subword-budget estimator that
+    complements the whitespace counter (``text_token_counts``).  The
+    lookahead clauses of the exact GPT-2 pattern are dropped (RE2 has
+    no lookahead — and neither does the DuckDB oracle, so both sides
+    run the identical pattern).  Pure streaming map, no shuffle."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    pat = r" ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+"
+
+    def count(t: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(t["text"], pat)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_bpe_tokens": pc.cast(pc.fill_null(n, 0), pa.int64()),
+            }
+        )
+
+    return docs.map_batches(count, batch_format="pyarrow")
+
+
+def term_cooccurrence(sf_dir: str) -> rd.Dataset:
+    """Word co-occurrence counts -> (term_a, term_b, n_docs): for every
+    unordered pair of DISTINCT words appearing in the same document,
+    the number of documents containing both — the text twin of the
+    co-purchase graph (same distinct-first explode + combiner-count
+    shape).  Per-doc pair explode is C(t,2) over the doc's distinct
+    vocabulary; the per-batch partial groupby collapses it to at most
+    C(V,2) rows per block (V = corpus vocabulary), so the global
+    shuffle is vocabulary-bounded, never corpus-bounded."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        a_out, b_out = [], []
+        for txt in t["text"].to_pylist():
+            toks = sorted(set(ws_tokens((txt or "").lower())))
+            m = len(toks)
+            if m < 2:
+                continue
+            ia, ib = np.triu_indices(m, 1)
+            a_out.extend(toks[i] for i in ia)
+            b_out.extend(toks[j] for j in ib)
+        g = (
+            pa.table(
+                {
+                    "term_a": pa.array(a_out, pa.string()),
+                    "term_b": pa.array(b_out, pa.string()),
+                }
+            )
+            .group_by(["term_a", "term_b"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                "term_a": g["term_a"],
+                "term_b": g["term_b"],
+                "n_docs": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    return (
+        docs.map_batches(pairs, batch_format="pyarrow")
+        .groupby(["term_a", "term_b"])
+        .aggregate(Sum("n_docs", alias_name="n_docs"))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "term_a": t["term_a"],
+                    "term_b": t["term_b"],
+                    "n_docs": pc.cast(t["n_docs"], pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
