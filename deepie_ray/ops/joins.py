@@ -239,6 +239,137 @@ def asof_join_argmax(
     return agg.map_batches(unpack, batch_format="pyarrow")
 
 
+def asof_join_merge(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    key: str,
+    left_id: str,
+    left_ts: str,
+    right_ts: str,
+    tie_break: str,
+    num_partitions: int = 8,
+) -> rd.Dataset:
+    """Bucketed merge_asof backward as-of join -> (left_id, tie_break).
+
+    Same semantics as ``asof_join``/``asof_join_argmax`` (greatest
+    ``right_ts <= left_ts`` per key, ties by greatest ``tie_break``)
+    but WITHOUT the expand join: both sides are tagged with
+    ``part = mix(key) mod P`` and unioned, ONE groupby(part) shuffle
+    co-locates each key's rows, and each of the P tasks runs one
+    vectorized ``pd.merge_asof(by=key)`` over its ts-sorted bucket.
+    The join+argmax path first materializes |left| x |right-rows-per-
+    key| expanded rows (~10M at sf0.1 for 100k events x ~100 orders/
+    user) before filtering; this path's peak is the bucket itself —
+    (|left|+|right|)/P rows — so cost scales with the INPUT, not the
+    per-key cross product.  Tie rule: the right side of each bucket is
+    sorted ascending by (right_ts, tie_break) and merge_asof takes the
+    LAST row at the matched timestamp = the max tie_break (pinned
+    against the explicit-window SQL oracle).
+
+    Requires an integer ``key`` (the part router mixes int64); falls
+    back to ``asof_join_argmax`` otherwise.  Null timestamps on either
+    side match nothing (inner semantics), same as the oracle's
+    ``o_orderdate <= e.ts`` predicate on a NULL ts.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    if not pa.types.is_integer(_field_type(left, key, pa.string())):
+        return asof_join_argmax(
+            left, right, key, left_id, left_ts, right_ts, tie_break, num_partitions
+        )
+
+    lid_type = _field_type(left, left_id)
+    key_type = _field_type(left, key)
+    empty = pa.table(
+        {left_id: pa.array([], lid_type), tie_break: pa.array([], pa.int64())}
+    )
+    if left.limit(1).count() == 0 or right.limit(1).count() == 0:
+        return rd.from_arrow(empty)
+
+    _G = np.uint64(0x9E3779B97F4A7C15)
+    _M1 = np.uint64(0xBF58476D1CE4E5B9)
+    _M2 = np.uint64(0x94D049BB133111EB)
+
+    def _part(keys: np.ndarray) -> np.ndarray:
+        x = keys.astype(np.uint64)
+        with np.errstate(over="ignore"):
+            x = (x + _G) * _M1
+            x ^= x >> np.uint64(27)
+            x *= _M2
+            x ^= x >> np.uint64(31)
+        return (x % np.uint64(num_partitions)).astype(np.int64)
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t[left_ts]))
+        k = pc.cast(t[key], pa.int64()).to_numpy(zero_copy_only=False)
+        n = len(t)
+        return pa.table(
+            {
+                key: pc.cast(t[key], key_type),
+                "part": pa.array(_part(k), pa.int64()),
+                "side": pa.array(np.zeros(n, np.int8), pa.int8()),
+                left_id: t[left_id],
+                "lts": pc.cast(t[left_ts], pa.timestamp("us")),
+                "rts": pa.nulls(n, pa.timestamp("us")),
+                "tie": pa.nulls(n, pa.int64()),
+            }
+        )
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t[right_ts]))
+        k = pc.cast(t[key], pa.int64()).to_numpy(zero_copy_only=False)
+        n = len(t)
+        return pa.table(
+            {
+                key: pc.cast(t[key], key_type),
+                "part": pa.array(_part(k), pa.int64()),
+                "side": pa.array(np.ones(n, np.int8), pa.int8()),
+                left_id: pa.nulls(n, lid_type),
+                "lts": pa.nulls(n, pa.timestamp("us")),
+                "rts": pc.cast(t[right_ts], pa.timestamp("us")),
+                "tie": pc.cast(t[tie_break], pa.int64()),
+            }
+        )
+
+    both = left.map_batches(tag_left, batch_format="pyarrow").union(
+        right.map_batches(tag_right, batch_format="pyarrow")
+    )
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        L = df[df["side"] == 0]
+        R = df[df["side"] == 1]
+        out_empty = pd.DataFrame(
+            {
+                left_id: pd.Series([], dtype=L[left_id].dtype),
+                tie_break: pd.Series([], dtype="int64"),
+            }
+        )
+        if L.empty or R.empty:
+            return out_empty
+        L = L[[key, "lts", left_id]].sort_values("lts", kind="mergesort")
+        R = R[[key, "rts", "tie"]].sort_values(["rts", "tie"], kind="mergesort")
+        m = pd.merge_asof(
+            L, R, left_on="lts", right_on="rts", by=key, direction="backward"
+        )
+        m = m[m["tie"].notna()]
+        if m.empty:
+            return out_empty
+        ids = m[left_id].to_numpy()
+        if pa.types.is_integer(lid_type):
+            # the unioned column carries right-side nulls, so pandas
+            # holds it as float64; left rows are exact (< 2^53)
+            ids = ids.astype(np.int64)
+        return pd.DataFrame(
+            {
+                left_id: ids,
+                tie_break: m["tie"].to_numpy().astype(np.int64),
+            }
+        )
+
+    return both.groupby("part").map_groups(merge, batch_format="pandas")
+
+
 def range_join_count(
     left: rd.Dataset,
     right: rd.Dataset,

@@ -463,7 +463,12 @@ def events_topk_users(sf_dir: str) -> pd.DataFrame:
 
 def asof_events_orders(sf_dir: str) -> rd.Dataset:
     """Backward as-of join: each event matched to the user's latest
-    order at-or-before the event time."""
+    order at-or-before the event time.  Round-4: routed through the
+    bucketed merge_asof path (ops/joins.asof_join_merge) — one
+    union + one key-bucket shuffle + vectorized per-bucket merge_asof,
+    never materializing the |events| x |orders-per-user| expansion the
+    join+argmax path pays.  The argmax path remains the tested
+    alternative (equality pinned in tests)."""
     ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
     orders = orders.map_batches(
@@ -476,7 +481,7 @@ def asof_events_orders(sf_dir: str) -> rd.Dataset:
         ),
         batch_format="pyarrow",
     )
-    return joins.asof_join_argmax(
+    return joins.asof_join_merge(
         ev,
         orders,
         key="user_id",

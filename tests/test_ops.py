@@ -500,6 +500,56 @@ def test_asof_argmax_subsecond_ties():
     assert dict(zip(got["event_id"], got["rid"])) == _asof_expect(left, right)
 
 
+def test_asof_merge_matches_reference_and_argmax():
+    """The bucketed merge_asof path (round 4) must agree with the
+    per-row reference scan AND the packed-argmax path on a randomized
+    workload with same-timestamp ties, sub-second gaps, null left
+    timestamps, and keys spread over several hash buckets."""
+    rng = np.random.default_rng(17)
+    n_l, n_r = 120, 90
+    left = pd.DataFrame(
+        {
+            "event_id": range(n_l),
+            "k": rng.integers(0, 9, n_l),
+            "ts": pd.to_datetime("2024-02-01")
+            + pd.to_timedelta(rng.integers(0, 86_400_000, n_l), unit="ms"),
+        }
+    )
+    left.loc[::17, "ts"] = pd.NaT  # null left ts matches nothing
+    right = pd.DataFrame(
+        {
+            "k": rng.integers(0, 9, n_r),
+            "rid": rng.permutation(n_r) + 1,
+            "rts": pd.to_datetime("2024-02-01")
+            + pd.to_timedelta(rng.integers(0, 86_400_000, n_r), unit="ms"),
+        }
+    )
+    # planted exact-timestamp tie inside one key: max rid must win
+    right.loc[0, ["k", "rid"]] = [3, 500]
+    right.loc[1, ["k", "rid"]] = [3, 700]
+    right.loc[1, "rts"] = right.loc[0, "rts"]
+    kw = dict(
+        key="k", left_id="event_id", left_ts="ts",
+        right_ts="rts", tie_break="rid", num_partitions=4,
+    )
+    merge_got = joins.asof_join_merge(
+        rd.from_pandas(left).repartition(3), rd.from_pandas(right).repartition(2), **kw
+    ).to_pandas()
+    expect = _asof_expect(left.dropna(subset=["ts"]), right)
+    assert dict(zip(merge_got["event_id"], merge_got["rid"])) == expect
+    argmax_got = joins.asof_join_argmax(
+        rd.from_pandas(left).repartition(3), rd.from_pandas(right).repartition(2), **kw
+    ).to_pandas()
+    assert dict(zip(argmax_got["event_id"], argmax_got["rid"])) == expect
+
+    # empty sides -> typed empty, no crash
+    empty_l = left.iloc[0:0]
+    out = joins.asof_join_merge(
+        rd.from_pandas(empty_l), rd.from_pandas(right), **kw
+    ).to_pandas()
+    assert len(out) == 0
+
+
 def test_asof_argmax_tiebreak_ids_beyond_24_bits():
     """Regression (round-1 verdict): tie-break ids >= 2^24 corrupted the
     fixed-width packed argmax.  The packing width is now measured from
