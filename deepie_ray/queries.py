@@ -213,7 +213,14 @@ def q5_region_revenue(sf_dir: str) -> rd.Dataset:
     lo = joins.hash_join(
         li, ordersc, on="l_orderkey", right_on="o_orderkey", num_partitions=8
     ).repartition(8)  # same guard for the join-into-join chain below
-    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    # pushdown: the final c_nationkey == s_nationkey filter can only
+    # keep AMERICA suppliers, so prune them at the parquet read like
+    # the customer side (round 4; 5x fewer supplier rows in the join)
+    supp = rd.read_parquet(
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_suppkey", "s_nationkey"],
+        filter=(pc.field("s_nationkey").isin(nation_keys)),
+    )
     los = joins.hash_join(
         lo, supp, on="l_suppkey", right_on="s_suppkey", num_partitions=8
     )

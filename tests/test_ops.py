@@ -1469,6 +1469,27 @@ def test_dense_ranks_tie_semantics():
         )
         assert out["rank"].tolist() == [1, 1, 2, 3, 1, 1]
 
+    # randomized parity vs pandas' dense rank (heavy tie density)
+    rng = np.random.default_rng(29)
+    big = pd.DataFrame(
+        {
+            "k": rng.integers(0, 7, 200),
+            "id": np.arange(200),
+            "v": rng.integers(0, 9, 200),  # many ties per key
+        }
+    )
+    got = (
+        analytic.dense_ranks(rd.from_pandas(big).repartition(5), "k", "v", "id")
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    want = big.sort_values("id").reset_index(drop=True)
+    want["rank"] = (
+        big.groupby("k")["v"].rank(method="dense").astype(np.int64).to_numpy()
+    )
+    assert got["rank"].tolist() == want["rank"].tolist()
+
 
 def test_winnowing_guarantee_and_selectivity():
     """Winnowing's defining property: any shared substring of length
