@@ -127,6 +127,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_p50_disc": Q.events_p50_disc,
         "text_bpe_token_counts": Q.text_bpe_token_counts,
         "term_cooccurrence": Q.term_cooccurrence,
+        "jaccard_dup_components": Q.jaccard_dup_components,
         # --- rows-only / pytest-oracled block (no SQL twin by nature) ---
         "doc_packing": Q.doc_packing,
         "lang_id": Q.lang_id,
@@ -986,6 +987,42 @@ def oracle_sql() -> dict[str, str]:
                      text, ' ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+'
                    ))::BIGINT AS n_bpe_tokens
             FROM documents
+        """,
+        "jaccard_dup_components": r"""
+            WITH RECURSIVE toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                 x -> x <> '') AS t
+              FROM documents
+            ),
+            sh AS (
+              SELECT doc_id,
+                     CASE
+                       WHEN len(t) = 0 THEN []::VARCHAR[]
+                       WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                       ELSE list_distinct(list_transform(range(1, len(t) - 1),
+                                          i -> array_to_string(t[i:i+2], ' ')))
+                     END AS s
+              FROM toks
+            ),
+            e AS (
+              SELECT a.doc_id AS s, b.doc_id AS t
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              WHERE len(a.s) > 0 AND len(b.s) > 0
+                AND len(list_intersect(a.s, b.s)) * 10
+                    >= 3 * (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+            ),
+            sym AS (
+              SELECT s, t FROM e UNION SELECT t, s FROM e
+              UNION SELECT s, s FROM e UNION SELECT t, t FROM e
+            ),
+            reach(n, m) AS (
+              SELECT s, t FROM sym
+              UNION
+              SELECT r.n, s2.t FROM reach r JOIN sym s2 ON r.m = s2.s
+            )
+            SELECT n AS doc_id, min(m)::BIGINT AS cluster_id
+            FROM reach GROUP BY n
         """,
         "term_cooccurrence": r"""
             WITH toks AS (

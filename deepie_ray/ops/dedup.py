@@ -492,19 +492,40 @@ def minhash_dedup(
     verified = jaccard_verify_join(
         cands, sh_tbl, id_col, threshold, num_partitions
     )
+    return components_from_pairs(
+        verified, _fallback_id_type(ds, id_col), num_partitions, force_distributed_cc
+    )
+
+
+def _fallback_id_type(ds: rd.Dataset, id_col: str):
+    from .joins import _field_type
+
+    return _field_type(ds, id_col)
+
+
+def components_from_pairs(
+    pairs: rd.Dataset,
+    id_type: pa.DataType,
+    num_partitions: int = 8,
+    force_distributed_cc: bool = False,
+) -> rd.Dataset:
+    """(id_a, id_b) edge dataset -> (doc_id, cluster_id = min id of the
+    component).  The size-gated component resolver shared by
+    ``minhash_dedup`` and the exact-Jaccard component query: edge sets
+    up to ``DRIVER_CC_MAX_EDGES`` use the union-find fast path (bounded
+    driver list — the edges, never the corpus); larger graphs run the
+    distributed min-label propagation (``ops/canon.py``)."""
+    from .canon import connected_components, connected_components_driver
+
     # materialize: the component step iterates (or re-reads) the edge
     # set — without pinning, every consumer would re-run the whole
-    # candidate+verify lineage.  Object-store blocks, not a driver
-    # collection.
-    edges = verified.map_batches(
+    # upstream lineage.  Object-store blocks, not a driver collection.
+    edges = pairs.map_batches(
         lambda t: pa.table({"src": t["id_a"], "dst": t["id_b"]}),
         batch_format="pyarrow",
     ).materialize()
     n_edges = edges.count()
     if n_edges == 0:
-        from .joins import _field_type
-
-        id_type = _field_type(ds, id_col)
         return rd.from_arrow(
             pa.table(
                 {
@@ -514,22 +535,22 @@ def minhash_dedup(
             )
         )
     if not force_distributed_cc and n_edges <= DRIVER_CC_MAX_EDGES:
-        id_type = None
-        pairs: list[tuple] = []
+        out_type = None
+        edge_list: list[tuple] = []
         for ref in edges.to_arrow_refs():
             import ray
 
             t = ray.get(ref)
             if t.num_columns:
-                id_type = t.schema.field("src").type
-                pairs.extend(zip(t["src"].to_pylist(), t["dst"].to_pylist()))
-        comp = connected_components_driver(pairs)
+                out_type = t.schema.field("src").type
+                edge_list.extend(zip(t["src"].to_pylist(), t["dst"].to_pylist()))
+        comp = connected_components_driver(edge_list)
         rows = sorted(comp.items())
         return rd.from_arrow(
             pa.table(
                 {
-                    "doc_id": pa.array([r[0] for r in rows], id_type),
-                    "cluster_id": pa.array([r[1] for r in rows], id_type),
+                    "doc_id": pa.array([r[0] for r in rows], out_type),
+                    "cluster_id": pa.array([r[1] for r in rows], out_type),
                 }
             )
         )

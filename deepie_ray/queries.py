@@ -2977,3 +2977,18 @@ def term_cooccurrence(sf_dir: str) -> rd.Dataset:
             batch_format="pyarrow",
         )
     )
+
+
+def jaccard_dup_components(sf_dir: str) -> rd.Dataset:
+    """Connected components over the EXACT n-gram Jaccard duplicate
+    graph -> (doc_id, cluster_id = min doc id reachable): the edges are
+    ``ngram_jaccard_exact``'s >= 0.3 pairs, resolved by the shared
+    size-gated component machinery (ops/dedup.components_from_pairs:
+    union-find fast path below DRIVER_CC_MAX_EDGES, distributed
+    min-label propagation above it).  This gives the CC operator a TRUE
+    SQL oracle — a recursive-CTE reachability closure over the same
+    edge set — where it was previously pytest-only (the minhash variant
+    is not SQL-expressible)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    pairs = dedup.jaccard_exact_blockjoin(ds, threshold_num=3, threshold_den=10)
+    return dedup.components_from_pairs(pairs, pa.int64(), num_partitions=8)
