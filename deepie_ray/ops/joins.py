@@ -301,7 +301,8 @@ def asof_join_merge(
         return (x % np.uint64(num_partitions)).astype(np.int64)
 
     def tag_left(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.is_valid(t[left_ts]))
+        # null key or null ts matches nothing under inner semantics
+        t = t.filter(pc.and_(pc.is_valid(t[left_ts]), pc.is_valid(t[key])))
         k = pc.cast(t[key], pa.int64()).to_numpy(zero_copy_only=False)
         n = len(t)
         return pa.table(
@@ -317,7 +318,7 @@ def asof_join_merge(
         )
 
     def tag_right(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.is_valid(t[right_ts]))
+        t = t.filter(pc.and_(pc.is_valid(t[right_ts]), pc.is_valid(t[key])))
         k = pc.cast(t[key], pa.int64()).to_numpy(zero_copy_only=False)
         n = len(t)
         return pa.table(

@@ -61,6 +61,27 @@ def test_minhash_finds_near_dupes():
     assert dist["cluster_id"].tolist() == [1, 1, 1]
 
 
+def test_minhash_string_ids_end_to_end():
+    """Ids keep their input type through the round-4 bucket-run pair
+    generation (object-dtype lexsort path): string doc ids cluster the
+    same planted near-dups, with the lexicographic min as label."""
+    base = "the quick brown fox jumps over the lazy dog again and again ok"
+    docs = pa.table(
+        {
+            "doc_id": ["d1", "d2", "d3", "d4"],
+            "text": [
+                base,
+                base + " extra",
+                "completely different words entirely unrelated content here now",
+                base.replace("quick", "slow"),
+            ],
+        }
+    )
+    out = dedup.minhash_dedup(rd.from_arrow(docs), threshold=0.5).to_pandas()
+    assert set(out["doc_id"]) == {"d1", "d2", "d4"}
+    assert set(out["cluster_id"]) == {"d1"}
+
+
 def test_simhash_properties():
     a = dedup.simhash64("the quick brown fox jumps over the lazy dog")
     b = dedup.simhash64("the quick brown fox jumps over the lazy cat")
