@@ -634,10 +634,21 @@ def _bits64(sigs: np.ndarray) -> np.ndarray:
     ).astype(np.int8)
 
 
-def simhash_neardup_pairs(ds: rd.Dataset, max_hamming: int = 3) -> rd.Dataset:
+def simhash_neardup_pairs(
+    ds: rd.Dataset, max_hamming: int = 3, num_partitions: int = 8
+) -> rd.Dataset:
     """SimHash near-dup: band the 64-bit signature into 4 x 16-bit
     blocks (pigeonhole: hamming<=3 => at least one identical block),
-    group by (block_idx, block_value), verify hamming inside groups.
+    co-locate buckets, verify hamming inside buckets.
+
+    Round-4 shape (same part-colocate rewrite as
+    ``minhash_candidate_pairs``): the explode carries a derived
+    ``part = mix(block) mod P`` column, ONE groupby(part) shuffle
+    co-locates every bucket, and each of the P tasks walks its bucket
+    runs (lexsort + boundary flags) touching Python only for
+    multi-member buckets — replacing per-bucket ``map_groups`` over
+    tens of thousands of tiny groups (one Python call + DataFrame
+    each; measured 27s -> a few seconds at sf0.1).
 
     Verification is a vectorized pairwise bit-matrix compare; buckets
     larger than SIMHASH_BUCKET_CAP (near-identical content floods one
@@ -645,59 +656,127 @@ def simhash_neardup_pairs(ds: rd.Dataset, max_hamming: int = 3) -> rd.Dataset:
     hot bucket instead of O(n^2), transitivity recovered downstream by
     whoever clusters the pairs.  Nothing is silently dropped.
     """
+
     def explode(batch: pa.Table) -> pa.Table:
         sh = simhash_batch(batch)
-        ids = sh["doc_id"].to_pylist()
-        sigs = sh["simhash"].to_pylist()
-        bi, bv, did, s = [], [], [], []
-        for d, sig in zip(ids, sigs):
-            u = sig & 0xFFFFFFFFFFFFFFFF
-            for blk in range(4):
-                bi.append(blk)
-                bv.append((u >> (16 * blk)) & 0xFFFF)
-                did.append(d)
-                s.append(sig)
+        sigs = sh["simhash"].to_numpy(zero_copy_only=False)
+        n = len(sigs)
+        u = sigs.view(np.uint64)
+        bi = np.tile(np.arange(4, dtype=np.int32), n)
+        bv = np.empty(n * 4, dtype=np.int32)
+        for blk in range(4):
+            bv[blk::4] = (
+                (u >> np.uint64(16 * blk)) & np.uint64(0xFFFF)
+            ).astype(np.int32)
+        # part routes the (block_idx, block_val) bucket; splitmix mix so
+        # correlated block values spread evenly
+        key = bv.astype(np.uint64) * np.uint64(4) + bi.astype(np.uint64)
+        with np.errstate(over="ignore"):
+            key = (key + _SMX_GAMMA) * _SMX_M1
+            key ^= key >> np.uint64(27)
+        part = (key % np.uint64(num_partitions)).astype(np.int64)
+        rep = pa.array(np.repeat(np.arange(n), 4), pa.int64())
         return pa.table(
             {
                 "block_idx": pa.array(bi, pa.int32()),
                 "block_val": pa.array(bv, pa.int32()),
-                "doc_id": pa.array(did),
-                "simhash": pa.array(s, pa.int64()),
+                "part": pa.array(part, pa.int64()),
+                "doc_id": sh["doc_id"].take(rep),
+                "simhash": pa.array(np.repeat(sigs, 4), pa.int64()),
             }
         )
 
-    def verify(df: pd.DataFrame) -> pd.DataFrame:
-        recs = sorted(set(zip(df["doc_id"], df["simhash"])))
-        n = len(recs)
-        if n < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
-        ids = [r[0] for r in recs]
-        sigs = np.array([r[1] for r in recs], dtype=np.int64)
-        bits = _bits64(sigs)
-        if n <= SIMHASH_BUCKET_CAP:
-            D = (bits[:, None, :] != bits[None, :, :]).sum(axis=2)
-            ia, ib = np.nonzero(np.triu(D <= max_hamming, k=1))
-            ham = D[ia, ib]
-        else:  # star pairing against the bucket min
-            d0 = (bits[0:1] != bits).sum(axis=1)
-            keep = np.nonzero(d0[1:] <= max_hamming)[0] + 1
-            ia = np.zeros(len(keep), dtype=np.int64)
-            ib = keep
-            ham = d0[keep]
+    def verify_part(df: pd.DataFrame) -> pd.DataFrame:
+        bi = df["block_idx"].to_numpy()
+        bv = df["block_val"].to_numpy()
+        ids = df["doc_id"].to_numpy()
+        sigs = df["simhash"].to_numpy()
+        order = np.lexsort((ids, bv, bi))
+        bi, bv, ids, sigs = bi[order], bv[order], ids[order], sigs[order]
+        n = len(ids)
+        out_a, out_b, out_h = [], [], []
+        if n:
+            new = np.ones(n, dtype=bool)
+            new[1:] = (bi[1:] != bi[:-1]) | (bv[1:] != bv[:-1])
+            starts = np.nonzero(new)[0]
+            ends = np.append(starts[1:], n)
+            sizes = ends - starts
+            for s, e, sz in zip(
+                starts[sizes >= 2], ends[sizes >= 2], sizes[sizes >= 2]
+            ):
+                gids = ids[s:e]  # id-sorted within the bucket
+                bits = _bits64(sigs[s:e].astype(np.int64))
+                if sz <= SIMHASH_BUCKET_CAP:
+                    D = (bits[:, None, :] != bits[None, :, :]).sum(axis=2)
+                    ia, ib = np.nonzero(np.triu(D <= max_hamming, k=1))
+                    ham = D[ia, ib]
+                else:  # star pairing against the bucket min
+                    d0 = (bits[0:1] != bits).sum(axis=1)
+                    keep = np.nonzero(d0[1:] <= max_hamming)[0] + 1
+                    ia = np.zeros(len(keep), dtype=np.int64)
+                    ib = keep
+                    ham = d0[keep]
+                out_a.append(gids[ia])
+                out_b.append(gids[ib])
+                out_h.append(ham.astype(np.int64))
+        if out_a:
+            return pd.DataFrame(
+                {
+                    "id_a": np.concatenate(out_a),
+                    "id_b": np.concatenate(out_b),
+                    "hamming": np.concatenate(out_h),
+                }
+            )
         return pd.DataFrame(
             {
-                "id_a": [ids[i] for i in ia],
-                "id_b": [ids[j] for j in ib],
-                "hamming": ham.astype(np.int64),
+                "id_a": pd.Series([], dtype=df["doc_id"].dtype),
+                "id_b": pd.Series([], dtype=df["doc_id"].dtype),
+                "hamming": pd.Series([], dtype="int64"),
             }
         )
 
     pairs = (
         ds.map_batches(explode, batch_format="pyarrow")
-        .groupby(["block_idx", "block_val"])
-        .map_groups(verify, batch_format="pandas")
+        .groupby("part")
+        .map_groups(verify_part, batch_format="pandas")
     )
-    return pairs.groupby(["id_a", "id_b"]).aggregate(Min("hamming", alias_name="hamming"))
+
+    # final cross-bucket dedup (a pair can surface in up to 4 bands,
+    # which land in DIFFERENT parts): the same part-colocate fold —
+    # route by a mixed pair key, one shuffle, pandas groupby-min per
+    # partition — instead of a full hash-aggregate stage over the pair
+    # micro-rows
+    def pair_part(df: pd.DataFrame) -> pd.DataFrame:
+        a = df["id_a"].to_numpy()
+        b = df["id_b"].to_numpy()
+        try:
+            key = a.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15) + b.astype(
+                np.uint64
+            )
+            with np.errstate(over="ignore"):
+                key *= _SMX_M1
+                key ^= key >> np.uint64(29)
+            df = df.assign(ppart=(key % np.uint64(num_partitions)).astype(np.int64))
+        except (TypeError, ValueError):  # non-integer ids: route by hash()
+            df = df.assign(
+                ppart=pd.util.hash_array(a.astype(object)) % num_partitions
+            )
+        return df
+
+    def dedup_min(df: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            df.groupby(["id_a", "id_b"], sort=False)["hamming"]
+            .min()
+            .reset_index()
+        )
+        out["hamming"] = out["hamming"].astype(np.int64)
+        return out
+
+    return (
+        pairs.map_batches(pair_part, batch_format="pandas")
+        .groupby("ppart")
+        .map_groups(dedup_min, batch_format="pandas")
+    )
 
 
 # ------------------------------------------------- embedding near-dup
