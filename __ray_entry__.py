@@ -128,6 +128,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_bpe_token_counts": Q.text_bpe_token_counts,
         "term_cooccurrence": Q.term_cooccurrence,
         "jaccard_dup_components": Q.jaccard_dup_components,
+        "supplier_name_neardup": Q.supplier_name_neardup,
+        "events_value_corr": Q.events_value_corr,
+        "customer_priority_mode": Q.customer_priority_mode,
+        "nation_top_suppliers": Q.nation_top_suppliers,
+        "user_days_view_not_purchase": Q.user_days_view_not_purchase,
+        "events_p50_cont": Q.events_p50_cont,
+        "event_props_k_stats": Q.event_props_k_stats,
         # --- rows-only / pytest-oracled block (no SQL twin by nature) ---
         "doc_packing": Q.doc_packing,
         "lang_id": Q.lang_id,
@@ -1039,6 +1046,89 @@ def oracle_sql() -> dict[str, str]:
             FROM toks a JOIN toks b
               ON a.doc_id = b.doc_id AND a.term < b.term
             GROUP BY a.term, b.term
+        """,
+        "supplier_name_neardup": r"""
+            SELECT i AS s1, j AS s2, d AS dist FROM (
+              SELECT a.s_suppkey AS i, b.s_suppkey AS j,
+                     levenshtein(a.s_name, b.s_name)::BIGINT AS d
+              FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+              WHERE abs(length(a.s_name) - length(b.s_name)) <= 1
+            ) WHERE d <= 1
+        """,
+        "events_value_corr": r"""
+            SELECT event_type, n,
+                   CASE WHEN sqrt((n::DOUBLE * sxx - sx::DOUBLE * sx)
+                               * (n::DOUBLE * syy - sy::DOUBLE * sy)) = 0.0
+                        THEN NULL
+                        ELSE (n::DOUBLE * sxy - sx::DOUBLE * sy)
+                             / sqrt((n::DOUBLE * sxx - sx::DOUBLE * sx)
+                                  * (n::DOUBLE * syy - sy::DOUBLE * sy))
+                   END AS corr_value_hour
+            FROM (
+              SELECT event_type, count(*)::BIGINT AS n,
+                     sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+                     sum(x*y)::BIGINT AS sxy, sum(x*x)::BIGINT AS sxx,
+                     sum(y*y)::BIGINT AS syy
+              FROM (
+                SELECT event_type,
+                       floor(value * 100)::BIGINT AS x,
+                       extract(hour FROM ts)::BIGINT AS y
+                FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+              ) GROUP BY event_type
+            )
+        """,
+        "customer_priority_mode": r"""
+            SELECT o_custkey, o_orderpriority AS top_priority,
+                   n AS n_orders
+            FROM (
+              SELECT o_custkey, o_orderpriority, n,
+                     row_number() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY n DESC, o_orderpriority
+                     ) AS rn
+              FROM (
+                SELECT o_custkey, o_orderpriority, count(*)::BIGINT AS n
+                FROM orders GROUP BY 1, 2
+              )
+            ) WHERE rn = 1
+        """,
+        "nation_top_suppliers": r"""
+            SELECT s_nationkey,
+                   string_agg(s_name, ','
+                              ORDER BY s_acctbal DESC, s_name)
+                     AS top_suppliers
+            FROM (
+              SELECT s_nationkey, s_name, s_acctbal,
+                     row_number() OVER (
+                       PARTITION BY s_nationkey
+                       ORDER BY s_acctbal DESC, s_name
+                     ) AS rn
+              FROM supplier
+            ) WHERE rn <= 3 GROUP BY s_nationkey
+        """,
+        "user_days_view_not_purchase": r"""
+            SELECT user_id, epoch_us(ts) // 86400000000 AS day
+            FROM events WHERE event_type = 'view' AND ts IS NOT NULL
+            EXCEPT
+            SELECT user_id, epoch_us(ts) // 86400000000 AS day
+            FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL
+        """,
+        "events_p50_cont": r"""
+            SELECT event_type,
+                   quantile_cont(value::DOUBLE, 0.5) AS p50_value
+            FROM events WHERE value IS NOT NULL
+            GROUP BY event_type
+        """,
+        "event_props_k_stats": r"""
+            SELECT event_type, count(*)::BIGINT AS n_with_k,
+                   sum(k)::BIGINT AS sum_k,
+                   min(k)::BIGINT AS min_k, max(k)::BIGINT AS max_k
+            FROM (
+              SELECT event_type,
+                     CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+              FROM events WHERE props IS NOT NULL
+                AND regexp_matches(props, '"k":\s*-?\d+')
+            ) WHERE k IS NOT NULL GROUP BY event_type
         """,
         # rows-only (no SQL twin): lang_id, minhash_dedup_documents,
         # simhash_signatures, simhash_neardup, ann_topk_lsh, kg_triples,

@@ -3016,3 +3016,326 @@ def jaccard_dup_components(sf_dir: str) -> rd.Dataset:
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     pairs = dedup.jaccard_exact_blockjoin(ds, threshold_num=3, threshold_den=10)
     return dedup.components_from_pairs(pairs, pa.int64(), num_partitions=8)
+
+
+def supplier_name_neardup(sf_dir: str) -> rd.Dataset:
+    """Fuzzy entity matching (KG entity-resolution primitive): all
+    supplier pairs whose NAMES are within byte-Levenshtein distance 1
+    -> (s1, s2, dist) with s1 < s2 — typo-level variants of the same
+    surface, the fuzzy complement of the exact alias lookup in
+    ops/link.py (reference links surfaces exactly only:
+    rnnRE/rnn_process_onlyExtra.py alias path).
+
+    Scale shape: ops/fuzzy.levenshtein_neardup_pairs — distributed
+    chunk-pair cross join (same contract as embedding_neardup), batched
+    numpy DP over the pair axis, lossless length-gate prefilter; at
+    100 TB a lossy blocking key (name-shingle MinHash) goes in front
+    of the same verify kernel."""
+    from .ops import fuzzy
+
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_name"])
+    return fuzzy.levenshtein_neardup_pairs(
+        supp, k=1, id_col="s_suppkey", name_col="s_name"
+    )
+
+
+def events_value_corr(sf_dir: str) -> rd.Dataset:
+    """Grouped Pearson correlation between event value (integer cents)
+    and hour-of-day -> (event_type, n, corr_value_hour): the mergeable
+    5-sum moment sketch (sum x, y, xy, x2, y2 — all EXACT int64 over
+    integer-valued features, so merge order cannot perturb the result),
+    one tiny global groupby, and the closed-form finalizer
+    (n*sxy - sx*sy) / sqrt((n*sxx - sx^2) * (n*syy - sy^2)) evaluated
+    in float64 from the exact sums.  The DuckDB twin evaluates the
+    IDENTICAL expression over the identical integer sums (not its
+    streaming corr(): IEEE ops on equal inputs give equal bits, a
+    different accumulation order does not).  int64 sums are exact at
+    bench scale; a 100-TB deployment splits the x^2 sum into hi/lo
+    int64 lanes (the sketch stays mergeable)."""
+    ev = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.is_valid(t["value"]), pc.is_valid(t["ts"])))
+        x = pc.cast(pc.floor(pc.multiply(t["value"], 100.0)), pa.int64())
+        y = pc.cast(pc.hour(t["ts"]), pa.int64())
+        tt = pa.table(
+            {
+                "event_type": t["event_type"],
+                "x": x,
+                "y": y,
+                "xy": pc.multiply(x, y),
+                "xx": pc.multiply(x, x),
+                "yy": pc.multiply(y, y),
+            }
+        )
+        g = tt.group_by("event_type").aggregate(
+            [
+                ("x", "sum"),
+                ("y", "sum"),
+                ("xy", "sum"),
+                ("xx", "sum"),
+                ("yy", "sum"),
+                ([], "count_all"),
+            ]
+        )
+        return pa.table(
+            {
+                "event_type": g["event_type"],
+                "sx": g["x_sum"],
+                "sy": g["y_sum"],
+                "sxy": g["xy_sum"],
+                "sxx": g["xx_sum"],
+                "syy": g["yy_sum"],
+                "n": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    agg = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("sx", alias_name="sx"),
+            Sum("sy", alias_name="sy"),
+            Sum("sxy", alias_name="sxy"),
+            Sum("sxx", alias_name="sxx"),
+            Sum("syy", alias_name="syy"),
+            Sum("n", alias_name="n"),
+        )
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        f = lambda c: t[c].to_numpy(zero_copy_only=False).astype(np.float64)
+        n, sx, sy = f("n"), f("sx"), f("sy")
+        sxy, sxx, syy = f("sxy"), f("sxx"), f("syy")
+        num = n * sxy - sx * sy
+        den = np.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+        with np.errstate(invalid="ignore", divide="ignore"):
+            corr = np.where(den != 0.0, num / den, np.nan)
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "n": pc.cast(t["n"], pa.int64()),
+                "corr_value_hour": pa.array(
+                    [None if np.isnan(c) else float(c) for c in corr],
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
+def customer_priority_mode(sf_dir: str) -> rd.Dataset:
+    """Grouped MODE with a deterministic tie-break -> (o_custkey,
+    top_priority, n_orders): each customer's most frequent order
+    priority (ties broken by smallest priority string — SQL mode() has
+    unspecified ties, so the oracle is the explicit row_number form).
+
+    Shape: per-batch (custkey, priority) count partials with a derived
+    ``part = custkey mod P`` routing column, ONE groupby(part) shuffle
+    of narrow count rows, then a fully VECTORIZED per-partition pandas
+    fold (sort + drop_duplicates) — the part-colocate pattern; never
+    one Python map_groups call per customer."""
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+    P = 32
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["o_custkey", "o_orderpriority"]).aggregate(
+            [([], "count_all")]
+        )
+        return pa.table(
+            {
+                "part": pc.cast(
+                    pc.bit_wise_and(g["o_custkey"], P - 1), pa.int64()
+                ),
+                "o_custkey": g["o_custkey"],
+                "o_orderpriority": g["o_orderpriority"],
+                "n": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    parts = orders.map_batches(partial, batch_format="pyarrow")
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["o_custkey", "o_orderpriority"], as_index=False)[
+            "n"
+        ].sum()
+        g = g.sort_values(
+            ["o_custkey", "n", "o_orderpriority"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        top = g.drop_duplicates("o_custkey", keep="first")
+        return pd.DataFrame(
+            {
+                "o_custkey": top["o_custkey"].to_numpy(),
+                "top_priority": top["o_orderpriority"].to_numpy(),
+                "n_orders": top["n"].to_numpy().astype(np.int64),
+            }
+        )
+
+    return parts.groupby("part").map_groups(
+        per_part, batch_format="pandas"
+    ).select_columns(["o_custkey", "top_priority", "n_orders"])
+
+
+def nation_top_suppliers(sf_dir: str) -> rd.Dataset:
+    """Ordered string aggregation -> (s_nationkey, top_suppliers): each
+    nation's top-3 suppliers by (acctbal DESC, name) joined ','  — the
+    SQL ``string_agg(... ORDER BY ...)`` member of the aggregate
+    family, with the deterministic order contract stated in the query.
+
+    Combiner-first: per-batch top-3 per nation (only <= 3 rows per
+    nation per block ever shuffle), then a 25-group final fold."""
+    supp = _read(sf_dir, "supplier", ["s_nationkey", "s_name", "s_acctbal"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["s_nationkey", "s_acctbal", "s_name"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        return df.groupby("s_nationkey", as_index=False).head(3)
+
+    def per_nation(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["s_acctbal", "s_name"], ascending=[False, True], kind="mergesort"
+        ).head(3)
+        return pd.DataFrame(
+            {
+                "s_nationkey": [df["s_nationkey"].iloc[0]],
+                "top_suppliers": [",".join(df["s_name"])],
+            }
+        )
+
+    return (
+        supp.map_batches(partial, batch_format="pandas")
+        .groupby("s_nationkey")
+        .map_groups(per_nation, batch_format="pandas")
+    )
+
+
+def user_days_view_not_purchase(sf_dir: str) -> rd.Dataset:
+    """SQL EXCEPT as the same distributed flag-fold as the INTERSECT
+    twin (users_view_and_purchase): (user, day) slots with >= 1 'view'
+    and ZERO 'purchase' events that day -> (user_id, day = epoch day).
+    Set difference without materializing either operand; the only
+    shuffle moves (user, day, 2 flag ints) rows.  Day arithmetic is
+    exact integer microseconds // 86400e6 on both sides (post-1970
+    corpus; the numpy floor-division window queries handle pre-1970)."""
+    from ray.data.aggregate import Max
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["ts"]))
+        day = pc.divide(pc.cast(t["ts"], pa.int64()), 86_400_000_000)
+        v = pc.cast(pc.equal(t["event_type"], "view"), pa.int64())
+        p = pc.cast(pc.equal(t["event_type"], "purchase"), pa.int64())
+        g = (
+            pa.table({"user_id": t["user_id"], "day": day, "v": v, "p": p})
+            .group_by(["user_id", "day"])
+            .aggregate([("v", "max"), ("p", "max")])
+        )
+        return pa.table(
+            {
+                "user_id": g["user_id"],
+                "day": g["day"],
+                "v": g["v_max"],
+                "p": g["p_max"],
+            }
+        )
+
+    agg = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby(["user_id", "day"])
+        .aggregate(Max("v", alias_name="v"), Max("p", alias_name="p"))
+    )
+    return agg.map_batches(
+        lambda t: t.filter(
+            pc.and_(pc.equal(t["v"], 1), pc.equal(t["p"], 0))
+        ).select(["user_id", "day"]),
+        batch_format="pyarrow",
+    )
+
+
+def events_p50_cont(sf_dir: str) -> rd.Dataset:
+    """Exact CONTINUOUS (interpolated) median per group -> (event_type,
+    p50_value): numpy linear interpolation at index q*(n-1), the
+    partner of the discrete-quantile query (events_p50_disc) and the
+    exactness anchor for the KMV quantile sketches.  Bit parity with
+    DuckDB quantile_cont was probed on doubles (identical interpolation
+    rule lo + (hi-lo)*frac); groups are low-cardinality so one
+    map_groups task per group holds that group's values."""
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+    clean = ev.map_batches(
+        lambda df: df.dropna(subset=["value"]), batch_format="pandas"
+    )
+
+    def per_type(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["value"].to_numpy(dtype=np.float64)
+        return pd.DataFrame(
+            {
+                "event_type": [df["event_type"].iloc[0]],
+                "p50_value": [float(np.quantile(v, 0.5, method="linear"))],
+            }
+        )
+
+    return clean.groupby("event_type").map_groups(
+        per_type, batch_format="pandas"
+    )
+
+
+def event_props_k_stats(sf_dir: str) -> rd.Dataset:
+    """Semi-structured field extraction: pull the integer ``k`` field
+    out of the ``props`` JSON-string column with ONE vectorized RE2
+    pass (``pc.extract_regex``) — no per-row json.loads — and fold
+    per event type -> (event_type, n_with_k, sum_k, min_k, max_k).
+    The DuckDB twin uses real JSON extraction (json_extract_string),
+    so the hash match also certifies the regex fast path against a
+    JSON parser on this corpus.  Rows whose props lack an integer k
+    are excluded on both sides."""
+    from ray.data.aggregate import Max, Min
+
+    ev = _read(sf_dir, "events", ["event_type", "props"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        s = pc.extract_regex(t["props"], r'"k":\s*(?P<k>-?\d+)')
+        kv = pc.cast(pc.struct_field(s, "k"), pa.int64())
+        tt = pa.table({"event_type": t["event_type"], "k": kv})
+        tt = tt.filter(pc.is_valid(tt["k"]))
+        g = tt.group_by("event_type").aggregate(
+            [("k", "sum"), ("k", "min"), ("k", "max"), ([], "count_all")]
+        )
+        return pa.table(
+            {
+                "event_type": g["event_type"],
+                "s": g["k_sum"],
+                "mn": g["k_min"],
+                "mx": g["k_max"],
+                "n": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    agg = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("s", alias_name="s"),
+            Min("mn", alias_name="mn"),
+            Max("mx", alias_name="mx"),
+            Sum("n", alias_name="n"),
+        )
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "event_type": t["event_type"],
+                "n_with_k": pc.cast(t["n"], pa.int64()),
+                "sum_k": pc.cast(t["s"], pa.int64()),
+                "min_k": pc.cast(t["mn"], pa.int64()),
+                "max_k": pc.cast(t["mx"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )

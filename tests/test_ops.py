@@ -1674,3 +1674,74 @@ def test_skew_join_null_keys_inner_semantics():
         rd.from_pandas(left), rd.from_pandas(right), on="k", right_on="rk", hot_k=1
     ).to_pandas()
     assert sorted(out["v"].tolist()) == [1, 2, 3, 5]
+
+
+# ------------------------------------------------------------------ fuzzy
+
+
+def test_levenshtein_dp_matches_scalar_reference():
+    import random
+
+    from deepie_ray.ops import fuzzy
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i in range(1, len(a) + 1):
+            prev, dp[0] = dp[0], i
+            for j in range(1, len(b) + 1):
+                cur = dp[j]
+                dp[j] = min(dp[j] + 1, dp[j - 1] + 1, prev + (a[i - 1] != b[j - 1]))
+                prev = cur
+        return dp[len(b)]
+
+    rng = random.Random(7)
+    pairs = [
+        (
+            "".join(rng.choices("abcde", k=rng.randint(0, 12))),
+            "".join(rng.choices("abcde", k=rng.randint(0, 12))),
+        )
+        for _ in range(300)
+    ]
+    A, la = fuzzy._pad_matrix([p[0].encode() for p in pairs])
+    B, lb = fuzzy._pad_matrix([p[1].encode() for p in pairs])
+    d = fuzzy.levenshtein_bounded_pairs(A, la, B, lb, k=3)
+    assert d.tolist() == [lev(a, b) for a, b in pairs]
+
+
+def test_levenshtein_neardup_planted_pairs():
+    from deepie_ray.ops import fuzzy
+
+    names = {
+        0: "acme corp",
+        1: "acme korp",      # dist 1 of 0
+        2: "acme",           # far from all
+        3: "globex inc",
+        4: "globex incc",    # dist 1 of 3 (insert)
+        5: "unrelated name",
+    }
+    t = pa.table(
+        {"s_suppkey": list(names), "s_name": list(names.values())}
+    )
+    # chunk_rows=2 forces MULTIPLE chunks -> exercises the chunk-pair
+    # cross join path, not just the single-task fallback
+    out = fuzzy.levenshtein_neardup_pairs(
+        rd.from_arrow(t), k=1, chunk_rows=2
+    ).to_pandas()
+    got = sorted(map(tuple, out[["s1", "s2", "dist"]].to_numpy()))
+    assert got == [(0, 1, 1), (3, 4, 1)]
+
+
+def test_levenshtein_neardup_partitioning_independent():
+    from deepie_ray.ops import fuzzy
+
+    names = [f"name {i:03d}" for i in range(40)]
+    t = pa.table({"s_suppkey": list(range(40)), "s_name": names})
+    small = fuzzy.levenshtein_neardup_pairs(
+        rd.from_arrow(t), k=1, chunk_rows=4
+    ).to_pandas()
+    big = fuzzy.levenshtein_neardup_pairs(
+        rd.from_arrow(t).repartition(7), k=1, chunk_rows=64
+    ).to_pandas()
+    key = lambda df: sorted(map(tuple, df[["s1", "s2", "dist"]].to_numpy()))
+    assert key(small) == key(big)
+    assert len(small) > 0  # 'name 00X' variants differ by one digit
