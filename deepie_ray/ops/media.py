@@ -371,6 +371,52 @@ def decode_png(data: bytes) -> np.ndarray:
     return img[:, :, 0] if color_type == 0 else img
 
 
+def encode_bmp(img: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 RGB -> uncompressed 24-bit BI_RGB BMP bytes
+    (BITMAPINFOHEADER, bottom-up rows, BGR byte order, rows padded to
+    4 bytes — the Windows 3.x baseline every viewer reads)."""
+    import struct
+
+    h, w, _ = img.shape
+    row = w * 3
+    pad = (-row) % 4
+    stride = row + pad
+    data_size = stride * h
+    header = struct.pack(
+        "<2sIHHI", b"BM", 14 + 40 + data_size, 0, 0, 14 + 40
+    ) + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, data_size, 2835, 2835, 0, 0)
+    # bottom-up, BGR, padded: one vectorized flip + channel reverse
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, :row] = img[::-1, :, ::-1].reshape(h, row)
+    return header + rows.tobytes()
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BI_RGB BMP bytes -> (H, W, 3) uint8 RGB.
+    Handles both bottom-up (positive height) and top-down (negative)
+    row orders; numpy strided de-pad, no per-pixel Python."""
+    import struct
+
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = struct.unpack_from("<I", data, 10)[0]
+    hdr_size = struct.unpack_from("<I", data, 14)[0]
+    if hdr_size < 40:
+        raise ValueError("BITMAPCOREHEADER BMP not supported")
+    w, h = struct.unpack_from("<ii", data, 18)
+    planes, bpp = struct.unpack_from("<HH", data, 26)
+    compression = struct.unpack_from("<I", data, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise ValueError("only uncompressed 24-bit BI_RGB BMP supported")
+    top_down = h < 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    raster = np.frombuffer(data, np.uint8, count=stride * h, offset=data_off)
+    rows = raster.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    img = rows if top_down else rows[::-1]
+    return np.ascontiguousarray(img[:, :, ::-1])  # BGR -> RGB
+
+
 def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
     """float32 [-1, 1] mono -> 16-bit PCM WAV bytes (stdlib wave)."""
     import io
@@ -414,10 +460,13 @@ def synth_payload(kind: str, ref: str) -> bytes:
         h = 8 + int(rng.integers(0, 24))
         w = 8 + int(rng.integers(0, 24))
         pixels = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
-        # half the refs carry PNG, half PPM — the decoder dispatches on
-        # magic bytes, so the pipeline exercises both real codecs
-        if int(rng.integers(0, 2)):
+        # refs split across PNG / BMP / PPM — the decoder dispatches on
+        # magic bytes, so the pipeline exercises all three real codecs
+        pick = int(rng.integers(0, 3))
+        if pick == 0:
             return encode_png(pixels)
+        if pick == 1:
+            return encode_bmp(pixels)
         return encode_ppm(pixels)
     if kind == "audio":
         n = 1600 + int(rng.integers(0, 4800))
@@ -429,7 +478,7 @@ def synth_payload(kind: str, ref: str) -> bytes:
 
 class BinaryMediaDecoder:
     """Actor-pool stage over REAL binary payloads -> per-row features:
-    image (PPM or PNG, dispatched on magic bytes) rows decode,
+    image (PPM, PNG or BMP, dispatched on magic bytes) rows decode,
     nearest-neighbor-resize to 8x8 grayscale
     and emit the 64 pixels + source dims; audio (WAV) rows decode and
     emit 8 frame RMS energies + sample count.  Output is one row per
@@ -452,11 +501,13 @@ class BinaryMediaDecoder:
         dims = np.zeros((n, 2), np.int32)
         for i, (k, data) in enumerate(zip(kinds, payloads)):
             if k == "image":
-                # dispatch on magic bytes: P6 PPM or PNG (both real)
+                # dispatch on magic bytes: P6 PPM, PNG or BMP (all real)
                 if data.startswith(_PNG_SIG):
                     img = decode_png(data)
                     if img.ndim == 2:
                         img = np.repeat(img[:, :, None], 3, axis=2)
+                elif data.startswith(b"BM"):
+                    img = decode_bmp(data)
                 else:
                     img = decode_ppm(data)
                 gray = img.mean(axis=2).astype(np.uint8)

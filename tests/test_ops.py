@@ -1745,3 +1745,45 @@ def test_levenshtein_neardup_partitioning_independent():
     key = lambda df: sorted(map(tuple, df[["s1", "s2", "dist"]].to_numpy()))
     assert key(small) == key(big)
     assert len(small) > 0  # 'name 00X' variants differ by one digit
+
+
+def test_bmp_roundtrip_and_padding():
+    """24-bit BI_RGB round-trip across widths hitting every 4-byte row
+    padding remainder (w*3 mod 4 in {0,1,2,3}), plus a top-down
+    (negative height) decode and the unsupported-format guards."""
+    rng = np.random.default_rng(53)
+    for w in (4, 5, 6, 7, 1):
+        img = rng.integers(0, 256, (3, w, 3), dtype=np.uint8)
+        assert (media.decode_bmp(media.encode_bmp(img)) == img).all()
+    # top-down variant: flip the height sign and the row order by hand
+    import struct
+
+    img = rng.integers(0, 256, (4, 5, 3), dtype=np.uint8)
+    # encoder writes img[::-1] bottom-up, i.e. the raster holds img's
+    # rows top-to-bottom; flipping the height sign marks that raster
+    # order as authoritative, so the top-down decode returns img itself
+    data = bytearray(media.encode_bmp(img[::-1]))
+    struct.pack_into("<i", data, 22, -4)  # negative height = top-down
+    assert (media.decode_bmp(bytes(data)) == img).all()
+    with pytest.raises(ValueError):
+        media.decode_bmp(b"not a bmp")
+    with pytest.raises(ValueError):  # 8-bit palette BMP rejected
+        bad = bytearray(media.encode_bmp(img))
+        struct.pack_into("<H", bad, 28, 8)
+        media.decode_bmp(bytes(bad))
+
+
+def test_binary_media_decoder_handles_bmp_rows():
+    img = np.arange(8 * 6 * 3, dtype=np.uint8).reshape(8, 6, 3)
+    t = pa.table(
+        {
+            "kind": ["image"],
+            "payload": [media.encode_bmp(img)],
+        }
+    )
+    out = media.BinaryMediaDecoder()(t)
+    assert out["dim0"][0].as_py() == 8 and out["dim1"][0].as_py() == 6
+    feats = np.array(out["media_feat"][0].as_py(), dtype=np.float32)
+    gray = img.mean(axis=2).astype(np.uint8)
+    exp = media.ImageResize.resize_nn(gray, 8, 8).ravel() / 255.0
+    assert np.allclose(feats, exp)
