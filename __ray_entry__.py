@@ -135,6 +135,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_days_view_not_purchase": Q.user_days_view_not_purchase,
         "events_p50_cont": Q.events_p50_cont,
         "event_props_k_stats": Q.event_props_k_stats,
+        "window_top_event_types": Q.window_top_event_types,
+        "window_distinct_users": Q.window_distinct_users,
+        "user_top_event": Q.user_top_event,
         # --- rows-only / pytest-oracled block (no SQL twin by nature) ---
         "doc_packing": Q.doc_packing,
         "lang_id": Q.lang_id,
@@ -1129,6 +1132,44 @@ def oracle_sql() -> dict[str, str]:
               FROM events WHERE props IS NOT NULL
                 AND regexp_matches(props, '"k":\s*-?\d+')
             ) WHERE k IS NOT NULL GROUP BY event_type
+        """,
+        "window_top_event_types": r"""
+            SELECT window_start, event_type, n AS n_events, rn AS "rank"
+            FROM (
+              SELECT window_start, event_type, n,
+                     row_number() OVER (
+                       PARTITION BY window_start
+                       ORDER BY n DESC, event_type
+                     ) AS rn
+              FROM (
+                SELECT CAST(floor(epoch_us(ts) / 3600000000.0) AS BIGINT)
+                         * 3600 AS window_start,
+                       event_type, count(*)::BIGINT AS n
+                FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+              )
+            ) WHERE rn <= 3
+        """,
+        "window_distinct_users": r"""
+            SELECT CAST(floor(epoch_us(ts) / 3600000000.0) AS BIGINT)
+                     * 3600 AS window_start,
+                   count(DISTINCT user_id)::BIGINT AS n_users
+            FROM events WHERE ts IS NOT NULL GROUP BY 1
+        """,
+        "user_top_event": r"""
+            SELECT user_id, event_type AS top_event_type,
+                   cents AS max_cents
+            FROM (
+              SELECT user_id, event_type, cents,
+                     row_number() OVER (
+                       PARTITION BY user_id
+                       ORDER BY cents DESC, event_id
+                     ) AS rn
+              FROM (
+                SELECT user_id, event_id, event_type,
+                       floor(value * 100)::BIGINT AS cents
+                FROM events WHERE value IS NOT NULL
+              )
+            ) WHERE rn = 1
         """,
         # rows-only (no SQL twin): lang_id, minhash_dedup_documents,
         # simhash_signatures, simhash_neardup, ann_topk_lsh, kg_triples,

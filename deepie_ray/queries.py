@@ -3339,3 +3339,185 @@ def event_props_k_stats(sf_dir: str) -> rd.Dataset:
         ),
         batch_format="pyarrow",
     )
+
+
+def window_top_event_types(sf_dir: str) -> rd.Dataset:
+    """Windowed top-k (streaming-analytics staple): per 1h tumbling
+    window, the top-3 event types by count with a deterministic
+    tie-break (count DESC, type ASC) -> (window_start, event_type,
+    n_events, rank).  Window starts are int64 epoch seconds via exact
+    integer floor-division (pre-1970-safe, same contract as
+    events_tumbling_1h).
+
+    Shape: per-batch (window, type) count partials routed by a derived
+    ``part = window mod P`` column, ONE groupby(part) shuffle of narrow
+    count rows, vectorized per-partition rank (sort + cumcount) — the
+    part-colocate pattern; windows are disjoint across parts so the
+    rank is exact."""
+    ev = _read(sf_dir, "events", ["event_type", "ts"])
+    P = 32
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["ts"]))
+        us = t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        ws = np.floor_divide(us.astype(np.int64), 3_600_000_000) * 3600
+        g = (
+            pa.table({"window_start": ws, "event_type": t["event_type"]})
+            .group_by(["window_start", "event_type"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                "part": pc.cast(
+                    pc.bit_wise_and(g["window_start"], P - 1), pa.int64()
+                ),
+                "window_start": g["window_start"],
+                "event_type": g["event_type"],
+                "n": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    parts = ev.map_batches(partial, batch_format="pyarrow")
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["window_start", "event_type"], as_index=False)[
+            "n"
+        ].sum()
+        g = g.sort_values(
+            ["window_start", "n", "event_type"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        g["rank"] = g.groupby("window_start").cumcount() + 1
+        g = g[g["rank"] <= 3]
+        return pd.DataFrame(
+            {
+                "window_start": g["window_start"].to_numpy(),
+                "event_type": g["event_type"].to_numpy(),
+                "n_events": g["n"].to_numpy().astype(np.int64),
+                "rank": g["rank"].to_numpy().astype(np.int64),
+            }
+        )
+
+    return parts.groupby("part").map_groups(
+        per_part, batch_format="pandas"
+    ).select_columns(["window_start", "event_type", "n_events", "rank"])
+
+
+def window_distinct_users(sf_dir: str) -> rd.Dataset:
+    """Per-window EXACT distinct count -> (window_start, n_users):
+    distinct users per 1h tumbling window — the exactness anchor for
+    the KMV approximate-distinct queries, windowed.
+
+    Two-level fold: per-batch distinct (window, user) pairs (the only
+    rows that shuffle), a global pair-distinct groupby, then per-block
+    window partial counts into a tiny count groupby — count-distinct
+    without ever moving raw events."""
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["ts"]))
+        us = t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        ws = np.floor_divide(us.astype(np.int64), 3_600_000_000) * 3600
+        g = (
+            pa.table({"window_start": ws, "user_id": t["user_id"]})
+            .group_by(["window_start", "user_id"])
+            .aggregate([])
+        )
+        return g
+
+    from ray.data.aggregate import Count
+
+    distinct = (
+        ev.map_batches(pairs, batch_format="pyarrow")
+        .groupby(["window_start", "user_id"])
+        .aggregate(Count(alias_name="_c"))  # keys only; count discarded
+        .select_columns(["window_start", "user_id"])
+    )
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("window_start").aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "window_start": g["window_start"],
+                "n": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    agg = (
+        distinct.map_batches(count_partial, batch_format="pyarrow")
+        .groupby("window_start")
+        .aggregate(Sum("n", alias_name="n_users"))
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "window_start": pc.cast(t["window_start"], pa.int64()),
+                "n_users": pc.cast(t["n_users"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def user_top_event(sf_dir: str) -> rd.Dataset:
+    """Per-key ARGMAX -> (user_id, top_event_type, max_cents): each
+    user's single largest-value event, ties broken by smallest
+    event_id (the deterministic argmax the funnel/mode family lacks:
+    the WHOLE ROW at the extremum, not the extremum itself).
+
+    Shape: per-batch argmax partials (one candidate row per user per
+    block ever shuffles), then the same vectorized part-colocated fold
+    — never one Python call per user.  The comparison key is exact
+    integer cents so a float-summation ulp can't flip the winner."""
+    ev = _read(sf_dir, "events", ["user_id", "event_id", "event_type", "value"])
+    P = 32
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.dropna(subset=["value"])
+        if df.empty:
+            return pd.DataFrame(
+                {
+                    "part": pd.Series([], dtype=np.int64),
+                    "user_id": pd.Series([], dtype=np.int64),
+                    "event_id": pd.Series([], dtype=np.int64),
+                    "top_event_type": pd.Series([], dtype=str),
+                    "cents": pd.Series([], dtype=np.int64),
+                }
+            )
+        cents = np.floor(df["value"].to_numpy() * 100.0).astype(np.int64)
+        out = pd.DataFrame(
+            {
+                "user_id": df["user_id"].to_numpy(),
+                "event_id": df["event_id"].to_numpy(),
+                "top_event_type": df["event_type"].to_numpy(),
+                "cents": cents,
+            }
+        )
+        out = out.sort_values(
+            ["user_id", "cents", "event_id"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        ).drop_duplicates("user_id", keep="first")
+        out.insert(0, "part", out["user_id"].to_numpy() % P)
+        return out
+
+    parts = ev.map_batches(partial, batch_format="pandas")
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["user_id", "cents", "event_id"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        ).drop_duplicates("user_id", keep="first")
+        return pd.DataFrame(
+            {
+                "user_id": df["user_id"].to_numpy(),
+                "top_event_type": df["top_event_type"].to_numpy(),
+                "max_cents": df["cents"].to_numpy().astype(np.int64),
+            }
+        )
+
+    return parts.groupby("part").map_groups(
+        per_part, batch_format="pandas"
+    ).select_columns(["user_id", "top_event_type", "max_cents"])
