@@ -138,6 +138,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_top_event_types": Q.window_top_event_types,
         "window_distinct_users": Q.window_distinct_users,
         "user_top_event": Q.user_top_event,
+        "doc_feature_hashing": Q.doc_feature_hashing,
         # --- rows-only / pytest-oracled block (no SQL twin by nature) ---
         "doc_packing": Q.doc_packing,
         "lang_id": Q.lang_id,
@@ -1170,6 +1171,18 @@ def oracle_sql() -> dict[str, str]:
                 FROM events WHERE value IS NOT NULL
               )
             ) WHERE rn = 1
+        """,
+        "doc_feature_hashing": r"""
+            SELECT doc_id, dim, count(*)::BIGINT AS n FROM (
+              SELECT doc_id,
+                     ('0x' || substr(md5('fh-v1:' || word), 1, 8))::BIGINT
+                       % 16 AS dim
+              FROM (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(text, '\s+')) AS word
+                FROM documents
+              ) WHERE word <> ''
+            ) GROUP BY doc_id, dim
         """,
         # rows-only (no SQL twin): lang_id, minhash_dedup_documents,
         # simhash_signatures, simhash_neardup, ann_topk_lsh, kg_triples,

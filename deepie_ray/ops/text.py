@@ -446,3 +446,49 @@ def normalize_batch(batch: pa.Table) -> pa.Table:
             "changed": pc.invert(pc.equal(norm, batch["text"])),
         }
     )
+
+
+def feature_hash_batch(
+    batch: pa.Table, n_dims: int = 16, salt: str = "fh-v1"
+) -> pa.Table:
+    """Hashing-trick vectorizer partial (Weinberger et al. 2009): per
+    doc, bag-of-words counts folded into ``n_dims`` hashed dimensions
+    -> long-format (doc_id, dim, n) partial counts.  dim =
+    int(md5(salt:token)[:8], 16) % n_dims — the repo's stable md5
+    bucket convention, so the DuckDB twin reproduces it exactly.
+
+    Vectorization: Arrow regex split + explode; md5 runs once per
+    DISTINCT token in the batch (dictionary encode, hash the
+    dictionary, ``take`` back) — the same trick as the entity-link
+    lookup (ops/link.py)."""
+    toks = pc.split_pattern_regex(batch["text"], pattern=r"\s+")
+    flat = pc.list_flatten(toks)
+    reps = pc.list_parent_indices(toks)
+    ids = batch["doc_id"].take(reps)
+    keep = pc.not_equal(flat, "")
+    flat, ids = flat.filter(keep), ids.filter(keep)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    d = flat.dictionary_encode()
+    if isinstance(d, pa.ChunkedArray):
+        d = d.combine_chunks()
+    dict_dims = pa.array(
+        [
+            int(md5_hex(f"{salt}:{t}")[:8], 16) % n_dims
+            for t in d.dictionary.to_pylist()
+        ],
+        pa.int64(),
+    )
+    dims = dict_dims.take(d.indices)
+    g = (
+        pa.table({"doc_id": ids, "dim": dims})
+        .group_by(["doc_id", "dim"])
+        .aggregate([([], "count_all")])
+    )
+    return pa.table(
+        {
+            "doc_id": g["doc_id"],
+            "dim": g["dim"],
+            "n": pc.cast(g["count_all"], pa.int64()),
+        }
+    )

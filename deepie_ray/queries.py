@@ -3521,3 +3521,15 @@ def user_top_event(sf_dir: str) -> rd.Dataset:
     return parts.groupby("part").map_groups(
         per_part, batch_format="pandas"
     ).select_columns(["user_id", "top_event_type", "max_cents"])
+
+
+def doc_feature_hashing(sf_dir: str) -> rd.Dataset:
+    """Hashing-trick vectorizer (Weinberger et al. 2009; the sparse
+    featurizer in front of linear quality/topic classifiers) -> long
+    format (doc_id, dim, n): bag-of-words counts folded into 16 hashed
+    dimensions via the repo's stable md5 bucket convention.  Docs are
+    row-atomic, so the per-batch partial IS the final answer — zero
+    shuffle, embarrassingly parallel; md5 runs once per distinct token
+    per batch (dictionary encode + take)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(text.feature_hash_batch, batch_format="pyarrow")

@@ -1787,3 +1787,29 @@ def test_binary_media_decoder_handles_bmp_rows():
     gray = img.mean(axis=2).astype(np.uint8)
     exp = media.ImageResize.resize_nn(gray, 8, 8).ravel() / 255.0
     assert np.allclose(feats, exp)
+
+
+def test_feature_hash_batch_matches_scalar_and_is_batch_invariant():
+    from deepie_ray.hashing import md5_hex
+
+    docs = pa.table(
+        {
+            "doc_id": ["a", "b", "c"],
+            "text": ["x y x  z", " y ", ""],
+        }
+    )
+    out = text.feature_hash_batch(docs).to_pandas()
+    got = {(r.doc_id, r.dim): r.n for r in out.itertuples()}
+    exp: dict = {}
+    for d, txt in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()):
+        for tok in txt.split():
+            k = (d, int(md5_hex("fh-v1:" + tok)[:8], 16) % 16)
+            exp[k] = exp.get(k, 0) + 1
+    assert got == exp
+    # batch-split invariance: same rows, one batch vs row-at-a-time
+    per_row = [
+        text.feature_hash_batch(docs.slice(i, 1)).to_pandas()
+        for i in range(3)
+    ]
+    merged = pd.concat(per_row, ignore_index=True)
+    assert {(r.doc_id, r.dim): r.n for r in merged.itertuples()} == exp
