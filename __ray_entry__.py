@@ -139,6 +139,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_distinct_users": Q.window_distinct_users,
         "user_top_event": Q.user_top_event,
         "doc_feature_hashing": Q.doc_feature_hashing,
+        "incremental_ingest_documents": Q.incremental_ingest_documents,
         # --- rows-only / pytest-oracled block (no SQL twin by nature) ---
         "doc_packing": Q.doc_packing,
         "lang_id": Q.lang_id,
@@ -1183,6 +1184,18 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
               ) WHERE word <> ''
             ) GROUP BY doc_id, dim
+        """,
+        "incremental_ingest_documents": r"""
+            WITH d AS (
+              SELECT doc_id, text,
+                     ('0x' || substr(md5(doc_id || ':ingest-v1'), 1, 8))
+                       ::BIGINT % 2 AS half
+              FROM documents
+            ),
+            fh AS (SELECT text, min(half) AS first_half FROM d GROUP BY text)
+            SELECT min(d.doc_id) AS doc_id
+            FROM d JOIN fh ON d.text = fh.text AND d.half = fh.first_half
+            GROUP BY d.text
         """,
         # rows-only (no SQL twin): lang_id, minhash_dedup_documents,
         # simhash_signatures, simhash_neardup, ann_topk_lsh, kg_triples,

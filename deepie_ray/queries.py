@@ -3533,3 +3533,41 @@ def doc_feature_hashing(sf_dir: str) -> rd.Dataset:
     per batch (dictionary encode + take)."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return ds.map_batches(text.feature_hash_batch, batch_format="pyarrow")
+
+
+def incremental_ingest_documents(sf_dir: str) -> rd.Dataset:
+    """Two-step incremental ingestion driven end-to-end -> (doc_id):
+    documents split into two deterministic md5 halves, ingested
+    sequentially through ``ingest.ingest_documents`` (within-batch
+    exact dedup + anti-join against the persisted fingerprint index of
+    step 1), union of accepted rows.  The oracle reproduces the
+    first-seen-batch-wins rule in SQL: per distinct content, the min
+    doc id within the EARLIEST half containing that content — which
+    differs from one-shot dedup's global min exactly when a content
+    spans halves, so a hash match proves the generational index (not
+    just the dedup) behaved."""
+    import tempfile
+
+    from . import ingest
+    from .hashing import md5_hex
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def half_filter(want: int):
+        def f(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_pylist()
+            m = np.array(
+                [int(md5_hex(f"{d}:ingest-v1")[:8], 16) % 2 for d in ids]
+            )
+            return t.filter(pa.array(m == want))
+
+        return f
+
+    state = tempfile.mkdtemp(prefix="deepie-ingest-state-")
+    a0 = ingest.ingest_documents(
+        ds.map_batches(half_filter(0), batch_format="pyarrow"), state
+    )
+    a1 = ingest.ingest_documents(
+        ds.map_batches(half_filter(1), batch_format="pyarrow"), state
+    )
+    return a0.union(a1).select_columns(["doc_id"])

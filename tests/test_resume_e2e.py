@@ -150,3 +150,62 @@ def test_run_kg_model_selectable():
     n = out["triples"].count()
     assert n > 0
     assert out["nodes"].count() > 0 and out["edges"].count() > 0
+
+
+# ------------------------------------------------------- incremental ingest
+
+
+def _ingest_docs(ids, texts):
+    import pyarrow as pa
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.table({"doc_id": pa.array(ids, pa.int64()), "text": texts})
+    )
+
+
+def test_incremental_ingest_two_steps_equal_one_shot(tmp_path):
+    from deepie_ray import ingest
+
+    state = str(tmp_path / "state")
+    # day 1: dup within the batch ('aa' twice)
+    d1 = _ingest_docs([1, 2, 3], ["aa", "bb", "aa"])
+    acc1 = ingest.ingest_documents(d1, state).to_pandas()
+    assert sorted(acc1["text"]) == ["aa", "bb"]
+    assert sorted(acc1["doc_id"]) == [1, 2]  # min id per content
+    # day 2: 'bb' already ingested, 'cc'/'dd' fresh, 'dd' dup within
+    d2 = _ingest_docs([10, 11, 12, 13], ["bb", "cc", "dd", "dd"])
+    acc2 = ingest.ingest_documents(d2, state).to_pandas()
+    assert sorted(acc2["text"]) == ["cc", "dd"]
+    assert sorted(acc2["doc_id"]) == [11, 12]
+    # accepted contents across both steps == one-shot distinct contents
+    assert sorted(list(acc1["text"]) + list(acc2["text"])) == [
+        "aa", "bb", "cc", "dd",
+    ]
+
+
+def test_incremental_ingest_idempotent_and_crash_safe(tmp_path):
+    import json
+    import os
+
+    from deepie_ray import ingest
+
+    state = str(tmp_path / "state")
+    d1 = _ingest_docs([1, 2], ["xx", "yy"])
+    assert ingest.ingest_documents(d1, state).count() == 2
+    # garbage from a "crashed" ingest: tmp dir + dir without marker
+    root = os.path.join(state, "fingerprints")
+    os.makedirs(os.path.join(root, "gen-deadbeef.tmp"), exist_ok=True)
+    os.makedirs(os.path.join(root, "gen-orphan"), exist_ok=True)
+    # marker without dir must also be ignored
+    with open(os.path.join(root, "gen-ghost.json"), "w") as f:
+        json.dump({}, f)
+    # re-ingesting identical content accepts nothing and commits no rows
+    assert ingest.ingest_documents(d1, state).count() == 0
+    gens = ingest.committed_generations(state)
+    assert len(gens) == 1  # the empty second ingest added no generation
+    # a fresh doc still lands
+    assert ingest.ingest_documents(
+        _ingest_docs([9], ["zz"]), state
+    ).count() == 1
+    assert len(ingest.committed_generations(state)) == 2
