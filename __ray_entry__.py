@@ -140,6 +140,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_top_event": Q.user_top_event,
         "doc_feature_hashing": Q.doc_feature_hashing,
         "incremental_ingest_documents": Q.incremental_ingest_documents,
+        "doc_unigram_nll": Q.doc_unigram_nll,
+        "doc_line_repetition": Q.doc_line_repetition,
+        "doc_top_bigram": Q.doc_top_bigram,
         # --- rows-only / pytest-oracled block (no SQL twin by nature) ---
         "doc_packing": Q.doc_packing,
         "lang_id": Q.lang_id,
@@ -1196,6 +1199,68 @@ def oracle_sql() -> dict[str, str]:
             SELECT min(d.doc_id) AS doc_id
             FROM d JOIN fh ON d.text = fh.text AND d.half = fh.first_half
             GROUP BY d.text
+        """,
+        "doc_unigram_nll": r"""
+            WITH tok AS (
+              SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS w
+              FROM documents
+            ), t AS (SELECT doc_id, w FROM tok WHERE w <> ''),
+            c AS (SELECT w, count(*)::DOUBLE AS cnt FROM t GROUP BY w),
+            n AS (SELECT count(*)::DOUBLE AS total FROM t)
+            SELECT t.doc_id, count(*)::BIGINT AS n_tokens,
+                   avg(-ln(c.cnt / n.total)) AS nll
+            FROM t JOIN c USING (w) CROSS JOIN n GROUP BY t.doc_id
+        """,
+        "doc_line_repetition": r"""
+            WITH l AS (
+              SELECT doc_id, unnest(string_split(coalesce(text,''), chr(10))) AS line
+              FROM documents
+            ),
+            g AS (
+              SELECT doc_id, line, count(*)::BIGINT AS c,
+                     length(line)::BIGINT AS len
+              FROM l GROUP BY doc_id, line
+            )
+            SELECT doc_id, sum(c)::BIGINT AS n_lines,
+                   (sum(c) - count(*))::DOUBLE / sum(c) AS dup_line_frac,
+                   CASE WHEN sum(c*len) = 0 THEN 0.0
+                        ELSE sum(CASE WHEN c > 1 THEN c*len ELSE 0 END)::DOUBLE
+                             / sum(c*len)
+                   END AS dup_line_char_frac
+            FROM g GROUP BY doc_id
+        """,
+        "doc_top_bigram": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(text, '\s+'),
+                                 x -> x <> '') AS a
+              FROM documents
+            ),
+            tok AS (SELECT doc_id, unnest(a) AS w FROM t),
+            chars AS (
+              SELECT doc_id, sum(length(w))::DOUBLE AS total_chars
+              FROM tok GROUP BY doc_id
+            ),
+            bg AS (
+              SELECT doc_id,
+                     unnest([a[i] || ' ' || a[i+1]
+                             for i in generate_series(1, len(a) - 1)]) AS bigram
+              FROM t
+            ),
+            bc AS (
+              SELECT doc_id, bigram, count(*)::BIGINT AS c
+              FROM bg GROUP BY doc_id, bigram
+            ),
+            top AS (
+              SELECT doc_id, bigram, c,
+                     row_number() OVER (
+                       PARTITION BY doc_id ORDER BY c DESC, bigram) AS rn
+              FROM bc
+            )
+            SELECT top.doc_id, bigram AS top_bigram, c AS bg_count,
+                   (c * (length(bigram) - 1)) / chars.total_chars
+                     AS top_bigram_char_frac
+            FROM top JOIN chars USING (doc_id) WHERE rn = 1
         """,
         # rows-only (no SQL twin): lang_id, minhash_dedup_documents,
         # simhash_signatures, simhash_neardup, ann_topk_lsh, kg_triples,

@@ -492,3 +492,268 @@ def feature_hash_batch(
             "n": pc.cast(g["count_all"], pa.int64()),
         }
     )
+
+
+# ------------------------------------------------- unigram-LM quality score
+
+
+def _explode_tokens(batch: pa.Table, text_col: str, id_col: str):
+    """(flat nonempty token array, row-aligned id array) for a batch —
+    one Arrow split kernel + parent-index fan-out, no per-row Python."""
+    toks = pc.split_pattern_regex(
+        pc.fill_null(batch[text_col], ""), pattern=r"\s+"
+    )
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = pc.list_flatten(toks)
+    ids = batch[id_col].take(pc.list_parent_indices(toks))
+    keep = pc.not_equal(flat, "")
+    flat, ids = flat.filter(keep), ids.filter(keep)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    return flat, ids
+
+
+def unigram_nll(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 1,
+):
+    """Corpus-derived unigram-LM negative log-likelihood per document
+    (the SQL-exact reduction of the CCNet/KenLM perplexity quality
+    filter): pass 1 counts every token corpus-wide (combiner-first
+    groupby), pass 2 scores each doc as ``mean(-ln(count(w)/total))``
+    -> (doc_id, n_tokens:int64, nll:double).
+
+    Scale shape: the vocabulary (sublinear in corpus bytes) is the only
+    driver materialization; it ships via ``ray.put`` ONCE and each
+    scoring actor reads it in ``__init__``.  At 100 TB set
+    ``min_count`` > 1: tokens below the cutoff are dropped from the
+    broadcast table and score at the floor probability
+    ``min_count/total`` (documented approximation; the default 1 is
+    exact and is what the DuckDB oracle mirrors).  Scoring looks up
+    each batch's DISTINCT tokens once (dictionary encode + take), the
+    per-doc mean is one Arrow group_by — docs never straddle batches,
+    so the mean is final per batch and nothing shuffles.
+
+    Reference parity: the reference has no corpus-LM scoring (engine
+    brief surface); the vocab pass is A1 (rnnRE/rnn_process_onlyExtra.py
+    word-count) re-used as a model, not copied.
+    """
+    import math
+
+    import ray
+    import ray.data as rd  # noqa: F401  (type only)
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flat, _ids = _explode_tokens(batch, text_col, id_col)
+        g = pa.table({"w": flat}).group_by("w").aggregate([([], "count_all")])
+        return pa.table(
+            {"w": g["w"], "n": pc.cast(g["count_all"], pa.int64())}
+        )
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("w")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    # vocabulary-bounded driver fold (tokens, not documents)
+    vocab = counts.to_pandas()
+    total = float(vocab["n"].sum())
+    kept = vocab[vocab["n"] >= min_count]
+    lp = dict(
+        zip(kept["w"], (-np.log(kept["n"].to_numpy() / total)).tolist())
+    )
+    floor = -math.log(min_count / total) if total else 0.0
+    lp_ref = ray.put((lp, floor))
+
+    class Score:
+        def __init__(self):
+            self.lp, self.floor = ray.get(lp_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            flat, ids = _explode_tokens(batch, text_col, id_col)
+            if len(flat) == 0:
+                return pa.table(
+                    {
+                        id_col: pa.array([], batch[id_col].type),
+                        "n_tokens": pa.array([], pa.int64()),
+                        "nll": pa.array([], pa.float64()),
+                    }
+                )
+            d = flat.dictionary_encode()
+            if isinstance(d, pa.ChunkedArray):
+                d = d.combine_chunks()
+            lut = pa.array(
+                [self.lp.get(w, self.floor) for w in d.dictionary.to_pylist()],
+                pa.float64(),
+            )
+            nll = lut.take(d.indices)
+            g = (
+                pa.table({id_col: ids, "nll": nll})
+                .group_by(id_col)
+                .aggregate([("nll", "mean"), ([], "count_all")])
+            )
+            return pa.table(
+                {
+                    id_col: g[id_col],
+                    "n_tokens": pc.cast(g["count_all"], pa.int64()),
+                    "nll": g["nll_mean"],
+                }
+            )
+
+    from ..tuning import POOL_REMOTE_ARGS
+
+    return ds.map_batches(
+        Score, batch_format="pyarrow", concurrency=(1, 8), **POOL_REMOTE_ARGS
+    )
+
+
+# ------------------------------------------ Gopher-style repetition signals
+
+
+def line_repetition_batch(batch: pa.Table) -> pa.Table:
+    """Per-doc duplicate-line signals (Gopher repetition rules, Rae et
+    al. 2021 Table A1): fraction of lines that are repeats of an
+    earlier line, and fraction of line characters inside duplicated
+    lines -> (doc_id, n_lines:int64, dup_line_frac:double,
+    dup_line_char_frac:double).
+
+    One Arrow split on newline + explode + two batch-local group_bys;
+    every division is over integers identical to the DuckDB twin's, so
+    the doubles are bit-equal.  Docs never straddle batches — no
+    shuffle."""
+    lines = pc.split_pattern(pc.fill_null(batch["text"], ""), pattern="\n")
+    if isinstance(lines, pa.ChunkedArray):
+        lines = lines.combine_chunks()
+    flat = pc.list_flatten(lines)
+    ids = batch["doc_id"].take(pc.list_parent_indices(lines))
+    g = (
+        pa.table({"doc_id": ids, "line": flat})
+        .group_by(["doc_id", "line"])
+        .aggregate([([], "count_all")])
+    )
+    c = pc.cast(g["count_all"], pa.int64())
+    ln = pc.cast(pc.utf8_length(g["line"]), pa.int64())
+    chars = pc.multiply(c, ln)
+    dup = pc.greater(c, 1)
+    zero = pa.array(np.zeros(len(g), dtype=np.int64))
+    g2 = (
+        pa.table(
+            {
+                "doc_id": g["doc_id"],
+                "c": c,
+                "one": pa.array(np.ones(len(g), dtype=np.int64)),
+                "chars": chars,
+                "dup_chars": pc.if_else(dup, chars, zero),
+            }
+        )
+        .group_by("doc_id")
+        .aggregate([("c", "sum"), ("one", "sum"), ("chars", "sum"), ("dup_chars", "sum")])
+    )
+    n_lines = g2["c_sum"].to_numpy(zero_copy_only=False).astype(np.float64)
+    distinct = g2["one_sum"].to_numpy(zero_copy_only=False).astype(np.float64)
+    tot_chars = g2["chars_sum"].to_numpy(zero_copy_only=False).astype(np.float64)
+    dup_chars = g2["dup_chars_sum"].to_numpy(zero_copy_only=False).astype(np.float64)
+    return pa.table(
+        {
+            "doc_id": g2["doc_id"],
+            "n_lines": pc.cast(g2["c_sum"], pa.int64()),
+            "dup_line_frac": pa.array((n_lines - distinct) / n_lines),
+            "dup_line_char_frac": pa.array(
+                np.divide(
+                    dup_chars,
+                    tot_chars,
+                    out=np.zeros_like(dup_chars),
+                    where=tot_chars > 0,
+                )
+            ),
+        }
+    )
+
+
+def top_bigram_frac_batch(batch: pa.Table) -> pa.Table:
+    """Per-doc most-frequent word-2-gram coverage (the Gopher
+    ``top_2gram_char_frac`` rule): chars covered by the single most
+    common bigram over total token chars -> (doc_id, top_bigram,
+    bg_count:int64, top_bigram_char_frac:double).  Ties break to the
+    lexicographically smallest bigram (both sides).  Docs with <2
+    nonempty tokens emit nothing (no bigram exists).
+
+    Vectorized explode: numpy repeat/cumsum index arithmetic builds the
+    (n_i - 1)-per-doc left-token indices, one ``binary_join_element_wise``
+    materializes the bigram strings, the per-doc argmax is a
+    batch-bounded pandas sort + drop_duplicates."""
+    toks = pc.split_pattern_regex(
+        pc.fill_null(batch["text"], ""), pattern=r"\s+"
+    )
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = pc.list_flatten(toks)
+    keep = pc.not_equal(flat, "")
+    keep_np = keep.to_numpy(zero_copy_only=False)
+    offs = toks.offsets.to_numpy(zero_copy_only=False)
+    base = offs[0]
+    cum = np.concatenate(([0], np.cumsum(keep_np)))
+    new_offs = cum[offs - base]  # nonempty-token offsets per doc
+    flat = flat.filter(keep)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    lens = np.diff(new_offs)
+    tok_chars = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+    # total token chars per doc (ALL tokens, the Gopher denominator)
+    csum = np.concatenate(([0], np.cumsum(tok_chars, dtype=np.int64)))
+    total_chars = csum[new_offs[1:]] - csum[new_offs[:-1]]
+    # explode bigram left indices: n_i - 1 per doc
+    nb = np.maximum(lens - 1, 0)
+    doc_rep = np.repeat(np.arange(len(lens)), nb)
+    within = np.arange(int(nb.sum())) - np.repeat(
+        np.concatenate(([0], np.cumsum(nb)))[:-1], nb
+    )
+    left = new_offs[:-1][doc_rep] + within
+    if len(left) == 0:
+        return pa.table(
+            {
+                "doc_id": pa.array([], batch["doc_id"].type),
+                "top_bigram": pa.array([], pa.string()),
+                "bg_count": pa.array([], pa.int64()),
+                "top_bigram_char_frac": pa.array([], pa.float64()),
+            }
+        )
+    li = pa.array(left, pa.int64())
+    ri = pa.array(left + 1, pa.int64())
+    bigrams = pc.binary_join_element_wise(flat.take(li), flat.take(ri), " ")
+    ids = batch["doc_id"].take(pa.array(doc_rep, pa.int64()))
+    g = (
+        pa.table({"doc_id": ids, "bigram": bigrams})
+        .group_by(["doc_id", "bigram"])
+        .aggregate([([], "count_all")])
+    )
+    df = g.to_pandas()
+    df = df.sort_values(
+        ["doc_id", "count_all", "bigram"], ascending=[True, False, True]
+    ).drop_duplicates("doc_id")
+    tc = dict(
+        zip(
+            batch["doc_id"].to_pylist(),
+            (doc_tc for doc_tc in total_chars.tolist()),
+        )
+    )
+    denom = df["doc_id"].map(tc).to_numpy(dtype=np.float64)
+    # bl = length(bigram) - 1 (tokens contain no whitespace)
+    covered = (
+        df["count_all"].to_numpy(dtype=np.int64)
+        * (df["bigram"].str.len().to_numpy(dtype=np.int64) - 1)
+    ).astype(np.float64)
+    return pa.table(
+        {
+            "doc_id": pa.array(df["doc_id"].to_numpy()),
+            "top_bigram": pa.array(df["bigram"], pa.string()),
+            "bg_count": pa.array(
+                df["count_all"].to_numpy(dtype=np.int64), pa.int64()
+            ),
+            "top_bigram_char_frac": pa.array(covered / denom),
+        }
+    )

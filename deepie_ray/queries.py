@@ -3571,3 +3571,26 @@ def incremental_ingest_documents(sf_dir: str) -> rd.Dataset:
         ds.map_batches(half_filter(1), batch_format="pyarrow"), state
     )
     return a0.union(a1).select_columns(["doc_id"])
+
+
+def doc_unigram_nll(sf_dir: str) -> rd.Dataset:
+    """Corpus-unigram-LM negative log-likelihood per doc (CCNet-style
+    quality signal, SQL-exact at min_count=1) -> (doc_id, n_tokens,
+    nll)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return text.unigram_nll(ds)
+
+
+def doc_line_repetition(sf_dir: str) -> rd.Dataset:
+    """Gopher duplicate-line repetition signals per doc -> (doc_id,
+    n_lines, dup_line_frac, dup_line_char_frac)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(text.line_repetition_batch, batch_format="pyarrow")
+
+
+def doc_top_bigram(sf_dir: str) -> rd.Dataset:
+    """Gopher top-2-gram coverage per doc -> (doc_id, top_bigram,
+    bg_count, top_bigram_char_frac); docs with <2 tokens emit
+    nothing."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(text.top_bigram_frac_batch, batch_format="pyarrow")

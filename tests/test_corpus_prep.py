@@ -54,3 +54,128 @@ def test_llm_corpus_prep_planted_gates(tmp_path):
     got_split = out["split"].sort_index()
     assert (got_split.to_numpy() == want_split.to_numpy()).all()
     assert set(out["split"]) <= {"train", "val", "test"}
+
+
+# ---------------------------------------------- Gopher repetition signals
+
+
+def test_line_repetition_planted():
+    import ray.data as rd
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    "aa\nbb\naa\ncc",  # 4 lines, 'aa' twice
+                    "x\ny\nz",  # no repeats
+                    "",  # one empty line, zero chars
+                ]
+            ),
+        }
+    )
+    out = (
+        rd.from_arrow(t)
+        .map_batches(T.line_repetition_batch, batch_format="pyarrow")
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert out.loc[1, "n_lines"] == 4
+    assert out.loc[1, "dup_line_frac"] == 0.25  # 4 lines, 3 distinct
+    assert out.loc[1, "dup_line_char_frac"] == 4 / 8  # both 'aa' occurrences
+    assert out.loc[2, "dup_line_frac"] == 0.0
+    assert out.loc[3, "n_lines"] == 1
+    assert out.loc[3, "dup_line_char_frac"] == 0.0  # zero-char guard
+
+
+def test_top_bigram_tiebreak_and_short_docs():
+    import ray.data as rd
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    "b c b c a a",  # 'b c' x2 beats; 'a a' x1
+                    "one",  # <2 tokens: no output row
+                    "z z z",  # 'z z' x2, total chars 3
+                ]
+            ),
+        }
+    )
+    out = (
+        rd.from_arrow(t)
+        .map_batches(T.top_bigram_frac_batch, batch_format="pyarrow")
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert list(out.index) == [1, 3]
+    assert out.loc[1, "top_bigram"] == "b c"
+    assert out.loc[1, "bg_count"] == 2
+    assert out.loc[1, "top_bigram_char_frac"] == (2 * 2) / 6
+    assert out.loc[3, "top_bigram"] == "z z"
+    assert out.loc[3, "top_bigram_char_frac"] == (2 * 2) / 3
+
+
+def test_top_bigram_tie_goes_lexicographic():
+    import ray.data as rd
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1], pa.int64()),
+            "text": pa.array(["d e b c"]),  # all bigrams count 1
+        }
+    )
+    out = (
+        rd.from_arrow(t)
+        .map_batches(T.top_bigram_frac_batch, batch_format="pyarrow")
+        .to_pandas()
+    )
+    assert out["top_bigram"].iloc[0] == "b c"
+
+
+def test_unigram_nll_hand_computed():
+    import math
+
+    import ray.data as rd
+
+    # corpus: 'a' x3, 'b' x1 -> total 4; p(a)=3/4, p(b)=1/4
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array(["a a b", "a"]),
+        }
+    )
+    out = (
+        T.unigram_nll(rd.from_arrow(t))
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    la, lb = -math.log(3 / 4), -math.log(1 / 4)
+    assert out.loc[1, "n_tokens"] == 3
+    assert abs(out.loc[1, "nll"] - (2 * la + lb) / 3) < 1e-12
+    assert abs(out.loc[2, "nll"] - la) < 1e-12
+
+
+def test_unigram_nll_min_count_floor():
+    import math
+
+    import ray.data as rd
+
+    # 'rare' appears once; with min_count=2 it scores at the floor
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array(["common common common", "rare"]),
+        }
+    )
+    out = (
+        T.unigram_nll(rd.from_arrow(t), min_count=2)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert abs(out.loc[2, "nll"] - (-math.log(2 / 4))) < 1e-12
