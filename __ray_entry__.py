@@ -145,6 +145,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_top_bigram": Q.doc_top_bigram,
         # --- rows-only / pytest-oracled block (no SQL twin by nature) ---
         "doc_packing": Q.doc_packing,
+        "incremental_neardup_ingest": Q.incremental_neardup_ingest,
         "lang_id": Q.lang_id,
         "minhash_dedup_documents": Q.minhash_dedup_documents,
         "simhash_signatures": Q.simhash_signatures,

@@ -53,6 +53,17 @@ def committed_generations(state_root: str) -> list[str]:
     return out
 
 
+def _gen_files(gen_dirs: list[str]) -> list[str]:
+    """Parquet files across generation dirs — ``read_parquet`` accepts
+    a list of FILES but chokes on a list of DIRECTORIES (it opens the
+    non-first entries as files)."""
+    import glob
+
+    return sorted(
+        f for d in gen_dirs for f in glob.glob(os.path.join(d, "*.parquet"))
+    )
+
+
 def read_fingerprint_index(state_root: str) -> rd.Dataset | None:
     """The union of all committed generations; None when no ingest has
     happened yet (the id column's type comes from the first committed
@@ -60,7 +71,7 @@ def read_fingerprint_index(state_root: str) -> rd.Dataset | None:
     gens = committed_generations(state_root)
     if not gens:
         return None
-    return rd.read_parquet(gens)
+    return rd.read_parquet(_gen_files(gens))
 
 
 def ingest_documents(
@@ -117,4 +128,184 @@ def ingest_documents(
         fresh,
         on=id_col,
         num_partitions=num_partitions,
+    )
+
+
+# ------------------------------------------------- incremental NEAR-dedup
+
+
+def _commit_generation(state_root: str, kind: str, ds: rd.Dataset, n_rows: int) -> None:
+    """Write ``ds`` as a new committed generation under
+    ``state_root/<kind>/`` (tmp dir -> atomic rename -> marker)."""
+    root = os.path.join(state_root, kind)
+    os.makedirs(root, exist_ok=True)
+    gen_id = uuid.uuid4().hex[:12]
+    gen_dir = os.path.join(root, f"gen-{gen_id}")
+    tmp = gen_dir + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    ds.write_parquet(tmp)
+    os.replace(tmp, gen_dir)
+    with open(gen_dir + ".json", "w") as f:
+        json.dump({"rows": n_rows, "gen": gen_id}, f)
+
+
+def _committed_dirs(state_root: str, kind: str) -> list[str]:
+    root = os.path.join(state_root, kind)
+    if not os.path.isdir(root):
+        return []
+    out = []
+    for name in sorted(os.listdir(root)):
+        if name.startswith("gen-") and name.endswith(".json"):
+            gen_dir = os.path.join(root, name[: -len(".json")])
+            if os.path.isdir(gen_dir):
+                out.append(gen_dir)
+    return out
+
+
+def ingest_documents_neardup(
+    new_docs: rd.Dataset,
+    state_root: str,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_partitions: int = 8,
+) -> rd.Dataset:
+    """Incremental MinHash-LSH NEAR-dedup ingest: reject new docs whose
+    content near-duplicates (estimated Jaccard >= ``threshold``)
+    anything accepted by a PRIOR ingest, keep one representative (min
+    id) per within-batch near-dup cluster, and commit the accepted
+    docs' signatures as a new generation.  Returns the accepted rows.
+
+    The persistent index stores ONLY 512-byte minhash signatures per
+    accepted doc (``dedup.minhash_sig_batch``); band rows are
+    re-derived from signatures at read time (16 int64 mixes/doc), and
+    verification is signature-lane agreement (``sig_agreement_verify``
+    — the exact-Jaccard verify of ``minhash_dedup`` is impossible
+    against an index that does not store shingle sets; same trade as
+    datasketch's persistent MinHashLSH).  Rejection is cluster-level:
+    if ANY member of a within-batch cluster matches the index, the
+    whole cluster is rejected — its content family is already
+    represented.
+
+    Scale shape: every shuffle moves (band, band_hash, id) or
+    (id, 512-byte sig) rows, never document bodies; the index streams
+    from parquet generations (no driver materialization); the
+    accepted-id algebra is semi/anti joins on narrow id columns.
+    """
+    from .ops import dedup
+
+    sigs_new = new_docs.map_batches(
+        lambda t: dedup.minhash_sig_batch(t, text_col, id_col),
+        batch_format="pyarrow",
+    ).materialize()  # consumed by bands, two verifies, and the commit
+    id_type = joins._field_type(new_docs, id_col)
+
+    def bands_part(t):
+        import numpy as np
+        import pyarrow as pa
+
+        b = dedup.bands_from_sigs(t, id_col)
+        bh = b["band_hash"].to_numpy()
+        part = (bh & (2**62 - 1)) % num_partitions
+        return b.append_column(
+            "part", pa.array(part.astype(np.int64), pa.int64())
+        )
+
+    bands_new = sigs_new.map_batches(bands_part, batch_format="pyarrow")
+
+    # -- within-batch clusters (part-colocate pair generation, then
+    # signature-agreement verify and connected components)
+    def pairs_group(df):
+        return dedup._bucket_pairs_table(
+            df["band"].to_numpy(),
+            df["band_hash"].to_numpy(),
+            df[id_col].to_numpy(),
+            id_type,
+        ).to_pandas()
+
+    cands = bands_new.groupby("part").map_groups(
+        pairs_group, batch_format="pandas"
+    )
+    edges = dedup.sig_agreement_verify(
+        cands, sigs_new, sigs_new, id_col, threshold, num_partitions
+    )
+    clusters = dedup.components_from_pairs(
+        edges, id_type, num_partitions
+    ).materialize()  # (doc_id, cluster_id) for clustered docs only
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    all_ids = sigs_new.select_columns([id_col])
+    nonroots = clusters.map_batches(
+        lambda t: t.filter(pc.not_equal(t[id_col], t["cluster_id"])),
+        batch_format="pyarrow",
+    )
+    # survivors of the within-batch dedup: drop cluster non-roots
+    kept = joins.anti_join(all_ids, nonroots, on=id_col, num_partitions=num_partitions)
+
+    # -- vs prior generations: bands join -> candidate (new, old) pairs
+    gen_dirs = _committed_dirs(state_root, "minhash")
+    if gen_dirs:
+        sigs_old = rd.read_parquet(_gen_files(gen_dirs))
+        bands_old = sigs_old.map_batches(
+            lambda t: dedup.bands_from_sigs(t, id_col).rename_columns(
+                ["band", "band_hash", "old_id"]
+            ),
+            batch_format="pyarrow",
+        )
+        xpairs = (
+            bands_new.drop_columns(["part"])
+            .join(
+                bands_old,
+                join_type="inner",
+                num_partitions=num_partitions,
+                on=("band", "band_hash"),
+            )
+            .map_batches(
+                lambda t: pa.table(
+                    {"id_a": t[id_col], "id_b": t["old_id"]}
+                ).group_by(["id_a", "id_b"]).aggregate([]),
+                batch_format="pyarrow",
+            )
+        )
+        matched = dedup.sig_agreement_verify(
+            xpairs,
+            sigs_new,
+            sigs_old.map_batches(
+                lambda t: t.select([id_col, "sig", "n_sh"]),
+                batch_format="pyarrow",
+            ),
+            id_col,
+            threshold,
+            num_partitions,
+        ).map_batches(
+            lambda t: pa.table({id_col: t["id_a"]}), batch_format="pyarrow"
+        ).materialize()  # consumed by the root join AND the anti join
+        # cluster-level rejection: matched members name their ROOT too
+        matched_roots = joins.hash_join(
+            matched.repartition(num_partitions),
+            clusters.repartition(num_partitions),
+            on=id_col,
+            num_partitions=num_partitions,
+        ).map_batches(
+            lambda t: pa.table({id_col: t["cluster_id"]}),
+            batch_format="pyarrow",
+        ) if clusters.count() > 0 and matched.limit(1).count() > 0 else None
+        kept = joins.anti_join(kept, matched, on=id_col, num_partitions=num_partitions)
+        if matched_roots is not None:
+            kept = joins.anti_join(
+                kept, matched_roots, on=id_col, num_partitions=num_partitions
+            )
+
+    kept = kept.materialize()  # consumed twice: commit + return join
+    accepted_sigs = joins.semi_join(
+        sigs_new, kept, on=id_col, num_partitions=num_partitions
+    ).materialize()
+    n_acc = accepted_sigs.count()
+    if n_acc > 0:
+        _commit_generation(state_root, "minhash", accepted_sigs, n_acc)
+    return joins.semi_join(
+        new_docs, kept, on=id_col, num_partitions=num_partitions
     )

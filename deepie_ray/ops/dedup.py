@@ -158,6 +158,98 @@ def band_hashes_vec(sigs: np.ndarray) -> np.ndarray:
     return acc.view(np.int64)
 
 
+def _sig_matrix(
+    texts: list, a: np.ndarray, b: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Batch-vectorized minwise signatures: -> ((n, N_PERM) int64 sig
+    matrix, (n,) shingle counts).  One flat shingle array +
+    ``np.minimum.reduceat`` per-doc segment minima — no per-doc Python
+    in the permutation math.  Empty-shingle docs get the all-MERSENNE
+    sentinel row (count 0 lets consumers exclude them from matching)."""
+    sh_sets = [shingles(t) for t in texts]
+    n = len(texts)
+    sigs = np.full((n, N_PERM), _MERSENNE, dtype=np.int64)
+    n_sh = np.array([len(s) for s in sh_sets], dtype=np.int64)
+    nonempty = [i for i, s in enumerate(sh_sets) if s]
+    if nonempty:
+        flat = np.concatenate(
+            [np.fromiter(sh_sets[i], np.int64, len(sh_sets[i])) for i in nonempty]
+        ) % _MERSENNE
+        counts = n_sh[nonempty]
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        # (P, total) permuted hashes; per-doc segment minima
+        vals = (a[:, None] * flat[None, :] + b[:, None]) % _MERSENNE
+        mins = np.minimum.reduceat(vals, starts, axis=1)  # (P, n_nonempty)
+        sigs[nonempty] = mins.T
+    return sigs, n_sh
+
+
+def minhash_sig_batch(
+    batch: pa.Table, text_col: str = "text", id_col: str = "doc_id"
+) -> pa.Table:
+    """documents batch -> (id, sig:binary[N_PERM*8], n_sh:int64).  The
+    signature is the FIXED-SIZE representation a persistent near-dup
+    index stores (512 bytes/doc regardless of doc length — shingle sets
+    would make the index corpus-sized); packed little-endian int64
+    because Arrow hash joins reject list payloads (see shingle_table)."""
+    a, b = _perm_params()
+    sigs, n_sh = _sig_matrix(batch[text_col].to_pylist(), a, b)
+    return pa.table(
+        {
+            id_col: batch[id_col],
+            "sig": pa.array([row.tobytes() for row in sigs], pa.binary()),
+            "n_sh": pa.array(n_sh, pa.int64()),
+        }
+    )
+
+
+def _sig_views(col) -> np.ndarray:
+    """(n, N_PERM) int64 view over a packed-signature binary column —
+    zero-copy (fixed stride, so one reshape instead of per-row
+    slices)."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    bufs = arr.buffers()
+    offs = np.frombuffer(bufs[1], dtype=np.int32)[
+        arr.offset : arr.offset + len(arr) + 1
+    ]
+    data = np.frombuffer(bufs[2], dtype=np.int64) if bufs[2] is not None else np.empty(0, np.int64)
+    if len(arr) == 0:
+        return np.empty((0, N_PERM), dtype=np.int64)
+    # signatures are fixed-width; offsets are a stride-N_PERM*8 ramp in
+    # every array Arrow compaction produces (filter/take/parquet all
+    # rebuild values contiguously) — assert rather than assume
+    width = N_PERM * 8
+    if not np.all(np.diff(offs) == width):  # pragma: no cover - safety
+        return np.stack(
+            [
+                np.frombuffer(v.as_py(), dtype=np.int64)
+                for v in arr
+            ]
+        )
+    start = offs[0] // 8
+    return data[start : start + len(arr) * N_PERM].reshape(len(arr), N_PERM)
+
+
+def bands_from_sigs(batch: pa.Table, id_col: str = "doc_id") -> pa.Table:
+    """(id, sig, n_sh) -> (band, band_hash, id) LSH band rows, derived
+    from stored signatures (so the persistent index only stores sigs;
+    bands are recomputed with the vectorized splitmix fold at read
+    time — 16 int64s of arithmetic per doc, far cheaper than storing
+    16 rows/doc)."""
+    sigs = _sig_views(batch["sig"])
+    n = len(batch)
+    band_ids = np.tile(np.arange(N_BANDS, dtype=np.int64), n)
+    band_hashes = band_hashes_vec(sigs).reshape(-1)
+    ids = batch[id_col].take(pa.array(np.repeat(np.arange(n), N_BANDS), pa.int64()))
+    return pa.table(
+        {
+            "band": pa.array(band_ids, pa.int64()),
+            "band_hash": pa.array(band_hashes, pa.int64()),
+            id_col: ids,
+        }
+    )
+
+
 class MinHashBands:
     """documents batch -> (band, band_hash, doc_id) rows for LSH
     grouping.  The signature computation is vectorized across the WHOLE
@@ -172,20 +264,8 @@ class MinHashBands:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch[self.text_col].to_pylist()
-        sh_sets = [shingles(t) for t in texts]
+        sigs, _n_sh = _sig_matrix(texts, self.a, self.b)
         n = len(texts)
-        sigs = np.full((n, N_PERM), _MERSENNE, dtype=np.int64)
-        nonempty = [i for i, s in enumerate(sh_sets) if s]
-        if nonempty:
-            flat = np.concatenate(
-                [np.fromiter(sh_sets[i], np.int64, len(sh_sets[i])) for i in nonempty]
-            ) % _MERSENNE
-            counts = np.array([len(sh_sets[i]) for i in nonempty])
-            starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
-            # (P, total) permuted hashes; per-doc segment minima
-            vals = (self.a[:, None] * flat[None, :] + self.b[:, None]) % _MERSENNE
-            mins = np.minimum.reduceat(vals, starts, axis=1)  # (P, n_nonempty)
-            sigs[nonempty] = mins.T
         band_ids = np.tile(np.arange(N_BANDS, dtype=np.int64), n)
         # row-major flatten matches the (doc, band) order of band_ids
         band_hashes = band_hashes_vec(sigs).reshape(-1)
@@ -444,6 +524,89 @@ def jaccard_verify_join(
                 "id_a": sub["id_a"],
                 "id_b": sub["id_b"],
                 "jaccard": pa.array(sims[idx], pa.float64()),
+            }
+        )
+
+    return j.map_batches(verify, batch_format="pyarrow")
+
+
+def sig_agreement_verify(
+    cands: rd.Dataset,
+    sigs_a: rd.Dataset,
+    sigs_b: rd.Dataset,
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    num_partitions: int = 8,
+) -> rd.Dataset:
+    """Verify candidate (id_a, id_b) pairs by minhash signature-lane
+    agreement: est = mean over N_PERM lanes of (sig_a == sig_b), an
+    unbiased estimate of Jaccard -> (id_a, id_b, est) for pairs with
+    est >= threshold.  Pairs where either side has zero shingles never
+    match (the all-sentinel signature would otherwise estimate 1.0
+    against any other empty doc).
+
+    This is the verify rule a PERSISTENT near-dup index must use — the
+    index stores 512-byte signatures, not shingle sets (corpus-sized),
+    so exact Jaccard is unavailable by design (same trade as
+    datasketch's MinHashLSH).  Same join shape and empty-candidate
+    guards as ``jaccard_verify_join``; the lane compare is one (n,
+    N_PERM) matrix equality per batch, no per-pair Python."""
+    cands = cands.repartition(num_partitions).materialize()
+    if cands.count() == 0:
+        from .joins import _field_type
+
+        id_type = _field_type(cands, "id_a")
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "id_a": pa.array([], id_type),
+                    "id_b": pa.array([], id_type),
+                    "est": pa.array([], pa.float64()),
+                }
+            )
+        )
+
+    def side(name: str, src: rd.Dataset):
+        tag = name[-1]
+        return src.map_batches(
+            lambda t, n=name, g=tag: pa.table(
+                {n: t[id_col], f"sig_{g}": t["sig"], f"nsh_{g}": t["n_sh"]}
+            ),
+            batch_format="pyarrow",
+        )
+
+    j = (
+        cands.join(
+            side("id_a", sigs_a),
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("id_a",),
+        )
+        .repartition(num_partitions)
+        .join(
+            side("id_b", sigs_b),
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("id_b",),
+        )
+    )
+
+    def verify(batch: pa.Table) -> pa.Table:
+        A = _sig_views(batch["sig_a"])
+        B = _sig_views(batch["sig_b"])
+        est = (A == B).mean(axis=1) if len(batch) else np.empty(0)
+        ok = (
+            (est >= threshold)
+            & (batch["nsh_a"].to_numpy() > 0)
+            & (batch["nsh_b"].to_numpy() > 0)
+        )
+        idx = np.nonzero(ok)[0]
+        sub = batch.take(pa.array(idx, pa.int64()))
+        return pa.table(
+            {
+                "id_a": sub["id_a"],
+                "id_b": sub["id_b"],
+                "est": pa.array(np.round(est[idx], 6), pa.float64()),
             }
         )
 

@@ -3594,3 +3594,38 @@ def doc_top_bigram(sf_dir: str) -> rd.Dataset:
     nothing."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return ds.map_batches(text.top_bigram_frac_batch, batch_format="pyarrow")
+
+
+def incremental_neardup_ingest(sf_dir: str) -> rd.Dataset:
+    """Two-step incremental NEAR-dedup ingestion (rows-only: the LSH
+    estimate-verify rule has no SQL twin): documents split into two
+    deterministic md5 halves, each ingested through the persistent
+    minhash signature index (``ingest.ingest_documents_neardup``);
+    returns the union of accepted doc ids.  Invariants pytest-checked
+    (cross-generation rejection, cluster-level rejection,
+    idempotence)."""
+    import tempfile
+
+    from . import ingest
+    from .hashing import md5_hex
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def half_filter(want: int):
+        def f(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_pylist()
+            m = np.array(
+                [int(md5_hex(f"{d}:ingest-v1")[:8], 16) % 2 for d in ids]
+            )
+            return t.filter(pa.array(m == want))
+
+        return f
+
+    state = tempfile.mkdtemp(prefix="deepie-ndingest-state-")
+    a0 = ingest.ingest_documents_neardup(
+        ds.map_batches(half_filter(0), batch_format="pyarrow"), state
+    )
+    a1 = ingest.ingest_documents_neardup(
+        ds.map_batches(half_filter(1), batch_format="pyarrow"), state
+    )
+    return a0.union(a1).select_columns(["doc_id"])

@@ -209,3 +209,64 @@ def test_incremental_ingest_idempotent_and_crash_safe(tmp_path):
         _ingest_docs([9], ["zz"]), state
     ).count() == 1
     assert len(ingest.committed_generations(state)) == 2
+
+
+def test_incremental_neardup_ingest(tmp_path):
+    from deepie_ray import ingest
+
+    base = " ".join(f"tok{i}" for i in range(30))
+    near = " ".join(f"tok{i}" for i in range(29)) + " xxx"
+    far = " ".join(f"zzz{i}" for i in range(30))
+    fresh = " ".join(f"qqq{i}" for i in range(30))
+    state = str(tmp_path / "nd")
+
+    # day 1: near-dup pair clusters within the batch -> min id kept
+    a1 = ingest.ingest_documents_neardup(
+        _ingest_docs([1, 2, 3], [base, near, far]), state, threshold=0.5
+    )
+    assert sorted(a1.to_pandas()["doc_id"]) == [1, 3]
+    # day 2: near-dup of indexed content and an exact repeat both
+    # reject; fresh content lands
+    a2 = ingest.ingest_documents_neardup(
+        _ingest_docs([10, 11, 12], [near, far, fresh]), state, threshold=0.5
+    )
+    assert sorted(a2.to_pandas()["doc_id"]) == [12]
+    # day 3: re-ingesting day-1 content is a no-op and commits nothing
+    a3 = ingest.ingest_documents_neardup(
+        _ingest_docs([20, 21], [base, far]), state, threshold=0.5
+    )
+    assert a3.count() == 0
+    assert len(ingest._committed_dirs(state, "minhash")) == 2
+
+
+def test_incremental_neardup_cluster_level_rejection(tmp_path):
+    from deepie_ray import ingest
+
+    state = str(tmp_path / "nd")
+    base = " ".join(f"w{i}" for i in range(40))
+    ingest.ingest_documents_neardup(
+        _ingest_docs([1], [base]), state, threshold=0.5
+    )
+    # a within-batch cluster {5, 6} whose member 6 near-dups the index:
+    # the WHOLE cluster rejects (content family already represented)
+    m5 = " ".join(f"w{i}" for i in range(38)) + " a b"  # ~base, ~m6
+    m6 = " ".join(f"w{i}" for i in range(39)) + " a"  # ~base
+    out = ingest.ingest_documents_neardup(
+        _ingest_docs([5, 6], [m5, m6]), state, threshold=0.5
+    )
+    assert out.count() == 0
+
+
+def test_exact_ingest_multi_generation_index(tmp_path):
+    """read_parquet over MULTIPLE generation dirs (regression: a list
+    of directories used to be opened as files)."""
+    from deepie_ray import ingest
+
+    state = str(tmp_path / "state")
+    assert ingest.ingest_documents(_ingest_docs([1], ["aa"]), state).count() == 1
+    assert ingest.ingest_documents(_ingest_docs([2], ["bb"]), state).count() == 1
+    # third ingest reads a 2-generation index
+    out = ingest.ingest_documents(
+        _ingest_docs([3, 4, 5], ["aa", "bb", "cc"]), state
+    )
+    assert sorted(out.to_pandas()["doc_id"]) == [5]
