@@ -143,6 +143,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_unigram_nll": Q.doc_unigram_nll,
         "doc_line_repetition": Q.doc_line_repetition,
         "doc_top_bigram": Q.doc_top_bigram,
+        "neardup_keep_best": Q.neardup_keep_best,
         # --- rows-only / pytest-oracled block (no SQL twin by nature) ---
         "doc_packing": Q.doc_packing,
         "incremental_neardup_ingest": Q.incremental_neardup_ingest,
@@ -1200,6 +1201,60 @@ def oracle_sql() -> dict[str, str]:
             SELECT min(d.doc_id) AS doc_id
             FROM d JOIN fh ON d.text = fh.text AND d.half = fh.first_half
             GROUP BY d.text
+        """,
+        "neardup_keep_best": r"""
+            WITH RECURSIVE toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                 x -> x <> '') AS t
+              FROM documents
+            ),
+            sh AS (
+              SELECT doc_id,
+                     CASE
+                       WHEN len(t) = 0 THEN []::VARCHAR[]
+                       WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                       ELSE list_distinct(list_transform(range(1, len(t) - 1),
+                                          i -> array_to_string(t[i:i+2], ' ')))
+                     END AS s
+              FROM toks
+            ),
+            e AS (
+              SELECT a.doc_id AS s, b.doc_id AS t
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              WHERE len(a.s) > 0 AND len(b.s) > 0
+                AND len(list_intersect(a.s, b.s)) * 10
+                    >= 3 * (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+            ),
+            sym AS (
+              SELECT s, t FROM e UNION SELECT t, s FROM e
+              UNION SELECT s, s FROM e UNION SELECT t, t FROM e
+            ),
+            reach(n, m) AS (
+              SELECT s, t FROM sym
+              UNION
+              SELECT r.n, s2.t FROM reach r JOIN sym s2 ON r.m = s2.s
+            ),
+            cl AS (
+              SELECT n AS doc_id, min(m)::BIGINT AS cluster_id
+              FROM reach GROUP BY n
+            ),
+            asg AS (
+              SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS cluster_id,
+                     length(d.text)::BIGINT AS n_chars
+              FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id
+            ),
+            r AS (
+              SELECT cluster_id, doc_id, n_chars,
+                     count(*) OVER (PARTITION BY cluster_id)::BIGINT
+                       AS cluster_size,
+                     row_number() OVER (
+                       PARTITION BY cluster_id
+                       ORDER BY n_chars DESC, doc_id) AS rn
+              FROM asg
+            )
+            SELECT cluster_id, doc_id, n_chars, cluster_size
+            FROM r WHERE rn = 1
         """,
         "doc_unigram_nll": r"""
             WITH tok AS (

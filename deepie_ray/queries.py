@@ -3629,3 +3629,107 @@ def incremental_neardup_ingest(sf_dir: str) -> rd.Dataset:
         ds.map_batches(half_filter(1), batch_format="pyarrow"), state
     )
     return a0.union(a1).select_columns(["doc_id"])
+
+
+def neardup_keep_best(sf_dir: str) -> rd.Dataset:
+    """Near-dup cluster EXEMPLAR selection (the real keep-rule of a
+    training-data pipeline: keep the best document per duplicate
+    family, not the min id) -> (cluster_id, doc_id, n_chars,
+    cluster_size): one row per exact-Jaccard component (and per
+    singleton), whose doc_id is the member with the LONGEST text (tie
+    -> smallest doc_id).
+
+    Shape: the dup-graph + components machinery of
+    ``jaccard_dup_components`` gives the cluster map (clustered docs
+    only — post-verification-small); a left-outer hash join assigns
+    unclustered docs to themselves; the per-cluster argmax is the
+    combiner-first partial-argmax + part-colocated fold of
+    ``user_top_event`` (one candidate row per cluster per block ever
+    shuffles), with exact integer char lengths so the winner cannot
+    be perturbed."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    pairs = dedup.jaccard_exact_blockjoin(ds, threshold_num=3, threshold_den=10)
+    clusters = dedup.components_from_pairs(
+        pairs, pa.int64(), num_partitions=8
+    ).materialize()
+
+    lens = ds.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_chars": pc.cast(pc.utf8_length(t["text"]), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    if clusters.count() == 0:
+        assigned = lens.map_batches(
+            lambda t: t.append_column("cluster_id", t["doc_id"]),
+            batch_format="pyarrow",
+        )
+    else:
+        j = joins.hash_join(lens, clusters, on="doc_id", how="left_outer")
+        assigned = j.map_batches(
+            lambda t: pa.table(
+                {
+                    "doc_id": t["doc_id"],
+                    "n_chars": t["n_chars"],
+                    "cluster_id": pc.coalesce(t["cluster_id"], t["doc_id"]),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
+    P = 32
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {
+                    "part": pd.Series([], dtype=np.int64),
+                    "cluster_id": pd.Series([], dtype=np.int64),
+                    "doc_id": pd.Series([], dtype=np.int64),
+                    "n_chars": pd.Series([], dtype=np.int64),
+                    "sz": pd.Series([], dtype=np.int64),
+                }
+            )
+        sz = df.groupby("cluster_id", sort=False)["doc_id"].transform("size")
+        out = df.assign(sz=sz.to_numpy().astype(np.int64)).sort_values(
+            ["cluster_id", "n_chars", "doc_id"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        # per-batch count must SUM across batches, so keep it alongside
+        # the argmax candidate row
+        agg = out.groupby("cluster_id", sort=False).agg(
+            doc_id=("doc_id", "first"),
+            n_chars=("n_chars", "first"),
+            sz=("sz", "first"),
+        ).reset_index()
+        agg.insert(0, "part", agg["cluster_id"].to_numpy() % P)
+        return agg
+
+    parts = assigned.map_batches(partial, batch_format="pandas")
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        total = df.groupby("cluster_id", sort=False)["sz"].sum()
+        best = df.sort_values(
+            ["cluster_id", "n_chars", "doc_id"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        ).drop_duplicates("cluster_id", keep="first")
+        return pd.DataFrame(
+            {
+                "cluster_id": best["cluster_id"].to_numpy(),
+                "doc_id": best["doc_id"].to_numpy(),
+                "n_chars": best["n_chars"].to_numpy().astype(np.int64),
+                "cluster_size": best["cluster_id"]
+                .map(total)
+                .to_numpy()
+                .astype(np.int64),
+            }
+        )
+
+    return parts.groupby("part").map_groups(
+        per_part, batch_format="pandas"
+    ).select_columns(["cluster_id", "doc_id", "n_chars", "cluster_size"])

@@ -179,3 +179,30 @@ def test_unigram_nll_min_count_floor():
         .sort_index()
     )
     assert abs(out.loc[2, "nll"] - (-math.log(2 / 4))) < 1e-12
+
+
+def test_neardup_keep_best_exemplar_rule(tmp_path):
+    # cluster {1,2,3}: near-identical 12-token docs; 2 is longest ->
+    # exemplar.  {4,5}: identical length -> tie breaks to min id 4.
+    # 6: singleton.
+    base = " ".join(f"w{i}" for i in range(12))
+    rows = [
+        (1, base),
+        (2, base + " extraextraextra"),
+        (3, base + " x"),
+        (4, "p q r s t u v w x y z0 z1"),
+        (5, "p q r s t u v w x y z0 z2"),  # same length as 4, near-dup
+        (6, "totally different content here nothing shared at all ok"),
+    ]
+    sf = _write_docs(tmp_path, rows)
+    out = (
+        Q.neardup_keep_best(sf)
+        .to_pandas()
+        .sort_values("cluster_id")
+        .reset_index(drop=True)
+    )
+    by_cluster = {r.cluster_id: r for r in out.itertuples()}
+    assert by_cluster[1].doc_id == 2 and by_cluster[1].cluster_size == 3
+    assert by_cluster[4].doc_id == 4 and by_cluster[4].cluster_size == 2
+    assert by_cluster[6].doc_id == 6 and by_cluster[6].cluster_size == 1
+    assert len(out) == 3
