@@ -144,6 +144,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_line_repetition": Q.doc_line_repetition,
         "doc_top_bigram": Q.doc_top_bigram,
         "neardup_keep_best": Q.neardup_keep_best,
+        "containment_pairs": Q.containment_pairs,
         # --- rows-only / pytest-oracled block (no SQL twin by nature) ---
         "doc_packing": Q.doc_packing,
         "incremental_neardup_ingest": Q.incremental_neardup_ingest,
@@ -1201,6 +1202,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT min(d.doc_id) AS doc_id
             FROM d JOIN fh ON d.text = fh.text AND d.half = fh.first_half
             GROUP BY d.text
+        """,
+        "containment_pairs": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                 x -> x <> '') AS t
+              FROM documents
+            ),
+            sh AS (
+              SELECT doc_id,
+                     CASE
+                       WHEN len(t) = 0 THEN []::VARCHAR[]
+                       WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                       ELSE list_distinct(list_transform(range(1, len(t) - 1),
+                                          i -> array_to_string(t[i:i+2], ' ')))
+                     END AS s
+              FROM toks
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   len(list_intersect(a.s, b.s))::BIGINT AS n_inter,
+                   len(a.s)::BIGINT AS n_a, len(b.s)::BIGINT AS n_b
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE len(a.s) > 0 AND len(b.s) > 0
+              AND len(list_intersect(a.s, b.s)) * 10
+                  >= 8 * least(len(a.s), len(b.s))
         """,
         "neardup_keep_best": r"""
             WITH RECURSIVE toks AS (

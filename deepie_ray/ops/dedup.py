@@ -1173,12 +1173,20 @@ def jaccard_exact_blockjoin(
     id_col: str = "doc_id",
     chunk_rows: int = 256,
     num_partitions: int = 8,
+    containment: bool = False,
 ) -> rd.Dataset:
     """EXACT word-3-gram Jaccard threshold self-join over ALL pairs ->
     (id_a, id_b, n_inter:int64, n_union:int64), id_a < id_b, keeping
     pairs with ``n_inter / n_union >= threshold_num / threshold_den``
     (compared in INTEGER arithmetic — ``n_inter * den >= num * n_union``
     — so the SQL oracle matches bit-for-bit with no float hazard).
+
+    ``containment=True`` switches the keep-rule to NEAR-CONTAINMENT
+    (quote-inclusion / boilerplate-wrapping detection, which Jaccard
+    misses when the container is much larger): keep pairs with
+    ``n_inter / min(n_a, n_b) >= num/den`` and emit (id_a, id_b,
+    n_inter, n_a, n_b) — the side with fewer shingles is the contained
+    one; direction is the consumer's trivial comparison.
 
     Same distributed shape as ``embedding_neardup_blockjoin``: per-doc
     sorted shingle sets are consolidated into fixed-range chunk rows
@@ -1252,14 +1260,25 @@ def jaccard_exact_blockjoin(
     chunk_ids = sorted(
         r["chunk"] for r in chunks_ds.select_columns(["chunk"]).take_all()
     )
-    empty = pa.table(
-        {
-            "id_a": pa.array([], pa.int64()),
-            "id_b": pa.array([], pa.int64()),
-            "n_inter": pa.array([], pa.int64()),
-            "n_union": pa.array([], pa.int64()),
-        }
-    )
+    if containment:
+        empty = pa.table(
+            {
+                "id_a": pa.array([], pa.int64()),
+                "id_b": pa.array([], pa.int64()),
+                "n_inter": pa.array([], pa.int64()),
+                "n_a": pa.array([], pa.int64()),
+                "n_b": pa.array([], pa.int64()),
+            }
+        )
+    else:
+        empty = pa.table(
+            {
+                "id_a": pa.array([], pa.int64()),
+                "id_b": pa.array([], pa.int64()),
+                "n_inter": pa.array([], pa.int64()),
+                "n_union": pa.array([], pa.int64()),
+            }
+        )
     if not chunk_ids:  # empty corpus: Ray joins can't finalize 0-row partitions
         return rd.from_arrow(empty)
     ids_ref = ray.put(np.asarray(chunk_ids, dtype=np.int64))
@@ -1314,7 +1333,7 @@ def jaccard_exact_blockjoin(
         return ids, cnt, sh, ends - cnt, ends
 
     def score(batch: pa.Table) -> pa.Table:
-        oa, ob, oi, ou = [], [], [], []
+        oa, ob, oi, ou, ona, onb = [], [], [], [], [], []
         for r in range(len(batch)):
             same = batch["ci"][r].as_py() == batch["cj"][r].as_py()
             ia, ca, sa, sta, ena = _decode(batch, "ci", r)
@@ -1331,15 +1350,34 @@ def jaccard_exact_blockjoin(
                     pos = np.searchsorted(big, small)
                     ok = pos < len(big)
                     inter = int(np.count_nonzero(big[pos[ok]] == small[ok]))
-                    union = len(A) + len(B) - inter
-                    if inter * threshold_den >= threshold_num * union:
+                    denom = (
+                        min(len(A), len(B))
+                        if containment
+                        else len(A) + len(B) - inter
+                    )
+                    if inter * threshold_den >= threshold_num * denom:
                         a, b = int(ia[x]), int(ib[y])
+                        na, nb = len(A), len(B)
                         if a > b:
-                            a, b = b, a
+                            a, b, na, nb = b, a, nb, na
                         oa.append(a)
                         ob.append(b)
                         oi.append(inter)
-                        ou.append(union)
+                        if containment:
+                            ona.append(na)
+                            onb.append(nb)
+                        else:
+                            ou.append(len(A) + len(B) - inter)
+        if containment:
+            return pa.table(
+                {
+                    "id_a": pa.array(oa, pa.int64()),
+                    "id_b": pa.array(ob, pa.int64()),
+                    "n_inter": pa.array(oi, pa.int64()),
+                    "n_a": pa.array(ona, pa.int64()),
+                    "n_b": pa.array(onb, pa.int64()),
+                }
+            )
         return pa.table(
             {
                 "id_a": pa.array(oa, pa.int64()),

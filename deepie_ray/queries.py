@@ -3733,3 +3733,17 @@ def neardup_keep_best(sf_dir: str) -> rd.Dataset:
     return parts.groupby("part").map_groups(
         per_part, batch_format="pandas"
     ).select_columns(["cluster_id", "doc_id", "n_chars", "cluster_size"])
+
+
+def containment_pairs(sf_dir: str) -> rd.Dataset:
+    """Near-CONTAINMENT pairs (quote-inclusion / boilerplate-wrapping
+    detection — Jaccard misses a small doc swallowed by a large one) ->
+    (id_a, id_b, n_inter, n_a, n_b) for word-3-gram sets with
+    ``n_inter / min(n_a, n_b) >= 0.8``, id_a < id_b, integer-compared.
+    Same chunk-pair block-join kernel as ``ngram_jaccard_exact``
+    (exact oracle twin; the scale path is LSH candidates + the same
+    keep-rule in the verify)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return dedup.jaccard_exact_blockjoin(
+        ds, threshold_num=8, threshold_den=10, containment=True
+    )

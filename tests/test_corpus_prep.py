@@ -206,3 +206,22 @@ def test_neardup_keep_best_exemplar_rule(tmp_path):
     assert by_cluster[4].doc_id == 4 and by_cluster[4].cluster_size == 2
     assert by_cluster[6].doc_id == 6 and by_cluster[6].cluster_size == 1
     assert len(out) == 3
+
+
+def test_containment_catches_quote_inclusion(tmp_path):
+    # doc 2 quotes all of doc 1 inside much more text: containment of 1
+    # in 2 is 1.0 but jaccard is ~0.23 -> jaccard misses, containment hits
+    small = " ".join(f"q{i}" for i in range(12))  # 10 3-gram shingles
+    big = small + " " + " ".join(f"pad{i}" for i in range(40))
+    other = " ".join(f"z{i}" for i in range(20))
+    sf = _write_docs(tmp_path, [(1, small), (2, big), (3, other)])
+
+    cont = Q.containment_pairs(sf).to_pandas()
+    assert len(cont) == 1
+    r = cont.iloc[0]
+    assert (r.id_a, r.id_b) == (1, 2)
+    assert r.n_inter == r.n_a  # fully contained
+    assert r.n_b > r.n_a
+
+    jac = Q.ngram_jaccard_exact(sf).to_pandas()
+    assert len(jac) == 0  # jaccard at 0.3 misses the inclusion
