@@ -148,6 +148,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- rows-only / pytest-oracled block (no SQL twin by nature) ---
         "doc_packing": Q.doc_packing,
         "incremental_neardup_ingest": Q.incremental_neardup_ingest,
+        "quality_classifier_scores": Q.quality_classifier_scores,
         "lang_id": Q.lang_id,
         "minhash_dedup_documents": Q.minhash_dedup_documents,
         "simhash_signatures": Q.simhash_signatures,

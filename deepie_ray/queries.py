@@ -3747,3 +3747,20 @@ def containment_pairs(sf_dir: str) -> rd.Dataset:
     return dedup.jaccard_exact_blockjoin(
         ds, threshold_num=8, threshold_den=10, containment=True
     )
+
+
+def quality_classifier_scores(sf_dir: str) -> rd.Dataset:
+    """fastText-style quality filter (rows-only: iterative training has
+    no SQL twin; numpy-parity + learnability pytest-oracled): logistic
+    regression on hashed bag-of-words features, weak-supervised by the
+    corpus ``lang`` column (label = lang=='en'), full-batch distributed
+    GD -> (doc_id, prob) for every doc."""
+    from .ops import classifier
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    _w, scored = classifier.quality_classifier(
+        ds,
+        label_fn=lambda b: pc.cast(pc.equal(b["lang"], "en"), pa.int8()),
+        n_iters=12,
+    )
+    return scored
