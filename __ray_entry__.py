@@ -145,6 +145,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_top_bigram": Q.doc_top_bigram,
         "neardup_keep_best": Q.neardup_keep_best,
         "containment_pairs": Q.containment_pairs,
+        "doc_bigram_nll": Q.doc_bigram_nll,
         # --- rows-only / pytest-oracled block (no SQL twin by nature) ---
         "doc_packing": Q.doc_packing,
         "incremental_neardup_ingest": Q.incremental_neardup_ingest,
@@ -1293,6 +1294,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT t.doc_id, count(*)::BIGINT AS n_tokens,
                    avg(-ln(c.cnt / n.total)) AS nll
             FROM t JOIN c USING (w) CROSS JOIN n GROUP BY t.doc_id
+        """,
+        "doc_bigram_nll": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(text, '\s+'),
+                                 x -> x <> '') AS a
+              FROM documents
+            ),
+            bg AS (
+              SELECT doc_id,
+                     unnest([a[i] || ' ' || a[i+1]
+                             for i in generate_series(1, len(a) - 1)]) AS bigram,
+                     unnest([a[i]
+                             for i in generate_series(1, len(a) - 1)]) AS w1
+              FROM t
+            ),
+            cb AS (SELECT bigram, count(*)::DOUBLE AS cb FROM bg GROUP BY bigram),
+            cl AS (SELECT w1, count(*)::DOUBLE AS cl FROM bg GROUP BY w1)
+            SELECT bg.doc_id, count(*)::BIGINT AS n_bigrams,
+                   avg(-ln(cb.cb / cl.cl)) AS nll2
+            FROM bg JOIN cb USING (bigram) JOIN cl USING (w1)
+            GROUP BY bg.doc_id
         """,
         "doc_line_repetition": r"""
             WITH l AS (

@@ -131,6 +131,47 @@ def ingest_documents(
     )
 
 
+def compact_index(state_root: str, kind: str = "fingerprints") -> int:
+    """Merge all committed generations of an index into ONE (the
+    operational countermeasure to unbounded generation growth: every
+    ingest otherwise adds a dir, and the anti-join reads them all).
+    Crash-safe in the same commit discipline: the merged generation is
+    written to a tmp dir, renamed, and MARKED before the old markers
+    are removed — a crash at any point leaves either the old
+    generations (merge invisible) or the new one plus stale data dirs
+    whose markers are gone (ignored by readers, re-collectable).  The
+    one crash window where BOTH old and new markers exist merely
+    duplicates index rows, which every consumer tolerates: the exact
+    path anti-joins on distinct fingerprints, the near-dup path
+    dedups candidate ids.  Returns the number of generations merged
+    (0/1 = nothing to do).
+
+    Scale shape: one streaming read -> write_parquet; no shuffle (the
+    rows are already distinct across generations by the ingest
+    invariant), no driver materialization."""
+    kind_dirs = _committed_dirs(state_root, kind)
+    if len(kind_dirs) <= 1:
+        return len(kind_dirs)
+    merged = rd.read_parquet(_gen_files(kind_dirs))
+    root = os.path.join(state_root, kind)
+    gen_id = uuid.uuid4().hex[:12]
+    gen_dir = os.path.join(root, f"gen-{gen_id}")
+    tmp = gen_dir + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    n = merged.count()
+    merged.write_parquet(tmp)
+    os.replace(tmp, gen_dir)
+    with open(gen_dir + ".json", "w") as f:
+        json.dump({"rows": n, "gen": gen_id, "compacted": len(kind_dirs)}, f)
+    # retire the inputs: markers first (atomic visibility flip), then data
+    for d in kind_dirs:
+        os.remove(d + ".json")
+    for d in kind_dirs:
+        shutil.rmtree(d, ignore_errors=True)
+    return len(kind_dirs)
+
+
 # ------------------------------------------------- incremental NEAR-dedup
 
 

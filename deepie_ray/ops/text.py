@@ -757,3 +757,148 @@ def top_bigram_frac_batch(batch: pa.Table) -> pa.Table:
             "top_bigram_char_frac": pa.array(covered / denom),
         }
     )
+
+
+def _explode_bigrams(batch: pa.Table, text_col: str, id_col: str):
+    """(row-aligned id array, bigram 'w1 w2' array, left-token array)
+    for a batch — the repeat/cumsum explode of
+    ``top_bigram_frac_batch`` factored for reuse.  Docs with <2
+    nonempty tokens contribute nothing."""
+    toks = pc.split_pattern_regex(
+        pc.fill_null(batch[text_col], ""), pattern=r"\s+"
+    )
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = pc.list_flatten(toks)
+    keep = pc.not_equal(flat, "")
+    keep_np = keep.to_numpy(zero_copy_only=False)
+    offs = toks.offsets.to_numpy(zero_copy_only=False)
+    base = offs[0]
+    cum = np.concatenate(([0], np.cumsum(keep_np)))
+    new_offs = cum[offs - base]
+    flat = flat.filter(keep)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    lens = np.diff(new_offs)
+    nb = np.maximum(lens - 1, 0)
+    doc_rep = np.repeat(np.arange(len(lens)), nb)
+    within = np.arange(int(nb.sum())) - np.repeat(
+        np.concatenate(([0], np.cumsum(nb)))[:-1], nb
+    )
+    left = new_offs[:-1][doc_rep] + within
+    if len(left) == 0:
+        empty = pa.array([], pa.string())
+        return pa.array([], batch[id_col].type), empty, empty
+    li = pa.array(left, pa.int64())
+    w1 = flat.take(li)
+    bigrams = pc.binary_join_element_wise(
+        w1, flat.take(pa.array(left + 1, pa.int64())), " "
+    )
+    ids = batch[id_col].take(pa.array(doc_rep, pa.int64()))
+    return ids, bigrams, w1
+
+
+def bigram_nll(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 1,
+):
+    """Corpus-derived BIGRAM-LM negative log-likelihood per doc (the
+    conditional upgrade of ``unigram_nll``; catches token-order
+    scrambling that unigram perplexity cannot): score =
+    ``mean(-ln(c(w1 w2) / c_left(w1)))`` over the doc's adjacent
+    pairs, where both counts come from the same corpus-wide bigram
+    pass -> (doc_id, n_bigrams:int64, nll2:double); docs with <2
+    tokens emit nothing.
+
+    One distributed combiner-first pass builds the bigram vocabulary;
+    the left-token denominators derive from it on the driver (split on
+    the first space — no second pass), and the broadcast table ships
+    once via ``ray.put``.  ``min_count`` prunes the broadcast at 100 TB
+    exactly as in ``unigram_nll`` (floor = min_count / c_left; the
+    default 1 is exact and oracle-checked)."""
+    import math  # noqa: F401
+
+    import ray
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        _ids, bigrams, _w1 = _explode_bigrams(batch, text_col, id_col)
+        g = (
+            pa.table({"bg": bigrams})
+            .group_by("bg")
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {"bg": g["bg"], "n": pc.cast(g["count_all"], pa.int64())}
+        )
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bg")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    vocab = counts.to_pandas()  # bigram-vocabulary-bounded driver fold
+    if len(vocab):
+        w1 = vocab["bg"].str.split(" ", n=1).str[0]
+        left_tot = vocab.groupby(w1)["n"].transform("sum")
+        kept = vocab["n"] >= min_count
+        nll = -np.log(vocab["n"].to_numpy() / left_tot.to_numpy())
+        lp = dict(zip(vocab["bg"][kept], nll[kept].tolist()))
+        floors = dict(
+            zip(w1[kept], (-np.log(min_count / left_tot.to_numpy()))[kept])
+        )
+    else:
+        lp, floors = {}, {}
+    lp_ref = ray.put((lp, floors))
+
+    class Score:
+        def __init__(self):
+            self.lp, self.floors = ray.get(lp_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids, bigrams, w1 = _explode_bigrams(batch, text_col, id_col)
+            if len(bigrams) == 0:
+                return pa.table(
+                    {
+                        id_col: pa.array([], batch[id_col].type),
+                        "n_bigrams": pa.array([], pa.int64()),
+                        "nll2": pa.array([], pa.float64()),
+                    }
+                )
+            d = bigrams.dictionary_encode()
+            if isinstance(d, pa.ChunkedArray):
+                d = d.combine_chunks()
+            # distinct-bigram lookup; unknown bigram -> its left token's
+            # floor (0.0 only if the left token itself was never seen,
+            # which cannot happen scoring the training corpus)
+            dict_bgs = d.dictionary.to_pylist()
+            lut = pa.array(
+                [
+                    self.lp.get(
+                        bg, self.floors.get(bg.split(" ", 1)[0], 0.0)
+                    )
+                    for bg in dict_bgs
+                ],
+                pa.float64(),
+            )
+            nll = lut.take(d.indices)
+            g = (
+                pa.table({id_col: ids, "nll2": nll})
+                .group_by(id_col)
+                .aggregate([("nll2", "mean"), ([], "count_all")])
+            )
+            return pa.table(
+                {
+                    id_col: g[id_col],
+                    "n_bigrams": pc.cast(g["count_all"], pa.int64()),
+                    "nll2": g["nll2_mean"],
+                }
+            )
+
+    from ..tuning import POOL_REMOTE_ARGS
+
+    return ds.map_batches(
+        Score, batch_format="pyarrow", concurrency=(1, 8), **POOL_REMOTE_ARGS
+    )

@@ -3764,3 +3764,10 @@ def quality_classifier_scores(sf_dir: str) -> rd.Dataset:
         n_iters=12,
     )
     return scored
+
+
+def doc_bigram_nll(sf_dir: str) -> rd.Dataset:
+    """Bigram-LM conditional NLL per doc (order-sensitive perplexity
+    quality signal) -> (doc_id, n_bigrams, nll2)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return text.bigram_nll(ds)

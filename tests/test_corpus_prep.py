@@ -225,3 +225,55 @@ def test_containment_catches_quote_inclusion(tmp_path):
 
     jac = Q.ngram_jaccard_exact(sf).to_pandas()
     assert len(jac) == 0  # jaccard at 0.3 misses the inclusion
+
+
+def test_bigram_nll_hand_computed():
+    import math
+
+    import ray.data as rd
+
+    # corpus bigrams: doc1 'a b','b a','a b'; doc2 'b a'
+    # c('a b')=2, c('b a')=2; left counts: a->2, b->2
+    # p('a b'|a)=1.0, p('b a'|b)=1.0 -> every nll term is 0... make it
+    # non-trivial: add 'a c' so left 'a' splits 2/1
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(["a b a b", "b a", "a c"]),
+        }
+    )
+    out = (
+        T.bigram_nll(rd.from_arrow(t))
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    # corpus: 'a b' x2, 'b a' x1, 'a c' x1 -> left a: 3, left b: 1
+    lab = -math.log(2 / 3)  # p(b|a)
+    lba = -math.log(1 / 1)  # p(a|b)
+    lac = -math.log(1 / 3)  # p(c|a)
+    assert out.loc[1, "n_bigrams"] == 3
+    assert abs(out.loc[1, "nll2"] - (lab + lba + lab) / 3) < 1e-12
+    assert abs(out.loc[2, "nll2"] - lba) < 1e-12
+    assert abs(out.loc[3, "nll2"] - lac) < 1e-12
+
+
+def test_bigram_nll_order_sensitivity_vs_unigram():
+    """The bigram score separates a scrambled doc from a fluent one
+    with identical token multiset — unigram NLL cannot."""
+    import ray.data as rd
+
+    fluent = "the cat sat on the mat"
+    scrambled = "mat the on cat the sat"  # same multiset, one-off order
+    ids = list(range(1, 11)) + [99]
+    texts = [fluent] * 10 + [scrambled]
+    t = pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array(texts),
+        }
+    )
+    uni = T.unigram_nll(rd.from_arrow(t)).to_pandas().set_index("doc_id")
+    bi = T.bigram_nll(rd.from_arrow(t)).to_pandas().set_index("doc_id")
+    assert abs(uni.loc[1, "nll"] - uni.loc[99, "nll"]) < 1e-9
+    assert bi.loc[99, "nll2"] > bi.loc[1, "nll2"] + 0.5

@@ -270,3 +270,22 @@ def test_exact_ingest_multi_generation_index(tmp_path):
         _ingest_docs([3, 4, 5], ["aa", "bb", "cc"]), state
     )
     assert sorted(out.to_pandas()["doc_id"]) == [5]
+
+
+def test_compact_index_preserves_behavior(tmp_path):
+    from deepie_ray import ingest
+
+    state = str(tmp_path / "state")
+    ingest.ingest_documents(_ingest_docs([1], ["aa"]), state)
+    ingest.ingest_documents(_ingest_docs([2], ["bb"]), state)
+    ingest.ingest_documents(_ingest_docs([3], ["cc"]), state)
+    assert len(ingest.committed_generations(state)) == 3
+    assert ingest.compact_index(state) == 3
+    assert len(ingest.committed_generations(state)) == 1
+    # identical accept/reject behavior after compaction
+    out = ingest.ingest_documents(
+        _ingest_docs([10, 11, 12, 13], ["aa", "bb", "cc", "dd"]), state
+    )
+    assert sorted(out.to_pandas()["doc_id"]) == [13]
+    # compacting a single generation is a no-op
+    assert ingest.compact_index(state) <= 2  # merged gen + new dd gen
