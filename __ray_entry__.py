@@ -146,6 +146,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neardup_keep_best": Q.neardup_keep_best,
         "containment_pairs": Q.containment_pairs,
         "doc_bigram_nll": Q.doc_bigram_nll,
+        "ann_topk_filtered": Q.ann_topk_filtered,
         # --- rows-only / pytest-oracled block (no SQL twin by nature) ---
         "doc_packing": Q.doc_packing,
         "incremental_neardup_ingest": Q.incremental_neardup_ingest,
@@ -927,6 +928,20 @@ def oracle_sql() -> dict[str, str]:
               FROM (SELECT vec_id, embedding::DOUBLE[] e FROM embeddings
                     WHERE vec_id < 5) q,
                    (SELECT vec_id, embedding::DOUBLE[] e FROM embeddings) c
+              WHERE q.vec_id <> c.vec_id
+            ) WHERE rank <= 10
+        """,
+        "ann_topk_filtered": """
+            SELECT query_id, neighbor_id, rank FROM (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(q.e, c.e) DESC,
+                                c.vec_id ASC) AS rank
+              FROM (SELECT vec_id, embedding::DOUBLE[] e FROM embeddings
+                    WHERE vec_id < 5) q,
+                   (SELECT vec_id, embedding::DOUBLE[] e FROM embeddings
+                    WHERE label = 1) c
               WHERE q.vec_id <> c.vec_id
             ) WHERE rank <= 10
         """,

@@ -3771,3 +3771,23 @@ def doc_bigram_nll(sf_dir: str) -> rd.Dataset:
     quality signal) -> (doc_id, n_bigrams, nll2)."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return text.bigram_nll(ds)
+
+
+def ann_topk_filtered(sf_dir: str) -> rd.Dataset:
+    """FILTERED vector search (the metadata-predicate ANN every vector
+    store ships: 'nearest neighbors WHERE label = 1') -> (query_id,
+    neighbor_id, rank): brute-force cosine top-10 among corpus vectors
+    whose label is 1, for query vectors vec_id < 5.  Pre-filtering —
+    the predicate prunes the corpus BEFORE scoring (row-group pushdown
+    at a real deployment; a vectorized filter kernel here), so recall
+    is exact rather than the post-filter k-starvation of filtering
+    AFTER top-k."""
+    from .ops import ann
+
+    ids, mat = _query_vectors(sf_dir)
+    corpus = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+    filtered = corpus.map_batches(
+        lambda t: t.filter(pc.equal(t["label"], 1)).drop_columns(["label"]),
+        batch_format="pyarrow",
+    )
+    return ann.brute_force_topk(filtered, ids, mat, k=10)
