@@ -147,10 +147,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "containment_pairs": Q.containment_pairs,
         "doc_bigram_nll": Q.doc_bigram_nll,
         "ann_topk_filtered": Q.ann_topk_filtered,
+        "doc_oov_rate": Q.doc_oov_rate,
         # --- rows-only / pytest-oracled block (no SQL twin by nature) ---
         "doc_packing": Q.doc_packing,
         "incremental_neardup_ingest": Q.incremental_neardup_ingest,
         "quality_classifier_scores": Q.quality_classifier_scores,
+        "embedding_random_projection": Q.embedding_random_projection,
         "lang_id": Q.lang_id,
         "minhash_dedup_documents": Q.minhash_dedup_documents,
         "simhash_signatures": Q.simhash_signatures,
@@ -1331,6 +1333,18 @@ def oracle_sql() -> dict[str, str]:
                    avg(-ln(cb.cb / cl.cl)) AS nll2
             FROM bg JOIN cb USING (bigram) JOIN cl USING (w1)
             GROUP BY bg.doc_id
+        """,
+        "doc_oov_rate": r"""
+            WITH tok AS (
+              SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS w
+              FROM documents
+            ), t AS (SELECT doc_id, w FROM tok WHERE w <> ''),
+            c AS (SELECT w, count(*)::BIGINT AS n FROM t GROUP BY w)
+            SELECT t.doc_id, count(*)::BIGINT AS n_tokens,
+                   sum(CASE WHEN c.n < 3 THEN 1 ELSE 0 END)::BIGINT AS n_oov,
+                   sum(CASE WHEN c.n < 3 THEN 1 ELSE 0 END)::DOUBLE
+                     / count(*) AS oov_rate
+            FROM t JOIN c USING (w) GROUP BY t.doc_id
         """,
         "doc_line_repetition": r"""
             WITH l AS (

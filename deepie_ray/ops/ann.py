@@ -420,3 +420,53 @@ def pq_topk(
         **POOL_REMOTE_ARGS,
     )
     return merge_topk(partials, k)
+
+
+def random_projection(
+    ds: rd.Dataset,
+    out_dim: int = 8,
+    seed: int = 211,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> rd.Dataset:
+    """Johnson-Lindenstrauss random projection: embeddings -> ``out_dim``
+    dims via a seeded Gaussian matrix R/sqrt(out_dim) -> (id,
+    proj:list<double>).  The projection preserves pairwise L2 distances
+    within (1±eps) w.h.p. — the standard pre-step before clustering /
+    dedup on very high-dim embeddings (cuts both compute and shuffle
+    bytes by in_dim/out_dim).
+
+    Deterministic and embarrassingly parallel: R is a pure function of
+    (seed, in_dim, out_dim) regenerated per actor (d*k doubles — cheaper
+    to rebuild than to ship for any realistic size), each row maps
+    independently, so output is BIT-identical under any partitioning."""
+
+    class Project:
+        def __init__(self):
+            self.R = None  # built lazily: in_dim comes from the data
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            M = _to_matrix(batch[vec_col])
+            if len(M) == 0:
+                return pa.table(
+                    {
+                        id_col: batch[id_col],
+                        "proj": pa.array([], pa.list_(pa.float64())),
+                    }
+                )
+            if self.R is None or self.R.shape[0] != M.shape[1]:
+                rng = np.random.default_rng(seed)
+                self.R = rng.standard_normal(
+                    (M.shape[1], out_dim)
+                ) / np.sqrt(out_dim)
+            P = M @ self.R
+            return pa.table(
+                {
+                    id_col: batch[id_col],
+                    "proj": pa.array(P.tolist(), pa.list_(pa.float64())),
+                }
+            )
+
+    return ds.map_batches(
+        Project, batch_format="pyarrow", concurrency=(1, 8), **POOL_REMOTE_ARGS
+    )

@@ -902,3 +902,86 @@ def bigram_nll(
     return ds.map_batches(
         Score, batch_format="pyarrow", concurrency=(1, 8), **POOL_REMOTE_ARGS
     )
+
+
+def oov_rate(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 3,
+):
+    """Per-doc out-of-vocabulary rate against the corpus vocabulary of
+    tokens occurring >= ``min_count`` times (gibberish / OCR-noise
+    quality signal) -> (doc_id, n_tokens:int64, n_oov:int64,
+    oov_rate:double).
+
+    The broadcast side is the KEPT vocabulary (count >= min_count) —
+    the head of the Zipf curve, which is the SMALL side at any corpus
+    size; the rare tail (the big side) never ships.  Membership is a
+    distinct-token dictionary probe per batch."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flat, _ids = _explode_tokens(batch, text_col, id_col)
+        g = pa.table({"w": flat}).group_by("w").aggregate([([], "count_all")])
+        return pa.table(
+            {"w": g["w"], "n": pc.cast(g["count_all"], pa.int64())}
+        )
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("w")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    vocab = counts.to_pandas()
+    kept = set(vocab.loc[vocab["n"] >= min_count, "w"])
+    kept_ref = ray.put(kept)
+
+    class Score:
+        def __init__(self):
+            self.kept = ray.get(kept_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            flat, ids = _explode_tokens(batch, text_col, id_col)
+            if len(flat) == 0:
+                return pa.table(
+                    {
+                        id_col: pa.array([], batch[id_col].type),
+                        "n_tokens": pa.array([], pa.int64()),
+                        "n_oov": pa.array([], pa.int64()),
+                        "oov_rate": pa.array([], pa.float64()),
+                    }
+                )
+            d = flat.dictionary_encode()
+            if isinstance(d, pa.ChunkedArray):
+                d = d.combine_chunks()
+            is_oov = pa.array(
+                [w not in self.kept for w in d.dictionary.to_pylist()],
+                pa.bool_(),
+            )
+            oov = pc.cast(is_oov.take(d.indices), pa.int64())
+            g = (
+                pa.table({id_col: ids, "oov": oov})
+                .group_by(id_col)
+                .aggregate([("oov", "sum"), ([], "count_all")])
+            )
+            n_tok = pc.cast(g["count_all"], pa.int64())
+            n_oov = pc.cast(g["oov_sum"], pa.int64())
+            return pa.table(
+                {
+                    id_col: g[id_col],
+                    "n_tokens": n_tok,
+                    "n_oov": n_oov,
+                    "oov_rate": pc.divide(
+                        pc.cast(n_oov, pa.float64()),
+                        pc.cast(n_tok, pa.float64()),
+                    ),
+                }
+            )
+
+    from ..tuning import POOL_REMOTE_ARGS
+
+    return ds.map_batches(
+        Score, batch_format="pyarrow", concurrency=(1, 8), **POOL_REMOTE_ARGS
+    )

@@ -3791,3 +3791,20 @@ def ann_topk_filtered(sf_dir: str) -> rd.Dataset:
         batch_format="pyarrow",
     )
     return ann.brute_force_topk(filtered, ids, mat, k=10)
+
+
+def doc_oov_rate(sf_dir: str) -> rd.Dataset:
+    """OOV rate vs the corpus >=3-count vocabulary -> (doc_id,
+    n_tokens, n_oov, oov_rate)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return text.oov_rate(ds, min_count=3)
+
+
+def embedding_random_projection(sf_dir: str) -> rd.Dataset:
+    """JL random projection of the embeddings table to 8 dims
+    (rows-only: seeded-Gaussian output has no SQL twin; distance
+    preservation and partitioning-bit-stability pytest-oracled)."""
+    from .ops import ann
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return ann.random_projection(ds, out_dim=8)

@@ -277,3 +277,62 @@ def test_bigram_nll_order_sensitivity_vs_unigram():
     bi = T.bigram_nll(rd.from_arrow(t)).to_pandas().set_index("doc_id")
     assert abs(uni.loc[1, "nll"] - uni.loc[99, "nll"]) < 1e-9
     assert bi.loc[99, "nll2"] > bi.loc[1, "nll2"] + 0.5
+
+
+def test_oov_rate_planted():
+    import ray.data as rd
+
+    # 'common' x4 (kept at min_count=3), each rare_i once (OOV)
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array(
+                ["common common rare1 rare2", "common common rare3"]
+            ),
+        }
+    )
+    out = (
+        T.oov_rate(rd.from_arrow(t), min_count=3)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert out.loc[1, "n_oov"] == 2 and out.loc[1, "oov_rate"] == 0.5
+    assert out.loc[2, "n_oov"] == 1 and abs(out.loc[2, "oov_rate"] - 1 / 3) < 1e-15
+
+
+def test_random_projection_distance_preservation_and_stability():
+    import ray.data as rd
+
+    from deepie_ray.ops import ann
+
+    rng = np.random.default_rng(3)
+    n, d = 60, 64
+    X = rng.standard_normal((n, d))
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array(X.tolist(), pa.list_(pa.float32())),
+        }
+    )
+    outs = []
+    for parts in (1, 4):
+        ds = rd.from_arrow(t).repartition(parts)
+        df = (
+            ann.random_projection(ds, out_dim=24)
+            .to_pandas()
+            .sort_values("vec_id")
+        )
+        outs.append(np.array(df["proj"].tolist()))
+    # bit-identical under any partitioning (pure per-row function)
+    assert np.array_equal(outs[0], outs[1])
+    P = outs[0]
+    # JL distance preservation on random pairs (generous eps for k=24)
+    Xf = X.astype(np.float32).astype(np.float64)  # arrow stores f32
+    idx = rng.integers(0, n, size=(40, 2))
+    idx = idx[idx[:, 0] != idx[:, 1]]
+    do = np.linalg.norm(Xf[idx[:, 0]] - Xf[idx[:, 1]], axis=1)
+    dp = np.linalg.norm(P[idx[:, 0]] - P[idx[:, 1]], axis=1)
+    ratio = dp / do
+    assert (ratio > 0.5).all() and (ratio < 1.6).all()
+    assert abs(np.median(ratio) - 1.0) < 0.25
