@@ -148,6 +148,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_bigram_nll": Q.doc_bigram_nll,
         "ann_topk_filtered": Q.ann_topk_filtered,
         "doc_oov_rate": Q.doc_oov_rate,
+        "documents_version_diff": Q.documents_version_diff,
         # --- rows-only / pytest-oracled block (no SQL twin by nature) ---
         "doc_packing": Q.doc_packing,
         "incremental_neardup_ingest": Q.incremental_neardup_ingest,
@@ -1333,6 +1334,25 @@ def oracle_sql() -> dict[str, str]:
                    avg(-ln(cb.cb / cl.cl)) AS nll2
             FROM bg JOIN cb USING (bigram) JOIN cl USING (w1)
             GROUP BY bg.doc_id
+        """,
+        "documents_version_diff": r"""
+            WITH oldv AS (SELECT doc_id, text FROM documents),
+            newv AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 89 = 0 THEN text || ' [edited]'
+                          ELSE text END AS text
+              FROM documents WHERE doc_id % 97 <> 0
+              UNION ALL
+              SELECT doc_id + 1000000 AS doc_id,
+                     'new doc ' || doc_id AS text
+              FROM documents WHERE doc_id % 101 = 0
+            )
+            SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+                   CASE WHEN o.doc_id IS NULL THEN 'added'
+                        WHEN n.doc_id IS NULL THEN 'removed'
+                        ELSE 'changed' END AS status
+            FROM oldv o FULL OUTER JOIN newv n ON o.doc_id = n.doc_id
+            WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.text <> n.text
         """,
         "doc_oov_rate": r"""
             WITH tok AS (

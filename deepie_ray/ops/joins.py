@@ -809,3 +809,67 @@ def skew_join(
         batch_format="pyarrow",
     )
     return hot_out.union(cold_out)
+
+
+def diff_by_key(
+    old: rd.Dataset,
+    new: rd.Dataset,
+    on: str = "doc_id",
+    fp_col: str = "fp",
+    num_partitions: int = 8,
+) -> rd.Dataset:
+    """Dataset regression diff: two (key, fingerprint) datasets ->
+    (key, status in {'added','removed','changed'}); unchanged rows are
+    dropped (the diff is the SMALL output — at 100 TB both inputs
+    stream through ONE full-outer hash-partitioned join of narrow
+    fingerprint rows and only the delta survives).  The caller
+    fingerprints whatever payload equality should mean (md5 of the
+    row's compared columns); keys must be unique per side.
+
+    Empty-side guards per the house join rule: an empty old marks all
+    of new 'added' and vice versa."""
+    o = old.map_batches(
+        lambda t: pa.table({on: t[on], "fp_old": t[fp_col]}),
+        batch_format="pyarrow",
+    ).materialize()
+    n = new.map_batches(
+        lambda t: pa.table({on: t[on], "fp_new": t[fp_col]}),
+        batch_format="pyarrow",
+    ).materialize()
+
+    def tag(ds: rd.Dataset, status: str) -> rd.Dataset:
+        return ds.map_batches(
+            lambda t, s=status: pa.table(
+                {on: t[on], "status": pa.array([s] * t.num_rows, pa.string())}
+            ),
+            batch_format="pyarrow",
+        )
+
+    if o.count() == 0:
+        return tag(n, "added")
+    if n.count() == 0:
+        return tag(o, "removed")
+
+    j = hash_join(o, n, on=on, how="full_outer", num_partitions=num_partitions)
+
+    def classify(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        fo, fn = t["fp_old"], t["fp_new"]
+        status = pc.if_else(
+            pc.is_null(fo),
+            pa.scalar("added", pa.string()),
+            pc.if_else(
+                pc.is_null(fn),
+                pa.scalar("removed", pa.string()),
+                pa.scalar("changed", pa.string()),
+            ),
+        )
+        out = pa.table({on: t[on], "status": status})
+        keep = pc.or_kleene(
+            pc.or_(pc.is_null(fo), pc.is_null(fn)),
+            pc.not_equal(fo, fn),
+        )
+        return out.filter(pc.fill_null(keep, True))
+
+    return j.map_batches(classify, batch_format="pyarrow")

@@ -3808,3 +3808,54 @@ def embedding_random_projection(sf_dir: str) -> rd.Dataset:
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     return ann.random_projection(ds, out_dim=8)
+
+
+def documents_version_diff(sf_dir: str) -> rd.Dataset:
+    """Dataset regression diff (operational tool: 'what changed between
+    yesterday's corpus snapshot and today's?') -> (doc_id, status):
+    documents diffed against a deterministically perturbed second
+    version (doc_id % 97 == 0 removed, % 89 == 0 edited, % 101 == 0
+    re-added under key+1000000).  One full-outer join of md5
+    fingerprint rows; only the delta survives
+    (``ops/joins.diff_by_key``)."""
+    from .ops.dedup import _md5_hex_utf8_slices
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fp(t: pa.Table) -> pa.Table:
+        col = t["text"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        return pa.table(
+            {"doc_id": t["doc_id"], "fp": pa.array(_md5_hex_utf8_slices(col))}
+        )
+
+    old = ds.map_batches(fp, batch_format="pyarrow")
+
+    def perturb(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        txt = t["text"]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        keep = pa.array(ids % 97 != 0)
+        edited = pc.if_else(
+            pa.array(ids % 89 == 0),
+            pc.binary_join_element_wise(
+                txt, pa.array([" [edited]"] * len(t), pa.string()), ""
+            ),
+            txt,
+        )
+        base = pa.table({"doc_id": t["doc_id"], "text": edited}).filter(keep)
+        add_m = ids % 101 == 0
+        added = pa.table(
+            {
+                "doc_id": pa.array(ids[add_m] + 1_000_000, pa.int64()),
+                "text": pa.array([f"new doc {i}" for i in ids[add_m]], pa.string()),
+            }
+        )
+        return pa.concat_tables([base, added])
+
+    new = ds.map_batches(perturb, batch_format="pyarrow").map_batches(
+        fp, batch_format="pyarrow"
+    )
+    return joins.diff_by_key(old, new, on="doc_id", fp_col="fp")

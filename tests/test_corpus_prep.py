@@ -336,3 +336,38 @@ def test_random_projection_distance_preservation_and_stability():
     ratio = dp / do
     assert (ratio > 0.5).all() and (ratio < 1.6).all()
     assert abs(np.median(ratio) - 1.0) < 0.25
+
+
+def test_diff_by_key_statuses_and_empty_sides():
+    import ray.data as rd
+
+    from deepie_ray.ops import joins
+
+    def fp_ds(pairs):
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([p[0] for p in pairs], pa.int64()),
+                    "fp": pa.array([p[1] for p in pairs], pa.string()),
+                }
+            )
+        )
+
+    old = fp_ds([(1, "a"), (2, "b"), (3, "c")])
+    new = fp_ds([(2, "b"), (3, "CHANGED"), (4, "d")])
+    out = (
+        joins.diff_by_key(old, new)
+        .to_pandas()
+        .set_index("doc_id")["status"]
+        .sort_index()
+    )
+    assert out.to_dict() == {1: "removed", 3: "changed", 4: "added"}
+    # empty sides
+    assert (
+        joins.diff_by_key(fp_ds([]), new).to_pandas()["status"] == "added"
+    ).all()
+    assert (
+        joins.diff_by_key(old, fp_ds([])).to_pandas()["status"] == "removed"
+    ).all()
+    # identical versions -> empty diff
+    assert joins.diff_by_key(old, old).count() == 0
