@@ -149,6 +149,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_filtered": Q.ann_topk_filtered,
         "doc_oov_rate": Q.doc_oov_rate,
         "documents_version_diff": Q.documents_version_diff,
+        "export_jsonl_gz_roundtrip": Q.export_jsonl_gz_roundtrip,
         # --- rows-only / pytest-oracled block (no SQL twin by nature) ---
         "doc_packing": Q.doc_packing,
         "incremental_neardup_ingest": Q.incremental_neardup_ingest,
@@ -599,6 +600,9 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY event_type
         """,
         "export_jsonl_roundtrip": """
+            SELECT doc_id, md5(text) AS fingerprint FROM documents
+        """,
+        "export_jsonl_gz_roundtrip": """
             SELECT doc_id, md5(text) AS fingerprint FROM documents
         """,
         "shuffle_shards_docs": """

@@ -3859,3 +3859,38 @@ def documents_version_diff(sf_dir: str) -> rd.Dataset:
         fp, batch_format="pyarrow"
     )
     return joins.diff_by_key(old, new, on="doc_id", fp_col="fp")
+
+
+def export_jsonl_gz_roundtrip(sf_dir: str) -> rd.Dataset:
+    """Gzipped-JSONL sink + source round trip -> (doc_id, fingerprint):
+    same byte-exactness contract as ``export_jsonl_roundtrip`` (the
+    DuckDB twin fingerprints the ORIGINAL table, so a hash match proves
+    text survives pandas' C JSON serializer + gzip + pyarrow's JSON
+    parser bit-for-bit), over the compressed wire format public corpora
+    actually ship as."""
+    import hashlib
+    import os
+    import shutil
+
+    from .hashing import md5_hex
+    from .sources import jsonl
+
+    out_dir = (
+        f"/tmp/deepie_export/p{os.getpid()}_jsonlgz_"
+        + hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    jsonl.write_jsonl_gz(docs, out_dir)
+    back = jsonl.read_jsonl_gz(out_dir)
+
+    def fp(t: pa.Table) -> pa.Table:
+        fps = [md5_hex(x or "") for x in t["text"].to_pylist()]
+        return pa.table(
+            {
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "fingerprint": pa.array(fps, pa.string()),
+            }
+        )
+
+    return back.map_batches(fp, batch_format="pyarrow")

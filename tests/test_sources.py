@@ -148,3 +148,42 @@ def test_unknown_words_and_matrix():
     assert np.all(W[0] == 0)  # padding row pinned
     assert W.shape == (4, 4)
     assert idx == {"a": 1, "b": 2, "c": 3}  # sorted deterministic ids
+
+
+# ------------------------------------------------------------ jsonl.gz
+
+
+def test_jsonl_gz_roundtrip_adversarial_text(tmp_path):
+    import gzip
+    import glob
+
+    import ray.data as rd
+
+    from deepie_ray.sources import jsonl
+
+    texts = [
+        'quotes " and \\ backslash',
+        "newline\ninside and tab\tinside",
+        "non-ascii: café 中文 \U0001f600",
+        "",
+    ]
+    t = pa.table(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()), "text": texts}
+    )
+    out = str(tmp_path / "gz")
+    manifest = jsonl.write_jsonl_gz(rd.from_arrow(t), out)
+    assert manifest.to_pandas()["n"].sum() == len(texts)
+    # files on disk are really gzip (magic bytes)
+    files = glob.glob(out + "/*.jsonl.gz")
+    assert files
+    with open(files[0], "rb") as f:
+        assert f.read(2) == b"\x1f\x8b"
+    with gzip.open(files[0], "rt", encoding="utf-8") as f:
+        assert f.readline().startswith("{")
+    back = (
+        jsonl.read_jsonl_gz(out)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(back["text"]) == texts
