@@ -280,11 +280,15 @@ def ingest_documents_neardup(
 
     all_ids = sigs_new.select_columns([id_col])
     nonroots = clusters.map_batches(
-        lambda t: t.filter(pc.not_equal(t[id_col], t["cluster_id"])),
+        lambda t: pa.table(
+            {id_col: t.filter(pc.not_equal(t[id_col], t["cluster_id"]))[id_col]}
+        ),
         batch_format="pyarrow",
     )
-    # survivors of the within-batch dedup: drop cluster non-roots
-    kept = joins.anti_join(all_ids, nonroots, on=id_col, num_partitions=num_partitions)
+    # rejected ids accumulate (narrow id rows, union is shuffle-free);
+    # ONE anti join at the end instead of one per rejection source —
+    # join fixed costs dominate this pipeline's wall time
+    rejected = nonroots
 
     # -- vs prior generations: bands join -> candidate (new, old) pairs
     gen_dirs = _committed_dirs(state_root, "minhash")
@@ -325,22 +329,22 @@ def ingest_documents_neardup(
             lambda t: pa.table({id_col: t["id_a"]}), batch_format="pyarrow"
         ).materialize()  # consumed by the root join AND the anti join
         # cluster-level rejection: matched members name their ROOT too
-        matched_roots = joins.hash_join(
-            matched.repartition(num_partitions),
-            clusters.repartition(num_partitions),
-            on=id_col,
-            num_partitions=num_partitions,
-        ).map_batches(
-            lambda t: pa.table({id_col: t["cluster_id"]}),
-            batch_format="pyarrow",
-        ) if clusters.count() > 0 and matched.limit(1).count() > 0 else None
-        kept = joins.anti_join(kept, matched, on=id_col, num_partitions=num_partitions)
-        if matched_roots is not None:
-            kept = joins.anti_join(
-                kept, matched_roots, on=id_col, num_partitions=num_partitions
+        if clusters.count() > 0 and matched.limit(1).count() > 0:
+            matched_roots = joins.hash_join(
+                matched.repartition(num_partitions),
+                clusters.repartition(num_partitions),
+                on=id_col,
+                num_partitions=num_partitions,
+            ).map_batches(
+                lambda t: pa.table({id_col: t["cluster_id"]}),
+                batch_format="pyarrow",
             )
+            rejected = rejected.union(matched_roots)
+        rejected = rejected.union(matched)
 
-    kept = kept.materialize()  # consumed twice: commit + return join
+    kept = joins.anti_join(
+        all_ids, rejected, on=id_col, num_partitions=num_partitions
+    ).materialize()  # consumed twice: commit + return join
     accepted_sigs = joins.semi_join(
         sigs_new, kept, on=id_col, num_partitions=num_partitions
     ).materialize()
