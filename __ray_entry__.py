@@ -150,6 +150,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_oov_rate": Q.doc_oov_rate,
         "documents_version_diff": Q.documents_version_diff,
         "export_jsonl_gz_roundtrip": Q.export_jsonl_gz_roundtrip,
+        "quality_gate_composite": Q.quality_gate_composite,
         # --- rows-only / pytest-oracled block (no SQL twin by nature) ---
         "doc_packing": Q.doc_packing,
         "incremental_neardup_ingest": Q.incremental_neardup_ingest,
@@ -1338,6 +1339,44 @@ def oracle_sql() -> dict[str, str]:
                    avg(-ln(cb.cb / cl.cl)) AS nll2
             FROM bg JOIN cb USING (bigram) JOIN cl USING (w1)
             GROUP BY bg.doc_id
+        """,
+        "quality_gate_composite": r"""
+            WITH tok AS (
+              SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS w
+              FROM documents
+            ), t AS (SELECT doc_id, w FROM tok WHERE w <> ''),
+            c AS (SELECT w, count(*)::BIGINT AS n FROM t GROUP BY w),
+            tot AS (SELECT count(*)::DOUBLE AS total FROM t),
+            nll AS (
+              SELECT t.doc_id,
+                     round(avg(-ln(c.n::DOUBLE / tot.total)), 9) AS nll9
+              FROM t JOIN c USING (w) CROSS JOIN tot GROUP BY t.doc_id
+            ),
+            oov AS (
+              SELECT t.doc_id,
+                     round(sum(CASE WHEN c.n < 3 THEN 1 ELSE 0 END)::DOUBLE
+                           / count(*), 9) AS oov9
+              FROM t JOIN c USING (w) GROUP BY t.doc_id
+            ),
+            l AS (
+              SELECT doc_id,
+                     unnest(string_split(coalesce(text,''), chr(10))) AS line
+              FROM documents
+            ),
+            lg AS (
+              SELECT doc_id, line, count(*)::BIGINT AS cnt
+              FROM l GROUP BY doc_id, line
+            ),
+            rep AS (
+              SELECT doc_id,
+                     (sum(cnt) - count(*))::DOUBLE / sum(cnt) AS dup_line_frac
+              FROM lg GROUP BY doc_id
+            ),
+            th AS (SELECT quantile_cont(nll9, 0.9) AS t_nll FROM nll),
+            th2 AS (SELECT quantile_cont(oov9, 0.9) AS t_oov FROM oov)
+            SELECT nll.doc_id
+            FROM nll JOIN oov USING (doc_id) JOIN rep USING (doc_id), th, th2
+            WHERE nll9 <= t_nll AND oov9 <= t_oov AND dup_line_frac <= 0.3
         """,
         "documents_version_diff": r"""
             WITH oldv AS (SELECT doc_id, text FROM documents),

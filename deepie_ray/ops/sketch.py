@@ -372,3 +372,30 @@ def global_topk_heavy_hitters(
     partials = ds.map_batches(partial, batch_format="pyarrow")
     lvl1 = partials.groupby("_salt").map_groups(merge_lvl, batch_format="pandas")
     return lvl1.groupby("_g").map_groups(final_topk, batch_format="pandas")
+
+
+def exact_quantile_sorted(ds, col: str, q: float) -> float:
+    """EXACT continuous (interpolated) quantile of a whole-dataset
+    column via range-partitioned distributed sort + metadata split —
+    the exact partner of the KMV quantile sketch for when a gate
+    threshold must be bit-reproducible: ``ds.sort`` shuffles only the
+    narrow value column, ``split_at_indices`` locates the two
+    straddling order statistics from block row-counts (metadata), and
+    only those <=2 rows ever reach the driver.  Interpolation is
+    ``lo + (hi-lo)*frac`` — the same rule as numpy 'linear' and DuckDB
+    ``quantile_cont`` (bit parity probed in events_p50_cont)."""
+    import math
+
+    n = ds.count()
+    if n == 0:
+        return float("nan")
+    pos = q * (n - 1)
+    lo_i, hi_i = math.floor(pos), math.ceil(pos)
+    mid = (
+        ds.select_columns([col])
+        .sort(col)
+        .split_at_indices([lo_i, hi_i + 1])[1]
+        .take_all()
+    )
+    vals = [r[col] for r in mid]
+    return float(vals[0] + (vals[-1] - vals[0]) * (pos - lo_i))

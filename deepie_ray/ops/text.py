@@ -985,3 +985,94 @@ def oov_rate(
     return ds.map_batches(
         Score, batch_format="pyarrow", concurrency=(1, 8), **POOL_REMOTE_ARGS
     )
+
+
+def unigram_signals(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count_oov: int = 3,
+):
+    """Fused single-pass variant of ``unigram_nll`` + ``oov_rate`` for
+    gate pipelines: ONE corpus counts pass and ONE scoring pool emit
+    both signals -> (doc_id, n_tokens:int64, nll:double,
+    oov_rate:double).  Semantics identical to the standalone ops at
+    min_count=1 (nll exact) / min_count_oov (oov)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flat, _ids = _explode_tokens(batch, text_col, id_col)
+        g = pa.table({"w": flat}).group_by("w").aggregate([([], "count_all")])
+        return pa.table(
+            {"w": g["w"], "n": pc.cast(g["count_all"], pa.int64())}
+        )
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("w")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    vocab = counts.to_pandas()
+    total = float(vocab["n"].sum())
+    lp = dict(
+        zip(vocab["w"], (-np.log(vocab["n"].to_numpy() / total)).tolist())
+    )
+    kept = set(vocab.loc[vocab["n"] >= min_count_oov, "w"])
+    ref = ray.put((lp, kept))
+
+    class Score:
+        def __init__(self):
+            self.lp, self.kept = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            flat, ids = _explode_tokens(batch, text_col, id_col)
+            if len(flat) == 0:
+                return pa.table(
+                    {
+                        id_col: pa.array([], batch[id_col].type),
+                        "n_tokens": pa.array([], pa.int64()),
+                        "nll": pa.array([], pa.float64()),
+                        "oov_rate": pa.array([], pa.float64()),
+                    }
+                )
+            d = flat.dictionary_encode()
+            if isinstance(d, pa.ChunkedArray):
+                d = d.combine_chunks()
+            words = d.dictionary.to_pylist()
+            lut_nll = pa.array(
+                [self.lp.get(w, 0.0) for w in words], pa.float64()
+            )
+            lut_oov = pa.array(
+                [w not in self.kept for w in words], pa.bool_()
+            )
+            idx = d.indices
+            g = (
+                pa.table(
+                    {
+                        id_col: ids,
+                        "nll": lut_nll.take(idx),
+                        "oov": pc.cast(lut_oov.take(idx), pa.int64()),
+                    }
+                )
+                .group_by(id_col)
+                .aggregate([("nll", "mean"), ("oov", "sum"), ([], "count_all")])
+            )
+            n_tok = pc.cast(g["count_all"], pa.int64())
+            return pa.table(
+                {
+                    id_col: g[id_col],
+                    "n_tokens": n_tok,
+                    "nll": g["nll_mean"],
+                    "oov_rate": pc.divide(
+                        pc.cast(g["oov_sum"], pa.float64()),
+                        pc.cast(n_tok, pa.float64()),
+                    ),
+                }
+            )
+
+    from ..tuning import POOL_REMOTE_ARGS
+
+    return ds.map_batches(
+        Score, batch_format="pyarrow", concurrency=(1, 8), **POOL_REMOTE_ARGS
+    )

@@ -3894,3 +3894,68 @@ def export_jsonl_gz_roundtrip(sf_dir: str) -> rd.Dataset:
         )
 
     return back.map_batches(fp, batch_format="pyarrow")
+
+
+def quality_gate_composite(sf_dir: str) -> rd.Dataset:
+    """Composite quality GATE (the decision layer on top of the signal
+    operators): keep doc ids whose unigram NLL and OOV rate are both
+    at or below the corpus p90 AND whose duplicate-line fraction is
+    <= 0.3 -> (doc_id).  Thresholds are EXACT distributed quantiles
+    (``sketch.exact_quantile_sorted`` — one narrow-column sort each),
+    so the whole gate is bit-reproducible and SQL-checkable end to
+    end.
+
+    Oracle-exactness note: the float signals are quantized to 9dp
+    (Python round — correctly rounded, see _round2) BEFORE
+    thresholding; the per-doc 9dp values are exactly what the
+    doc_unigram_nll / doc_oov_rate hash checks already prove identical
+    across engines, so every comparison here is between bit-equal
+    doubles.  dup_line_frac is an integer ratio — bit-equal unrounded."""
+    from .ops import sketch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def round9(t: pa.Table) -> pa.Table:
+        out = {"doc_id": t["doc_id"]}
+        for tname in ("nll", "oov_rate"):
+            col = t[tname]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            out[tname] = pa.array(
+                [None if v is None else round(v, 9) for v in col.to_pylist()],
+                pa.float64(),
+            )
+        return pa.table(out)
+
+    # fused single-pass nll+oov (one counts pass, one scoring pool)
+    sig = (
+        text.unigram_signals(ds, min_count_oov=3)
+        .map_batches(round9, batch_format="pyarrow")
+        .materialize()  # two threshold sorts + the join consume it
+    )
+    rep = ds.map_batches(text.line_repetition_batch, batch_format="pyarrow")
+    t_nll = sketch.exact_quantile_sorted(sig, "nll", 0.9)
+    t_oov = sketch.exact_quantile_sorted(sig, "oov_rate", 0.9)
+
+    j = joins.hash_join(
+        sig,
+        rep.map_batches(
+            lambda t: pa.table(
+                {"doc_id": t["doc_id"], "dup_line_frac": t["dup_line_frac"]}
+            ),
+            batch_format="pyarrow",
+        ),
+        on="doc_id",
+    )
+
+    def gate(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.and_(
+                pc.less_equal(t["nll"], t_nll),
+                pc.less_equal(t["oov_rate"], t_oov),
+            ),
+            pc.less_equal(t["dup_line_frac"], 0.3),
+        )
+        return pa.table({"doc_id": t.filter(keep)["doc_id"]})
+
+    return j.map_batches(gate, batch_format="pyarrow")

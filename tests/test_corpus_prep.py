@@ -371,3 +371,33 @@ def test_diff_by_key_statuses_and_empty_sides():
     ).all()
     # identical versions -> empty diff
     assert joins.diff_by_key(old, old).count() == 0
+
+
+def test_unigram_signals_fused_matches_standalone():
+    import ray.data as rd
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(
+                ["alpha beta alpha rare1", "beta beta gamma", "rare2"]
+            ),
+        }
+    )
+    ds = rd.from_arrow(t)
+    fused = (
+        T.unigram_signals(ds, min_count_oov=2)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    nll = T.unigram_nll(ds).to_pandas().set_index("doc_id").sort_index()
+    oov = (
+        T.oov_rate(ds, min_count=2)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert np.allclose(fused["nll"], nll["nll"], atol=0)
+    assert np.allclose(fused["oov_rate"], oov["oov_rate"], atol=0)
+    assert (fused["n_tokens"] == nll["n_tokens"]).all()
