@@ -417,6 +417,173 @@ def decode_bmp(data: bytes) -> np.ndarray:
     return np.ascontiguousarray(img[:, :, ::-1])  # BGR -> RGB
 
 
+def _gif_lzw_encode(indices: np.ndarray, mcs: int) -> bytes:
+    """GIF-variant LZW over a palette-index stream (variable code
+    width mcs+1..12, LSB-first bit packing, clear/EOI codes)."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    table: dict[tuple[int, int], int] = {}
+    next_code, width = eoi + 1, mcs + 1
+    out = bytearray()
+    acc = n_bits = 0
+
+    def emit(code: int) -> None:
+        nonlocal acc, n_bits
+        acc |= code << n_bits
+        n_bits += width
+        while n_bits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            n_bits -= 8
+
+    emit(clear)
+    cur = int(indices[0])
+    for k in indices[1:]:
+        k = int(k)
+        nxt = table.get((cur, k))
+        if nxt is not None:
+            cur = nxt
+            continue
+        emit(cur)
+        table[(cur, k)] = next_code
+        next_code += 1
+        if next_code == (1 << width) + 1 and width < 12:
+            # GIF "deferred" growth: width bumps when next_code EXCEEDS
+            # the current range (encoder emits old-width codes only)
+            width += 1
+        if next_code >= 4095:
+            emit(clear)
+            table.clear()
+            next_code, width = eoi + 1, mcs + 1
+        cur = k
+    emit(cur)
+    emit(eoi)
+    if n_bits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _gif_lzw_decode(data: bytes, mcs: int, n_px: int) -> np.ndarray:
+    """Inverse of ``_gif_lzw_encode`` -> uint8 index array."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    width = mcs + 1
+    table: list[bytes] = [bytes([i]) for i in range(1 << mcs)] + [b"", b""]
+    out = bytearray()
+    acc = n_bits = pos = 0
+    prev: bytes | None = None
+    while len(out) < n_px:
+        while n_bits < width:
+            if pos >= len(data):
+                raise ValueError("truncated GIF LZW stream")
+            acc |= data[pos] << n_bits
+            pos += 1
+            n_bits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        n_bits -= width
+        if code == clear:
+            table = [bytes([i]) for i in range(1 << mcs)] + [b"", b""]
+            width, prev = mcs + 1, None
+            continue
+        if code == eoi:
+            break
+        if code < len(table):
+            entry = table[code]
+            if prev is not None:
+                table.append(prev + entry[:1])
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("corrupt GIF LZW code")
+        out += entry
+        prev = entry
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+    return np.frombuffer(bytes(out[:n_px]), np.uint8)
+
+
+def encode_gif(img: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 RGB with <=256 distinct colors -> single-frame
+    GIF89a bytes (global color table, no interlace)."""
+    import struct
+
+    h, w, c = img.shape
+    assert c == 3 and img.dtype == np.uint8
+    flat = img.reshape(-1, 3)
+    palette, inv = np.unique(flat, axis=0, return_inverse=True)
+    if len(palette) > 256:
+        raise ValueError("encode_gif needs <=256 distinct colors")
+    # color table size field: 2^(s+1) entries, minimum 2
+    s = max(1, int(np.ceil(np.log2(max(2, len(palette)))))) - 1
+    n_entries = 1 << (s + 1)
+    gct = np.zeros((n_entries, 3), np.uint8)
+    gct[: len(palette)] = palette
+    mcs = max(2, s + 1)
+    body = _gif_lzw_encode(inv.astype(np.int64), mcs)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | s, 0, 0)  # LSD + GCT flag
+    out += gct.tobytes()
+    out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0)  # image descriptor
+    out.append(mcs)
+    for i in range(0, len(body), 255):  # sub-block framing
+        chunk = body[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"  # block terminator + trailer
+    return bytes(out)
+
+
+def decode_gif(data: bytes) -> np.ndarray:
+    """Single-frame GIF87a/89a bytes -> (H, W, 3) uint8 RGB (first
+    image block; extensions skipped; interlace not supported)."""
+    import struct
+
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    w, h, flags, _bg, _ar = struct.unpack("<HHBBB", data[6:13])
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 1 << ((flags & 0x07) + 1)
+        gct = np.frombuffer(data, np.uint8, count=n * 3, offset=pos).reshape(n, 3)
+        pos += n * 3
+    while pos < len(data):
+        block = data[pos]
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            _l, _t, iw, ih, iflags = struct.unpack("<HHHHB", data[pos + 1 : pos + 10])
+            pos += 10
+            ct = gct
+            if iflags & 0x80:  # local color table
+                n = 1 << ((iflags & 0x07) + 1)
+                ct = np.frombuffer(
+                    data, np.uint8, count=n * 3, offset=pos
+                ).reshape(n, 3)
+                pos += n * 3
+            if iflags & 0x40:
+                raise ValueError("interlaced GIF not supported")
+            if ct is None:
+                raise ValueError("GIF image without a color table")
+            mcs = data[pos]
+            pos += 1
+            body = bytearray()
+            while data[pos] != 0:
+                ln = data[pos]
+                body += data[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            idx = _gif_lzw_decode(bytes(body), mcs, iw * ih)
+            return ct[idx].reshape(ih, iw, 3).copy()
+        elif block == 0x3B:
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+    raise ValueError("GIF contains no image block")
+
+
 def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
     """float32 [-1, 1] mono -> 16-bit PCM WAV bytes (stdlib wave)."""
     import io
@@ -460,13 +627,18 @@ def synth_payload(kind: str, ref: str) -> bytes:
         h = 8 + int(rng.integers(0, 24))
         w = 8 + int(rng.integers(0, 24))
         pixels = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
-        # refs split across PNG / BMP / PPM — the decoder dispatches on
-        # magic bytes, so the pipeline exercises all three real codecs
-        pick = int(rng.integers(0, 3))
+        # refs split across PNG / BMP / GIF / PPM — the decoder
+        # dispatches on magic bytes, so the pipeline exercises all four
+        # real codecs
+        pick = int(rng.integers(0, 4))
         if pick == 0:
             return encode_png(pixels)
         if pick == 1:
             return encode_bmp(pixels)
+        if pick == 2:
+            # GIF is palettized: quantize to 4 levels/channel (<=64
+            # distinct colors) — still seeded-deterministic
+            return encode_gif(pixels & 0xC0)
         return encode_ppm(pixels)
     if kind == "audio":
         n = 1600 + int(rng.integers(0, 4800))
@@ -478,7 +650,7 @@ def synth_payload(kind: str, ref: str) -> bytes:
 
 class BinaryMediaDecoder:
     """Actor-pool stage over REAL binary payloads -> per-row features:
-    image (PPM, PNG or BMP, dispatched on magic bytes) rows decode,
+    image (PPM, PNG, BMP or GIF, dispatched on magic bytes) rows decode,
     nearest-neighbor-resize to 8x8 grayscale
     and emit the 64 pixels + source dims; audio (WAV) rows decode and
     emit 8 frame RMS energies + sample count.  Output is one row per
@@ -508,6 +680,8 @@ class BinaryMediaDecoder:
                         img = np.repeat(img[:, :, None], 3, axis=2)
                 elif data.startswith(b"BM"):
                     img = decode_bmp(data)
+                elif data[:6] in (b"GIF87a", b"GIF89a"):
+                    img = decode_gif(data)
                 else:
                     img = decode_ppm(data)
                 gray = img.mean(axis=2).astype(np.uint8)

@@ -1813,3 +1813,65 @@ def test_feature_hash_batch_matches_scalar_and_is_batch_invariant():
     ]
     merged = pd.concat(per_row, ignore_index=True)
     assert {(r.doc_id, r.dim): r.n for r in merged.itertuples()} == exp
+
+
+def test_gif_roundtrip_lzw_paths():
+    """Round trip exercises LZW width growth (many distinct colors),
+    the KwKwK decode case (repeating runs), and >255-byte sub-block
+    framing (enough pixels)."""
+    from deepie_ray.ops import media
+
+    rng = np.random.default_rng(11)
+    # 200 distinct colors over a 64x64 image -> thousands of LZW codes
+    palette = rng.integers(0, 256, size=(200, 3), dtype=np.uint8)
+    idx = rng.integers(0, 200, size=(64, 64))
+    img = palette[idx]
+    back = media.decode_gif(media.encode_gif(img))
+    assert back.shape == img.shape and np.array_equal(back, img)
+
+    # tiny + runs (KwKwK): aaa bbb aaa...
+    small = np.zeros((3, 9, 3), np.uint8)
+    small[:, 3:6] = (255, 0, 0)
+    small[:, 6:9] = (0, 255, 0)
+    assert np.array_equal(media.decode_gif(media.encode_gif(small)), small)
+
+    # single pixel
+    one = np.array([[[7, 8, 9]]], np.uint8)
+    assert np.array_equal(media.decode_gif(media.encode_gif(one)), one)
+
+
+def test_gif_dict_reset_beyond_4096_codes():
+    from deepie_ray.ops import media
+
+    rng = np.random.default_rng(13)
+    # enough entropy to fill the 12-bit code space and force a clear
+    palette = rng.integers(0, 256, size=(256, 3), dtype=np.uint8)
+    idx = rng.integers(0, 256, size=(128, 128))
+    img = palette[idx]
+    data = media.encode_gif(img)
+    assert np.array_equal(media.decode_gif(data), img)
+
+
+def test_binary_media_decoder_handles_gif_rows():
+    import ray.data as rd
+
+    from deepie_ray.ops import media
+
+    img = np.zeros((16, 12, 3), np.uint8)
+    img[4:8, 2:6] = (200, 100, 50)
+    t = pa.table(
+        {
+            "doc_id": pa.array([1], pa.int64()),
+            "kind": pa.array(["image"]),
+            "payload": pa.array([media.encode_gif(img)], pa.binary()),
+        }
+    )
+    out = (
+        rd.from_arrow(t)
+        .map_batches(
+            media.BinaryMediaDecoder, batch_format="pyarrow", concurrency=1
+        )
+        .to_pandas()
+    )
+    assert out["dim0"].iloc[0] == 16 and out["dim1"].iloc[0] == 12
+    assert len(out["media_feat"].iloc[0]) == 64
