@@ -151,6 +151,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "documents_version_diff": Q.documents_version_diff,
         "export_jsonl_gz_roundtrip": Q.export_jsonl_gz_roundtrip,
         "quality_gate_composite": Q.quality_gate_composite,
+        "weighted_sample_docs": Q.weighted_sample_docs,
+        "orders_equidepth_histogram": Q.orders_equidepth_histogram,
         # --- rows-only / pytest-oracled block (no SQL twin by nature) ---
         "doc_packing": Q.doc_packing,
         "incremental_neardup_ingest": Q.incremental_neardup_ingest,
@@ -1339,6 +1341,31 @@ def oracle_sql() -> dict[str, str]:
                    avg(-ln(cb.cb / cl.cl)) AS nll2
             FROM bg JOIN cb USING (bigram) JOIN cl USING (w1)
             GROUP BY bg.doc_id
+        """,
+        "orders_equidepth_histogram": r"""
+            WITH q AS (
+              SELECT quantile_cont(o_totalprice, 0.25) AS q1,
+                     quantile_cont(o_totalprice, 0.50) AS q2,
+                     quantile_cont(o_totalprice, 0.75) AS q3
+              FROM orders
+            )
+            SELECT CASE WHEN o_totalprice <= q1 THEN 0
+                        WHEN o_totalprice <= q2 THEN 1
+                        WHEN o_totalprice <= q3 THEN 2
+                        ELSE 3 END::BIGINT AS bucket,
+                   count(*)::BIGINT AS n_orders
+            FROM orders, q
+            GROUP BY 1
+        """,
+        "weighted_sample_docs": r"""
+            SELECT doc_id FROM (
+              SELECT doc_id,
+                     pow(('0x' || substr(md5(doc_id || ':wsample-v1'), 1, 12))
+                           ::BIGINT / 281474976710656.0,
+                         1.0 / n_chars) AS k
+              FROM documents WHERE n_chars > 0
+              ORDER BY k DESC, doc_id LIMIT 100
+            )
         """,
         "quality_gate_composite": r"""
             WITH tok AS (

@@ -3959,3 +3959,92 @@ def quality_gate_composite(sf_dir: str) -> rd.Dataset:
         return pa.table({"doc_id": t.filter(keep)["doc_id"]})
 
     return j.map_batches(gate, batch_format="pyarrow")
+
+
+def weighted_sample_docs(sf_dir: str) -> rd.Dataset:
+    """Deterministic WEIGHTED sampling without replacement (A-ES,
+    Efraimidis-Spirakis 2006): each doc gets key u^(1/w) with u a
+    content-addressed md5 uniform and w = n_chars; the global top-100
+    keys are the sample -> (doc_id).  Longer docs win proportionally
+    more often, yet the draw is a pure function of the ids — any
+    partitioning, retry or re-run selects the identical set, and the
+    DuckDB twin reproduces it exactly.
+
+    Shape: per-block local top-k partials (<=k narrow rows per block
+    ever shuffle), one single-group fold — the same combiner-first
+    top-k as ops/ann.merge_topk."""
+    from .hashing import md5_hex
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    K = 100
+
+    def keyed_topk(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        w = t["n_chars"].to_numpy().astype(np.float64)
+        m = w > 0
+        ids, w = ids[m], w[m]
+        u = np.array(
+            [int(md5_hex(f"{d}:wsample-v1")[:12], 16) for d in ids],
+            dtype=np.float64,
+        ) / float(1 << 48)
+        key = u ** (1.0 / w)
+        order = np.lexsort((ids, -key))[:K]
+        return pa.table(
+            {
+                "g": pa.array(np.zeros(len(order), np.int64)),
+                "doc_id": pa.array(ids[order], pa.int64()),
+                "k": pa.array(key[order], pa.float64()),
+            }
+        )
+
+    partials = ds.map_batches(keyed_topk, batch_format="pyarrow")
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        top = df.sort_values(["k", "doc_id"], ascending=[False, True]).head(K)
+        return pd.DataFrame({"doc_id": top["doc_id"].to_numpy()})
+
+    return partials.groupby("g").map_groups(fold, batch_format="pandas")
+
+
+def orders_equidepth_histogram(sf_dir: str) -> rd.Dataset:
+    """Equi-depth histogram of order totals: bucket edges are the EXACT
+    q25/q50/q75 (``sketch.exact_quantile_sorted`` — one narrow-column
+    distributed sort), then one combiner-first counting pass ->
+    (bucket:int64, n_orders:int64).  The analytics primitive behind
+    range-partition planning and drift monitors; both engines compare
+    against bit-identical interpolated edges, so bucket membership is
+    exact."""
+    from .ops import sketch
+
+    ds = _read(sf_dir, "orders", ["o_totalprice"]).materialize()
+    edges = [
+        sketch.exact_quantile_sorted(ds, "o_totalprice", q)
+        for q in (0.25, 0.5, 0.75)
+    ]
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        v = t["o_totalprice"].to_numpy()
+        b = np.searchsorted(np.asarray(edges), v, side="left").astype(np.int64)
+        g = (
+            pa.table({"bucket": pa.array(b)})
+            .group_by("bucket")
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {"bucket": g["bucket"], "n": pc.cast(g["count_all"], pa.int64())}
+        )
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum("n", alias_name="n_orders"))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "bucket": t["bucket"],
+                    "n_orders": pc.cast(t["n_orders"], pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
