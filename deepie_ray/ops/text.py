@@ -558,11 +558,23 @@ def unigram_nll(
         ds.map_batches(partial, batch_format="pyarrow")
         .groupby("w")
         .aggregate(Sum("n", alias_name="n"))
+    ).materialize()  # total + (filtered) vocab both consume it
+    # total over ALL tokens (distributed fold), THEN prune: the driver
+    # only ever holds the kept head of the vocabulary — with
+    # min_count > 1 the rare tail (the big side of a Zipf vocab) is
+    # filtered in the plan, not on the driver
+    total = float(counts.sum("n") or 0)
+    kept_ds = (
+        counts
+        if min_count <= 1
+        else counts.map_batches(
+            lambda t, mc=min_count: t.filter(
+                pc.greater_equal(t["n"], mc)
+            ),
+            batch_format="pyarrow",
+        )
     )
-    # vocabulary-bounded driver fold (tokens, not documents)
-    vocab = counts.to_pandas()
-    total = float(vocab["n"].sum())
-    kept = vocab[vocab["n"] >= min_count]
+    kept = kept_ds.to_pandas()
     lp = dict(
         zip(kept["w"], (-np.log(kept["n"].to_numpy() / total)).tolist())
     )
@@ -934,8 +946,13 @@ def oov_rate(
         .groupby("w")
         .aggregate(Sum("n", alias_name="n"))
     )
-    vocab = counts.to_pandas()
-    kept = set(vocab.loc[vocab["n"] >= min_count, "w"])
+    # prune to the kept head IN THE PLAN — the driver never holds the
+    # rare tail (the big side of a Zipf vocabulary)
+    vocab = counts.map_batches(
+        lambda t, mc=min_count: t.filter(pc.greater_equal(t["n"], mc)),
+        batch_format="pyarrow",
+    ).to_pandas()
+    kept = set(vocab["w"])
     kept_ref = ray.put(kept)
 
     class Score:
@@ -997,7 +1014,12 @@ def unigram_signals(
     gate pipelines: ONE corpus counts pass and ONE scoring pool emit
     both signals -> (doc_id, n_tokens:int64, nll:double,
     oov_rate:double).  Semantics identical to the standalone ops at
-    min_count=1 (nll exact) / min_count_oov (oov)."""
+    min_count=1 (nll exact) / min_count_oov (oov).
+
+    Scale note: exact nll keeps the FULL vocabulary logprob table on
+    the driver/broadcast (the oracle-exact mode); at 100 TB use the
+    standalone ``unigram_nll(min_count>1)``, whose vocab prune runs in
+    the plan."""
     import ray
     from ray.data.aggregate import Sum
 
