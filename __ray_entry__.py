@@ -153,6 +153,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_gate_composite": Q.quality_gate_composite,
         "weighted_sample_docs": Q.weighted_sample_docs,
         "orders_equidepth_histogram": Q.orders_equidepth_histogram,
+        "doc_search_and": Q.doc_search_and,
         # --- rows-only / pytest-oracled block (no SQL twin by nature) ---
         "doc_packing": Q.doc_packing,
         "incremental_neardup_ingest": Q.incremental_neardup_ingest,
@@ -1341,6 +1342,16 @@ def oracle_sql() -> dict[str, str]:
                    avg(-ln(cb.cb / cl.cl)) AS nll2
             FROM bg JOIN cb USING (bigram) JOIN cl USING (w1)
             GROUP BY bg.doc_id
+        """,
+        "doc_search_and": r"""
+            SELECT doc_id FROM (
+              SELECT doc_id, count(DISTINCT w) AS n FROM (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(lower(text), '\s+')) AS w
+                FROM documents
+              ) WHERE w IN ('hash', 'join', 'window')
+              GROUP BY doc_id
+            ) WHERE n = 3
         """,
         "orders_equidepth_histogram": r"""
             WITH q AS (

@@ -4048,3 +4048,39 @@ def orders_equidepth_histogram(sf_dir: str) -> rd.Dataset:
             batch_format="pyarrow",
         )
     )
+
+
+def doc_search_and(sf_dir: str) -> rd.Dataset:
+    """Boolean AND search ('hash' AND 'join' AND 'window') over the
+    token inverted index semantics -> (doc_id): per-doc distinct-token
+    explode, per-(doc, matched-term) rows, count == 3 keeps the doc.
+    Combiner-first: each batch emits at most |terms| rows per doc; the
+    groupby moves only matched narrow rows (query-relevant docs, not
+    the corpus)."""
+    TERMS = ("hash", "join", "window")
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def match(t: pa.Table) -> pa.Table:
+        toks = text._nonempty_token_lists(t["text"])
+        flat = pc.list_flatten(toks)
+        ids = t["doc_id"].take(pc.list_parent_indices(toks))
+        keep = pc.is_in(flat, value_set=pa.array(TERMS))
+        g = (
+            pa.table({"doc_id": ids.filter(keep), "w": flat.filter(keep)})
+            .group_by(["doc_id", "w"])
+            .aggregate([])
+        )
+        return g.select(["doc_id", "w"])
+
+    hits = ds.map_batches(match, batch_format="pyarrow")
+    agg = hits.groupby("doc_id").count()
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t.filter(
+                    pc.equal(t["count()"], len(TERMS))
+                )["doc_id"]
+            }
+        ),
+        batch_format="pyarrow",
+    )
