@@ -157,6 +157,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- rows-only / pytest-oracled block (no SQL twin by nature) ---
         "doc_packing": Q.doc_packing,
         "incremental_neardup_ingest": Q.incremental_neardup_ingest,
+        "kg_incremental": Q.kg_incremental,
         "quality_classifier_scores": Q.quality_classifier_scores,
         "embedding_random_projection": Q.embedding_random_projection,
         "lang_id": Q.lang_id,

@@ -354,3 +354,88 @@ def ingest_documents_neardup(
     return joins.semi_join(
         new_docs, kept, on=id_col, num_partitions=num_partitions
     )
+
+
+# --------------------------------------------------- incremental KG build
+
+
+def ingest_kg(
+    docs: rd.Dataset, state_root: str, model_name: str = "multinn"
+) -> dict:
+    """Incremental knowledge-graph construction: extract + link THIS
+    batch of documents only (``pipeline.linked_triples``), aggregate
+    its (nodes, edges), and commit both as new generations under
+    ``state_root/kg_{nodes,edges}/`` — day 2 extends the graph without
+    re-extracting day 1.  Edge weights and node mention counts are
+    ADDITIVE across generations, so the merged view
+    (``read_kg_graph``) is one grouped sum over the generation union;
+    ``compact_index(state, "kg_edges"/"kg_nodes")`` preserves it
+    byte-for-byte because concatenation commutes with the sum.
+
+    Content dedup is NOT this layer's job — compose with
+    ``ingest_documents`` (exact) / ``ingest_documents_neardup`` (LSH)
+    upstream so re-shipped docs never reach extraction.  Canonical ids
+    come from each batch's own alias/canon maps (documented drift;
+    periodic re-canonicalization = recompute over the merged nodes).
+    """
+    from . import pipeline
+
+    linked = pipeline.linked_triples(docs, model_name=model_name)
+    nodes, edges = pipeline.build_graph(linked)
+    nodes = nodes.materialize()
+    edges = edges.materialize()
+    n_nodes, n_edges = nodes.count(), edges.count()
+    if n_edges > 0:
+        _commit_generation(state_root, "kg_edges", edges, n_edges)
+    if n_nodes > 0:
+        _commit_generation(state_root, "kg_nodes", nodes, n_nodes)
+    return {"nodes": nodes, "edges": edges}
+
+
+def read_kg_graph(state_root: str) -> dict:
+    """Merged graph view over all committed KG generations ->
+    {'nodes', 'edges'} (None values when nothing is committed).  One
+    grouped sum each; entity types recompute from the winning (min)
+    surface so node merges stay deterministic."""
+    from ray.data.aggregate import Min, Sum
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .features import entity_type_of
+
+    e_dirs = _committed_dirs(state_root, "kg_edges")
+    n_dirs = _committed_dirs(state_root, "kg_nodes")
+    edges = nodes = None
+    if e_dirs:
+        edges = (
+            rd.read_parquet(_gen_files(e_dirs))
+            .groupby(["subj_entity", "pred_label", "obj_entity"])
+            .aggregate(Sum("weight", alias_name="weight"))
+        )
+    if n_dirs:
+        raw = (
+            rd.read_parquet(_gen_files(n_dirs))
+            .groupby("entity_id")
+            .aggregate(
+                Min("surface", alias_name="surface"),
+                Sum("n_mentions", alias_name="n_mentions"),
+            )
+        )
+
+        def retype(t: pa.Table) -> pa.Table:
+            types = pa.array(
+                [entity_type_of(s) or "Other" for s in t["surface"].to_pylist()],
+                pa.string(),
+            )
+            return pa.table(
+                {
+                    "entity_id": t["entity_id"],
+                    "surface": t["surface"],
+                    "entity_type": types,
+                    "n_mentions": pc.cast(t["n_mentions"], pa.int64()),
+                }
+            )
+
+        nodes = raw.map_batches(retype, batch_format="pyarrow")
+    return {"nodes": nodes, "edges": edges}

@@ -326,6 +326,37 @@ def build_graph(
     return nodes, edges
 
 
+def linked_triples(
+    docs: rd.Dataset, model_name: str = "multinn", **extract_kw
+) -> rd.Dataset:
+    """docs -> linked triples (materialized) — the extract+link core of
+    ``run_kg`` exposed over an arbitrary docs Dataset (no sf_dir, no
+    checkpoint/counter plumbing) for incremental KG ingestion
+    (ingest.ingest_kg).  Alias/canon maps are built from THIS batch's
+    surfaces — canonical ids can drift across ingest batches, which is
+    inherent to incremental canonicalization (periodic re-canon = the
+    compaction story)."""
+    extract_kw.setdefault("with_prob", False)
+    if model_name == "multinn":
+        triples = emitted_triples(docs, **extract_kw)
+    else:
+        triples = extract_triples_model(docs, model_name, **extract_kw).map_batches(
+            drop_none, batch_format="pyarrow"
+        )
+    triples = triples.materialize()
+    surfaces = distinct_surfaces(triples)
+    alias_ref = ray.put(build_alias_map(surfaces))
+    canon_ref = ray.put(connected_components_driver(component_edges(surfaces)))
+    return triples.map_batches(
+        LinkEntities,
+        fn_constructor_kwargs={"alias_ref": alias_ref, "canon_ref": canon_ref},
+        batch_format="pyarrow",
+        batch_size=8192,
+        concurrency=(1, 8),
+        **POOL_REMOTE_ARGS,
+    ).materialize()
+
+
 def run_kg(
     sf_dir: str,
     checkpoint_dir: str | None = None,

@@ -4084,3 +4084,44 @@ def doc_search_and(sf_dir: str) -> rd.Dataset:
         ),
         batch_format="pyarrow",
     )
+
+
+def kg_incremental(sf_dir: str) -> rd.Dataset:
+    """Incremental KG construction driven end-to-end (rows-only: the
+    scorer + per-batch canonicalization have no SQL twin; additivity
+    and compaction invariance pytest-oracled): documents split into
+    two deterministic md5 halves, each extracted + linked + committed
+    as a KG generation (``ingest.ingest_kg``); returns the MERGED edge
+    view (subj_entity, pred_label, obj_entity, weight)."""
+    import tempfile
+
+    from . import ingest, pipeline
+    from .hashing import md5_hex
+
+    docs = pipeline.read_documents(sf_dir)
+
+    def half_filter(want: int):
+        def f(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_pylist()
+            m = np.array(
+                [int(md5_hex(f"{d}:ingest-v1")[:8], 16) % 2 for d in ids]
+            )
+            return t.filter(pa.array(m == want))
+
+        return f
+
+    state = tempfile.mkdtemp(prefix="deepie-kgingest-state-")
+    ingest.ingest_kg(docs.map_batches(half_filter(0), batch_format="pyarrow"), state)
+    ingest.ingest_kg(docs.map_batches(half_filter(1), batch_format="pyarrow"), state)
+    edges = ingest.read_kg_graph(state)["edges"]
+    return edges.map_batches(
+        lambda t: pa.table(
+            {
+                "subj_entity": t["subj_entity"],
+                "pred_label": t["pred_label"],
+                "obj_entity": t["obj_entity"],
+                "weight": pc.cast(t["weight"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )

@@ -289,3 +289,48 @@ def test_compact_index_preserves_behavior(tmp_path):
     assert sorted(out.to_pandas()["doc_id"]) == [13]
     # compacting a single generation is a no-op
     assert ingest.compact_index(state) <= 2  # merged gen + new dd gen
+
+
+def test_incremental_kg_two_batches_merge_additively(tmp_path):
+    from deepie_ray import ingest, pipeline
+
+    state = str(tmp_path / "kg")
+    docs = pipeline.read_documents("/root/testdata/sf0.001").materialize()
+    half0 = docs.limit(40).materialize()
+    # disjoint second half via anti semantics: take rows 40-79
+    rest = docs.limit(80).materialize()
+    ids0 = set(r["doc_id"] for r in half0.select_columns(["doc_id"]).take_all())
+
+    import pyarrow.compute as pc
+
+    half1 = rest.map_batches(
+        lambda t: t.filter(
+            pc.invert(pc.is_in(t["doc_id"], value_set=pa.array(list(ids0))))
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    g0 = ingest.ingest_kg(half0, state)
+    g1 = ingest.ingest_kg(half1, state)
+    w0 = sum(r["weight"] for r in g0["edges"].take_all())
+    w1 = sum(r["weight"] for r in g1["edges"].take_all())
+
+    merged = ingest.read_kg_graph(state)
+    mw = sum(r["weight"] for r in merged["edges"].take_all())
+    assert mw == w0 + w1  # edge weights are additive across generations
+    nm = sum(r["n_mentions"] for r in merged["nodes"].take_all())
+    nm0 = sum(r["n_mentions"] for r in g0["nodes"].take_all())
+    nm1 = sum(r["n_mentions"] for r in g1["nodes"].take_all())
+    assert nm == nm0 + nm1
+
+    # compaction preserves the merged view exactly
+    before_e = merged["edges"].to_pandas().sort_values(
+        ["subj_entity", "pred_label", "obj_entity"]
+    ).reset_index(drop=True)
+    assert ingest.compact_index(state, "kg_edges") == 2
+    assert ingest.compact_index(state, "kg_nodes") == 2
+    after = ingest.read_kg_graph(state)
+    after_e = after["edges"].to_pandas().sort_values(
+        ["subj_entity", "pred_label", "obj_entity"]
+    ).reset_index(drop=True)
+    assert before_e.equals(after_e)
