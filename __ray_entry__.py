@@ -158,6 +158,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_packing": Q.doc_packing,
         "incremental_neardup_ingest": Q.incremental_neardup_ingest,
         "kg_incremental": Q.kg_incremental,
+        "bpe_train_merges": Q.bpe_train_merges,
+        "doc_bpe_lengths": Q.doc_bpe_lengths,
         "quality_classifier_scores": Q.quality_classifier_scores,
         "embedding_random_projection": Q.embedding_random_projection,
         "lang_id": Q.lang_id,

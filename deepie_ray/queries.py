@@ -4125,3 +4125,32 @@ def kg_incremental(sf_dir: str) -> rd.Dataset:
         ),
         batch_format="pyarrow",
     )
+
+
+def bpe_train_merges(sf_dir: str) -> pa.Table:
+    """BPE tokenizer training over the corpus (rows-only: iterative
+    merge induction has no SQL twin; reference-parity + hand-pinned
+    merges pytest-oracled) -> (rank:int64, left, right): the first 40
+    learned merges, min_freq=2."""
+    from .ops import bpe
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    merges = bpe.train_bpe(ds, n_merges=40, min_freq=2)
+    return pa.table(
+        {
+            "rank": pa.array(range(len(merges)), pa.int64()),
+            "left": pa.array([m[0] for m in merges], pa.string()),
+            "right": pa.array([m[1] for m in merges], pa.string()),
+        }
+    )
+
+
+def doc_bpe_lengths(sf_dir: str) -> rd.Dataset:
+    """Apply the corpus-trained BPE -> (doc_id, n_bpe_tokens): the
+    token-budget accounting step of shard packing under a real learned
+    vocabulary (rows-only; encode parity pytest-oracled)."""
+    from .ops import bpe
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    merges = bpe.train_bpe(ds, n_merges=40, min_freq=2)
+    return bpe.bpe_token_counts(ds, merges)
