@@ -154,6 +154,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample_docs": Q.weighted_sample_docs,
         "orders_equidepth_histogram": Q.orders_equidepth_histogram,
         "doc_search_and": Q.doc_search_and,
+        "cross_source_dup_matrix": Q.cross_source_dup_matrix,
         # --- rows-only / pytest-oracled block (no SQL twin by nature) ---
         "doc_packing": Q.doc_packing,
         "incremental_neardup_ingest": Q.incremental_neardup_ingest,
@@ -1345,6 +1346,15 @@ def oracle_sql() -> dict[str, str]:
                    avg(-ln(cb.cb / cl.cl)) AS nll2
             FROM bg JOIN cb USING (bigram) JOIN cl USING (w1)
             GROUP BY bg.doc_id
+        """,
+        "cross_source_dup_matrix": r"""
+            WITH d AS (
+              SELECT DISTINCT md5(text) AS fp, source FROM documents
+            )
+            SELECT a.source AS source_a, b.source AS source_b,
+                   count(*)::BIGINT AS n_shared
+            FROM d a JOIN d b ON a.fp = b.fp AND a.source < b.source
+            GROUP BY a.source, b.source
         """,
         "doc_search_and": r"""
             SELECT doc_id FROM (

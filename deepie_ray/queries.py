@@ -4154,3 +4154,92 @@ def doc_bpe_lengths(sf_dir: str) -> rd.Dataset:
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     merges = bpe.train_bpe(ds, n_merges=40, min_freq=2)
     return bpe.bpe_token_counts(ds, merges)
+
+
+def cross_source_dup_matrix(sf_dir: str) -> rd.Dataset:
+    """Inter-source duplication matrix (mixing/curation analytics:
+    which sources re-publish each other's content) -> (source_a,
+    source_b, n_shared) with source_a < source_b: for each source
+    pair, the number of distinct content fingerprints present in BOTH.
+    Combiner-first distinct (fp, source) rows, one fp-keyed self-join
+    of the distinct table — document bodies never shuffle."""
+    from .ops.dedup import _md5_hex_utf8_slices
+
+    ds = _read(sf_dir, "documents", ["text", "source"])
+
+    def fp_src(t: pa.Table) -> pa.Table:
+        col = t["text"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        g = (
+            pa.table(
+                {"fp": pa.array(_md5_hex_utf8_slices(col)), "source": t["source"]}
+            )
+            .group_by(["fp", "source"])
+            .aggregate([])
+        )
+        return g.select(["fp", "source"])
+
+    # block-local distinct, then one global distinct groupby; the
+    # repartition merges the grouped output's zero-column EMPTY blocks
+    # (they break the downstream join's key resolution — house rule)
+    distinct = (
+        ds.map_batches(fp_src, batch_format="pyarrow")
+        .groupby(["fp", "source"])
+        .count()
+        .drop_columns(["count()"])
+        .repartition(8)
+        .materialize()  # both self-join sides
+    )
+    a = distinct.map_batches(
+        lambda t: pa.table({"fp": t["fp"], "source_a": t["source"]}),
+        batch_format="pyarrow",
+    )
+    b = distinct.map_batches(
+        lambda t: pa.table({"fp": t["fp"], "source_b": t["source"]}),
+        batch_format="pyarrow",
+    )
+    j = joins.hash_join(a, b, on="fp")
+
+    def count_pairs(t: pa.Table) -> pa.Table:
+        keep = pc.less(t["source_a"], t["source_b"])
+        g = (
+            t.filter(keep)
+            .group_by(["source_a", "source_b"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                "source_a": g["source_a"],
+                "source_b": g["source_b"],
+                "n": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    out = (
+        j.map_batches(count_pairs, batch_format="pyarrow")
+        .groupby(["source_a", "source_b"])
+        .aggregate(Sum("n", alias_name="n_shared"))
+        .materialize()  # empty-schema guard probe consumes it
+    )
+    # a corpus with NO cross-source dups is a legitimate (and good)
+    # answer: return a typed arrow Table — Dataset.to_pandas() drops
+    # the schema of a 0-row dataset, a from_arrow wrapper included
+    if out.count() == 0:
+        return pa.table(
+            {
+                "source_a": pa.array([], pa.string()),
+                "source_b": pa.array([], pa.string()),
+                "n_shared": pa.array([], pa.int64()),
+            }
+        )
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "source_a": t["source_a"],
+                "source_b": t["source_b"],
+                "n_shared": pc.cast(t["n_shared"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )

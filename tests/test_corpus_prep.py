@@ -401,3 +401,34 @@ def test_unigram_signals_fused_matches_standalone():
     assert np.allclose(fused["nll"], nll["nll"], atol=0)
     assert np.allclose(fused["oov_rate"], oov["oov_rate"], atol=0)
     assert (fused["n_tokens"] == nll["n_tokens"]).all()
+
+
+def test_cross_source_dup_matrix_planted(tmp_path):
+    import pyarrow.parquet as pq2
+
+    rows = [
+        # 'shared1' in A,B; 'shared2' in A,B,C; unique texts elsewhere
+        (1, "shared one content", "A"),
+        (2, "shared one content", "B"),
+        (3, "shared two content", "A"),
+        (4, "shared two content", "B"),
+        (5, "shared two content", "C"),
+        (6, "only in a", "A"),
+        (7, "only in c", "C"),
+        (8, "shared one content", "A"),  # same content twice in A: still 1 distinct fp
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows]),
+            "source": pa.array([r[2] for r in rows]),
+        }
+    )
+    pq2.write_table(t, str(tmp_path / "documents.parquet"))
+    out = (
+        Q.cross_source_dup_matrix(str(tmp_path))
+        .to_pandas()
+        .set_index(["source_a", "source_b"])["n_shared"]
+        .to_dict()
+    )
+    assert out == {("A", "B"): 2, ("A", "C"): 1, ("B", "C"): 1}
