@@ -155,6 +155,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_equidepth_histogram": Q.orders_equidepth_histogram,
         "doc_search_and": Q.doc_search_and,
         "cross_source_dup_matrix": Q.cross_source_dup_matrix,
+        "copurchase_bfs_hops": Q.copurchase_bfs_hops,
         # --- rows-only / pytest-oracled block (no SQL twin by nature) ---
         "doc_packing": Q.doc_packing,
         "incremental_neardup_ingest": Q.incremental_neardup_ingest,
@@ -1346,6 +1347,28 @@ def oracle_sql() -> dict[str, str]:
                    avg(-ln(cb.cb / cl.cl)) AS nll2
             FROM bg JOIN cb USING (bigram) JOIN cl USING (w1)
             GROUP BY bg.doc_id
+        """,
+        "copurchase_bfs_hops": r"""
+            WITH RECURSIVE e AS (
+              SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+              FROM lineitem a JOIN lineitem b
+                ON a.l_orderkey = b.l_orderkey
+               AND a.l_partkey < b.l_partkey
+            ),
+            sym AS (
+              SELECT pa AS s, pb AS t FROM e
+              UNION ALL SELECT pb, pa FROM e
+            ),
+            src AS (SELECT min(pa) AS v FROM e),
+            walk(node, d) AS (
+              SELECT v, 0 FROM src
+              UNION
+              SELECT sym.t, walk.d + 1
+              FROM walk JOIN sym ON walk.node = sym.s
+              WHERE walk.d < 3
+            )
+            SELECT node::BIGINT AS node, min(d)::BIGINT AS dist
+            FROM walk GROUP BY node
         """,
         "cross_source_dup_matrix": r"""
             WITH d AS (

@@ -542,3 +542,141 @@ def triangle_counts(
         "n_triangles",
     )
     return out
+
+
+# symmetrized edge lists at or below this size BFS on the driver
+# (same rationale and scale as dedup.DRIVER_CC_MAX_EDGES)
+DRIVER_BFS_MAX_EDGES = 2_000_000
+
+
+def bfs_hops(
+    edges: rd.Dataset,
+    source: int,
+    max_depth: int = 3,
+    a_col: str = "part_a",
+    b_col: str = "part_b",
+    num_partitions: int = 8,
+    force_distributed: bool = False,
+) -> rd.Dataset:
+    """Bounded-depth BFS (k-hop neighborhood) from ``source`` over an
+    undirected (a, b) edge list -> (node, dist) with dist = shortest
+    hop count <= max_depth.  Each level is one hash join of the
+    CURRENT FRONTIER (narrow id rows) against the symmetrized edge
+    table plus an anti join against the visited set — the standard
+    frontier-expansion BFS whose per-level shuffle moves only frontier
+    x degree rows, never the graph's payload.  max_depth bounds the
+    iteration count (driver loop of ``max_depth`` rounds; each round's
+    datasets are materialized narrow id tables).
+
+    Size-gated like ``canon.connected_components``: edge sets at or
+    below ``DRIVER_BFS_MAX_EDGES`` run a numpy adjacency BFS on the
+    driver (per-level join fixed costs would dwarf tiny graphs); the
+    distributed loop is the path a 100-TB co-occurrence graph takes
+    (``force_distributed`` pins it for tests)."""
+    from .joins import anti_join, hash_join
+
+    sym = edges.map_batches(
+        lambda t: pa.table(
+            {
+                "s": pa.concat_arrays(
+                    [
+                        pc.cast(t[a_col], pa.int64()).combine_chunks(),
+                        pc.cast(t[b_col], pa.int64()).combine_chunks(),
+                    ]
+                ),
+                "t": pa.concat_arrays(
+                    [
+                        pc.cast(t[b_col], pa.int64()).combine_chunks(),
+                        pc.cast(t[a_col], pa.int64()).combine_chunks(),
+                    ]
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()  # consumed once per level (or folded by the gate)
+
+    n_edges = sym.count()
+    if n_edges <= DRIVER_BFS_MAX_EDGES and not force_distributed:
+        df = sym.to_pandas()
+        s = df["s"].to_numpy()
+        t_arr = df["t"].to_numpy()
+        order = np.argsort(s, kind="mergesort")
+        s_sorted, t_sorted = s[order], t_arr[order]
+        dist = {source: 0}
+        frontier_np = np.array([source], dtype=np.int64)
+        for d in range(1, max_depth + 1):
+            lo = np.searchsorted(s_sorted, frontier_np, side="left")
+            hi = np.searchsorted(s_sorted, frontier_np, side="right")
+            if not len(lo):
+                break
+            neigh = np.concatenate(
+                [t_sorted[a:b] for a, b in zip(lo, hi)]
+            ) if len(lo) else np.empty(0, np.int64)
+            fresh = np.unique(neigh)
+            fresh = np.array(
+                [v for v in fresh if v not in dist], dtype=np.int64
+            )
+            if not len(fresh):
+                break
+            for v in fresh:
+                dist[int(v)] = d
+            frontier_np = fresh
+        nodes = np.fromiter(dist.keys(), np.int64, len(dist))
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array(nodes, pa.int64()),
+                    "dist": pa.array(
+                        [dist[int(v)] for v in nodes], pa.int64()
+                    ),
+                }
+            )
+        )
+
+    def ids_table(vals: list[int], dist: int) -> pa.Table:
+        return pa.table(
+            {
+                "node": pa.array(vals, pa.int64()),
+                "dist": pa.array([dist] * len(vals), pa.int64()),
+            }
+        )
+
+    frontier = rd.from_arrow(ids_table([source], 0)).materialize()
+    visited = frontier
+    for d in range(1, max_depth + 1):
+        hop = hash_join(
+            sym,
+            frontier.map_batches(
+                lambda t: pa.table({"s": t["node"]}), batch_format="pyarrow"
+            ),
+            on="s",
+            num_partitions=num_partitions,
+        ).map_batches(
+            lambda t: pa.table({"node": t["t"]})
+            .group_by("node")
+            .aggregate([]),
+            batch_format="pyarrow",
+        )
+        fresh = anti_join(
+            hop, visited, on="node", num_partitions=num_partitions
+        )
+        # global distinct (block-local done above), pin for reuse
+        fresh = (
+            fresh.groupby("node")
+            .count()
+            .drop_columns(["count()"])
+            .repartition(num_partitions)
+            .materialize()
+        )
+        if fresh.count() == 0:
+            break
+        frontier = fresh.map_batches(
+            lambda t, dd=d: t.append_column(
+                "dist", pa.array([dd] * t.num_rows, pa.int64())
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+        visited = visited.union(frontier).materialize()
+    # visited carries (node, dist) for every discovered level; levels
+    # are disjoint by the anti join, so dist IS the shortest distance
+    return visited

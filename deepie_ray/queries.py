@@ -4243,3 +4243,24 @@ def cross_source_dup_matrix(sf_dir: str) -> rd.Dataset:
         ),
         batch_format="pyarrow",
     )
+
+
+def copurchase_bfs_hops(sf_dir: str) -> rd.Dataset:
+    """Bounded-depth BFS (3-hop neighborhood with shortest hop counts)
+    from the minimum part id over the co-purchase graph -> (node,
+    dist): frontier-expansion joins, one per level
+    (``graph.bfs_hops``).  The SQL twin is a recursive-CTE walk with a
+    min-distance fold."""
+    from .ops import graph
+
+    li = _lineitem(sf_dir, ["l_orderkey", "l_partkey"])
+    edges = graph.copurchase_edges(li).materialize()
+    if edges.count() == 0:
+        return pa.table(
+            {
+                "node": pa.array([], pa.int64()),
+                "dist": pa.array([], pa.int64()),
+            }
+        )
+    source = int(edges.min("part_a"))
+    return graph.bfs_hops(edges, source, max_depth=3)

@@ -765,3 +765,51 @@ def test_semantic_dedup_threshold_zero_mask():
     assert bool(out.loc[0, "keep"])
     assert bool(out.loc[1, "keep"])  # negative similarity to everything before it
     assert not bool(out.loc[2, "keep"])
+
+
+# ------------------------------------------------------------------ BFS
+
+
+def _bfs_edges():
+    import ray.data as rd
+
+    # path 0-1-2-3-4 plus a branch 1-10; node 99 disconnected via 98
+    pairs = [(0, 1), (1, 2), (2, 3), (3, 4), (1, 10), (98, 99)]
+    return rd.from_arrow(
+        pa.table(
+            {
+                "part_a": pa.array([p[0] for p in pairs], pa.int64()),
+                "part_b": pa.array([p[1] for p in pairs], pa.int64()),
+            }
+        )
+    )
+
+
+def test_bfs_hops_driver_and_distributed_agree():
+    from deepie_ray.ops import graph
+
+    want = {0: 0, 1: 1, 2: 2, 10: 2, 3: 3}  # depth 3 from node 0
+    for force in (False, True):
+        out = (
+            graph.bfs_hops(_bfs_edges(), source=0, max_depth=3,
+                           force_distributed=force)
+            .to_pandas()
+            .set_index("node")["dist"]
+            .to_dict()
+        )
+        assert out == want, f"force_distributed={force}: {out}"
+
+
+def test_bfs_hops_depth_bound_and_unreachable():
+    from deepie_ray.ops import graph
+
+    out = (
+        graph.bfs_hops(_bfs_edges(), source=0, max_depth=1)
+        .to_pandas()
+        .set_index("node")["dist"]
+        .to_dict()
+    )
+    assert out == {0: 0, 1: 1}
+    # 99 is never reachable from 0 at any depth here
+    deep = graph.bfs_hops(_bfs_edges(), source=0, max_depth=10).to_pandas()
+    assert 99 not in set(deep["node"])
