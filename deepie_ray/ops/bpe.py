@@ -49,7 +49,10 @@ def word_frequencies(ds, text_col: str = "text", min_freq: int = 1) -> pd.DataFr
             lambda t, mf=min_freq: t.filter(pc.greater_equal(t["n"], mf)),
             batch_format="pyarrow",
         )
-    return counts.to_pandas()
+    df = counts.to_pandas()
+    if "w" not in df.columns:  # empty corpus: 0-row ds drops schema
+        df = pd.DataFrame({"w": [], "n": []})
+    return df
 
 
 def learn_merges(vocab: pd.DataFrame, n_merges: int = 50) -> list[tuple[str, str]]:

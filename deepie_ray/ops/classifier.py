@@ -155,6 +155,8 @@ def train_logreg(
             )
 
         parts = feats.map_batches(grad_partial, batch_format="pyarrow").to_pandas()
+        if "key" not in parts.columns:  # empty corpus: 0-row schema loss
+            break
         parts = parts.sort_values(["key", "n"]).reset_index(drop=True)
         g = np.zeros(D, dtype=np.float64)
         n_total = 0

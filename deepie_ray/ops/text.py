@@ -13,6 +13,7 @@ from __future__ import annotations
 import re
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -575,6 +576,8 @@ def unigram_nll(
         )
     )
     kept = kept_ds.to_pandas()
+    if "w" not in kept.columns:  # empty corpus: 0-row ds drops schema
+        kept = pd.DataFrame({"w": [], "n": []})
     lp = dict(
         zip(kept["w"], (-np.log(kept["n"].to_numpy() / total)).tolist())
     )
@@ -952,7 +955,7 @@ def oov_rate(
         lambda t, mc=min_count: t.filter(pc.greater_equal(t["n"], mc)),
         batch_format="pyarrow",
     ).to_pandas()
-    kept = set(vocab["w"])
+    kept = set(vocab["w"]) if "w" in vocab.columns else set()
     kept_ref = ray.put(kept)
 
     class Score:
@@ -1036,6 +1039,8 @@ def unigram_signals(
         .aggregate(Sum("n", alias_name="n"))
     )
     vocab = counts.to_pandas()
+    if "w" not in vocab.columns:  # empty corpus: 0-row ds drops schema
+        vocab = pd.DataFrame({"w": [], "n": []})
     total = float(vocab["n"].sum())
     lp = dict(
         zip(vocab["w"], (-np.log(vocab["n"].to_numpy() / total)).tolist())

@@ -3933,6 +3933,8 @@ def quality_gate_composite(sf_dir: str) -> rd.Dataset:
         .map_batches(round9, batch_format="pyarrow")
         .materialize()  # two threshold sorts + the join consume it
     )
+    if sig.count() == 0:  # empty corpus: typed empty, joins can't finalize
+        return pa.table({"doc_id": pa.array([], pa.int64())})
     rep = ds.map_batches(text.line_repetition_batch, batch_format="pyarrow")
     t_nll = sketch.exact_quantile_sorted(sig, "nll", 0.9)
     t_oov = sketch.exact_quantile_sorted(sig, "oov_rate", 0.9)
@@ -4191,6 +4193,15 @@ def cross_source_dup_matrix(sf_dir: str) -> rd.Dataset:
         .repartition(8)
         .materialize()  # both self-join sides
     )
+    empty_matrix = pa.table(
+        {
+            "source_a": pa.array([], pa.string()),
+            "source_b": pa.array([], pa.string()),
+            "n_shared": pa.array([], pa.int64()),
+        }
+    )
+    if distinct.count() == 0:  # empty corpus: join cannot finalize
+        return empty_matrix
     a = distinct.map_batches(
         lambda t: pa.table({"fp": t["fp"], "source_a": t["source"]}),
         batch_format="pyarrow",
@@ -4226,13 +4237,7 @@ def cross_source_dup_matrix(sf_dir: str) -> rd.Dataset:
     # answer: return a typed arrow Table — Dataset.to_pandas() drops
     # the schema of a 0-row dataset, a from_arrow wrapper included
     if out.count() == 0:
-        return pa.table(
-            {
-                "source_a": pa.array([], pa.string()),
-                "source_b": pa.array([], pa.string()),
-                "n_shared": pa.array([], pa.int64()),
-            }
-        )
+        return empty_matrix
     return out.map_batches(
         lambda t: pa.table(
             {

@@ -432,3 +432,40 @@ def test_cross_source_dup_matrix_planted(tmp_path):
         .to_dict()
     )
     assert out == {("A", "B"): 2, ("A", "C"): 1, ("B", "C"): 1}
+
+
+def test_new_ops_empty_documents_no_crash(tmp_path):
+    """Empty corpus: every round-4 operator returns 0 rows, no crash
+    (the empty-block join/schema bug class)."""
+    import pyarrow.parquet as pq2
+
+    pq2.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "text": pa.array([], pa.string()),
+                "lang": pa.array([], pa.string()),
+                "source": pa.array([], pa.string()),
+                "n_chars": pa.array([], pa.int64()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    d = str(tmp_path)
+    for name in (
+        "doc_unigram_nll",
+        "doc_bigram_nll",
+        "doc_oov_rate",
+        "doc_line_repetition",
+        "doc_top_bigram",
+        "quality_gate_composite",
+        "weighted_sample_docs",
+        "doc_search_and",
+        "cross_source_dup_matrix",
+        "quality_classifier_scores",
+        "bpe_train_merges",
+        "doc_bpe_lengths",
+    ):
+        r = getattr(Q, name)(d)
+        n = r.num_rows if isinstance(r, pa.Table) else r.count()
+        assert n == 0, name
