@@ -156,6 +156,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_search_and": Q.doc_search_and,
         "cross_source_dup_matrix": Q.cross_source_dup_matrix,
         "copurchase_bfs_hops": Q.copurchase_bfs_hops,
+        "customer_supplier_linkage": Q.customer_supplier_linkage,
         # --- rows-only / pytest-oracled block (no SQL twin by nature) ---
         "doc_packing": Q.doc_packing,
         "incremental_neardup_ingest": Q.incremental_neardup_ingest,
@@ -1347,6 +1348,20 @@ def oracle_sql() -> dict[str, str]:
                    avg(-ln(cb.cb / cl.cl)) AS nll2
             FROM bg JOIN cb USING (bigram) JOIN cl USING (w1)
             GROUP BY bg.doc_id
+        """,
+        "customer_supplier_linkage": r"""
+            SELECT c.c_custkey, s.s_suppkey,
+                   levenshtein(c.c_name, s.s_name)::BIGINT AS dist
+            FROM customer c JOIN supplier s
+              ON CAST(CASE WHEN regexp_replace(c.c_name, '[^0-9]', '', 'g') = ''
+                           THEN '-1'
+                           ELSE regexp_replace(c.c_name, '[^0-9]', '', 'g')
+                      END AS BIGINT)
+               = CAST(CASE WHEN regexp_replace(s.s_name, '[^0-9]', '', 'g') = ''
+                           THEN '-1'
+                           ELSE regexp_replace(s.s_name, '[^0-9]', '', 'g')
+                      END AS BIGINT)
+            WHERE levenshtein(c.c_name, s.s_name) <= 5
         """,
         "copurchase_bfs_hops": r"""
             WITH RECURSIVE e AS (

@@ -4269,3 +4269,69 @@ def copurchase_bfs_hops(sf_dir: str) -> rd.Dataset:
         )
     source = int(edges.min("part_a"))
     return graph.bfs_hops(edges, source, max_depth=3)
+
+
+def customer_supplier_linkage(sf_dir: str) -> rd.Dataset:
+    """Record linkage across TABLES (the entity-resolution methodology:
+    BLOCKING key -> equi-join -> exact verify): customers and suppliers
+    block on the numeric suffix of their names, candidate pairs verify
+    with the batched Levenshtein DP, keep dist <= 5 -> (c_custkey,
+    s_suppkey, dist).  The blocking key is the documented recall
+    assumption (pairs in different blocks are never compared — at scale
+    that is the entire point); the verify is exact within blocks."""
+    from .ops.fuzzy import levenshtein_bounded_pairs
+
+    K = 5
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_name"])
+
+    def blk(name_col: str, id_col: str, out_name: str):
+        def f(t: pa.Table) -> pa.Table:
+            digits = pc.replace_substring_regex(
+                pc.fill_null(t[name_col], ""), pattern=r"[^0-9]", replacement=""
+            )
+            key = pc.cast(
+                pc.if_else(pc.equal(digits, ""), "-1", digits), pa.int64()
+            )
+            return pa.table(
+                {"blk": key, id_col: t[id_col], out_name: t[name_col]}
+            )
+
+        return f
+
+    cb = cust.map_batches(blk("c_name", "c_custkey", "name_c"), batch_format="pyarrow")
+    sb = supp.map_batches(blk("s_name", "s_suppkey", "name_s"), batch_format="pyarrow")
+    j = joins.hash_join(cb, sb, on="blk")
+
+    def verify(t: pa.Table) -> pa.Table:
+        a = [(s or "").encode() for s in t["name_c"].to_pylist()]
+        b = [(s or "").encode() for s in t["name_s"].to_pylist()]
+        m = len(a)
+        if m == 0:
+            return pa.table(
+                {
+                    "c_custkey": pa.array([], pa.int64()),
+                    "s_suppkey": pa.array([], pa.int64()),
+                    "dist": pa.array([], pa.int64()),
+                }
+            )
+        la = np.array([len(x) for x in a], np.int64)
+        lb = np.array([len(x) for x in b], np.int64)
+        A = np.zeros((m, max(1, la.max())), np.uint8)
+        B = np.zeros((m, max(1, lb.max())), np.uint8)
+        for i, x in enumerate(a):
+            A[i, : len(x)] = np.frombuffer(x, np.uint8)
+        for i, x in enumerate(b):
+            B[i, : len(x)] = np.frombuffer(x, np.uint8)
+        d = levenshtein_bounded_pairs(A, la, B, lb, K)
+        keep = d <= K
+        idx = pa.array(np.nonzero(keep)[0], pa.int64())
+        return pa.table(
+            {
+                "c_custkey": pc.cast(t.take(idx)["c_custkey"], pa.int64()),
+                "s_suppkey": pc.cast(t.take(idx)["s_suppkey"], pa.int64()),
+                "dist": pa.array(d[keep].astype(np.int64), pa.int64()),
+            }
+        )
+
+    return j.map_batches(verify, batch_format="pyarrow")
