@@ -157,6 +157,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cross_source_dup_matrix": Q.cross_source_dup_matrix,
         "copurchase_bfs_hops": Q.copurchase_bfs_hops,
         "customer_supplier_linkage": Q.customer_supplier_linkage,
+        "source_mixture_stats": Q.source_mixture_stats,
         # --- rows-only / pytest-oracled block (no SQL twin by nature) ---
         "doc_packing": Q.doc_packing,
         "incremental_neardup_ingest": Q.incremental_neardup_ingest,
@@ -1348,6 +1349,23 @@ def oracle_sql() -> dict[str, str]:
                    avg(-ln(cb.cb / cl.cl)) AS nll2
             FROM bg JOIN cb USING (bigram) JOIN cl USING (w1)
             GROUP BY bg.doc_id
+        """,
+        "source_mixture_stats": r"""
+            WITH t AS (
+              SELECT source, doc_id,
+                     len(list_filter(regexp_split_to_array(text, '\s+'),
+                                     x -> x <> ''))::BIGINT AS nt
+              FROM documents
+            ),
+            agg AS (
+              SELECT source, count(*)::BIGINT AS n_docs,
+                     sum(nt)::BIGINT AS n_tokens
+              FROM t GROUP BY source
+            ),
+            tot AS (SELECT sum(n_tokens)::DOUBLE AS total FROM agg)
+            SELECT source, n_docs, n_tokens,
+                   n_tokens / tot.total AS token_share
+            FROM agg, tot
         """,
         "customer_supplier_linkage": r"""
             SELECT c.c_custkey, s.s_suppkey,

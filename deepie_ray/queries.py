@@ -4335,3 +4335,60 @@ def customer_supplier_linkage(sf_dir: str) -> rd.Dataset:
         )
 
     return j.map_batches(verify, batch_format="pyarrow")
+
+
+def source_mixture_stats(sf_dir: str) -> rd.Dataset:
+    """Data-mixing diagnostics per source -> (source, n_docs, n_tokens,
+    token_share:double): the numbers a mixture designer reweights
+    from.  Combiner-first per-source partials (docs + token counts per
+    batch), one tiny grouped sum, share = tokens/total computed from
+    exact integers on both sides."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.fill_null(t["text"], ""), pattern=r"\s+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten()
+        ne = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        offs = toks.offsets.to_numpy(zero_copy_only=False)
+        base = offs[0]
+        cum = np.concatenate(([0], np.cumsum(ne)))
+        per_doc = cum[offs[1:] - base] - cum[offs[:-1] - base]
+        g = (
+            pa.table(
+                {
+                    "source": t["source"],
+                    "tok": pa.array(per_doc.astype(np.int64)),
+                    "one": pa.array(np.ones(len(t), np.int64)),
+                }
+            )
+            .group_by("source")
+            .aggregate([("tok", "sum"), ("one", "sum")])
+        )
+        return pa.table(
+            {"source": g["source"], "tok": g["tok_sum"], "docs": g["one_sum"]}
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("tok", alias_name="n_tokens"), Sum("docs", alias_name="n_docs"))
+        .materialize()
+    )
+    total = float(agg.sum("n_tokens") or 0)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        nt = pc.cast(t["n_tokens"], pa.int64())
+        return pa.table(
+            {
+                "source": t["source"],
+                "n_docs": pc.cast(t["n_docs"], pa.int64()),
+                "n_tokens": nt,
+                "token_share": pc.divide(
+                    pc.cast(nt, pa.float64()), pa.scalar(total)
+                ),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
