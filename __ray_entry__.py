@@ -158,6 +158,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "copurchase_bfs_hops": Q.copurchase_bfs_hops,
         "customer_supplier_linkage": Q.customer_supplier_linkage,
         "source_mixture_stats": Q.source_mixture_stats,
+        "events_quantile_bands": Q.events_quantile_bands,
         # --- rows-only / pytest-oracled block (no SQL twin by nature) ---
         "doc_packing": Q.doc_packing,
         "incremental_neardup_ingest": Q.incremental_neardup_ingest,
@@ -1349,6 +1350,14 @@ def oracle_sql() -> dict[str, str]:
                    avg(-ln(cb.cb / cl.cl)) AS nll2
             FROM bg JOIN cb USING (bigram) JOIN cl USING (w1)
             GROUP BY bg.doc_id
+        """,
+        "events_quantile_bands": """
+            SELECT event_type,
+                   quantile_cont(value, 0.25) AS p25,
+                   quantile_cont(value, 0.50) AS p50,
+                   quantile_cont(value, 0.75) AS p75
+            FROM events WHERE value IS NOT NULL
+            GROUP BY event_type
         """,
         "source_mixture_stats": r"""
             WITH t AS (

@@ -4392,3 +4392,29 @@ def source_mixture_stats(sf_dir: str) -> rd.Dataset:
         )
 
     return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def events_quantile_bands(sf_dir: str) -> rd.Dataset:
+    """Grouped multi-quantile in ONE pass -> (event_type, p25, p50,
+    p75): exact interpolated quantiles per group, each group's values
+    in one ``map_groups`` task (low-cardinality groups — the same
+    contract as events_p50_cont; corpus-keyed quantiles take the
+    sorted-split path of exact_quantile_sorted)."""
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+    clean = ev.map_batches(
+        lambda df: df.dropna(subset=["value"]), batch_format="pandas"
+    )
+
+    def per_type(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["value"].to_numpy(dtype=np.float64)
+        q = np.quantile(v, [0.25, 0.5, 0.75], method="linear")
+        return pd.DataFrame(
+            {
+                "event_type": [df["event_type"].iloc[0]],
+                "p25": [float(q[0])],
+                "p50": [float(q[1])],
+                "p75": [float(q[2])],
+            }
+        )
+
+    return clean.groupby("event_type").map_groups(per_type, batch_format="pandas")
