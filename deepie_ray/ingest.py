@@ -1,13 +1,20 @@
-"""Incremental corpus ingestion: dedup a NEW batch of documents both
-within itself and against the fingerprint index persisted by prior
-ingests — the "ingest day 2 without re-reading day 1" operational path
-of a training-data pipeline.
+"""Incremental corpus ingestion — the "ingest day 2 without re-reading
+day 1" operational layer of a training-data pipeline, as three index
+families over one generational state store:
 
-State layout (append-only, crash-safe):
+- ``ingest_documents``        exact content dedup (md5 fingerprints)
+- ``ingest_documents_neardup``  MinHash-LSH near-dedup (512-byte
+                                signatures; estimate verify)
+- ``ingest_kg``               incremental KG construction (additive
+                                node/edge generations)
+- ``compact_index``           merge generations, crash-safe
 
-    state_root/fingerprints/gen-<id>/*.parquet   one dir per accepted
-                                                 ingest generation
-    state_root/fingerprints/gen-<id>.json        commit marker
+State layout (append-only, crash-safe; one subdir per index kind —
+``fingerprints`` / ``minhash`` / ``kg_nodes`` / ``kg_edges``):
+
+    state_root/<kind>/gen-<id>/*.parquet   one dir per accepted
+                                           ingest generation
+    state_root/<kind>/gen-<id>.json        commit marker
 
 A generation is written to ``gen-<id>.tmp`` and atomically renamed;
 the commit marker is written only after the rename, and readers ignore
