@@ -159,6 +159,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_supplier_linkage": Q.customer_supplier_linkage,
         "source_mixture_stats": Q.source_mixture_stats,
         "events_quantile_bands": Q.events_quantile_bands,
+        "asof_events_next_order": Q.asof_events_next_order,
         # --- rows-only / pytest-oracled block (no SQL twin by nature) ---
         "doc_packing": Q.doc_packing,
         "incremental_neardup_ingest": Q.incremental_neardup_ingest,
@@ -546,6 +547,17 @@ def oracle_sql() -> dict[str, str]:
               FROM events e
               JOIN orders o ON e.user_id = o.o_custkey
                             AND o.o_orderdate <= e.ts
+            ) WHERE rn = 1
+        """,
+        "asof_events_next_order": """
+            SELECT event_id, purchase_event_id FROM (
+              SELECT v.event_id, p.event_id AS purchase_event_id,
+                     row_number() OVER (
+                       PARTITION BY v.event_id
+                       ORDER BY p.ts ASC, p.event_id DESC) AS rn
+              FROM events v
+              JOIN events p ON v.user_id = p.user_id AND p.ts >= v.ts
+              WHERE v.event_type = 'view' AND p.event_type = 'purchase'
             ) WHERE rn = 1
         """,
         "text_token_counts": r"""

@@ -248,8 +248,16 @@ def asof_join_merge(
     right_ts: str,
     tie_break: str,
     num_partitions: int = 8,
+    direction: str = "backward",
 ) -> rd.Dataset:
-    """Bucketed merge_asof backward as-of join -> (left_id, tie_break).
+    """Bucketed merge_asof as-of join -> (left_id, tie_break).
+    ``direction="backward"`` (default) matches the greatest
+    ``right_ts <= left_ts``; ``"forward"`` matches the smallest
+    ``right_ts >= left_ts`` (the "next event after" variant) — ties at
+    the matched timestamp break to the greatest ``tie_break`` in both
+    modes (backward: right bucket ascending by (ts, tie), merge_asof
+    takes the LAST at the ts; forward: ascending ts with tie
+    DESCENDING, merge_asof takes the FIRST at the ts).
 
     Same semantics as ``asof_join``/``asof_join_argmax`` (greatest
     ``right_ts <= left_ts`` per key, ties by greatest ``tie_break``)
@@ -349,9 +357,12 @@ def asof_join_merge(
         if L.empty or R.empty:
             return out_empty
         L = L[[key, "lts", left_id]].sort_values("lts", kind="mergesort")
-        R = R[[key, "rts", "tie"]].sort_values(["rts", "tie"], kind="mergesort")
+        asc = [True, direction == "backward"]
+        R = R[[key, "rts", "tie"]].sort_values(
+            ["rts", "tie"], ascending=asc, kind="mergesort"
+        )
         m = pd.merge_asof(
-            L, R, left_on="lts", right_on="rts", by=key, direction="backward"
+            L, R, left_on="lts", right_on="rts", by=key, direction=direction
         )
         m = m[m["tie"].notna()]
         if m.empty:

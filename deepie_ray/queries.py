@@ -4418,3 +4418,42 @@ def events_quantile_bands(sf_dir: str) -> rd.Dataset:
         )
 
     return clean.groupby("event_type").map_groups(per_type, batch_format="pandas")
+
+
+def asof_events_next_order(sf_dir: str) -> rd.Dataset:
+    """FORWARD as-of join (conversion attribution: 'what purchase did
+    this view lead to?'): each VIEW event matched to the same user's
+    next PURCHASE event at-or-after it -> (event_id,
+    purchase_event_id).  Same bucketed merge_asof path as the backward
+    flagship, direction='forward'; ties at the matched timestamp break
+    to the greatest purchase event id."""
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    views = ev.map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], "view")).drop_columns(
+            ["event_type"]
+        ),
+        batch_format="pyarrow",
+    )
+    purchases = ev.map_batches(
+        lambda t: pa.table(
+            {
+                "user_id": t.filter(pc.equal(t["event_type"], "purchase"))["user_id"],
+                "purchase_event_id": t.filter(
+                    pc.equal(t["event_type"], "purchase")
+                )["event_id"],
+                "pts": t.filter(pc.equal(t["event_type"], "purchase"))["ts"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return joins.asof_join_merge(
+        views,
+        purchases,
+        key="user_id",
+        left_id="event_id",
+        left_ts="ts",
+        right_ts="pts",
+        tie_break="purchase_event_id",
+        num_partitions=8,
+        direction="forward",
+    )
