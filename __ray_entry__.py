@@ -105,6 +105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "export_jsonl_roundtrip": Q.export_jsonl_roundtrip,
         "sample_per_source": Q.sample_per_source,
         "ngram_jaccard_exact": Q.ngram_jaccard_exact,
+        "ngram_jaccard_prefix": Q.ngram_jaccard_prefix,
         "contamination_ngram": Q.contamination_ngram,
         "repeated_ngrams": Q.repeated_ngrams,
         "duplicate_spans": Q.duplicate_spans,
@@ -243,6 +244,32 @@ def oracle_sql() -> dict[str, str]:
             FROM orders GROUP BY o_orderstatus
         """,
         "ngram_jaccard_exact": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                 x -> x <> '') AS t
+              FROM documents
+            ),
+            sh AS (
+              SELECT doc_id,
+                     CASE
+                       WHEN len(t) = 0 THEN []::VARCHAR[]
+                       WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                       ELSE list_distinct(list_transform(range(1, len(t) - 1),
+                                          i -> array_to_string(t[i:i+2], ' ')))
+                     END AS s
+              FROM toks
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   len(list_intersect(a.s, b.s))::BIGINT AS n_inter,
+                   (len(a.s) + len(b.s)
+                    - len(list_intersect(a.s, b.s)))::BIGINT AS n_union
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE len(a.s) > 0 AND len(b.s) > 0
+              AND len(list_intersect(a.s, b.s)) * 10
+                  >= 3 * (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+        """,
+        "ngram_jaccard_prefix": r"""
             WITH toks AS (
               SELECT doc_id,
                      list_filter(regexp_split_to_array(lower(text), '\s+'),

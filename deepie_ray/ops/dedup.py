@@ -613,6 +613,179 @@ def sig_agreement_verify(
     return j.map_batches(verify, batch_format="pyarrow")
 
 
+def _shingle_views_dedup(col) -> tuple[np.ndarray, np.ndarray]:
+    """(element_offsets, int64_values) zero-copy views over a packed
+    binary column — module-level twin of the helper nested in
+    ``jaccard_verify_join`` (same layout contract: little-endian int64
+    payloads from ``shingle_table``)."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    bufs = arr.buffers()
+    offs = np.frombuffer(bufs[1], dtype=np.int32)[
+        arr.offset : arr.offset + len(arr) + 1
+    ]
+    data = (
+        np.frombuffer(bufs[2], dtype=np.int64)
+        if bufs[2] is not None and len(bufs[2])
+        else np.empty(0, dtype=np.int64)
+    )
+    return offs, data
+
+
+def jaccard_prefix_join(
+    ds: rd.Dataset,
+    threshold_num: int = 3,
+    threshold_den: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_partitions: int = 8,
+) -> rd.Dataset:
+    """EXACT word-3-gram Jaccard threshold self-join via PREFIX
+    FILTERING (Bayardo et al. 2007 AllPairs / Chaudhuri et al. SSJoin)
+    -> (id_a, id_b, n_inter, n_union), identical output contract to
+    ``jaccard_exact_blockjoin`` but WITHOUT the O(N^2) chunk-pair
+    scan: under a global shingle order, any pair with J >= t must
+    share an element within each side's first ``n - ceil(t*n) + 1``
+    shingles, so only prefix-token collisions generate candidates —
+    work scales with collisions, not with N^2.
+
+    Pipeline: per-doc sorted shingle sets (``shingle_table``, already
+    hash-ordered = the global order), prefix explode, ONE part-colocate
+    shuffle on the shingle value with all-pairs-per-run generation
+    (NO star cap — exactness requires every colliding pair; the
+    frequency-ordered prefix variant is the standard mitigation if a
+    corpus has hot prefix shingles), distinct, then exact set-verify
+    with the INTEGER keep rule (``inter*den >= num*union``).  Recall
+    equality against the block-join twin is pinned by test AND by
+    sharing its SQL oracle."""
+    sh_tbl = shingle_table(ds, text_col, id_col).materialize()
+
+    def prefix_rows(t: pa.Table) -> pa.Table:
+        offs, data = _shingle_views_dedup(t["sh"])
+        n_rows = len(t)
+        lens = (offs[1:] - offs[:-1]) // 8
+        alpha = (threshold_num * lens + threshold_den - 1) // threshold_den
+        k = np.where(lens > 0, lens - alpha + 1, 0).astype(np.int64)
+        rep = np.repeat(np.arange(n_rows), k)
+        starts = offs[:-1] // 8
+        within = np.arange(int(k.sum())) - np.repeat(
+            np.concatenate(([0], np.cumsum(k)))[:-1], k
+        )
+        sh_idx = starts[rep] + within
+        part = (data[sh_idx] & (2**62 - 1)) % num_partitions
+        return pa.table(
+            {
+                "part": pa.array(part.astype(np.int64), pa.int64()),
+                "shingle": pa.array(data[sh_idx], pa.int64()),
+                id_col: t[id_col].take(pa.array(rep, pa.int64())),
+            }
+        )
+
+    pref = sh_tbl.map_batches(prefix_rows, batch_format="pyarrow")
+
+    def pairs_group(df: pd.DataFrame) -> pd.DataFrame:
+        sh = df["shingle"].to_numpy()
+        ids = df[id_col].to_numpy()
+        order = np.lexsort((ids, sh))
+        sh, ids = sh[order], ids[order]
+        # runs of equal shingle -> all C(m,2) pairs (exactness: no cap)
+        starts = np.nonzero(np.concatenate(([True], sh[1:] != sh[:-1])))[0]
+        ends = np.concatenate((starts[1:], [len(sh)]))
+        oa, ob = [], []
+        for s, e in zip(starts, ends):
+            m = e - s
+            if m < 2:
+                continue
+            iu = np.triu_indices(m, k=1)
+            oa.append(ids[s:e][iu[0]])
+            ob.append(ids[s:e][iu[1]])
+        if not oa:
+            return pd.DataFrame(
+                {
+                    "id_a": pd.Series([], dtype=np.int64),
+                    "id_b": pd.Series([], dtype=np.int64),
+                }
+            )
+        a = np.concatenate(oa)
+        b = np.concatenate(ob)
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pd.DataFrame({"id_a": lo, "id_b": hi}).drop_duplicates()
+
+    cands = (
+        pref.groupby("part")
+        .map_groups(pairs_group, batch_format="pandas")
+        .map_batches(lambda df: df.drop_duplicates(), batch_format="pandas")
+        .groupby(["id_a", "id_b"])
+        .count()
+        .drop_columns(["count()"])
+        .repartition(num_partitions)
+        .materialize()
+    )
+    empty = pa.table(
+        {
+            "id_a": pa.array([], pa.int64()),
+            "id_b": pa.array([], pa.int64()),
+            "n_inter": pa.array([], pa.int64()),
+            "n_union": pa.array([], pa.int64()),
+        }
+    )
+    if cands.count() == 0:
+        return rd.from_arrow(empty)
+
+    def side(name: str):
+        return sh_tbl.map_batches(
+            lambda t, n=name: pa.table({n: t[id_col], f"sh_{n[-1]}": t["sh"]}),
+            batch_format="pyarrow",
+        )
+
+    j = (
+        cands.join(
+            side("id_a"), join_type="inner",
+            num_partitions=num_partitions, on=("id_a",),
+        )
+        .repartition(num_partitions)
+        .join(
+            side("id_b"), join_type="inner",
+            num_partitions=num_partitions, on=("id_b",),
+        )
+    )
+
+    def verify(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        oa, da = _shingle_views_dedup(batch["sh_a"])
+        ob, db = _shingle_views_dedup(batch["sh_b"])
+        n = len(batch)
+        keep = np.zeros(n, dtype=bool)
+        inter_v = np.zeros(n, dtype=np.int64)
+        union_v = np.zeros(n, dtype=np.int64)
+        for i in range(n):
+            sa = da[oa[i] // 8 : oa[i + 1] // 8]
+            sb = db[ob[i] // 8 : ob[i + 1] // 8]
+            if not len(sa) or not len(sb):
+                continue
+            small, big = (sa, sb) if len(sa) <= len(sb) else (sb, sa)
+            pos = np.searchsorted(big, small)
+            ok = pos < len(big)
+            inter = int(np.count_nonzero(big[pos[ok]] == small[ok]))
+            union = len(sa) + len(sb) - inter
+            if inter * threshold_den >= threshold_num * union:
+                keep[i] = True
+                inter_v[i] = inter
+                union_v[i] = union
+        idx = np.nonzero(keep)[0]
+        sub = batch.take(pa.array(idx, pa.int64()))
+        return pa.table(
+            {
+                "id_a": pc.cast(sub["id_a"], pa.int64()),
+                "id_b": pc.cast(sub["id_b"], pa.int64()),
+                "n_inter": pa.array(inter_v[idx], pa.int64()),
+                "n_union": pa.array(union_v[idx], pa.int64()),
+            }
+        )
+
+    return j.map_batches(verify, batch_format="pyarrow")
+
+
 # verified near-dup edge sets at or below this size cluster on the
 # driver (union-find over a bounded list — canon.py's documented fast
 # path for post-AGGREGATION-small graphs; the edges here are

@@ -4457,3 +4457,13 @@ def asof_events_next_order(sf_dir: str) -> rd.Dataset:
         num_partitions=8,
         direction="forward",
     )
+
+
+def ngram_jaccard_prefix(sf_dir: str) -> rd.Dataset:
+    """Exact Jaccard self-join via prefix filtering (the SCALABLE exact
+    path — candidates from prefix-token collisions, never an O(N^2)
+    scan) -> identical rows to ngram_jaccard_exact; shares its SQL
+    oracle, and pair-set equality with the block-join twin is pinned
+    by test."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return dedup.jaccard_prefix_join(ds, threshold_num=3, threshold_den=10)

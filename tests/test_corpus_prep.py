@@ -469,3 +469,31 @@ def test_new_ops_empty_documents_no_crash(tmp_path):
         r = getattr(Q, name)(d)
         n = r.num_rows if isinstance(r, pa.Table) else r.count()
         assert n == 0, name
+
+
+def test_jaccard_prefix_equals_blockjoin(tmp_path):
+    from deepie_ray.ops import dedup as D
+
+    base = [f"w{i}" for i in range(20)]
+    rows = [
+        (1, " ".join(base)),
+        (2, " ".join(base[:18] + ["x1", "x2"])),  # high overlap
+        (3, " ".join(base[:8] + [f"y{i}" for i in range(12)])),  # borderline
+        (4, " ".join(f"z{i}" for i in range(20))),  # disjoint
+        (5, " ".join(base)),  # exact dup of 1
+    ]
+    sf = _write_docs(tmp_path, rows)
+    import ray.data as rd
+
+    ds = rd.read_parquet(sf + "/documents.parquet")
+
+    def canon(res):
+        df = res.to_pandas() if not isinstance(res, pa.Table) else res.to_pandas()
+        return (
+            df.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+        )
+
+    a = canon(D.jaccard_exact_blockjoin(ds, 3, 10))
+    b = canon(D.jaccard_prefix_join(ds, 3, 10))
+    assert a.equals(b), (a, b)
+    assert len(a) >= 2  # the planted dups actually matched
