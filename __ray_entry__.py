@@ -293,7 +293,7 @@ def oracle_sql() -> dict[str, str]:
             FROM sh a JOIN sh b ON a.doc_id < b.doc_id
             WHERE len(a.s) > 0 AND len(b.s) > 0
               AND len(list_intersect(a.s, b.s)) * 10
-                  >= 3 * (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+                  >= 7 * (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
         """,
         "repeated_ngrams": r"""
             WITH toks AS (

@@ -4460,10 +4460,13 @@ def asof_events_next_order(sf_dir: str) -> rd.Dataset:
 
 
 def ngram_jaccard_prefix(sf_dir: str) -> rd.Dataset:
-    """Exact Jaccard self-join via prefix filtering (the SCALABLE exact
-    path — candidates from prefix-token collisions, never an O(N^2)
-    scan) -> identical rows to ngram_jaccard_exact; shares its SQL
-    oracle, and pair-set equality with the block-join twin is pinned
-    by test."""
+    """Exact Jaccard self-join via prefix filtering at the NEAR-DUP
+    threshold 0.7 (the scalable exact path: candidates only from
+    prefix-token collisions, never an O(N^2) scan; prefix length
+    n - ceil(0.7n) + 1 is ~30% of each set, so buckets stay small —
+    at LOW thresholds the prefix covers most of the set and the block
+    join or LSH route is the right tool, see jaccard_prefix_join).
+    Pair-set equality with the block-join kernel at the same threshold
+    is pinned by test; the SQL twin uses the same integer rule."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return dedup.jaccard_prefix_join(ds, threshold_num=3, threshold_den=10)
+    return dedup.jaccard_prefix_join(ds, threshold_num=7, threshold_den=10)
