@@ -149,6 +149,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_bigram_nll": Q.doc_bigram_nll,
         "ann_topk_filtered": Q.ann_topk_filtered,
         "doc_oov_rate": Q.doc_oov_rate,
+        "dsir_importance_weights": Q.dsir_importance_weights,
         "documents_version_diff": Q.documents_version_diff,
         "export_jsonl_gz_roundtrip": Q.export_jsonl_gz_roundtrip,
         "quality_gate_composite": Q.quality_gate_composite,
@@ -1563,6 +1564,36 @@ def oracle_sql() -> dict[str, str]:
                    sum(CASE WHEN c.n < 3 THEN 1 ELSE 0 END)::DOUBLE
                      / count(*) AS oov_rate
             FROM t JOIN c USING (w) GROUP BY t.doc_id
+        """,
+        "dsir_importance_weights": r"""
+            WITH tok AS (
+              SELECT doc_id, source,
+                     unnest(regexp_split_to_array(text, '\s+')) AS w
+              FROM documents
+            ),
+            t AS (
+              SELECT doc_id, source,
+                     ('0x' || substr(md5('dsir-v1:' || w), 1, 8))::BIGINT
+                       % 256 AS b
+              FROM tok WHERE w <> ''
+            ),
+            tgt AS (
+              SELECT b, count(*)::DOUBLE AS ct FROM t
+              WHERE source = 'src0' GROUP BY b
+            ),
+            raw AS (SELECT b, count(*)::DOUBLE AS cr FROM t GROUP BY b),
+            nt AS (
+              SELECT count(*)::DOUBLE AS n FROM t WHERE source = 'src0'
+            ),
+            nr AS (SELECT count(*)::DOUBLE AS n FROM t)
+            SELECT t.doc_id, count(*)::BIGINT AS n_tokens,
+                   sum(ln((coalesce(tgt.ct, 0) + 1) / (nt.n + 256))
+                       - ln((raw.cr + 1) / (nr.n + 256))) AS log_w
+            FROM t
+            LEFT JOIN tgt USING (b)
+            JOIN raw USING (b)
+            CROSS JOIN nt CROSS JOIN nr
+            GROUP BY t.doc_id
         """,
         "doc_line_repetition": r"""
             WITH l AS (

@@ -1103,3 +1103,151 @@ def unigram_signals(
     return ds.map_batches(
         Score, batch_format="pyarrow", concurrency=(1, 8), **POOL_REMOTE_ARGS
     )
+
+
+# ------------------------------------------------- DSIR importance weights
+
+
+def dsir_importance(
+    ds,
+    target_source: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    n_buckets: int = 256,
+    salt: str = "dsir-v1",
+):
+    """DSIR-style importance weights (Xie et al., "Data Selection for
+    Language Models via Importance Resampling", NeurIPS 2023): per
+    doc, the log importance weight of a hashed-unigram bag-of-words
+    model of the TARGET domain (rows with ``source == target_source``)
+    against the RAW corpus distribution
+    -> (doc_id, n_tokens:int64, log_w:double).
+
+        log_w(doc) = sum over tokens of
+            ln((ct_b + 1) / (N_t + B)) - ln((cr_b + 1) / (N_r + B))
+
+    where b is the token's md5 bucket (the repo's stable
+    ``int(md5(salt:token)[:8], 16) % B`` convention, so the DuckDB
+    twin reproduces bucket assignment exactly), ct/cr are target/raw
+    bucket counts, N_t/N_r the target/raw token totals, and add-one
+    smoothing runs over the B buckets.  The per-token term is computed
+    in the SAME associativity as the SQL twin (two ``ln`` of ratios),
+    so only summation order differs (~1e-15 relative).
+
+    Scale shape: pass 1 is a combiner-first bucket-count aggregate
+    whose output is EXACTLY B rows regardless of corpus size — the
+    driver materialization is bounded by the constant B, not the data.
+    Pass 2 streams documents against the broadcast B-float log-ratio
+    vector (a few KB).  md5 runs once per DISTINCT token per batch
+    (dictionary encode + ``take``), never per occurrence."""
+    import numpy as np
+    import ray
+    from ray.data.aggregate import Sum
+
+    def _explode_with_source(batch: pa.Table):
+        toks = pc.split_pattern_regex(
+            pc.fill_null(batch[text_col], ""), pattern=r"\s+"
+        )
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        par = pc.list_parent_indices(toks)
+        ids = batch[id_col].take(par)
+        src = batch[source_col].take(par)
+        keep = pc.not_equal(flat, "")
+        flat, ids, src = flat.filter(keep), ids.filter(keep), src.filter(keep)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        return flat, ids, src
+
+    def _buckets(flat: pa.Array) -> pa.Array:
+        d = flat.dictionary_encode()
+        if isinstance(d, pa.ChunkedArray):
+            d = d.combine_chunks()
+        dict_b = pa.array(
+            [
+                int(md5_hex(f"{salt}:{t}")[:8], 16) % n_buckets
+                for t in d.dictionary.to_pylist()
+            ],
+            pa.int64(),
+        )
+        return dict_b.take(d.indices)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flat, _ids, src = _explode_with_source(batch)
+        if len(flat) == 0:
+            return pa.table(
+                {
+                    "b": pa.array([], pa.int64()),
+                    "ct": pa.array([], pa.int64()),
+                    "cr": pa.array([], pa.int64()),
+                }
+            )
+        is_t = pc.cast(pc.equal(src, target_source), pa.int64())
+        g = (
+            pa.table({"b": _buckets(flat), "t": is_t})
+            .group_by("b")
+            .aggregate([("t", "sum"), ([], "count_all")])
+        )
+        return pa.table(
+            {
+                "b": g["b"],
+                "ct": pc.cast(g["t_sum"], pa.int64()),
+                "cr": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("b")
+        .aggregate(Sum("ct", alias_name="ct"), Sum("cr", alias_name="cr"))
+        .to_pandas()
+    )  # bounded: <= n_buckets rows by construction
+    ct = np.zeros(n_buckets, dtype=np.float64)
+    cr = np.zeros(n_buckets, dtype=np.float64)
+    if len(counts):
+        ct[counts["b"].to_numpy()] = counts["ct"].to_numpy()
+        cr[counts["b"].to_numpy()] = counts["cr"].to_numpy()
+    n_t, n_r = float(ct.sum()), float(cr.sum())
+    # same associativity as the SQL per-token term: ln of each ratio
+    ratio = np.log((ct + 1.0) / (n_t + n_buckets)) - np.log(
+        (cr + 1.0) / (n_r + n_buckets)
+    )
+    ratio_ref = ray.put(ratio)
+
+    class Score:
+        def __init__(self):
+            self.ratio = ray.get(ratio_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            flat, ids, _src = _explode_with_source(batch)
+            if len(flat) == 0:
+                return pa.table(
+                    {
+                        id_col: pa.array([], batch[id_col].type),
+                        "n_tokens": pa.array([], pa.int64()),
+                        "log_w": pa.array([], pa.float64()),
+                    }
+                )
+            vals = pa.array(
+                self.ratio[_buckets(flat).to_numpy()], pa.float64()
+            )
+            g = (
+                pa.table({id_col: ids, "v": vals})
+                .group_by(id_col)
+                .aggregate([("v", "sum"), ([], "count_all")])
+            )
+            return pa.table(
+                {
+                    id_col: g[id_col],
+                    "n_tokens": pc.cast(g["count_all"], pa.int64()),
+                    "log_w": g["v_sum"],
+                }
+            )
+
+    from ..tuning import POOL_REMOTE_ARGS
+
+    return ds.map_batches(
+        Score, batch_format="pyarrow", concurrency=(1, 8), **POOL_REMOTE_ARGS
+    )

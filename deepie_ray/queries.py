@@ -4470,3 +4470,16 @@ def ngram_jaccard_prefix(sf_dir: str) -> rd.Dataset:
     is pinned by test; the SQL twin uses the same integer rule."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return dedup.jaccard_prefix_join(ds, threshold_num=7, threshold_den=10)
+
+
+def dsir_importance_weights(sf_dir: str) -> rd.Dataset:
+    """DSIR importance weights (Xie et al. 2023 — the importance-
+    resampling data-selection staple) -> (doc_id, n_tokens, log_w):
+    each document's log importance weight of a hashed-unigram model of
+    the 'src0' target domain against the raw corpus distribution.
+    Pass 1 reduces the corpus to a CONSTANT 256-bucket count table
+    (combiner-first); pass 2 streams docs against the broadcast
+    256-float log-ratio vector.  Selection is then a top-k or a
+    Gumbel-noise resample over log_w downstream."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+    return text.dsir_importance(ds, target_source="src0")

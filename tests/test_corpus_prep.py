@@ -498,3 +498,56 @@ def test_jaccard_prefix_equals_blockjoin(tmp_path):
         b = canon(D.jaccard_prefix_join(ds, num, 10))
         assert a.equals(b), (num, a, b)
     assert len(a) >= 1  # the planted dups actually matched at 0.7
+
+
+def test_dsir_importance_numpy_parity_and_planted_direction():
+    import ray.data as rd
+
+    from deepie_ray.hashing import md5_hex
+
+    # target domain (src0) talks about cats; raw background about tax.
+    docs = [
+        (1, "cat cat whiskers purr", "src0"),
+        (2, "cat purr nap", "src0"),
+        (3, "tax form ledger audit", "src1"),
+        (4, "tax ledger filing", "src1"),
+        (5, "cat whiskers nap purr", "src1"),  # target-like text, raw source
+        (6, "audit filing form tax", "src1"),  # background-like text
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array([d for d, _, _ in docs], pa.int64()),
+            "text": pa.array([x for _, x, _ in docs]),
+            "source": pa.array([s for _, _, s in docs]),
+        }
+    )
+    B = 256
+    out = (
+        T.dsir_importance(rd.from_arrow(t), target_source="src0")
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+
+    # numpy oracle: same md5 bucket convention, add-one smoothing
+    def bucket(w):
+        return int(md5_hex(f"dsir-v1:{w}")[:8], 16) % B
+
+    ct, cr = np.zeros(B), np.zeros(B)
+    for _d, txt, src in docs:
+        for w in txt.split():
+            cr[bucket(w)] += 1
+            if src == "src0":
+                ct[bucket(w)] += 1
+    ratio = np.log((ct + 1) / (ct.sum() + B)) - np.log(
+        (cr + 1) / (cr.sum() + B)
+    )
+    for d, txt, _src in docs:
+        want = sum(ratio[bucket(w)] for w in txt.split())
+        assert abs(out.loc[d, "log_w"] - want) < 1e-12
+        assert out.loc[d, "n_tokens"] == len(txt.split())
+
+    # planted direction: target-like text scores above background-like
+    # text regardless of its own source label
+    assert out.loc[5, "log_w"] > out.loc[6, "log_w"] + 0.5
+    assert out.loc[1, "log_w"] > out.loc[3, "log_w"]
