@@ -150,6 +150,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_filtered": Q.ann_topk_filtered,
         "doc_oov_rate": Q.doc_oov_rate,
         "dsir_importance_weights": Q.dsir_importance_weights,
+        "boilerplate_ngram_removal": Q.boilerplate_ngram_removal,
         "documents_version_diff": Q.documents_version_diff,
         "export_jsonl_gz_roundtrip": Q.export_jsonl_gz_roundtrip,
         "quality_gate_composite": Q.quality_gate_composite,
@@ -1594,6 +1595,48 @@ def oracle_sql() -> dict[str, str]:
             JOIN raw USING (b)
             CROSS JOIN nt CROSS JOIN nr
             GROUP BY t.doc_id
+        """,
+        "boilerplate_ngram_removal": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(text, '\s+'),
+                                 x -> x <> '') AS a
+              FROM documents
+            ),
+            tok AS (
+              SELECT doc_id, unnest(a) AS w,
+                     unnest([i for i in generate_series(1, len(a))]) AS i
+              FROM t
+            ),
+            g AS (
+              SELECT doc_id,
+                     unnest([a[i] || ' ' || a[i+1] || ' ' || a[i+2]
+                             for i in generate_series(1, len(a) - 2)]) AS gram,
+                     unnest([i
+                             for i in generate_series(1, len(a) - 2)]) AS i
+              FROM t
+            ),
+            hot AS (
+              SELECT gram FROM (
+                SELECT gram, count(DISTINCT doc_id) AS df FROM g GROUP BY gram
+              ) WHERE df >= 5
+            ),
+            cov AS (
+              SELECT DISTINCT doc_id, pos FROM (
+                SELECT g.doc_id, unnest([g.i, g.i + 1, g.i + 2]) AS pos
+                FROM g JOIN hot USING (gram)
+              )
+            )
+            SELECT tok.doc_id,
+                   sum(CASE WHEN cov.pos IS NULL THEN 1 ELSE 0 END)
+                     ::BIGINT AS n_kept,
+                   sum(CASE WHEN cov.pos IS NOT NULL THEN 1 ELSE 0 END)
+                     ::BIGINT AS n_dropped,
+                   string_agg(CASE WHEN cov.pos IS NULL THEN tok.w END,
+                              ' ' ORDER BY tok.i) AS text_clean
+            FROM tok
+            LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.i = cov.pos
+            GROUP BY tok.doc_id
         """,
         "doc_line_repetition": r"""
             WITH l AS (

@@ -1251,3 +1251,156 @@ def dsir_importance(
     return ds.map_batches(
         Score, batch_format="pyarrow", concurrency=(1, 8), **POOL_REMOTE_ARGS
     )
+
+
+# ---------------------------------------- repeated-n-gram span removal
+
+
+def repeated_ngram_removal(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    df_threshold: int = 5,
+):
+    """Cross-document boilerplate REMOVAL (the cleanup step on top of
+    the ``repeated_ngrams`` detector; the RefinedWeb/CCNet-style
+    recipe adapted to this corpus's one-line docs): every token
+    covered by a word-3-gram that occurs in >= ``df_threshold``
+    distinct documents is dropped, and the surviving tokens are
+    re-joined -> (doc_id, n_kept:int64, n_dropped:int64,
+    text_clean:string, NULL when every token was covered).  Documents
+    with zero non-empty tokens produce no row (the SQL twin's
+    token-relation semantics).
+
+    Scale shape: pass 1 reduces to per-gram distinct-doc counts with a
+    per-batch combiner (docs are row-atomic, so within-batch distinct
+    (gram, doc) IS globally distinct) and keeps only the >= threshold
+    HEAD — the boilerplate head is the small side at any corpus size.
+    Pass 2 streams docs against the broadcast hot set; gram membership
+    is probed once per DISTINCT gram per batch.  The final
+    ``' '.join`` per doc is output assembly (the twin's string_agg),
+    not a scan loop."""
+    import numpy as np
+    import ray
+    from ray.data.aggregate import Sum
+
+    def _tok(batch: pa.Table):
+        toks = pc.split_pattern_regex(
+            pc.fill_null(batch[text_col], ""), pattern=r"\s+"
+        )
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        par = pc.list_parent_indices(toks)
+        keep = pc.not_equal(flat, "")
+        flat, par = flat.filter(keep), par.filter(keep)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        if isinstance(par, pa.ChunkedArray):
+            par = par.combine_chunks()
+        return flat, par.to_numpy().astype(np.int64)
+
+    def _grams(flat: pa.Array, par: np.ndarray):
+        n = len(flat)
+        if n < 3:
+            return None, None
+        valid = (par[:-2] == par[1:-1]) & (par[:-2] == par[2:])
+        grams = pc.binary_join_element_wise(
+            flat.slice(0, n - 2),
+            flat.slice(1, n - 2),
+            flat.slice(2, n - 2),
+            " ",
+        )
+        return grams, valid
+
+    def partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"gram": pa.array([], pa.string()), "df": pa.array([], pa.int64())}
+        )
+        flat, par = _tok(batch)
+        grams, valid = _grams(flat, par)
+        if grams is None:
+            return empty
+        g = grams.filter(pa.array(valid))
+        p = pa.array(par[:-2][valid])
+        if len(g) == 0:
+            return empty
+        d = pa.table({"gram": g, "p": p}).group_by(["gram", "p"]).aggregate([])
+        c = d.group_by("gram").aggregate([([], "count_all")])
+        return pa.table(
+            {"gram": c["gram"], "df": pc.cast(c["count_all"], pa.int64())}
+        )
+
+    hot_df = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("gram")
+        .aggregate(Sum("df", alias_name="df"))
+        .map_batches(
+            lambda t, th=df_threshold: t.select(["gram"]).filter(
+                pc.greater_equal(t["df"], th)
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )  # bounded: the >= threshold boilerplate head only
+    hot_ref = ray.put(
+        set(hot_df["gram"]) if "gram" in hot_df.columns else set()
+    )
+
+    class Clean:
+        def __init__(self):
+            self.hot = ray.get(hot_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            flat, par = _tok(batch)
+            nrows = len(batch)
+            n = len(flat)
+            drop = np.zeros(n, dtype=bool)
+            if n >= 3:
+                grams, valid = _grams(flat, par)
+                d = grams.dictionary_encode()
+                if isinstance(d, pa.ChunkedArray):
+                    d = d.combine_chunks()
+                hit_dict = np.array(
+                    [g in self.hot for g in d.dictionary.to_pylist()],
+                    dtype=bool,
+                )
+                hit = hit_dict[d.indices.to_numpy()] & valid
+                drop[:-2] |= hit
+                drop[1:-1] |= hit
+                drop[2:] |= hit
+            kept_cnt = np.bincount(par[~drop], minlength=nrows).astype(
+                np.int64
+            )
+            drop_cnt = np.bincount(par[drop], minlength=nrows).astype(
+                np.int64
+            )
+            tot = kept_cnt + drop_cnt
+            words = flat.filter(pa.array(~drop)).to_pylist()
+            kept_par = par[~drop]
+            texts: list = [None] * nrows
+            if len(kept_par):
+                starts = np.flatnonzero(np.r_[True, np.diff(kept_par) != 0])
+                bounds = np.r_[starts, len(kept_par)]
+                for si in range(len(starts)):
+                    texts[kept_par[starts[si]]] = " ".join(
+                        words[bounds[si] : bounds[si + 1]]
+                    )
+            rows = np.flatnonzero(tot > 0)
+            ids_all = batch[id_col].to_numpy()
+            return pa.table(
+                {
+                    id_col: pa.array(ids_all[rows], batch[id_col].type),
+                    "n_kept": pa.array(kept_cnt[rows], pa.int64()),
+                    "n_dropped": pa.array(drop_cnt[rows], pa.int64()),
+                    "text_clean": pa.array(
+                        [texts[i] for i in rows], pa.string()
+                    ),
+                }
+            )
+
+    from ..tuning import POOL_REMOTE_ARGS
+
+    return ds.map_batches(
+        Clean, batch_format="pyarrow", concurrency=(1, 8), **POOL_REMOTE_ARGS
+    )

@@ -4483,3 +4483,16 @@ def dsir_importance_weights(sf_dir: str) -> rd.Dataset:
     Gumbel-noise resample over log_w downstream."""
     ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
     return text.dsir_importance(ds, target_source="src0")
+
+
+def boilerplate_ngram_removal(sf_dir: str) -> rd.Dataset:
+    """Cross-document boilerplate removal -> (doc_id, n_kept,
+    n_dropped, text_clean): tokens covered by any word-3-gram found in
+    >= 5 distinct documents are masked out and the cleaned text
+    re-assembled — the removal step downstream of the
+    ``repeated_ngrams`` detector.  Pass 1 is a combiner-first
+    distinct-doc gram count keeping only the boilerplate HEAD
+    (broadcast, small by the df threshold at any scale); pass 2
+    streams documents against it."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return text.repeated_ngram_removal(ds, df_threshold=5)

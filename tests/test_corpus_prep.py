@@ -551,3 +551,67 @@ def test_dsir_importance_numpy_parity_and_planted_direction():
     # text regardless of its own source label
     assert out.loc[5, "log_w"] > out.loc[6, "log_w"] + 0.5
     assert out.loc[1, "log_w"] > out.loc[3, "log_w"]
+
+
+def test_repeated_ngram_removal_planted():
+    import ray.data as rd
+
+    boiler = "subscribe to our newsletter"
+    docs = [
+        (1, f"alpha beta {boiler} gamma"),
+        (2, f"{boiler} delta epsilon"),
+        (3, f"zeta {boiler}"),
+        (4, f"eta theta {boiler} iota kappa"),
+        (5, f"unique words only here"),
+        (6, boiler),  # fully covered -> NULL text_clean
+        (7, ""),      # no tokens -> no output row
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+            "text": pa.array([x for _, x in docs]),
+        }
+    )
+    out = (
+        T.repeated_ngram_removal(rd.from_arrow(t), df_threshold=4)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    # the boilerplate phrase has two 3-grams ('subscribe to our',
+    # 'to our newsletter'), each in 5 distinct docs (>= 4): all 4
+    # phrase tokens are covered everywhere it appears.
+    assert 7 not in out.index  # empty doc produces no row
+    assert out.loc[1, "text_clean"] == "alpha beta gamma"
+    assert out.loc[1, "n_dropped"] == 4 and out.loc[1, "n_kept"] == 3
+    assert out.loc[2, "text_clean"] == "delta epsilon"
+    assert out.loc[3, "text_clean"] == "zeta"
+    assert out.loc[4, "text_clean"] == "eta theta iota kappa"
+    assert out.loc[5, "text_clean"] == "unique words only here"
+    assert out.loc[5, "n_dropped"] == 0
+    assert out.loc[6, "text_clean"] is None and out.loc[6, "n_kept"] == 0
+
+
+def test_repeated_ngram_removal_partitioning_independent():
+    import ray.data as rd
+
+    boiler = "all rights reserved worldwide"
+    rows = [(i, f"w{i} x{i} {boiler} y{i}") for i in range(20)]
+    t = pa.table(
+        {
+            "doc_id": pa.array([d for d, _ in rows], pa.int64()),
+            "text": pa.array([x for _, x in rows]),
+        }
+    )
+    a = (
+        T.repeated_ngram_removal(rd.from_arrow(t), df_threshold=5)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    b = (
+        T.repeated_ngram_removal(
+            rd.from_arrow(t).repartition(7), df_threshold=5
+        )
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert a.equals(b)
+    assert (a["n_dropped"] == 4).all()
