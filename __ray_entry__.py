@@ -151,6 +151,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_oov_rate": Q.doc_oov_rate,
         "dsir_importance_weights": Q.dsir_importance_weights,
         "boilerplate_ngram_removal": Q.boilerplate_ngram_removal,
+        "term_pmi": Q.term_pmi,
         "documents_version_diff": Q.documents_version_diff,
         "export_jsonl_gz_roundtrip": Q.export_jsonl_gz_roundtrip,
         "quality_gate_composite": Q.quality_gate_composite,
@@ -1134,6 +1135,35 @@ def oracle_sql() -> dict[str, str]:
             FROM toks a JOIN toks b
               ON a.doc_id = b.doc_id AND a.term < b.term
             GROUP BY a.term, b.term
+        """,
+        "term_pmi": r"""
+            WITH toks AS (
+              SELECT DISTINCT doc_id, u.term AS term
+              FROM (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                   x -> x <> '') AS t
+                FROM documents
+              ), unnest(t) AS u(term)
+            ),
+            df AS (
+              SELECT term, count(*)::DOUBLE AS df FROM toks GROUP BY term
+            ),
+            n AS (SELECT count(DISTINCT doc_id)::DOUBLE AS n FROM toks),
+            pairs AS (
+              SELECT a.term AS term_a, b.term AS term_b,
+                     count(*)::BIGINT AS n_docs
+              FROM toks a JOIN toks b
+                ON a.doc_id = b.doc_id AND a.term < b.term
+              GROUP BY a.term, b.term
+              HAVING count(*) >= 5
+            )
+            SELECT p.term_a, p.term_b, p.n_docs,
+                   ln(p.n_docs * n.n / (da.df * db.df)) AS pmi
+            FROM pairs p
+            JOIN df da ON da.term = p.term_a
+            JOIN df db ON db.term = p.term_b
+            CROSS JOIN n
         """,
         "supplier_name_neardup": r"""
             SELECT i AS s1, j AS s2, d AS dist FROM (

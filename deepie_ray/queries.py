@@ -4496,3 +4496,122 @@ def boilerplate_ngram_removal(sf_dir: str) -> rd.Dataset:
     streams documents against it."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return text.repeated_ngram_removal(ds, df_threshold=5)
+
+
+def term_pmi(sf_dir: str) -> rd.Dataset:
+    """PMI-weighted term co-occurrence edges (the KG edge-weighting
+    staple on top of raw co-occurrence counts) -> (term_a, term_b,
+    n_docs, pmi) for unordered distinct-word pairs co-occurring in
+    >= 5 documents, with pmi = ln(n_ab * N / (df_a * df_b)) over
+    document frequencies and N = documents with >= 1 token.
+
+    Scale shape: pair counts come from the vocabulary-bounded
+    ``term_cooccurrence`` plan; document frequencies are a
+    combiner-first distinct-doc count pruned IN THE PLAN to the
+    df >= 5 head (every term of a kept pair has df >= n_ab >= 5, so
+    the broadcast side is exactly the vocabulary head the pairs can
+    reference — the same Zipf-head bound as ``oov_rate``); N is a
+    3-word aggregate.  At extreme vocabularies the df side can be
+    hash-joined on term instead; the broadcast is the measured-small
+    path here."""
+    import ray
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        terms: list = []
+        n_docs_tok = 0
+        for txt in t["text"].to_pylist():
+            s = set(ws_tokens((txt or "").lower()))
+            if s:
+                n_docs_tok += 1
+                terms.extend(s)
+        g = (
+            pa.table({"term": pa.array(terms, pa.string())})
+            .group_by("term")
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                "term": g["term"],
+                "df": pc.cast(g["count_all"], pa.int64()),
+                "nd": pa.array([n_docs_tok] * len(g), pa.int64()),
+            }
+        )
+
+    # one pass feeds both reductions: per-term df AND the doc total
+    parts = docs.map_batches(df_partial, batch_format="pyarrow")
+    n_total = int(
+        docs.map_batches(
+            lambda t: pa.table(
+                {
+                    "n": pa.array(
+                        [
+                            sum(
+                                1
+                                for txt in t["text"].to_pylist()
+                                if set(ws_tokens((txt or "").lower()))
+                            )
+                        ],
+                        pa.int64(),
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        ).sum("n")
+    )
+    df_head = (
+        parts.select_columns(["term", "df"])
+        .groupby("term")
+        .aggregate(Sum("df", alias_name="df"))
+        .map_batches(
+            lambda t: t.filter(pc.greater_equal(t["df"], 5)),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )  # bounded: the df >= 5 vocabulary head
+    df_ref = ray.put(
+        dict(zip(df_head["term"], df_head["df"].astype(int)))
+        if len(df_head)
+        else {}
+    )
+
+    pairs = term_cooccurrence(sf_dir).map_batches(
+        lambda t: t.filter(pc.greater_equal(t["n_docs"], 5)),
+        batch_format="pyarrow",
+    )
+
+    class Score:
+        def __init__(self):
+            self.df = ray.get(df_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            if len(t) == 0:
+                return pa.table(
+                    {
+                        "term_a": pa.array([], pa.string()),
+                        "term_b": pa.array([], pa.string()),
+                        "n_docs": pa.array([], pa.int64()),
+                        "pmi": pa.array([], pa.float64()),
+                    }
+                )
+            da = np.array(
+                [self.df[x] for x in t["term_a"].to_pylist()], dtype=np.float64
+            )
+            db = np.array(
+                [self.df[x] for x in t["term_b"].to_pylist()], dtype=np.float64
+            )
+            nab = t["n_docs"].to_numpy().astype(np.float64)
+            pmi = np.log(nab * float(n_total) / (da * db))
+            return pa.table(
+                {
+                    "term_a": t["term_a"],
+                    "term_b": t["term_b"],
+                    "n_docs": t["n_docs"],
+                    "pmi": pa.array(pmi, pa.float64()),
+                }
+            )
+
+    return pairs.map_batches(
+        Score, batch_format="pyarrow", concurrency=(1, 4)
+    )

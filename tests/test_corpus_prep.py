@@ -615,3 +615,34 @@ def test_repeated_ngram_removal_partitioning_independent():
     )
     assert a.equals(b)
     assert (a["n_dropped"] == 4).all()
+
+
+def test_term_pmi_planted_direction(tmp_path):
+    # 'salt pepper' always together (high PMI); 'salt water' co-occur
+    # only by chance across otherwise-independent docs (lower PMI).
+    import pyarrow.parquet as pqw
+
+    rows = []
+    for i in range(10):
+        rows.append((i, "salt pepper filler%d" % i))
+    for i in range(10, 20):
+        rows.append((i, "water filler%d" % i))
+    for i in range(20, 25):
+        rows.append((i, "salt water pepper"))
+    t = pa.table(
+        {
+            "doc_id": pa.array([d for d, _ in rows], pa.int64()),
+            "text": pa.array([x for _, x in rows]),
+        }
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    pqw.write_table(t, str(d / "documents.parquet"))
+    out = Q.term_pmi(str(d)).to_pandas()
+    out = out.set_index(["term_a", "term_b"])
+    # salt+pepper: n_ab=15, df both 15 -> pmi = ln(15*25/225) > 0
+    sp = out.loc[("pepper", "salt"), "pmi"]
+    sw = out.loc[("salt", "water"), "pmi"]
+    assert abs(sp - np.log(15 * 25 / (15.0 * 15.0))) < 1e-12
+    assert abs(sw - np.log(5 * 25 / (15.0 * 15.0))) < 1e-12
+    assert sp > sw
