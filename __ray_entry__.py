@@ -152,6 +152,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_importance_weights": Q.dsir_importance_weights,
         "boilerplate_ngram_removal": Q.boilerplate_ngram_removal,
         "term_pmi": Q.term_pmi,
+        "supplier_entity_resolution": Q.supplier_entity_resolution,
         "documents_version_diff": Q.documents_version_diff,
         "export_jsonl_gz_roundtrip": Q.export_jsonl_gz_roundtrip,
         "quality_gate_composite": Q.quality_gate_composite,
@@ -1172,6 +1173,30 @@ def oracle_sql() -> dict[str, str]:
               FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
               WHERE abs(length(a.s_name) - length(b.s_name)) <= 1
             ) WHERE d <= 1
+        """,
+        "supplier_entity_resolution": r"""
+            WITH RECURSIVE p AS (
+              SELECT i AS s, j AS t FROM (
+                SELECT a.s_suppkey AS i, b.s_suppkey AS j,
+                       levenshtein(a.s_name, b.s_name)::BIGINT AS d
+                FROM supplier a JOIN supplier b
+                  ON a.s_suppkey < b.s_suppkey
+                WHERE abs(length(a.s_name) - length(b.s_name)) <= 1
+              ) WHERE d <= 1
+            ),
+            sym AS (
+              SELECT s, t FROM p UNION SELECT t, s FROM p
+              UNION SELECT s, s FROM p UNION SELECT t, t FROM p
+            ),
+            reach(n, m) AS (
+              SELECT s, t FROM sym
+              UNION
+              SELECT r.n, s2.t FROM reach r JOIN sym s2 ON r.m = s2.s
+            ),
+            cmap AS (SELECT n, min(m) AS c FROM reach GROUP BY n)
+            SELECT s.s_suppkey,
+                   coalesce(cmap.c, s.s_suppkey)::BIGINT AS canon_id
+            FROM supplier s LEFT JOIN cmap ON cmap.n = s.s_suppkey
         """,
         "events_value_corr": r"""
             SELECT event_type, n,

@@ -4615,3 +4615,55 @@ def term_pmi(sf_dir: str) -> rd.Dataset:
     return pairs.map_batches(
         Score, batch_format="pyarrow", concurrency=(1, 4)
     )
+
+
+def supplier_entity_resolution(sf_dir: str) -> rd.Dataset:
+    """End-to-end ENTITY RESOLUTION (the KG-construction methodology:
+    fuzzy match -> transitive closure -> canonical id) -> (s_suppkey,
+    canon_id): suppliers whose names are within byte-Levenshtein
+    distance 1 are merged transitively, each member canonicalized to
+    the component's min suppkey; unmatched suppliers map to
+    themselves.  Pairs come from the distributed chunk-pair
+    Levenshtein kernel (ops/fuzzy), components from the shared
+    size-gated resolver (union-find below the edge cap, distributed
+    min-label above).  The component map is broadcast: its size is the
+    number of MATCHED entities (typo-duplicate surfaces — the small
+    side at any corpus size), never the entity table."""
+    import ray
+
+    from .ops import fuzzy
+
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_name"])
+    pairs = fuzzy.levenshtein_neardup_pairs(
+        supp, k=1, id_col="s_suppkey", name_col="s_name"
+    ).map_batches(
+        lambda t: pa.table({"id_a": t["s1"], "id_b": t["s2"]}),
+        batch_format="pyarrow",
+    )
+    cmap_df = dedup.components_from_pairs(
+        pairs, pa.int64(), num_partitions=8
+    ).to_pandas()  # bounded: matched entities only
+    cmap_ref = ray.put(
+        dict(zip(cmap_df["doc_id"], cmap_df["cluster_id"]))
+        if len(cmap_df)
+        else {}
+    )
+
+    class Canon:
+        def __init__(self):
+            self.cmap = ray.get(cmap_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids = t["s_suppkey"].to_pylist()
+            return pa.table(
+                {
+                    "s_suppkey": t["s_suppkey"],
+                    "canon_id": pa.array(
+                        [self.cmap.get(i, i) for i in ids], pa.int64()
+                    ),
+                }
+            )
+
+    return supp.map_batches(
+        Canon, batch_format="pyarrow", concurrency=(1, 4)
+    )

@@ -646,3 +646,31 @@ def test_term_pmi_planted_direction(tmp_path):
     assert abs(sp - np.log(15 * 25 / (15.0 * 15.0))) < 1e-12
     assert abs(sw - np.log(5 * 25 / (15.0 * 15.0))) < 1e-12
     assert sp > sw
+
+
+def test_supplier_entity_resolution_transitive_chain(tmp_path):
+    import pyarrow.parquet as pqw
+
+    # chain: 'acme corp' ~1~ 'acme c0rp' ~1~ 'acme c0rp.' — ends are
+    # distance 2 apart but must merge transitively; 'zenith' stays solo
+    t = pa.table(
+        {
+            "s_suppkey": pa.array([11, 12, 13, 14], pa.int64()),
+            "s_name": pa.array(
+                ["acme corp", "acme c0rp", "acme c0rp.", "zenith"]
+            ),
+        }
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    pqw.write_table(t, str(d / "supplier.parquet"))
+    out = (
+        Q.supplier_entity_resolution(str(d))
+        .to_pandas()
+        .set_index("s_suppkey")
+        .sort_index()
+    )
+    assert out.loc[11, "canon_id"] == 11
+    assert out.loc[12, "canon_id"] == 11
+    assert out.loc[13, "canon_id"] == 11  # transitive, dist('acme corp','acme c0rp.')=2
+    assert out.loc[14, "canon_id"] == 14  # singleton maps to itself
