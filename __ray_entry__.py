@@ -153,6 +153,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boilerplate_ngram_removal": Q.boilerplate_ngram_removal,
         "term_pmi": Q.term_pmi,
         "supplier_entity_resolution": Q.supplier_entity_resolution,
+        "events_time_range_sum": Q.events_time_range_sum,
         "documents_version_diff": Q.documents_version_diff,
         "export_jsonl_gz_roundtrip": Q.export_jsonl_gz_roundtrip,
         "quality_gate_composite": Q.quality_gate_composite,
@@ -1173,6 +1174,20 @@ def oracle_sql() -> dict[str, str]:
               FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
               WHERE abs(length(a.s_name) - length(b.s_name)) <= 1
             ) WHERE d <= 1
+        """,
+        "events_time_range_sum": r"""
+            SELECT user_id, event_id,
+                   sum(cents) OVER w AS range_cents,
+                   count(*) OVER w AS range_n
+            FROM (
+              SELECT user_id, event_id, ts,
+                     floor(value * 100)::BIGINT AS cents
+              FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+            )
+            WINDOW w AS (
+              PARTITION BY user_id ORDER BY ts
+              RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+            )
         """,
         "supplier_entity_resolution": r"""
             WITH RECURSIVE p AS (

@@ -192,3 +192,46 @@ def moving_sums(
         lambda df: df.dropna(subset=[ts_col]), batch_format="pandas"
     )
     return ordered_apply(clean, key_col, [ts_col, id_col], per_key)
+
+
+def range_sums(
+    ds: rd.Dataset,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    value_col: str,
+    interval_us: int = 3_600_000_000,
+) -> rd.Dataset:
+    """Time-RANGE-frame moving aggregate — SQL ``SUM(...) OVER
+    (PARTITION BY key ORDER BY ts RANGE BETWEEN INTERVAL ... PRECEDING
+    AND CURRENT ROW)`` -> (key, id, range_cents, range_n): per row,
+    the sum of ``floor(value*100)`` (integer cents — exact and
+    hash-stable, see ``running_totals``) and row count over every row
+    of the key whose timestamp lies in ``[ts - interval, ts]``.
+    Unlike the ROWS frame (``moving_sums``), the RANGE frame is
+    peer-inclusive: all rows sharing the current timestamp are in the
+    frame, so the result needs NO tie-break and is deterministic under
+    any peer order.  Vectorized as two ``np.searchsorted`` probes into
+    the sorted timestamp array + a cumsum difference; one shuffle on
+    the key, numpy within each group."""
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        ts_us = df[ts_col].astype("datetime64[us]").astype("int64").to_numpy()
+        cents = np.floor(df[value_col].to_numpy() * 100.0).astype(np.int64)
+        cum = np.concatenate(([0], np.cumsum(cents)))
+        hi = np.searchsorted(ts_us, ts_us, side="right")
+        lo = np.searchsorted(ts_us, ts_us - interval_us, side="left")
+        return pd.DataFrame(
+            {
+                key_col: df[key_col].to_numpy(),
+                id_col: df[id_col].to_numpy(),
+                "range_cents": cum[hi] - cum[lo],
+                "range_n": (hi - lo).astype(np.int64),
+            }
+        )
+
+    clean = ds.map_batches(
+        lambda df: df.dropna(subset=[ts_col, value_col]),
+        batch_format="pandas",
+    )
+    return ordered_apply(clean, key_col, [ts_col, id_col], per_key)

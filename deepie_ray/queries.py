@@ -4667,3 +4667,16 @@ def supplier_entity_resolution(sf_dir: str) -> rd.Dataset:
     return supp.map_batches(
         Canon, batch_format="pyarrow", concurrency=(1, 4)
     )
+
+
+def events_time_range_sum(sf_dir: str) -> rd.Dataset:
+    """Trailing ONE-HOUR (time-RANGE frame, not row frame) spend per
+    user -> (user_id, event_id, range_cents, range_n): SQL ``RANGE
+    BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW`` semantics —
+    peer-inclusive, so no tie-break is needed (ops/analytic.
+    range_sums: one shuffle on user, two vectorized searchsorted
+    probes + cumsum difference per group)."""
+    from .ops import analytic
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    return analytic.range_sums(ev, "user_id", "ts", "event_id", "value")

@@ -674,3 +674,33 @@ def test_supplier_entity_resolution_transitive_chain(tmp_path):
     assert out.loc[12, "canon_id"] == 11
     assert out.loc[13, "canon_id"] == 11  # transitive, dist('acme corp','acme c0rp.')=2
     assert out.loc[14, "canon_id"] == 14  # singleton maps to itself
+
+
+def test_range_sums_peer_inclusive_and_boundary():
+    import ray.data as rd
+
+    from deepie_ray.ops import analytic
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    H = np.timedelta64(1, "h")
+    ts = [base, base, base + H, base + H + np.timedelta64(1, "us")]
+    t = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "user_id": pa.array([7, 7, 7, 7], pa.int64()),
+            "ts": pa.array(list(ts), pa.timestamp("us")),
+            "value": pa.array([1.0, 2.0, 4.0, 8.0], pa.float64()),
+        }
+    )
+    out = (
+        analytic.range_sums(rd.from_arrow(t), "user_id", "ts", "event_id", "value")
+        .to_pandas()
+        .set_index("event_id")
+        .sort_index()
+    )
+    # peers at t0 both see BOTH peer rows (RANGE is peer-inclusive)
+    assert out.loc[1, "range_cents"] == 300 and out.loc[2, "range_cents"] == 300
+    # row 3 at exactly +1h: boundary is inclusive -> 100+200+400
+    assert out.loc[3, "range_cents"] == 700 and out.loc[3, "range_n"] == 3
+    # row 4 at +1h+1us: the two t0 rows fall out of the frame
+    assert out.loc[4, "range_cents"] == 1200 and out.loc[4, "range_n"] == 2
