@@ -154,6 +154,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_pmi": Q.term_pmi,
         "supplier_entity_resolution": Q.supplier_entity_resolution,
         "events_time_range_sum": Q.events_time_range_sum,
+        "user_state_islands": Q.user_state_islands,
+        "events_value_mad": Q.events_value_mad,
+        "orders_zorder_layout": Q.orders_zorder_layout,
+        "user_retention_cohorts": Q.user_retention_cohorts,
         "documents_version_diff": Q.documents_version_diff,
         "export_jsonl_gz_roundtrip": Q.export_jsonl_gz_roundtrip,
         "quality_gate_composite": Q.quality_gate_composite,
@@ -1188,6 +1192,86 @@ def oracle_sql() -> dict[str, str]:
               PARTITION BY user_id ORDER BY ts
               RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
             )
+        """,
+        "user_retention_cohorts": r"""
+            WITH e AS (
+              SELECT user_id, date_trunc('week', ts) AS wk
+              FROM events WHERE ts IS NOT NULL
+            ), f AS (
+              SELECT user_id, min(wk) AS cohort_week FROM e GROUP BY user_id
+            ), a AS (
+              SELECT DISTINCT e.user_id, f.cohort_week,
+                     (date_diff('day', f.cohort_week, e.wk) // 7)::BIGINT
+                       AS week_offset
+              FROM e JOIN f USING (user_id)
+            )
+            SELECT cohort_week, week_offset, count(*)::BIGINT AS n_active
+            FROM a GROUP BY cohort_week, week_offset
+        """,
+        "orders_zorder_layout": r"""
+            WITH b AS (
+              SELECT o_orderkey,
+                     least(greatest(floor(o_totalprice / 2500)::BIGINT, 0), 255) AS p,
+                     least(greatest(
+                       date_diff('day', TIMESTAMP '1992-01-01', o_orderdate) // 10,
+                       0), 255) AS d
+              FROM orders
+            ), z AS (
+              SELECT o_orderkey,
+                     ((((p >> 0) & 1) << 0)
+                 | (((d >> 0) & 1) << 1)
+                 | (((p >> 1) & 1) << 2)
+                 | (((d >> 1) & 1) << 3)
+                 | (((p >> 2) & 1) << 4)
+                 | (((d >> 2) & 1) << 5)
+                 | (((p >> 3) & 1) << 6)
+                 | (((d >> 3) & 1) << 7)
+                 | (((p >> 4) & 1) << 8)
+                 | (((d >> 4) & 1) << 9)
+                 | (((p >> 5) & 1) << 10)
+                 | (((d >> 5) & 1) << 11)
+                 | (((p >> 6) & 1) << 12)
+                 | (((d >> 6) & 1) << 13)
+                 | (((p >> 7) & 1) << 14)
+                 | (((d >> 7) & 1) << 15))::BIGINT AS zcell
+              FROM b
+            )
+            SELECT o_orderkey, zcell, (zcell >> 10)::BIGINT AS shard FROM z
+        """,
+        "events_value_mad": r"""
+            WITH v AS (
+              SELECT event_type, floor(value * 100)::BIGINT AS cents
+              FROM events WHERE value IS NOT NULL
+            ), m AS (
+              SELECT event_type, quantile_disc(cents, 0.5) AS med
+              FROM v GROUP BY event_type
+            )
+            SELECT v.event_type,
+                   min(m.med)::BIGINT AS med_cents,
+                   quantile_disc(abs(v.cents - m.med), 0.5)::BIGINT AS mad_cents
+            FROM v JOIN m USING (event_type)
+            GROUP BY v.event_type
+        """,
+        "user_state_islands": r"""
+            WITH ordered AS (
+              SELECT user_id, ts, event_id, event_type,
+                     CASE WHEN event_type IS DISTINCT FROM
+                               lag(event_type) OVER w
+                          THEN 1 ELSE 0 END AS chg
+              FROM events WHERE ts IS NOT NULL
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), seg AS (
+              SELECT user_id, ts, event_type,
+                     sum(chg) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING
+                     )::BIGINT AS seg_no
+              FROM ordered
+            )
+            SELECT user_id, seg_no, event_type,
+                   min(ts) AS ts_start, max(ts) AS ts_end,
+                   count(*)::BIGINT AS n_rows
+            FROM seg GROUP BY user_id, seg_no, event_type
         """,
         "supplier_entity_resolution": r"""
             WITH RECURSIVE p AS (

@@ -2923,6 +2923,123 @@ def events_p50_disc(sf_dir: str) -> rd.Dataset:
     return clean.groupby("event_type").map_groups(per_type, batch_format="pandas")
 
 
+def events_value_mad(sf_dir: str) -> rd.Dataset:
+    """Robust dispersion per group -> (event_type, med_cents,
+    mad_cents): exact discrete median of integer cents plus the median
+    absolute deviation (discrete median of |cents - median|) — the
+    outlier-resistant spread statistic quality pipelines use where
+    stddev is skew-fragile.  Same execution shape as events_p50_disc
+    (groups are 5 event types, one map_groups task per group, sort +
+    floor(q*(n-1)) index pinned to DuckDB quantile_disc); both medians
+    come out of ONE pass over each group — no second shuffle to join
+    the median back.  For high-cardinality keys the mergeable quantile
+    sketch (ops/sketch.py) is the scale path."""
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+    clean = ev.map_batches(
+        lambda df: df.dropna(subset=["value"]), batch_format="pandas"
+    )
+
+    def per_type(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.floor(df["value"].to_numpy() * 100.0).astype(np.int64)
+        v = np.sort(cents)
+        idx = int(np.floor(0.5 * (len(v) - 1)))
+        med = v[idx]
+        dev = np.sort(np.abs(cents - med))
+        return pd.DataFrame(
+            {
+                "event_type": [df["event_type"].iloc[0]],
+                "med_cents": np.array([med], dtype=np.int64),
+                "mad_cents": np.array([dev[idx]], dtype=np.int64),
+            }
+        )
+
+    return clean.groupby("event_type").map_groups(per_type, batch_format="pandas")
+
+
+def user_retention_cohorts(sf_dir: str) -> rd.Dataset:
+    """Retention-cohort analysis -> (cohort_week, week_offset,
+    n_active): users bucketed by the ISO week (Monday-truncated) of
+    their FIRST event, then for each cohort the exact count of
+    distinct users active in each subsequent week — the product-
+    analytics staple behind every retention triangle.  Plan: one
+    vectorized week-truncation pass, a grouped-min for the cohort
+    assignment (narrow user/week rows), one hash-partitioned join of
+    events back to cohorts, then the exact-distinct machinery of
+    events_distinct_users (per-batch distinct triples -> distinct
+    shuffle -> grouped count).  Every shuffle moves (user, week)-sized
+    rows, never event payloads."""
+    from .ops import joins
+
+    US_PER_DAY = 86_400_000_000
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+    clean = ev.map_batches(
+        lambda df: df.dropna(subset=["ts"]), batch_format="pandas"
+    )
+
+    def week_start(t: pa.Table) -> pa.Table:
+        ts_us = t["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        days = ts_us // US_PER_DAY
+        wk = ((days - (days + 3) % 7) * US_PER_DAY).astype("datetime64[us]")
+        return pa.table(
+            {"user_id": t["user_id"], "wk": pa.array(wk, pa.timestamp("us"))}
+        )
+
+    wk = clean.map_batches(week_start, batch_format="pyarrow")
+    first = wk.groupby("user_id").aggregate(Min("wk", alias_name="cohort_week"))
+    act = joins.hash_join(wk, first, on="user_id")
+
+    def offsets(t: pa.Table) -> pa.Table:
+        wk_us = t["wk"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        cw_us = (
+            t["cohort_week"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        )
+        off = (wk_us - cw_us) // (7 * US_PER_DAY)
+        tab = pa.table(
+            {
+                "user_id": t["user_id"],
+                "cohort_week": t["cohort_week"],
+                "week_offset": pa.array(off),
+            }
+        )
+        return tab.group_by(
+            ["user_id", "cohort_week", "week_offset"]
+        ).aggregate([])
+
+    distinct = (
+        act.map_batches(offsets, batch_format="pyarrow")
+        .groupby(["user_id", "cohort_week", "week_offset"])
+        .count()
+    )
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["cohort_week", "week_offset"]).aggregate(
+            [([], "count_all")]
+        )
+        return pa.table(
+            {
+                "cohort_week": g["cohort_week"],
+                "week_offset": g["week_offset"],
+                "n_partial": g["count_all"],
+            }
+        )
+
+    return (
+        distinct.map_batches(count_partial, batch_format="pyarrow")
+        .groupby(["cohort_week", "week_offset"])
+        .aggregate(Sum("n_partial", alias_name="n_active"))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "cohort_week": t["cohort_week"],
+                    "week_offset": t["week_offset"],
+                    "n_active": pc.cast(t["n_active"], pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
 def text_bpe_token_counts(sf_dir: str) -> rd.Dataset:
     """BPE-style pre-tokenizer counts -> (doc_id, n_bpe_tokens): the
     GPT-2-family pre-tokenization classes (space-prefixed letter runs,
@@ -4052,6 +4169,49 @@ def orders_equidepth_histogram(sf_dir: str) -> rd.Dataset:
     )
 
 
+def orders_zorder_layout(sf_dir: str) -> rd.Dataset:
+    """Z-order (Morton-curve) layout assignment -> (o_orderkey, zcell,
+    shard): 8-bit buckets of o_totalprice (2,500-wide, capped at 255)
+    and o_orderdate (10-day buckets since 1992-01-01, capped) are
+    bit-interleaved into a 16-bit z-value; ``shard = zcell >> 10``
+    names the 64 contiguous curve ranges a clustered rewrite would
+    use as output files.  This is the multi-dimensional data-layout
+    primitive (Delta/Iceberg ``OPTIMIZE ZORDER BY``): range-partition
+    on zcell and BOTH a price predicate and a date predicate prune to
+    a small shard subset.  Map-only and embarrassingly parallel — the
+    actual clustered write is one range shuffle on zcell (the
+    orders_price_ranked machinery); here the assignment itself is the
+    oracle-checked artifact.  Vectorized: per-bit shifts over the
+    whole batch, no per-row loop."""
+    EPOCH = np.datetime64("1992-01-01T00:00:00", "us")
+
+    def assign(t: pa.Table) -> pa.Table:
+        price = t["o_totalprice"].to_numpy()
+        days = (
+            (t["o_orderdate"].to_numpy().astype("datetime64[us]") - EPOCH)
+            .astype("timedelta64[D]")
+            .astype(np.int64)
+        )
+        p = np.minimum(np.floor(price / 2500.0).astype(np.int64), 255)
+        p = np.maximum(p, 0)
+        d = np.clip(days // 10, 0, 255)
+        z = np.zeros(len(p), dtype=np.int64)
+        for i in range(8):
+            z |= ((p >> i) & 1) << (2 * i)
+            z |= ((d >> i) & 1) << (2 * i + 1)
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "zcell": pa.array(z),
+                "shard": pa.array(z >> 10),
+            }
+        )
+
+    return _read(
+        sf_dir, "orders", ["o_orderkey", "o_totalprice", "o_orderdate"]
+    ).map_batches(assign, batch_format="pyarrow")
+
+
 def doc_search_and(sf_dir: str) -> rd.Dataset:
     """Boolean AND search ('hash' AND 'join' AND 'window') over the
     token inverted index semantics -> (doc_id): per-doc distinct-token
@@ -4680,3 +4840,17 @@ def events_time_range_sum(sf_dir: str) -> rd.Dataset:
 
     ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
     return analytic.range_sums(ev, "user_id", "ts", "event_id", "value")
+
+
+def user_state_islands(sf_dir: str) -> rd.Dataset:
+    """Gaps-and-islands history compaction (SCD2 validity intervals)
+    -> (user_id, seg_no, event_type, ts_start, ts_end, n_rows): each
+    user's time-ordered event stream collapsed into runs of consecutive
+    equal event_type — the 'what state was this entity in, from when to
+    when' compaction every CDC / slowly-changing-dimension pipeline
+    runs (ops/analytic.islands: one shuffle on user, run boundaries via
+    a shifted compare, no per-row loop)."""
+    from .ops import analytic
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    return analytic.islands(ev, "user_id", "ts", "event_id", "event_type")

@@ -4,6 +4,7 @@ decontamination anti-join, split assignment) must act on exactly the
 docs planted to trigger it."""
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 
@@ -704,3 +705,41 @@ def test_range_sums_peer_inclusive_and_boundary():
     assert out.loc[3, "range_cents"] == 700 and out.loc[3, "range_n"] == 3
     # row 4 at +1h+1us: the two t0 rows fall out of the frame
     assert out.loc[4, "range_cents"] == 1200 and out.loc[4, "range_n"] == 2
+
+
+def test_islands_segmentation_and_tie_break():
+    import ray.data as rd
+
+    from deepie_ray.ops import analytic
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    M = np.timedelta64(1, "m")
+    # user 7: view,view,click,view -> 3 islands; the two t0 rows tie on
+    # ts and are ordered by event_id (1 then 2), so the first island
+    # spans both.  user 8: one null-ts row (dropped) + one click.
+    t = pa.table(
+        {
+            "event_id": pa.array([2, 1, 3, 4, 5, 6], pa.int64()),
+            "user_id": pa.array([7, 7, 7, 7, 8, 8], pa.int64()),
+            "ts": pa.array(
+                [base, base, base + M, base + 2 * M, None, base], pa.timestamp("us")
+            ),
+            "event_type": pa.array(
+                ["view", "view", "click", "view", "view", "click"]
+            ),
+        }
+    )
+    out = (
+        analytic.islands(rd.from_arrow(t), "user_id", "ts", "event_id", "event_type")
+        .to_pandas()
+        .sort_values(["user_id", "seg_no"])
+        .reset_index(drop=True)
+    )
+    u7 = out[out.user_id == 7]
+    assert list(u7.event_type) == ["view", "click", "view"]
+    assert list(u7.n_rows) == [2, 1, 1]
+    assert list(u7.seg_no) == [1, 2, 3]
+    assert u7.iloc[0].ts_start == pd.Timestamp(base) and u7.iloc[0].ts_end == pd.Timestamp(base)
+    assert u7.iloc[1].ts_start == pd.Timestamp(base + M)
+    u8 = out[out.user_id == 8]
+    assert len(u8) == 1 and u8.iloc[0].event_type == "click" and u8.iloc[0].n_rows == 1
