@@ -158,6 +158,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_mad": Q.events_value_mad,
         "orders_zorder_layout": Q.orders_zorder_layout,
         "user_retention_cohorts": Q.user_retention_cohorts,
+        "doc_intra_repetition": Q.doc_intra_repetition,
         "documents_version_diff": Q.documents_version_diff,
         "export_jsonl_gz_roundtrip": Q.export_jsonl_gz_roundtrip,
         "quality_gate_composite": Q.quality_gate_composite,
@@ -172,6 +173,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_events_next_order": Q.asof_events_next_order,
         # --- rows-only / pytest-oracled block (no SQL twin by nature) ---
         "doc_packing": Q.doc_packing,
+        "doc_topic_clusters": Q.doc_topic_clusters,
         "incremental_neardup_ingest": Q.incremental_neardup_ingest,
         "kg_incremental": Q.kg_incremental,
         "bpe_train_merges": Q.bpe_train_merges,
@@ -1192,6 +1194,31 @@ def oracle_sql() -> dict[str, str]:
               PARTITION BY user_id ORDER BY ts
               RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
             )
+        """,
+        "doc_intra_repetition": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                 x -> x <> '') AS t
+              FROM documents
+            ), g AS (
+              SELECT doc_id, u.gram
+              FROM (
+                SELECT doc_id,
+                       CASE WHEN len(t) < 3 THEN []::VARCHAR[]
+                            ELSE list_transform(range(1, len(t) - 1),
+                                   i -> array_to_string(t[i:i+2], ' '))
+                       END AS gs
+                FROM toks
+              ), unnest(gs) AS u(gram)
+            ), c AS (
+              SELECT doc_id, gram, count(*)::BIGINT AS n
+              FROM g GROUP BY doc_id, gram
+            )
+            SELECT doc_id, sum(n)::BIGINT AS n_grams,
+                   sum(CASE WHEN n >= 2 THEN n ELSE 0 END)::BIGINT
+                     AS n_dup_grams
+            FROM c GROUP BY doc_id
         """,
         "user_retention_cohorts": r"""
             WITH e AS (

@@ -1404,3 +1404,69 @@ def repeated_ngram_removal(
     return ds.map_batches(
         Clean, batch_format="pyarrow", concurrency=(1, 8), **POOL_REMOTE_ARGS
     )
+
+
+def intra_doc_repetition(
+    ds: rd.Dataset, text_col: str = "text", id_col: str = "doc_id"
+) -> rd.Dataset:
+    """WITHIN-document duplicated-n-gram signal (the Gopher quality
+    rule family's 'duplicate n-gram fraction', Rae et al. 2021) ->
+    (doc_id, n_grams, n_dup_grams): per doc, the total word-3-gram
+    occurrence count and the number of occurrences whose gram appears
+    >= 2 times in the SAME doc.  Docs with < 3 tokens emit no row
+    (they have no 3-grams).  Integer outputs keep the DuckDB twin
+    hash-exact; the fraction is a trivial ratio downstream.
+
+    Purely batch-local (a doc's text is one row), so this is a
+    shuffle-free streaming map: one Arrow split kernel, one
+    binary_join_element_wise over three slices of the flat token
+    array, two Arrow group_by passes per batch — no per-row Python."""
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                id_col: pa.array([], batch[id_col].type),
+                "n_grams": pa.array([], pa.int64()),
+                "n_dup_grams": pa.array([], pa.int64()),
+            }
+        )
+        toks = _nonempty_token_lists(batch[text_col])
+        flat = toks.values
+        n = len(flat)
+        if n < 3:
+            return empty
+        par = np.repeat(
+            np.arange(len(toks), dtype=np.int64),
+            np.diff(toks.offsets.to_numpy(zero_copy_only=False)),
+        )
+        valid = (par[:-2] == par[1:-1]) & (par[:-2] == par[2:])
+        if not valid.any():
+            return empty
+        grams = pc.binary_join_element_wise(
+            flat.slice(0, n - 2), flat.slice(1, n - 2), flat.slice(2, n - 2), " "
+        )
+        c = (
+            pa.table(
+                {"p": pa.array(par[:-2][valid]), "gram": grams.filter(pa.array(valid))}
+            )
+            .group_by(["p", "gram"])
+            .aggregate([([], "count_all")])
+        )
+        cnt = pc.cast(c["count_all"], pa.int64())
+        dup = pc.if_else(
+            pc.greater_equal(cnt, 2), cnt, pa.scalar(0, pa.int64())
+        )
+        agg = (
+            pa.table({"p": c["p"], "n": cnt, "d": dup})
+            .group_by("p")
+            .aggregate([("n", "sum"), ("d", "sum")])
+        )
+        return pa.table(
+            {
+                id_col: pc.take(batch[id_col], agg["p"]),
+                "n_grams": pc.cast(agg["n_sum"], pa.int64()),
+                "n_dup_grams": pc.cast(agg["d_sum"], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(per_batch, batch_format="pyarrow")

@@ -2956,6 +2956,15 @@ def events_value_mad(sf_dir: str) -> rd.Dataset:
     return clean.groupby("event_type").map_groups(per_type, batch_format="pandas")
 
 
+def doc_intra_repetition(sf_dir: str) -> rd.Dataset:
+    """Within-doc duplicated word-3-gram counts (Gopher 'duplicate
+    n-gram fraction' signal) -> (doc_id, n_grams, n_dup_grams) —
+    shuffle-free streaming map (ops/text.intra_doc_repetition)."""
+    return text.intra_doc_repetition(
+        _read(sf_dir, "documents", ["doc_id", "text"])
+    )
+
+
 def user_retention_cohorts(sf_dir: str) -> rd.Dataset:
     """Retention-cohort analysis -> (cohort_week, week_offset,
     n_active): users bucketed by the ISO week (Monday-truncated) of
@@ -3650,6 +3659,71 @@ def doc_feature_hashing(sf_dir: str) -> rd.Dataset:
     per batch (dictionary encode + take)."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return ds.map_batches(text.feature_hash_batch, batch_format="pyarrow")
+
+
+def doc_topic_clusters(sf_dir: str) -> rd.Dataset:
+    """Text topic clustering end-to-end (the cluster-balanced-sampling
+    prerequisite: hashed BoW -> k-means) -> (cluster, n_docs): each doc
+    featurized to a 32-dim L2-normalized hashing-trick tf vector (one
+    Arrow split + md5-per-distinct-token pass, reusing
+    text.feature_hash_batch's bucket convention), then Lloyd k-means
+    (k=8, 4 iterations — ops/cluster.kmeans_fit's broadcast-reduce
+    partials) and a combiner-first cluster-size rollup.  Rows-only
+    check (iterative training isn't SQL-expressible); pytest pins
+    determinism and partitioning-independence."""
+    from .ops import cluster
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    D = 32
+
+    def densify(t: pa.Table) -> pa.Table:
+        long = text.feature_hash_batch(t, n_dims=D)
+        n = len(t)
+        M = np.zeros((n, D), dtype=np.float64)
+        # long holds (doc_id, dim, n) for this batch's docs in order;
+        # map doc_id -> local row via searchsorted on the sorted ids
+        ids = t["doc_id"].to_numpy()
+        order = np.argsort(ids)
+        row = order[
+            np.searchsorted(ids[order], long["doc_id"].to_numpy())
+        ]
+        M[row, long["dim"].to_numpy()] = long["n"].to_numpy().astype(np.float64)
+        norms = np.linalg.norm(M, axis=1)
+        norms[norms == 0] = 1.0
+        M /= norms[:, None]
+        return pa.table(
+            {
+                "vec_id": t["doc_id"],
+                "embedding": pa.FixedSizeListArray.from_arrays(
+                    pa.array(M.reshape(-1), pa.float32()), D
+                ),
+            }
+        )
+
+    # featurize ONCE: Lloyd makes iters+1 passes, and hashed vectors
+    # (32 floats/doc) are ~100x smaller than the text they replace
+    vecs = ds.map_batches(densify, batch_format="pyarrow").materialize()
+    C = cluster.kmeans_fit(vecs, k=8, iters=4)
+    assigned = cluster.kmeans_assign(vecs, C)
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("cluster").aggregate([([], "count_all")])
+        return pa.table({"cluster": g["cluster"], "n": g["count_all"]})
+
+    return (
+        assigned.map_batches(count_partial, batch_format="pyarrow")
+        .groupby("cluster")
+        .aggregate(Sum("n", alias_name="n_docs"))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "cluster": t["cluster"],
+                    "n_docs": pc.cast(t["n_docs"], pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
 
 
 def incremental_ingest_documents(sf_dir: str) -> rd.Dataset:

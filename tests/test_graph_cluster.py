@@ -813,3 +813,41 @@ def test_bfs_hops_depth_bound_and_unreachable():
     # 99 is never reachable from 0 at any depth here
     deep = graph.bfs_hops(_bfs_edges(), source=0, max_depth=10).to_pandas()
     assert 99 not in set(deep["node"])
+
+
+def test_doc_topic_clusters_deterministic(tmp_path):
+    import pyarrow.parquet as pq
+
+    from deepie_ray import queries as Q
+
+    # tiny two-topic corpus: token overlap inside a topic, none across
+    rows = []
+    for i in range(12):
+        rows.append((i, "alpha beta gamma alpha beta " + f"x{i}"))
+    for i in range(12, 24):
+        rows.append((i, "delta epsilon zeta delta epsilon " + f"y{i}"))
+    t = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows]),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    a = (
+        Q.doc_topic_clusters(str(tmp_path))
+        .to_pandas()
+        .sort_values("cluster")
+        .reset_index(drop=True)
+    )
+    b = (
+        Q.doc_topic_clusters(str(tmp_path))
+        .to_pandas()
+        .sort_values("cluster")
+        .reset_index(drop=True)
+    )
+    # deterministic end-to-end (content-addressed init, fixed iters)
+    assert a.equals(b)
+    assert int(a["n_docs"].sum()) == 24
+    # the two planted topics never share a cluster: the largest two
+    # clusters together hold all docs only if each topic is pure
+    assert a["n_docs"].max() <= 12
