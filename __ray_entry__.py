@@ -159,6 +159,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_zorder_layout": Q.orders_zorder_layout,
         "user_retention_cohorts": Q.user_retention_cohorts,
         "doc_intra_repetition": Q.doc_intra_repetition,
+        "compact_events_export": Q.compact_events_export,
         "documents_version_diff": Q.documents_version_diff,
         "export_jsonl_gz_roundtrip": Q.export_jsonl_gz_roundtrip,
         "quality_gate_composite": Q.quality_gate_composite,
@@ -658,6 +659,10 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE bucket < rate_permille
         """,
         "export_events_partitioned": """
+            SELECT event_type, count(*)::BIGINT AS n_rows
+            FROM events GROUP BY event_type
+        """,
+        "compact_events_export": """
             SELECT event_type, count(*)::BIGINT AS n_rows
             FROM events GROUP BY event_type
         """,

@@ -2132,6 +2132,70 @@ def export_events_partitioned(sf_dir: str) -> pa.Table:
     )
 
 
+def _hive_partition_file_stats(root: str, col: str) -> dict[str, list[int]]:
+    """{partition value: [n_files, n_rows]} from parquet FOOTERS only."""
+    import pyarrow.dataset as pads
+
+    written = pads.dataset(root, format="parquet", partitioning="hive")
+    stats: dict[str, list[int]] = {}
+    for frag in written.get_fragments():
+        part = frag.path.split(f"{col}=")[1].split("/")[0]
+        s = stats.setdefault(part, [0, 0])
+        s[0] += 1
+        s[1] += frag.count_rows()
+    return stats
+
+
+def compact_events_export(sf_dir: str) -> pa.Table:
+    """Small-file COMPACTION (the table-maintenance op every
+    long-running 100-TB lake needs: streaming writers leave thousands
+    of KB-sized files per partition; scans then pay one open/footer
+    per file) -> (event_type, n_rows).  The query drives the full
+    maintenance cycle: (1) write events hive-partitioned with
+    deliberately tiny files (max_rows_per_file=500 — the 'many small
+    increments' state), (2) compact by reading the fragmented dataset
+    back and rewriting with a row-count target per file
+    (max_rows_per_file=50_000; one streaming read -> write pass, no
+    shuffle — partition dirs are preserved by partition_cols so a
+    failed compaction can re-run per partition), (3) report per-
+    partition row counts from the COMPACTED files' footers, which the
+    DuckDB twin checks against the source table — proving compaction
+    lost nothing.  The file-count collapse itself (small >> compacted,
+    compacted == ceil(rows/target)) is pinned by pytest; footers only,
+    no data pages, for both verification passes."""
+    import hashlib
+    import os
+    import shutil
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    small_dir = f"/tmp/deepie_export/p{os.getpid()}_compact_small_{tag}"
+    out_dir = f"/tmp/deepie_export/p{os.getpid()}_compact_out_{tag}"
+    for d in (small_dir, out_dir):
+        shutil.rmtree(d, ignore_errors=True)
+
+    ev = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+    ev.write_parquet(
+        small_dir, partition_cols=["event_type"], max_rows_per_file=500
+    )
+
+    frag = rd.read_parquet(small_dir)
+    frag.write_parquet(
+        out_dir,
+        partition_cols=["event_type"],
+        min_rows_per_file=50_000,
+        max_rows_per_file=50_000,
+    )
+
+    stats = _hive_partition_file_stats(out_dir, "event_type")
+    keys = sorted(stats)
+    return pa.table(
+        {
+            "event_type": pa.array(keys, pa.string()),
+            "n_rows": pa.array([stats[k][1] for k in keys], pa.int64()),
+        }
+    )
+
+
 def media_decode_features(sf_dir: str) -> rd.Dataset:
     """REAL multimodal decode path -> (doc_id, span_idx, kind,
     media_ref, feat_norm, dim0, dim1): image/audio spans are paired
