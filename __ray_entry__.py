@@ -160,6 +160,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_retention_cohorts": Q.user_retention_cohorts,
         "doc_intra_repetition": Q.doc_intra_repetition,
         "compact_events_export": Q.compact_events_export,
+        "events_pruned_scan": Q.events_pruned_scan,
+        "export_csv_roundtrip": Q.export_csv_roundtrip,
         "documents_version_diff": Q.documents_version_diff,
         "export_jsonl_gz_roundtrip": Q.export_jsonl_gz_roundtrip,
         "quality_gate_composite": Q.quality_gate_composite,
@@ -666,7 +668,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, count(*)::BIGINT AS n_rows
             FROM events GROUP BY event_type
         """,
+        "events_pruned_scan": """
+            WITH b AS (
+              SELECT epoch_us(min(ts)) AS lo, epoch_us(max(ts)) AS hi
+              FROM events WHERE ts IS NOT NULL
+            )
+            SELECT event_type, count(*)::BIGINT AS n_rows
+            FROM events, b
+            WHERE ts IS NOT NULL
+              AND epoch_us(ts) >= b.lo + (b.hi - b.lo) * 4 // 10
+              AND epoch_us(ts) <  b.lo + (b.hi - b.lo) * 5 // 10
+            GROUP BY event_type
+        """,
         "export_jsonl_roundtrip": """
+            SELECT doc_id, md5(text) AS fingerprint FROM documents
+        """,
+        "export_csv_roundtrip": """
             SELECT doc_id, md5(text) AS fingerprint FROM documents
         """,
         "export_jsonl_gz_roundtrip": """

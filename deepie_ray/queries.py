@@ -2461,6 +2461,43 @@ def export_jsonl_roundtrip(sf_dir: str) -> rd.Dataset:
     return back.map_batches(fp, batch_format="pyarrow")
 
 
+def export_csv_roundtrip(sf_dir: str) -> rd.Dataset:
+    """CSV sink + source round trip -> (doc_id, fingerprint): write
+    the documents table as CSV shards (Ray's distributed write_csv —
+    pyarrow's writer, which quotes embedded newlines/quotes/commas),
+    read the shards back with read_csv, and fingerprint the text that
+    survived the trip.  The DuckDB twin fingerprints the ORIGINAL
+    table, so a hash match proves byte-exact text round-trip through
+    CSV quoting — the interchange format every external data drop
+    still arrives in.  Same shared-filesystem path contract as
+    export_events_partitioned."""
+    import hashlib
+    import os
+    import shutil
+
+    from .hashing import md5_hex
+
+    out_dir = (
+        f"/tmp/deepie_export/p{os.getpid()}_csv_"
+        + hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    docs.write_csv(out_dir)
+    back = rd.read_csv(out_dir)
+
+    def fp(t: pa.Table) -> pa.Table:
+        fps = [md5_hex(x or "") for x in t["text"].to_pylist()]
+        return pa.table(
+            {
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "fingerprint": pa.array(fps, pa.string()),
+            }
+        )
+
+    return back.map_batches(fp, batch_format="pyarrow")
+
+
 def orders_price_ranked(sf_dir: str) -> rd.Dataset:
     """Range-partitioned distributed SORT -> (o_orderkey, shard, pos):
     the textbook scale shape for a global sort — quartile boundaries
@@ -4348,6 +4385,112 @@ def orders_zorder_layout(sf_dir: str) -> rd.Dataset:
     return _read(
         sf_dir, "orders", ["o_orderkey", "o_totalprice", "o_orderdate"]
     ).map_batches(assign, batch_format="pyarrow")
+
+
+def _manifest_pruned_scan(sf_dir: str):
+    """Core of events_pruned_scan; also used by the pytest that pins
+    the pruning ratio.  Returns (result table, n_files_total,
+    n_files_read)."""
+    import hashlib
+    import os
+    import shutil
+
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as papq
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    lake_dir = f"/tmp/deepie_export/p{os.getpid()}_pruned_lake_{tag}"
+    shutil.rmtree(lake_dir, ignore_errors=True)
+
+    ev = _read(sf_dir, "events", ["event_type", "ts"]).map_batches(
+        lambda df: df.dropna(subset=["ts"]), batch_format="pandas"
+    )
+    # time-clustered layout: sort by ts so every file covers a narrow
+    # time slice (at 100 TB: the range-partitioned global sort of
+    # orders_price_ranked, then per-shard local sorts — same result,
+    # one shuffle)
+    ev.sort("ts").write_parquet(lake_dir, max_rows_per_file=2000)
+
+    # manifest: (path, min_ts, max_ts) per file from parquet FOOTER
+    # statistics — exactly the file-level entry an Iceberg/Delta
+    # manifest stores; zero data pages read
+    lake = pads.dataset(lake_dir, format="parquet")
+    manifest = []
+    for frag in lake.get_fragments():
+        md = frag.metadata
+        idx = md.schema.to_arrow_schema().get_field_index("ts")
+        mn = min(
+            md.row_group(i).column(idx).statistics.min
+            for i in range(md.num_row_groups)
+        )
+        mx = max(
+            md.row_group(i).column(idx).statistics.max
+            for i in range(md.num_row_groups)
+        )
+        manifest.append((frag.path, mn, mx))
+
+    # window = the middle [40%, 50%) of the corpus time span, in pure
+    # int64 microseconds (floor division on both engines — exact)
+    los = [m[1] for m in manifest]
+    his = [m[2] for m in manifest]
+    lo, hi = min(los), max(his)
+    lo_us = np.datetime64(lo, "us").astype(np.int64)
+    hi_us = np.datetime64(hi, "us").astype(np.int64)
+    span = hi_us - lo_us
+    win_lo = lo_us + span * 4 // 10
+    win_hi = lo_us + span * 5 // 10
+
+    pruned = [
+        p
+        for p, mn, mx in manifest
+        if np.datetime64(mx, "us").astype(np.int64) >= win_lo
+        and np.datetime64(mn, "us").astype(np.int64) < win_hi
+    ]
+
+    def in_window(t: pa.Table) -> pa.Table:
+        ts_us = t["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        keep = (ts_us >= win_lo) & (ts_us < win_hi)
+        g = (
+            t.filter(pa.array(keep))
+            .group_by("event_type")
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {"event_type": g["event_type"], "n": pc.cast(g["count_all"], pa.int64())}
+        )
+
+    counts = (
+        rd.read_parquet(pruned)
+        .map_batches(in_window, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("n", alias_name="n_rows"))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "event_type": t["event_type"],
+                    "n_rows": pc.cast(t["n_rows"], pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    return counts, len(manifest), len(pruned)
+
+
+def events_pruned_scan(sf_dir: str) -> rd.Dataset:
+    """Manifest-based FILE PRUNING (the Iceberg/Delta scan-planning
+    primitive that makes a 100-TB time-range query read gigabytes, not
+    the lake) -> (event_type, n_rows) for the middle [40%,50%) time
+    window.  The query drives the whole lifecycle: time-clustered
+    write (sorted by ts, 2,000-row files), manifest build from parquet
+    footer min/max statistics only, file-level overlap pruning, then
+    the exact residual filter over just the surviving files.  The
+    DuckDB twin computes the same window over the raw table — a
+    pruning bug (skipped file that held matching rows) breaks the
+    hash match.  The pruning RATIO (files read << files total) is
+    pinned by pytest via _manifest_pruned_scan."""
+    counts, _, _ = _manifest_pruned_scan(sf_dir)
+    return counts
 
 
 def doc_search_and(sf_dir: str) -> rd.Dataset:

@@ -792,3 +792,16 @@ def test_compact_events_export_collapses_files(tmp_path):
         assert n_small >= math.ceil(2000 / 500)
         assert n_out < n_small
         assert n_out <= math.ceil(2000 / 50_000) + 1
+
+
+def test_manifest_pruned_scan_reads_fraction_of_files():
+    from deepie_ray.queries import _manifest_pruned_scan
+
+    counts, n_total, n_read = _manifest_pruned_scan("/root/testdata/sf0.001")
+    df = counts.to_pandas()
+    # a ~10% time window over a time-clustered layout should prune
+    # most files (allow slack for file-boundary overlap)
+    assert n_total >= 3
+    assert n_read < n_total
+    assert n_read <= max(2, n_total // 2)
+    assert (df["n_rows"] > 0).any()
