@@ -162,6 +162,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "compact_events_export": Q.compact_events_export,
         "events_pruned_scan": Q.events_pruned_scan,
         "export_csv_roundtrip": Q.export_csv_roundtrip,
+        "vocab_zipf_head": Q.vocab_zipf_head,
+        "events_rolling_wau": Q.events_rolling_wau,
         "documents_version_diff": Q.documents_version_diff,
         "export_jsonl_gz_roundtrip": Q.export_jsonl_gz_roundtrip,
         "quality_gate_composite": Q.quality_gate_composite,
@@ -685,6 +687,32 @@ def oracle_sql() -> dict[str, str]:
         """,
         "export_csv_roundtrip": """
             SELECT doc_id, md5(text) AS fingerprint FROM documents
+        """,
+        "vocab_zipf_head": r"""
+            WITH c AS (
+              SELECT word, count(*)::BIGINT AS n FROM (
+                SELECT unnest(regexp_split_to_array(text, '\s+')) AS word
+                FROM documents
+              ) GROUP BY word
+            ), t AS (
+              SELECT word, n,
+                     row_number() OVER (ORDER BY n DESC, word) AS rank
+              FROM c
+            )
+            SELECT word, n, rank::BIGINT AS rank,
+                   sum(n) OVER (ORDER BY rank
+                                ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_n
+            FROM t WHERE rank <= 100
+        """,
+        "events_rolling_wau": r"""
+            WITH du AS (
+              SELECT DISTINCT date_trunc('day', ts) AS day, user_id
+              FROM events WHERE ts IS NOT NULL
+            ), days AS (SELECT DISTINCT day FROM du)
+            SELECT d.day, count(DISTINCT du.user_id)::BIGINT AS wau
+            FROM days d JOIN du
+              ON du.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+            GROUP BY d.day
         """,
         "export_jsonl_gz_roundtrip": """
             SELECT doc_id, md5(text) AS fingerprint FROM documents

@@ -844,6 +844,131 @@ def word_count_global(sf_dir: str) -> rd.Dataset:
     )
 
 
+def vocab_zipf_head(sf_dir: str) -> pa.Table:
+    """Zipf-head corpus diagnostic -> (word, n, rank, cum_n): the 100
+    most frequent tokens with deterministic (n DESC, word ASC) rank
+    and the running cumulative count — the 'how much of the corpus do
+    the top-k tokens cover' curve every tokenizer/vocab decision
+    starts from.  The distributed part is word_count_global's
+    combiner-first count; the head itself is ranked on the driver
+    (bounded: exactly 100 rows survive the distributed top-k sort +
+    limit).  Integer cum_n keeps the window-SUM oracle hash-exact."""
+    counts = word_count_global(sf_dir)
+    head = (
+        counts.sort(key=["n", "word"], descending=[True, False])
+        .limit(100)
+        .to_pandas()  # bounded: 100 rows
+    )
+    n = head["n"].to_numpy()
+    return pa.table(
+        {
+            "word": pa.array(head["word"], pa.string()),
+            "n": pa.array(n, pa.int64()),
+            "rank": pa.array(np.arange(1, len(head) + 1), pa.int64()),
+            "cum_n": pa.array(np.cumsum(n), pa.int64()),
+        }
+    )
+
+
+def events_rolling_wau(sf_dir: str) -> rd.Dataset:
+    """Rolling 7-day active users per day (the DAU/WAU retention
+    denominator) -> (day, wau): for each calendar day present in the
+    data, the exact count of distinct users with >= 1 event in the
+    trailing 7-day window [day-6, day].  Plan: distinct (day, user)
+    first (combiner — collapses events to at most |users|x|days|
+    narrow rows), then each pair EXPLODES FORWARD into the <= 7
+    window-days it contributes to (vectorized np.repeat), a distinct
+    shuffle on (day, user), and a grouped count.  The 7x fan-out is on
+    (int64, int64) rows — the window length bounds it, never the data;
+    days outside the observed set are dropped against a broadcast of
+    the (bounded) distinct-day list."""
+    US_PER_DAY = 86_400_000_000
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+    clean = ev.map_batches(
+        lambda df: df.dropna(subset=["ts"]), batch_format="pandas"
+    )
+
+    def day_pairs(t: pa.Table) -> pa.Table:
+        ts_us = t["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        day = ts_us // US_PER_DAY
+        g = (
+            pa.table({"day": pa.array(day), "user_id": t["user_id"]})
+            .group_by(["day", "user_id"])
+            .aggregate([])
+        )
+        return g
+
+    import ray
+
+    # distinct pairs are consumed twice (day list + explode): pin them
+    du = (
+        clean.map_batches(day_pairs, batch_format="pyarrow")
+        .groupby(["day", "user_id"])
+        .count()
+        .materialize()
+    )
+    # bounded driver materialization: one int64 per distinct day
+    days = np.sort(
+        du.groupby("day").count().to_pandas()["day"].to_numpy()
+    )
+    days_ref = ray.put(days)
+
+    class Explode:
+        def __init__(self):
+            self.days = ray.get(days_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            day = t["day"].to_numpy()
+            uid = t["user_id"].to_numpy()
+            tgt = (day[:, None] + np.arange(7)[None, :]).reshape(-1)
+            u = np.repeat(uid, 7)
+            keep = np.isin(tgt, self.days)
+            g = (
+                pa.table(
+                    {
+                        "day": pa.array(tgt[keep]),
+                        "user_id": pa.array(u[keep]),
+                    }
+                )
+                .group_by(["day", "user_id"])
+                .aggregate([])
+            )
+            return g
+
+    from .tuning import POOL_REMOTE_ARGS
+
+    rolled = (
+        du.map_batches(
+            Explode,
+            batch_format="pyarrow",
+            concurrency=(1, 8),
+            **POOL_REMOTE_ARGS,
+        )
+        .groupby(["day", "user_id"])
+        .count()
+    )
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("day").aggregate([([], "count_all")])
+        return pa.table({"day": g["day"], "n": g["count_all"]})
+
+    def finish(t: pa.Table) -> pa.Table:
+        d = t["day"].to_numpy().astype(np.int64) * US_PER_DAY
+        return pa.table(
+            {
+                "day": pa.array(d.astype("datetime64[us]"), pa.timestamp("us")),
+                "wau": pc.cast(t["n_sum"], pa.int64()),
+            }
+        )
+
+    return (
+        rolled.map_batches(count_partial, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum("n", alias_name="n_sum"))
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
 # ------------------------------------------------------------------ dedup
 
 

@@ -805,3 +805,34 @@ def test_manifest_pruned_scan_reads_fraction_of_files():
     assert n_read < n_total
     assert n_read <= max(2, n_total // 2)
     assert (df["n_rows"] > 0).any()
+
+
+def test_rolling_wau_window_semantics(tmp_path):
+    # day 0: users {1,2}; day 3: {2}; day 10: {3} (gap > window)
+    base = np.datetime64("2024-03-01T12:00:00", "us")
+    D = np.timedelta64(1, "D")
+    t = pa.table(
+        {
+            "event_id": pa.array(range(5), pa.int64()),
+            "user_id": pa.array([1, 2, 2, 2, 3], pa.int64()),
+            "ts": pa.array(
+                [base, base, base + 3 * D, base + 3 * D, base + 10 * D],
+                pa.timestamp("us"),
+            ),
+            "event_type": pa.array(["view"] * 5),
+            "value": pa.array([1.0] * 5, pa.float64()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    out = (
+        Q.events_rolling_wau(str(tmp_path))
+        .to_pandas()
+        .set_index("day")["wau"]
+        .sort_index()
+    )
+    d0 = pd.Timestamp("2024-03-01")
+    # only observed days appear
+    assert set(out.index) == {d0, d0 + pd.Timedelta(days=3), d0 + pd.Timedelta(days=10)}
+    assert out[d0] == 2                      # {1,2}
+    assert out[d0 + pd.Timedelta(days=3)] == 2   # {1,2} from d0 still in window, +2 dedup
+    assert out[d0 + pd.Timedelta(days=10)] == 1  # {3}; d3 is 7 days back (outside [d-6,d])
