@@ -164,6 +164,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "export_csv_roundtrip": Q.export_csv_roundtrip,
         "vocab_zipf_head": Q.vocab_zipf_head,
         "events_rolling_wau": Q.events_rolling_wau,
+        "event_type_audience_overlap": Q.event_type_audience_overlap,
         "documents_version_diff": Q.documents_version_diff,
         "export_jsonl_gz_roundtrip": Q.export_jsonl_gz_roundtrip,
         "quality_gate_composite": Q.quality_gate_composite,
@@ -703,6 +704,16 @@ def oracle_sql() -> dict[str, str]:
                    sum(n) OVER (ORDER BY rank
                                 ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_n
             FROM t WHERE rank <= 100
+        """,
+        "event_type_audience_overlap": r"""
+            WITH du AS (
+              SELECT DISTINCT event_type, user_id FROM events
+            )
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   count(DISTINCT a.user_id)::BIGINT AS n_common
+            FROM du a JOIN du b USING (user_id)
+            WHERE a.event_type < b.event_type
+            GROUP BY a.event_type, b.event_type
         """,
         "events_rolling_wau": r"""
             WITH du AS (

