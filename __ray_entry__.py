@@ -165,6 +165,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_zipf_head": Q.vocab_zipf_head,
         "events_rolling_wau": Q.events_rolling_wau,
         "event_type_audience_overlap": Q.event_type_audience_overlap,
+        "orders_merge_changelog": Q.orders_merge_changelog,
         "documents_version_diff": Q.documents_version_diff,
         "export_jsonl_gz_roundtrip": Q.export_jsonl_gz_roundtrip,
         "quality_gate_composite": Q.quality_gate_composite,
@@ -704,6 +705,21 @@ def oracle_sql() -> dict[str, str]:
                    sum(n) OVER (ORDER BY rank
                                 ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_n
             FROM t WHERE rank <= 100
+        """,
+        "orders_merge_changelog": r"""
+            WITH base AS (
+              SELECT o_orderkey, floor(o_totalprice * 100)::BIGINT AS cents
+              FROM orders
+            )
+            SELECT o_orderkey, cents FROM (
+              SELECT o_orderkey, cents FROM base
+              WHERE o_orderkey % 10 NOT IN (0, 1)
+              UNION ALL
+              SELECT o_orderkey, cents + 100 FROM base WHERE o_orderkey % 10 = 0
+              UNION ALL
+              SELECT o_orderkey + 1000000000, cents FROM base
+              WHERE o_orderkey % 10 = 2
+            )
         """,
         "event_type_audience_overlap": r"""
             WITH du AS (

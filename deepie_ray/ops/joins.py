@@ -884,3 +884,43 @@ def diff_by_key(
         return out.filter(pc.fill_null(keep, True))
 
     return j.map_batches(classify, batch_format="pyarrow")
+
+
+def apply_changelog(
+    base: rd.Dataset,
+    changes: rd.Dataset,
+    key_col: str,
+    op_col: str = "op",
+    num_partitions: int = 8,
+) -> rd.Dataset:
+    """MERGE INTO semantics — the CDC-apply step of a lakehouse table:
+    changes rows carry base's schema plus ``op_col`` with 'D' (delete
+    the key), 'U' (replace the key's row) or 'I' (insert a new key).
+    Contract: at most one change row per key (keep-latest compaction,
+    queries.latest_event_per_user, is the canonical upstream that
+    guarantees it).
+
+    Plan: the DISTINCT affected keys (D + U) anti-join base — the
+    shuffle moves narrow key rows, never base payloads (anti_join's
+    combiner-first build side) — then the U + I payloads union in.
+    No driver state, no full materialization of either side beyond
+    anti_join's key-only build table."""
+    import pyarrow.compute as pc
+
+    def only_ops(ops: tuple[str, ...], drop_op: bool):
+        def f(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.is_in(t[op_col], value_set=pa.array(list(ops))))
+            return t.drop_columns([op_col]) if drop_op else t
+
+        return f
+
+    affected = changes.map_batches(
+        only_ops(("D", "U"), drop_op=True), batch_format="pyarrow"
+    ).select_columns([key_col])
+    survivors = anti_join(
+        base, affected, on=key_col, num_partitions=num_partitions
+    )
+    upserts = changes.map_batches(
+        only_ops(("U", "I"), drop_op=True), batch_format="pyarrow"
+    )
+    return survivors.union(upserts)

@@ -969,6 +969,56 @@ def events_rolling_wau(sf_dir: str) -> rd.Dataset:
     )
 
 
+def orders_merge_changelog(sf_dir: str) -> rd.Dataset:
+    """MERGE INTO (CDC changelog apply — the write path of every
+    lakehouse upsert) -> (o_orderkey, cents): a deterministic changelog
+    derived from the orders table itself (keys %10==0 update their
+    price by +1.00, %10==1 delete, %10==2 insert a shifted-key copy)
+    applied to the base snapshot with ops/joins.apply_changelog —
+    distinct affected keys anti-join the base (narrow key shuffle,
+    payloads never move), then the upsert/insert payloads union in.
+    The DuckDB twin expresses the same merge with set operations, so a
+    dropped delete, double-applied update or lost insert all break the
+    hash match."""
+    from .ops import joins
+
+    base = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"]).map_batches(
+        lambda t: pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "cents": pc.cast(
+                    pc.floor(pc.multiply(t["o_totalprice"], 100.0)), pa.int64()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def changelog(t: pa.Table) -> pa.Table:
+        k = t["o_orderkey"].to_numpy()
+        c = t["cents"].to_numpy()
+        m = k % 10
+        upd_k, upd_c = k[m == 0], c[m == 0] + 100
+        del_k, del_c = k[m == 1], c[m == 1]
+        ins_k, ins_c = k[m == 2] + 1_000_000_000, c[m == 2]
+        return pa.table(
+            {
+                "o_orderkey": pa.array(
+                    np.concatenate([upd_k, del_k, ins_k]), pa.int64()
+                ),
+                "cents": pa.array(
+                    np.concatenate([upd_c, del_c, ins_c]), pa.int64()
+                ),
+                "op": pa.array(
+                    ["U"] * len(upd_k) + ["D"] * len(del_k) + ["I"] * len(ins_k)
+                ),
+            }
+        )
+
+    changes = base.map_batches(changelog, batch_format="pyarrow")
+    return joins.apply_changelog(base, changes, key_col="o_orderkey")
+
+
 def event_type_audience_overlap(sf_dir: str) -> pa.Table:
     """Pairwise audience overlap via KMV sketch SET ALGEBRA ->
     (type_a, type_b, n_common): for every event-type pair (a < b), the

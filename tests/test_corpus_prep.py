@@ -836,3 +836,47 @@ def test_rolling_wau_window_semantics(tmp_path):
     assert out[d0] == 2                      # {1,2}
     assert out[d0 + pd.Timedelta(days=3)] == 2   # {1,2} from d0 still in window, +2 dedup
     assert out[d0 + pd.Timedelta(days=10)] == 1  # {3}; d3 is 7 days back (outside [d-6,d])
+
+
+def test_apply_changelog_merge_semantics():
+    import ray.data as rd
+
+    from deepie_ray.ops import joins
+
+    base = rd.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([1, 2, 3, 4], pa.int64()),
+                "v": pa.array([10, 20, 30, 40], pa.int64()),
+            }
+        )
+    )
+    changes = rd.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([2, 3, 9], pa.int64()),
+                "v": pa.array([99, 0, 90], pa.int64()),
+                "op": pa.array(["U", "D", "I"]),
+            }
+        )
+    )
+    out = (
+        joins.apply_changelog(base, changes, key_col="k")
+        .to_pandas()
+        .set_index("k")["v"]
+        .sort_index()
+    )
+    assert dict(out) == {1: 10, 2: 99, 4: 40, 9: 90}
+
+    # empty changelog: base unchanged
+    empty = rd.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([], pa.int64()),
+                "v": pa.array([], pa.int64()),
+                "op": pa.array([], pa.string()),
+            }
+        )
+    )
+    out2 = joins.apply_changelog(base, empty, key_col="k").to_pandas()
+    assert sorted(out2["k"]) == [1, 2, 3, 4]
