@@ -166,6 +166,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rolling_wau": Q.events_rolling_wau,
         "event_type_audience_overlap": Q.event_type_audience_overlap,
         "orders_merge_changelog": Q.orders_merge_changelog,
+        "validate_orders": Q.validate_orders,
         "documents_version_diff": Q.documents_version_diff,
         "export_jsonl_gz_roundtrip": Q.export_jsonl_gz_roundtrip,
         "quality_gate_composite": Q.quality_gate_composite,
@@ -181,6 +182,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- rows-only / pytest-oracled block (no SQL twin by nature) ---
         "doc_packing": Q.doc_packing,
         "doc_topic_clusters": Q.doc_topic_clusters,
+        "events_distinct_users_hll": Q.events_distinct_users_hll,
         "incremental_neardup_ingest": Q.incremental_neardup_ingest,
         "kg_incremental": Q.kg_incremental,
         "bpe_train_merges": Q.bpe_train_merges,
@@ -705,6 +707,28 @@ def oracle_sql() -> dict[str, str]:
                    sum(n) OVER (ORDER BY rank
                                 ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_n
             FROM t WHERE rank <= 100
+        """,
+        "validate_orders": r"""
+            SELECT 'custkey_fk_customer' AS check,
+                   (SELECT count(*) FROM orders o
+                    WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                      WHERE c.c_custkey = o.o_custkey)
+                   )::BIGINT AS n_violations
+            UNION ALL
+            SELECT 'custkey_not_null',
+                   (SELECT count(*) FROM orders WHERE o_custkey IS NULL)::BIGINT
+            UNION ALL
+            SELECT 'orderkey_unique',
+                   (SELECT coalesce(sum(n - 1), 0) FROM (
+                      SELECT count(*) AS n FROM orders GROUP BY o_orderkey
+                   ))::BIGINT
+            UNION ALL
+            SELECT 'totalprice_positive',
+                   (SELECT count(*) FROM orders WHERE o_totalprice <= 0)::BIGINT
+            UNION ALL
+            SELECT 'totalprice_suspicious_high',
+                   (SELECT count(*) FROM orders
+                    WHERE o_totalprice > 450000)::BIGINT
         """,
         "orders_merge_changelog": r"""
             WITH base AS (

@@ -455,3 +455,107 @@ def exact_quantile_sorted(ds, col: str, q: float) -> float:
     )
     vals = [r[col] for r in mid]
     return float(vals[0] + (vals[-1] - vals[0]) * (pos - lo_i))
+
+
+# --------------------------------------------------------- HyperLogLog
+#
+# The register-max mergeable distinct sketch (Flajolet et al. 2007)
+# alongside KMV: fixed 2^p bytes per key regardless of cardinality,
+# merge = elementwise max (commutative, idempotent — safe under task
+# retries), standard error ~1.04/sqrt(2^p).  KMV degenerates to exact
+# below its cap (and is what the oracle-checked queries use); HLL is
+# the constant-memory path when even k distinct hashes per key is too
+# much state.
+
+HLL_P = 12  # 4096 registers, ~1.6% standard error
+
+
+def _clz64(w: np.ndarray) -> np.ndarray:
+    """Vectorized count-leading-zeros over uint64 (0 -> 64)."""
+    n = np.zeros(len(w), dtype=np.int64)
+    x = w.copy()
+    for shift in (32, 16, 8, 4, 2, 1):
+        high = x >> np.uint64(64 - shift)
+        zero_high = high == 0
+        n[zero_high] += shift
+        x[zero_high] = x[zero_high] << np.uint64(shift)
+    return np.where(w == 0, 64, n)
+
+
+def hll_partial(hashes: np.ndarray, p: int = HLL_P) -> np.ndarray:
+    """uint64 hashes -> uint8 register array of size 2^p (max rho)."""
+    m = 1 << p
+    regs = np.zeros(m, dtype=np.uint8)
+    if len(hashes) == 0:
+        return regs
+    idx = (hashes >> np.uint64(64 - p)).astype(np.int64)
+    w = hashes << np.uint64(p)  # remaining 64-p bits, left-aligned
+    rho = np.minimum(_clz64(w) + 1, 64 - p + 1).astype(np.uint8)
+    np.maximum.at(regs, idx, rho)
+    return regs
+
+
+def hll_merge(sketches: list[np.ndarray]) -> np.ndarray:
+    out = np.zeros(1 << HLL_P, dtype=np.uint8)
+    for s in sketches:
+        out = np.maximum(out, s)
+    return out
+
+
+def hll_estimate(regs: np.ndarray, p: int = HLL_P) -> float:
+    """Raw HLL estimate with the small-range linear-counting switch."""
+    m = float(1 << p)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    E = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+    V = int(np.sum(regs == 0))
+    if E <= 2.5 * m and V > 0:
+        return m * np.log(m / V)
+    return float(E)
+
+
+def grouped_hll_distinct(
+    ds: rd.Dataset,
+    key_col: str,
+    value_col: str,
+    salt_buckets: int = 64,
+) -> rd.Dataset:
+    """-> (key, hll_distinct:int64): constant-memory grouped distinct
+    count.  Same two-level salted merge shape as
+    ``grouped_approx_distinct`` — one 4 KiB register row per
+    (key, block) crosses the shuffle; merge is elementwise max."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out_k, out_s, out_salt = [], [], []
+        for key, grp in df.groupby(key_col, sort=False):
+            regs = hll_partial(kmv_hash(grp[value_col].tolist()))
+            out_k.append(key)
+            out_s.append(regs)
+            out_salt.append(int(regs.sum()) % salt_buckets)
+        return pd.DataFrame(
+            {
+                key_col: out_k,
+                "_salt": out_salt,
+                "regs": [s.tobytes() for s in out_s],
+            }
+        )
+
+    def merge_lvl1(df: pd.DataFrame) -> pd.DataFrame:
+        m = hll_merge([np.frombuffer(b, dtype=np.uint8) for b in df["regs"]])
+        return pd.DataFrame(
+            {key_col: [df[key_col].iloc[0]], "regs": [m.tobytes()]}
+        )
+
+    def merge_final(df: pd.DataFrame) -> pd.DataFrame:
+        m = hll_merge([np.frombuffer(b, dtype=np.uint8) for b in df["regs"]])
+        return pd.DataFrame(
+            {
+                key_col: [df[key_col].iloc[0]],
+                "hll_distinct": [int(round(hll_estimate(m)))],
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    lvl1 = partials.groupby([key_col, "_salt"]).map_groups(
+        merge_lvl1, batch_format="pandas"
+    )
+    return lvl1.groupby(key_col).map_groups(merge_final, batch_format="pandas")

@@ -969,6 +969,130 @@ def events_rolling_wau(sf_dir: str) -> rd.Dataset:
     )
 
 
+def events_distinct_users_hll(sf_dir: str) -> rd.Dataset:
+    """Constant-memory grouped distinct count via HyperLogLog ->
+    (event_type, hll_distinct): the register-max mergeable sketch
+    (4 KiB per key REGARDLESS of cardinality — the path for keys where
+    even KMV's k hashes are too much state).  Approximate by nature
+    (~1.6% standard error at p=12), so rows-only; pytest pins the
+    relative error against the exact count and the merge invariance
+    under repartitioning."""
+    from .ops import sketch as sk
+
+    ev = _read(sf_dir, "events", ["event_type", "user_id"])
+    return sk.grouped_hll_distinct(ev, "event_type", "user_id")
+
+
+def validate_orders(sf_dir: str) -> pa.Table:
+    """Data-quality EXPECTATIONS gate (the pre-ingest validation every
+    production pipeline runs before accepting a drop) -> (check,
+    n_violations): five constraint classes over orders —
+    key uniqueness (combiner-first duplicate count), NOT NULL,
+    referential integrity into customer (combiner-distinct keys
+    anti-joined — narrow key shuffle, no payloads), a value-domain
+    check, and a warning-level outlier expectation (totalprice >
+    450k, deliberately non-zero on the synth data so the machinery
+    provably counts).  One streaming pass computes the three row-local
+    checks; uniqueness and FK are key-only aggregates.  The DuckDB
+    twin recomputes all five counts."""
+    from .ops import joins
+
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"]
+    )
+
+    # --- row-local checks in one pass (per-batch partial counts)
+    def local_checks(t: pa.Table) -> pa.Table:
+        null_cust = int(pc.sum(pc.cast(pc.is_null(t["o_custkey"]), pa.int64())).as_py() or 0)
+        nonpos = int(
+            pc.sum(
+                pc.cast(
+                    pc.fill_null(pc.less_equal(t["o_totalprice"], 0.0), False),
+                    pa.int64(),
+                )
+            ).as_py()
+            or 0
+        )
+        high = int(
+            pc.sum(
+                pc.cast(
+                    pc.fill_null(pc.greater(t["o_totalprice"], 450_000.0), False),
+                    pa.int64(),
+                )
+            ).as_py()
+            or 0
+        )
+        return pa.table(
+            {
+                "check": pa.array(
+                    ["custkey_not_null", "totalprice_positive", "totalprice_suspicious_high"]
+                ),
+                "n": pa.array([null_cust, nonpos, high], pa.int64()),
+            }
+        )
+
+    local = (
+        orders.map_batches(local_checks, batch_format="pyarrow")
+        .groupby("check")
+        .aggregate(Sum("n", alias_name="n_violations"))
+    )
+
+    # --- key uniqueness: rows beyond the first per key
+    def key_counts(t: pa.Table) -> pa.Table:
+        g = t.group_by("o_orderkey").aggregate([([], "count_all")])
+        return pa.table(
+            {"o_orderkey": g["o_orderkey"], "n": pc.cast(g["count_all"], pa.int64())}
+        )
+
+    dup_rows = (
+        orders.map_batches(key_counts, batch_format="pyarrow")
+        .groupby("o_orderkey")
+        .aggregate(Sum("n", alias_name="n"))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "check": pa.array(["orderkey_unique"] * t.num_rows),
+                    "n_violations": pc.subtract(
+                        pc.cast(t["n"], pa.int64()), pa.scalar(1, pa.int64())
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("check")
+        .aggregate(Sum("n_violations", alias_name="n_violations"))
+    )
+
+    # --- FK into customer: distinct custkeys anti-joined to customer
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    orphans = joins.anti_join(
+        orders.select_columns(["o_custkey", "o_orderkey"]),
+        cust,
+        on="o_custkey",
+        right_on="c_custkey",
+    )
+    n_orphans = orphans.count()
+
+    combined = local.union(dup_rows).to_pandas()
+    combined = pd.concat(
+        [
+            combined,
+            pd.DataFrame(
+                {"check": ["custkey_fk_customer"], "n_violations": [n_orphans]}
+            ),
+        ]
+    )  # bounded: exactly 5 rows
+    combined = combined.sort_values("check").reset_index(drop=True)
+    return pa.table(
+        {
+            "check": pa.array(combined["check"], pa.string()),
+            "n_violations": pa.array(
+                combined["n_violations"].astype(np.int64), pa.int64()
+            ),
+        }
+    )
+
+
 def orders_merge_changelog(sf_dir: str) -> rd.Dataset:
     """MERGE INTO (CDC changelog apply — the write path of every
     lakehouse upsert) -> (o_orderkey, cents): a deterministic changelog

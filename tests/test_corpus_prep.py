@@ -880,3 +880,35 @@ def test_apply_changelog_merge_semantics():
     )
     out2 = joins.apply_changelog(base, empty, key_col="k").to_pandas()
     assert sorted(out2["k"]) == [1, 2, 3, 4]
+
+
+def test_hll_error_bound_and_partition_invariance():
+    import ray.data as rd
+
+    from deepie_ray.ops import sketch as sk
+
+    # direct numpy path: error bound across magnitudes
+    for n in (100, 5000, 60000):
+        h = sk.kmv_hash(list(range(n)))
+        est = sk.hll_estimate(sk.hll_partial(h))
+        assert abs(est - n) / n < 0.05, (n, est)
+
+    # distributed path: merge-invariant under partitioning, same answer
+    t = pa.table(
+        {
+            "k": pa.array(["a"] * 3000 + ["b"] * 1000),
+            "v": pa.array(list(range(3000)) + list(range(500, 1500)), pa.int64()),
+        }
+    )
+    outs = []
+    for parts in (1, 7):
+        df = (
+            sk.grouped_hll_distinct(rd.from_arrow(t).repartition(parts), "k", "v")
+            .to_pandas()
+            .set_index("k")["hll_distinct"]
+            .sort_index()
+        )
+        outs.append(df)
+    assert outs[0].equals(outs[1])
+    assert abs(outs[0]["a"] - 3000) / 3000 < 0.05
+    assert abs(outs[0]["b"] - 1000) / 1000 < 0.05
