@@ -167,6 +167,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_type_audience_overlap": Q.event_type_audience_overlap,
         "orders_merge_changelog": Q.orders_merge_changelog,
         "validate_orders": Q.validate_orders,
+        "events_robust_outliers": Q.events_robust_outliers,
+        "bucketed_join_orders_customer": Q.bucketed_join_orders_customer,
         "documents_version_diff": Q.documents_version_diff,
         "export_jsonl_gz_roundtrip": Q.export_jsonl_gz_roundtrip,
         "quality_gate_composite": Q.quality_gate_composite,
@@ -707,6 +709,50 @@ def oracle_sql() -> dict[str, str]:
                    sum(n) OVER (ORDER BY rank
                                 ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_n
             FROM t WHERE rank <= 100
+        """,
+        "bucketed_join_orders_customer": r"""
+            WITH ob AS (
+              SELECT ('0x' || substr(md5(o_custkey::VARCHAR), 1, 8))::BIGINT % 8
+                       AS bucket, o_custkey
+              FROM orders
+            ), cb AS (
+              SELECT ('0x' || substr(md5(c_custkey::VARCHAR), 1, 8))::BIGINT % 8
+                       AS bucket, c_custkey
+              FROM customer
+            ), j AS (
+              SELECT ob.bucket, count(*)::BIGINT AS n_joined
+              FROM ob JOIN cb ON ob.o_custkey = cb.c_custkey
+              GROUP BY ob.bucket
+            )
+            SELECT b.bucket,
+                   coalesce(o.n, 0)::BIGINT AS n_orders,
+                   coalesce(c.n, 0)::BIGINT AS n_customers,
+                   coalesce(j.n_joined, 0)::BIGINT AS n_joined
+            FROM (SELECT unnest(range(0, 8)) AS bucket) b
+            LEFT JOIN (SELECT bucket, count(*) AS n FROM ob GROUP BY bucket) o
+              USING (bucket)
+            LEFT JOIN (SELECT bucket, count(*) AS n FROM cb GROUP BY bucket) c
+              USING (bucket)
+            LEFT JOIN j USING (bucket)
+        """,
+        "events_robust_outliers": r"""
+            WITH v AS (
+              SELECT event_id, event_type,
+                     floor(value * 100)::BIGINT AS cents
+              FROM events WHERE value IS NOT NULL
+            ), m AS (
+              SELECT event_type, quantile_disc(cents, 0.5) AS med
+              FROM v GROUP BY event_type
+            ), s AS (
+              SELECT v.event_type,
+                     quantile_disc(abs(v.cents - m.med), 0.5) AS mad,
+                     min(m.med) AS med
+              FROM v JOIN m USING (event_type)
+              GROUP BY v.event_type
+            )
+            SELECT v.event_id, v.event_type, v.cents
+            FROM v JOIN s USING (event_type)
+            WHERE abs(v.cents - s.med) > 5 * s.mad
         """,
         "validate_orders": r"""
             SELECT 'custkey_fk_customer' AS check,

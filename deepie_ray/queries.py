@@ -969,6 +969,129 @@ def events_rolling_wau(sf_dir: str) -> rd.Dataset:
     )
 
 
+def bucketed_join_orders_customer(sf_dir: str) -> pa.Table:
+    """CO-BUCKETED shuffle-free join (the bucketed-table layout every
+    lakehouse offers so repeat joins skip the exchange) -> (bucket,
+    n_orders, n_customers, n_joined): both orders and customer are
+    written hive-partitioned by the SAME deterministic key bucket
+    (md5(custkey)[:8] % 8 — the repo's stable md5 convention, so the
+    DuckDB twin reproduces the bucketing exactly), then each bucket
+    pair is joined LOCALLY by an independent Ray task that reads only
+    its two bucket directories — no shuffle anywhere, because the
+    layout already co-locates equal keys.  This is the raw-tasks
+    escape hatch the brief reserves for semantics the Dataset API
+    can't express: a join whose exchange happened at WRITE time.
+    Partitioning assumption: both sides bucketed with identical
+    (hash, B); documented here and enforced by construction."""
+    import hashlib
+    import os
+    import shutil
+
+    import pyarrow.dataset as pads
+
+    import ray
+
+    B = 8
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    o_dir = f"/tmp/deepie_export/p{os.getpid()}_bucket_o_{tag}"
+    c_dir = f"/tmp/deepie_export/p{os.getpid()}_bucket_c_{tag}"
+    for d in (o_dir, c_dir):
+        shutil.rmtree(d, ignore_errors=True)
+
+    def add_bucket(col: str):
+        # md5 per key is the price of the SQL-reproducible convention;
+        # paid ONCE at layout-write time on narrow key columns (every
+        # subsequent join of these tables is then shuffle-free)
+        def f(t: pa.Table) -> pa.Table:
+            ks = t[col].to_pylist()
+            b = [
+                int(hashlib.md5(str(k).encode()).hexdigest()[:8], 16) % B
+                for k in ks
+            ]
+            return t.append_column("bucket", pa.array(b, pa.int64()))
+
+        return f
+
+    _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
+        add_bucket("o_custkey"), batch_format="pyarrow"
+    ).write_parquet(o_dir, partition_cols=["bucket"])
+    _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        add_bucket("c_custkey"), batch_format="pyarrow"
+    ).write_parquet(c_dir, partition_cols=["bucket"])
+
+    @ray.remote
+    def join_bucket(b: int):
+        def load(root: str, cols):
+            p = f"{root}/bucket={b}"
+            if not os.path.isdir(p):
+                return pa.table({c: pa.array([], pa.int64()) for c in cols})
+            return pads.dataset(p, format="parquet").to_table(columns=cols)
+
+        ot = load(o_dir, ["o_custkey"])
+        ct = load(c_dir, ["c_custkey"])
+        j = ot.join(
+            ct, keys=["o_custkey"], right_keys=["c_custkey"], join_type="inner"
+        )
+        return (b, ot.num_rows, ct.num_rows, j.num_rows)
+
+    rows = sorted(ray.get([join_bucket.remote(b) for b in range(B)]))
+    return pa.table(
+        {
+            "bucket": pa.array([r[0] for r in rows], pa.int64()),
+            "n_orders": pa.array([r[1] for r in rows], pa.int64()),
+            "n_customers": pa.array([r[2] for r in rows], pa.int64()),
+            "n_joined": pa.array([r[3] for r in rows], pa.int64()),
+        }
+    )
+
+
+def events_robust_outliers(sf_dir: str) -> rd.Dataset:
+    """Robust (MAD-based) outlier detection -> (event_id, event_type,
+    cents): events whose integer-cents value deviates from their
+    type's median by more than 5x the median absolute deviation — the
+    skew-resistant anomaly flag (a zscore on mean/stddev would let one
+    whale event drag the threshold).  Two passes: the events_value_mad
+    one-task-per-type median+MAD (groups are 5 types; bounded), the
+    thresholds broadcast as a 5-entry dict, then a streaming vectorized
+    filter — no second shuffle.  All-integer comparison keeps the twin
+    hash-exact."""
+    import ray
+
+    med = events_value_mad(sf_dir).to_pandas()  # bounded: 5 rows
+    th = {
+        r["event_type"]: (int(r["med_cents"]), int(r["mad_cents"]))
+        for _, r in med.iterrows()
+    }
+    th_ref = ray.put(th)
+
+    class Flag:
+        def __init__(self):
+            self.th = ray.get(th_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            df = df.dropna(subset=["value"])
+            cents = np.floor(df["value"].to_numpy() * 100.0).astype(np.int64)
+            med_map = {k: v[0] for k, v in self.th.items()}
+            mad_map = {k: v[1] for k, v in self.th.items()}
+            med = df["event_type"].map(med_map).to_numpy(dtype=np.int64)
+            mad = df["event_type"].map(mad_map).to_numpy(dtype=np.int64)
+            keep = np.abs(cents - med) > 5 * mad
+            return pd.DataFrame(
+                {
+                    "event_id": df["event_id"].to_numpy()[keep],
+                    "event_type": df["event_type"].to_numpy()[keep],
+                    "cents": cents[keep],
+                }
+            )
+
+    ev = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+    from .tuning import POOL_REMOTE_ARGS
+
+    return ev.map_batches(
+        Flag, batch_format="pandas", concurrency=(1, 8), **POOL_REMOTE_ARGS
+    )
+
+
 def events_distinct_users_hll(sf_dir: str) -> rd.Dataset:
     """Constant-memory grouped distinct count via HyperLogLog ->
     (event_type, hll_distinct): the register-max mergeable sketch
