@@ -169,6 +169,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "validate_orders": Q.validate_orders,
         "events_robust_outliers": Q.events_robust_outliers,
         "bucketed_join_orders_customer": Q.bucketed_join_orders_customer,
+        "user_event_type_unpivot": Q.user_event_type_unpivot,
         "documents_version_diff": Q.documents_version_diff,
         "export_jsonl_gz_roundtrip": Q.export_jsonl_gz_roundtrip,
         "quality_gate_composite": Q.quality_gate_composite,
@@ -709,6 +710,10 @@ def oracle_sql() -> dict[str, str]:
                    sum(n) OVER (ORDER BY rank
                                 ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_n
             FROM t WHERE rank <= 100
+        """,
+        "user_event_type_unpivot": r"""
+            SELECT user_id, event_type, count(*)::BIGINT AS n
+            FROM events GROUP BY user_id, event_type
         """,
         "bucketed_join_orders_customer": r"""
             WITH ob AS (

@@ -2136,6 +2136,41 @@ def user_event_type_pivot(sf_dir: str) -> rd.Dataset:
     )
 
 
+def user_event_type_unpivot(sf_dir: str) -> rd.Dataset:
+    """UNPIVOT / melt (the inverse of user_event_type_pivot, closing
+    the wide<->long pair) -> (user_id, event_type, n): the computed
+    wide pivot table melted back to long form, one row per (user,
+    type) with a NONZERO count.  Vectorized: per batch, np.repeat the
+    user column once per type column and concatenate the count
+    columns — no per-row loop; the melt is a streaming map over the
+    pivot's output (no extra shuffle).  The DuckDB twin is the plain
+    grouped count, so a melt that drops/duplicates a column breaks
+    the hash."""
+    wide = user_event_type_pivot(sf_dir)
+
+    def melt(t: pa.Table) -> pa.Table:
+        tcols = [c for c in t.column_names if c not in ("user_id", "total")]
+        uid = t["user_id"].to_numpy()
+        n = len(uid)
+        out_uid = np.tile(uid, len(tcols))
+        out_type = np.repeat(np.array(tcols, dtype=object), n)
+        # np.repeat with per-element counts would interleave; tile+repeat
+        # keeps column-major blocks: type i covers rows [i*n, (i+1)*n)
+        out_n = np.concatenate(
+            [pc.cast(t[c], pa.int64()).to_numpy(zero_copy_only=False) for c in tcols]
+        )
+        keep = out_n > 0
+        return pa.table(
+            {
+                "user_id": pa.array(out_uid[keep], pa.int64()),
+                "event_type": pa.array(out_type[keep].tolist(), pa.string()),
+                "n": pa.array(out_n[keep], pa.int64()),
+            }
+        )
+
+    return wide.map_batches(melt, batch_format="pyarrow")
+
+
 def copurchase_triangles(sf_dir: str) -> rd.Dataset:
     """Triangle counts on the co-purchase graph -> (node, n_triangles)
     with node = each triangle's smallest part key (ops/graph.
