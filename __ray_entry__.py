@@ -170,6 +170,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_robust_outliers": Q.events_robust_outliers,
         "bucketed_join_orders_customer": Q.bucketed_join_orders_customer,
         "user_event_type_unpivot": Q.user_event_type_unpivot,
+        "embedding_covariance": Q.embedding_covariance,
         "documents_version_diff": Q.documents_version_diff,
         "export_jsonl_gz_roundtrip": Q.export_jsonl_gz_roundtrip,
         "quality_gate_composite": Q.quality_gate_composite,
@@ -714,6 +715,24 @@ def oracle_sql() -> dict[str, str]:
         "user_event_type_unpivot": r"""
             SELECT user_id, event_type, count(*)::BIGINT AS n
             FROM events GROUP BY user_id, event_type
+        """,
+        "embedding_covariance": r"""
+            WITH u AS (
+              SELECT vec_id, i,
+                     floor(e[i]::DOUBLE * 10000)::BIGINT AS q
+              FROM (SELECT vec_id, embedding AS e FROM embeddings),
+                   unnest(range(1, len(e) + 1)) AS r(i)
+            ), s AS (
+              SELECT i, sum(q) AS sq, count(*) AS n FROM u GROUP BY i
+            ), p AS (
+              SELECT a.i AS i, b.i AS j, sum(a.q * b.q) AS spq
+              FROM u a JOIN u b ON a.vec_id = b.vec_id AND a.i <= b.i
+              GROUP BY a.i, b.i
+            )
+            SELECT p.i::BIGINT AS i, p.j::BIGINT AS j,
+                   (sa.n * p.spq - sa.sq * sb.sq)::BIGINT AS cov_num,
+                   sa.n::BIGINT AS n
+            FROM p JOIN s sa ON sa.i = p.i JOIN s sb ON sb.i = p.j
         """,
         "bucketed_join_orders_customer": r"""
             WITH ob AS (

@@ -1045,6 +1045,76 @@ def bucketed_join_orders_customer(sf_dir: str) -> pa.Table:
     )
 
 
+def embedding_covariance(sf_dir: str) -> pa.Table:
+    """Distributed covariance MATRIX of the embedding columns (the
+    PCA / whitening prep every representation-analysis pass starts
+    with) -> upper-triangle long form (i, j, cov_num, n) with
+    cov_num = n*Σ(q_i q_j) − Σq_i Σq_j over vectors QUANTIZED to
+    integers (q = floor(x·10⁴)) — all-integer algebra, so the result
+    is EXACT and independent of summation order (a float covariance
+    would differ from the oracle's in the low bits by accumulation
+    order alone).  Plan: per-batch partials (QᵀQ 64x64 int64 matmul,
+    column sums, count) — fixed-size per batch regardless of rows —
+    folded on the driver (k x k ints, metadata-sized), then the long
+    form emitted locally.  Exactly the broadcast-reduce contract of
+    ops/cluster.kmeans_fit.  Indices are 1-based to match the SQL
+    twin's list subscripts."""
+    ds = _read(sf_dir, "embeddings", ["embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = t["embedding"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        n = len(col)
+        if n == 0:
+            return pa.table(
+                {
+                    "n": pa.array([], pa.int64()),
+                    "sq": pa.array([], pa.binary()),
+                    "qq": pa.array([], pa.binary()),
+                }
+            )
+        Qm = np.floor(flat.reshape(n, -1) * 10_000.0).astype(np.int64)
+        return pa.table(
+            {
+                "n": pa.array([n], pa.int64()),
+                "sq": pa.array([Qm.sum(axis=0).tobytes()], pa.binary()),
+                "qq": pa.array([(Qm.T @ Qm).tobytes()], pa.binary()),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if not len(parts):
+        return pa.table(
+            {
+                "i": pa.array([], pa.int64()),
+                "j": pa.array([], pa.int64()),
+                "cov_num": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+    n = int(parts["n"].sum())
+    sq = np.sum(
+        [np.frombuffer(b, dtype=np.int64) for b in parts["sq"]], axis=0
+    )
+    d = len(sq)
+    qq = np.sum(
+        [np.frombuffer(b, dtype=np.int64).reshape(d, d) for b in parts["qq"]],
+        axis=0,
+    )
+    iu, ju = np.triu_indices(d)
+    cov_num = n * qq[iu, ju] - sq[iu] * sq[ju]
+    return pa.table(
+        {
+            "i": pa.array(iu + 1, pa.int64()),
+            "j": pa.array(ju + 1, pa.int64()),
+            "cov_num": pa.array(cov_num, pa.int64()),
+            "n": pa.array(np.full(len(iu), n), pa.int64()),
+        }
+    )
+
+
 def events_robust_outliers(sf_dir: str) -> rd.Dataset:
     """Robust (MAD-based) outlier detection -> (event_id, event_type,
     cents): events whose integer-cents value deviates from their
