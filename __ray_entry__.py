@@ -171,6 +171,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bucketed_join_orders_customer": Q.bucketed_join_orders_customer,
         "user_event_type_unpivot": Q.user_event_type_unpivot,
         "embedding_covariance": Q.embedding_covariance,
+        "copurchase_link_scores": Q.copurchase_link_scores,
         "documents_version_diff": Q.documents_version_diff,
         "export_jsonl_gz_roundtrip": Q.export_jsonl_gz_roundtrip,
         "quality_gate_composite": Q.quality_gate_composite,
@@ -715,6 +716,30 @@ def oracle_sql() -> dict[str, str]:
         "user_event_type_unpivot": r"""
             SELECT user_id, event_type, count(*)::BIGINT AS n
             FROM events GROUP BY user_id, event_type
+        """,
+        "copurchase_link_scores": r"""
+            WITH p AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+                 e AS (SELECT a.l_partkey AS a, b.l_partkey AS b
+                       FROM p a JOIN p b
+                         ON a.l_orderkey = b.l_orderkey
+                        AND a.l_partkey < b.l_partkey
+                       GROUP BY 1, 2 HAVING count(*) >= 2),
+                 bi AS (SELECT a AS u, b AS v FROM e
+                        UNION ALL SELECT b, a FROM e),
+                 deg AS (SELECT u, count(*)::BIGINT AS d FROM bi GROUP BY u),
+                 com AS (
+                   SELECT e.a, e.b, count(*)::BIGINT AS c
+                   FROM e JOIN bi x ON x.u = e.a
+                          JOIN bi y ON y.u = e.b AND y.v = x.v
+                   GROUP BY e.a, e.b
+                 )
+            SELECT e.a, e.b,
+                   coalesce(com.c, 0)::BIGINT AS n_common,
+                   (da.d + db.d - 2 - coalesce(com.c, 0))::BIGINT AS n_union
+            FROM e
+            JOIN deg da ON da.u = e.a
+            JOIN deg db ON db.u = e.b
+            LEFT JOIN com ON com.a = e.a AND com.b = e.b
         """,
         "embedding_covariance": r"""
             WITH u AS (

@@ -680,3 +680,163 @@ def bfs_hops(
     # visited carries (node, dist) for every discovered level; levels
     # are disjoint by the anti join, so dist IS the shortest distance
     return visited
+
+
+def edge_neighbor_overlap(
+    edges: rd.Dataset,
+    src: str = "part_a",
+    dst: str = "part_b",
+    num_partitions: int = 8,
+) -> rd.Dataset:
+    """Per-edge neighborhood overlap -> (a, b, n_common, n_union) —
+    the common-neighbors / Jaccard feature classical link prediction
+    scores edges with (Liben-Nowell & Kleinberg 2003).  For the edge
+    (a, b): n_common = |N(a) ∩ N(b)| (= triangles through the edge)
+    and n_union = |N(a) ∪ N(b) \\ {a, b}| = deg(a) + deg(b) - 2 -
+    n_common, so the Jaccard score is n_common / n_union downstream
+    (kept as exact integers here).  Input contract: distinct edges,
+    canonical ``src < dst`` (copurchase_edges).
+
+    Same scale shape as triangle_counts: the bidirected adjacency
+    feeds (1) a wedge join on the edge's a-endpoint and (2) a
+    composite-key closing join on (b, w) — hub fan-out spreads across
+    hash partitions; per-edge counting is combiner-first.  Every
+    possibly-empty join side is guarded (Ray join aggregators cannot
+    finalize zero-row partitions)."""
+    from .agg import grouped_count
+    from .joins import hash_join
+
+    empty = rd.from_arrow(
+        pa.table(
+            {
+                "a": pa.array([], pa.int64()),
+                "b": pa.array([], pa.int64()),
+                "n_common": pa.array([], pa.int64()),
+                "n_union": pa.array([], pa.int64()),
+            }
+        )
+    )
+    e = (
+        edges.select_columns([src, dst])
+        .map_batches(
+            lambda t: pa.table({"a": t[src], "b": t[dst]}),
+            batch_format="pyarrow",
+        )
+        .repartition(num_partitions)
+        .materialize()  # feeds four consumers below
+    )
+    if e.count() == 0:
+        return empty
+
+    bi = e.map_batches(
+        lambda t: pa.table(
+            {
+                "u": pa.concat_arrays(
+                    [
+                        t["a"].combine_chunks()
+                        if isinstance(t["a"], pa.ChunkedArray)
+                        else t["a"],
+                        t["b"].combine_chunks()
+                        if isinstance(t["b"], pa.ChunkedArray)
+                        else t["b"],
+                    ]
+                ),
+                "v": pa.concat_arrays(
+                    [
+                        t["b"].combine_chunks()
+                        if isinstance(t["b"], pa.ChunkedArray)
+                        else t["b"],
+                        t["a"].combine_chunks()
+                        if isinstance(t["a"], pa.ChunkedArray)
+                        else t["a"],
+                    ]
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    ).repartition(num_partitions).materialize()  # wedge + closing + degree sides
+
+    deg = grouped_count(
+        bi.map_batches(
+            lambda t: t.select(["u"]), batch_format="pyarrow"
+        ),
+        ["u"],
+        count_col="d",
+    )
+
+    # wedges through a: (a, b) x (a=u, w=v) -> (a, b, v=w)
+    wedges = hash_join(e, bi, on="a", right_on="u", num_partitions=num_partitions)
+    # close on the other endpoint: (b, w) must be adjacent (inner join
+    # against the key-only adjacency keeps exactly the closed wedges)
+    closing = bi.map_batches(
+        lambda t: pa.table({"b": t["u"], "v": t["v"]}),
+        batch_format="pyarrow",
+    )
+    closed = hash_join(
+        wedges,
+        closing,
+        on=("b", "v"),
+        num_partitions=num_partitions,
+    )
+    com = grouped_count(
+        closed.map_batches(
+            lambda t: t.select(["a", "b"]), batch_format="pyarrow"
+        ),
+        ["a", "b"],
+        count_col="n_common",
+    )
+
+    # assemble: e x deg(a) x deg(b), left-join common (may be empty)
+    da = deg.map_batches(
+        lambda t: pa.table({"a": t["u"], "da": pc.cast(t["d"], pa.int64())}),
+        batch_format="pyarrow",
+    )
+    db = deg.map_batches(
+        lambda t: pa.table({"b": t["u"], "db": pc.cast(t["d"], pa.int64())}),
+        batch_format="pyarrow",
+    )
+    withdeg = hash_join(
+        hash_join(e, da, on="a", num_partitions=num_partitions),
+        db,
+        on="b",
+        num_partitions=num_partitions,
+    )
+
+    if com.count() == 0:
+        return withdeg.map_batches(
+            lambda t: pa.table(
+                {
+                    "a": t["a"],
+                    "b": t["b"],
+                    "n_common": pa.array(np.zeros(len(t), np.int64)),
+                    "n_union": pc.cast(
+                        pc.subtract(pc.add(t["da"], t["db"]), 2), pa.int64()
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
+    j = hash_join(
+        withdeg,
+        com,
+        on=("a", "b"),
+        how="left_outer",
+        num_partitions=num_partitions,
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        c = pc.fill_null(pc.cast(t["n_common"], pa.int64()), 0)
+        union = pc.subtract(
+            pc.subtract(pc.add(t["da"], t["db"]), 2), c
+        )
+        return pa.table(
+            {
+                "a": t["a"],
+                "b": t["b"],
+                "n_common": c,
+                "n_union": pc.cast(union, pa.int64()),
+            }
+        )
+
+    return j.map_batches(finish, batch_format="pyarrow")

@@ -2241,6 +2241,24 @@ def user_event_type_unpivot(sf_dir: str) -> rd.Dataset:
     return wide.map_batches(melt, batch_format="pyarrow")
 
 
+def copurchase_link_scores(sf_dir: str) -> rd.Dataset:
+    """Link-prediction features on the co-purchase graph -> (a, b,
+    n_common, n_union) per edge: common-neighbor and neighborhood-
+    union sizes (Jaccard = n_common/n_union downstream), kept as exact
+    integers (ops/graph.edge_neighbor_overlap: wedge + composite-key
+    closing joins, combiner-first counts — triangle machinery bent to
+    per-edge scoring).  Scored over the SUPPORT >= 2 graph: single
+    co-occurrences are noise, not link-prediction candidates, and the
+    support filter collapses the wedge volume (sum deg² falls 800x at
+    sf0.01) — the same pre-pruning any production similarity scorer
+    applies before a neighborhood pass."""
+    from .ops import graph
+
+    li = _lineitem(sf_dir, ["l_orderkey", "l_partkey"])
+    edges = graph.copurchase_edges(li, min_count=2)
+    return graph.edge_neighbor_overlap(edges)
+
+
 def copurchase_triangles(sf_dir: str) -> rd.Dataset:
     """Triangle counts on the co-purchase graph -> (node, n_triangles)
     with node = each triangle's smallest part key (ops/graph.
