@@ -1441,6 +1441,37 @@ def ann_topk(sf_dir: str) -> rd.Dataset:
     return ann.brute_force_topk(corpus, ids, mat, k=10)
 
 
+def ann_recall_report(sf_dir: str) -> pa.Table:
+    """ANN quality EVALUATION -> (variant, recall_pct): recall@10 of
+    each approximate index family (LSH / IVF / PQ-ADC) against the
+    brute-force ground truth, as integer percent (floor) averaged over
+    the query set — the measure-don't-guess harness a vector-search
+    deployment runs before trusting an index.  Each variant's result
+    set is the EXISTING registry query's output (bounded: 10 rows per
+    query vector), compared on the driver."""
+    truth = ann_topk(sf_dir).to_pandas()  # bounded: n_queries x 10
+
+    def recall_of(df: pd.DataFrame) -> int:
+        got = df.groupby("query_id")["neighbor_id"].apply(set)
+        want = truth.groupby("query_id")["neighbor_id"].apply(set)
+        fracs = [
+            len(got.get(q, set()) & w) / len(w) for q, w in want.items()
+        ]
+        return int(np.floor(100.0 * np.mean(fracs)))
+
+    rows = [
+        ("lsh", recall_of(ann_topk_lsh(sf_dir).to_pandas())),
+        ("ivf", recall_of(ann_topk_ivf(sf_dir).to_pandas())),
+        ("pq", recall_of(ann_topk_pq(sf_dir).to_pandas())),
+    ]
+    return pa.table(
+        {
+            "variant": pa.array([r[0] for r in rows], pa.string()),
+            "recall_pct": pa.array([r[1] for r in rows], pa.int64()),
+        }
+    )
+
+
 def ann_topk_lsh(sf_dir: str) -> rd.Dataset:
     """LSH-bucketed ANN (approximate; rows-only check)."""
     ids, mat = _query_vectors(sf_dir)
