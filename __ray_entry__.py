@@ -184,6 +184,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_mixture_stats": Q.source_mixture_stats,
         "events_quantile_bands": Q.events_quantile_bands,
         "asof_events_next_order": Q.asof_events_next_order,
+        "q10_returned_items": Q.q10_returned_items,
+        "user_event_sequences": Q.user_event_sequences,
+        "part_skyline": Q.part_skyline,
         # --- rows-only / pytest-oracled block (no SQL twin by nature) ---
         "doc_packing": Q.doc_packing,
         "doc_topic_clusters": Q.doc_topic_clusters,
@@ -612,6 +615,36 @@ def oracle_sql() -> dict[str, str]:
               JOIN events p ON v.user_id = p.user_id AND p.ts >= v.ts
               WHERE v.event_type = 'view' AND p.event_type = 'purchase'
             ) WHERE rn = 1
+        """,
+        "q10_returned_items": """
+            SELECT c.c_custkey, c.c_name, n.n_name,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+            FROM customer c, orders o, lineitem l, nation n
+            WHERE c.c_custkey = o.o_custkey
+              AND l.l_orderkey = o.o_orderkey
+              AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o.o_orderdate <  TIMESTAMP '1996-07-01'
+              AND l.l_returnflag = 'R'
+              AND c.c_nationkey = n.n_nationkey
+            GROUP BY c.c_custkey, c.c_name, n.n_name
+            ORDER BY sum(l.l_extendedprice * (1 - l.l_discount)) DESC, c.c_custkey
+            LIMIT 20
+        """,
+        "user_event_sequences": """
+            SELECT user_id,
+                   string_agg(event_type, ',' ORDER BY ts, event_id) AS seq,
+                   count(*)::BIGINT AS n_events
+            FROM events GROUP BY user_id
+        """,
+        "part_skyline": """
+            SELECT p.p_partkey, p.p_retailprice, p.p_size
+            FROM part p
+            WHERE NOT EXISTS (
+              SELECT 1 FROM part q
+              WHERE q.p_retailprice <= p.p_retailprice
+                AND q.p_size <= p.p_size
+                AND (q.p_retailprice < p.p_retailprice OR q.p_size < p.p_size)
+            )
         """,
         "text_token_counts": r"""
             SELECT doc_id,

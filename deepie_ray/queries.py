@@ -5749,3 +5749,166 @@ def user_state_islands(sf_dir: str) -> rd.Dataset:
 
     ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
     return analytic.islands(ev, "user_id", "ts", "event_id", "event_type")
+
+
+def q10_returned_items(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q10 shape: top-20 customers by revenue from RETURNED
+    lineitems in a fixed half-year order window -> (c_custkey, c_name,
+    n_name, revenue).
+
+    Scale shape: both predicates are pushed into the parquet reads
+    (date window on orders, ``l_returnflag = 'R'`` on lineitem) so only
+    qualifying rows leave storage; lineitem revenue is pre-aggregated
+    per orderkey inside each batch BEFORE the hash-partitioned join to
+    orders; the per-customer grouped sum is combiner-first; customer
+    and nation labels attach AFTER the top-20 (a 20-key pushdown read +
+    25-row nation broadcast — the post-top-k label pattern from
+    top10_customers_by_spend, never an sf-scaled broadcast)."""
+    from datetime import datetime
+
+    lo, hi = datetime(1996, 1, 1), datetime(1996, 7, 1)
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey"],
+        filter=(pc.field("o_orderdate") >= lo) & (pc.field("o_orderdate") < hi),
+        override_num_blocks=read_blocks(),
+    )
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        filter=(pc.field("l_returnflag") == "R"),
+        override_num_blocks=read_blocks(),
+    )
+
+    def rev(t: pa.Table) -> pa.Table:
+        r = pc.multiply(
+            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+        )
+        g = (
+            pa.table({"o_orderkey": t["l_orderkey"], "r": r})
+            .group_by("o_orderkey")
+            .aggregate([("r", "sum")])
+        )
+        return pa.table({"o_orderkey": g["o_orderkey"], "revenue": g["r_sum"]})
+
+    li_rev = li.map_batches(rev, batch_format="pyarrow")
+    joined = joins.hash_join(
+        li_rev, orders.repartition(8), on="o_orderkey", num_partitions=8
+    )
+
+    def by_cust(t: pa.Table) -> pa.Table:
+        g = t.group_by("o_custkey").aggregate([("revenue", "sum")])
+        return pa.table({"o_custkey": g["o_custkey"], "revenue": g["revenue_sum"]})
+
+    agg = (
+        joined.map_batches(by_cust, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Sum("revenue", alias_name="revenue"))
+    )
+    top = (
+        agg.sort(["revenue", "o_custkey"], descending=[True, False])
+        .limit(20)
+        .to_pandas()
+    )
+    keys = [int(k) for k in top["o_custkey"]]
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_nationkey"],
+        filter=(pc.field("c_custkey").isin(keys)),
+    ).to_pandas()
+    nation = _read(sf_dir, "nation").to_pandas()
+    lab = cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey")
+    out = top.merge(lab, left_on="o_custkey", right_on="c_custkey")
+    out = out.sort_values(
+        ["revenue", "c_custkey"], ascending=[False, True], kind="mergesort"
+    ).reset_index(drop=True)
+    out["revenue"] = _round2_series(out["revenue"])
+    return out[["c_custkey", "c_name", "n_name", "revenue"]]
+
+
+def user_event_sequences(sf_dir: str) -> rd.Dataset:
+    """Ordered LIST/STRING aggregation (SQL ``string_agg(x, ','
+    ORDER BY ts, event_id)``) -> (user_id, seq, n_events): each user's
+    full time-ordered event_type sequence as one comma-joined string —
+    the behavioral-sequence extraction in front of every session-based
+    recommender / next-event model.
+
+    Scale shape: ONE shuffle on ``part = user_id % P`` co-locates each
+    user's rows (the part-colocate pattern — P vectorized pandas calls,
+    not one per user); within a partition rows are mergesort-ordered by
+    (user, ts, event_id) and joined per user with a single pandas
+    groupby-agg.  Sequences are per-user-bounded, never corpus-bounded."""
+    P = 32
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["user_id", "ts", "event_id", "event_type"]].copy()
+        out.insert(0, "part", out["user_id"].to_numpy() % P)
+        return out
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["user_id", "ts", "event_id"], kind="mergesort"
+        )
+        g = df.groupby("user_id", sort=True)
+        seq = g["event_type"].agg(",".join)
+        n = g.size()
+        return pd.DataFrame(
+            {
+                "user_id": seq.index.to_numpy(),
+                "seq": seq.to_numpy(),
+                "n_events": n.to_numpy().astype(np.int64),
+            }
+        )
+
+    return (
+        ev.map_batches(tag, batch_format="pandas")
+        .groupby("part")
+        .map_groups(per_part, batch_format="pandas")
+        .select_columns(["user_id", "seq", "n_events"])
+    )
+
+
+def _skyline_table(t: pa.Table) -> pa.Table:
+    """2-D Pareto-minimal rows of (p_retailprice, p_size): a row
+    survives iff no other row is <= on both axes and < on at least one.
+    Vectorized: lexsort by (price, size); a distinct (price, size) pair
+    survives iff its size is STRICTLY below the running min size of all
+    preceding pairs (any preceding pair with size <= dominates: price
+    is <= by sort order and distinctness gives the strict axis).
+    Exact duplicates share a pair and survive or die together."""
+    if t.num_rows == 0:
+        return t
+    price = t["p_retailprice"].to_numpy(zero_copy_only=False).astype(np.float64)
+    size = t["p_size"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((size, price))
+    ps, ss = price[order], size[order]
+    new_pair = np.ones(len(ps), bool)
+    new_pair[1:] = (ps[1:] != ps[:-1]) | (ss[1:] != ss[:-1])
+    pair_idx = np.cumsum(new_pair) - 1
+    pair_size = ss[new_pair]
+    acc = np.minimum.accumulate(pair_size)
+    prev_min = np.empty(len(pair_size), np.float64)
+    prev_min[0] = np.inf
+    prev_min[1:] = acc[:-1]
+    keep_pair = pair_size < prev_min
+    idx = np.sort(order[keep_pair[pair_idx]])
+    return t.take(pa.array(idx, pa.int64()))
+
+
+def part_skyline(sf_dir: str) -> rd.Dataset:
+    """SKYLINE (Pareto frontier) query -> the parts no other part beats
+    on BOTH price and size (cheapest-for-its-size frontier) ->
+    (p_partkey, p_retailprice, p_size).
+
+    Scale shape: skyline(S1 u S2) is a subset of skyline(S1) u
+    skyline(S2), so the kernel IS its own combiner — each block reduces
+    to its local frontier map-side (typically O(distinct prices) rows),
+    and one final task merges the tiny survivors.  The corpus is read
+    once and never shuffled; only local frontiers move."""
+    parts = _read(sf_dir, "part", ["p_partkey", "p_retailprice", "p_size"])
+    return (
+        parts.map_batches(_skyline_table, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(_skyline_table, batch_format="pyarrow")
+    )

@@ -912,3 +912,86 @@ def test_hll_error_bound_and_partition_invariance():
     assert outs[0].equals(outs[1])
     assert abs(outs[0]["a"] - 3000) / 3000 < 0.05
     assert abs(outs[0]["b"] - 1000) / 1000 < 0.05
+
+
+def test_skyline_kernel_vs_bruteforce_and_combiner():
+    import ray.data as rd
+
+    from deepie_ray.queries import _skyline_table
+
+    rng = np.random.default_rng(7)
+    n = 400
+    price = np.round(rng.uniform(1, 50, n), 2)
+    size = rng.integers(1, 20, n).astype(np.int32)
+    # plant exact duplicates (must survive or die together) and an
+    # undominated corner
+    price[10] = price[11] = 3.5
+    size[10] = size[11] = 2
+    price[12], size[12] = 0.5, 19
+    t = pa.table(
+        {
+            "p_partkey": pa.array(np.arange(n), pa.int64()),
+            "p_retailprice": pa.array(price, pa.float64()),
+            "p_size": pa.array(size, pa.int32()),
+        }
+    )
+
+    # brute-force O(n^2) oracle
+    dominated = np.zeros(n, bool)
+    for i in range(n):
+        dom = (
+            (price <= price[i])
+            & (size <= size[i])
+            & ((price < price[i]) | (size < size[i]))
+        )
+        dominated[i] = dom.any()
+    want = set(np.nonzero(~dominated)[0].tolist())
+
+    got = set(_skyline_table(t)["p_partkey"].to_pylist())
+    assert got == want and 12 in got
+
+    # combiner property: local skylines per block -> global pass gives
+    # the identical frontier at any partitioning
+    for parts in (1, 5):
+        ds = (
+            rd.from_arrow(t)
+            .repartition(parts)
+            .map_batches(_skyline_table, batch_format="pyarrow")
+            .repartition(1)
+            .map_batches(_skyline_table, batch_format="pyarrow")
+        )
+        assert set(ds.to_pandas()["p_partkey"]) == want
+
+    # duplicates share fate
+    assert (10 in got) == (11 in got)
+
+
+def test_user_event_sequences_ordering_and_ties():
+    import ray.data as rd
+
+    import deepie_ray.queries as Q
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    S = np.timedelta64(1, "s")
+    # user 1: ts tie at t0 broken by event_id (2 before 5); user 2: one row
+    t = pa.table(
+        {
+            "event_id": pa.array([5, 2, 9, 1], pa.int64()),
+            "ts": pa.array([base, base, base + S, base], pa.timestamp("us")),
+            "user_id": pa.array([1, 1, 1, 2], pa.int64()),
+            "event_type": pa.array(["b", "a", "c", "z"]),
+        }
+    )
+    import tempfile, os
+    import pyarrow.parquet as pq
+
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(t, os.path.join(d, "events.parquet"))
+        out = (
+            Q.user_event_sequences(d)
+            .to_pandas()
+            .set_index("user_id")
+            .sort_index()
+        )
+    assert out.loc[1, "seq"] == "a,b,c" and out.loc[1, "n_events"] == 3
+    assert out.loc[2, "seq"] == "z" and out.loc[2, "n_events"] == 1
