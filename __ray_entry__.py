@@ -187,6 +187,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q10_returned_items": Q.q10_returned_items,
         "user_event_sequences": Q.user_event_sequences,
         "part_skyline": Q.part_skyline,
+        "copurchase_components": Q.copurchase_components,
+        "user_event_mode": Q.user_event_mode,
+        "events_daily_gap_fill": Q.events_daily_gap_fill,
         # --- rows-only / pytest-oracled block (no SQL twin by nature) ---
         "doc_packing": Q.doc_packing,
         "doc_topic_clusters": Q.doc_topic_clusters,
@@ -645,6 +648,50 @@ def oracle_sql() -> dict[str, str]:
                 AND q.p_size <= p.p_size
                 AND (q.p_retailprice < p.p_retailprice OR q.p_size < p.p_size)
             )
+        """,
+        "copurchase_components": """
+            WITH RECURSIVE
+            p AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+            e AS (SELECT a.l_partkey AS a, b.l_partkey AS b
+                  FROM p a JOIN p b
+                    ON a.l_orderkey = b.l_orderkey
+                   AND a.l_partkey < b.l_partkey
+                  GROUP BY 1, 2 HAVING count(*) >= 2),
+            ed AS (SELECT a AS src, b AS dst FROM e
+                   UNION ALL SELECT b, a FROM e),
+            walk(node, label) AS (
+              SELECT src, src FROM ed
+              UNION
+              SELECT ed.dst, w.label FROM walk w JOIN ed ON ed.src = w.node
+            )
+            SELECT node::BIGINT AS node, min(label)::BIGINT AS component
+            FROM walk GROUP BY node
+        """,
+        "user_event_mode": """
+            SELECT user_id, event_type AS mode_event_type, n FROM (
+              SELECT user_id, event_type, count(*)::BIGINT AS n,
+                     row_number() OVER (
+                       PARTITION BY user_id
+                       ORDER BY count(*) DESC, event_type) AS rn
+              FROM events GROUP BY user_id, event_type
+            ) WHERE rn = 1
+        """,
+        "events_daily_gap_fill": """
+            WITH b AS (
+              SELECT (epoch(min(ts))::BIGINT // 86400) * 86400 AS lo,
+                     (epoch(max(ts))::BIGINT // 86400) * 86400 AS hi
+              FROM events
+            ),
+            days AS (
+              SELECT unnest(range(lo, hi + 86400, 86400)) AS day_start FROM b
+            ),
+            c AS (
+              SELECT (epoch(ts)::BIGINT // 86400) * 86400 AS day_start,
+                     count(*)::BIGINT AS n
+              FROM events GROUP BY 1
+            )
+            SELECT days.day_start, coalesce(c.n, 0)::BIGINT AS n_events
+            FROM days LEFT JOIN c USING (day_start)
         """,
         "text_token_counts": r"""
             SELECT doc_id,

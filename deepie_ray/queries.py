@@ -5912,3 +5912,148 @@ def part_skyline(sf_dir: str) -> rd.Dataset:
         .repartition(1)
         .map_batches(_skyline_table, batch_format="pyarrow")
     )
+
+
+def copurchase_components(sf_dir: str) -> rd.Dataset:
+    """CONNECTED COMPONENTS over the support>=2 co-purchase graph ->
+    (node, component) with component = min part id reachable — the
+    first SQL-oracle-checked exposure of the canonicalization primitive
+    the flagship KG pipeline runs (ops/canon.connected_components:
+    iterated min-label propagation, per-round per-batch partial mins so
+    the shuffle moves one row per (node, block), fixpoint-checked).
+
+    The SQL twin is a recursive-CTE reachability walk folded with
+    ``min(label)`` — exact full reachability, matched by the size-gated
+    resolver shared with minhash_dedup (ops/dedup.components_from_pairs:
+    union-find over the bounded EDGE list below the gate, fixpoint
+    min-label propagation above it — both compute the same min-id
+    labels; the distributed path is forced in pytest)."""
+    from .ops import graph
+
+    li = _lineitem(sf_dir, ["l_orderkey", "l_partkey"])
+    edges = graph.copurchase_edges(li, min_count=2)
+
+    def to_src_dst(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": pc.cast(t["part_a"], pa.int64()),
+                "dst": pc.cast(t["part_b"], pa.int64()),
+            }
+        )
+
+    e = edges.map_batches(to_src_dst, batch_format="pyarrow")
+    labels = dedup.components_from_pairs(
+        e.map_batches(
+            lambda t: pa.table({"id_a": t["src"], "id_b": t["dst"]}),
+            batch_format="pyarrow",
+        ),
+        pa.int64(),
+        num_partitions=8,
+    )
+    return labels.map_batches(
+        lambda t: pa.table(
+            {
+                "node": pc.cast(t["doc_id"], pa.int64()),
+                "component": pc.cast(t["cluster_id"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def user_event_mode(sf_dir: str) -> rd.Dataset:
+    """MODE per group (most frequent event_type per user, ties to the
+    lexicographically first type) -> (user_id, mode_event_type, n).
+
+    Scale shape: per-batch (user, type) partial counts shrink the
+    corpus map-side; ONE shuffle on ``part = user_id % P`` co-locates
+    each user's partials (part-colocate — P vectorized pandas calls,
+    not one per user); within a partition the fold is a pandas
+    groupby-sum + mergesort argmax."""
+    P = 32
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["user_id", "event_type"]).aggregate([([], "count_all")])
+        # P is a power of two: modulo via bitmask (pyarrow has no mod kernel)
+        part = pc.bit_wise_and(pc.cast(g["user_id"], pa.int64()), pa.scalar(P - 1))
+        return pa.table(
+            {
+                "part": part,
+                "user_id": g["user_id"],
+                "event_type": g["event_type"],
+                "n": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        agg = (
+            df.groupby(["user_id", "event_type"], sort=False)["n"]
+            .sum()
+            .reset_index()
+        )
+        agg = agg.sort_values(
+            ["user_id", "n", "event_type"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        ).drop_duplicates("user_id", keep="first")
+        return pd.DataFrame(
+            {
+                "user_id": agg["user_id"].to_numpy(),
+                "mode_event_type": agg["event_type"].to_numpy(),
+                "n": agg["n"].to_numpy().astype(np.int64),
+            }
+        )
+
+    return (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(per_part, batch_format="pandas")
+        .select_columns(["user_id", "mode_event_type", "n"])
+    )
+
+
+def events_daily_gap_fill(sf_dir: str) -> pd.DataFrame:
+    """Calendar-spine GAP FILL (the time-series densification every
+    dashboard/forecast feed runs) -> (day_start:int64 epoch s,
+    n_events) for EVERY day between the corpus min and max, zero-filled
+    where no events landed.
+
+    Scale shape: the corpus reduces map-side to per-batch per-day
+    partial counts; one grouped sum leaves a calendar-bounded result
+    (days, not events — ~2.4k rows for the 6.5-year synthetic span at
+    ANY sf), which the driver densifies against a generated spine.  The
+    spine is calendar-bounded, never corpus-bounded, so the driver-side
+    merge is exempt from the no-driver-materialize rule."""
+    ev = _read(sf_dir, "events", ["ts"])
+    DAY = 86400
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64())  # timestamp[us] -> micros
+        day = pc.multiply(
+            pc.floor(pc.divide(pc.cast(us, pa.float64()), 86400e6)),
+            pa.scalar(float(DAY)),
+        )
+        g = (
+            pa.table({"day_start": pc.cast(day, pa.int64())})
+            .group_by("day_start")
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                "day_start": g["day_start"],
+                "n": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    agg = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("day_start")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    lo, hi = int(agg["day_start"].min()), int(agg["day_start"].max())
+    spine = pd.DataFrame({"day_start": np.arange(lo, hi + DAY, DAY, dtype=np.int64)})
+    out = spine.merge(agg, on="day_start", how="left")
+    out["n_events"] = out["n"].fillna(0).astype(np.int64)
+    return out[["day_start", "n_events"]]

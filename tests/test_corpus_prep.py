@@ -995,3 +995,63 @@ def test_user_event_sequences_ordering_and_ties():
         )
     assert out.loc[1, "seq"] == "a,b,c" and out.loc[1, "n_events"] == 3
     assert out.loc[2, "seq"] == "z" and out.loc[2, "n_events"] == 1
+
+
+def test_user_event_mode_tie_break_and_partials():
+    import tempfile, os
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    import deepie_ray.queries as Q
+
+    # user 1: a x2, b x2 -> tie broken to 'a'; user 2: c x3 beats d x1
+    t = pa.table(
+        {
+            "user_id": pa.array([1, 1, 1, 1, 2, 2, 2, 2], pa.int64()),
+            "event_type": pa.array(["b", "a", "b", "a", "c", "c", "d", "c"]),
+        }
+    )
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(t, os.path.join(d, "events.parquet"))
+        out = (
+            Q.user_event_mode(d).to_pandas().set_index("user_id").sort_index()
+        )
+    assert out.loc[1, "mode_event_type"] == "a" and out.loc[1, "n"] == 2
+    assert out.loc[2, "mode_event_type"] == "c" and out.loc[2, "n"] == 3
+
+
+def test_copurchase_components_distributed_parity():
+    """The size-gated resolver's DISTRIBUTED path must produce the same
+    component map as the union-find fast path on the same edge set."""
+    import ray.data as rd
+
+    from deepie_ray.ops import dedup
+    from deepie_ray.ops.canon import connected_components_driver
+
+    rng = np.random.default_rng(11)
+    # two chained components + isolated pair
+    edges = [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (20, 21)]
+    # add random extra edges within {1..4} and {10..12}
+    for _ in range(10):
+        a, b = rng.integers(1, 5, 2)
+        if a != b:
+            edges.append((int(min(a, b)), int(max(a, b))))
+    t = pa.table(
+        {
+            "id_a": pa.array([e[0] for e in edges], pa.int64()),
+            "id_b": pa.array([e[1] for e in edges], pa.int64()),
+        }
+    )
+    want = connected_components_driver(edges)
+    got = (
+        dedup.components_from_pairs(
+            rd.from_arrow(t).repartition(3),
+            pa.int64(),
+            num_partitions=4,
+            force_distributed_cc=True,
+        )
+        .to_pandas()
+        .set_index("doc_id")["cluster_id"]
+        .to_dict()
+    )
+    assert got == want
