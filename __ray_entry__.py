@@ -190,6 +190,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "copurchase_components": Q.copurchase_components,
         "user_event_mode": Q.user_event_mode,
         "events_daily_gap_fill": Q.events_daily_gap_fill,
+        "orders_profile": Q.orders_profile,
+        "documents_checksum": Q.documents_checksum,
         # --- rows-only / pytest-oracled block (no SQL twin by nature) ---
         "doc_packing": Q.doc_packing,
         "doc_topic_clusters": Q.doc_topic_clusters,
@@ -692,6 +694,31 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT days.day_start, coalesce(c.n, 0)::BIGINT AS n_events
             FROM days LEFT JOIN c USING (day_start)
+        """,
+        "orders_profile": """
+            SELECT 'o_orderkey' AS col, count(*)::BIGINT AS n_rows,
+                   (count(*) - count(o_orderkey))::BIGINT AS n_null,
+                   count(DISTINCT o_orderkey)::BIGINT AS n_distinct FROM orders
+            UNION ALL
+            SELECT 'o_custkey', count(*)::BIGINT,
+                   (count(*) - count(o_custkey))::BIGINT,
+                   count(DISTINCT o_custkey)::BIGINT FROM orders
+            UNION ALL
+            SELECT 'o_orderstatus', count(*)::BIGINT,
+                   (count(*) - count(o_orderstatus))::BIGINT,
+                   count(DISTINCT o_orderstatus)::BIGINT FROM orders
+            UNION ALL
+            SELECT 'o_totalprice', count(*)::BIGINT,
+                   (count(*) - count(o_totalprice))::BIGINT,
+                   count(DISTINCT o_totalprice)::BIGINT FROM orders
+        """,
+        "documents_checksum": """
+            SELECT (sum(('0x' || substr(
+                       md5(doc_id::VARCHAR || '|' || coalesce(text, '')),
+                       1, 8))::BIGINT)
+                    % 2305843009213693951)::BIGINT AS checksum,
+                   count(*)::BIGINT AS n_rows
+            FROM documents
         """,
         "text_token_counts": r"""
             SELECT doc_id,

@@ -26,7 +26,7 @@ import pyarrow.compute as pc
 import ray.data as rd
 from ray.data.aggregate import Min, Sum
 
-from .hashing import ws_tokens
+from .hashing import md5_hex, ws_tokens
 from .ops import ann, dedup, joins, text, window
 from .ops.agg import grouped_count
 
@@ -6057,3 +6057,132 @@ def events_daily_gap_fill(sf_dir: str) -> pd.DataFrame:
     out = spine.merge(agg, on="day_start", how="left")
     out["n_events"] = out["n"].fillna(0).astype(np.int64)
     return out[["day_start", "n_events"]]
+
+
+def orders_profile(sf_dir: str) -> pd.DataFrame:
+    """Dataset PROFILER (the ops primitive behind every catalog /
+    data-quality dashboard) -> one row per column of orders: (col,
+    n_rows, n_null, n_distinct) with EXACT distinct counts.
+
+    Scale shape: one read feeds two streams — (a) per-batch null/row
+    counters (narrow integer partials), (b) per-batch per-column
+    DISTINCT value strings (combiner-first: the shuffle moves one row
+    per distinct value per block, never the corpus; the string cast is
+    injective per column so the distinct count is exact).  Both fold
+    with tiny grouped sums.  At 100 TB a profiler would flip
+    n_distinct to the mergeable KMV sketch (ops/sketch.py) — the exact
+    path here is the oracle-checkable twin."""
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
+    orders = _read(sf_dir, "orders", cols)
+
+    def counters(t: pa.Table) -> pa.Table:
+        names, rows, nulls = [], [], []
+        for c in cols:
+            names.append(c)
+            rows.append(t.num_rows)
+            nulls.append(t[c].null_count)
+        return pa.table(
+            {
+                "col": pa.array(names, pa.string()),
+                "n_rows": pa.array(rows, pa.int64()),
+                "n_null": pa.array(nulls, pa.int64()),
+            }
+        )
+
+    P = 32
+
+    def distincts(t: pa.Table) -> pa.Table:
+        from zlib import crc32
+
+        out_c, out_v, out_p = [], [], []
+        for c in cols:
+            arr = t[c].combine_chunks() if isinstance(t[c], pa.ChunkedArray) else t[c]
+            u = pc.unique(arr.drop_null())
+            # injective canonical string per column (values never mix
+            # across columns, so per-column injectivity suffices)
+            vs = [repr(v) for v in u.to_pylist()]
+            out_c.extend([c] * len(vs))
+            out_v.extend(vs)
+            out_p.extend(crc32(v.encode()) & (P - 1) for v in vs)
+        return pa.table(
+            {
+                "part": pa.array(out_p, pa.int64()),
+                "col": pa.array(out_c, pa.string()),
+                "val": pa.array(out_v, pa.string()),
+            }
+        )
+
+    def fold_part(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df.drop_duplicates(["col", "val"])
+            .groupby("col", sort=False)
+            .size()
+            .reset_index(name="one")
+        )
+        g["one"] = g["one"].astype(np.int64)
+        return g[["col", "one"]]
+
+    # counter partials are column-bounded (len(cols) rows per block),
+    # so their fold is a driver-side pandas sum — a Ray groupby stage's
+    # fixed shuffle cost would dominate a 4-group aggregate
+    b = (
+        orders.map_batches(counters, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("col", sort=False, as_index=False)[["n_rows", "n_null"]]
+        .sum()
+    )
+    # distinct fold: ONE Ray shuffle on part = crc32(val) % P (the only
+    # corpus-sized exchange — cross-block dedup needs co-location), P
+    # vectorized pandas dedup+count calls, then a <= P*len(cols)-row
+    # driver fold
+    d = (
+        orders.map_batches(distincts, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(fold_part, batch_format="pandas")
+        .to_pandas()
+        .groupby("col", sort=False, as_index=False)["one"]
+        .sum()
+        .rename(columns={"one": "n_distinct"})
+    )
+    out = b.merge(d, on="col")
+    out["n_rows"] = out["n_rows"].astype(np.int64)
+    out["n_null"] = out["n_null"].astype(np.int64)
+    out["n_distinct"] = out["n_distinct"].astype(np.int64)
+    return out[["col", "n_rows", "n_null", "n_distinct"]]
+
+
+def documents_checksum(sf_dir: str) -> pd.DataFrame:
+    """Order-insensitive CONTENT CHECKSUM of the documents table ->
+    one row (checksum, n_rows): sum over rows of the first-8-hex-chars
+    of md5(doc_id || '|' || text) folded modulo a Mersenne prime — the
+    cheap anti-entropy verification primitive for replica / export /
+    migration comparison (two datasets match iff checksums and counts
+    match, regardless of row order or partitioning).
+
+    Scale shape: embarrassingly parallel per-batch partial sums (one
+    int per block crosses the wire); the fold is addition, so any
+    partitioning gives the identical checksum.  DuckDB twin via the
+    ('0x' || substr(md5(..), 1, 8))::BIGINT convention."""
+    MOD = 2305843009213693951  # 2^61 - 1
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        txt = t["text"].to_pylist()
+        s = 0
+        for i, x in zip(ids, txt):
+            s += int(md5_hex(f"{i}|{x or ''}")[:8], 16)
+        return pa.table(
+            {
+                "s": pa.array([s], pa.int64()),
+                "n": pa.array([t.num_rows], pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    return pd.DataFrame(
+        {
+            "checksum": [int(parts["s"].sum()) % MOD],
+            "n_rows": [int(parts["n"].sum())],
+        }
+    )

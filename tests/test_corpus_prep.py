@@ -1055,3 +1055,23 @@ def test_copurchase_components_distributed_parity():
         .to_dict()
     )
     assert got == want
+
+
+def test_documents_checksum_row_order_invariant(sf_dir):
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    import deepie_ray.queries as Q
+
+    a = Q.documents_checksum(sf_dir)
+    # the checksum is an addition fold: reversing row order (and hence
+    # changing every block boundary) must give the identical value
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
+    with tempfile.TemporaryDirectory() as d:
+        t2 = t.take(list(reversed(range(t.num_rows))))
+        pq.write_table(t2, os.path.join(d, "documents.parquet"))
+        b = Q.documents_checksum(d)
+    assert int(a["checksum"][0]) == int(b["checksum"][0])
+    assert int(a["n_rows"][0]) == int(b["n_rows"][0])
