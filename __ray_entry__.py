@@ -192,6 +192,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_daily_gap_fill": Q.events_daily_gap_fill,
         "orders_profile": Q.orders_profile,
         "documents_checksum": Q.documents_checksum,
+        "monthly_revenue_growth": Q.monthly_revenue_growth,
         # --- rows-only / pytest-oracled block (no SQL twin by nature) ---
         "doc_packing": Q.doc_packing,
         "doc_topic_clusters": Q.doc_topic_clusters,
@@ -719,6 +720,20 @@ def oracle_sql() -> dict[str, str]:
                     % 2305843009213693951)::BIGINT AS checksum,
                    count(*)::BIGINT AS n_rows
             FROM documents
+        """,
+        "monthly_revenue_growth": """
+            WITH m AS (
+              SELECT epoch(date_trunc('month', o_orderdate))::BIGINT AS month_start,
+                     sum(floor(o_totalprice * 100)::BIGINT) AS cents
+              FROM orders GROUP BY 1
+            )
+            SELECT month_start,
+                   round(cents / 100.0, 2) AS revenue,
+                   round(lag(cents) OVER (ORDER BY month_start) / 100.0, 2)
+                     AS prev_revenue,
+                   round((cents - lag(cents) OVER (ORDER BY month_start)) * 100.0
+                         / lag(cents) OVER (ORDER BY month_start), 4) AS growth_pct
+            FROM m
         """,
         "text_token_counts": r"""
             SELECT doc_id,

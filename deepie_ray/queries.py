@@ -6186,3 +6186,58 @@ def documents_checksum(sf_dir: str) -> pd.DataFrame:
             "n_rows": [int(parts["n"].sum())],
         }
     )
+
+
+def monthly_revenue_growth(sf_dir: str) -> pd.DataFrame:
+    """Period-over-period trend (the MoM growth table on every revenue
+    dashboard) -> (month_start:int64 epoch s, revenue, prev_revenue,
+    growth_pct) ordered by month, with NULL prev/growth on the first.
+
+    Scale shape: the corpus reduces map-side to per-batch per-month
+    integer-cent partials; one grouped sum leaves a CALENDAR-bounded
+    result (~80 months for the synthetic span at ANY sf), so the lag +
+    ratio fold runs on the driver.  growth_pct is computed from exact
+    integer cents on both sides, rounded once at the end."""
+    orders = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = t["o_orderdate"].to_numpy(zero_copy_only=False)
+        # month bucket via numpy datetime64[M] (calendar months, not
+        # fixed-width windows); epoch seconds of the month start
+        months = ts.astype("datetime64[M]")
+        starts = months.astype("datetime64[s]").astype(np.int64)
+        cents = np.floor(t["o_totalprice"].to_numpy() * 100.0).astype(np.int64)
+        df = pd.DataFrame({"month_start": starts, "cents": cents})
+        g = df.groupby("month_start", sort=False, as_index=False)["cents"].sum()
+        return pa.table(
+            {
+                "month_start": pa.array(g["month_start"].to_numpy(), pa.int64()),
+                "cents": pa.array(g["cents"].to_numpy(), pa.int64()),
+            }
+        )
+
+    agg = (
+        orders.map_batches(partial, batch_format="pyarrow")
+        .groupby("month_start")
+        .aggregate(Sum("cents", alias_name="cents"))
+        .to_pandas()
+        .sort_values("month_start")
+        .reset_index(drop=True)
+    )
+    cents = agg["cents"].to_numpy().astype(np.int64)
+    prev = np.roll(cents, 1)
+    out = pd.DataFrame(
+        {
+            "month_start": agg["month_start"].astype(np.int64),
+            "revenue": [round(c / 100.0, 2) for c in cents],
+            "prev_revenue": [None] + [round(c / 100.0, 2) for c in prev[1:]],
+            "growth_pct": [None]
+            + [
+                round((c - p) * 100.0 / p, 4) if p else None
+                for c, p in zip(cents[1:], prev[1:])
+            ],
+        }
+    )
+    out["prev_revenue"] = out["prev_revenue"].astype("float64")
+    out["growth_pct"] = out["growth_pct"].astype("float64")
+    return out
