@@ -193,6 +193,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_profile": Q.orders_profile,
         "documents_checksum": Q.documents_checksum,
         "monthly_revenue_growth": Q.monthly_revenue_growth,
+        "lineitem_order_share": Q.lineitem_order_share,
         # --- rows-only / pytest-oracled block (no SQL twin by nature) ---
         "doc_packing": Q.doc_packing,
         "doc_topic_clusters": Q.doc_topic_clusters,
@@ -734,6 +735,22 @@ def oracle_sql() -> dict[str, str]:
                    round((cents - lag(cents) OVER (ORDER BY month_start)) * 100.0
                          / lag(cents) OVER (ORDER BY month_start), 4) AS growth_pct
             FROM m
+        """,
+        "lineitem_order_share": """
+            WITH c AS (
+              SELECT l_orderkey, l_linenumber,
+                     floor(l_extendedprice * (1 - l_discount) * 100)::BIGINT
+                       AS line_cents
+              FROM lineitem
+            )
+            SELECT l_orderkey, l_linenumber, line_cents,
+                   sum(line_cents) OVER (PARTITION BY l_orderkey)::BIGINT
+                     AS order_cents,
+                   CASE WHEN sum(line_cents) OVER (PARTITION BY l_orderkey) <> 0
+                        THEN ((line_cents * 1000000)
+                              // sum(line_cents) OVER (PARTITION BY l_orderkey))::BIGINT
+                        ELSE -1 END AS share_ppm
+            FROM c
         """,
         "text_token_counts": r"""
             SELECT doc_id,

@@ -6241,3 +6241,66 @@ def monthly_revenue_growth(sf_dir: str) -> pd.DataFrame:
     out["prev_revenue"] = out["prev_revenue"].astype("float64")
     out["growth_pct"] = out["growth_pct"].astype("float64")
     return out
+
+
+def lineitem_order_share(sf_dir: str) -> rd.Dataset:
+    """RATIO-TO-GROUP-TOTAL window (SQL ``x / sum(x) OVER (PARTITION
+    BY ...)`` — the revenue-share / normalization staple) ->
+    (l_orderkey, l_linenumber, line_cents, order_cents, share_ppm):
+    each line's revenue, its order's total, and the line's share as
+    integer parts-per-million (floor division — pure int64 arithmetic
+    on both sides, so the value-hash can't fall to a float
+    half-rounding tie).
+
+    Scale shape: revenue quantizes to integer cents map-side; ONE
+    shuffle on ``part = l_orderkey % P`` co-locates each order's lines
+    (part-colocate — P vectorized pandas calls, not one per order);
+    within a partition the group total is a pandas groupby-transform
+    sum."""
+    P = 64
+    li = _lineitem(
+        sf_dir, ["l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"]
+    )
+
+    def tag(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            pc.multiply(
+                t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+            ),
+            pa.scalar(100.0),
+        )
+        cents = pc.cast(pc.floor(rev), pa.int64())
+        part = pc.bit_wise_and(pc.cast(t["l_orderkey"], pa.int64()), pa.scalar(P - 1))
+        return pa.table(
+            {
+                "part": part,
+                "l_orderkey": t["l_orderkey"],
+                "l_linenumber": pc.cast(t["l_linenumber"], pa.int32()),
+                "line_cents": cents,
+            }
+        )
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        totals = df.groupby("l_orderkey", sort=False)["line_cents"].transform("sum")
+        lc = df["line_cents"].to_numpy().astype(np.int64)
+        oc = totals.to_numpy().astype(np.int64)
+        safe = np.where(oc == 0, 1, oc)
+        share = np.where(oc != 0, (lc * 1_000_000) // safe, -1).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "l_orderkey": df["l_orderkey"].to_numpy(),
+                "l_linenumber": df["l_linenumber"].to_numpy(),
+                "line_cents": lc,
+                "order_cents": oc,
+                "share_ppm": share,
+            }
+        )
+
+    return (
+        li.map_batches(tag, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(per_part, batch_format="pandas")
+        .select_columns(
+            ["l_orderkey", "l_linenumber", "line_cents", "order_cents", "share_ppm"]
+        )
+    )
