@@ -194,6 +194,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "documents_checksum": Q.documents_checksum,
         "monthly_revenue_growth": Q.monthly_revenue_growth,
         "lineitem_order_share": Q.lineitem_order_share,
+        "user_event_type_sets": Q.user_event_type_sets,
         # --- rows-only / pytest-oracled block (no SQL twin by nature) ---
         "doc_packing": Q.doc_packing,
         "doc_topic_clusters": Q.doc_topic_clusters,
@@ -751,6 +752,13 @@ def oracle_sql() -> dict[str, str]:
                               // sum(line_cents) OVER (PARTITION BY l_orderkey))::BIGINT
                         ELSE -1 END AS share_ppm
             FROM c
+        """,
+        "user_event_type_sets": """
+            SELECT user_id,
+                   array_to_string(list_sort(list(DISTINCT event_type)), ',')
+                     AS types_csv,
+                   count(DISTINCT event_type)::BIGINT AS n_types
+            FROM events GROUP BY user_id
         """,
         "text_token_counts": r"""
             SELECT doc_id,

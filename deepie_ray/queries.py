@@ -6304,3 +6304,48 @@ def lineitem_order_share(sf_dir: str) -> rd.Dataset:
             ["l_orderkey", "l_linenumber", "line_cents", "order_cents", "share_ppm"]
         )
     )
+
+
+def user_event_type_sets(sf_dir: str) -> rd.Dataset:
+    """SET-VALUED aggregation (SQL ``list_sort(list(DISTINCT x))`` /
+    ``string_agg(DISTINCT ...)``) -> (user_id, types_csv, n_types):
+    each user's DISTINCT event types as one sorted comma-joined string
+    — the tag-set / capability-set rollup shape (vs
+    ``user_event_sequences`` which keeps duplicates and time order).
+
+    Scale shape: per-batch local DISTINCT (user, type) pairs shrink the
+    corpus map-side (the shuffle moves one row per distinct pair per
+    block); ONE shuffle on ``part = user_id % P`` co-locates each
+    user's pairs; the per-partition fold is a pandas dedup + sorted
+    join — P vectorized calls."""
+    P = 32
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["user_id", "event_type"]).aggregate([])
+        part = pc.bit_wise_and(pc.cast(g["user_id"], pa.int64()), pa.scalar(P - 1))
+        return pa.table(
+            {"part": part, "user_id": g["user_id"], "event_type": g["event_type"]}
+        )
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(["user_id", "event_type"]).sort_values(
+            ["user_id", "event_type"], kind="mergesort"
+        )
+        g = df.groupby("user_id", sort=True)
+        csv = g["event_type"].agg(",".join)
+        n = g.size()
+        return pd.DataFrame(
+            {
+                "user_id": csv.index.to_numpy(),
+                "types_csv": csv.to_numpy(),
+                "n_types": n.to_numpy().astype(np.int64),
+            }
+        )
+
+    return (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(per_part, batch_format="pandas")
+        .select_columns(["user_id", "types_csv", "n_types"])
+    )
