@@ -195,7 +195,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "monthly_revenue_growth": Q.monthly_revenue_growth,
         "lineitem_order_share": Q.lineitem_order_share,
         "user_event_type_sets": Q.user_event_type_sets,
+        "session_day_overlap": Q.session_day_overlap,
+        "fk_orphan_scan": Q.fk_orphan_scan,
         # --- rows-only / pytest-oracled block (no SQL twin by nature) ---
+        "doc_compression_ratio": Q.doc_compression_ratio,
         "doc_packing": Q.doc_packing,
         "doc_topic_clusters": Q.doc_topic_clusters,
         "events_distinct_users_hll": Q.events_distinct_users_hll,
@@ -759,6 +762,54 @@ def oracle_sql() -> dict[str, str]:
                      AS types_csv,
                    count(DISTINCT event_type)::BIGINT AS n_types
             FROM events GROUP BY user_id
+        """,
+        "session_day_overlap": """
+            WITH e AS (
+              SELECT user_id, event_id, epoch_us(ts) AS us
+              FROM events WHERE ts IS NOT NULL
+            ),
+            f AS (
+              SELECT user_id, us, event_id,
+                     CASE WHEN lag(us) OVER w IS NULL
+                            OR us - lag(us) OVER w > 1800000000
+                          THEN 1 ELSE 0 END AS new_s
+              FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+            ),
+            g AS (
+              SELECT user_id, us,
+                     sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS sess_no
+              FROM f
+            ),
+            s AS (
+              SELECT user_id, sess_no::BIGINT AS session_no,
+                     min(us) AS start_us, max(us) AS end_us
+              FROM g GROUP BY user_id, sess_no
+            )
+            SELECT user_id, session_no,
+                   (d.day * 86400)::BIGINT AS day_start,
+                   (least(end_us, (d.day + 1) * 86400000000)
+                    - greatest(start_us, d.day * 86400000000))::BIGINT
+                     AS overlap_us
+            FROM s, unnest(range(start_us // 86400000000,
+                                 end_us // 86400000000 + 1)) AS d(day)
+        """,
+        "fk_orphan_scan": """
+            SELECT 'orders.o_custkey->customer' AS relation,
+                   count(*)::BIGINT AS n_orphans
+            FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey)
+            UNION ALL
+            SELECT 'lineitem.l_orderkey->orders', count(*)::BIGINT
+            FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey)
+            UNION ALL
+            SELECT 'customer.c_nationkey->nation', count(*)::BIGINT
+            FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM nation n
+                              WHERE n.n_nationkey = c.c_nationkey)
         """,
         "text_token_counts": r"""
             SELECT doc_id,

@@ -6349,3 +6349,154 @@ def user_event_type_sets(sf_dir: str) -> rd.Dataset:
         .map_groups(per_part, batch_format="pandas")
         .select_columns(["user_id", "types_csv", "n_types"])
     )
+
+
+def session_day_overlap(sf_dir: str) -> rd.Dataset:
+    """INTERVAL x INTERVAL overlap join WITH MEASURE (the
+    time-allocation shape behind billing, SLA and usage attribution:
+    'how much of each session fell on each calendar day') ->
+    (user_id, session_no, day_start:int64 epoch s, overlap_us):
+    30-minute-gap sessions per user, each split across the UTC days it
+    touches with the exact microsecond overlap (0 for a point session
+    or an exactly-midnight endpoint — the day is still emitted, the
+    measure is honest).
+
+    Scale shape: ONE shuffle on ``part = user_id % P`` co-locates each
+    user's events (part-colocate); session boundaries, per-user session
+    numbering and the day explode are all vectorized numpy within the
+    partition.  The day side is ARITHMETIC (floor-division spans), not
+    a join against a spine — no second shuffle.  Pure int64 time math
+    on both sides (``epoch_us`` convention)."""
+    P = 32
+    GAP_US = 1_800_000_000
+    DAY_US = 86_400_000_000
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.dropna(subset=["ts"])
+        out = df[["user_id", "ts", "event_id"]].copy()
+        out.insert(0, "part", out["user_id"].to_numpy() % P)
+        return out
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        us = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        uid = df["user_id"].to_numpy()
+        n = len(df)
+        new_u = np.ones(n, bool)
+        new_u[1:] = uid[1:] != uid[:-1]
+        new_s = new_u.copy()
+        new_s[1:] |= (us[1:] - us[:-1]) > GAP_US
+        # per-user 1-based session number: global cumsum minus the
+        # user's starting offset (vectorized via the run-start index)
+        g = np.cumsum(new_s)
+        run_start = np.maximum.accumulate(np.where(new_u, np.arange(n), 0))
+        sess_no = g - g[run_start] + 1
+        tmp = pd.DataFrame({"user_id": uid, "sess_no": sess_no, "us": us})
+        s = tmp.groupby(["user_id", "sess_no"], sort=False)["us"].agg(
+            ["min", "max"]
+        ).reset_index()
+        starts = s["min"].to_numpy().astype(np.int64)
+        ends = s["max"].to_numpy().astype(np.int64)
+        d0 = starts // DAY_US
+        d1 = ends // DAY_US
+        counts = (d1 - d0 + 1).astype(np.int64)
+        idx = np.repeat(np.arange(len(starts)), counts)
+        offs = np.arange(int(counts.sum()), dtype=np.int64) - np.repeat(
+            np.cumsum(counts) - counts, counts
+        )
+        day_us = (d0[idx] + offs) * DAY_US
+        ov = np.minimum(ends[idx], day_us + DAY_US) - np.maximum(
+            starts[idx], day_us
+        )
+        return pd.DataFrame(
+            {
+                "user_id": s["user_id"].to_numpy()[idx],
+                "session_no": s["sess_no"].to_numpy().astype(np.int64)[idx],
+                "day_start": day_us // 1_000_000,
+                "overlap_us": ov.astype(np.int64),
+            }
+        )
+
+    return (
+        ev.map_batches(tag, batch_format="pandas")
+        .groupby("part")
+        .map_groups(per_part, batch_format="pandas")
+        .select_columns(["user_id", "session_no", "day_start", "overlap_us"])
+    )
+
+
+def fk_orphan_scan(sf_dir: str) -> pd.DataFrame:
+    """REFERENTIAL-INTEGRITY audit (the foreign-key orphan scan every
+    warehouse runs before trusting a join) -> (relation, n_orphans):
+    child keys with no parent row, for the three FK edges of the star
+    schema.  Zero on healthy synthetic data — the operator's value is
+    the mechanism and the guarantee, exercised by a planted-orphan
+    pytest.
+
+    Scale shape: each edge is the distributed ``anti_join`` (combiner-
+    first DISTINCT build side — the shuffle moves parent keys, never
+    child payloads) followed by a count aggregate; the 3-row report
+    assembles on the driver."""
+    from .ops import joins
+
+    checks = []
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    checks.append(
+        ("orders.o_custkey->customer", joins.anti_join(orders, cust, on="o_custkey", right_on="c_custkey"))
+    )
+    li = _lineitem(sf_dir, ["l_orderkey"])
+    okeys = _read(sf_dir, "orders", ["o_orderkey"])
+    checks.append(
+        ("lineitem.l_orderkey->orders", joins.anti_join(li, okeys, on="l_orderkey", right_on="o_orderkey"))
+    )
+    cnat = _read(sf_dir, "customer", ["c_nationkey"])
+    nat = _read(sf_dir, "nation", ["n_nationkey"])
+    checks.append(
+        ("customer.c_nationkey->nation", joins.anti_join(cnat, nat, on="c_nationkey", right_on="n_nationkey"))
+    )
+    return pd.DataFrame(
+        {
+            "relation": [name for name, _ in checks],
+            "n_orphans": np.array([ds.count() for _, ds in checks], np.int64),
+        }
+    )
+
+
+def doc_compression_ratio(sf_dir: str) -> rd.Dataset:
+    """Compressibility quality signal (the zlib-ratio heuristic corpus
+    filters use to flag boilerplate/repetitive text — highly
+    compressible docs are repetition-heavy) -> (doc_id, n_bytes,
+    n_zbytes, ratio_ppm): deflate level 6 over utf-8 bytes, ratio as
+    integer parts-per-million (n_zbytes*1e6 // n_bytes).
+
+    Rows-only check (DuckDB has no deflate); the pytest invariant pins
+    the discriminative property (a repeated phrase compresses far
+    below random-word text) and determinism.  Embarrassingly parallel
+    — no shuffle at all."""
+    import zlib
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def comp(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        txts = t["text"].to_pylist()
+        nb, nz = [], []
+        for x in txts:
+            b = (x or "").encode("utf-8")
+            nb.append(len(b))
+            nz.append(len(zlib.compress(b, 6)))
+        nb_a = np.array(nb, np.int64)
+        nz_a = np.array(nz, np.int64)
+        ratio = np.where(nb_a > 0, nz_a * 1_000_000 // np.where(nb_a == 0, 1, nb_a), -1)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_bytes": pa.array(nb_a, pa.int64()),
+                "n_zbytes": pa.array(nz_a, pa.int64()),
+                "ratio_ppm": pa.array(ratio.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(comp, batch_format="pyarrow")

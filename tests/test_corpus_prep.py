@@ -1075,3 +1075,119 @@ def test_documents_checksum_row_order_invariant(sf_dir):
         b = Q.documents_checksum(d)
     assert int(a["checksum"][0]) == int(b["checksum"][0])
     assert int(a["n_rows"][0]) == int(b["n_rows"][0])
+
+
+def test_fk_orphan_scan_plants_orphans():
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    import deepie_ray.queries as Q
+
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(
+            pa.table(
+                {
+                    "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+                    "o_custkey": pa.array([10, 11, 99], pa.int64()),  # 99 orphan
+                }
+            ),
+            os.path.join(d, "orders.parquet"),
+        )
+        pq.write_table(
+            pa.table(
+                {
+                    "c_custkey": pa.array([10, 11], pa.int64()),
+                    "c_nationkey": pa.array([0, 77], pa.int32()),  # 77 orphan
+                }
+            ),
+            os.path.join(d, "customer.parquet"),
+        )
+        pq.write_table(
+            pa.table(
+                {
+                    # orderkeys 1,2 exist; 5 and 6 are orphans
+                    "l_orderkey": pa.array([1, 2, 5, 6], pa.int64()),
+                }
+            ),
+            os.path.join(d, "lineitem.parquet"),
+        )
+        pq.write_table(
+            pa.table({"n_nationkey": pa.array([0], pa.int32())}),
+            os.path.join(d, "nation.parquet"),
+        )
+        out = Q.fk_orphan_scan(d).set_index("relation")["n_orphans"]
+    assert out["orders.o_custkey->customer"] == 1
+    assert out["lineitem.l_orderkey->orders"] == 2
+    assert out["customer.c_nationkey->nation"] == 1
+
+
+def test_doc_compression_ratio_discriminates_repetition():
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    import deepie_ray.queries as Q
+
+    rng = np.random.default_rng(3)
+    random_text = " ".join(
+        "".join(rng.choice(list("abcdefghijklmnopqrstuvwxyz"), 8)) for _ in range(200)
+    )
+    repeated_text = "the same phrase again " * 80
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array([random_text, repeated_text, ""]),
+        }
+    )
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(t, os.path.join(d, "documents.parquet"))
+        out = Q.doc_compression_ratio(d).to_pandas().set_index("doc_id")
+        out2 = Q.doc_compression_ratio(d).to_pandas().set_index("doc_id")
+    # repetitive text compresses far below random-word text
+    assert out.loc[2, "ratio_ppm"] < out.loc[1, "ratio_ppm"] / 3
+    # empty doc sentinel
+    assert out.loc[3, "n_bytes"] == 0 and out.loc[3, "ratio_ppm"] == -1
+    # deterministic
+    assert out.equals(out2)
+
+
+def test_session_day_overlap_midnight_split():
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    import deepie_ray.queries as Q
+
+    # one session from 23:50 to 00:10 next day -> two day rows with
+    # 10-minute overlaps; a point session at noon -> one row, 0 us
+    base = np.datetime64("2024-03-01T23:50:00", "us")
+    M = np.timedelta64(1, "m")
+    t = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "ts": pa.array(
+                [base, base + 10 * M, base + 20 * M,
+                 np.datetime64("2024-03-05T12:00:00", "us")],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([7, 7, 7, 8], pa.int64()),
+        }
+    )
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(t, os.path.join(d, "events.parquet"))
+        out = (
+            Q.session_day_overlap(d)
+            .to_pandas()
+            .sort_values(["user_id", "session_no", "day_start"])
+            .reset_index(drop=True)
+        )
+    u7 = out[out.user_id == 7]
+    assert len(u7) == 2
+    assert list(u7.overlap_us) == [10 * 60 * 1_000_000, 10 * 60 * 1_000_000]
+    assert u7.iloc[1].day_start - u7.iloc[0].day_start == 86400
+    u8 = out[out.user_id == 8]
+    assert len(u8) == 1 and u8.iloc[0].overlap_us == 0
