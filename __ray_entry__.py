@@ -221,6 +221,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "duplicate_spans_winnowed": Q.duplicate_spans_winnowed,
         # reference-shaped ACE workflow (S1+A5+M12+T3+A6)
         "ace_relation_extraction": Q.ace_relation_extraction,
+        # reference train loop (T16 adadelta + A7 best-epoch), data-parallel
+        "ace_train_multinn": Q.ace_train_multinn,
         # flagship KG pipeline
         "kg_triples": Q.kg_triples,
         "kg_triples_gru": Q.kg_triples_gru,

@@ -6500,3 +6500,45 @@ def doc_compression_ratio(sf_dir: str) -> rd.Dataset:
         )
 
     return ds.map_batches(comp, batch_format="pyarrow")
+
+
+def ace_train_multinn(sf_dir: str) -> pd.DataFrame:
+    """The reference's TRAIN loop (T16 adadelta + A7 best-epoch-on-
+    valid-F1, `rnnRE/rnnReModels.py:38-56`, `rnnRE/rnnRE.py:660-668,
+    979-994`) run data-parallel end-to-end on a deterministic synthetic
+    ACE corpus -> the epoch history (epoch, loss_mean, valid_f1,
+    is_best).  Rows-only by nature (iterative optimization has no SQL
+    twin); the gradient math is finite-difference-checked and the
+    sparse adadelta step is pinned against the reference's dense rule
+    in test_train.py.
+
+    Scale shape: one map_batches pass per epoch, each block returning
+    ONE model-sized partial (dense small matrices + sparse touched
+    embedding rows); driver folds and steps; weights re-broadcast via
+    ray.put once per epoch.  No shuffle anywhere."""
+    import os
+    import tempfile
+    import uuid
+
+    from . import ace_pipeline, synth, train
+    from .ops.dicts import binary_feature_dict, encode_column
+    from .sources.ace import read_ace
+
+    lines = synth.synth_ace_lines(300, seed=31)
+    path = os.path.join(
+        tempfile.gettempdir(), f"ace_train_{uuid.uuid4().hex[:12]}.full.txt"
+    )
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    try:
+        rows = read_ace(path)
+        clean = rows.map_batches(
+            lambda t: t.filter(pc.equal(t["error"], "")), batch_format="pyarrow"
+        ).materialize()
+        fd = binary_feature_dict(clean, "binary_features", 2)
+        enc = encode_column(clean, "binary_features", fd, "feat_ids", default=0)
+        pairs = enc.map_batches(ace_pipeline._to_pairs_like, batch_format="pyarrow")
+        _w, hist = train.train_multinn(pairs, epochs=3, num_blocks=4)
+    finally:
+        os.unlink(path)
+    return hist

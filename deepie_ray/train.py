@@ -1,0 +1,335 @@
+"""T16/A7 — the reference's TRAINING loop, re-expressed data-parallel
+on Ray Data.
+
+Reference semantics (cited for parity): optimizer ``adadelta`` with
+rho=0.95, eps=1e-6 and the zipped-gradient update
+``ud = -sqrt(ru2+eps)/sqrt(rg2+eps) * g`` (`rnnRE/rnnReModels.py:38-56`);
+default ``optimizer='adadelta', batch=50`` in ``train()``
+(`rnnRE/rnnRE.py:660-668`); best-epoch selection on validation F1 with
+the chosen epoch's weights kept (`rnnRE/rnnRE.py:909-994`).
+
+Distributed design (NOT a port of the Theano graph):
+
+* Each epoch is ONE ``map_batches`` pass over the featurized pair
+  table: every block computes its gradient PARTIAL in numpy (the same
+  closed-form backprop through embedding-sum -> sigmoid MLP -> softmax
+  that ``model.multinn_forward`` runs forward) and returns one
+  model-sized row — dense grads for the small matrices, SPARSE
+  (touched-row ids + rows) grads for the two embedding tables, so a
+  block's payload is bounded by the block's vocabulary, never by
+  ``FEAT_BUCKETS``.
+* The driver folds the partials (sum — the data-parallel allreduce
+  analogue, here a bounded driver fold because parameters are
+  vocabulary-bounded, the same argument as the flagship's alias map)
+  and applies ONE adadelta step per epoch.  Untouched embedding rows
+  have g = 0, so their accumulators only decay: the dense decay is a
+  single vectorized multiply, and the touched rows get the (1-rho)
+  corrections — exactly the reference's dense update restricted to
+  its non-zero support.
+* Weights re-broadcast per epoch via ``ray.put`` (one object-store
+  copy per epoch, zero-copy reads in every task).
+
+Deviation from the reference, stated honestly: the reference steps
+adadelta once per 50-row minibatch; data-parallel training steps once
+per EPOCH on the summed gradient (large-batch adadelta — adadelta's
+update magnitude is scale-invariant, which is why it tolerates the
+batch-size change).  The selection rule (best valid F1, ties to the
+earlier epoch) is the reference's.
+"""
+
+from __future__ import annotations
+
+import io
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+
+from . import model as M
+from . import nn
+
+RHO = 0.95
+EPS = 1e-6
+
+_DENSE = ("W1", "b1", "W_out", "b_out")
+_SPARSE = ("E_feat", "E_word")
+
+
+def multinn_loss_grads(
+    weights: dict[str, np.ndarray],
+    flat: np.ndarray,
+    offsets: np.ndarray,
+    h1: np.ndarray,
+    h2: np.ndarray,
+    y: np.ndarray,
+) -> tuple[float, dict[str, np.ndarray]]:
+    """Summed cross-entropy loss + closed-form gradients for one batch.
+
+    Forward math mirrors ``model.multinn_forward`` (ragged
+    embedding-sum via ``np.add.reduceat``); backprop is the standard
+    chain through sigmoid MLP + softmax; embedding grads are returned
+    SPARSE as (ids, rows) pairs aggregated over the batch with
+    ``np.add.at`` on the batch-local unique ids.
+    """
+    n = len(h1)
+    gathered = weights["E_feat"][flat]
+    sums = np.zeros((n, M.FEAT_DIM), dtype=np.float32)
+    starts = offsets[:-1]
+    nonempty = offsets[1:] > starts
+    if gathered.shape[0]:
+        red = np.add.reduceat(gathered, starts[nonempty], axis=0)
+        sums[nonempty] = red[: int(nonempty.sum())]
+    x = np.concatenate(
+        [sums, weights["E_word"][h1], weights["E_word"][h2]], axis=1
+    )
+    h = nn.sigmoid_mlp(x, [(weights["W1"], weights["b1"])])
+    logits = h @ weights["W_out"] + weights["b_out"]
+    p = nn.softmax(logits)
+    eps_p = 1e-12
+    loss = float(-np.log(np.maximum(p[np.arange(n), y], eps_p)).sum())
+
+    dlogits = p.astype(np.float32)
+    dlogits[np.arange(n), y] -= 1.0
+    g: dict[str, np.ndarray] = {}
+    g["W_out"] = h.T @ dlogits
+    g["b_out"] = dlogits.sum(axis=0)
+    dh = dlogits @ weights["W_out"].T
+    dz1 = dh * h * (1.0 - h)
+    g["W1"] = x.T @ dz1
+    g["b1"] = dz1.sum(axis=0)
+    dx = dz1 @ weights["W1"].T
+    dsum = dx[:, : M.FEAT_DIM]
+    dh1 = dx[:, M.FEAT_DIM : M.FEAT_DIM + M.WORD_DIM]
+    dh2 = dx[:, M.FEAT_DIM + M.WORD_DIM :]
+
+    # sparse E_feat grad over the batch's touched ids
+    if len(flat):
+        row_of = np.repeat(np.arange(n), np.diff(offsets))
+        fu, finv = np.unique(flat, return_inverse=True)
+        gf = np.zeros((len(fu), M.FEAT_DIM), dtype=np.float32)
+        np.add.at(gf, finv, dsum[row_of])
+    else:
+        fu = np.zeros(0, np.int64)
+        gf = np.zeros((0, M.FEAT_DIM), np.float32)
+    g["E_feat_ids"], g["E_feat_rows"] = fu.astype(np.int64), gf
+
+    wids = np.concatenate([h1, h2])
+    wrows = np.concatenate([dh1, dh2], axis=0)
+    wu, winv = np.unique(wids, return_inverse=True)
+    gw = np.zeros((len(wu), M.WORD_DIM), dtype=np.float32)
+    np.add.at(gw, winv, wrows)
+    g["E_word_ids"], g["E_word_rows"] = wu.astype(np.int64), gw
+    return loss, g
+
+
+def _pack(loss: float, n: int, g: dict[str, np.ndarray]) -> bytes:
+    buf = io.BytesIO()
+    np.savez(
+        buf,
+        loss=np.array([loss], np.float64),
+        n=np.array([n], np.int64),
+        **g,
+    )
+    return buf.getvalue()
+
+
+def _grad_pass(pairs: rd.Dataset, weights_ref) -> pd.DataFrame:
+    """One epoch's gradient map: each block -> one binary partial row."""
+    from .ops.score import _list_column_to_numpy
+
+    def grad_batch(t: pa.Table) -> pa.Table:
+        w = ray.get(weights_ref)
+        flat, offsets = _list_column_to_numpy(t["feat_ids"])
+        h1 = t["head1_id"].to_numpy().astype(np.int64)
+        h2 = t["head2_id"].to_numpy().astype(np.int64)
+        y = t["label_id"].to_numpy().astype(np.int64)
+        loss, g = multinn_loss_grads(
+            w, flat.astype(np.int64), offsets, h1, h2, y
+        )
+        return pa.table({"payload": pa.array([_pack(loss, len(y), g)], pa.binary())})
+
+    # one partial row per block crosses to the driver — model-sized,
+    # never corpus-sized
+    return pairs.map_batches(
+        grad_batch, batch_format="pyarrow", batch_size=None
+    ).to_pandas()
+
+
+def _fold(parts: pd.DataFrame, weights: dict[str, np.ndarray]):
+    """Sum the per-block partials (float64 fold) -> (loss_sum, n_total,
+    dense grad dict, sparse {name: (ids, rows)})."""
+    loss_sum, n_total = 0.0, 0
+    dense = {k: np.zeros_like(weights[k], dtype=np.float64) for k in _DENSE}
+    sparse: dict[str, dict[int, np.ndarray]] = {}
+    acc: dict[str, tuple[list, list]] = {k: ([], []) for k in _SPARSE}
+    for payload in parts["payload"]:
+        z = np.load(io.BytesIO(payload))
+        loss_sum += float(z["loss"][0])
+        n_total += int(z["n"][0])
+        for k in _DENSE:
+            dense[k] += z[k].astype(np.float64)
+        for k in _SPARSE:
+            acc[k][0].append(z[f"{k}_ids"])
+            acc[k][1].append(z[f"{k}_rows"].astype(np.float64))
+    for k in _SPARSE:
+        ids = np.concatenate(acc[k][0]) if acc[k][0] else np.zeros(0, np.int64)
+        rows = (
+            np.concatenate(acc[k][1], axis=0)
+            if acc[k][1]
+            else np.zeros((0, weights[k].shape[1]), np.float64)
+        )
+        u, inv = np.unique(ids, return_inverse=True)
+        folded = np.zeros((len(u), weights[k].shape[1]), np.float64)
+        np.add.at(folded, inv, rows)
+        sparse[k] = (u, folded)  # type: ignore[assignment]
+    return loss_sum, n_total, dense, sparse
+
+
+class Adadelta:
+    """The reference's adadelta (`rnnReModels.py:38-56`), rho=0.95,
+    eps=1e-6; dense accumulators with sparse-support application for
+    the embedding tables (untouched rows: pure decay, update 0)."""
+
+    def __init__(self, weights: dict[str, np.ndarray]):
+        self.rg2 = {
+            k: np.zeros_like(v, dtype=np.float32)
+            for k, v in weights.items()
+            if k in _DENSE or k in _SPARSE
+        }
+        self.ru2 = {k: np.zeros_like(v) for k, v in self.rg2.items()}
+
+    def step(self, weights, dense, sparse):
+        for k in _DENSE:
+            g = dense[k].astype(np.float32)
+            self.rg2[k] = RHO * self.rg2[k] + (1.0 - RHO) * g * g
+            ud = -np.sqrt(self.ru2[k] + EPS) / np.sqrt(self.rg2[k] + EPS) * g
+            self.ru2[k] = RHO * self.ru2[k] + (1.0 - RHO) * ud * ud
+            weights[k] = (weights[k] + ud).astype(np.float32)
+        for k in _SPARSE:
+            ids, rows = sparse[k]
+            # dense decay (g = 0 off-support), corrections on support
+            self.rg2[k] *= RHO
+            self.ru2[k] *= RHO
+            if len(ids):
+                g = rows.astype(np.float32)
+                self.rg2[k][ids] += (1.0 - RHO) * g * g
+                ud = (
+                    -np.sqrt(self.ru2[k][ids] / RHO + EPS)
+                    / np.sqrt(self.rg2[k][ids] + EPS)
+                    * g
+                )
+                # ru2 was pre-decayed; add the correction then fix the
+                # double decay on support: ru2 = rho*old + (1-rho)ud^2
+                self.ru2[k][ids] += (1.0 - RHO) * ud * ud
+                weights[k][ids] = (weights[k][ids] + ud).astype(np.float32)
+
+
+def encode_labels(t: pa.Table) -> pa.Table:
+    ids = np.array(
+        [M.LABEL_TO_ID.get(s, 0) for s in t["gold_label"].to_pylist()],
+        np.int64,
+    )
+    return t.append_column("label_id", pa.array(ids, pa.int64()))
+
+
+def train_multinn(
+    pairs: rd.Dataset,
+    epochs: int = 5,
+    seed: int = M.DEFAULT_SEED + 99,
+    valid_mod: int = 5,
+    num_blocks: int = 8,
+) -> tuple[dict[str, np.ndarray], pd.DataFrame]:
+    """Train MultiNN on a featurized pair table (columns ``feat_ids``,
+    ``head1_id``, ``head2_id``, ``gold_label``) -> (best-epoch weights,
+    history).  Rows with ``pair_id % valid_mod == 0`` form the
+    validation split (deterministic, content-independent of block
+    layout); best epoch = max validation micro-F1, ties to the earlier
+    epoch (the reference's selection, `rnnRE.py:979-994`)."""
+    from zlib import crc32
+
+    from .ops.metrics import micro_prf_distributed
+
+    enc = pairs.map_batches(encode_labels, batch_format="pyarrow")
+
+    def split_tbl(want_valid: bool):
+        # content-addressed split on the pair id (string-safe crc32) —
+        # independent of block layout, the repo's split convention
+        def f(t: pa.Table) -> pa.Table:
+            pid = t["pair_id"].to_pylist()
+            mask = np.array(
+                [crc32(str(p).encode()) % valid_mod == 0 for p in pid], bool
+            )
+            if not want_valid:
+                mask = ~mask
+            return t.take(pa.array(np.nonzero(mask)[0], pa.int64()))
+
+        return f
+
+    train_ds = (
+        enc.map_batches(split_tbl(False), batch_format="pyarrow")
+        .repartition(num_blocks)
+        .materialize()
+    )
+    valid_ds = (
+        enc.map_batches(split_tbl(True), batch_format="pyarrow")
+        .repartition(max(2, num_blocks // 4))
+        .materialize()
+    )
+
+    weights = M.init_weights(seed)
+    opt = Adadelta(weights)
+    hist: list[dict] = []
+    best = (-1.0, -1, None)  # (f1, epoch, weights copy)
+
+    def valid_f1(w: dict[str, np.ndarray]) -> float:
+        wref = ray.put({k: v.copy() for k, v in w.items()})
+
+        def score(t: pa.Table) -> pa.Table:
+            from .ops.score import _list_column_to_numpy
+
+            ww = ray.get(wref)
+            flat, offsets = _list_column_to_numpy(t["feat_ids"])
+            h1 = t["head1_id"].to_numpy().astype(np.int64)
+            h2 = t["head2_id"].to_numpy().astype(np.int64)
+            preds, _ = M.multinn_forward(
+                ww, flat.astype(np.int64), offsets, h1, h2
+            )
+            labels = pa.array(np.asarray(M.LABELS)[preds], pa.string())
+            return t.append_column("pred_label", labels)
+
+        scored = valid_ds.map_batches(score, batch_format="pyarrow")
+        prf = micro_prf_distributed(scored, "pred_label", "gold_label")
+        return float(prf["f1"])
+
+    f0 = valid_f1(weights)
+    hist.append({"epoch": 0, "loss_mean": float("nan"), "valid_f1": f0})
+    best = (f0, 0, {k: v.copy() for k, v in weights.items()})
+
+    for epoch in range(1, epochs + 1):
+        wref = ray.put({k: v.copy() for k, v in weights.items()})
+        parts = _grad_pass(train_ds, wref)
+        loss_sum, n_total, dense, sparse = _fold(parts, weights)
+        scale = 1.0 / max(1, n_total)  # mean gradient (adadelta's
+        # update magnitude is scale-invariant; the mean keeps the
+        # accumulators comparable across corpus sizes)
+        for k in _DENSE:
+            dense[k] *= scale
+        sparse = {k: (ids, rows * scale) for k, (ids, rows) in sparse.items()}
+        opt.step(weights, dense, sparse)
+        f1 = valid_f1(weights)
+        hist.append(
+            {
+                "epoch": epoch,
+                "loss_mean": loss_sum / max(1, n_total),
+                "valid_f1": f1,
+            }
+        )
+        if f1 > best[0]:
+            best = (f1, epoch, {k: v.copy() for k, v in weights.items()})
+
+    h = pd.DataFrame(hist)
+    h["is_best"] = h["epoch"] == best[1]
+    return best[2], h
