@@ -227,6 +227,43 @@ class Adadelta:
                 weights[k][ids] = (weights[k][ids] + ud).astype(np.float32)
 
 
+class Sgd:
+    """The reference's plain SGD (`rnnReModels.py:58-71`):
+    ``p -= lr * g`` (sparse-support application for embeddings)."""
+
+    def __init__(self, weights: dict[str, np.ndarray], lr: float = 0.01):
+        self.lr = np.float32(lr)
+
+    def step(self, weights, dense, sparse):
+        for k in _DENSE:
+            weights[k] = (weights[k] - self.lr * dense[k].astype(np.float32)).astype(
+                np.float32
+            )
+        for k in _SPARSE:
+            ids, rows = sparse[k]
+            if len(ids):
+                weights[k][ids] = (
+                    weights[k][ids] - self.lr * rows.astype(np.float32)
+                ).astype(np.float32)
+
+
+def clip_param_columns(weights: dict[str, np.ndarray], norm_lim: float) -> None:
+    """The reference's ``clipGradient`` (`rnnReModels.py:73-86`) — a
+    max-norm CONSTRAINT on updated parameter columns: each column of a
+    2-dim non-embedding matrix is rescaled to L2 norm <= sqrt(norm_lim)
+    (embedding tables are excluded, mirroring the reference's
+    ``startswith('word') / 'multi'`` exclusions; here that is
+    E_word/E_feat)."""
+    if norm_lim <= 0:
+        return
+    cap = np.sqrt(norm_lim)
+    for k in ("W1", "W_out"):
+        w = weights[k]
+        col_norms = np.sqrt((w * w).sum(axis=0))
+        desired = np.clip(col_norms, 0, cap)
+        weights[k] = (w * (desired / (1e-7 + col_norms))).astype(np.float32)
+
+
 def encode_labels(t: pa.Table) -> pa.Table:
     ids = np.array(
         [M.LABEL_TO_ID.get(s, 0) for s in t["gold_label"].to_pylist()],
@@ -241,6 +278,9 @@ def train_multinn(
     seed: int = M.DEFAULT_SEED + 99,
     valid_mod: int = 5,
     num_blocks: int = 8,
+    optimizer: str = "adadelta",
+    lr: float = 0.01,
+    norm_lim: float = -1.0,
 ) -> tuple[dict[str, np.ndarray], pd.DataFrame]:
     """Train MultiNN on a featurized pair table (columns ``feat_ids``,
     ``head1_id``, ``head2_id``, ``gold_label``) -> (best-epoch weights,
@@ -280,7 +320,7 @@ def train_multinn(
     )
 
     weights = M.init_weights(seed)
-    opt = Adadelta(weights)
+    opt = Adadelta(weights) if optimizer == "adadelta" else Sgd(weights, lr)
     hist: list[dict] = []
     best = (-1.0, -1, None)  # (f1, epoch, weights copy)
 
@@ -319,6 +359,7 @@ def train_multinn(
             dense[k] *= scale
         sparse = {k: (ids, rows * scale) for k, (ids, rows) in sparse.items()}
         opt.step(weights, dense, sparse)
+        clip_param_columns(weights, norm_lim)
         f1 = valid_f1(weights)
         hist.append(
             {

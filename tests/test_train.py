@@ -138,3 +138,28 @@ def test_train_partition_invariant_first_epoch():
     assert abs(outs[0][1] - outs[1][1]) < 1e-6
     for k in outs[0][0]:
         assert np.allclose(outs[0][0][k], outs[1][0][k], atol=1e-5), k
+
+
+def test_sgd_and_norm_clip_variants():
+    import ray.data as rd
+
+    # SGD: loss must also descend under the plain update
+    t = _pairs_table(seed=12)
+    _, hist = train.train_multinn(
+        rd.from_arrow(t), epochs=2, num_blocks=2, optimizer="sgd", lr=0.05
+    )
+    losses = hist["loss_mean"].to_numpy()[1:]
+    assert (np.diff(losses) < 0).all(), losses
+
+    # norm clip: a planted oversized column is rescaled to exactly
+    # sqrt(norm_lim); embeddings are untouched
+    w = M.init_weights(seed=2)
+    w["W1"][:, 3] = 10.0
+    e_before = w["E_word"].copy()
+    train.clip_param_columns(w, norm_lim=9.0)
+    n = np.sqrt((w["W1"][:, 3] ** 2).sum())
+    assert abs(n - 3.0) < 1e-3
+    assert np.array_equal(w["E_word"], e_before)
+    # columns already under the cap shrink by at most the 1e-7 fudge
+    small = np.sqrt((w["W_out"] ** 2).sum(axis=0))
+    assert (small <= 3.0 + 1e-6).all()
