@@ -58,6 +58,28 @@ _DENSE = ("W1", "b1", "W_out", "b_out")
 _SPARSE = ("E_feat", "E_word")
 
 
+def dropout_mask(
+    row_keys: np.ndarray, epoch: int, n_units: int, p: float
+) -> np.ndarray:
+    """Inverted-dropout keep mask (reference `_dropout_from_layer`,
+    `rnnReModels.py:89-99`), made CONTENT-ADDRESSED: mask[i, j] is a
+    splitmix64 hash of (row key, unit, epoch), so the same row draws
+    the same mask in any block layout — dropout without sacrificing
+    partition-invariance (the Theano original uses a shared RNG stream,
+    which is exactly what breaks under data parallelism)."""
+    x = (
+        row_keys[:, None].astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        + np.arange(n_units, dtype=np.uint64)[None, :]
+        + np.uint64(epoch + 1) * np.uint64(0xD1B54A32D192ED03)
+    )
+    x ^= x >> np.uint64(30)
+    x *= np.uint64(0xBF58476D1CE4E5B9)
+    x ^= x >> np.uint64(27)
+    x *= np.uint64(0x94D049BB133111EB)
+    x ^= x >> np.uint64(31)
+    return (x.astype(np.float64) / 2.0**64) >= p
+
+
 def multinn_loss_grads(
     weights: dict[str, np.ndarray],
     flat: np.ndarray,
@@ -65,6 +87,8 @@ def multinn_loss_grads(
     h1: np.ndarray,
     h2: np.ndarray,
     y: np.ndarray,
+    keep_mask: np.ndarray | None = None,
+    keep_p: float = 1.0,
 ) -> tuple[float, dict[str, np.ndarray]]:
     """Summed cross-entropy loss + closed-form gradients for one batch.
 
@@ -86,7 +110,11 @@ def multinn_loss_grads(
         [sums, weights["E_word"][h1], weights["E_word"][h2]], axis=1
     )
     h = nn.sigmoid_mlp(x, [(weights["W1"], weights["b1"])])
-    logits = h @ weights["W_out"] + weights["b_out"]
+    if keep_mask is not None:
+        h_eff = h * keep_mask / keep_p  # inverted dropout on the hidden layer
+    else:
+        h_eff = h
+    logits = h_eff @ weights["W_out"] + weights["b_out"]
     p = nn.softmax(logits)
     eps_p = 1e-12
     loss = float(-np.log(np.maximum(p[np.arange(n), y], eps_p)).sum())
@@ -94,9 +122,11 @@ def multinn_loss_grads(
     dlogits = p.astype(np.float32)
     dlogits[np.arange(n), y] -= 1.0
     g: dict[str, np.ndarray] = {}
-    g["W_out"] = h.T @ dlogits
+    g["W_out"] = h_eff.T @ dlogits
     g["b_out"] = dlogits.sum(axis=0)
     dh = dlogits @ weights["W_out"].T
+    if keep_mask is not None:
+        dh = dh * keep_mask / keep_p
     dz1 = dh * h * (1.0 - h)
     g["W1"] = x.T @ dz1
     g["b1"] = dz1.sum(axis=0)
@@ -136,8 +166,12 @@ def _pack(loss: float, n: int, g: dict[str, np.ndarray]) -> bytes:
     return buf.getvalue()
 
 
-def _grad_pass(pairs: rd.Dataset, weights_ref) -> pd.DataFrame:
+def _grad_pass(
+    pairs: rd.Dataset, weights_ref, epoch: int = 0, dropout: float = 0.0
+) -> pd.DataFrame:
     """One epoch's gradient map: each block -> one binary partial row."""
+    from zlib import crc32
+
     from .ops.score import _list_column_to_numpy
 
     def grad_batch(t: pa.Table) -> pa.Table:
@@ -146,8 +180,16 @@ def _grad_pass(pairs: rd.Dataset, weights_ref) -> pd.DataFrame:
         h1 = t["head1_id"].to_numpy().astype(np.int64)
         h2 = t["head2_id"].to_numpy().astype(np.int64)
         y = t["label_id"].to_numpy().astype(np.int64)
+        mask, keep_p = None, 1.0
+        if dropout > 0.0:
+            keys = np.array(
+                [crc32(str(p).encode()) for p in t["pair_id"].to_pylist()],
+                np.uint64,
+            )
+            mask = dropout_mask(keys, epoch, w["W1"].shape[1], dropout)
+            keep_p = 1.0 - dropout
         loss, g = multinn_loss_grads(
-            w, flat.astype(np.int64), offsets, h1, h2, y
+            w, flat.astype(np.int64), offsets, h1, h2, y, mask, keep_p
         )
         return pa.table({"payload": pa.array([_pack(loss, len(y), g)], pa.binary())})
 
@@ -281,6 +323,7 @@ def train_multinn(
     optimizer: str = "adadelta",
     lr: float = 0.01,
     norm_lim: float = -1.0,
+    dropout: float = 0.0,
 ) -> tuple[dict[str, np.ndarray], pd.DataFrame]:
     """Train MultiNN on a featurized pair table (columns ``feat_ids``,
     ``head1_id``, ``head2_id``, ``gold_label``) -> (best-epoch weights,
@@ -350,7 +393,7 @@ def train_multinn(
 
     for epoch in range(1, epochs + 1):
         wref = ray.put({k: v.copy() for k, v in weights.items()})
-        parts = _grad_pass(train_ds, wref)
+        parts = _grad_pass(train_ds, wref, epoch=epoch, dropout=dropout)
         loss_sum, n_total, dense, sparse = _fold(parts, weights)
         scale = 1.0 / max(1, n_total)  # mean gradient (adadelta's
         # update magnitude is scale-invariant; the mean keeps the

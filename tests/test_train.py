@@ -163,3 +163,29 @@ def test_sgd_and_norm_clip_variants():
     # columns already under the cap shrink by at most the 1e-7 fudge
     small = np.sqrt((w["W_out"] ** 2).sum(axis=0))
     assert (small <= 3.0 + 1e-6).all()
+
+
+def test_dropout_mask_rate_and_partition_invariance():
+    import ray.data as rd
+
+    # keep rate ~= 1-p
+    keys = np.arange(10_000, dtype=np.uint64)
+    m = train.dropout_mask(keys, epoch=2, n_units=64, p=0.3)
+    assert abs(m.mean() - 0.7) < 0.01
+    # different epoch -> different mask; same inputs -> identical
+    m2 = train.dropout_mask(keys, epoch=3, n_units=64, p=0.3)
+    assert (m != m2).any()
+    assert np.array_equal(m, train.dropout_mask(keys, epoch=2, n_units=64, p=0.3))
+
+    # masks are content-addressed (row key, not block position): the
+    # first dropout epoch's loss and weights match across block layouts
+    t = _pairs_table(seed=15)
+    outs = []
+    for blocks in (1, 4):
+        w, hist = train.train_multinn(
+            rd.from_arrow(t), epochs=1, num_blocks=blocks, dropout=0.5
+        )
+        outs.append((w, hist["loss_mean"].to_numpy()[1]))
+    assert abs(outs[0][1] - outs[1][1]) < 1e-6
+    for k in outs[0][0]:
+        assert np.allclose(outs[0][0][k], outs[1][0][k], atol=1e-5), k
