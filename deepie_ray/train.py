@@ -324,6 +324,8 @@ def train_multinn(
     lr: float = 0.01,
     norm_lim: float = -1.0,
     dropout: float = 0.0,
+    decay: bool = False,
+    decay_after: int = 10,
 ) -> tuple[dict[str, np.ndarray], pd.DataFrame]:
     """Train MultiNN on a featurized pair table (columns ``feat_ids``,
     ``head1_id``, ``head2_id``, ``gold_label``) -> (best-epoch weights,
@@ -413,6 +415,16 @@ def train_multinn(
         )
         if f1 > best[0]:
             best = (f1, epoch, {k: v.copy() for k, v in weights.items()})
+        # the reference's stale-epoch decay (`rnnRE.py:998-1000`):
+        # halve lr after `decay_after` epochs without improvement,
+        # stop when lr underflows (only observable under sgd —
+        # adadelta ignores lr, as in the reference)
+        if decay and (epoch - best[1]) >= decay_after:
+            lr *= 0.5
+            if isinstance(opt, Sgd):
+                opt.lr = np.float32(lr)
+            if lr < 1e-5:
+                break
 
     h = pd.DataFrame(hist)
     h["is_best"] = h["epoch"] == best[1]

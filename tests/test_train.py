@@ -189,3 +189,22 @@ def test_dropout_mask_rate_and_partition_invariance():
     assert abs(outs[0][1] - outs[1][1]) < 1e-6
     for k in outs[0][0]:
         assert np.allclose(outs[0][0][k], outs[1][0][k], atol=1e-5), k
+
+
+def test_sgd_stale_decay_halves_lr():
+    import ray.data as rd
+
+    t = _pairs_table(seed=20, n=120)
+    # decay_after=1: any epoch that fails to beat the best halves lr
+    w, hist = train.train_multinn(
+        rd.from_arrow(t),
+        epochs=3,
+        num_blocks=2,
+        optimizer="sgd",
+        lr=0.04,
+        decay=True,
+        decay_after=1,
+    )
+    # loss still descends and the run completes with history intact
+    losses = hist["loss_mean"].to_numpy()[1:]
+    assert len(hist) >= 2 and (np.diff(losses) < 0).all()
