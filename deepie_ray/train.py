@@ -40,6 +40,8 @@ earlier epoch) is the reference's.
 from __future__ import annotations
 
 import io
+import json
+import os
 
 import numpy as np
 import pandas as pd
@@ -306,6 +308,62 @@ def clip_param_columns(weights: dict[str, np.ndarray], norm_lim: float) -> None:
         weights[k] = (w * (desired / (1e-7 + col_norms))).astype(np.float32)
 
 
+def _save_train_checkpoint(ckdir, epoch, weights, opt, lr, hist, best):
+    """Atomic per-epoch trainer checkpoint (the reference dumps the
+    best model's .npy per parameter, `rnnReModels.py:725-727`; here one
+    npz holds weights + optimizer accumulators + the best-epoch weights
+    so a killed run resumes EXACTLY — write-tmp-then-rename, same
+    atomicity rule as checkpoint.py's stage manifests)."""
+    state: dict[str, np.ndarray] = {}
+    for k, v in weights.items():
+        state[f"w_{k}"] = v
+    if isinstance(opt, Adadelta):
+        for k, v in opt.rg2.items():
+            state[f"rg2_{k}"] = v
+        for k, v in opt.ru2.items():
+            state[f"ru2_{k}"] = v
+    for k, v in (best[2] or {}).items():
+        state[f"best_{k}"] = v
+    tmp = os.path.join(ckdir, ".state.tmp.npz")
+    np.savez_compressed(tmp, **state)
+    os.replace(tmp, os.path.join(ckdir, "state.npz"))
+    meta = {
+        "epoch": epoch,
+        "lr": float(lr),
+        "hist": hist,
+        "best_f1": float(best[0]),
+        "best_epoch": int(best[1]),
+        "optimizer": "adadelta" if isinstance(opt, Adadelta) else "sgd",
+    }
+    tmpm = os.path.join(ckdir, ".meta.tmp.json")
+    with open(tmpm, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmpm, os.path.join(ckdir, "meta.json"))
+
+
+def _load_train_checkpoint(ckdir, weights, opt):
+    """-> (next_epoch, lr, hist, best) or None if no checkpoint."""
+    meta_path = os.path.join(ckdir, "meta.json")
+    state_path = os.path.join(ckdir, "state.npz")
+    if not (os.path.exists(meta_path) and os.path.exists(state_path)):
+        return None
+    with open(meta_path) as f:
+        meta = json.load(f)
+    with np.load(state_path) as z:
+        best_w = {}
+        for k in z.files:
+            if k.startswith("w_"):
+                weights[k[2:]] = z[k]
+            elif k.startswith("rg2_") and isinstance(opt, Adadelta):
+                opt.rg2[k[4:]] = z[k]
+            elif k.startswith("ru2_") and isinstance(opt, Adadelta):
+                opt.ru2[k[4:]] = z[k]
+            elif k.startswith("best_"):
+                best_w[k[5:]] = z[k]
+    best = (meta["best_f1"], meta["best_epoch"], best_w or None)
+    return meta["epoch"] + 1, meta["lr"], list(meta["hist"]), best
+
+
 def encode_labels(t: pa.Table) -> pa.Table:
     ids = np.array(
         [M.LABEL_TO_ID.get(s, 0) for s in t["gold_label"].to_pylist()],
@@ -326,6 +384,7 @@ def train_multinn(
     dropout: float = 0.0,
     decay: bool = False,
     decay_after: int = 10,
+    checkpoint_dir: str | None = None,
 ) -> tuple[dict[str, np.ndarray], pd.DataFrame]:
     """Train MultiNN on a featurized pair table (columns ``feat_ids``,
     ``head1_id``, ``head2_id``, ``gold_label``) -> (best-epoch weights,
@@ -368,6 +427,14 @@ def train_multinn(
     opt = Adadelta(weights) if optimizer == "adadelta" else Sgd(weights, lr)
     hist: list[dict] = []
     best = (-1.0, -1, None)  # (f1, epoch, weights copy)
+    start_epoch = 1
+    if checkpoint_dir is not None:
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        resumed = _load_train_checkpoint(checkpoint_dir, weights, opt)
+        if resumed is not None:
+            start_epoch, lr, hist, best = resumed
+            if isinstance(opt, Sgd):
+                opt.lr = np.float32(lr)
 
     def valid_f1(w: dict[str, np.ndarray]) -> float:
         wref = ray.put({k: v.copy() for k, v in w.items()})
@@ -389,11 +456,12 @@ def train_multinn(
         prf = micro_prf_distributed(scored, "pred_label", "gold_label")
         return float(prf["f1"])
 
-    f0 = valid_f1(weights)
-    hist.append({"epoch": 0, "loss_mean": float("nan"), "valid_f1": f0})
-    best = (f0, 0, {k: v.copy() for k, v in weights.items()})
+    if start_epoch == 1:
+        f0 = valid_f1(weights)
+        hist.append({"epoch": 0, "loss_mean": float("nan"), "valid_f1": f0})
+        best = (f0, 0, {k: v.copy() for k, v in weights.items()})
 
-    for epoch in range(1, epochs + 1):
+    for epoch in range(start_epoch, epochs + 1):
         wref = ray.put({k: v.copy() for k, v in weights.items()})
         parts = _grad_pass(train_ds, wref, epoch=epoch, dropout=dropout)
         loss_sum, n_total, dense, sparse = _fold(parts, weights)
@@ -425,6 +493,10 @@ def train_multinn(
                 opt.lr = np.float32(lr)
             if lr < 1e-5:
                 break
+        if checkpoint_dir is not None:
+            _save_train_checkpoint(
+                checkpoint_dir, epoch, weights, opt, lr, hist, best
+            )
 
     h = pd.DataFrame(hist)
     h["is_best"] = h["epoch"] == best[1]

@@ -208,3 +208,30 @@ def test_sgd_stale_decay_halves_lr():
     # loss still descends and the run completes with history intact
     losses = hist["loss_mean"].to_numpy()[1:]
     assert len(hist) >= 2 and (np.diff(losses) < 0).all()
+
+
+def test_train_checkpoint_resume_exact_equality(tmp_path):
+    """Kill-and-resume parity: 1 epoch with a checkpoint, then a resumed
+    run to 3 epochs must equal a straight 3-epoch run EXACTLY (weights,
+    optimizer accumulators and history are all checkpointed; training
+    is deterministic)."""
+    import ray.data as rd
+
+    t = _pairs_table(seed=33)
+    w_straight, h_straight = train.train_multinn(
+        rd.from_arrow(t), epochs=3, num_blocks=2
+    )
+
+    ck = str(tmp_path / "ck")
+    train.train_multinn(
+        rd.from_arrow(t), epochs=1, num_blocks=2, checkpoint_dir=ck
+    )
+    w_resumed, h_resumed = train.train_multinn(
+        rd.from_arrow(t), epochs=3, num_blocks=2, checkpoint_dir=ck
+    )
+    for k in w_straight:
+        assert np.array_equal(w_straight[k], w_resumed[k]), k
+    assert len(h_resumed) == len(h_straight)
+    a = h_straight[["epoch", "valid_f1"]].to_numpy()
+    b = h_resumed[["epoch", "valid_f1"]].to_numpy()
+    assert np.allclose(a.astype(float), b.astype(float))
