@@ -209,6 +209,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_bpe_lengths": Q.doc_bpe_lengths,
         "quality_classifier_scores": Q.quality_classifier_scores,
         "embedding_random_projection": Q.embedding_random_projection,
+        "embedding_pca_projection": Q.embedding_pca_projection,
         "lang_id": Q.lang_id,
         "minhash_dedup_documents": Q.minhash_dedup_documents,
         "simhash_signatures": Q.simhash_signatures,

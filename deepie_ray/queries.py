@@ -6542,3 +6542,79 @@ def ace_train_multinn(sf_dir: str) -> pd.DataFrame:
     finally:
         os.unlink(path)
     return hist
+
+
+def embedding_pca_projection(sf_dir: str) -> rd.Dataset:
+    """PCA APPLY (the dimensionality-reduction twin of the JL random
+    projection, with learned instead of random axes) -> (vec_id,
+    pc1..pc8): project every embedding onto the top-8 principal
+    components of the corpus covariance.
+
+    Scale shape: pass 1 is the EXACT integer covariance fold of
+    ``embedding_covariance`` (per-block fixed-size QtQ partials,
+    driver fold — so the fitted axes are bit-identical under ANY block
+    layout); the 64x64 eigendecomposition runs on the driver
+    (model-sized); pass 2 broadcasts the 64x8 component matrix in the
+    task closure and projects each batch with one matmul.  Rows-only
+    (no SQL eigensolver); variance ordering, component orthogonality
+    and partition-invariance are pytest-pinned (test_corpus_prep)."""
+    K = 8
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = t["embedding"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        n = len(col)
+        if n == 0:
+            return pa.table(
+                {
+                    "n": pa.array([], pa.int64()),
+                    "sq": pa.array([], pa.binary()),
+                    "qq": pa.array([], pa.binary()),
+                }
+            )
+        Qm = np.floor(flat.reshape(n, -1) * 10_000.0).astype(np.int64)
+        return pa.table(
+            {
+                "n": pa.array([n], pa.int64()),
+                "sq": pa.array([Qm.sum(axis=0).tobytes()], pa.binary()),
+                "qq": pa.array([(Qm.T @ Qm).tobytes()], pa.binary()),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    n = int(parts["n"].sum())
+    sq = np.sum([np.frombuffer(b, np.int64) for b in parts["sq"]], axis=0)
+    d = len(sq)
+    qq = np.sum(
+        [np.frombuffer(b, np.int64).reshape(d, d) for b in parts["qq"]], axis=0
+    )
+    # exact integer numerators -> float covariance once, on the driver
+    cov = (n * qq - np.outer(sq, sq)).astype(np.float64) / (
+        1e8 * n * max(1, n - 1)
+    )
+    mean = sq.astype(np.float64) / (1e4 * n)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:K]
+    comps = evecs[:, order]
+    # deterministic sign: largest-|x| element of each component positive
+    for j in range(comps.shape[1]):
+        i = int(np.argmax(np.abs(comps[:, j])))
+        if comps[i, j] < 0:
+            comps[:, j] = -comps[:, j]
+
+    def project(t: pa.Table) -> pa.Table:
+        col = t["embedding"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        X = flat.reshape(len(col), -1) - mean
+        P = X @ comps
+        cols = {"vec_id": pc.cast(t["vec_id"], pa.int64())}
+        for j in range(P.shape[1]):
+            cols[f"pc{j + 1}"] = pa.array(P[:, j], pa.float64())
+        return pa.table(cols)
+
+    return ds.map_batches(project, batch_format="pyarrow")

@@ -1191,3 +1191,41 @@ def test_session_day_overlap_midnight_split():
     assert u7.iloc[1].day_start - u7.iloc[0].day_start == 86400
     u8 = out[out.user_id == 8]
     assert len(u8) == 1 and u8.iloc[0].overlap_us == 0
+
+
+def test_embedding_pca_projection_properties(sf_dir):
+    import deepie_ray.queries as Q
+
+    out = Q.embedding_pca_projection(sf_dir).to_pandas().sort_values("vec_id")
+    pcs = out[[f"pc{j}" for j in range(1, 9)]].to_numpy()
+    # variance ordering: component j explains at least as much as j+1
+    var = pcs.var(axis=0, ddof=1)
+    assert (np.diff(var) <= 1e-9).all(), var
+    # projections are centered up to the 1e-4 quantization grid (the
+    # fold is over floor(x*1e4) ints, so the mean carries a <=1e-4 bias)
+    assert np.abs(pcs.mean(axis=0)).max() < 2e-4
+    # cross-component correlation ~ 0 (orthogonal axes of the covariance)
+    c = np.corrcoef(pcs.T)
+    off = c[~np.eye(8, dtype=bool)]
+    assert np.abs(off).max() < 0.05
+
+    # partition-invariance is EXACT: the covariance fold is integer
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    with tempfile.TemporaryDirectory() as d:
+        t2 = t.take(list(reversed(range(t.num_rows))))
+        pq.write_table(t2, os.path.join(d, "embeddings.parquet"))
+        out2 = (
+            Q.embedding_pca_projection(d).to_pandas().sort_values("vec_id")
+        )
+    a = out.reset_index(drop=True)
+    b = out2.reset_index(drop=True)
+    assert np.allclose(
+        a[[f"pc{j}" for j in range(1, 9)]].to_numpy(),
+        b[[f"pc{j}" for j in range(1, 9)]].to_numpy(),
+        atol=1e-12,
+    )
