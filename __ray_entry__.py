@@ -197,6 +197,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_type_sets": Q.user_event_type_sets,
         "session_day_overlap": Q.session_day_overlap,
         "fk_orphan_scan": Q.fk_orphan_scan,
+        "join_cardinality_estimate": Q.join_cardinality_estimate,
+        "events_debounce": Q.events_debounce,
         # --- rows-only / pytest-oracled block (no SQL twin by nature) ---
         "doc_compression_ratio": Q.doc_compression_ratio,
         "doc_packing": Q.doc_packing,
@@ -813,6 +815,20 @@ def oracle_sql() -> dict[str, str]:
             FROM customer c
             WHERE NOT EXISTS (SELECT 1 FROM nation n
                               WHERE n.n_nationkey = c.c_nationkey)
+        """,
+        "join_cardinality_estimate": """
+            SELECT count(*)::BIGINT AS join_rows,
+                   count(DISTINCT e.user_id)::BIGINT AS n_keys
+            FROM events e JOIN orders o ON e.user_id = o.o_custkey
+        """,
+        "events_debounce": """
+            SELECT event_id, user_id, event_type, us AS ts_us FROM (
+              SELECT event_id, user_id, event_type, epoch_us(ts) AS us,
+                     lag(epoch_us(ts)) OVER (
+                       PARTITION BY user_id, event_type
+                       ORDER BY ts, event_id) AS prev_us
+              FROM events WHERE ts IS NOT NULL
+            ) WHERE prev_us IS NULL OR us - prev_us > 300000000
         """,
         "text_token_counts": r"""
             SELECT doc_id,

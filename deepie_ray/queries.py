@@ -6618,3 +6618,111 @@ def embedding_pca_projection(sf_dir: str) -> rd.Dataset:
         return pa.table(cols)
 
     return ds.map_batches(project, batch_format="pyarrow")
+
+
+def join_cardinality_estimate(sf_dir: str) -> pd.DataFrame:
+    """JOIN-SIZE computation WITHOUT running the join (the optimizer /
+    capacity-planning primitive: |A JOIN B on k| = sum_k cnt_A(k) *
+    cnt_B(k)) -> one row (join_rows, n_keys) for events.user_id x
+    orders.o_custkey — a genuinely many-to-many pair.
+
+    Scale shape: each side collapses to per-key COUNTS map-side
+    (combiner-first — the shuffle moves one narrow row per key per
+    block, never the fact rows); one small hash join of the two count
+    tables, a vectorized multiply, and a sum.  The output equals the
+    real join's count(*) exactly — the SQL twin runs the actual join."""
+    ev = _read(sf_dir, "events", ["user_id"])
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+
+    def cnt(key: str, out: str):
+        def f(t: pa.Table) -> pa.Table:
+            g = t.group_by(key).aggregate([([], "count_all")])
+            return pa.table(
+                {"k": pc.cast(g[key], pa.int64()), out: pc.cast(g["count_all"], pa.int64())}
+            )
+
+        return f
+
+    ea = (
+        ev.map_batches(cnt("user_id", "na"), batch_format="pyarrow")
+        .groupby("k")
+        .aggregate(Sum("na", alias_name="na"))
+    )
+    ob = (
+        orders.map_batches(cnt("o_custkey", "nb"), batch_format="pyarrow")
+        .groupby("k")
+        .aggregate(Sum("nb", alias_name="nb"))
+    )
+    j = joins.hash_join(ea.repartition(4), ob.repartition(4), on="k", num_partitions=4)
+
+    def mul(t: pa.Table) -> pa.Table:
+        prod = pc.multiply(t["na"], t["nb"])
+        return pa.table(
+            {
+                "rows": pa.array([int(pc.sum(prod).as_py() or 0)], pa.int64()),
+                "keys": pa.array([t.num_rows], pa.int64()),
+            }
+        )
+
+    parts = j.map_batches(mul, batch_format="pyarrow").to_pandas()
+    return pd.DataFrame(
+        {
+            "join_rows": [int(parts["rows"].sum())],
+            "n_keys": [int(parts["keys"].sum())],
+        }
+    )
+
+
+def events_debounce(sf_dir: str) -> rd.Dataset:
+    """DEBOUNCE dedup (the streaming throttle: drop an event when the
+    same user fired the same event_type within the previous 5 minutes)
+    -> the kept rows (event_id, user_id, event_type, ts_us).  Gap is
+    measured from the previous EVENT in the (user, type) stream (the
+    sliding-window definition: every arrival refreshes the window,
+    kept or not) — stated explicitly because the alternative
+    previous-KEPT-event semantics differs on chains; the SQL twin uses
+    the identical lag rule, so the two sides are exactly equivalent.
+
+    Scale shape: ONE shuffle on ``part = user_id % P`` co-locates each
+    user's events; within a partition a mergesort by (user, type, ts,
+    event_id) + shifted compare computes every gap vectorized."""
+    P = 32
+    GAP_US = 300_000_000
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.dropna(subset=["ts"])
+        out = df[["user_id", "event_type", "ts", "event_id"]].copy()
+        out.insert(0, "part", out["user_id"].to_numpy() % P)
+        return out
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["user_id", "event_type", "ts", "event_id"], kind="mergesort"
+        )
+        us = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        uid = df["user_id"].to_numpy()
+        et = df["event_type"].to_numpy()
+        n = len(df)
+        new_g = np.ones(n, bool)
+        if n > 1:
+            new_g[1:] = (uid[1:] != uid[:-1]) | (et[1:] != et[:-1])
+        gap_ok = np.ones(n, bool)
+        if n > 1:
+            gap_ok[1:] = (us[1:] - us[:-1]) > GAP_US
+        keep = new_g | gap_ok
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].to_numpy()[keep],
+                "user_id": uid[keep],
+                "event_type": et[keep],
+                "ts_us": us[keep],
+            }
+        )
+
+    return (
+        ev.map_batches(tag, batch_format="pandas")
+        .groupby("part")
+        .map_groups(per_part, batch_format="pandas")
+        .select_columns(["event_id", "user_id", "event_type", "ts_us"])
+    )
