@@ -226,6 +226,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ace_relation_extraction": Q.ace_relation_extraction,
         # reference train loop (T16 adadelta + A7 best-epoch), data-parallel
         "ace_train_multinn": Q.ace_train_multinn,
+        "ace_train_eval": Q.ace_train_eval,
         # flagship KG pipeline
         "kg_triples": Q.kg_triples,
         "kg_triples_gru": Q.kg_triples_gru,

@@ -6726,3 +6726,117 @@ def events_debounce(sf_dir: str) -> rd.Dataset:
         .map_groups(per_part, batch_format="pandas")
         .select_columns(["event_id", "user_id", "event_type", "ts_us"])
     )
+
+
+def ace_train_eval(sf_dir: str) -> pd.DataFrame:
+    """The reference's FULL E2 protocol — train, select the best epoch
+    on the validation split, then evaluate THAT model on a held-out
+    TEST split (`rnnRE.py:979-994` keeps the best-valid model's test
+    outputs) -> (metric, value) rows: best_epoch, best_valid_f1,
+    test_precision, test_recall, test_f1, n_test.
+
+    Splits are content-addressed on the pair id (crc32 mod 5: bucket 0
+    = valid, bucket 1 = test, rest train) so the protocol is
+    deterministic under any block layout.  Rows-only by nature."""
+    import os
+    import tempfile
+    import uuid
+    from zlib import crc32
+
+    from . import ace_pipeline, model as M, synth, train
+    from .ops.dicts import binary_feature_dict, encode_column
+    from .ops.metrics import micro_prf_distributed
+    from .ops.score import _list_column_to_numpy
+
+    lines = synth.synth_ace_lines(400, seed=41)
+    path = os.path.join(
+        tempfile.gettempdir(), f"ace_te_{uuid.uuid4().hex[:12]}.full.txt"
+    )
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    try:
+        from .sources.ace import read_ace
+
+        rows = read_ace(path)
+        clean = rows.map_batches(
+            lambda t: t.filter(pc.equal(t["error"], "")), batch_format="pyarrow"
+        ).materialize()
+        fd = binary_feature_dict(clean, "binary_features", 2)
+        enc = encode_column(clean, "binary_features", fd, "feat_ids", default=0)
+        pairs = enc.map_batches(
+            ace_pipeline._to_pairs_like, batch_format="pyarrow"
+        ).materialize()
+
+        def bucket_filter(want: int):
+            def f(t: pa.Table) -> pa.Table:
+                pid = t["pair_id"].to_pylist()
+                mask = np.array(
+                    [crc32(str(p).encode()) % 5 == want for p in pid], bool
+                )
+                return t.take(pa.array(np.nonzero(mask)[0], pa.int64()))
+
+            return f
+
+        # train on buckets {2,3,4} + valid bucket 0 (train_multinn's own
+        # valid_mod=5 rule is the same crc32 convention), test = bucket 1
+        not_test = pairs.map_batches(
+            lambda t: t.take(
+                pa.array(
+                    np.nonzero(
+                        np.array(
+                            [
+                                crc32(str(p).encode()) % 5 != 1
+                                for p in t["pair_id"].to_pylist()
+                            ],
+                            bool,
+                        )
+                    )[0],
+                    pa.int64(),
+                )
+            ),
+            batch_format="pyarrow",
+        )
+        best_w, hist = train.train_multinn(not_test, epochs=4, num_blocks=4)
+        test_ds = pairs.map_batches(bucket_filter(1), batch_format="pyarrow")
+
+        import ray
+
+        wref = ray.put(best_w)
+
+        def score(t: pa.Table) -> pa.Table:
+            ww = ray.get(wref)
+            flat, offsets = _list_column_to_numpy(t["feat_ids"])
+            h1 = t["head1_id"].to_numpy().astype(np.int64)
+            h2 = t["head2_id"].to_numpy().astype(np.int64)
+            preds, _ = M.multinn_forward(
+                ww, flat.astype(np.int64), offsets, h1, h2
+            )
+            return t.append_column(
+                "pred_label", pa.array(np.asarray(M.LABELS)[preds], pa.string())
+            )
+
+        scored = test_ds.map_batches(score, batch_format="pyarrow").materialize()
+        prf = micro_prf_distributed(scored, "pred_label", "gold_label")
+        best_row = hist[hist["is_best"]].iloc[0]
+    finally:
+        os.unlink(path)
+    return pd.DataFrame(
+        {
+            "metric": [
+                "best_epoch",
+                "best_valid_f1",
+                "test_precision",
+                "test_recall",
+                "test_f1",
+                "n_test",
+            ],
+            "value": [
+                float(best_row["epoch"]),
+                float(best_row["valid_f1"]),
+                float(prf["precision"]),
+                float(prf["recall"]),
+                float(prf["f1"]),
+                float(scored.count()),
+            ],
+        }
+    )
