@@ -5905,7 +5905,12 @@ def part_skyline(sf_dir: str) -> rd.Dataset:
     skyline(S2), so the kernel IS its own combiner — each block reduces
     to its local frontier map-side (typically O(distinct prices) rows),
     and one final task merges the tiny survivors.  The corpus is read
-    once and never shuffled; only local frontiers move."""
+    once and never shuffled; only local frontiers move.  Stated bound:
+    an ADVERSARIAL anti-chain (every point Pareto-optimal) defeats any
+    skyline combiner — the final task then sees the full input; real
+    price/size data collapses ~1000x (measured: 2000 parts -> 4 rows).
+    A corpus known to be anti-chain-heavy should recurse the merge
+    (tree-reduce the local frontiers) instead of one final task."""
     parts = _read(sf_dir, "part", ["p_partkey", "p_retailprice", "p_size"])
     return (
         parts.map_batches(_skyline_table, batch_format="pyarrow")
