@@ -692,15 +692,19 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_daily_gap_fill": """
             WITH b AS (
-              SELECT (epoch(min(ts))::BIGINT // 86400) * 86400 AS lo,
-                     (epoch(max(ts))::BIGINT // 86400) * 86400 AS hi
+              -- epoch_us + integer floor-div, NOT epoch(ts)::BIGINT:
+              -- the BIGINT cast ROUNDS the fractional second, so a
+              -- 23:59:59.5 event would land on the NEXT day vs the
+              -- engine's floor (verified in DuckDB)
+              SELECT (epoch_us(min(ts)) // 86400000000) * 86400 AS lo,
+                     (epoch_us(max(ts)) // 86400000000) * 86400 AS hi
               FROM events
             ),
             days AS (
               SELECT unnest(range(lo, hi + 86400, 86400)) AS day_start FROM b
             ),
             c AS (
-              SELECT (epoch(ts)::BIGINT // 86400) * 86400 AS day_start,
+              SELECT (epoch_us(ts) // 86400000000) * 86400 AS day_start,
                      count(*)::BIGINT AS n
               FROM events GROUP BY 1
             )

@@ -1045,21 +1045,15 @@ def bucketed_join_orders_customer(sf_dir: str) -> pa.Table:
     )
 
 
-def embedding_covariance(sf_dir: str) -> pa.Table:
-    """Distributed covariance MATRIX of the embedding columns (the
-    PCA / whitening prep every representation-analysis pass starts
-    with) -> upper-triangle long form (i, j, cov_num, n) with
-    cov_num = n*Σ(q_i q_j) − Σq_i Σq_j over vectors QUANTIZED to
-    integers (q = floor(x·10⁴)) — all-integer algebra, so the result
-    is EXACT and independent of summation order (a float covariance
-    would differ from the oracle's in the low bits by accumulation
-    order alone).  Plan: per-batch partials (QᵀQ 64x64 int64 matmul,
-    column sums, count) — fixed-size per batch regardless of rows —
-    folded on the driver (k x k ints, metadata-sized), then the long
-    form emitted locally.  Exactly the broadcast-reduce contract of
-    ops/cluster.kmeans_fit.  Indices are 1-based to match the SQL
-    twin's list subscripts."""
-    ds = _read(sf_dir, "embeddings", ["embedding"])
+def _int_cov_fold(ds: rd.Dataset) -> tuple[int, np.ndarray, np.ndarray]:
+    """Shared EXACT integer covariance fold (embedding_covariance and
+    embedding_pca_projection): per-block fixed-size partials over
+    q = floor(x*1e4) ints — (count, column sums, QtQ) — summed on the
+    driver.  The int64 partial sums stay exact to ~2.7e11 vectors
+    (sum of per-block QtQ ~ n * 3.4e7); DOWNSTREAM integer numerators
+    of the form n*qq - sq*sq overflow int64 much earlier (~5e5
+    vectors) — callers needing those must widen (Python ints) or take
+    the float path, and say so."""
 
     def partial(t: pa.Table) -> pa.Table:
         col = t["embedding"]
@@ -1086,6 +1080,38 @@ def embedding_covariance(sf_dir: str) -> pa.Table:
 
     parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
     if not len(parts):
+        return 0, np.zeros(0, np.int64), np.zeros((0, 0), np.int64)
+    n = int(parts["n"].sum())
+    sq = np.sum([np.frombuffer(b, np.int64) for b in parts["sq"]], axis=0)
+    d = len(sq)
+    qq = np.sum(
+        [np.frombuffer(b, np.int64).reshape(d, d) for b in parts["qq"]], axis=0
+    )
+    return n, sq, qq
+
+
+def embedding_covariance(sf_dir: str) -> pa.Table:
+    """Distributed covariance MATRIX of the embedding columns (the
+    PCA / whitening prep every representation-analysis pass starts
+    with) -> upper-triangle long form (i, j, cov_num, n) with
+    cov_num = n*Σ(q_i q_j) − Σq_i Σq_j over vectors QUANTIZED to
+    integers (q = floor(x·10⁴)) — all-integer algebra, so the result
+    is EXACT and independent of summation order (a float covariance
+    would differ from the oracle's in the low bits by accumulation
+    order alone).  Plan: per-batch partials (QᵀQ 64x64 int64 matmul,
+    column sums, count) — fixed-size per batch regardless of rows —
+    folded on the driver (k x k ints, metadata-sized), then the long
+    form emitted locally.  Exactly the broadcast-reduce contract of
+    ops/cluster.kmeans_fit.  Indices are 1-based to match the SQL
+    twin's list subscripts."""
+    # int64 numerator bound: n*qq - sq*sq wraps past 2^63 at ~5e5
+    # vectors (and no longer FITS the int64 output column either) —
+    # this exact-integer long form is the oracle twin for bounded
+    # corpora; the unbounded path is the float covariance that
+    # embedding_pca_projection derives from the same fold.
+    ds = _read(sf_dir, "embeddings", ["embedding"])
+    n, sq, qq = _int_cov_fold(ds)
+    if n == 0:
         return pa.table(
             {
                 "i": pa.array([], pa.int64()),
@@ -1094,15 +1120,7 @@ def embedding_covariance(sf_dir: str) -> pa.Table:
                 "n": pa.array([], pa.int64()),
             }
         )
-    n = int(parts["n"].sum())
-    sq = np.sum(
-        [np.frombuffer(b, dtype=np.int64) for b in parts["sq"]], axis=0
-    )
     d = len(sq)
-    qq = np.sum(
-        [np.frombuffer(b, dtype=np.int64).reshape(d, d) for b in parts["qq"]],
-        axis=0,
-    )
     iu, ju = np.triu_indices(d)
     cov_num = n * qq[iu, ju] - sq[iu] * sq[ju]
     return pa.table(
@@ -5794,7 +5812,10 @@ def q10_returned_items(sf_dir: str) -> pd.DataFrame:
     li_rev = li.map_batches(rev, batch_format="pyarrow")
     joined = joins.hash_join(
         li_rev, orders.repartition(8), on="o_orderkey", num_partitions=8
-    )
+        # repartition: merge the zero-column blocks empty hash
+        # partitions emit before by_cust accesses columns (repo-wide
+        # join-output convention, see q3)
+    ).repartition(8)
 
     def by_cust(t: pa.Table) -> pa.Table:
         g = t.group_by("o_custkey").aggregate([("revenue", "sum")])
@@ -6555,50 +6576,28 @@ def embedding_pca_projection(sf_dir: str) -> rd.Dataset:
     pc1..pc8): project every embedding onto the top-8 principal
     components of the corpus covariance.
 
-    Scale shape: pass 1 is the EXACT integer covariance fold of
-    ``embedding_covariance`` (per-block fixed-size QtQ partials,
-    driver fold — so the fitted axes are bit-identical under ANY block
-    layout); the 64x64 eigendecomposition runs on the driver
+    Scale shape: pass 1 is the shared exact-integer covariance fold
+    (``_int_cov_fold``: per-block fixed-size QtQ partials, driver fold
+    — integer sums, so the fitted axes are bit-identical under ANY
+    block layout; the float conversion happens once, after the fold,
+    avoiding the int64 numerator overflow the long-form
+    ``embedding_covariance`` is bounded by); the 64x64
+    eigendecomposition runs on the driver
     (model-sized); pass 2 broadcasts the 64x8 component matrix in the
     task closure and projects each batch with one matmul.  Rows-only
     (no SQL eigensolver); variance ordering, component orthogonality
     and partition-invariance are pytest-pinned (test_corpus_prep)."""
     K = 8
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-
-    def partial(t: pa.Table) -> pa.Table:
-        col = t["embedding"]
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
-        n = len(col)
-        if n == 0:
-            return pa.table(
-                {
-                    "n": pa.array([], pa.int64()),
-                    "sq": pa.array([], pa.binary()),
-                    "qq": pa.array([], pa.binary()),
-                }
-            )
-        Qm = np.floor(flat.reshape(n, -1) * 10_000.0).astype(np.int64)
-        return pa.table(
-            {
-                "n": pa.array([n], pa.int64()),
-                "sq": pa.array([Qm.sum(axis=0).tobytes()], pa.binary()),
-                "qq": pa.array([(Qm.T @ Qm).tobytes()], pa.binary()),
-            }
-        )
-
-    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
-    n = int(parts["n"].sum())
-    sq = np.sum([np.frombuffer(b, np.int64) for b in parts["sq"]], axis=0)
-    d = len(sq)
-    qq = np.sum(
-        [np.frombuffer(b, np.int64).reshape(d, d) for b in parts["qq"]], axis=0
-    )
-    # exact integer numerators -> float covariance once, on the driver
-    cov = (n * qq - np.outer(sq, sq)).astype(np.float64) / (
-        1e8 * n * max(1, n - 1)
+    n, sq, qq = _int_cov_fold(ds)
+    # float covariance from the exact integer partials WITHOUT the
+    # n*qq - outer(sq, sq) int64 product (which wraps past 2^63 at
+    # ~5e5 vectors): convert the exact sums to float64 FIRST — the
+    # fold itself stays exact (layout-invariant) far beyond any
+    # realistic corpus (~2.7e11 vectors), and PCA is float anyway
+    mean_q = sq.astype(np.float64) / n
+    cov = (qq.astype(np.float64) / n - np.outer(mean_q, mean_q)) * (
+        n / (max(1, n - 1) * 1e8)
     )
     mean = sq.astype(np.float64) / (1e4 * n)
     evals, evecs = np.linalg.eigh(cov)
@@ -6658,7 +6657,9 @@ def join_cardinality_estimate(sf_dir: str) -> pd.DataFrame:
         .groupby("k")
         .aggregate(Sum("nb", alias_name="nb"))
     )
-    j = joins.hash_join(ea.repartition(4), ob.repartition(4), on="k", num_partitions=4)
+    j = joins.hash_join(
+        ea.repartition(4), ob.repartition(4), on="k", num_partitions=4
+    ).repartition(2)  # merge zero-column empty-partition blocks pre-access
 
     def mul(t: pa.Table) -> pa.Table:
         prod = pc.multiply(t["na"], t["nb"])
@@ -6748,10 +6749,9 @@ def ace_train_eval(sf_dir: str) -> pd.DataFrame:
     import uuid
     from zlib import crc32
 
-    from . import ace_pipeline, model as M, synth, train
+    from . import ace_pipeline, synth, train
     from .ops.dicts import binary_feature_dict, encode_column
     from .ops.metrics import micro_prf_distributed
-    from .ops.score import _list_column_to_numpy
 
     lines = synth.synth_ace_lines(400, seed=41)
     path = os.path.join(
@@ -6772,11 +6772,14 @@ def ace_train_eval(sf_dir: str) -> pd.DataFrame:
             ace_pipeline._to_pairs_like, batch_format="pyarrow"
         ).materialize()
 
-        def bucket_filter(want: int):
+        def bucket_filter(keep):
+            # one shared crc32 bucket rule (the same convention as
+            # train_multinn's valid split) — both splits below derive
+            # from it so they cannot drift apart
             def f(t: pa.Table) -> pa.Table:
                 pid = t["pair_id"].to_pylist()
                 mask = np.array(
-                    [crc32(str(p).encode()) % 5 == want for p in pid], bool
+                    [keep(crc32(str(p).encode()) % 5) for p in pid], bool
                 )
                 return t.take(pa.array(np.nonzero(mask)[0], pa.int64()))
 
@@ -6785,42 +6788,17 @@ def ace_train_eval(sf_dir: str) -> pd.DataFrame:
         # train on buckets {2,3,4} + valid bucket 0 (train_multinn's own
         # valid_mod=5 rule is the same crc32 convention), test = bucket 1
         not_test = pairs.map_batches(
-            lambda t: t.take(
-                pa.array(
-                    np.nonzero(
-                        np.array(
-                            [
-                                crc32(str(p).encode()) % 5 != 1
-                                for p in t["pair_id"].to_pylist()
-                            ],
-                            bool,
-                        )
-                    )[0],
-                    pa.int64(),
-                )
-            ),
-            batch_format="pyarrow",
+            bucket_filter(lambda b: b != 1), batch_format="pyarrow"
         )
         best_w, hist = train.train_multinn(not_test, epochs=4, num_blocks=4)
-        test_ds = pairs.map_batches(bucket_filter(1), batch_format="pyarrow")
+        test_ds = pairs.map_batches(
+            bucket_filter(lambda b: b == 1), batch_format="pyarrow"
+        )
 
         import ray
 
         wref = ray.put(best_w)
-
-        def score(t: pa.Table) -> pa.Table:
-            ww = ray.get(wref)
-            flat, offsets = _list_column_to_numpy(t["feat_ids"])
-            h1 = t["head1_id"].to_numpy().astype(np.int64)
-            h2 = t["head2_id"].to_numpy().astype(np.int64)
-            preds, _ = M.multinn_forward(
-                ww, flat.astype(np.int64), offsets, h1, h2
-            )
-            return t.append_column(
-                "pred_label", pa.array(np.asarray(M.LABELS)[preds], pa.string())
-            )
-
-        scored = test_ds.map_batches(score, batch_format="pyarrow").materialize()
+        scored = train.score_pairs(test_ds, wref).materialize()
         prf = micro_prf_distributed(scored, "pred_label", "gold_label")
         best_row = hist[hist["is_best"]].iloc[0]
     finally:

@@ -364,6 +364,25 @@ def _load_train_checkpoint(ckdir, weights, opt):
     return meta["epoch"] + 1, meta["lr"], list(meta["hist"]), best
 
 
+def score_pairs(ds: rd.Dataset, weights_ref) -> rd.Dataset:
+    """Forward-score a featurized pair table with broadcast weights ->
+    the table plus ``pred_label`` (shared by the trainer's validation
+    pass and the train-evaluate protocol query)."""
+    from .ops.score import _list_column_to_numpy
+
+    def score(t: pa.Table) -> pa.Table:
+        ww = ray.get(weights_ref)
+        flat, offsets = _list_column_to_numpy(t["feat_ids"])
+        h1 = t["head1_id"].to_numpy().astype(np.int64)
+        h2 = t["head2_id"].to_numpy().astype(np.int64)
+        preds, _ = M.multinn_forward(ww, flat.astype(np.int64), offsets, h1, h2)
+        return t.append_column(
+            "pred_label", pa.array(np.asarray(M.LABELS)[preds], pa.string())
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
 def encode_labels(t: pa.Table) -> pa.Table:
     ids = np.array(
         [M.LABEL_TO_ID.get(s, 0) for s in t["gold_label"].to_pylist()],
@@ -388,15 +407,20 @@ def train_multinn(
 ) -> tuple[dict[str, np.ndarray], pd.DataFrame]:
     """Train MultiNN on a featurized pair table (columns ``feat_ids``,
     ``head1_id``, ``head2_id``, ``gold_label``) -> (best-epoch weights,
-    history).  Rows with ``pair_id % valid_mod == 0`` form the
-    validation split (deterministic, content-independent of block
-    layout); best epoch = max validation micro-F1, ties to the earlier
-    epoch (the reference's selection, `rnnRE.py:979-994`)."""
+    history).  Rows with ``crc32(str(pair_id)) % valid_mod == 0`` form
+    the validation split (content-addressed — pair ids are strings, so
+    a plain modulo would not even be defined; deterministic and
+    independent of block layout); best epoch = max validation micro-F1,
+    ties to the earlier epoch (the reference's selection,
+    `rnnRE.py:979-994`)."""
     from zlib import crc32
 
     from .ops.metrics import micro_prf_distributed
 
-    enc = pairs.map_batches(encode_labels, batch_format="pyarrow")
+    # pin: BOTH splits consume enc — without materializing, each
+    # .materialize() below re-executes encode_labels AND the caller's
+    # entire upstream (featurization) once per split
+    enc = pairs.map_batches(encode_labels, batch_format="pyarrow").materialize()
 
     def split_tbl(want_valid: bool):
         # content-addressed split on the pair id (string-safe crc32) —
@@ -438,21 +462,7 @@ def train_multinn(
 
     def valid_f1(w: dict[str, np.ndarray]) -> float:
         wref = ray.put({k: v.copy() for k, v in w.items()})
-
-        def score(t: pa.Table) -> pa.Table:
-            from .ops.score import _list_column_to_numpy
-
-            ww = ray.get(wref)
-            flat, offsets = _list_column_to_numpy(t["feat_ids"])
-            h1 = t["head1_id"].to_numpy().astype(np.int64)
-            h2 = t["head2_id"].to_numpy().astype(np.int64)
-            preds, _ = M.multinn_forward(
-                ww, flat.astype(np.int64), offsets, h1, h2
-            )
-            labels = pa.array(np.asarray(M.LABELS)[preds], pa.string())
-            return t.append_column("pred_label", labels)
-
-        scored = valid_ds.map_batches(score, batch_format="pyarrow")
+        scored = score_pairs(valid_ds, wref)
         prf = micro_prf_distributed(scored, "pred_label", "gold_label")
         return float(prf["f1"])
 
