@@ -199,6 +199,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fk_orphan_scan": Q.fk_orphan_scan,
         "join_cardinality_estimate": Q.join_cardinality_estimate,
         "events_debounce": Q.events_debounce,
+        "export_vacuum_orphans": Q.export_vacuum_orphans,
         # --- rows-only / pytest-oracled block (no SQL twin by nature) ---
         "doc_compression_ratio": Q.doc_compression_ratio,
         "doc_packing": Q.doc_packing,
@@ -834,6 +835,13 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY ts, event_id) AS prev_us
               FROM events WHERE ts IS NOT NULL
             ) WHERE prev_us IS NULL OR us - prev_us > 300000000
+        """,
+        "export_vacuum_orphans": """
+            SELECT event_type,
+                   CASE WHEN row_number() OVER (ORDER BY event_type) <= 2
+                        THEN 1 ELSE 0 END::BIGINT AS n_orphans_removed,
+                   count(*)::BIGINT AS n_rows
+            FROM events GROUP BY event_type
         """,
         "text_token_counts": r"""
             SELECT doc_id,

@@ -6823,3 +6823,88 @@ def ace_train_eval(sf_dir: str) -> pd.DataFrame:
             ],
         }
     )
+
+
+def export_vacuum_orphans(sf_dir: str) -> pa.Table:
+    """VACUUM (orphan-file cleanup — the table-maintenance op that
+    reclaims files left behind by failed/zombie writers, which a
+    manifest-committed reader must ignore but storage still pays for)
+    -> (event_type, n_orphans_removed, n_rows).  (Committed-file
+    counts track the write parallelism — CPU-dependent — so they stay
+    out of the oracle-hashed output.)
+
+    The query drives the full cycle: (1) hive-partitioned export with a
+    per-partition MANIFEST listing the committed files (atomic rename,
+    same convention as checkpoint.py), (2) PLANT orphan parquet files
+    in two partitions (a crashed writer's leftovers: valid parquet,
+    absent from the manifest), (3) vacuum = list each partition dir,
+    delete everything not in the manifest, (4) report per-partition
+    committed-file counts, orphans removed, and the row count from the
+    surviving files' footers — proving vacuum removed exactly the
+    plants and lost nothing (the DuckDB twin would see orphan rows
+    double-counted if vacuum missed; the pytest plants and checks).
+    Listing is per-partition-dir (bounded by that partition's file
+    count), never a global recursive walk."""
+    import hashlib
+    import json
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    out_dir = f"/tmp/deepie_export/p{os.getpid()}_vacuum_{tag}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    ev = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+    ev.write_parquet(out_dir, partition_cols=["event_type"])
+
+    # (1) commit manifests: one JSON per partition dir (atomic rename)
+    parts = sorted(
+        d for d in os.listdir(out_dir) if d.startswith("event_type=")
+    )
+    for p in parts:
+        pdir = os.path.join(out_dir, p)
+        files = sorted(f for f in os.listdir(pdir) if f.endswith(".parquet"))
+        tmp = os.path.join(pdir, ".manifest.tmp")
+        with open(tmp, "w") as f:
+            json.dump({"files": files}, f)
+        os.replace(tmp, os.path.join(pdir, "_manifest.json"))
+
+    # (2) plant orphans in the first two partitions (valid parquet,
+    # never committed)
+    planted = 0
+    for p in parts[:2]:
+        pdir = os.path.join(out_dir, p)
+        orphan = pa.table(
+            {
+                "event_id": pa.array([-1], pa.int64()),
+                "value": pa.array([0.0], pa.float64()),
+            }
+        )
+        pq.write_table(orphan, os.path.join(pdir, "zombie-writer.parquet"))
+        planted += 1
+
+    # (3) vacuum per partition
+    out_rows = []
+    for p in parts:
+        pdir = os.path.join(out_dir, p)
+        with open(os.path.join(pdir, "_manifest.json")) as f:
+            committed = set(json.load(f)["files"])
+        removed = 0
+        for fname in sorted(os.listdir(pdir)):
+            if fname.endswith(".parquet") and fname not in committed:
+                os.unlink(os.path.join(pdir, fname))
+                removed += 1
+        n_rows = sum(
+            pq.read_metadata(os.path.join(pdir, f)).num_rows for f in sorted(committed)
+        )
+        out_rows.append((p.split("=", 1)[1], removed, n_rows))
+
+    return pa.table(
+        {
+            "event_type": pa.array([r[0] for r in out_rows], pa.string()),
+            "n_orphans_removed": pa.array([r[1] for r in out_rows], pa.int64()),
+            "n_rows": pa.array([r[2] for r in out_rows], pa.int64()),
+        }
+    )
