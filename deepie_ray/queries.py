@@ -245,17 +245,47 @@ def q5_region_revenue(sf_dir: str) -> rd.Dataset:
         columns=["s_suppkey", "s_nationkey"],
         filter=(pc.field("s_nationkey").isin(nation_keys)),
     )
+    # combiner BEFORE the supplier join (round 4): revenue only needs
+    # (l_suppkey, c_nationkey) granularity downstream, so pre-aggregate
+    # the lineitem-sized stream to supplier x nation partials map-side
+    # — join #3's shuffle then moves ~|suppliers|x|region nations| rows
+    # instead of ~|lineitem| rows
+    def pre_agg(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {
+                    "l_suppkey": pd.Series([], dtype=np.int64),
+                    "c_nationkey": pd.Series([], dtype=np.int32),
+                    "revenue": pd.Series([], dtype=np.float64),
+                }
+            )
+        rev = df["l_extendedprice"] * (1 - df["l_discount"])
+        g = (
+            pd.DataFrame(
+                {
+                    "l_suppkey": df["l_suppkey"],
+                    "c_nationkey": df["c_nationkey"],
+                    "revenue": rev,
+                }
+            )
+            .groupby(["l_suppkey", "c_nationkey"], sort=False, as_index=False)[
+                "revenue"
+            ]
+            .sum()
+        )
+        return g
+
+    lo_agg = lo.map_batches(pre_agg, batch_format="pandas").repartition(4)
     los = joins.hash_join(
-        lo, supp, on="l_suppkey", right_on="s_suppkey", num_partitions=8
+        lo_agg, supp, on="l_suppkey", right_on="s_suppkey", num_partitions=4
     )
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         df = df[df["c_nationkey"] == df["s_nationkey"]]
         if df.empty:
             return pd.DataFrame({"n_name": pd.Series([], dtype=str), "revenue": []})
-        rev = df["l_extendedprice"] * (1 - df["l_discount"])
         names = df["c_nationkey"].map(name_of)
-        out = rev.groupby(names).sum().reset_index()
+        out = df["revenue"].groupby(names).sum().reset_index()
         out.columns = ["n_name", "revenue"]
         return out
 
