@@ -200,6 +200,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_cardinality_estimate": Q.join_cardinality_estimate,
         "events_debounce": Q.events_debounce,
         "export_vacuum_orphans": Q.export_vacuum_orphans,
+        "orderkey_gaps": Q.orderkey_gaps,
+        "doc_token_positions": Q.doc_token_positions,
         # --- rows-only / pytest-oracled block (no SQL twin by nature) ---
         "doc_compression_ratio": Q.doc_compression_ratio,
         "doc_packing": Q.doc_packing,
@@ -842,6 +844,23 @@ def oracle_sql() -> dict[str, str]:
                         THEN 1 ELSE 0 END::BIGINT AS n_orphans_removed,
                    count(*)::BIGINT AS n_rows
             FROM events GROUP BY event_type
+        """,
+        "orderkey_gaps": """
+            WITH k AS (SELECT DISTINCT o_orderkey AS id FROM orders
+                       WHERE o_totalprice > 450000),
+            s AS (SELECT id, lead(id) OVER (ORDER BY id) AS nxt FROM k)
+            SELECT (id + 1)::BIGINT AS gap_start, (nxt - 1)::BIGINT AS gap_end
+            FROM s WHERE nxt > id + 1
+        """,
+        "doc_token_positions": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(text, '\s+'),
+                                 x -> x <> '') AS toks
+              FROM documents
+            )
+            SELECT doc_id, r.i::BIGINT AS pos, toks[r.i] AS token
+            FROM t, unnest(range(1, least(len(toks), 10) + 1)) AS r(i)
         """,
         "text_token_counts": r"""
             SELECT doc_id,

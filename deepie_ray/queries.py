@@ -6938,3 +6938,100 @@ def export_vacuum_orphans(sf_dir: str) -> pa.Table:
             "n_rows": pa.array([r[2] for r in out_rows], pa.int64()),
         }
     )
+
+
+def orderkey_gaps(sf_dir: str) -> pd.DataFrame:
+    """SEQUENCE-GAP detection (the 'find the missing invoice numbers'
+    audit: maximal runs of ids absent from a key sequence) ->
+    (gap_start, gap_end) for the orderkeys of high-value orders
+    (o_totalprice > 450000 — the full keyspace is dense, the filtered
+    set is not).
+
+    Scale shape: keys bucket by ``id // B`` (ONE shuffle); gaps INSIDE
+    a bucket come from a vectorized sorted-diff per partition; gaps
+    that CROSS bucket boundaries (including runs of entirely-empty
+    buckets) are computed on the driver from the per-bucket (min, max)
+    summary — metadata-sized: two ints per non-empty bucket, bounded
+    by keyspace/B, never by row count."""
+    B = 256
+    keys = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey"],
+        filter=(pc.field("o_totalprice") > 450000.0),
+        override_num_blocks=read_blocks(),
+    )
+
+    def tag(t: pa.Table) -> pa.Table:
+        g = t.group_by("o_orderkey").aggregate([])
+        ids = pc.cast(g["o_orderkey"], pa.int64())
+        part = pc.divide(ids, pa.scalar(B))
+        return pa.table({"part": part, "id": ids})
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        ids = np.unique(df["id"].to_numpy().astype(np.int64))
+        nxt = ids[1:]
+        prev = ids[:-1]
+        m = nxt > prev + 1
+        return pd.DataFrame(
+            {
+                "kind": np.zeros(int(m.sum()) + 1, np.int64),
+                "gap_start": np.concatenate([prev[m] + 1, [ids.min()]]),
+                "gap_end": np.concatenate([nxt[m] - 1, [ids.max()]]),
+            }
+        ).assign(kind=lambda d: np.r_[np.zeros(len(d) - 1, np.int64), [1]])
+
+    rows = (
+        keys.map_batches(tag, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(per_part, batch_format="pandas")
+        .to_pandas()
+    )
+    inner = rows[rows["kind"] == 0][["gap_start", "gap_end"]]
+    # boundary gaps from the per-bucket (min, max) summaries (kind=1):
+    # sorted by min, a gap spans from one bucket's max+1 to the next
+    # bucket's min-1 (empty buckets in between are inside that span)
+    summ = rows[rows["kind"] == 1].sort_values("gap_start")
+    lo = summ["gap_start"].to_numpy()  # per-bucket min
+    hi = summ["gap_end"].to_numpy()  # per-bucket max
+    m = lo[1:] > hi[:-1] + 1
+    cross = pd.DataFrame(
+        {"gap_start": hi[:-1][m] + 1, "gap_end": lo[1:][m] - 1}
+    )
+    out = pd.concat([inner, cross], ignore_index=True)
+    out = out.sort_values("gap_start").reset_index(drop=True)
+    out["gap_start"] = out["gap_start"].astype(np.int64)
+    out["gap_end"] = out["gap_end"].astype(np.int64)
+    return out
+
+
+def doc_token_positions(sf_dir: str) -> rd.Dataset:
+    """Positional token EXPLODE (SQL ``unnest ... WITH ORDINALITY`` —
+    the long-format shape tokenized corpora are actually stored in) ->
+    (doc_id, pos, token) for each doc's first 10 whitespace tokens,
+    1-based positions.
+
+    Scale shape: embarrassingly parallel per-batch explode (numpy
+    repeat + flat token array), no shuffle; output is corpus-bounded
+    at 10 rows/doc.  The DuckDB twin uses the
+    ``unnest(range(1, len+1)) AS r(i)`` ordinality idiom."""
+    CAP = 10
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        txts = t["text"].to_pylist()
+        out_id, out_pos, out_tok = [], [], []
+        for i, x in zip(ids, txts):
+            toks = (x or "").split()[:CAP]
+            out_id.extend([i] * len(toks))
+            out_pos.extend(range(1, len(toks) + 1))
+            out_tok.extend(toks)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "pos": pa.array(out_pos, pa.int64()),
+                "token": pa.array(out_tok, pa.string()),
+            }
+        )
+
+    return ds.map_batches(explode, batch_format="pyarrow")
