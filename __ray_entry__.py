@@ -638,7 +638,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q10_returned_items": """
             SELECT c.c_custkey, c.c_name, n.n_name,
-                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+                   round(sum(floor(l.l_extendedprice * (1 - l.l_discount)
+                                   * 100)::BIGINT) / 100.0, 2) AS revenue
             FROM customer c, orders o, lineitem l, nation n
             WHERE c.c_custkey = o.o_custkey
               AND l.l_orderkey = o.o_orderkey
@@ -647,7 +648,8 @@ def oracle_sql() -> dict[str, str]:
               AND l.l_returnflag = 'R'
               AND c.c_nationkey = n.n_nationkey
             GROUP BY c.c_custkey, c.c_name, n.n_name
-            ORDER BY sum(l.l_extendedprice * (1 - l.l_discount)) DESC, c.c_custkey
+            ORDER BY sum(floor(l.l_extendedprice * (1 - l.l_discount)
+                               * 100)::BIGINT) DESC, c.c_custkey
             LIMIT 20
         """,
         "user_event_sequences": """

@@ -587,7 +587,15 @@ def hash_join(
 
     Keep ``num_partitions`` at a few per NODE: join aggregator actors
     cost ~O(partitions) in setup; 8 partitions joined 600k x 150k rows
-    in 0.8s where 32 partitions took 105s (tuning.py)."""
+    in 0.8s where 32 partitions took 105s (tuning.py).
+
+    CONSUMER CONTRACT: empty hash partitions emit ZERO-COLUMN blocks —
+    a downstream map_batches that accesses columns by name must first
+    merge them away (``.repartition(k)`` right after the join, the
+    repo-wide convention) or tolerate empty frames (pandas
+    ``df.empty`` guard).  Normalizing here would force an extra
+    repartition stage on every join, including the many call sites
+    that already reshuffle for their own reasons."""
     on_t = (on,) if isinstance(on, str) else tuple(on)
     right_t: tuple[str, ...] | None = None
     if right_on is not None:

@@ -5829,8 +5829,21 @@ def q10_returned_items(sf_dir: str) -> pd.DataFrame:
     )
 
     def rev(t: pa.Table) -> pa.Table:
-        r = pc.multiply(
-            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+        # integer cents (floor both sides): a float revenue sum can
+        # re-associate differently in Ray vs DuckDB and flip a NEAR-tie
+        # at the rank-20 boundary — exact ints make the top-20 set
+        # deterministic (the repo-wide quantization convention)
+        r = pc.cast(
+            pc.floor(
+                pc.multiply(
+                    pc.multiply(
+                        t["l_extendedprice"],
+                        pc.subtract(pa.scalar(1.0), t["l_discount"]),
+                    ),
+                    pa.scalar(100.0),
+                )
+            ),
+            pa.int64(),
         )
         g = (
             pa.table({"o_orderkey": t["l_orderkey"], "r": r})
@@ -5873,7 +5886,7 @@ def q10_returned_items(sf_dir: str) -> pd.DataFrame:
     out = out.sort_values(
         ["revenue", "c_custkey"], ascending=[False, True], kind="mergesort"
     ).reset_index(drop=True)
-    out["revenue"] = _round2_series(out["revenue"])
+    out["revenue"] = [round(int(c) / 100.0, 2) for c in out["revenue"]]
     return out[["c_custkey", "c_name", "n_name", "revenue"]]
 
 
@@ -5989,20 +6002,17 @@ def copurchase_components(sf_dir: str) -> rd.Dataset:
     li = _lineitem(sf_dir, ["l_orderkey", "l_partkey"])
     edges = graph.copurchase_edges(li, min_count=2)
 
-    def to_src_dst(t: pa.Table) -> pa.Table:
+    def to_pair_ids(t: pa.Table) -> pa.Table:
+        # one map to the resolver's (id_a, id_b) input schema
         return pa.table(
             {
-                "src": pc.cast(t["part_a"], pa.int64()),
-                "dst": pc.cast(t["part_b"], pa.int64()),
+                "id_a": pc.cast(t["part_a"], pa.int64()),
+                "id_b": pc.cast(t["part_b"], pa.int64()),
             }
         )
 
-    e = edges.map_batches(to_src_dst, batch_format="pyarrow")
     labels = dedup.components_from_pairs(
-        e.map_batches(
-            lambda t: pa.table({"id_a": t["src"], "id_b": t["dst"]}),
-            batch_format="pyarrow",
-        ),
+        edges.map_batches(to_pair_ids, batch_format="pyarrow"),
         pa.int64(),
         num_partitions=8,
     )
@@ -6108,6 +6118,13 @@ def events_daily_gap_fill(sf_dir: str) -> pd.DataFrame:
         .aggregate(Sum("n", alias_name="n"))
         .to_pandas()
     )
+    if agg.empty:  # empty input -> empty spine, matching the SQL twin
+        return pd.DataFrame(
+            {
+                "day_start": pd.Series([], dtype=np.int64),
+                "n_events": pd.Series([], dtype=np.int64),
+            }
+        )
     lo, hi = int(agg["day_start"].min()), int(agg["day_start"].max())
     spine = pd.DataFrame({"day_start": np.arange(lo, hi + DAY, DAY, dtype=np.int64)})
     out = spine.merge(agg, on="day_start", how="left")
@@ -6150,23 +6167,50 @@ def orders_profile(sf_dir: str) -> pd.DataFrame:
     def distincts(t: pa.Table) -> pa.Table:
         from zlib import crc32
 
-        out_c, out_v, out_p = [], [], []
+        def splitmix_part(x: np.ndarray) -> np.ndarray:
+            z = x.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
+            z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+            z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+            return ((z ^ (z >> np.uint64(31))) & np.uint64(P - 1)).astype(np.int64)
+
+        tabs = []
         for c in cols:
             arr = t[c].combine_chunks() if isinstance(t[c], pa.ChunkedArray) else t[c]
             u = pc.unique(arr.drop_null())
             # injective canonical string per column (values never mix
-            # across columns, so per-column injectivity suffices)
-            vs = [repr(v) for v in u.to_pylist()]
-            out_c.extend([c] * len(vs))
-            out_v.extend(vs)
-            out_p.extend(crc32(v.encode()) & (P - 1) for v in vs)
-        return pa.table(
-            {
-                "part": pa.array(out_p, pa.int64()),
-                "col": pa.array(out_c, pa.string()),
-                "val": pa.array(out_v, pa.string()),
-            }
-        )
+            # across columns, so per-column injectivity suffices) —
+            # VECTORIZED for numeric columns: ints cast via Arrow, and
+            # floats go through their raw IEEE bit pattern (injective,
+            # no repr round trip); a distinct-heavy key column would
+            # otherwise pay a full-corpus Python loop here
+            if pa.types.is_integer(u.type):
+                vals = u.to_numpy(zero_copy_only=False).astype(np.int64)
+                vs = pc.cast(u, pa.string())
+                part = splitmix_part(vals)
+            elif pa.types.is_floating(u.type):
+                bits = (
+                    u.to_numpy(zero_copy_only=False)
+                    .astype(np.float64)
+                    .view(np.int64)
+                )
+                vs = pc.cast(pa.array(bits), pa.string())
+                part = splitmix_part(bits)
+            else:
+                py = u.to_pylist()
+                vs = pa.array([str(v) for v in py], pa.string())
+                part = np.array(
+                    [crc32(str(v).encode()) & (P - 1) for v in py], np.int64
+                )
+            tabs.append(
+                pa.table(
+                    {
+                        "part": pa.array(part, pa.int64()),
+                        "col": pa.array([c] * len(u), pa.string()),
+                        "val": vs,
+                    }
+                )
+            )
+        return pa.concat_tables(tabs)
 
     def fold_part(df: pd.DataFrame) -> pd.DataFrame:
         g = (
@@ -6228,17 +6272,23 @@ def documents_checksum(sf_dir: str) -> pd.DataFrame:
         s = 0
         for i, x in zip(ids, txt):
             s += int(md5_hex(f"{i}|{x or ''}")[:8], 16)
+        # mod per block: addition mod p is partition-invariant, and the
+        # raw int64 sum would wrap past 2^63 at ~2e9 rows while the
+        # DuckDB twin's sum(BIGINT) promotes to HUGEINT
         return pa.table(
             {
-                "s": pa.array([s], pa.int64()),
+                "s": pa.array([s % MOD], pa.int64()),
                 "n": pa.array([t.num_rows], pa.int64()),
             }
         )
 
     parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    # Python-int fold (arbitrary precision): block partials are < 2^61
+    # each, so even their int64 SUM could wrap given enough blocks
+    checksum = sum(int(v) for v in parts["s"]) % MOD
     return pd.DataFrame(
         {
-            "checksum": [int(parts["s"].sum()) % MOD],
+            "checksum": [checksum],
             "n_rows": [int(parts["n"].sum())],
         }
     )

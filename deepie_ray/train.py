@@ -460,19 +460,25 @@ def train_multinn(
             if isinstance(opt, Sgd):
                 opt.lr = np.float32(lr)
 
-    def valid_f1(w: dict[str, np.ndarray]) -> float:
-        wref = ray.put({k: v.copy() for k, v in w.items()})
-        scored = score_pairs(valid_ds, wref)
+    def _put() -> object:
+        return ray.put({k: v.copy() for k, v in weights.items()})
+
+    # ONE object-store broadcast per weight VERSION: the same ref
+    # serves the epoch's gradient pass and the post-step validation
+    # (putting twice shipped a redundant full-model copy every epoch)
+    wref = _put()
+
+    def valid_f1(ref) -> float:
+        scored = score_pairs(valid_ds, ref)
         prf = micro_prf_distributed(scored, "pred_label", "gold_label")
         return float(prf["f1"])
 
     if start_epoch == 1:
-        f0 = valid_f1(weights)
+        f0 = valid_f1(wref)
         hist.append({"epoch": 0, "loss_mean": float("nan"), "valid_f1": f0})
         best = (f0, 0, {k: v.copy() for k, v in weights.items()})
 
     for epoch in range(start_epoch, epochs + 1):
-        wref = ray.put({k: v.copy() for k, v in weights.items()})
         parts = _grad_pass(train_ds, wref, epoch=epoch, dropout=dropout)
         loss_sum, n_total, dense, sparse = _fold(parts, weights)
         scale = 1.0 / max(1, n_total)  # mean gradient (adadelta's
@@ -483,7 +489,8 @@ def train_multinn(
         sparse = {k: (ids, rows * scale) for k, (ids, rows) in sparse.items()}
         opt.step(weights, dense, sparse)
         clip_param_columns(weights, norm_lim)
-        f1 = valid_f1(weights)
+        wref = _put()  # new weight version -> one new broadcast
+        f1 = valid_f1(wref)
         hist.append(
             {
                 "epoch": epoch,
