@@ -439,7 +439,14 @@ def random_projection(
     Deterministic and embarrassingly parallel: R is a pure function of
     (seed, in_dim, out_dim) regenerated per actor (d*k doubles — cheaper
     to rebuild than to ship for any realistic size), each row maps
-    independently, so output is BIT-identical under any partitioning."""
+    independently, so output is BIT-identical under any partitioning.
+    The projection deliberately uses ``np.einsum(..., optimize=False)``
+    rather than BLAS ``M @ R``: BLAS picks its k-accumulation blocking
+    from the BATCH row count, so the same row in a 15-row and a 60-row
+    batch can differ in the last float bit — einsum's fixed C loop
+    order depends only on (d, k), making bit-stability real rather
+    than scheduling luck (measured on this box: ``M @ R`` differs
+    across batch shapes; einsum does not)."""
 
     class Project:
         def __init__(self):
@@ -459,7 +466,8 @@ def random_projection(
                 self.R = rng.standard_normal(
                     (M.shape[1], out_dim)
                 ) / np.sqrt(out_dim)
-            P = M @ self.R
+            # fixed-order kernel: bit-identical for any batch row count
+            P = np.einsum("md,dk->mk", M, self.R, optimize=False)
             return pa.table(
                 {
                     id_col: batch[id_col],
