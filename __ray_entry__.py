@@ -202,6 +202,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "export_vacuum_orphans": Q.export_vacuum_orphans,
         "orderkey_gaps": Q.orderkey_gaps,
         "doc_token_positions": Q.doc_token_positions,
+        "events_value_trend": Q.events_value_trend,
+        "bm25_search": Q.bm25_search,
+        "hybrid_search_rrf": Q.hybrid_search_rrf,
+        "purchase_state_pit": Q.purchase_state_pit,
         # --- rows-only / pytest-oracled block (no SQL twin by nature) ---
         "doc_compression_ratio": Q.doc_compression_ratio,
         "doc_packing": Q.doc_packing,
@@ -863,6 +867,132 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, r.i::BIGINT AS pos, toks[r.i] AS token
             FROM t, unnest(range(1, least(len(toks), 10) + 1)) AS r(i)
+        """,
+        "events_value_trend": r"""
+            SELECT event_type, n,
+                   CASE WHEN (n::DOUBLE * sxx - sx::DOUBLE * sx) = 0.0
+                        THEN NULL
+                        ELSE (n::DOUBLE * sxy - sx::DOUBLE * sy)
+                             / (n::DOUBLE * sxx - sx::DOUBLE * sx)
+                   END AS slope_cents_per_hour
+            FROM (
+              SELECT event_type, count(*)::BIGINT AS n,
+                     sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+                     sum(x * y)::BIGINT AS sxy, sum(x * x)::BIGINT AS sxx
+              FROM (
+                SELECT event_type,
+                       (epoch_us(ts) // 3600000000)::BIGINT AS x,
+                       floor(value * 100)::BIGINT AS y
+                FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+              ) GROUP BY event_type
+            )
+        """,
+        "bm25_search": r"""
+            WITH t AS (
+              SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'),
+                                         x -> x <> '') AS toks
+              FROM documents
+            ),
+            f AS (
+              SELECT doc_id,
+                     len(toks)::BIGINT AS dl,
+                     len(list_filter(toks, x -> x = 'vector'))::BIGINT AS tf1,
+                     len(list_filter(toks, x -> x = 'stream'))::BIGINT AS tf2,
+                     len(list_filter(toks, x -> x = 'merge'))::BIGINT AS tf3
+              FROM t
+            ),
+            g AS (
+              SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS sum_dl,
+                     sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END)::BIGINT AS df1,
+                     sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END)::BIGINT AS df2,
+                     sum(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END)::BIGINT AS df3
+              FROM f
+            )
+            SELECT doc_id, dl AS n_tokens,
+                   ln(1.0 + (n_docs - df1 + 0.5) / (df1 + 0.5))
+                     * (tf1 * 2.2)
+                     / (tf1 + 1.2 * (0.25 + 0.75 * dl / (sum_dl::DOUBLE / n_docs)))
+                 + ln(1.0 + (n_docs - df2 + 0.5) / (df2 + 0.5))
+                     * (tf2 * 2.2)
+                     / (tf2 + 1.2 * (0.25 + 0.75 * dl / (sum_dl::DOUBLE / n_docs)))
+                 + ln(1.0 + (n_docs - df3 + 0.5) / (df3 + 0.5))
+                     * (tf3 * 2.2)
+                     / (tf3 + 1.2 * (0.25 + 0.75 * dl / (sum_dl::DOUBLE / n_docs)))
+                   AS bm25
+            FROM f CROSS JOIN g
+            ORDER BY bm25 DESC, doc_id LIMIT 20
+        """,
+        "hybrid_search_rrf": r"""
+            WITH qv AS (
+              SELECT r.i AS i,
+                     CAST(floor(embedding[r.i] * 10000.0) AS BIGINT) AS q
+              FROM embeddings, unnest(range(1, len(embedding) + 1)) AS r(i)
+              WHERE vec_id = 0
+            ),
+            sim AS (
+              SELECT e.vec_id AS id,
+                     sum(CAST(floor(e.embedding[r.i] * 10000.0) AS BIGINT)
+                         * qv.q)::BIGINT AS sim
+              FROM embeddings e, unnest(range(1, len(e.embedding) + 1)) AS r(i)
+              JOIN qv ON qv.i = r.i
+              GROUP BY e.vec_id
+            ),
+            ra AS (
+              SELECT id,
+                     row_number() OVER (ORDER BY sim DESC, id)::BIGINT AS rank_cos
+              FROM sim
+            ),
+            kw AS (
+              SELECT doc_id AS id,
+                     (len(list_filter(toks, x -> x = 'vector'))
+                    + len(list_filter(toks, x -> x = 'stream'))
+                    + len(list_filter(toks, x -> x = 'merge')))::BIGINT AS kscore
+              FROM (SELECT doc_id,
+                           list_filter(regexp_split_to_array(text, '\s+'),
+                                       x -> x <> '') AS toks
+                    FROM documents)
+            ),
+            rb AS (
+              SELECT id,
+                     row_number() OVER (ORDER BY kscore DESC, id)::BIGINT AS rank_kw
+              FROM kw
+            )
+            SELECT ra.id AS doc_id, ra.rank_cos, rb.rank_kw,
+                   1.0 / (60 + ra.rank_cos) + 1.0 / (60 + rb.rank_kw) AS rrf
+            FROM ra JOIN rb ON ra.id = rb.id
+            ORDER BY rrf DESC, doc_id LIMIT 10
+        """,
+        "purchase_state_pit": r"""
+            WITH ordered AS (
+              SELECT user_id, ts, event_id, event_type,
+                     CASE WHEN event_type IS DISTINCT FROM
+                               lag(event_type) OVER w
+                          THEN 1 ELSE 0 END AS chg
+              FROM events WHERE ts IS NOT NULL AND event_type <> 'purchase'
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), seg AS (
+              SELECT user_id, ts, event_type,
+                     sum(chg) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING
+                     )::BIGINT AS seg_no
+              FROM ordered
+            ), isl AS (
+              SELECT user_id, seg_no, event_type, min(ts) AS ts_start
+              FROM seg GROUP BY user_id, seg_no, event_type
+            ), pick AS (
+              SELECT p.event_id, p.user_id, i.seg_no,
+                     i.event_type AS state,
+                     row_number() OVER (
+                       PARTITION BY p.event_id
+                       ORDER BY i.ts_start DESC, i.seg_no DESC
+                     ) AS rn
+              FROM (SELECT event_id, user_id, ts FROM events
+                    WHERE ts IS NOT NULL AND event_type = 'purchase') p
+              JOIN isl i
+                ON i.user_id = p.user_id AND i.ts_start <= p.ts
+            )
+            SELECT event_id, user_id, seg_no, state FROM pick WHERE rn = 1
         """,
         "text_token_counts": r"""
             SELECT doc_id,

@@ -285,3 +285,128 @@ def islands(
         lambda df: df.dropna(subset=[ts_col]), batch_format="pandas"
     )
     return ordered_apply(clean, key_col, [ts_col, id_col], per_key)
+
+
+def global_rank(
+    ds: rd.Dataset,
+    score_col: str,
+    id_col: str,
+    out_col: str = "rank",
+    num_shards: int = 8,
+) -> rd.Dataset:
+    """(id, score) -> (id, rank): every row's global 1..N position
+    under (score DESC, id ASC) — the full-corpus ranking primitive
+    behind retrieval fusion (SQL ``row_number() OVER (ORDER BY score
+    DESC, id)`` with one unbounded partition).
+
+    Scale shape: the range-partitioned global-sort pattern
+    (queries.orders_price_ranked) generalized to ranks — quantile-
+    sketch shard boundaries (``num_shards - 1`` broadcast floats;
+    APPROXIMATE boundaries only skew shard balance, never rank
+    correctness, because ranks come from local positions + exact
+    shard counts), rows routed by a vectorized searchsorted, ONE
+    shuffle on the shard column, a per-shard local sort with
+    positions, then per-shard row counts (``num_shards`` rows —
+    driver-sized) folded into cumulative offsets that a final
+    map_batches adds back.  No task ever holds more than one shard;
+    driver state is ``num_shards`` ints."""
+    import pyarrow as pa
+
+    from ..ops.sketch import grouped_quantile
+
+    if ds.limit(1).count() == 0:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    out_col: pa.array([], pa.int64()),
+                }
+            )
+        )
+
+    def neg(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                id_col: df[id_col].to_numpy(),
+                "_neg": -df[score_col].to_numpy(),
+            }
+        )
+
+    scored = ds.map_batches(neg, batch_format="pandas")
+
+    def add_g(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_g"] = np.int64(0)
+        return df
+
+    qs = {f"b{i}": i / num_shards for i in range(1, num_shards)}
+    b = (
+        grouped_quantile(
+            scored.map_batches(add_g, batch_format="pandas"),
+            "_g",
+            "_neg",
+            q=qs,
+            ndigits=None,
+        )
+        .to_pandas()
+        .iloc[0]
+    )
+    bounds = np.array(
+        [b[f"b{i}"] for i in range(1, num_shards)], dtype=np.float64
+    )
+
+    def shard(df: pd.DataFrame) -> pd.DataFrame:
+        s = np.searchsorted(
+            bounds, df["_neg"].to_numpy().astype(np.float64), side="right"
+        ).astype(np.int64)
+        return pd.DataFrame(
+            {
+                id_col: df[id_col].to_numpy(),
+                "_neg": df["_neg"].to_numpy(),
+                "_shard": s,
+            }
+        )
+
+    def local_sort(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["_neg", id_col], kind="mergesort")
+        return pd.DataFrame(
+            {
+                id_col: df[id_col].to_numpy(),
+                "_shard": df["_shard"].to_numpy(),
+                "_pos": np.arange(len(df), dtype=np.int64),
+            }
+        )
+
+    ranked = (
+        scored.map_batches(shard, batch_format="pandas")
+        .groupby("_shard")
+        .map_groups(local_sort, batch_format="pandas")
+        .materialize()  # narrow (id, shard, pos); consumed twice below
+    )
+    counts = (
+        ranked.groupby("_shard").count().to_pandas().sort_values("_shard")
+    )
+    offs = np.zeros(num_shards, dtype=np.int64)
+    acc = 0
+    for s, c in zip(counts["_shard"], counts["count()"]):
+        offs[int(s)] = acc
+        acc += int(c)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {
+                    id_col: np.array([], np.int64),
+                    out_col: np.array([], np.int64),
+                }
+            )
+        return pd.DataFrame(
+            {
+                id_col: df[id_col].to_numpy(),
+                out_col: offs[df["_shard"].to_numpy()]
+                + df["_pos"].to_numpy()
+                + 1,
+            }
+        )
+
+    return ranked.map_batches(finish, batch_format="pandas")

@@ -7085,3 +7085,404 @@ def doc_token_positions(sf_dir: str) -> rd.Dataset:
         )
 
     return ds.map_batches(explode, batch_format="pyarrow")
+
+
+def events_value_trend(sf_dir: str) -> rd.Dataset:
+    """Grouped linear-regression SLOPE per event_type (value trend in
+    cents/hour, SQL ``regr_slope``'s closed form) -> (event_type, n,
+    slope_cents_per_hour): the 4-sum moment sketch (sum x, y, xy, x2 —
+    EXACT int64 over integer features: x = epoch-HOURS, y = value
+    cents), one tiny global groupby, and the closed-form finalizer
+    (n*sxy - sx*sy) / (n*sxx - sx^2) evaluated in float64 from the
+    exact sums — same sketch family as ``events_value_corr``; the
+    DuckDB twin evaluates the IDENTICAL expression over identical
+    integer sums (not its streaming ``regr_slope``).
+
+    x is epoch-hours, not seconds, to keep sum(x^2) inside int64
+    (epoch-hours ~5e5 -> x^2 ~2.4e11 -> exact up to ~4e7 rows per
+    group; at 100 TB split sxx into hi/lo int64 lanes or re-center x
+    at a fixed epoch — the sketch stays mergeable either way)."""
+    ev = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.is_valid(t["value"]), pc.is_valid(t["ts"])))
+        us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        x = pa.array(np.floor_divide(us, 3_600_000_000), pa.int64())
+        y = pc.cast(pc.floor(pc.multiply(t["value"], 100.0)), pa.int64())
+        tt = pa.table(
+            {
+                "event_type": t["event_type"],
+                "x": x,
+                "y": y,
+                "xy": pc.multiply(x, y),
+                "xx": pc.multiply(x, x),
+            }
+        )
+        g = tt.group_by("event_type").aggregate(
+            [("x", "sum"), ("y", "sum"), ("xy", "sum"), ("xx", "sum"),
+             ([], "count_all")]
+        )
+        return pa.table(
+            {
+                "event_type": g["event_type"],
+                "sx": g["x_sum"],
+                "sy": g["y_sum"],
+                "sxy": g["xy_sum"],
+                "sxx": g["xx_sum"],
+                "n": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    agg = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("sx", alias_name="sx"),
+            Sum("sy", alias_name="sy"),
+            Sum("sxy", alias_name="sxy"),
+            Sum("sxx", alias_name="sxx"),
+            Sum("n", alias_name="n"),
+        )
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        f = lambda c: t[c].to_numpy(zero_copy_only=False).astype(np.float64)
+        n, sx, sy, sxy, sxx = f("n"), f("sx"), f("sy"), f("sxy"), f("sxx")
+        den = n * sxx - sx * sx
+        with np.errstate(invalid="ignore", divide="ignore"):
+            slope = np.where(den != 0.0, (n * sxy - sx * sy) / den, np.nan)
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "n": pc.cast(t["n"], pa.int64()),
+                "slope_cents_per_hour": pa.array(
+                    [None if np.isnan(s) else float(s) for s in slope],
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
+_BM25_TERMS = ("vector", "stream", "merge")
+
+
+def _term_freqs(t: pa.Table) -> pa.Table:
+    """Per-doc (doc_id, dl, tf1..tfK) for the fixed ``_BM25_TERMS`` —
+    one Arrow explode + one is_in mask per term; docs with zero tokens
+    keep a row (dl=0, tf=0) via a left merge onto the batch ids."""
+    from .ops.text import _explode_tokens
+
+    flat, ids = _explode_tokens(t, "text", "doc_id")
+    cols = {"doc_id": ids, "one": pa.array(np.ones(len(flat), np.int64))}
+    for k, term in enumerate(_BM25_TERMS, 1):
+        cols[f"tf{k}"] = pc.cast(pc.equal(flat, term), pa.int64())
+    g = (
+        pa.table(cols)
+        .group_by("doc_id")
+        .aggregate([("one", "sum")] + [(f"tf{k}", "sum") for k in range(1, len(_BM25_TERMS) + 1)])
+    )
+    got = g.to_pandas().set_index("doc_id")
+    all_ids = t["doc_id"].to_numpy(zero_copy_only=False)
+    out = {"doc_id": pa.array(all_ids, pa.int64())}
+    dl = got["one_sum"].reindex(all_ids).fillna(0).to_numpy(np.int64)
+    out["dl"] = pa.array(dl, pa.int64())
+    for k in range(1, len(_BM25_TERMS) + 1):
+        tf = got[f"tf{k}_sum"].reindex(all_ids).fillna(0).to_numpy(np.int64)
+        out[f"tf{k}"] = pa.array(tf, pa.int64())
+    return pa.table(out)
+
+
+def bm25_search(sf_dir: str) -> rd.Dataset:
+    """BM25 ranked retrieval (Okapi, Lucene idf variant; k1=1.2,
+    b=0.75) for a fixed 3-term query -> top-20 (doc_id, n_tokens,
+    bm25) by (score DESC, doc_id).
+
+    Scale shape: pass 1 folds the corpus stats — N, sum(dl), df per
+    term — from per-batch integer partials (ONE 1-row aggregate; the
+    idf of each term and avgdl are then 4 broadcast floats in the task
+    closure); pass 2 scores every doc vectorized (numpy, the IDENTICAL
+    float expression the DuckDB twin evaluates over the same exact
+    integers, term-by-term in the same order) and keeps a per-block
+    top-20 before the tiny global sort+limit.  Nothing corpus-sized
+    ever gathers: the shuffle is #blocks x 20 narrow rows."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    freqs = ds.map_batches(_term_freqs, batch_format="pyarrow").materialize()
+
+    def stats_partial(t: pa.Table) -> pa.Table:
+        cols = {
+            "n_docs": pa.array([t.num_rows], pa.int64()),
+            "sum_dl": pa.array([pc.sum(t["dl"]).as_py() or 0], pa.int64()),
+        }
+        for k in range(1, len(_BM25_TERMS) + 1):
+            df_k = pc.sum(
+                pc.cast(pc.greater(t[f"tf{k}"], 0), pa.int64())
+            ).as_py() or 0
+            cols[f"df{k}"] = pa.array([df_k], pa.int64())
+        return pa.table(cols)
+
+    s = (
+        freqs.map_batches(stats_partial, batch_format="pyarrow")
+        .sum(["n_docs", "sum_dl"] + [f"df{k}" for k in range(1, len(_BM25_TERMS) + 1)])
+    )
+    n_docs = int(s["sum(n_docs)"])
+    sum_dl = int(s["sum(sum_dl)"])
+    dfs = [int(s[f"sum(df{k})"]) for k in range(1, len(_BM25_TERMS) + 1)]
+    import math
+
+    # identical float expression tree as the SQL twin, from exact ints
+    avgdl = float(sum_dl) / float(n_docs)
+    idfs = [
+        math.log(1.0 + (n_docs - df_k + 0.5) / (df_k + 0.5)) for df_k in dfs
+    ]
+
+    def score(t: pa.Table) -> pa.Table:
+        dl = t["dl"].to_numpy(zero_copy_only=False).astype(np.float64)
+        norm = 1.2 * (0.25 + 0.75 * dl / avgdl)
+        total = np.zeros(len(dl), np.float64)
+        for k, idf in enumerate(idfs, 1):
+            tf = t[f"tf{k}"].to_numpy(zero_copy_only=False).astype(np.float64)
+            total = total + idf * (tf * 2.2) / (tf + norm)
+        out = pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": t["dl"],
+                "bm25": pa.array(total, pa.float64()),
+            }
+        )
+        # per-block top-20 (same (score DESC, id) order as the final)
+        df = out.to_pandas().sort_values(
+            ["bm25", "doc_id"], ascending=[False, True], kind="mergesort"
+        )
+        return pa.Table.from_pandas(df.head(20), preserve_index=False)
+
+    return (
+        freqs.map_batches(score, batch_format="pyarrow")
+        .sort(["bm25", "doc_id"], descending=[True, False])
+        .limit(20)
+    )
+
+
+def hybrid_search_rrf(sf_dir: str) -> rd.Dataset:
+    """Hybrid retrieval via Reciprocal Rank Fusion (Cormack et al.
+    2009): an embedding-similarity ranking and a keyword ranking,
+    fused as 1/(60+r_cos) + 1/(60+r_kw) -> top-10 (doc_id, rank_cos,
+    rank_kw, rrf).
+
+    Both rankings are EXACT-integer-scored so ranks (hence the fused
+    floats) are bit-identical to the DuckDB twin: similarity is the
+    int64 dot product of 1e-4-quantized embeddings against the
+    broadcast quantized query vector (vec_id 0 — one pushdown-filtered
+    row), keyword score is the summed term frequency of the fixed
+    query terms.  Ranks come from ops/analytic.global_rank (range-
+    partitioned distributed ranking, one shuffle each); the fusion is
+    a hash join of two (id, rank) tables + a vectorized map + the tiny
+    global top-10.  RRF itself never looks at raw scores, which is
+    exactly why it is the robust way to fuse heterogeneous retrievers."""
+    from .ops import analytic
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qrow = (
+        rd.read_parquet(
+            f"{sf_dir}/embeddings.parquet",
+            columns=["vec_id", "embedding"],
+            filter=(pc.field("vec_id") == 0),
+        )
+        .take_all()
+    )
+    qv = np.floor(
+        np.asarray(qrow[0]["embedding"], np.float64) * 10000.0
+    ).astype(np.int64)
+
+    def sim_batch(t: pa.Table) -> pa.Table:
+        col = t["embedding"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        X = np.floor(flat * 10000.0).astype(np.int64).reshape(len(col), -1)
+        return pa.table(
+            {
+                "id": pc.cast(t["vec_id"], pa.int64()),
+                "sim": pa.array(X @ qv, pa.int64()),
+            }
+        )
+
+    ra = analytic.global_rank(
+        emb.map_batches(sim_batch, batch_format="pyarrow"),
+        "sim",
+        "id",
+        out_col="rank_cos",
+    )
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def kw_batch(t: pa.Table) -> pa.Table:
+        from .ops.text import _explode_tokens
+
+        flat, ids = _explode_tokens(t, "text", "doc_id")
+        hit = pc.cast(
+            pc.is_in(flat, value_set=pa.array(list(_BM25_TERMS))), pa.int64()
+        )
+        g = (
+            pa.table({"id": ids, "hit": hit})
+            .group_by("id")
+            .aggregate([("hit", "sum")])
+        )
+        got = g.to_pandas().set_index("id")["hit_sum"]
+        all_ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        ks = got.reindex(all_ids).fillna(0).to_numpy(np.int64)
+        return pa.table(
+            {
+                "id": pa.array(all_ids, pa.int64()),
+                "kscore": pa.array(ks, pa.int64()),
+            }
+        )
+
+    rb = analytic.global_rank(
+        docs.map_batches(kw_batch, batch_format="pyarrow"),
+        "kscore",
+        "id",
+        out_col="rank_kw",
+    )
+
+    j = joins.hash_join(ra, rb, on="id", num_partitions=8).repartition(8)
+
+    def fuse(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "rank_cos": pa.array([], pa.int64()),
+                    "rank_kw": pa.array([], pa.int64()),
+                    "rrf": pa.array([], pa.float64()),
+                }
+            )
+        a = t["rank_cos"].to_numpy(zero_copy_only=False).astype(np.float64)
+        b = t["rank_kw"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "doc_id": t["id"],
+                "rank_cos": t["rank_cos"],
+                "rank_kw": t["rank_kw"],
+                "rrf": pa.array(1.0 / (60.0 + a) + 1.0 / (60.0 + b)),
+            }
+        )
+
+    return (
+        j.map_batches(fuse, batch_format="pyarrow")
+        .sort(["rrf", "doc_id"], descending=[True, False])
+        .limit(10)
+    )
+
+
+def purchase_state_pit(sf_dir: str) -> rd.Dataset:
+    """POINT-IN-TIME join against an SCD2 dimension: each purchase
+    event matched to the activity state (the gaps-and-islands
+    compaction of the user's NON-purchase events) that was current at
+    purchase time -> (event_id, user_id, seg_no, state).  The temporal
+    'what state was this entity in when X happened' join every
+    CDC/SCD2 warehouse runs.
+
+    Scale shape: the dimension is ``ops/analytic.islands`` (one
+    shuffle, history-compacted output), the temporal match is the
+    bucketed merge_asof path (``ops/joins.asof_join_merge`` — one
+    union + one key-bucket shuffle, never the |purchases| x
+    |islands-per-user| expansion), and the state label attaches by a
+    hash join on a packed island id (user_id << 20 | seg_no; seg_no is
+    bounded by per-user event volume — documented partitioning
+    assumption).  Purchases before the user's first island drop
+    (inner PIT semantics), same as the oracle's ts_start <= ts
+    predicate."""
+    from .ops import analytic
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    non_p = ev.map_batches(
+        lambda t: t.filter(pc.not_equal(t["event_type"], "purchase")),
+        batch_format="pyarrow",
+    )
+    isl = analytic.islands(
+        non_p, "user_id", "ts", "event_id", "event_type"
+    ).materialize()  # consumed by the as-of right side AND the label join
+
+    def pack(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {
+                    "user_id": np.array([], np.int64),
+                    "island_id": np.array([], np.int64),
+                    "ts_start": np.array([], "datetime64[us]"),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "user_id": df["user_id"].to_numpy(np.int64),
+                "island_id": (df["user_id"].to_numpy(np.int64) << 20)
+                | df["seg_no"].to_numpy(np.int64),
+                "ts_start": df["ts_start"].to_numpy(),
+            }
+        )
+
+    right = isl.map_batches(pack, batch_format="pandas")
+    left = ev.map_batches(
+        lambda t: t.filter(
+            pc.and_(
+                pc.equal(t["event_type"], "purchase"), pc.is_valid(t["ts"])
+            )
+        ).select(["event_id", "user_id", "ts"]),
+        batch_format="pyarrow",
+    )
+    matched = joins.asof_join_merge(
+        left,
+        right,
+        key="user_id",
+        left_id="event_id",
+        left_ts="ts",
+        right_ts="ts_start",
+        tie_break="island_id",
+        num_partitions=8,
+    )
+
+    def meta(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {
+                    "island_id": np.array([], np.int64),
+                    "seg_no": np.array([], np.int64),
+                    "state": np.array([], object),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "island_id": (df["user_id"].to_numpy(np.int64) << 20)
+                | df["seg_no"].to_numpy(np.int64),
+                "seg_no": df["seg_no"].to_numpy(np.int64),
+                "state": df["event_type"].to_numpy(),
+            }
+        )
+
+    labels = isl.map_batches(meta, batch_format="pandas")
+    j = joins.hash_join(
+        matched, labels, on="island_id", num_partitions=8
+    ).repartition(8)
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {
+                    "event_id": np.array([], np.int64),
+                    "user_id": np.array([], np.int64),
+                    "seg_no": np.array([], np.int64),
+                    "state": np.array([], object),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].to_numpy(np.int64),
+                "user_id": df["island_id"].to_numpy(np.int64) >> 20,
+                "seg_no": df["seg_no"].to_numpy(np.int64),
+                "state": df["state"].to_numpy(),
+            }
+        )
+
+    return j.map_batches(fin, batch_format="pandas")
