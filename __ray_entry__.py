@@ -208,6 +208,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "purchase_state_pit": Q.purchase_state_pit,
         # --- rows-only / pytest-oracled block (no SQL twin by nature) ---
         "doc_compression_ratio": Q.doc_compression_ratio,
+        "export_tar_shards_roundtrip": Q.export_tar_shards_roundtrip,
         "doc_packing": Q.doc_packing,
         "doc_topic_clusters": Q.doc_topic_clusters,
         "events_distinct_users_hll": Q.events_distinct_users_hll,

@@ -7486,3 +7486,35 @@ def purchase_state_pit(sf_dir: str) -> rd.Dataset:
         )
 
     return j.map_batches(fin, batch_format="pandas")
+
+
+def export_tar_shards_roundtrip(sf_dir: str) -> rd.Dataset:
+    """WebDataset-style TAR-shard sink + source round trip over the
+    INTERLEAVED corpus -> (doc_id, n_spans, span_fp): interleave the
+    documents table (the input_hint shape), write content-addressed
+    tar shards (sorted members, zeroed metadata, atomic rename — see
+    sources/tar_shards.py), read them back, and fingerprint each doc's
+    full (kind, text, media_ref, offset) sequence.  Rows-only (the
+    interleave mapping is seeded-RNG, not SQL); pytest pins that the
+    fingerprints equal the PRE-write fingerprints (the north-star
+    span-sequence invariant through the multimodal shard format) and
+    that shard bytes are identical across partitionings and re-runs."""
+    import hashlib
+    import os
+    import shutil
+
+    from . import pipeline
+    from .sources import tar_shards
+
+    out_dir = (
+        f"/tmp/deepie_export/p{os.getpid()}_tar_"
+        + hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    docs = pipeline.read_documents(sf_dir)
+    # consume the manifest (the write) before reading back
+    manifest = tar_shards.write_tar_shards(docs, out_dir, n_shards=16)
+    n = manifest.count()
+    assert n >= 1
+    back = tar_shards.read_tar_shards(out_dir)
+    return tar_shards.shards_fingerprint(back)
