@@ -332,7 +332,10 @@ def global_rank(
             }
         )
 
-    scored = ds.map_batches(neg, batch_format="pandas")
+    # narrow (id, -score) rows, consumed TWICE (boundary sketch pass +
+    # shard routing pass): materialize so the upstream scoring lineage
+    # does not re-execute per consumer
+    scored = ds.map_batches(neg, batch_format="pandas").materialize()
 
     def add_g(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
