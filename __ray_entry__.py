@@ -206,6 +206,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_search": Q.bm25_search,
         "hybrid_search_rrf": Q.hybrid_search_rrf,
         "purchase_state_pit": Q.purchase_state_pit,
+        "retrieval_metrics_cosine": Q.retrieval_metrics_cosine,
         # --- rows-only / pytest-oracled block (no SQL twin by nature) ---
         "doc_compression_ratio": Q.doc_compression_ratio,
         "export_tar_shards_roundtrip": Q.export_tar_shards_roundtrip,
@@ -962,6 +963,54 @@ def oracle_sql() -> dict[str, str]:
                    1.0 / (60 + ra.rank_cos) + 1.0 / (60 + rb.rank_kw) AS rrf
             FROM ra JOIN rb ON ra.id = rb.id
             ORDER BY rrf DESC, doc_id LIMIT 10
+        """,
+        "retrieval_metrics_cosine": r"""
+            WITH qe AS (
+              SELECT vec_id AS qid, embedding AS qemb, label AS qlabel
+              FROM embeddings WHERE vec_id < 10
+            ),
+            sim AS (
+              SELECT q.qid, e.vec_id AS id, e.label,
+                     sum(CAST(floor(e.embedding[r.i] * 10000.0) AS BIGINT)
+                       * CAST(floor(q.qemb[r.i] * 10000.0) AS BIGINT))::BIGINT AS sim
+              FROM embeddings e
+              CROSS JOIN qe q, unnest(range(1, len(e.embedding) + 1)) AS r(i)
+              WHERE e.vec_id <> q.qid
+              GROUP BY q.qid, e.vec_id, e.label
+            ),
+            ranked AS (
+              SELECT qid, id, sim, label,
+                     row_number() OVER (
+                       PARTITION BY qid ORDER BY sim DESC, id
+                     )::BIGINT AS rnk
+              FROM sim
+            ),
+            rel AS (
+              SELECT r.qid, r.id, r.rnk, (r.label = q.qlabel) AS is_rel
+              FROM ranked r JOIN qe q ON q.qid = r.qid
+            ),
+            m AS (
+              SELECT qid,
+                     min(CASE WHEN is_rel THEN rnk END)::BIGINT AS first_rel_rank,
+                     sum(CASE WHEN is_rel THEN 1 ELSE 0 END)::BIGINT AS n_rel,
+                     sum(CASE WHEN is_rel AND rnk <= 10
+                              THEN 1 ELSE 0 END)::BIGINT AS rel_in_top10,
+                     sum(CASE WHEN is_rel AND rnk <= 10
+                              THEN 1.0 / log2(1.0 + rnk) ELSE 0.0 END) AS dcg10
+              FROM rel GROUP BY qid
+            ),
+            ideal AS (
+              SELECT m.qid, sum(1.0 / log2(1.0 + r.i)) AS idcg10
+              FROM m, unnest(range(1, least(m.n_rel, 10) + 1)) AS r(i)
+              GROUP BY m.qid
+            )
+            SELECT m.qid AS query_id, m.first_rel_rank, m.n_rel,
+                   m.rel_in_top10,
+                   1.0 / m.first_rel_rank AS mrr,
+                   m.rel_in_top10::DOUBLE / m.n_rel AS recall_at_10,
+                   m.dcg10 / i.idcg10 AS ndcg_at_10
+            FROM m JOIN ideal i ON i.qid = m.qid
+            ORDER BY query_id
         """,
         "purchase_state_pit": r"""
             WITH ordered AS (

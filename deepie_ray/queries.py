@@ -7518,3 +7518,173 @@ def export_tar_shards_roundtrip(sf_dir: str) -> rd.Dataset:
     assert n >= 1
     back = tar_shards.read_tar_shards(out_dir)
     return tar_shards.shards_fingerprint(back)
+
+
+def retrieval_metrics_cosine(sf_dir: str) -> pd.DataFrame:
+    """Retrieval EVALUATION against labeled ground truth -> one row per
+    query (query_id, first_rel_rank, n_rel, rel_in_top10, mrr,
+    recall_at_10, ndcg_at_10): the similarity ranking is scored with
+    the standard IR metrics, where a doc is relevant to a query iff it
+    shares the query doc's cluster ``label`` (the judged-qrels stand-in
+    this corpus carries); the query doc itself is excluded.  Queries
+    with zero relevant docs drop (inner semantics, same as the twin).
+
+    Exactness: similarities are int64 dot products of 1e-4-quantized
+    embeddings (bit-stable ranks, ties -> smaller id); every metric is
+    then an IDENTICAL float expression over exact integers on both
+    sides (ndcg's log2 terms are the one transcendental — 10-term sums,
+    same tolerance class as the nll oracles).
+
+    Scale shape: NO global rank table — pass A streams the corpus once
+    against the broadcast 10-query matrix (one int64 matmul per batch)
+    emitting per-block partials (local top-10 per query, local
+    best-relevant argmax, local relevant-count: <= 21 narrow rows per
+    block per query); pass B broadcasts the 10 folded best-relevant
+    pivots and counts strictly-better docs per query (first_rel_rank =
+    that count + 1 — a rank WITHOUT ranking).  Driver state is
+    blocks x queries x 21 rows, never corpus-sized."""
+    N_Q, TOPK = 10, 10
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+    qdf = (
+        rd.read_parquet(
+            f"{sf_dir}/embeddings.parquet",
+            columns=["vec_id", "embedding", "label"],
+            filter=(pc.field("vec_id") < N_Q),
+        )
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    Qm = np.stack(
+        [
+            np.floor(np.asarray(v, np.float64) * 10000.0).astype(np.int64)
+            for v in qdf["embedding"]
+        ]
+    )  # (N_Q, dim)
+    qids = qdf["vec_id"].to_numpy(np.int64)
+    qlabels = qdf["label"].to_numpy(np.int64)
+
+    def _mat(t: pa.Table) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        col = t["embedding"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        X = np.floor(flat * 10000.0).astype(np.int64).reshape(len(col), -1)
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        labels = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return X, ids, labels
+
+    def pass_a(t: pa.Table) -> pa.Table:
+        X, ids, labels = _mat(t)
+        S = X @ Qm.T  # (n, N_Q) int64
+        out_q, out_kind, out_sim, out_id, out_rel = [], [], [], [], []
+        for k in range(N_Q):
+            keep = ids != qids[k]
+            s, di, rel = S[keep, k], ids[keep], labels[keep] == qlabels[k]
+            if len(s) == 0:
+                continue
+            # local top-10 by (sim DESC, id ASC)
+            order = np.lexsort((di, -s))[:TOPK]
+            out_q.extend([qids[k]] * len(order))
+            out_kind.extend([0] * len(order))
+            out_sim.extend(s[order])
+            out_id.extend(di[order])
+            out_rel.extend(rel[order].astype(np.int64))
+            # local best-relevant argmax + relevant count
+            if rel.any():
+                ri = np.flatnonzero(rel)
+                best = ri[np.lexsort((di[ri], -s[ri]))[0]]
+                out_q.append(qids[k])
+                out_kind.append(1)
+                out_sim.append(s[best])
+                out_id.append(di[best])
+                out_rel.append(int(rel.sum()))
+        return pa.table(
+            {
+                "qid": pa.array(out_q, pa.int64()),
+                "kind": pa.array(out_kind, pa.int64()),
+                "sim": pa.array(out_sim, pa.int64()),
+                "id": pa.array(out_id, pa.int64()),
+                "rel": pa.array(out_rel, pa.int64()),
+            }
+        )
+
+    parts = (
+        emb.map_batches(pass_a, batch_format="pyarrow").to_pandas()
+    )  # blocks x queries x 21 rows — driver-bounded by design
+    rows = []
+    best = {}
+    for qid, grp in parts.groupby("qid"):
+        top = grp[grp["kind"] == 0].sort_values(
+            ["sim", "id"], ascending=[False, True], kind="mergesort"
+        ).head(TOPK)
+        br = grp[grp["kind"] == 1]
+        if br.empty:
+            continue  # zero relevant docs: drop (twin's inner join)
+        n_rel = int(br["rel"].sum())
+        b = br.sort_values(["sim", "id"], ascending=[False, True]).iloc[0]
+        best[int(qid)] = (int(b["sim"]), int(b["id"]))
+        rel_top = top["rel"].to_numpy()
+        rel_in_top10 = int(rel_top.sum())
+        dcg = 0.0
+        for i, r in enumerate(rel_top, 1):
+            if r:
+                dcg = dcg + 1.0 / np.log2(1.0 + float(i))
+        idcg = 0.0
+        for i in range(1, min(n_rel, TOPK) + 1):
+            idcg = idcg + 1.0 / np.log2(1.0 + float(i))
+        rows.append(
+            {
+                "query_id": int(qid),
+                "n_rel": n_rel,
+                "rel_in_top10": rel_in_top10,
+                "dcg": dcg,
+                "idcg": idcg,
+            }
+        )
+
+    # pass B: first_rel_rank = 1 + #docs strictly better than the best
+    # relevant doc, per query (broadcast 10 pivots, streamed count)
+    bq = np.array(sorted(best.keys()), np.int64)
+    bsim = np.array([best[int(q)][0] for q in bq], np.int64)
+    bid = np.array([best[int(q)][1] for q in bq], np.int64)
+
+    def pass_b(t: pa.Table) -> pa.Table:
+        X, ids, labels = _mat(t)
+        S = X @ Qm.T
+        out_q, out_n = [], []
+        for j, q in enumerate(bq):
+            k = int(np.flatnonzero(qids == q)[0])
+            keep = ids != q
+            s, di = S[keep, k], ids[keep]
+            better = (s > bsim[j]) | ((s == bsim[j]) & (di < bid[j]))
+            out_q.append(q)
+            out_n.append(int(better.sum()))
+        return pa.table(
+            {
+                "qid": pa.array(out_q, pa.int64()),
+                "nb": pa.array(out_n, pa.int64()),
+            }
+        )
+
+    nb = (
+        emb.map_batches(pass_b, batch_format="pyarrow")
+        .groupby("qid")
+        .aggregate(Sum("nb", alias_name="nb"))
+        .to_pandas()
+        .set_index("qid")["nb"]
+    )
+    out = []
+    for r in rows:
+        frr = int(nb[r["query_id"]]) + 1
+        out.append(
+            {
+                "query_id": r["query_id"],
+                "first_rel_rank": frr,
+                "n_rel": r["n_rel"],
+                "rel_in_top10": r["rel_in_top10"],
+                "mrr": 1.0 / float(frr),
+                "recall_at_10": float(r["rel_in_top10"]) / float(r["n_rel"]),
+                "ndcg_at_10": (r["dcg"] / r["idcg"]) if r["idcg"] else 0.0,
+            }
+        )
+    return pd.DataFrame(out).sort_values("query_id").reset_index(drop=True)
