@@ -207,6 +207,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hybrid_search_rrf": Q.hybrid_search_rrf,
         "purchase_state_pit": Q.purchase_state_pit,
         "retrieval_metrics_cosine": Q.retrieval_metrics_cosine,
+        "q6_forecast_revenue": Q.q6_forecast_revenue,
+        "q7_volume_shipping": Q.q7_volume_shipping,
+        "q9_product_type_profit": Q.q9_product_type_profit,
+        "q14_promo_revenue": Q.q14_promo_revenue,
+        "q17_small_quantity_revenue": Q.q17_small_quantity_revenue,
+        "q18_large_volume_customers": Q.q18_large_volume_customers,
+        "q19_disjunctive_revenue": Q.q19_disjunctive_revenue,
+        "q22_sales_opportunity": Q.q22_sales_opportunity,
         # --- rows-only / pytest-oracled block (no SQL twin by nature) ---
         "doc_compression_ratio": Q.doc_compression_ratio,
         "export_tar_shards_roundtrip": Q.export_tar_shards_roundtrip,
@@ -1011,6 +1019,133 @@ def oracle_sql() -> dict[str, str]:
                    m.dcg10 / i.idcg10 AS ndcg_at_10
             FROM m JOIN ideal i ON i.qid = m.qid
             ORDER BY query_id
+        """,
+        "q6_forecast_revenue": """
+            SELECT round(coalesce(sum(CAST(floor(
+                     l_extendedprice * l_discount * 100.0) AS BIGINT)), 0)
+                   / 100.0, 2) AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1997-01-01'
+              AND l_discount >= 0.04 AND l_discount <= 0.06
+              AND l_quantity < 24.0
+        """,
+        "q7_volume_shipping": """
+            WITH nk AS (
+              SELECT n_nationkey, n_name FROM nation
+              WHERE n_name IN ('NATION_1', 'NATION_2')
+            )
+            SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+                   CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+                   round(sum(CAST(floor(l.l_extendedprice
+                     * (1 - l.l_discount) * 100.0) AS BIGINT)) / 100.0, 2)
+                     AS revenue
+            FROM lineitem l
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN nk sn ON sn.n_nationkey = s.s_nationkey
+            JOIN nk cn ON cn.n_nationkey = c.c_nationkey
+            WHERE s.s_nationkey <> c.c_nationkey
+            GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+        """,
+        "q9_product_type_profit": """
+            SELECT n.n_name AS n_name,
+                   CAST(year(l.l_shipdate) AS BIGINT) AS o_year,
+                   round(sum(CAST(floor(l.l_extendedprice
+                     * (1 - l.l_discount) * 100.0) AS BIGINT)) / 100.0, 2)
+                     AS profit
+            FROM lineitem l
+            JOIN part p ON p.p_partkey = l.l_partkey
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN nation n ON n.n_nationkey = s.s_nationkey
+            WHERE p.p_name LIKE '%gear%'
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "q14_promo_revenue": """
+            SELECT round(coalesce(sum(CASE WHEN p.p_type = 'PROMO'
+                     THEN CAST(floor(l.l_extendedprice * (1 - l.l_discount)
+                       * 100.0) AS BIGINT) ELSE 0 END), 0) / 100.0, 2)
+                     AS promo_revenue,
+                   round(coalesce(sum(CAST(floor(l.l_extendedprice
+                     * (1 - l.l_discount) * 100.0) AS BIGINT)), 0) / 100.0, 2)
+                     AS total_revenue
+            FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+            WHERE l.l_shipdate >= TIMESTAMP '1997-09-01'
+              AND l.l_shipdate <  TIMESTAMP '1997-10-01'
+        """,
+        "q17_small_quantity_revenue": """
+            WITH lib AS (
+              SELECT l.l_partkey,
+                     CAST(floor(l.l_quantity * 100.0) AS BIGINT) AS qty_cents,
+                     CAST(floor(l.l_extendedprice * 100.0) AS BIGINT)
+                       AS price_cents
+              FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+              WHERE p.p_brand = 'Brand#11'
+            ),
+            stats AS (
+              SELECT l_partkey, sum(qty_cents) AS qtysum_cents,
+                     count(*) AS cnt
+              FROM lib GROUP BY 1
+            )
+            SELECT round(coalesce(sum(lib.price_cents), 0) / 100.0, 2)
+                     AS revenue
+            FROM lib JOIN stats USING (l_partkey)
+            WHERE 100 * lib.qty_cents * stats.cnt < 20 * stats.qtysum_cents
+        """,
+        "q18_large_volume_customers": """
+            WITH big AS (
+              SELECT l_orderkey AS o_orderkey,
+                     sum(CAST(floor(l_quantity * 100.0) AS BIGINT)) AS qty_cents
+              FROM lineitem GROUP BY 1
+              HAVING sum(CAST(floor(l_quantity * 100.0) AS BIGINT)) > 30000
+            )
+            SELECT c.c_custkey, c.c_name, o.o_orderkey,
+                   CAST(epoch(o.o_orderdate) AS BIGINT) AS o_orderdate_s,
+                   o.o_totalprice,
+                   round(big.qty_cents / 100.0, 2) AS sum_qty
+            FROM big
+            JOIN orders o ON o.o_orderkey = big.o_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            ORDER BY o.o_totalprice DESC, o.o_orderkey
+            LIMIT 100
+        """,
+        "q19_disjunctive_revenue": """
+            SELECT round(coalesce(sum(CAST(floor(l.l_extendedprice
+                     * (1 - l.l_discount) * 100.0) AS BIGINT)), 0) / 100.0, 2)
+                     AS revenue
+            FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+            WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+                   AND l.l_quantity BETWEEN 1 AND 11)
+               OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+                   AND l.l_quantity BETWEEN 10 AND 20)
+               OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+                   AND l.l_quantity BETWEEN 20 AND 30)
+        """,
+        "q22_sales_opportunity": """
+            WITH avgp AS (
+              SELECT sum(CASE WHEN c_acctbal > 0.0
+                       THEN CAST(floor(c_acctbal * 100.0) AS BIGINT)
+                       ELSE 0 END) AS s,
+                     sum(CASE WHEN c_acctbal > 0.0 THEN 1 ELSE 0 END) AS n
+              FROM customer
+            ),
+            cand AS (
+              SELECT c_custkey, c_nationkey,
+                     CAST(floor(c_acctbal * 100.0) AS BIGINT) AS bal_cents
+              FROM customer, avgp
+              WHERE CAST(floor(c_acctbal * 100.0) AS BIGINT) * avgp.n > avgp.s
+            ),
+            noord AS (
+              SELECT cand.* FROM cand
+              WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                WHERE o.o_custkey = cand.c_custkey
+                                  AND o.o_orderdate >= TIMESTAMP '1999-01-01')
+            )
+            SELECT n.n_name AS n_name, count(*)::BIGINT AS numcust,
+                   round(sum(bal_cents) / 100.0, 2) AS totacctbal
+            FROM noord JOIN nation n ON n.n_nationkey = noord.c_nationkey
+            GROUP BY 1 ORDER BY 1
         """,
         "purchase_state_pit": r"""
             WITH ordered AS (

@@ -7688,3 +7688,599 @@ def retrieval_metrics_cosine(sf_dir: str) -> pd.DataFrame:
             }
         )
     return pd.DataFrame(out).sort_values("query_id").reset_index(drop=True)
+
+
+# ------------------------------------------------- TPC-H shape batch 2
+# (round 4: q6/q7/q9/q14/q17/q18/q19/q22 shapes over the columns this
+# corpus carries; every adaptation away from the canonical spec —
+# missing partsupp/shipmode/container/phone columns — is stated in the
+# docstring and mirrored verbatim in the SQL twin.)
+
+
+def _cents(price, frac) -> pa.Array:
+    """floor(price * frac * 100) as int64 — the repo-wide exact-integer
+    revenue quantization (see q10_returned_items)."""
+    return pc.cast(
+        pc.floor(pc.multiply(pc.multiply(price, frac), pa.scalar(100.0))),
+        pa.int64(),
+    )
+
+
+def q6_forecast_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q6 shape: revenue increase from discount-band lineitems
+    shipped in 1996 (qty < 24, discount in [0.04, 0.06]) -> one row
+    (revenue).
+
+    Scale shape: EVERY predicate is pushed into the parquet read (date
+    band, discount band, quantity cap) so only qualifying rows leave
+    storage, and only two columns are read; per-batch partial sums of
+    integer cents fold through a driver-side scalar sum — no shuffle at
+    all."""
+    from datetime import datetime
+
+    lo, hi = datetime(1996, 1, 1), datetime(1997, 1, 1)
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_extendedprice", "l_discount"],
+        filter=(
+            (pc.field("l_shipdate") >= lo)
+            & (pc.field("l_shipdate") < hi)
+            & (pc.field("l_discount") >= 0.04)
+            & (pc.field("l_discount") <= 0.06)
+            & (pc.field("l_quantity") < 24.0)
+        ),
+        override_num_blocks=read_blocks(),
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = _cents(t["l_extendedprice"], t["l_discount"])
+        tot = pc.sum(c).as_py() or 0
+        return pa.table({"cents": pa.array([tot], pa.int64())})
+
+    cents = li.map_batches(partial, batch_format="pyarrow").sum("cents") or 0
+    return pd.DataFrame({"revenue": [round(int(cents) / 100.0, 2)]})
+
+
+def q7_volume_shipping(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q7 shape: shipping volume between two trading nations —
+    lineitems whose SUPPLIER sits in one of {NATION_1, NATION_2} and
+    whose ordering CUSTOMER sits in the other, grouped by (supplier
+    nation, customer nation, ship year) -> (supp_nation, cust_nation,
+    l_year, revenue).
+
+    Scale shape: both nation filters are pushed into the supplier /
+    customer parquet reads (each side shrinks ~12x before any join);
+    supplier and customer are sf-scaled so both go through
+    hash-partitioned Dataset.joins (q5 convention); the lineitem stream
+    is pre-aggregated to (orderkey, supp nation, year) integer-cent
+    partials BEFORE the orders join; the final grouped sum is
+    combiner-first.  Nation names attach from a 2-entry driver dict."""
+    nation = _read(sf_dir, "nation").to_pandas()
+    name_of = dict(zip(nation["n_nationkey"], nation["n_name"]))
+    keys = sorted(
+        int(k) for k, v in name_of.items() if v in ("NATION_1", "NATION_2")
+    )
+
+    supp = rd.read_parquet(
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_suppkey", "s_nationkey"],
+        filter=(pc.field("s_nationkey").isin(keys)),
+    )
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey"],
+        filter=(pc.field("c_nationkey").isin(keys)),
+    )
+    empty = pd.DataFrame(
+        {
+            "supp_nation": pd.Series([], dtype=str),
+            "cust_nation": pd.Series([], dtype=str),
+            "l_year": pd.Series([], dtype=np.int64),
+            "revenue": pd.Series([], dtype=np.float64),
+        }
+    )
+    # a fully-empty pushdown read yields schema-less blocks that the
+    # hash join rejects; an empty trade side means an empty result
+    if supp.limit(1).count() == 0 or cust.limit(1).count() == 0:
+        return empty
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    oc = (
+        joins.hash_join(
+            orders, cust, on="o_custkey", right_on="c_custkey", num_partitions=8
+        )
+        .select_columns(["o_orderkey", "c_nationkey"])
+        .repartition(8)
+    )
+
+    li = _lineitem(
+        sf_dir,
+        ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+    ls = joins.hash_join(
+        li, supp, on="l_suppkey", right_on="s_suppkey", num_partitions=8
+    ).repartition(8)
+
+    def pre_agg(t: pa.Table) -> pa.Table:
+        c = _cents(
+            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+        )
+        yr = pc.cast(pc.year(t["l_shipdate"]), pa.int64())
+        g = (
+            pa.table(
+                {
+                    "l_orderkey": t["l_orderkey"],
+                    "s_nationkey": t["s_nationkey"],
+                    "l_year": yr,
+                    "c": c,
+                }
+            )
+            .group_by(["l_orderkey", "s_nationkey", "l_year"])
+            .aggregate([("c", "sum")])
+        )
+        return g.rename_columns(["l_orderkey", "s_nationkey", "l_year", "cents"])
+
+    lo_ = joins.hash_join(
+        ls.map_batches(pre_agg, batch_format="pyarrow"),
+        oc,
+        on="l_orderkey",
+        right_on="o_orderkey",
+        num_partitions=8,
+    ).repartition(8)
+
+    def partial(t: pa.Table) -> pa.Table:
+        sn = t["s_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cn = t["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = sn != cn  # both already in {k1, k2}: cross pairs only
+        t = t.filter(pa.array(keep))
+        g = (
+            pa.table(
+                {
+                    "s_nationkey": t["s_nationkey"],
+                    "c_nationkey": t["c_nationkey"],
+                    "l_year": t["l_year"],
+                    "cents": t["cents"],
+                }
+            )
+            .group_by(["s_nationkey", "c_nationkey", "l_year"])
+            .aggregate([("cents", "sum")])
+        )
+        return g.rename_columns(["s_nationkey", "c_nationkey", "l_year", "cents"])
+
+    agg = (
+        lo_.map_batches(partial, batch_format="pyarrow")
+        .groupby(["s_nationkey", "c_nationkey", "l_year"])
+        .aggregate(Sum("cents", alias_name="cents"))
+        .to_pandas()
+    )
+    agg["supp_nation"] = agg["s_nationkey"].map(name_of)
+    agg["cust_nation"] = agg["c_nationkey"].map(name_of)
+    agg["revenue"] = [round(int(c) / 100.0, 2) for c in agg["cents"]]
+    agg["l_year"] = agg["l_year"].astype(np.int64)
+    return (
+        agg[["supp_nation", "cust_nation", "l_year", "revenue"]]
+        .sort_values(["supp_nation", "cust_nation", "l_year"])
+        .reset_index(drop=True)
+    )
+
+
+def q9_product_type_profit(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q9 shape (adapted: no partsupp table in this corpus, so
+    profit is discounted revenue rather than revenue minus supply
+    cost): for lineitems of parts whose name contains 'gear', profit by
+    (supplier nation, ship year) -> (n_name, o_year, profit).
+
+    Scale shape: part collapses to its matching KEYS distributed (name
+    scan inside map_batches — substring match is not a parquet page
+    predicate) and semi-joins into lineitem via a hash join; the
+    surviving stream pre-aggregates to (suppkey, year) integer-cent
+    partials BEFORE the supplier join (q5's combiner-before-join
+    convention: join #2 moves ~|supplier| x |years| rows, never
+    ~|lineitem|); nation names attach from the 25-row driver dict."""
+    part = _read(sf_dir, "part", ["p_partkey", "p_name"])
+
+    def keys_only(t: pa.Table) -> pa.Table:
+        m = pc.match_substring(t["p_name"], "gear")
+        return pa.table({"p_partkey": t["p_partkey"].filter(m)})
+
+    pkeys = part.map_batches(keys_only, batch_format="pyarrow")
+    li = _lineitem(
+        sf_dir,
+        ["l_partkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+    lp = joins.hash_join(
+        li, pkeys, on="l_partkey", right_on="p_partkey", num_partitions=8
+    ).repartition(8)
+
+    def pre_agg(t: pa.Table) -> pa.Table:
+        c = _cents(
+            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+        )
+        yr = pc.cast(pc.year(t["l_shipdate"]), pa.int64())
+        g = (
+            pa.table({"l_suppkey": t["l_suppkey"], "o_year": yr, "c": c})
+            .group_by(["l_suppkey", "o_year"])
+            .aggregate([("c", "sum")])
+        )
+        return g.rename_columns(["l_suppkey", "o_year", "cents"])
+
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    js = joins.hash_join(
+        lp.map_batches(pre_agg, batch_format="pyarrow"),
+        supp,
+        on="l_suppkey",
+        right_on="s_suppkey",
+        num_partitions=8,
+    ).repartition(8)
+
+    agg = (
+        js.groupby(["s_nationkey", "o_year"])
+        .aggregate(Sum("cents", alias_name="cents"))
+        .to_pandas()
+    )
+    nation = _read(sf_dir, "nation").to_pandas()
+    name_of = dict(zip(nation["n_nationkey"], nation["n_name"]))
+    agg["n_name"] = agg["s_nationkey"].map(name_of)
+    agg["profit"] = [round(int(c) / 100.0, 2) for c in agg["cents"]]
+    agg["o_year"] = agg["o_year"].astype(np.int64)
+    return (
+        agg[["n_name", "o_year", "profit"]]
+        .sort_values(["n_name", "o_year"])
+        .reset_index(drop=True)
+    )
+
+
+def q14_promo_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q14 shape: PROMO-type share of September-1997 revenue ->
+    one row (promo_revenue, total_revenue) — both sums emitted instead
+    of the ratio (repo parity rule: no division before the hash).
+
+    Scale shape: the one-month shipdate band is pushed into the
+    lineitem read (~1/80 of the table leaves storage); part ships only
+    (p_partkey, p_type) through a hash-partitioned join; conditional
+    integer-cent partials fold through two scalar sums."""
+    from datetime import datetime
+
+    lo, hi = datetime(1997, 9, 1), datetime(1997, 10, 1)
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount"],
+        filter=(pc.field("l_shipdate") >= lo) & (pc.field("l_shipdate") < hi),
+        override_num_blocks=read_blocks(),
+    )
+    part = _read(sf_dir, "part", ["p_partkey", "p_type"])
+    j = joins.hash_join(
+        li, part, on="l_partkey", right_on="p_partkey", num_partitions=8
+    ).repartition(8)
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = _cents(
+            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+        )
+        promo = pc.equal(t["p_type"], "PROMO")
+        pc_sum = pc.sum(pc.if_else(promo, c, pa.scalar(0, pa.int64()))).as_py() or 0
+        tot = pc.sum(c).as_py() or 0
+        return pa.table(
+            {
+                "promo_cents": pa.array([pc_sum], pa.int64()),
+                "total_cents": pa.array([tot], pa.int64()),
+            }
+        )
+
+    # one-row-per-block partials: the fold table is #blocks-sized, so a
+    # single driver fold replaces two full executions of the join
+    parts = j.map_batches(partial, batch_format="pyarrow").to_pandas()
+    promo_cents = int(parts["promo_cents"].sum()) if len(parts) else 0
+    total_cents = int(parts["total_cents"].sum()) if len(parts) else 0
+    return pd.DataFrame(
+        {
+            "promo_revenue": [round(int(promo_cents) / 100.0, 2)],
+            "total_revenue": [round(int(total_cents) / 100.0, 2)],
+        }
+    )
+
+
+def q17_small_quantity_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q17 shape (no p_container column: brand filter only):
+    revenue from Brand#11 lineitems whose quantity is below 20% of that
+    part's average ordered quantity -> one row (revenue).
+
+    Scale shape: the brand filter is an equality pushed into the part
+    read (keys only: ~1/25 of partkeys leave storage); lineitem
+    semi-joins to those keys via a hash join and the NARROW surviving
+    3-column stream is pinned once (two consumers: the per-part stats
+    pass and the below-average filter pass — at 100 TB this pin is
+    ~1/25 of lineitem x 3 columns in the object store, which spills
+    rather than re-reading the full table twice); per-part quantity
+    stats are combiner-first; the avg test is the integer
+    cross-multiplication ``100 * qty_cents * cnt < 20 * qtysum_cents``
+    (exact — no division, no float avg)."""
+    pk = rd.read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey"],
+        filter=(pc.field("p_brand") == "Brand#11"),
+    )
+    li = _lineitem(sf_dir, ["l_partkey", "l_quantity", "l_extendedprice"])
+    lib = (
+        joins.hash_join(li, pk, on="l_partkey", right_on="p_partkey", num_partitions=8)
+        .repartition(8)
+        .materialize()
+    )
+
+    def stats_partial(t: pa.Table) -> pa.Table:
+        qc = pc.cast(
+            pc.floor(pc.multiply(t["l_quantity"], pa.scalar(100.0))), pa.int64()
+        )
+        g = (
+            pa.table({"l_partkey": t["l_partkey"], "qc": qc})
+            .group_by("l_partkey")
+            .aggregate([("qc", "sum"), ([], "count_all")])
+        )
+        return g.rename_columns(["l_partkey", "qtysum_cents", "cnt"])
+
+    stats = (
+        lib.map_batches(stats_partial, batch_format="pyarrow")
+        .groupby("l_partkey")
+        .aggregate(
+            Sum("qtysum_cents", alias_name="qtysum_cents"),
+            Sum("cnt", alias_name="cnt"),
+        )
+    )
+    j = joins.hash_join(
+        lib.map_batches(
+            lambda t: pa.table(
+                {
+                    "l_partkey": t["l_partkey"],
+                    "qty_cents": pc.cast(
+                        pc.floor(pc.multiply(t["l_quantity"], pa.scalar(100.0))),
+                        pa.int64(),
+                    ),
+                    "price_cents": pc.cast(
+                        pc.floor(pc.multiply(t["l_extendedprice"], pa.scalar(100.0))),
+                        pa.int64(),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        stats,
+        on="l_partkey",
+        num_partitions=8,
+    ).repartition(8)
+
+    def partial(t: pa.Table) -> pa.Table:
+        qty = t["qty_cents"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cnt = t["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+        qsum = t["qtysum_cents"].to_numpy(zero_copy_only=False).astype(np.int64)
+        price = t["price_cents"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = 100 * qty * cnt < 20 * qsum
+        return pa.table({"cents": pa.array([int(price[keep].sum())], pa.int64())})
+
+    cents = j.map_batches(partial, batch_format="pyarrow").sum("cents") or 0
+    return pd.DataFrame({"revenue": [round(int(cents) / 100.0, 2)]})
+
+
+def q18_large_volume_customers(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q18 shape: orders whose total lineitem quantity exceeds
+    300, with their customer -> (c_custkey, c_name, o_orderkey,
+    o_orderdate_s, o_totalprice, sum_qty), top-100 by (totalprice DESC,
+    orderkey).  Order dates ship as int64 epoch seconds (repo
+    convention — no timestamp-zone hazards in the hash).
+
+    Scale shape: per-order quantity sums are combiner-first; the
+    HAVING > 300 filter drops to a tiny survivor set map-side BEFORE
+    any join; orders and customer attach through hash-partitioned
+    joins (survivors are corpus-scaled — a fixed fraction of orders —
+    so no driver broadcast); the top-100 is a global sort on an
+    already-small table."""
+    li = _lineitem(sf_dir, ["l_orderkey", "l_quantity"])
+
+    def qsum_partial(t: pa.Table) -> pa.Table:
+        qc = pc.cast(
+            pc.floor(pc.multiply(t["l_quantity"], pa.scalar(100.0))), pa.int64()
+        )
+        g = (
+            pa.table({"o_orderkey": t["l_orderkey"], "qc": qc})
+            .group_by("o_orderkey")
+            .aggregate([("qc", "sum")])
+        )
+        return g.rename_columns(["o_orderkey", "qty_cents"])
+
+    big = (
+        li.map_batches(qsum_partial, batch_format="pyarrow")
+        .groupby("o_orderkey")
+        .aggregate(Sum("qty_cents", alias_name="qty_cents"))
+        # HAVING as a vectorized batch filter (never a per-row lambda)
+        .map_batches(
+            lambda t: t.filter(pc.greater(t["qty_cents"], 30000)),
+            batch_format="pyarrow",
+        )
+        # merge sparse aggregate partitions' zero-column empty blocks
+        # before the join; the pin is the HAVING survivor set (narrow,
+        # <<1% of orders) and backs the empty-guard count below
+        .repartition(8)
+        .materialize()
+    )
+    empty = pd.DataFrame(
+        {
+            "c_custkey": pd.Series([], dtype=np.int64),
+            "c_name": pd.Series([], dtype=str),
+            "o_orderkey": pd.Series([], dtype=np.int64),
+            "o_orderdate_s": pd.Series([], dtype=np.int64),
+            "o_totalprice": pd.Series([], dtype=np.float64),
+            "sum_qty": pd.Series([], dtype=np.float64),
+        }
+    )
+    if big.count() == 0:
+        return empty
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]
+    )
+    jo = joins.hash_join(
+        big, orders, on="o_orderkey", num_partitions=8
+    ).repartition(8)
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    jc = joins.hash_join(
+        jo, cust, on="o_custkey", right_on="c_custkey", num_partitions=8
+    ).repartition(8)
+    df = jc.to_pandas()  # survivor set: HAVING-filtered, human-sized
+    if df.empty:
+        return empty
+    # Dataset.join drops the RIGHT key column; o_custkey == c_custkey
+    df["c_custkey"] = df["o_custkey"].astype(np.int64)
+    df["o_orderdate_s"] = (
+        df["o_orderdate"].to_numpy().astype("datetime64[s]").astype(np.int64)
+    )
+    df["sum_qty"] = [round(int(c) / 100.0, 2) for c in df["qty_cents"]]
+    df = df.sort_values(
+        ["o_totalprice", "o_orderkey"], ascending=[False, True], kind="mergesort"
+    ).head(100)
+    return df[
+        ["c_custkey", "c_name", "o_orderkey", "o_orderdate_s", "o_totalprice", "sum_qty"]
+    ].reset_index(drop=True)
+
+
+def q19_disjunctive_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q19 shape (no container/shipmode columns: brand x size x
+    quantity bands only): revenue from lineitems matching any of three
+    (brand, size-band, quantity-band) disjuncts -> one row (revenue).
+
+    Scale shape: the shared bound ``l_quantity <= 30`` (the union of
+    the three bands) is pushed into the lineitem read; part ships only
+    (p_partkey, p_brand, p_size) through the hash join; the disjunction
+    evaluates as three vectorized numpy masks per batch."""
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+        filter=(pc.field("l_quantity") <= 30.0),
+        override_num_blocks=read_blocks(),
+    )
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_size"])
+    j = joins.hash_join(
+        li, part, on="l_partkey", right_on="p_partkey", num_partitions=8
+    ).repartition(8)
+
+    def partial(t: pa.Table) -> pa.Table:
+        brand = t["p_brand"].to_pandas().to_numpy()
+        size = t["p_size"].to_numpy(zero_copy_only=False).astype(np.int64)
+        qty = t["l_quantity"].to_numpy(zero_copy_only=False)
+        m = (
+            ((brand == "Brand#12") & (size >= 1) & (size <= 5) & (qty >= 1) & (qty <= 11))
+            | ((brand == "Brand#23") & (size >= 1) & (size <= 10) & (qty >= 10) & (qty <= 20))
+            | ((brand == "Brand#34") & (size >= 1) & (size <= 15) & (qty >= 20) & (qty <= 30))
+        )
+        c = _cents(
+            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+        ).to_numpy(zero_copy_only=False)
+        return pa.table({"cents": pa.array([int(c[m].sum())], pa.int64())})
+
+    cents = j.map_batches(partial, batch_format="pyarrow").sum("cents") or 0
+    return pd.DataFrame({"revenue": [round(int(cents) / 100.0, 2)]})
+
+
+def q22_sales_opportunity(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q22 shape (no phone column: grouped by nation instead of
+    country code): customers with above-average POSITIVE account
+    balance and NO orders, counted per nation -> (n_name, numcust,
+    totacctbal).
+
+    Scale shape: the global positive-balance average folds from
+    per-batch (cents, count) partials (two int64s per block — never a
+    float avg: the candidate test is the integer cross-multiplication
+    ``bal_cents * n > sum_cents``); candidates anti-join to orders via
+    the combiner-first distinct-key anti join (ops/joins.anti_join);
+    the per-nation rollup is a 25-row aggregate with names from the
+    driver dict."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def avg_partial(t: pa.Table) -> pa.Table:
+        bc = pc.cast(
+            pc.floor(pc.multiply(t["c_acctbal"], pa.scalar(100.0))), pa.int64()
+        )
+        pos = pc.greater(t["c_acctbal"], 0.0)
+        s = pc.sum(pc.if_else(pos, bc, pa.scalar(0, pa.int64()))).as_py() or 0
+        n = pc.sum(pc.cast(pos, pa.int64())).as_py() or 0
+        return pa.table(
+            {"s": pa.array([s], pa.int64()), "n": pa.array([n], pa.int64())}
+        )
+
+    fold = cust.map_batches(avg_partial, batch_format="pyarrow").to_pandas()
+    s_tot, n_tot = int(fold["s"].sum()), int(fold["n"].sum())
+    if n_tot == 0:
+        return pd.DataFrame(
+            {
+                "n_name": pd.Series([], dtype=str),
+                "numcust": pd.Series([], dtype=np.int64),
+                "totacctbal": pd.Series([], dtype=np.float64),
+            }
+        )
+
+    def above_avg(t: pa.Table) -> pa.Table:
+        bc = (
+            pc.cast(pc.floor(pc.multiply(t["c_acctbal"], pa.scalar(100.0))), pa.int64())
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        keep = bc * n_tot > s_tot
+        t = t.filter(pa.array(keep))
+        return pa.table(
+            {
+                "c_custkey": t["c_custkey"],
+                "c_nationkey": t["c_nationkey"],
+                "bal_cents": pa.array(bc[keep], pa.int64()),
+            }
+        )
+
+    cand = cust.map_batches(above_avg, batch_format="pyarrow")
+    # "dormant" = no orders on or after 1999-01-01 (every customer in
+    # this corpus has SOME order, so the canonical no-orders-ever test
+    # is vacuous; the date floor is pushed into the orders read)
+    from datetime import datetime
+
+    recent = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey"],
+        filter=(pc.field("o_orderdate") >= datetime(1999, 1, 1)),
+    )
+    no_orders = joins.anti_join(
+        cand,
+        recent,
+        on="c_custkey",
+        right_on="o_custkey",
+        num_partitions=8,
+    ).repartition(8)  # merge the join's zero-column empty blocks
+
+    def nation_partial(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table({"c_nationkey": t["c_nationkey"], "bc": t["bal_cents"]})
+            .group_by("c_nationkey")
+            .aggregate([("bc", "sum"), ([], "count_all")])
+        )
+        return g.rename_columns(["c_nationkey", "bal_cents", "numcust"])
+
+    agg = (
+        no_orders.map_batches(nation_partial, batch_format="pyarrow")
+        .groupby("c_nationkey")
+        .aggregate(
+            Sum("bal_cents", alias_name="bal_cents"),
+            Sum("numcust", alias_name="numcust"),
+        )
+        .to_pandas()
+    )
+    if agg.empty:  # empty aggregate drops all columns — retype
+        return pd.DataFrame(
+            {
+                "n_name": pd.Series([], dtype=str),
+                "numcust": pd.Series([], dtype=np.int64),
+                "totacctbal": pd.Series([], dtype=np.float64),
+            }
+        )
+    nation = _read(sf_dir, "nation").to_pandas()
+    name_of = dict(zip(nation["n_nationkey"], nation["n_name"]))
+    agg["n_name"] = agg["c_nationkey"].map(name_of)
+    agg["totacctbal"] = [round(int(c) / 100.0, 2) for c in agg["bal_cents"]]
+    agg["numcust"] = agg["numcust"].astype(np.int64)
+    return (
+        agg[["n_name", "numcust", "totacctbal"]]
+        .sort_values("n_name")
+        .reset_index(drop=True)
+    )
