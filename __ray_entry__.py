@@ -215,6 +215,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q18_large_volume_customers": Q.q18_large_volume_customers,
         "q19_disjunctive_revenue": Q.q19_disjunctive_revenue,
         "q22_sales_opportunity": Q.q22_sales_opportunity,
+        "events_running_max": Q.events_running_max,
+        "user_event_entropy": Q.user_event_entropy,
+        "source_unigram_kl": Q.source_unigram_kl,
+        "phrase_search": Q.phrase_search,
+        "events_value_winsorized": Q.events_value_winsorized,
         # --- rows-only / pytest-oracled block (no SQL twin by nature) ---
         "doc_compression_ratio": Q.doc_compression_ratio,
         "export_tar_shards_roundtrip": Q.export_tar_shards_roundtrip,
@@ -1145,6 +1150,73 @@ def oracle_sql() -> dict[str, str]:
             SELECT n.n_name AS n_name, count(*)::BIGINT AS numcust,
                    round(sum(bal_cents) / 100.0, 2) AS totacctbal
             FROM noord JOIN nation n ON n.n_nationkey = noord.c_nationkey
+            GROUP BY 1 ORDER BY 1
+        """,
+        "events_running_max": """
+            SELECT user_id, event_id,
+                   (max(CAST(floor(value * 100) AS BIGINT)) OVER (
+                      PARTITION BY user_id ORDER BY ts, event_id
+                   ))::BIGINT AS run_max_cents
+            FROM events
+            WHERE ts IS NOT NULL AND value IS NOT NULL
+        """,
+        "user_event_entropy": """
+            WITH c AS (
+              SELECT user_id, event_type, count(*)::BIGINT AS n
+              FROM events GROUP BY 1, 2
+            )
+            SELECT user_id, sum(n)::BIGINT AS n_events,
+                   ln(sum(n)) - sum(n * ln(n)) / sum(n) AS entropy
+            FROM c GROUP BY user_id
+        """,
+        "source_unigram_kl": r"""
+            WITH tok AS (
+              SELECT source,
+                     unnest(regexp_split_to_array(text, '\s+')) AS token
+              FROM documents
+            ),
+            c AS (
+              SELECT source, token, count(*)::BIGINT AS n
+              FROM tok WHERE token <> '' GROUP BY 1, 2
+            ),
+            s AS (SELECT source, sum(n) AS ns FROM c GROUP BY 1),
+            t AS (SELECT token, sum(n) AS nt FROM c GROUP BY 1),
+            tot AS (SELECT sum(n) AS nn FROM c)
+            SELECT c.source AS source, s.ns::BIGINT AS n_tokens,
+                   sum((c.n / s.ns) * ln((c.n / s.ns) / (t.nt / tot.nn)))
+                     AS kl
+            FROM c
+            JOIN s USING (source) JOIN t USING (token) CROSS JOIN tot
+            GROUP BY 1, 2 ORDER BY 1
+        """,
+        "phrase_search": r"""
+            WITH d AS (
+              SELECT doc_id, regexp_split_to_array(text, '\s+') AS a
+              FROM documents
+            ),
+            hit AS (
+              SELECT d.doc_id
+              FROM d, unnest(range(1, len(a))) AS r(i)
+              WHERE a[r.i] = 'hash' AND a[r.i + 1] = 'join'
+            )
+            SELECT doc_id, count(*)::BIGINT AS n_hits
+            FROM hit GROUP BY doc_id
+        """,
+        "events_value_winsorized": """
+            WITH v AS (
+              SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS cents
+              FROM events WHERE value IS NOT NULL
+            ),
+            q AS (
+              SELECT event_type,
+                     quantile_disc(cents, 0.05) AS lo,
+                     quantile_disc(cents, 0.95) AS hi
+              FROM v GROUP BY 1
+            )
+            SELECT v.event_type, count(*)::BIGINT AS n,
+                   sum(least(greatest(v.cents, q.lo), q.hi))::BIGINT
+                     AS win_cents
+            FROM v JOIN q USING (event_type)
             GROUP BY 1 ORDER BY 1
         """,
         "purchase_state_pit": r"""

@@ -8284,3 +8284,243 @@ def q22_sales_opportunity(sf_dir: str) -> pd.DataFrame:
         .sort_values("n_name")
         .reset_index(drop=True)
     )
+
+
+# --------------------------------------------- round-4 late additions
+# (window cummax, information-theoretic aggregates, positional phrase
+# search, robust winsorized stats)
+
+
+def events_running_max(sf_dir: str) -> rd.Dataset:
+    """Cumulative MAX window (SQL ``max(...) OVER (PARTITION BY user
+    ORDER BY ts, event_id)``) -> (user_id, event_id, run_max_cents):
+    each user's running all-time-high spend in integer cents (exact —
+    the repo-wide window quantization).  Null values and null
+    timestamps are excluded on both sides (a null row's window max
+    is NOT null in SQL, so keeping them would need three-valued
+    carry logic for zero analytic value).
+
+    Scale shape: one shuffle on user_id, numpy ``maximum.accumulate``
+    within the group (ops/analytic.ordered_apply)."""
+    from .ops import analytic
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    clean = ev.map_batches(
+        lambda df: df.dropna(subset=["ts", "value"]), batch_format="pandas"
+    )
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.floor(df["value"].to_numpy() * 100.0).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "user_id": df["user_id"].to_numpy(),
+                "event_id": df["event_id"].to_numpy(),
+                "run_max_cents": np.maximum.accumulate(cents),
+            }
+        )
+
+    return analytic.ordered_apply(clean, "user_id", ["ts", "event_id"], per_key)
+
+
+def user_event_entropy(sf_dir: str) -> rd.Dataset:
+    """Shannon entropy of each user's event-type distribution (nats)
+    -> (user_id, n_events, entropy): the behavioral-diversity signal
+    (H = ln N - sum(c * ln c) / N over the per-type counts c).
+
+    Scale shape: counts are combiner-first on (user, type); the
+    entropy fold runs per user over <=|event types| rows (map_groups
+    on an already-aggregated narrow table).  The float expression is
+    IDENTICAL on both sides over exact integer counts (<=5 log terms
+    per user — the nll/ndcg tolerance class)."""
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["user_id", "event_type"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "user_id": g["user_id"],
+                "event_type": g["event_type"],
+                "n": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    counts = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby(["user_id", "event_type"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        c = df["n"].to_numpy(np.int64).astype(np.float64)
+        N = c.sum()
+        ent = float(np.log(N) - (c * np.log(c)).sum() / N)
+        return pd.DataFrame(
+            {
+                "user_id": [df["user_id"].iloc[0]],
+                "n_events": [np.int64(N)],
+                "entropy": [ent],
+            }
+        )
+
+    return counts.groupby("user_id").map_groups(fold, batch_format="pandas")
+
+
+def source_unigram_kl(sf_dir: str) -> pd.DataFrame:
+    """KL divergence of each source's unigram distribution from the
+    whole-corpus distribution (nats) -> (source, n_tokens, kl): the
+    standard domain-shift / mixture diagnostic in corpus curation
+    (which slice of the mix is most unlike the blend).
+
+    Scale shape: (source, token) counts are combiner-first; the fold
+    table is |sources| x |vocab| (vocabulary-bounded, the repo-wide
+    bounded-driver contract shared with word_count_global); KL terms
+    are the IDENTICAL float expression over exact integer counts on
+    both sides, summed per source."""
+    docs = _read(sf_dir, "documents", ["source", "text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        src_out, tok_out = [], []
+        for s, x in zip(df["source"], df["text"]):
+            toks = ws_tokens(x or "")
+            src_out.extend([s] * len(toks))
+            tok_out.extend(toks)
+        g = (
+            pd.DataFrame({"source": src_out, "token": tok_out})
+            .groupby(["source", "token"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        return g
+
+    counts = (
+        docs.map_batches(partial, batch_format="pandas")
+        .groupby(["source", "token"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # |sources| x |vocab| — bounded by design
+    )
+    if counts.empty:
+        return pd.DataFrame(
+            {
+                "source": pd.Series([], dtype=str),
+                "n_tokens": pd.Series([], dtype=np.int64),
+                "kl": pd.Series([], dtype=np.float64),
+            }
+        )
+    ns = counts.groupby("source")["n"].sum()
+    nt = counts.groupby("token")["n"].sum()
+    nn = float(counts["n"].sum())
+    rows = []
+    for s, grp in counts.groupby("source"):
+        p = grp["n"].to_numpy(np.float64) / float(ns[s])
+        q = nt[grp["token"]].to_numpy(np.float64) / nn
+        rows.append(
+            {
+                "source": s,
+                "n_tokens": np.int64(ns[s]),
+                "kl": float((p * np.log(p / q)).sum()),
+            }
+        )
+    return pd.DataFrame(rows).sort_values("source").reset_index(drop=True)
+
+
+def phrase_search(sf_dir: str) -> rd.Dataset:
+    """Positional PHRASE search ('hash join' as adjacent whitespace
+    tokens) -> (doc_id, n_hits) for docs containing the phrase — the
+    exact-match retrieval primitive the boolean AND search
+    (doc_search_and) cannot express (AND ignores adjacency).
+
+    Scale shape: embarrassingly parallel — each batch tokenizes its
+    docs and counts adjacent (t[i], t[i+1]) = ('hash', 'join') pairs
+    vectorized (one shifted numpy equality per doc); no shuffle, no
+    index build.  Overlapping occurrences count individually, same as
+    the ordinality self-join in the twin."""
+    P1, P2 = "hash", "join"
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def hits(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        out_id, out_n = [], []
+        for i, x in zip(ids, t["text"].to_pylist()):
+            toks = np.array(ws_tokens(x or ""), dtype=object)
+            if len(toks) < 2:
+                continue
+            n = int(((toks[:-1] == P1) & (toks[1:] == P2)).sum())
+            if n > 0:
+                out_id.append(i)
+                out_n.append(n)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "n_hits": pa.array(out_n, pa.int64()),
+            }
+        )
+
+    return docs.map_batches(hits, batch_format="pyarrow")
+
+
+def events_value_winsorized(sf_dir: str) -> pd.DataFrame:
+    """Winsorized per-type spend (values clamped to the [p05, p95]
+    DISCRETE quantiles before summing) -> (event_type, n, win_cents):
+    the outlier-robust revenue total.  Quantile bounds are order
+    statistics over integer cents (quantile_disc's floor(q*(n-1))
+    index rule, pinned by the events_p50_disc oracle) — actual data
+    values, so the clamp is bit-exact on both sides; no interpolation
+    enters the hash.
+
+    Scale shape: the bounds pass is one map_groups per event type
+    (low-cardinality keys only — same contract as events_p50_disc);
+    the 10-number bound table broadcasts in a closure and the clamp +
+    sum streams combiner-first."""
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+    clean = ev.map_batches(
+        lambda df: df.dropna(subset=["value"]), batch_format="pandas"
+    ).materialize()  # two consumers: bounds pass + clamp pass
+
+    def bounds(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.sort(np.floor(df["value"].to_numpy() * 100.0).astype(np.int64))
+        n = len(cents)
+        # quantile_disc's index rule is ceil(q*n)-1 (the smallest i
+        # with (i+1)/n >= q) — measured against DuckDB per quantile;
+        # floor(q*(n-1)) coincides only at q=0.5
+        lo = cents[max(int(np.ceil(0.05 * n)) - 1, 0)]
+        hi = cents[max(int(np.ceil(0.95 * n)) - 1, 0)]
+        return pd.DataFrame(
+            {"event_type": [df["event_type"].iloc[0]], "lo": [lo], "hi": [hi]}
+        )
+
+    b = (
+        clean.groupby("event_type")
+        .map_groups(bounds, batch_format="pandas")
+        .to_pandas()
+    )
+    lo_of = dict(zip(b["event_type"], b["lo"].astype(np.int64)))
+    hi_of = dict(zip(b["event_type"], b["hi"].astype(np.int64)))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.floor(df["value"].to_numpy() * 100.0).astype(np.int64)
+        lo = df["event_type"].map(lo_of).to_numpy(np.int64)
+        hi = df["event_type"].map(hi_of).to_numpy(np.int64)
+        w = np.minimum(np.maximum(cents, lo), hi)
+        g = (
+            pd.DataFrame({"event_type": df["event_type"], "w": w})
+            .groupby("event_type", sort=False)
+            .agg(win_cents=("w", "sum"), n=("w", "size"))
+            .reset_index()
+        )
+        return g
+
+    agg = (
+        clean.map_batches(partial, batch_format="pandas")
+        .groupby("event_type")
+        .aggregate(
+            Sum("win_cents", alias_name="win_cents"), Sum("n", alias_name="n")
+        )
+        .to_pandas()
+    )
+    agg["n"] = agg["n"].astype(np.int64)
+    agg["win_cents"] = agg["win_cents"].astype(np.int64)
+    return (
+        agg[["event_type", "n", "win_cents"]]
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
