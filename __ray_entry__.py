@@ -220,6 +220,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_unigram_kl": Q.source_unigram_kl,
         "phrase_search": Q.phrase_search,
         "events_value_winsorized": Q.events_value_winsorized,
+        "export_arrow_ipc_roundtrip": Q.export_arrow_ipc_roundtrip,
+        "vocab_coverage_curve": Q.vocab_coverage_curve,
+        "events_type_day_chi2": Q.events_type_day_chi2,
         # --- rows-only / pytest-oracled block (no SQL twin by nature) ---
         "doc_compression_ratio": Q.doc_compression_ratio,
         "export_tar_shards_roundtrip": Q.export_tar_shards_roundtrip,
@@ -1218,6 +1221,46 @@ def oracle_sql() -> dict[str, str]:
                      AS win_cents
             FROM v JOIN q USING (event_type)
             GROUP BY 1 ORDER BY 1
+        """,
+        "export_arrow_ipc_roundtrip": """
+            SELECT doc_id, md5(text) AS fingerprint FROM documents
+        """,
+        "vocab_coverage_curve": r"""
+            WITH tok AS (
+              SELECT unnest(regexp_split_to_array(text, '\s+')) AS token
+              FROM documents
+            ),
+            c AS (
+              SELECT token, count(*)::BIGINT AS n
+              FROM tok WHERE token <> '' GROUP BY 1
+            )
+            SELECT row_number() OVER (ORDER BY n DESC, token)::BIGINT AS rank,
+                   token, n,
+                   (sum(n) OVER (ORDER BY n DESC, token
+                                 ROWS UNBOUNDED PRECEDING))::BIGINT AS cum_n
+            FROM c
+        """,
+        "events_type_day_chi2": """
+            WITH c AS (
+              SELECT event_type, CAST(dayofweek(ts) AS BIGINT) AS dow,
+                     count(*)::BIGINT AS n
+              FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+            ),
+            r AS (SELECT event_type, sum(n) AS nr FROM c GROUP BY 1),
+            k AS (SELECT dow, sum(n) AS nk FROM c GROUP BY 1),
+            tot AS (SELECT sum(n) AS nn FROM c),
+            grid AS (
+              SELECT coalesce(c.n, 0) AS o,
+                     r.nr * k.nk / tot.nn AS e
+              FROM r CROSS JOIN k CROSS JOIN tot
+              LEFT JOIN c
+                ON c.event_type = r.event_type AND c.dow = k.dow
+            )
+            SELECT (SELECT nn FROM tot)::BIGINT AS n,
+                   (((SELECT count(*) FROM r) - 1)
+                    * ((SELECT count(*) FROM k) - 1))::BIGINT AS dof,
+                   round(sum((o - e) * (o - e) / e), 6) AS chi2
+            FROM grid
         """,
         "purchase_state_pit": r"""
             WITH ordered AS (

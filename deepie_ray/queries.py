@@ -8524,3 +8524,140 @@ def events_value_winsorized(sf_dir: str) -> pd.DataFrame:
         .sort_values("event_type")
         .reset_index(drop=True)
     )
+
+
+def export_arrow_ipc_roundtrip(sf_dir: str) -> rd.Dataset:
+    """Arrow IPC (Feather-v2 stream) sink + source round trip ->
+    (doc_id, fingerprint): write the documents table as
+    content-addressed ``.arrows`` shards (sources/ipc.py — the
+    zero-parse interchange format between Arrow-native engines), read
+    the shards back, and fingerprint the text that survived.  The
+    DuckDB twin fingerprints the ORIGINAL table, so a hash match
+    proves byte-exact round trip with no text-encoding layer at all —
+    the IPC member of the sink/source matrix (parquet / hive / CSV /
+    JSONL / jsonl.gz / tar / IPC)."""
+    import hashlib
+    import os
+    import shutil
+
+    from .sources import ipc
+
+    out_dir = (
+        f"/tmp/deepie_export/p{os.getpid()}_ipc_"
+        + hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    manifest = ipc.write_ipc_shards(docs, out_dir, key_col="doc_id")
+    assert manifest.count() >= 1
+    back = ipc.read_ipc_shards(out_dir)
+
+    def fp(t: pa.Table) -> pa.Table:
+        fps = [md5_hex(x or "") for x in t["text"].to_pylist()]
+        return pa.table(
+            {
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "fingerprint": pa.array(fps, pa.string()),
+            }
+        )
+
+    return back.map_batches(fp, batch_format="pyarrow")
+
+
+def vocab_coverage_curve(sf_dir: str) -> pd.DataFrame:
+    """Vocabulary coverage curve -> (rank, token, n, cum_n): corpus
+    token counts in (count DESC, token) order with the running
+    cumulative count — the read-off for "how big a vocab covers X% of
+    tokens" that sizes every tokenizer.  All-integer output
+    (hash-exact).
+
+    Scale shape: counts are combiner-first (word_count_global's
+    contract); the curve itself is a vocabulary-bounded driver
+    cumsum."""
+    docs = _read(sf_dir, "documents", ["text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = []
+        for x in df["text"]:
+            toks.extend(ws_tokens(x or ""))
+        return (
+            pd.DataFrame({"token": toks})
+            .groupby("token", sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+
+    counts = (
+        docs.map_batches(partial, batch_format="pandas")
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # vocabulary-bounded
+    )
+    if counts.empty:
+        return pd.DataFrame(
+            {
+                "rank": pd.Series([], dtype=np.int64),
+                "token": pd.Series([], dtype=str),
+                "n": pd.Series([], dtype=np.int64),
+                "cum_n": pd.Series([], dtype=np.int64),
+            }
+        )
+    counts = counts.sort_values(
+        ["n", "token"], ascending=[False, True], kind="mergesort"
+    ).reset_index(drop=True)
+    counts["rank"] = np.arange(1, len(counts) + 1, dtype=np.int64)
+    counts["n"] = counts["n"].astype(np.int64)
+    counts["cum_n"] = counts["n"].cumsum().astype(np.int64)
+    return counts[["rank", "token", "n", "cum_n"]]
+
+
+def events_type_day_chi2(sf_dir: str) -> pd.DataFrame:
+    """Chi-square test of independence between event_type and
+    day-of-week -> one row (n, dof, chi2): is behaviour uniform across
+    the week, the first screen on any activity table.  The FULL R x C
+    grid enters the statistic (a zero observed cell still contributes
+    its expected count), chi2 is rounded to 6 dp on BOTH sides (a
+    35-term float sum is the nll tolerance class; the explicit round
+    keeps the hash deterministic).
+
+    Scale shape: (type, dow) counts are combiner-first; the statistic
+    folds over an R x C driver grid (5 x 7 — category-bounded)."""
+    ev = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.dropna(subset=["ts"])
+        dow = pd.to_datetime(df["ts"]).dt.dayofweek.to_numpy()
+        # pandas Monday=0 -> SQL dayofweek Sunday=0
+        dow_sql = (dow + 1) % 7
+        return (
+            pd.DataFrame({"event_type": df["event_type"], "dow": dow_sql})
+            .groupby(["event_type", "dow"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+
+    c = (
+        ev.map_batches(partial, batch_format="pandas")
+        .groupby(["event_type", "dow"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # R x C grid — category-bounded
+    )
+    if c.empty:
+        return pd.DataFrame({"n": [np.int64(0)], "dof": [np.int64(0)], "chi2": [0.0]})
+    grid = c.pivot_table(
+        index="event_type", columns="dow", values="n", fill_value=0, aggfunc="sum"
+    ).to_numpy(np.float64)
+    # full grid over OBSERVED category levels (a level absent from the
+    # whole table has expected 0 everywhere and drops from dof, same
+    # as the twin's cross join over observed levels)
+    n = grid.sum()
+    e = grid.sum(axis=1, keepdims=True) * grid.sum(axis=0, keepdims=True) / n
+    chi2 = float(((grid - e) ** 2 / e).sum())
+    dof = (grid.shape[0] - 1) * (grid.shape[1] - 1)
+    return pd.DataFrame(
+        {
+            "n": [np.int64(n)],
+            "dof": [np.int64(dof)],
+            "chi2": [round(chi2, 6)],
+        }
+    )
