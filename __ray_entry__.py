@@ -223,6 +223,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "export_arrow_ipc_roundtrip": Q.export_arrow_ipc_roundtrip,
         "vocab_coverage_curve": Q.vocab_coverage_curve,
         "events_type_day_chi2": Q.events_type_day_chi2,
+        "copurchase_degree_assortativity": Q.copurchase_degree_assortativity,
+        "customer_balance_gini": Q.customer_balance_gini,
+        "orders_top_prices_with_ties": Q.orders_top_prices_with_ties,
         # --- rows-only / pytest-oracled block (no SQL twin by nature) ---
         "doc_compression_ratio": Q.doc_compression_ratio,
         "export_tar_shards_roundtrip": Q.export_tar_shards_roundtrip,
@@ -1261,6 +1264,68 @@ def oracle_sql() -> dict[str, str]:
                     * ((SELECT count(*) FROM k) - 1))::BIGINT AS dof,
                    round(sum((o - e) * (o - e) / e), 6) AS chi2
             FROM grid
+        """,
+        "copurchase_degree_assortativity": """
+            WITH p AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+            e AS (
+              SELECT a.l_partkey AS pa, b.l_partkey AS pb
+              FROM p a JOIN p b
+                ON a.l_orderkey = b.l_orderkey
+               AND a.l_partkey < b.l_partkey
+              GROUP BY 1, 2
+            ),
+            d AS (
+              SELECT node, count(*)::BIGINT AS deg FROM (
+                SELECT pa AS node FROM e
+                UNION ALL SELECT pb AS node FROM e
+              ) GROUP BY 1
+            ),
+            j AS (
+              SELECT da.deg AS x, db.deg AS y
+              FROM e JOIN d da ON da.node = e.pa JOIN d db ON db.node = e.pb
+            ),
+            s AS (
+              SELECT count(*) * 2 AS m, sum(x + y) AS sx,
+                     sum(x * x + y * y) AS sxx, sum(2 * x * y) AS sxy
+              FROM j
+            )
+            SELECT (m / 2)::BIGINT AS n_edges,
+                   CASE WHEN m * sxx - sx * sx = 0 THEN NULL
+                        ELSE CAST(m * sxy - sx * sx AS DOUBLE)
+                             / CAST(m * sxx - sx * sx AS DOUBLE) END
+                     AS assortativity
+            FROM s
+        """,
+        "customer_balance_gini": """
+            WITH v AS (
+              SELECT c_nationkey,
+                     CAST(floor(c_acctbal * 100) AS BIGINT) AS cents
+              FROM customer WHERE c_acctbal > 0.0
+            ),
+            r AS (
+              SELECT c_nationkey, cents,
+                     row_number() OVER (
+                       PARTITION BY c_nationkey ORDER BY cents
+                     )::BIGINT AS i
+              FROM v
+            ),
+            s AS (
+              SELECT c_nationkey, count(*)::BIGINT AS n,
+                     sum(cents) AS sx, sum(i * cents) AS six
+              FROM r GROUP BY 1
+            )
+            SELECT nn.n_name AS n_name, s.n AS n_custs,
+                   CAST(2 * s.six - (s.n + 1) * s.sx AS DOUBLE)
+                   / CAST(s.n * s.sx AS DOUBLE) AS gini
+            FROM s JOIN nation nn ON nn.n_nationkey = s.c_nationkey
+            ORDER BY 1
+        """,
+        "orders_top_prices_with_ties": """
+            SELECT o_orderkey, o_totalprice,
+                   rank() OVER (ORDER BY o_totalprice DESC)::BIGINT AS rnk
+            FROM orders
+            QUALIFY rnk <= 10
+            ORDER BY o_totalprice DESC, o_orderkey
         """,
         "purchase_state_pit": r"""
             WITH ordered AS (

@@ -8661,3 +8661,176 @@ def events_type_day_chi2(sf_dir: str) -> pd.DataFrame:
             "chi2": [round(chi2, 6)],
         }
     )
+
+
+def copurchase_degree_assortativity(sf_dir: str) -> pd.DataFrame:
+    """Degree assortativity of the co-purchase graph (Newman's r: the
+    Pearson correlation of endpoint degrees over the edge list, both
+    orientations) -> one row (n_edges, assortativity): do popular
+    parts co-sell with popular parts, the standard mixing diagnostic.
+
+    Scale shape: the edge list is pinned once (two consumers: the
+    degree count and the moment pass); degrees attach through two
+    hash-partitioned joins (never a driver degree map — nodes are
+    sf-scaled); the statistic folds from per-batch 4-sum integer
+    moment partials (sx, sxx, sxy, m — exact, the events_value_corr
+    sketch family; symmetric orientation makes sy=sx, syy=sxx) and the
+    final ratio of exact int64s is bit-identical on both sides.  At
+    100 TB the moment products approach int64 range — split into
+    hi/lo lanes or re-center degrees, the sketch stays mergeable."""
+    from .ops import graph
+
+    li = _lineitem(sf_dir, ["l_orderkey", "l_partkey"])
+    edges = (
+        graph.copurchase_edges(li)
+        .select_columns(["part_a", "part_b"])
+        .repartition(8)
+        .materialize()
+    )
+    deg = grouped_count(
+        edges.map_batches(
+            lambda t: pa.table(
+                {
+                    "node": pa.concat_arrays(
+                        [
+                            t["part_a"].combine_chunks(),
+                            t["part_b"].combine_chunks(),
+                        ]
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        ["node"],
+        "deg",
+    ).repartition(8)
+    j1 = joins.hash_join(
+        edges,
+        deg.map_batches(
+            lambda t: pa.table({"part_a": t["node"], "da": t["deg"]}),
+            batch_format="pyarrow",
+        ),
+        on="part_a",
+        num_partitions=8,
+    ).repartition(8)
+    j2 = joins.hash_join(
+        j1,
+        deg.map_batches(
+            lambda t: pa.table({"part_b": t["node"], "db": t["deg"]}),
+            batch_format="pyarrow",
+        ),
+        on="part_b",
+        num_partitions=8,
+    ).repartition(8)
+
+    def partial(t: pa.Table) -> pa.Table:
+        da = t["da"].to_numpy(zero_copy_only=False).astype(np.int64)
+        db = t["db"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "m": pa.array([2 * len(da)], pa.int64()),
+                "sx": pa.array([int((da + db).sum())], pa.int64()),
+                "sxx": pa.array([int((da * da + db * db).sum())], pa.int64()),
+                "sxy": pa.array([int((2 * da * db).sum())], pa.int64()),
+            }
+        )
+
+    f = j2.map_batches(partial, batch_format="pyarrow").to_pandas()
+    m = int(f["m"].sum())
+    sx, sxx, sxy = (int(f[c].sum()) for c in ("sx", "sxx", "sxy"))
+    den = m * sxx - sx * sx
+    r = None if den == 0 else float(m * sxy - sx * sx) / float(den)
+    return pd.DataFrame(
+        {"n_edges": [np.int64(m // 2)], "assortativity": [r]}
+    )
+
+
+def customer_balance_gini(sf_dir: str) -> rd.Dataset:
+    """Gini coefficient of positive customer balances per nation ->
+    (n_name, n_custs, gini): the inequality statistic via the exact
+    rank-sum identity G = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x))
+    over ascending integer cents — all terms exact int64 (tie order
+    cannot change the sum: tied x contribute identical products), so
+    the final ratio is bit-identical to the twin's.
+
+    Scale shape: one map_groups per nation (low-cardinality keys only
+    — the events_p50_disc contract: each task holds one nation's
+    balances); names attach from the 25-row driver dict."""
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_nationkey", "c_acctbal"],
+        filter=(pc.field("c_acctbal") > 0.0),
+    )
+    nation = _read(sf_dir, "nation").to_pandas()
+    name_of = dict(zip(nation["n_nationkey"], nation["n_name"]))
+
+    def per_nation(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.sort(
+            np.floor(df["c_acctbal"].to_numpy() * 100.0).astype(np.int64)
+        )
+        n = len(cents)
+        sx = int(cents.sum())
+        six = int((np.arange(1, n + 1, dtype=np.int64) * cents).sum())
+        gini = float(2 * six - (n + 1) * sx) / float(n * sx)
+        return pd.DataFrame(
+            {
+                "n_name": [name_of[int(df["c_nationkey"].iloc[0])]],
+                "n_custs": [np.int64(n)],
+                "gini": [gini],
+            }
+        )
+
+    return cust.groupby("c_nationkey").map_groups(
+        per_nation, batch_format="pandas"
+    )
+
+
+def orders_top_prices_with_ties(sf_dir: str) -> pd.DataFrame:
+    """Top orders by RANK() <= 10 — WITH ties (every order whose price
+    has fewer than 10 strictly-greater rows qualifies, so the result
+    can exceed 10 rows) -> (o_orderkey, o_totalprice, rnk): the
+    tie-honest leaderboard row_number()-based top-k cannot express.
+
+    Scale shape: rank WITHOUT ranking — per-block top-10 partials fold
+    to the boundary value (the 10th-highest price including
+    duplicates) on the driver; qualifying rows then come from a
+    predicate-pushdown re-read (price >= boundary), and ranks are
+    assigned on the survivor set (<= 10 + ties, human-sized).  No
+    global sort of the table anywhere."""
+    orders = _read(sf_dir, "orders", ["o_totalprice"])
+
+    def local_top(t: pa.Table) -> pa.Table:
+        v = t["o_totalprice"].to_numpy(zero_copy_only=False)
+        v = np.sort(v[~np.isnan(v)])[::-1][:10]
+        return pa.table({"o_totalprice": pa.array(v, pa.float64())})
+
+    cand = (
+        orders.map_batches(local_top, batch_format="pyarrow")
+        .to_pandas()["o_totalprice"]
+        .sort_values(ascending=False)
+        .head(10)
+    )
+    if cand.empty:
+        return pd.DataFrame(
+            {
+                "o_orderkey": pd.Series([], dtype=np.int64),
+                "o_totalprice": pd.Series([], dtype=np.float64),
+                "rnk": pd.Series([], dtype=np.int64),
+            }
+        )
+    boundary = float(cand.iloc[-1])
+    surv = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_totalprice"],
+        filter=(pc.field("o_totalprice") >= boundary),
+    ).to_pandas()
+    surv = surv.sort_values(
+        ["o_totalprice", "o_orderkey"], ascending=[False, True], kind="mergesort"
+    ).reset_index(drop=True)
+    p = surv["o_totalprice"].to_numpy()
+    # rank = #strictly greater + 1 (vectorized over the survivor set)
+    surv["rnk"] = np.array(
+        [int((p > x).sum()) + 1 for x in p], dtype=np.int64
+    )
+    surv = surv[surv["rnk"] <= 10]
+    return surv[["o_orderkey", "o_totalprice", "rnk"]].reset_index(drop=True)
