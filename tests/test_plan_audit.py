@@ -1,0 +1,67 @@
+"""Shuffle-budget invariants: each audited pipeline's all-to-all
+exchange count is pinned BEFORE execution (ops/plan_audit.py) — a
+regression that adds an exchange fails here, not in a 100-TB run."""
+
+import pytest
+
+import ray.data as rd
+
+from deepie_ray import queries as Q
+from deepie_ray.ops.plan_audit import assert_shuffle_budget, audit
+
+
+def test_audit_counts_known_plan_shapes(sf_dir):
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "value"])
+    a = audit(ds)
+    assert a["shuffles"] == 0 and a["reads"] == 1
+
+    from ray.data.aggregate import Sum
+
+    agg = ds.groupby("user_id").aggregate(Sum("value", alias_name="v"))
+    assert audit(agg)["shuffles"] == 1
+
+    assert audit(agg.sort("v"))["shuffles"] == 2
+
+    # block-merge repartition is NOT an exchange; shuffle=True is
+    assert audit(ds.repartition(4))["shuffles"] == 0
+    assert audit(ds.repartition(4))["repartitions_noshuffle"] == 1
+    assert audit(ds.repartition(4, shuffle=True))["shuffles"] == 1
+
+
+def test_q1_single_shuffle_budget(sf_dir):
+    # TPC-H Q1: combiner-first partials -> exactly ONE grouped exchange
+    assert_shuffle_budget(Q.q1_pricing_summary(sf_dir), max_shuffles=1)
+
+
+def test_word_count_single_shuffle_budget(sf_dir):
+    assert_shuffle_budget(Q.word_count_global(sf_dir), max_shuffles=1)
+
+
+def test_phrase_search_zero_shuffle_budget(sf_dir):
+    # embarrassingly parallel: tokenize + count per batch, no exchange
+    assert_shuffle_budget(Q.phrase_search(sf_dir), max_shuffles=0, max_joins=0)
+
+
+def test_running_max_single_shuffle_budget(sf_dir):
+    # one shuffle on user_id (ordered_apply's groupby), nothing else
+    assert_shuffle_budget(Q.events_running_max(sf_dir), max_shuffles=1)
+
+
+def test_q6_zero_shuffle_budget(sf_dir):
+    # pure pushdown-read + partial sums: the plan the docstring claims
+    import pandas as pd
+
+    # q6 returns a folded DataFrame; audit its streaming portion by
+    # rebuilding the read+partial stage the query uses
+    from datetime import datetime
+
+    import pyarrow.compute as pc
+
+    lo, hi = datetime(1996, 1, 1), datetime(1997, 1, 1)
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_extendedprice", "l_discount"],
+        filter=(pc.field("l_shipdate") >= lo) & (pc.field("l_shipdate") < hi),
+    )
+    assert_shuffle_budget(li, max_shuffles=0, max_joins=0)
+    assert isinstance(Q.q6_forecast_revenue(sf_dir), pd.DataFrame)
