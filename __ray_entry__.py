@@ -233,6 +233,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_topic_clusters": Q.doc_topic_clusters,
         "events_distinct_users_hll": Q.events_distinct_users_hll,
         "ann_recall_report": Q.ann_recall_report,
+        "minhash_recall_report": Q.minhash_recall_report,
         "incremental_neardup_ingest": Q.incremental_neardup_ingest,
         "kg_incremental": Q.kg_incremental,
         "bpe_train_merges": Q.bpe_train_merges,

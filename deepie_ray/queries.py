@@ -8834,3 +8834,37 @@ def orders_top_prices_with_ties(sf_dir: str) -> pd.DataFrame:
     )
     surv = surv[surv["rnk"] <= 10]
     return surv[["o_orderkey", "o_totalprice", "rnk"]].reset_index(drop=True)
+
+
+def minhash_recall_report(sf_dir: str) -> pa.Table:
+    """Near-dedup quality EVALUATION -> one row (n_exact, n_lsh, n_hit,
+    recall_pct, precision_pct): the LSH-pruned verified pair set
+    (ngram_jaccard_pairs) measured against the EXACT all-pairs 3-gram
+    Jaccard >= 0.3 ground truth (ngram_jaccard_exact) — the
+    measure-don't-guess harness for the dedup family, the sibling of
+    ann_recall_report for vector search.  Precision is the sanity rail
+    (the LSH path verifies TRUE Jaccard on every candidate, so any
+    value under 100 means the verify join broke); recall quantifies
+    what the banding misses.  Rows-only (MinHash is not
+    SQL-expressible); the planted-dup pytest pins recall == 100 on a
+    corpus whose duplicates are known.
+
+    Scale shape: both inputs are the existing distributed pipelines'
+    outputs — near-dup PAIR sets (dup-bounded, not corpus-bounded) —
+    compared on the driver."""
+    want = ngram_jaccard_exact(sf_dir).to_pandas()
+    got = ngram_jaccard_pairs(sf_dir).to_pandas()
+    w = set(zip(want["id_a"], want["id_b"]))
+    g = set(zip(got["id_a"], got["id_b"]))
+    hit = len(w & g)
+    recall = 100 if not w else int(np.floor(100.0 * hit / len(w)))
+    precision = 100 if not g else int(np.floor(100.0 * hit / len(g)))
+    return pa.table(
+        {
+            "n_exact": pa.array([len(w)], pa.int64()),
+            "n_lsh": pa.array([len(g)], pa.int64()),
+            "n_hit": pa.array([hit], pa.int64()),
+            "recall_pct": pa.array([recall], pa.int64()),
+            "precision_pct": pa.array([precision], pa.int64()),
+        }
+    )

@@ -1229,3 +1229,32 @@ def test_embedding_pca_projection_properties(sf_dir):
         b[[f"pc{j}" for j in range(1, 9)]].to_numpy(),
         atol=1e-12,
     )
+
+
+def test_minhash_recall_report_planted(tmp_path):
+    """Planted near-dup pairs: the LSH path must find every exact
+    Jaccard>=0.3 pair (recall 100) and verify truly (precision 100)."""
+    import pyarrow.parquet as pq2
+
+    base = "the quick brown fox jumps over the lazy dog again and again "
+    rows = []
+    for i in range(12):
+        # fully distinct fillers: below 0.3 exact Jaccard to everything
+        rows.append((i, " ".join(f"w{i}t{j}" for j in range(40))))
+    # two planted near-identical pairs (one token changed)
+    rows.append((100, base * 4 + "ending one"))
+    rows.append((101, base * 4 + "ending two"))
+    rows.append((200, "alpha beta gamma delta " * 10 + "x"))
+    rows.append((201, "alpha beta gamma delta " * 10 + "y"))
+    t = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows]),
+        }
+    )
+    pq2.write_table(t, str(tmp_path / "documents.parquet"))
+    rep = Q.minhash_recall_report(str(tmp_path)).to_pandas().iloc[0]
+    assert rep["n_exact"] >= 2  # both planted pairs are true positives
+    assert rep["recall_pct"] == 100
+    assert rep["precision_pct"] == 100
+    assert rep["n_hit"] == rep["n_lsh"] == rep["n_exact"]
