@@ -226,6 +226,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "copurchase_degree_assortativity": Q.copurchase_degree_assortativity,
         "customer_balance_gini": Q.customer_balance_gini,
         "orders_top_prices_with_ties": Q.orders_top_prices_with_ties,
+        "chunk_dedup_reassembly": Q.chunk_dedup_reassembly,
         # --- rows-only / pytest-oracled block (no SQL twin by nature) ---
         "doc_compression_ratio": Q.doc_compression_ratio,
         "export_tar_shards_roundtrip": Q.export_tar_shards_roundtrip,
@@ -1327,6 +1328,42 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             QUALIFY rnk <= 10
             ORDER BY o_totalprice DESC, o_orderkey
+        """,
+        "chunk_dedup_reassembly": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                 x -> x <> '') AS t
+              FROM documents
+            ),
+            nc AS (
+              SELECT doc_id, t, len(t) AS n,
+                     CASE WHEN len(t) = 0 THEN 0
+                          ELSE 1 + (greatest(0, len(t) - 32) + 31) // 32
+                     END AS n_chunks
+              FROM toks
+            ),
+            ch AS (
+              SELECT doc_id, (r.i - 1)::BIGINT AS chunk_id,
+                     array_to_string(
+                       t[(r.i - 1) * 32 + 1 : least((r.i - 1) * 32 + 32, n)],
+                       ' ') AS chunk_text
+              FROM nc, unnest(range(1, n_chunks + 1)) AS r(i)
+            ),
+            f AS (
+              SELECT doc_id, chunk_id, chunk_text, md5(chunk_text) AS fp,
+                     doc_id * 100000 + chunk_id AS pack
+              FROM ch
+            ),
+            own AS (SELECT fp, min(pack) AS mp FROM f GROUP BY 1)
+            SELECT f.doc_id, count(*)::BIGINT AS n_chunks,
+                   sum(CASE WHEN f.pack = o.mp THEN 1 ELSE 0 END)::BIGINT
+                     AS n_kept,
+                   coalesce(string_agg(
+                     CASE WHEN f.pack = o.mp THEN f.chunk_text END,
+                     ' ' ORDER BY f.chunk_id), '') AS text_dedup
+            FROM f JOIN own o USING (fp)
+            GROUP BY f.doc_id
         """,
         "purchase_state_pit": r"""
             WITH ordered AS (

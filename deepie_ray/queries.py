@@ -8868,3 +8868,73 @@ def minhash_recall_report(sf_dir: str) -> pa.Table:
             "precision_pct": pa.array([precision], pa.int64()),
         }
     )
+
+
+def chunk_dedup_reassembly(sf_dir: str) -> rd.Dataset:
+    """Sub-document dedup (C4/RefinedWeb-style): explode docs into
+    NON-overlapping 32-token chunks, keep each distinct chunk's single
+    globally-first occurrence (earliest (doc_id, chunk_id)), and
+    reassemble every doc from its surviving chunks -> (doc_id,
+    n_chunks, n_kept, text_dedup).  Catches repeated boilerplate that
+    document-level dedup can't touch (shared footers, quoted blocks).
+
+    Scale shape: the chunk explode is row-parallel (doc_chunks'
+    vectorized kernel, stride == size); ownership is combiner-first
+    (per-batch min-pack partials per fingerprint, one grouped Min —
+    chunk bodies never enter the ownership shuffle, only (fp, pack));
+    the keep flag attaches via a hash-partitioned join on fp; docs
+    reassemble with one groupby(doc_id).  The pack key is
+    ``doc_id * 100000 + chunk_id`` (documented bound: <100k chunks
+    per doc — 3.2M tokens; wider docs need a struct Min).
+    Zero-token docs emit no row (no chunks — the twin's semantics)."""
+    from .hashing import md5_hex as _md5
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    chunks = docs.map_batches(
+        lambda t: text.chunk_batch(t, size=32, stride=32),
+        batch_format="pyarrow",
+    ).materialize()  # two consumers: ownership pass + reassembly join
+
+    def fp_pack(t: pa.Table) -> pa.Table:
+        fps = [_md5(x) for x in t["chunk_text"].to_pylist()]
+        pack = pc.add(
+            pc.multiply(pc.cast(t["doc_id"], pa.int64()), pa.scalar(100000)),
+            pc.cast(t["chunk_id"], pa.int64()),
+        )
+        return pa.table(
+            {
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "chunk_id": pc.cast(t["chunk_id"], pa.int64()),
+                "chunk_text": t["chunk_text"],
+                "fp": pa.array(fps, pa.string()),
+                "pack": pack,
+            }
+        )
+
+    tagged = chunks.map_batches(fp_pack, batch_format="pyarrow").materialize()
+
+    def own_partial(t: pa.Table) -> pa.Table:
+        g = t.select(["fp", "pack"]).group_by("fp").aggregate([("pack", "min")])
+        return g.rename_columns(["fp", "mp"])
+
+    owners = (
+        tagged.map_batches(own_partial, batch_format="pyarrow")
+        .groupby("fp")
+        .aggregate(Min("mp", alias_name="mp"))
+        .repartition(8)
+    )
+    j = joins.hash_join(tagged, owners, on="fp", num_partitions=8).repartition(8)
+
+    def reassemble(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("chunk_id", kind="mergesort")
+        kept = df["pack"].to_numpy() == df["mp"].to_numpy()
+        return pd.DataFrame(
+            {
+                "doc_id": [np.int64(df["doc_id"].iloc[0])],
+                "n_chunks": [np.int64(len(df))],
+                "n_kept": [np.int64(int(kept.sum()))],
+                "text_dedup": [" ".join(df["chunk_text"].to_numpy()[kept])],
+            }
+        )
+
+    return j.groupby("doc_id").map_groups(reassemble, batch_format="pandas")
