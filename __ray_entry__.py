@@ -227,6 +227,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_balance_gini": Q.customer_balance_gini,
         "orders_top_prices_with_ties": Q.orders_top_prices_with_ties,
         "chunk_dedup_reassembly": Q.chunk_dedup_reassembly,
+        "user_value_twap": Q.user_value_twap,
         # --- rows-only / pytest-oracled block (no SQL twin by nature) ---
         "doc_compression_ratio": Q.doc_compression_ratio,
         "export_tar_shards_roundtrip": Q.export_tar_shards_roundtrip,
@@ -1364,6 +1365,22 @@ def oracle_sql() -> dict[str, str]:
                      ' ' ORDER BY f.chunk_id), '') AS text_dedup
             FROM f JOIN own o USING (fp)
             GROUP BY f.doc_id
+        """,
+        "user_value_twap": """
+            WITH e AS (
+              SELECT user_id, ts, event_id,
+                     CAST(floor(value * 100) AS BIGINT) AS cents,
+                     lead(ts) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                     ) AS nxt
+              FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+            )
+            SELECT user_id, (count(*) + 1)::BIGINT AS n_events,
+                   sum(cents * date_diff('microsecond', ts, nxt))::BIGINT
+                     AS num_cents_us,
+                   sum(date_diff('microsecond', ts, nxt))::BIGINT AS den_us
+            FROM e WHERE nxt IS NOT NULL
+            GROUP BY user_id
         """,
         "purchase_state_pit": r"""
             WITH ordered AS (

@@ -8938,3 +8938,49 @@ def chunk_dedup_reassembly(sf_dir: str) -> rd.Dataset:
         )
 
     return j.groupby("doc_id").map_groups(reassemble, batch_format="pandas")
+
+
+def user_value_twap(sf_dir: str) -> rd.Dataset:
+    """Time-weighted value exposure per user (TWAP numerator /
+    denominator) -> (user_id, n_events, num_cents_us, den_us): each
+    event's value (integer cents) held until the user's NEXT event
+    (SQL ``lead``), i.e. sum(cents_i * gap_us_i) and sum(gap_us_i)
+    over all non-terminal events — the exact-integer decomposition of
+    the time-weighted average (the repo parity rule: no division
+    before the hash; num/den is the TWAP).  Users with one event (no
+    gaps) drop on both sides.
+
+    Scale shape: one shuffle on user_id, vectorized shift within the
+    group (ops/analytic.ordered_apply).  int64 bounds: cents (~1e4) x
+    gap_us (~1e10) x rows/user — documented safe to ~1e4 events/user
+    at day-scale gaps; re-center to ms at 100 TB."""
+    from .ops import analytic
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    clean = ev.map_batches(
+        lambda df: df.dropna(subset=["ts", "value"]), batch_format="pandas"
+    )
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) < 2:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series([], dtype=df["user_id"].dtype),
+                    "n_events": pd.Series([], dtype=np.int64),
+                    "num_cents_us": pd.Series([], dtype=np.int64),
+                    "den_us": pd.Series([], dtype=np.int64),
+                }
+            )
+        ts_us = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        cents = np.floor(df["value"].to_numpy() * 100.0).astype(np.int64)
+        gap = ts_us[1:] - ts_us[:-1]
+        return pd.DataFrame(
+            {
+                "user_id": [df["user_id"].iloc[0]],
+                "n_events": [np.int64(len(df))],
+                "num_cents_us": [np.int64((cents[:-1] * gap).sum())],
+                "den_us": [np.int64(gap.sum())],
+            }
+        )
+
+    return analytic.ordered_apply(clean, "user_id", ["ts", "event_id"], per_key)
