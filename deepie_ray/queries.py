@@ -8852,10 +8852,14 @@ def minhash_recall_report(sf_dir: str) -> pa.Table:
     Scale shape: both inputs are the existing distributed pipelines'
     outputs — near-dup PAIR sets (dup-bounded, not corpus-bounded) —
     compared on the driver."""
-    want = ngram_jaccard_exact(sf_dir).to_pandas()
-    got = ngram_jaccard_pairs(sf_dir).to_pandas()
-    w = set(zip(want["id_a"], want["id_b"]))
-    g = set(zip(got["id_a"], got["id_b"]))
+    def pair_set(df: pd.DataFrame) -> set:
+        # an empty distributed result can drop its columns entirely
+        if df.empty or "id_a" not in df.columns:
+            return set()
+        return set(zip(df["id_a"], df["id_b"]))
+
+    w = pair_set(ngram_jaccard_exact(sf_dir).to_pandas())
+    g = pair_set(ngram_jaccard_pairs(sf_dir).to_pandas())
     hit = len(w & g)
     recall = 100 if not w else int(np.floor(100.0 * hit / len(w)))
     precision = 100 if not g else int(np.floor(100.0 * hit / len(g)))
@@ -8912,6 +8916,17 @@ def chunk_dedup_reassembly(sf_dir: str) -> rd.Dataset:
         )
 
     tagged = chunks.map_batches(fp_pack, batch_format="pyarrow").materialize()
+    if tagged.count() == 0:  # empty corpus: schema-less blocks break joins
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_chunks": pa.array([], pa.int64()),
+                    "n_kept": pa.array([], pa.int64()),
+                    "text_dedup": pa.array([], pa.string()),
+                }
+            )
+        )
 
     def own_partial(t: pa.Table) -> pa.Table:
         g = t.select(["fp", "pack"]).group_by("fp").aggregate([("pack", "min")])

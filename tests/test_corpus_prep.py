@@ -1258,3 +1258,36 @@ def test_minhash_recall_report_planted(tmp_path):
     assert rep["recall_pct"] == 100
     assert rep["precision_pct"] == 100
     assert rep["n_hit"] == rep["n_lsh"] == rep["n_exact"]
+
+
+def test_session_final_doc_ops_empty_documents_no_crash(tmp_path):
+    """Empty corpus: the final-session doc operators return 0 rows (or
+    a typed all-zero report), no crash — the empty-block schema class."""
+    import pandas as pd
+    import pyarrow.parquet as pq2
+
+    pq2.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "text": pa.array([], pa.string()),
+                "lang": pa.array([], pa.string()),
+                "source": pa.array([], pa.string()),
+                "n_chars": pa.array([], pa.int64()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    d = str(tmp_path)
+    for name in ("phrase_search", "vocab_coverage_curve", "source_unigram_kl",
+                 "chunk_dedup_reassembly"):
+        r = getattr(Q, name)(d)
+        if isinstance(r, pd.DataFrame):
+            n = len(r)
+        elif isinstance(r, pa.Table):
+            n = r.num_rows
+        else:
+            n = r.count()
+        assert n == 0, name
+    rep = Q.minhash_recall_report(d).to_pandas().iloc[0]
+    assert rep["n_exact"] == 0 and rep["recall_pct"] == 100
