@@ -8493,6 +8493,15 @@ def events_value_winsorized(sf_dir: str) -> pd.DataFrame:
         .map_groups(bounds, batch_format="pandas")
         .to_pandas()
     )
+    empty = pd.DataFrame(
+        {
+            "event_type": pd.Series([], dtype=str),
+            "n": pd.Series([], dtype=np.int64),
+            "win_cents": pd.Series([], dtype=np.int64),
+        }
+    )
+    if b.empty:
+        return empty
     lo_of = dict(zip(b["event_type"], b["lo"].astype(np.int64)))
     hi_of = dict(zip(b["event_type"], b["hi"].astype(np.int64)))
 

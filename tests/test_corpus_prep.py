@@ -1291,3 +1291,36 @@ def test_session_final_doc_ops_empty_documents_no_crash(tmp_path):
         assert n == 0, name
     rep = Q.minhash_recall_report(d).to_pandas().iloc[0]
     assert rep["n_exact"] == 0 and rep["recall_pct"] == 100
+
+
+def test_session_final_event_ops_empty_events_no_crash(tmp_path):
+    """Empty events table: the final-session event operators return a
+    typed empty (or all-zero scalar) result, no crash."""
+    import pandas as pd
+    import pyarrow.parquet as pq2
+
+    pq2.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([], pa.int64()),
+                "ts": pa.array([], pa.timestamp("us")),
+                "user_id": pa.array([], pa.int64()),
+                "event_type": pa.array([], pa.string()),
+                "value": pa.array([], pa.float64()),
+                "props": pa.array([], pa.string()),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    d = str(tmp_path)
+    for name in (
+        "events_running_max",
+        "user_event_entropy",
+        "events_value_winsorized",
+        "user_value_twap",
+    ):
+        r = getattr(Q, name)(d)
+        n = len(r) if isinstance(r, pd.DataFrame) else r.count()
+        assert n == 0, name
+    chi = Q.events_type_day_chi2(d)
+    assert len(chi) == 1 and int(chi["n"].iloc[0]) == 0
