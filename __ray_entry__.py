@@ -228,6 +228,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_top_prices_with_ties": Q.orders_top_prices_with_ties,
         "chunk_dedup_reassembly": Q.chunk_dedup_reassembly,
         "user_value_twap": Q.user_value_twap,
+        "events_hourly_profile": Q.events_hourly_profile,
+        "doc_ngram_novelty": Q.doc_ngram_novelty,
         # --- rows-only / pytest-oracled block (no SQL twin by nature) ---
         "doc_compression_ratio": Q.doc_compression_ratio,
         "export_tar_shards_roundtrip": Q.export_tar_shards_roundtrip,
@@ -1381,6 +1383,28 @@ def oracle_sql() -> dict[str, str]:
                    sum(date_diff('microsecond', ts, nxt))::BIGINT AS den_us
             FROM e WHERE nxt IS NOT NULL
             GROUP BY user_id
+        """,
+        "events_hourly_profile": """
+            SELECT event_type, CAST(hour(ts) AS BIGINT) AS hour,
+                   count(*)::BIGINT AS n
+            FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+        """,
+        "doc_ngram_novelty": r"""
+            WITH sh AS (
+              SELECT DISTINCT doc_id,
+                     array_to_string(t[r.i : r.i + 2], ' ') AS g
+              FROM (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(text, '\s+'),
+                                   x -> x <> '') AS t
+                FROM documents
+              ) d, unnest(range(1, len(t) - 1)) AS r(i)
+            ),
+            own AS (SELECT g, min(doc_id) AS owner FROM sh GROUP BY 1)
+            SELECT sh.doc_id, count(*)::BIGINT AS n_shingles,
+                   sum(CASE WHEN own.owner = sh.doc_id
+                            THEN 1 ELSE 0 END)::BIGINT AS n_novel
+            FROM sh JOIN own USING (g) GROUP BY 1
         """,
         "purchase_state_pit": r"""
             WITH ordered AS (

@@ -9008,3 +9008,118 @@ def user_value_twap(sf_dir: str) -> rd.Dataset:
         )
 
     return analytic.ordered_apply(clean, "user_id", ["ts", "event_id"], per_key)
+
+
+def events_hourly_profile(sf_dir: str) -> rd.Dataset:
+    """Activity profile by hour of day -> (event_type, hour, n): the
+    telemetry heatmap input (when does each behaviour happen).
+    All-integer output; combiner-first counts; one narrow shuffle of
+    |types| x 24 rows per block."""
+    ev = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["ts"]))
+        hr = pc.cast(pc.hour(t["ts"]), pa.int64())
+        g = (
+            pa.table({"event_type": t["event_type"], "hour": hr})
+            .group_by(["event_type", "hour"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                "event_type": g["event_type"],
+                "hour": g["hour"],
+                "n": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    return (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "hour"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
+def doc_ngram_novelty(sf_dir: str) -> rd.Dataset:
+    """Per-doc 3-gram NOVELTY against all earlier docs (doc_id order)
+    -> (doc_id, n_shingles, n_novel): how much genuinely new content
+    each document adds — the curation signal behind dataset-growth
+    curves (novelty collapsing to ~0 means the crawl is saturated).
+    A doc's distinct word-3-grams are novel iff no smaller-doc_id doc
+    contains them; each shingle's owner is its global min doc_id.
+
+    Scale shape: the same combiner-first Min-ownership pattern as
+    chunk_dedup_reassembly at shingle granularity — per-batch
+    (shingle, min doc_id) partials, one grouped Min, then a
+    hash-partitioned join back to the per-doc shingle table; bodies
+    never shuffle, only (hash, id) pairs.  Shingles ship as int64
+    fingerprints (fingerprint64), not strings."""
+    from .hashing import fingerprint64
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def shingles(t: pa.Table) -> pa.Table:
+        out_id, out_fp = [], []
+        for i, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            toks = ws_tokens(x or "")
+            fps = {
+                fingerprint64(" ".join(toks[j : j + 3]))
+                for j in range(len(toks) - 2)
+            }
+            out_id.extend([i] * len(fps))
+            out_fp.extend(fps)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "fp": pa.array(out_fp, pa.int64()),
+            }
+        )
+
+    sh = docs.map_batches(shingles, batch_format="pyarrow").materialize()
+    if sh.count() == 0:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_shingles": pa.array([], pa.int64()),
+                    "n_novel": pa.array([], pa.int64()),
+                }
+            )
+        )
+
+    def own_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("fp").aggregate([("doc_id", "min")])
+        return g.rename_columns(["fp", "owner"])
+
+    owners = (
+        sh.map_batches(own_partial, batch_format="pyarrow")
+        .groupby("fp")
+        .aggregate(Min("owner", alias_name="owner"))
+        .repartition(8)
+    )
+    j = joins.hash_join(sh, owners, on="fp", num_partitions=8).repartition(8)
+
+    def per_doc(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table(
+                {
+                    "doc_id": t["doc_id"],
+                    "one": pa.array(np.ones(len(t), np.int64), pa.int64()),
+                    "novel": pc.cast(
+                        pc.equal(t["owner"], t["doc_id"]), pa.int64()
+                    ),
+                }
+            )
+            .group_by("doc_id")
+            .aggregate([("one", "sum"), ("novel", "sum")])
+        )
+        return g.rename_columns(["doc_id", "n_shingles", "n_novel"])
+
+    return (
+        j.map_batches(per_doc, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(
+            Sum("n_shingles", alias_name="n_shingles"),
+            Sum("n_novel", alias_name="n_novel"),
+        )
+    )
