@@ -230,6 +230,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_value_twap": Q.user_value_twap,
         "events_hourly_profile": Q.events_hourly_profile,
         "doc_ngram_novelty": Q.doc_ngram_novelty,
+        "q4_order_priority": Q.q4_order_priority,
+        "q8_market_share": Q.q8_market_share,
+        "q11_important_brands": Q.q11_important_brands,
+        "q12_late_shipment_priority": Q.q12_late_shipment_priority,
+        "q13_customer_distribution": Q.q13_customer_distribution,
+        "q15_top_supplier": Q.q15_top_supplier,
+        "q16_supplier_breadth": Q.q16_supplier_breadth,
+        "q20_part_promotion": Q.q20_part_promotion,
+        "q21_waiting_supplier": Q.q21_waiting_supplier,
         # --- rows-only / pytest-oracled block (no SQL twin by nature) ---
         "doc_compression_ratio": Q.doc_compression_ratio,
         "export_tar_shards_roundtrip": Q.export_tar_shards_roundtrip,
@@ -2891,6 +2900,142 @@ def oracle_sql() -> dict[str, str]:
                    (c * (length(bigram) - 1)) / chars.total_chars
                      AS top_bigram_char_frac
             FROM top JOIN chars USING (doc_id) WHERE rn = 1
+        """,
+        "q4_order_priority": """
+            SELECT o_orderpriority, count(*)::BIGINT AS order_count
+            FROM orders o
+            WHERE o.o_orderdate >= TIMESTAMP '1997-07-01'
+              AND o.o_orderdate <  TIMESTAMP '1997-10-01'
+              AND EXISTS (
+                SELECT 1 FROM lineitem l
+                WHERE l.l_orderkey = o.o_orderkey
+                  AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+            GROUP BY 1 ORDER BY 1
+        """,
+        "q8_market_share": """
+            WITH amer AS (
+              SELECT n_nationkey FROM nation
+              WHERE n_regionkey = (SELECT r_regionkey FROM region
+                                   WHERE r_name = 'AMERICA')
+            ),
+            tgt AS (SELECT n_nationkey FROM nation WHERE n_name = 'NATION_1')
+            SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+                   round(sum(CASE WHEN s.s_nationkey =
+                                    (SELECT n_nationkey FROM tgt)
+                     THEN CAST(floor(l.l_extendedprice * (1 - l.l_discount)
+                       * 100.0) AS BIGINT) ELSE 0 END) / 100.0, 2)
+                     AS nation_revenue,
+                   round(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount)
+                     * 100.0) AS BIGINT)) / 100.0, 2) AS total_revenue
+            FROM lineitem l
+            JOIN part p ON p.p_partkey = l.l_partkey AND p.p_type = 'PROMO'
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+              AND c.c_nationkey IN (SELECT n_nationkey FROM amer)
+            GROUP BY 1 ORDER BY 1
+        """,
+        "q11_important_brands": """
+            WITH bv AS (
+              SELECT p_brand,
+                     sum(CAST(floor(p_retailprice * 100.0) AS BIGINT)
+                         * CAST(p_size AS BIGINT)) AS cents
+              FROM part GROUP BY 1
+            )
+            SELECT p_brand, round(cents / 100.0, 2) AS value
+            FROM bv
+            WHERE 25 * cents > (SELECT sum(cents) FROM bv)
+            ORDER BY 1
+        """,
+        "q12_late_shipment_priority": """
+            SELECT l.l_linestatus,
+                   sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+                   sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 0 ELSE 1 END)::BIGINT AS low_line_count
+            FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+            WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+              AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+            GROUP BY 1 ORDER BY 1
+        """,
+        "q13_customer_distribution": """
+            SELECT c_count, count(*)::BIGINT AS custdist
+            FROM (
+              SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+              FROM customer c
+              LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+                                AND o.o_orderstatus <> 'F'
+              GROUP BY 1
+            )
+            GROUP BY 1 ORDER BY custdist DESC, c_count DESC
+        """,
+        "q15_top_supplier": """
+            WITH rev AS (
+              SELECT l_suppkey,
+                     sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                       * 100.0) AS BIGINT)) AS cents
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+                AND l_shipdate <  TIMESTAMP '1997-04-01'
+              GROUP BY 1
+            )
+            SELECT s.s_suppkey, s.s_name,
+                   round(rev.cents / 100.0, 2) AS total_revenue
+            FROM rev JOIN supplier s ON s.s_suppkey = rev.l_suppkey
+            WHERE rev.cents = (SELECT max(cents) FROM rev)
+            ORDER BY 1
+        """,
+        "q16_supplier_breadth": """
+            SELECT p.p_brand,
+                   count(DISTINCT l.l_suppkey)::BIGINT AS supplier_cnt
+            FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+            WHERE p.p_brand <> 'Brand#13'
+              AND p.p_size IN (9, 14, 19, 23, 36, 45, 49, 3)
+            GROUP BY 1 ORDER BY 1
+        """,
+        "q20_part_promotion": """
+            SELECT s.s_suppkey, s.s_name
+            FROM supplier s
+            WHERE s.s_suppkey IN (
+              SELECT l.l_suppkey
+              FROM lineitem l
+              JOIN part p ON p.p_partkey = l.l_partkey
+              WHERE p.p_name LIKE '%gear%'
+                AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+                AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+              GROUP BY 1
+              HAVING sum(CAST(floor(l.l_quantity * 100.0) AS BIGINT)) > 30000
+            )
+            ORDER BY 1
+        """,
+        "q21_waiting_supplier": """
+            WITH fl AS (
+              SELECT l.l_orderkey, l.l_suppkey,
+                     max(CAST(epoch_us(l.l_shipdate) AS BIGINT)) AS smax
+              FROM lineitem l
+              JOIN orders o ON o.o_orderkey = l.l_orderkey
+                           AND o.o_orderstatus = 'F'
+              GROUP BY 1, 2
+            ),
+            om AS (
+              SELECT l_orderkey, max(smax) AS omax, count(*) AS nsupp
+              FROM fl GROUP BY 1
+            ),
+            atmax AS (
+              SELECT fl.l_orderkey, fl.l_suppkey
+              FROM fl JOIN om USING (l_orderkey)
+              WHERE om.nsupp >= 2 AND fl.smax = om.omax
+            ),
+            waiters AS (
+              SELECT l_orderkey, min(l_suppkey) AS l_suppkey
+              FROM atmax GROUP BY 1 HAVING count(*) = 1
+            )
+            SELECT s.s_suppkey, s.s_name, count(*)::BIGINT AS numwait
+            FROM waiters w JOIN supplier s ON s.s_suppkey = w.l_suppkey
+            GROUP BY 1, 2 ORDER BY numwait DESC, s_suppkey LIMIT 10
         """,
         # rows-only (no SQL twin): lang_id, minhash_dedup_documents,
         # simhash_signatures, simhash_neardup, ann_topk_lsh, kg_triples,

@@ -9123,3 +9123,651 @@ def doc_ngram_novelty(sf_dir: str) -> rd.Dataset:
             Sum("n_novel", alias_name="n_novel"),
         )
     )
+
+
+# ------------------------------------------------- TPC-H shape batch 3
+# (round 4: q4/q8/q11/q12/q13/q15/q16/q20/q21 shapes.  As with batch 2,
+# every adaptation away from the canonical spec — this corpus has no
+# partsupp / l_commitdate / l_receiptdate / l_shipmode — is stated in
+# the docstring and mirrored verbatim in the SQL twin.  "Late" is
+# always defined as l_shipdate more than K days after o_orderdate.)
+
+
+_US_PER_DAY = 86_400_000_000  # timestamp[us] day quantum
+
+
+def q4_order_priority(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q4 shape (no l_commitdate/l_receiptdate: "late" is a
+    lineitem shipped >60 days after the order date): orders placed in
+    1997Q3 with at least one late lineitem, counted per priority ->
+    (o_orderpriority, order_count).
+
+    Scale shape: the quarter filter is pushed into the orders read
+    (the join's build side shrinks ~20x before any shuffle); lineitem
+    streams through ONE hash-partitioned join carrying only (orderkey,
+    shipdate); the EXISTS collapses combiner-first to distinct
+    (orderkey, priority) rows — the final shuffle moves one narrow row
+    per qualifying order, never per lineitem."""
+    from datetime import datetime
+
+    lo, hi = datetime(1997, 7, 1), datetime(1997, 10, 1)
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+        filter=((pc.field("o_orderdate") >= lo) & (pc.field("o_orderdate") < hi)),
+        override_num_blocks=read_blocks(),
+    )
+    empty = pd.DataFrame(
+        {
+            "o_orderpriority": pd.Series([], dtype=str),
+            "order_count": pd.Series([], dtype=np.int64),
+        }
+    )
+    if orders.limit(1).count() == 0:
+        return empty
+    li = _lineitem(sf_dir, ["l_orderkey", "l_shipdate"])
+    j = joins.hash_join(
+        li, orders, on="l_orderkey", right_on="o_orderkey", num_partitions=8
+    ).repartition(8)
+
+    def late_distinct(t: pa.Table) -> pa.Table:
+        ship = pc.cast(t["l_shipdate"], pa.int64())
+        odate = pc.cast(t["o_orderdate"], pa.int64())
+        late = pc.greater(
+            pc.subtract(ship, odate), pa.scalar(60 * _US_PER_DAY, pa.int64())
+        )
+        t = t.filter(late)
+        # per-batch EXISTS combiner: one row per (order, priority)
+        return (
+            pa.table(
+                {
+                    "l_orderkey": t["l_orderkey"],
+                    "o_orderpriority": t["o_orderpriority"],
+                }
+            )
+            .group_by(["l_orderkey", "o_orderpriority"])
+            .aggregate([])
+        )
+
+    cand = j.map_batches(late_distinct, batch_format="pyarrow")
+    dedup = (
+        cand.groupby("l_orderkey")
+        .map_groups(lambda t: t.slice(0, 1), batch_format="pyarrow")
+    )
+    agg = grouped_count(dedup, ["o_orderpriority"], "order_count").to_pandas()
+    if agg.empty:
+        return empty
+    agg["order_count"] = agg["order_count"].astype(np.int64)
+    return (
+        agg[["o_orderpriority", "order_count"]]
+        .sort_values("o_orderpriority")
+        .reset_index(drop=True)
+    )
+
+
+def q8_market_share(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q8 shape: among PROMO-type parts ordered by AMERICA-region
+    customers in 1996-1997, NATION_1-supplied revenue vs total revenue
+    by order year -> (o_year, nation_revenue, total_revenue).  (The
+    canonical mkt_share ratio is not emitted — the repo convention is
+    sum+sum, never a rounded quotient, for bit-exact oracle hashes.)
+
+    Scale shape: the part filter is a pushed parquet predicate and
+    collapses to a broadcastable key set ONLY implicitly — parts flow
+    through a hash join (part is sf-scaled); lineitem pre-aggregates to
+    (orderkey, year-invariant cents, nation-flagged cents) partials
+    before the orders join; customer region membership resolves via the
+    25-row driver nation dict, never a shuffle."""
+    from datetime import datetime
+
+    nation = _read(sf_dir, "nation").to_pandas()
+    region = _read(sf_dir, "region").to_pandas()
+    amer_key = int(region.loc[region["r_name"] == "AMERICA", "r_regionkey"].iloc[0])
+    amer_nations = sorted(
+        int(k)
+        for k, rk in zip(nation["n_nationkey"], nation["n_regionkey"])
+        if int(rk) == amer_key
+    )
+    target_key = int(nation.loc[nation["n_name"] == "NATION_1", "n_nationkey"].iloc[0])
+
+    pkeys = rd.read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey"],
+        filter=(pc.field("p_type") == "PROMO"),
+    )
+    empty = pd.DataFrame(
+        {
+            "o_year": pd.Series([], dtype=np.int64),
+            "nation_revenue": pd.Series([], dtype=np.float64),
+            "total_revenue": pd.Series([], dtype=np.float64),
+        }
+    )
+    if pkeys.limit(1).count() == 0:
+        return empty
+
+    li = _lineitem(
+        sf_dir, ["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"]
+    )
+    lp = joins.hash_join(
+        li, pkeys, on="l_partkey", right_on="p_partkey", num_partitions=8
+    ).repartition(8)
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    ls = joins.hash_join(
+        lp, supp, on="l_suppkey", right_on="s_suppkey", num_partitions=8
+    ).repartition(8)
+
+    def pre_agg(t: pa.Table) -> pa.Table:
+        c = _cents(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        is_t = pc.equal(t["s_nationkey"], pa.scalar(target_key))
+        nc = pc.if_else(is_t, c, pa.scalar(0, pa.int64()))
+        g = (
+            pa.table({"l_orderkey": t["l_orderkey"], "tc": c, "nc": nc})
+            .group_by("l_orderkey")
+            .aggregate([("tc", "sum"), ("nc", "sum")])
+        )
+        return g.rename_columns(["l_orderkey", "tot_cents", "nat_cents"])
+
+    lo, hi = datetime(1996, 1, 1), datetime(1998, 1, 1)
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=((pc.field("o_orderdate") >= lo) & (pc.field("o_orderdate") < hi)),
+        override_num_blocks=read_blocks(),
+    )
+    if orders.limit(1).count() == 0:
+        return empty
+    lo_j = joins.hash_join(
+        ls.map_batches(pre_agg, batch_format="pyarrow"),
+        orders,
+        on="l_orderkey",
+        right_on="o_orderkey",
+        num_partitions=8,
+    ).repartition(8)
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey"],
+        filter=(pc.field("c_nationkey").isin(amer_nations)),
+    )
+    if cust.limit(1).count() == 0:
+        return empty
+    lc = joins.hash_join(
+        lo_j, cust, on="o_custkey", right_on="c_custkey", num_partitions=8
+    ).repartition(8)
+
+    def year_partial(t: pa.Table) -> pa.Table:
+        yr = pc.cast(pc.year(t["o_orderdate"]), pa.int64())
+        g = (
+            pa.table({"o_year": yr, "tc": t["tot_cents"], "nc": t["nat_cents"]})
+            .group_by("o_year")
+            .aggregate([("tc", "sum"), ("nc", "sum")])
+        )
+        return g.rename_columns(["o_year", "tot_cents", "nat_cents"])
+
+    agg = (
+        lc.map_batches(year_partial, batch_format="pyarrow")
+        .groupby("o_year")
+        .aggregate(
+            Sum("tot_cents", alias_name="tot_cents"),
+            Sum("nat_cents", alias_name="nat_cents"),
+        )
+        .to_pandas()
+    )
+    if agg.empty:
+        return empty
+    agg["nation_revenue"] = [round(int(c) / 100.0, 2) for c in agg["nat_cents"]]
+    agg["total_revenue"] = [round(int(c) / 100.0, 2) for c in agg["tot_cents"]]
+    agg["o_year"] = agg["o_year"].astype(np.int64)
+    return (
+        agg[["o_year", "nation_revenue", "total_revenue"]]
+        .sort_values("o_year")
+        .reset_index(drop=True)
+    )
+
+
+def q11_important_brands(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q11 shape (no partsupp: "inventory value" is
+    floor(p_retailprice*100)*p_size integer cents): brands whose summed
+    value exceeds 1/25 of the global total -> (p_brand, value).
+
+    Scale shape: the two-pass global-threshold idiom — pass 1 folds
+    per-batch (brand, cents) partials to a 25-row grouped sum; the
+    global total is then a driver-side integer, and the HAVING filter is
+    the exact integer cross-multiplication ``25*brand > total`` (never
+    a float fraction).  One narrow shuffle total."""
+    part = _read(sf_dir, "part", ["p_brand", "p_retailprice", "p_size"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = pc.multiply(
+            pc.cast(
+                pc.floor(pc.multiply(t["p_retailprice"], pa.scalar(100.0))),
+                pa.int64(),
+            ),
+            pc.cast(t["p_size"], pa.int64()),
+        )
+        g = (
+            pa.table({"p_brand": t["p_brand"], "c": cents})
+            .group_by("p_brand")
+            .aggregate([("c", "sum")])
+        )
+        return g.rename_columns(["p_brand", "cents"])
+
+    agg = (
+        part.map_batches(partial, batch_format="pyarrow")
+        .groupby("p_brand")
+        .aggregate(Sum("cents", alias_name="cents"))
+        .to_pandas()
+    )
+    if agg.empty:
+        return pd.DataFrame(
+            {
+                "p_brand": pd.Series([], dtype=str),
+                "value": pd.Series([], dtype=np.float64),
+            }
+        )
+    total = int(agg["cents"].sum())
+    keep = agg[25 * agg["cents"].astype(np.int64) > total].copy()
+    keep["value"] = [round(int(c) / 100.0, 2) for c in keep["cents"]]
+    return keep[["p_brand", "value"]].sort_values("p_brand").reset_index(drop=True)
+
+
+def q12_late_shipment_priority(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q12 shape (no l_shipmode/l_receiptdate: groups by
+    l_linestatus, "late" = shipped >90 days after order date, 1997 ship
+    year): per linestatus, late-line counts split by order priority ->
+    (l_linestatus, high_line_count, low_line_count).
+
+    Scale shape: the ship-year filter is pushed into the lineitem read;
+    the join carries three narrow columns; the CASE aggregation is a
+    per-batch (status, high, low) partial so the final shuffle moves
+    ~3 rows per block."""
+    from datetime import datetime
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_shipdate", "l_linestatus"],
+        filter=(
+            (pc.field("l_shipdate") >= datetime(1997, 1, 1))
+            & (pc.field("l_shipdate") < datetime(1998, 1, 1))
+        ),
+        override_num_blocks=read_blocks(),
+    )
+    empty = pd.DataFrame(
+        {
+            "l_linestatus": pd.Series([], dtype=str),
+            "high_line_count": pd.Series([], dtype=np.int64),
+            "low_line_count": pd.Series([], dtype=np.int64),
+        }
+    )
+    if li.limit(1).count() == 0:
+        return empty
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"])
+    j = joins.hash_join(
+        li, orders, on="l_orderkey", right_on="o_orderkey", num_partitions=8
+    ).repartition(8)
+
+    def partial(t: pa.Table) -> pa.Table:
+        ship = pc.cast(t["l_shipdate"], pa.int64())
+        odate = pc.cast(t["o_orderdate"], pa.int64())
+        late = pc.greater(
+            pc.subtract(ship, odate), pa.scalar(90 * _US_PER_DAY, pa.int64())
+        )
+        t = t.filter(late)
+        pri = t["o_orderpriority"]
+        high = pc.or_(
+            pc.equal(pri, pa.scalar("1-URGENT")), pc.equal(pri, pa.scalar("2-HIGH"))
+        )
+        hi = pc.cast(high, pa.int64())
+        lo = pc.cast(pc.invert(high), pa.int64())
+        g = (
+            pa.table({"l_linestatus": t["l_linestatus"], "h": hi, "l": lo})
+            .group_by("l_linestatus")
+            .aggregate([("h", "sum"), ("l", "sum")])
+        )
+        return g.rename_columns(["l_linestatus", "high_line_count", "low_line_count"])
+
+    agg = (
+        j.map_batches(partial, batch_format="pyarrow")
+        .groupby("l_linestatus")
+        .aggregate(
+            Sum("high_line_count", alias_name="high_line_count"),
+            Sum("low_line_count", alias_name="low_line_count"),
+        )
+        .to_pandas()
+    )
+    if agg.empty:
+        return empty
+    agg["high_line_count"] = agg["high_line_count"].astype(np.int64)
+    agg["low_line_count"] = agg["low_line_count"].astype(np.int64)
+    return (
+        agg[["l_linestatus", "high_line_count", "low_line_count"]]
+        .sort_values("l_linestatus")
+        .reset_index(drop=True)
+    )
+
+
+def q13_customer_distribution(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q13 shape: distribution of per-customer open-order counts
+    (orders with status <> 'F'), INCLUDING zero-order customers ->
+    (c_count, custdist).
+
+    Scale shape: orders collapse combiner-first to (custkey, n) — the
+    only sf-scaled shuffle moves one row per customer with open orders;
+    the zero fill is a hash-partitioned LEFT OUTER join from the
+    key-only customer read; the final distribution is a second
+    combiner-first count over an integer key with ~tens of distinct
+    values."""
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey"],
+        filter=(pc.field("o_orderstatus") != "F"),
+        override_num_blocks=read_blocks(),
+    )
+    counts = grouped_count(orders, ["o_custkey"], "c_count")
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    j = joins.hash_join(
+        cust, counts, on="c_custkey", right_on="o_custkey",
+        how="left_outer", num_partitions=8,
+    ).repartition(8)
+
+    def fill_partial(t: pa.Table) -> pa.Table:
+        n = pc.fill_null(pc.cast(t["c_count"], pa.int64()), pa.scalar(0, pa.int64()))
+        g = (
+            pa.table({"c_count": n})
+            .group_by("c_count")
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["c_count", "custdist"])
+
+    agg = (
+        j.map_batches(fill_partial, batch_format="pyarrow")
+        .groupby("c_count")
+        .aggregate(Sum("custdist", alias_name="custdist"))
+        .to_pandas()
+    )
+    agg["c_count"] = agg["c_count"].astype(np.int64)
+    agg["custdist"] = agg["custdist"].astype(np.int64)
+    return (
+        agg[["c_count", "custdist"]]
+        .sort_values(["custdist", "c_count"], ascending=[False, False])
+        .reset_index(drop=True)
+    )
+
+
+def q15_top_supplier(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q15 shape: supplier(s) with the maximum lineitem revenue
+    over 1997Q1 -> (s_suppkey, s_name, total_revenue).
+
+    Scale shape: the quarter filter is pushed into the lineitem read;
+    revenue folds combiner-first to one integer-cent row per supplier;
+    the global max is a distributed ``Dataset.max`` (never a driver
+    sort), and only the argmax row(s) — in expectation one — leave the
+    cluster to pick up names from a key-filtered supplier read."""
+    from datetime import datetime
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_extendedprice", "l_discount"],
+        filter=(
+            (pc.field("l_shipdate") >= datetime(1997, 1, 1))
+            & (pc.field("l_shipdate") < datetime(1997, 4, 1))
+        ),
+        override_num_blocks=read_blocks(),
+    )
+    empty = pd.DataFrame(
+        {
+            "s_suppkey": pd.Series([], dtype=np.int64),
+            "s_name": pd.Series([], dtype=str),
+            "total_revenue": pd.Series([], dtype=np.float64),
+        }
+    )
+    if li.limit(1).count() == 0:
+        return empty
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = _cents(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        g = (
+            pa.table({"l_suppkey": t["l_suppkey"], "c": c})
+            .group_by("l_suppkey")
+            .aggregate([("c", "sum")])
+        )
+        return g.rename_columns(["l_suppkey", "cents"])
+
+    rev = (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby("l_suppkey")
+        .aggregate(Sum("cents", alias_name="cents"))
+    )
+    m = rev.max("cents")
+    winners = rev.filter(expr=f"cents == {int(m)}").to_pandas()
+    keys = sorted(int(k) for k in winners["l_suppkey"])
+    names = rd.read_parquet(
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_suppkey", "s_name"],
+        filter=(pc.field("s_suppkey").isin(keys)),
+    ).to_pandas()
+    out = winners.merge(names, left_on="l_suppkey", right_on="s_suppkey")
+    out["total_revenue"] = [round(int(c) / 100.0, 2) for c in out["cents"]]
+    out["s_suppkey"] = out["s_suppkey"].astype(np.int64)
+    return (
+        out[["s_suppkey", "s_name", "total_revenue"]]
+        .sort_values("s_suppkey")
+        .reset_index(drop=True)
+    )
+
+
+def q16_supplier_breadth(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q16 shape (no partsupp: the part-supplier relation is the
+    set of (partkey, suppkey) pairs observed in lineitem): distinct
+    suppliers who shipped each non-'Brand#13' brand with size in
+    {9,14,19,23,36,45,49,3} -> (p_brand, supplier_cnt).
+
+    Scale shape: both part predicates are pushed into the parquet read;
+    lineitem carries two columns through one hash join; the distinct
+    (brand, suppkey) collapse is combiner-first (per-batch pa.group_by
+    dedup, then one grouped first) so the count-distinct shuffle moves
+    one narrow row per observed pair, never per lineitem."""
+    sizes = [9, 14, 19, 23, 36, 45, 49, 3]
+    part = rd.read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_brand"],
+        filter=(
+            (pc.field("p_brand") != "Brand#13") & (pc.field("p_size").isin(sizes))
+        ),
+    )
+    empty = pd.DataFrame(
+        {
+            "p_brand": pd.Series([], dtype=str),
+            "supplier_cnt": pd.Series([], dtype=np.int64),
+        }
+    )
+    if part.limit(1).count() == 0:
+        return empty
+    li = _lineitem(sf_dir, ["l_partkey", "l_suppkey"])
+    j = joins.hash_join(
+        li, part, on="l_partkey", right_on="p_partkey", num_partitions=8
+    ).repartition(8)
+
+    def pair_distinct(t: pa.Table) -> pa.Table:
+        return (
+            t.select(["p_brand", "l_suppkey"])
+            .group_by(["p_brand", "l_suppkey"])
+            .aggregate([])
+        )
+
+    pairs = (
+        j.map_batches(pair_distinct, batch_format="pyarrow")
+        .groupby(["p_brand", "l_suppkey"])
+        .map_groups(lambda t: t.slice(0, 1), batch_format="pyarrow")
+    )
+    agg = grouped_count(pairs, ["p_brand"], "supplier_cnt").to_pandas()
+    if agg.empty:
+        return empty
+    agg["supplier_cnt"] = agg["supplier_cnt"].astype(np.int64)
+    return (
+        agg[["p_brand", "supplier_cnt"]].sort_values("p_brand").reset_index(drop=True)
+    )
+
+
+def q20_part_promotion(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q20 shape (no partsupp: "stocked enough" becomes "shipped
+    more than 300 quantity units"): suppliers who shipped >300 total
+    quantity of 'gear'-named parts during 1997 -> (s_suppkey, s_name).
+
+    Scale shape: the nested semi-join chain — part collapses to its
+    matching keys distributed (substring match inside map_batches),
+    semi-joins into the date-pruned lineitem read, folds combiner-first
+    to per-supplier integer quantity-cents, and only the above-threshold
+    keys (driver-bounded by |supplier|) fetch names from a key-filtered
+    read."""
+    from datetime import datetime
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_name"])
+
+    def keys_only(t: pa.Table) -> pa.Table:
+        m = pc.match_substring(t["p_name"], "gear")
+        return pa.table({"p_partkey": t["p_partkey"].filter(m)})
+
+    pkeys = part.map_batches(keys_only, batch_format="pyarrow")
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_quantity"],
+        filter=(
+            (pc.field("l_shipdate") >= datetime(1997, 1, 1))
+            & (pc.field("l_shipdate") < datetime(1998, 1, 1))
+        ),
+        override_num_blocks=read_blocks(),
+    )
+    empty = pd.DataFrame(
+        {
+            "s_suppkey": pd.Series([], dtype=np.int64),
+            "s_name": pd.Series([], dtype=str),
+        }
+    )
+    if li.limit(1).count() == 0 or pkeys.limit(1).count() == 0:
+        return empty
+    j = joins.hash_join(
+        li, pkeys, on="l_partkey", right_on="p_partkey", num_partitions=8
+    ).repartition(8)
+
+    def qty_partial(t: pa.Table) -> pa.Table:
+        qc = pc.cast(
+            pc.floor(pc.multiply(t["l_quantity"], pa.scalar(100.0))), pa.int64()
+        )
+        g = (
+            pa.table({"l_suppkey": t["l_suppkey"], "q": qc})
+            .group_by("l_suppkey")
+            .aggregate([("q", "sum")])
+        )
+        return g.rename_columns(["l_suppkey", "qty_cents"])
+
+    per_supp = (
+        j.map_batches(qty_partial, batch_format="pyarrow")
+        .groupby("l_suppkey")
+        .aggregate(Sum("qty_cents", alias_name="qty_cents"))
+        .filter(expr="qty_cents > 30000")
+        .to_pandas()
+    )
+    if per_supp.empty:
+        return empty
+    keys = sorted(int(k) for k in per_supp["l_suppkey"])
+    names = rd.read_parquet(
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_suppkey", "s_name"],
+        filter=(pc.field("s_suppkey").isin(keys)),
+    ).to_pandas()
+    names["s_suppkey"] = names["s_suppkey"].astype(np.int64)
+    return (
+        names[["s_suppkey", "s_name"]].sort_values("s_suppkey").reset_index(drop=True)
+    )
+
+
+def q21_waiting_supplier(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q21 shape (no l_commitdate/l_receiptdate: the "supplier
+    who kept the order waiting" is the UNIQUE supplier whose lineitem
+    carries the order's latest ship date, in 'F'-status orders with at
+    least two distinct suppliers): top-10 such suppliers by wait count
+    -> (s_suppkey, s_name, numwait).
+
+    Scale shape: lineitem semi-joins to the status-pruned orders keys,
+    pre-aggregates combiner-first to one (orderkey, suppkey, max ship)
+    row per pair, and the per-order EXISTS / NOT-EXISTS pair resolves
+    inside ONE groupby(orderkey).map_groups with numpy (per-group state
+    is the order's supplier list — bounded by order width, never corpus
+    size); wait counts fold combiner-first and only the top-10 rows
+    fetch names."""
+    okeys = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey"],
+        filter=(pc.field("o_orderstatus") == "F"),
+    )
+    empty = pd.DataFrame(
+        {
+            "s_suppkey": pd.Series([], dtype=np.int64),
+            "s_name": pd.Series([], dtype=str),
+            "numwait": pd.Series([], dtype=np.int64),
+        }
+    )
+    if okeys.limit(1).count() == 0:
+        return empty
+    li = _lineitem(sf_dir, ["l_orderkey", "l_suppkey", "l_shipdate"])
+    j = joins.hash_join(
+        li, okeys, on="l_orderkey", right_on="o_orderkey", num_partitions=8
+    ).repartition(8)
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table(
+                {
+                    "l_orderkey": t["l_orderkey"],
+                    "l_suppkey": t["l_suppkey"],
+                    "ship_us": pc.cast(t["l_shipdate"], pa.int64()),
+                }
+            )
+            .group_by(["l_orderkey", "l_suppkey"])
+            .aggregate([("ship_us", "max")])
+        )
+        return g.rename_columns(["l_orderkey", "l_suppkey", "smax"])
+
+    from ray.data.aggregate import Max
+
+    pairs = (
+        j.map_batches(pair_partial, batch_format="pyarrow")
+        .groupby(["l_orderkey", "l_suppkey"])
+        .aggregate(Max("smax", alias_name="smax"))
+    )
+
+    def waiting(t: pa.Table) -> pa.Table:
+        # one order per group: >=2 distinct suppliers AND exactly one
+        # supplier at the order max ship date -> that supplier waited
+        if t.num_rows < 2:
+            return pa.table({"l_suppkey": pa.array([], pa.int64())})
+        smax = t["smax"].to_numpy(zero_copy_only=False)
+        at_max = smax == smax.max()
+        if int(at_max.sum()) != 1:
+            return pa.table({"l_suppkey": pa.array([], pa.int64())})
+        supp = t["l_suppkey"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"l_suppkey": pa.array([int(supp[at_max.argmax()])], pa.int64())}
+        )
+
+    waits = pairs.groupby("l_orderkey").map_groups(waiting, batch_format="pyarrow")
+    agg = grouped_count(waits, ["l_suppkey"], "numwait").to_pandas()
+    if agg.empty:
+        return empty
+    agg = agg.sort_values(
+        ["numwait", "l_suppkey"], ascending=[False, True]
+    ).head(10)
+    keys = sorted(int(k) for k in agg["l_suppkey"])
+    names = rd.read_parquet(
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_suppkey", "s_name"],
+        filter=(pc.field("s_suppkey").isin(keys)),
+    ).to_pandas()
+    out = agg.merge(names, left_on="l_suppkey", right_on="s_suppkey")
+    out["s_suppkey"] = out["s_suppkey"].astype(np.int64)
+    out["numwait"] = out["numwait"].astype(np.int64)
+    return (
+        out[["s_suppkey", "s_name", "numwait"]]
+        .sort_values(["numwait", "s_suppkey"], ascending=[False, True])
+        .reset_index(drop=True)
+    )
