@@ -239,6 +239,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q16_supplier_breadth": Q.q16_supplier_breadth,
         "q20_part_promotion": Q.q20_part_promotion,
         "q21_waiting_supplier": Q.q21_waiting_supplier,
+        "user_running_distinct_types": Q.user_running_distinct_types,
+        "events_value_ewma": Q.events_value_ewma,
+        "user_gap_profile": Q.user_gap_profile,
+        "knn_graph_mutual": Q.knn_graph_mutual,
         # --- rows-only / pytest-oracled block (no SQL twin by nature) ---
         "doc_compression_ratio": Q.doc_compression_ratio,
         "export_tar_shards_roundtrip": Q.export_tar_shards_roundtrip,
@@ -3036,6 +3040,67 @@ def oracle_sql() -> dict[str, str]:
             SELECT s.s_suppkey, s.s_name, count(*)::BIGINT AS numwait
             FROM waiters w JOIN supplier s ON s.s_suppkey = w.l_suppkey
             GROUP BY 1, 2 ORDER BY numwait DESC, s_suppkey LIMIT 10
+        """,
+        "user_running_distinct_types": """
+            SELECT user_id, event_id, (sum(is_first) OVER w)::BIGINT AS n_seen
+            FROM (
+              SELECT user_id, event_id, ts,
+                     CASE WHEN row_number() OVER (
+                       PARTITION BY user_id, event_type
+                       ORDER BY ts, event_id) = 1 THEN 1 ELSE 0 END AS is_first
+              FROM events WHERE ts IS NOT NULL
+            )
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "events_value_ewma": """
+            SELECT user_id, event_id,
+                   (coalesce(lag(vc, 0) OVER w, 0) * pow(2.0, -1)
+                  + coalesce(lag(vc, 1) OVER w, 0) * pow(2.0, -2)
+                  + coalesce(lag(vc, 2) OVER w, 0) * pow(2.0, -3)
+                  + coalesce(lag(vc, 3) OVER w, 0) * pow(2.0, -4)
+                  + coalesce(lag(vc, 4) OVER w, 0) * pow(2.0, -5)
+                  + coalesce(lag(vc, 5) OVER w, 0) * pow(2.0, -6)
+                  + coalesce(lag(vc, 6) OVER w, 0) * pow(2.0, -7)
+                  + coalesce(lag(vc, 7) OVER w, 0) * pow(2.0, -8)) AS ewma
+            FROM (
+              SELECT user_id, event_id, ts,
+                     CAST(floor(value * 100) AS BIGINT) AS vc
+              FROM events WHERE ts IS NOT NULL
+            )
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "user_gap_profile": """
+            SELECT user_id,
+                   (count(*) - 1)::BIGINT AS n_gaps,
+                   coalesce(min(gap), -1)::BIGINT AS min_gap_us,
+                   coalesce(max(gap), -1)::BIGINT AS max_gap_us,
+                   coalesce(sum(gap), 0)::BIGINT AS sum_gap_us
+            FROM (
+              SELECT user_id,
+                     date_diff('microsecond', lag(ts) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id), ts) AS gap
+              FROM events WHERE ts IS NOT NULL
+            )
+            GROUP BY 1
+        """,
+        "knn_graph_mutual": """
+            WITH knn AS (
+              SELECT query_id, neighbor_id FROM (
+                SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                       row_number() OVER (
+                         PARTITION BY a.vec_id
+                         ORDER BY list_cosine_similarity(a.e, b.e) DESC,
+                                  b.vec_id ASC) AS rank
+                FROM (SELECT vec_id, embedding::DOUBLE[] e FROM embeddings) a,
+                     (SELECT vec_id, embedding::DOUBLE[] e FROM embeddings) b
+                WHERE a.vec_id <> b.vec_id
+              ) WHERE rank <= 3
+            )
+            SELECT k1.query_id AS vec_a, k1.neighbor_id AS vec_b
+            FROM knn k1
+            JOIN knn k2 ON k2.query_id = k1.neighbor_id
+                       AND k2.neighbor_id = k1.query_id
+            WHERE k1.query_id < k1.neighbor_id
         """,
         # rows-only (no SQL twin): lang_id, minhash_dedup_documents,
         # simhash_signatures, simhash_neardup, ann_topk_lsh, kg_triples,

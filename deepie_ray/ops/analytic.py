@@ -413,3 +413,124 @@ def global_rank(
         )
 
     return ranked.map_batches(finish, batch_format="pandas")
+
+
+def running_distinct(
+    ds: rd.Dataset,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    cat_col: str,
+) -> rd.Dataset:
+    """Running COUNT-DISTINCT -> (key, id, n_seen): per key in
+    (ts, id) order, the number of distinct ``cat_col`` values observed
+    up to and including each row.  SQL has no ``count(distinct) OVER``;
+    the standard rewrite (first-occurrence flag via a per-(key, cat)
+    row_number, then a running sum) is exactly what the numpy kernel
+    computes, so the DuckDB twin value-hashes bit-for-bit.
+
+    Scale contract: one shuffle on the key; per-task state is one
+    key's rows (the np.unique is over a single user's events, bounded
+    by user activity, never corpus size).  Null timestamps excluded on
+    both sides (running_totals convention)."""
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        cats = df[cat_col].to_numpy()
+        n = len(cats)
+        _, first_idx = np.unique(cats, return_index=True)
+        is_first = np.zeros(n, dtype=np.int64)
+        is_first[first_idx] = 1
+        return pd.DataFrame(
+            {
+                key_col: df[key_col].to_numpy(),
+                id_col: df[id_col].to_numpy(),
+                "n_seen": np.cumsum(is_first),
+            }
+        )
+
+    clean = ds.map_batches(
+        lambda df: df.dropna(subset=[ts_col]), batch_format="pandas"
+    )
+    return ordered_apply(clean, key_col, [ts_col, id_col], per_key)
+
+
+def ewma_pow2(
+    ds: rd.Dataset,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    value_col: str,
+    n_terms: int = 8,
+) -> rd.Dataset:
+    """Dyadic-weight EWMA -> (key, id, ewma): per key in (ts, id)
+    order, ``sum_{k=0..n-1} cents[t-k] * 2^-(k+1)`` over the last
+    ``n_terms`` rows (missing lags contribute 0).  The weights are
+    negative powers of TWO over integer cents, so every term and every
+    partial sum is exactly representable in a double — the value is
+    bit-identical to the SQL twin's ``lag(...) * pow(2, -k)`` chain
+    regardless of either engine's summation order (a conventional
+    alpha-EWMA would differ by ulps and break the value hash).
+
+    Scale contract: one shuffle on the key; the kernel is n_terms
+    shifted vector adds, O(rows x n_terms), no per-row Python."""
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.floor(df[value_col].to_numpy() * 100.0).astype(np.int64)
+        n = len(cents)
+        ew = np.zeros(n, dtype=np.float64)
+        for k in range(n_terms):
+            if k >= n:
+                break
+            ew[k:] += cents[: n - k] * (2.0 ** -(k + 1))
+        return pd.DataFrame(
+            {
+                key_col: df[key_col].to_numpy(),
+                id_col: df[id_col].to_numpy(),
+                "ewma": ew,
+            }
+        )
+
+    clean = ds.map_batches(
+        lambda df: df.dropna(subset=[ts_col]), batch_format="pandas"
+    )
+    return ordered_apply(clean, key_col, [ts_col, id_col], per_key)
+
+
+def gap_stats(
+    ds: rd.Dataset,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+) -> rd.Dataset:
+    """Inter-arrival gap profile -> one row per key: (key, n_gaps,
+    min_gap_us, max_gap_us, sum_gap_us) over (ts, id)-ordered rows.
+    Single-row keys report (0, -1, -1, 0) — the SQL twin's COALESCE
+    convention.  All four stats are exact int64 microseconds.
+
+    Scale contract: one shuffle on the key, one output row per key;
+    the per-task reduction is a numpy diff over one key's rows."""
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        ts_us = df[ts_col].astype("datetime64[us]").astype("int64").to_numpy()
+        gaps = ts_us[1:] - ts_us[:-1]
+        n = len(gaps)
+        return pd.DataFrame(
+            {
+                key_col: [df[key_col].iloc[0]],
+                "n_gaps": np.array([n], dtype=np.int64),
+                "min_gap_us": np.array(
+                    [gaps.min() if n else -1], dtype=np.int64
+                ),
+                "max_gap_us": np.array(
+                    [gaps.max() if n else -1], dtype=np.int64
+                ),
+                "sum_gap_us": np.array(
+                    [gaps.sum() if n else 0], dtype=np.int64
+                ),
+            }
+        )
+
+    clean = ds.map_batches(
+        lambda df: df.dropna(subset=[ts_col]), batch_format="pandas"
+    )
+    return ordered_apply(clean, key_col, [ts_col, id_col], per_key)

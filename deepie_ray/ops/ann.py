@@ -478,3 +478,202 @@ def random_projection(
     return ds.map_batches(
         Project, batch_format="pyarrow", concurrency=(1, 8), **POOL_REMOTE_ARGS
     )
+
+
+def knn_graph_mutual(
+    emb: rd.Dataset,
+    k: int = 3,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    chunk_rows: int = 1024,
+    num_partitions: int = 8,
+) -> rd.Dataset:
+    """Mutual k-nearest-neighbor graph -> (vec_a, vec_b) with
+    vec_a < vec_b: the undirected edges where EACH endpoint is in the
+    other's cosine top-k (ties broken by neighbor id asc, self
+    excluded).  The mutual-kNN graph is the standard sparsifier for
+    graph-based dedup/clustering over embeddings (only reciprocated
+    edges survive, which kills hub vertices).
+
+    Scale design — the all-queries twin of the chunk-pair cross join in
+    ops/dedup.embedding_neardup_blockjoin: vectors consolidate into
+    fixed chunks (``id // chunk_rows``, one packed row each); the
+    C(C+1)/2 chunk-pair index is generated distributed; each pair task
+    does one bounded matmul and emits LOCAL top-k rows for the queries
+    of BOTH chunks; a groupby(query) merge keeps the global top-k; the
+    mutual filter is a combiner-first count over canonical (lo, hi)
+    pairs (an edge appears exactly twice iff reciprocated).  Per-task
+    memory is two chunk matrices; nothing corpus-sized lands anywhere.
+    """
+    def to_chunk_rows(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy().astype(np.int64)
+        M = _normalize(_to_matrix(batch[emb_col]))
+        chunks = ids // chunk_rows
+        out_c, out_ids, out_mat = [], [], []
+        for c in np.unique(chunks):
+            m = chunks == c
+            out_c.append(int(c))
+            out_ids.append(ids[m].tobytes())
+            out_mat.append(np.ascontiguousarray(M[m]).tobytes())
+        return pa.table(
+            {
+                "chunk": pa.array(out_c, pa.int64()),
+                "ids": pa.array(out_ids, pa.binary()),
+                "mat": pa.array(out_mat, pa.binary()),
+            }
+        )
+
+    def merge_chunk(df: pd.DataFrame) -> pd.DataFrame:
+        ids = np.concatenate([np.frombuffer(b, dtype=np.int64) for b in df["ids"]])
+        mats = []
+        for b, i in zip(df["mat"], df["ids"]):
+            n = len(np.frombuffer(i, dtype=np.int64))
+            mats.append(np.frombuffer(b, dtype=np.float64).reshape(n, -1))
+        M = np.vstack(mats)
+        order = np.argsort(ids)
+        return pd.DataFrame(
+            {
+                "chunk": [int(df["chunk"].iloc[0])],
+                "ids": [ids[order].tobytes()],
+                "mat": [np.ascontiguousarray(M[order]).tobytes()],
+            }
+        )
+
+    chunks_ds = (
+        emb.map_batches(to_chunk_rows, batch_format="pyarrow")
+        .groupby("chunk")
+        .map_groups(merge_chunk, batch_format="pandas")
+        .repartition(num_partitions)
+        .materialize()  # pair-index + two join sides consume it
+    )
+    import ray
+
+    chunk_ids = sorted(
+        r["chunk"] for r in chunks_ds.select_columns(["chunk"]).take_all()
+    )
+    empty = pa.table(
+        {"vec_a": pa.array([], pa.int64()), "vec_b": pa.array([], pa.int64())}
+    )
+    if not chunk_ids:
+        return rd.from_arrow(empty)
+    ids_ref = ray.put(np.asarray(chunk_ids, dtype=np.int64))
+
+    def expand_pairs(batch: pa.Table) -> pa.Table:
+        all_ids = ray.get(ids_ref)
+        ci_out, cj_out = [], []
+        for c in batch["chunk"].to_pylist():
+            partners = all_ids[all_ids >= c]
+            ci_out.append(np.full(len(partners), c, dtype=np.int64))
+            cj_out.append(partners)
+        ci_a = np.concatenate(ci_out) if ci_out else np.array([], dtype=np.int64)
+        cj_a = np.concatenate(cj_out) if cj_out else np.array([], dtype=np.int64)
+        return pa.table(
+            {"ci": pa.array(ci_a, pa.int64()), "cj": pa.array(cj_a, pa.int64())}
+        )
+
+    pairs_idx = (
+        chunks_ds.select_columns(["chunk"])
+        .map_batches(expand_pairs, batch_format="pyarrow")
+        .repartition(num_partitions)
+    )
+
+    def side(name: str):
+        return chunks_ds.map_batches(
+            lambda t, n=name: pa.table(
+                {n: t["chunk"], f"ids_{n}": t["ids"], f"mat_{n}": t["mat"]}
+            ),
+            batch_format="pyarrow",
+        )
+
+    j = (
+        pairs_idx.join(
+            side("ci"), join_type="inner", num_partitions=num_partitions, on=("ci",)
+        )
+        .repartition(num_partitions)
+        .join(
+            side("cj"), join_type="inner", num_partitions=num_partitions, on=("cj",)
+        )
+    )
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        out_q, out_n, out_s = [], [], []
+
+        def emit(qids: np.ndarray, nids: np.ndarray, S: np.ndarray, diag: bool):
+            # S: (nq, nn) sims; exclude self when the pair is the
+            # diagonal chunk (qids is nids there)
+            if diag:
+                S = S.copy()
+                np.fill_diagonal(S, -2.0)
+            kk = min(k, S.shape[1])
+            if kk == 0:
+                return
+            idx = np.argpartition(-S, kth=kk - 1, axis=1)[:, :kk]
+            sims = np.take_along_axis(S, idx, axis=1)
+            keep = sims > -2.0
+            out_q.append(np.repeat(qids, kk)[keep.ravel()])
+            out_n.append(nids[idx.ravel()][keep.ravel()])
+            out_s.append(sims.ravel()[keep.ravel()])
+
+        for r in range(len(batch)):
+            same = batch["ci"][r].as_py() == batch["cj"][r].as_py()
+            ia = np.frombuffer(batch["ids_ci"][r].as_py(), dtype=np.int64)
+            ib = np.frombuffer(batch["ids_cj"][r].as_py(), dtype=np.int64)
+            A = np.frombuffer(batch["mat_ci"][r].as_py(), dtype=np.float64).reshape(
+                len(ia), -1
+            )
+            B = np.frombuffer(batch["mat_cj"][r].as_py(), dtype=np.float64).reshape(
+                len(ib), -1
+            )
+            S = A @ B.T
+            emit(ia, ib, S, same)
+            if not same:
+                emit(ib, ia, np.ascontiguousarray(S.T), False)
+        if not out_q:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "neighbor_id": pa.array([], pa.int64()),
+                    "cosine": pa.array([], pa.float64()),
+                }
+            )
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+                "neighbor_id": pa.array(np.concatenate(out_n), pa.int64()),
+                "cosine": pa.array(np.concatenate(out_s), pa.float64()),
+            }
+        )
+
+    topk = merge_topk(j.map_batches(local_topk, batch_format="pyarrow"), k)
+
+    # mutual filter: canonical (lo, hi) count == 2 <=> reciprocated
+    def canon_pairs(t: pa.Table) -> pa.Table:
+        q = t["query_id"].to_numpy(zero_copy_only=False)
+        n = t["neighbor_id"].to_numpy(zero_copy_only=False)
+        g = (
+            pa.table(
+                {
+                    "vec_a": pa.array(np.minimum(q, n), pa.int64()),
+                    "vec_b": pa.array(np.maximum(q, n), pa.int64()),
+                }
+            )
+            .group_by(["vec_a", "vec_b"])
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["vec_a", "vec_b", "n"])
+
+    from ray.data.aggregate import Sum as _Sum
+
+    counted = (
+        topk.map_batches(canon_pairs, batch_format="pyarrow")
+        .groupby(["vec_a", "vec_b"])
+        .aggregate(_Sum("n", alias_name="n"))
+    )
+
+    def mutual_only(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = t.filter(pc.equal(t["n"], 2))
+        return t.select(["vec_a", "vec_b"])
+
+    return counted.map_batches(mutual_only, batch_format="pyarrow")

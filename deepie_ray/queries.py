@@ -9771,3 +9771,56 @@ def q21_waiting_supplier(sf_dir: str) -> pd.DataFrame:
         .sort_values(["numwait", "s_suppkey"], ascending=[False, True])
         .reset_index(drop=True)
     )
+
+
+# ------------------------------------------- round-4 final-session ops
+# (running count-distinct, dyadic EWMA, gap profile, mutual-kNN graph)
+
+
+def user_running_distinct_types(sf_dir: str) -> rd.Dataset:
+    """Running COUNT-DISTINCT window -> (user_id, event_id, n_seen):
+    per user in (ts, event_id) order, how many distinct event types the
+    user has produced up to and including each event.  SQL has no
+    ``count(distinct) OVER``; the oracle uses the standard
+    first-occurrence-flag + running-sum rewrite, which is exactly the
+    numpy kernel (ops/analytic.running_distinct).  One shuffle on
+    user_id."""
+    from .ops import analytic
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    return analytic.running_distinct(ev, "user_id", "ts", "event_id", "event_type")
+
+
+def events_value_ewma(sf_dir: str) -> rd.Dataset:
+    """Dyadic-weight EWMA trendline -> (user_id, event_id, ewma):
+    sum_{k=0..7} cents[t-k] * 2^-(k+1) per user in (ts, event_id)
+    order.  Powers-of-two weights over integer cents make every term
+    and partial sum exactly representable, so the value hash matches
+    the SQL twin bit-for-bit (ops/analytic.ewma_pow2 docstring).  One
+    shuffle on user_id."""
+    from .ops import analytic
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    return analytic.ewma_pow2(ev, "user_id", "ts", "event_id", "value", n_terms=8)
+
+
+def user_gap_profile(sf_dir: str) -> rd.Dataset:
+    """Inter-arrival gap profile -> one row per user: (user_id, n_gaps,
+    min_gap_us, max_gap_us, sum_gap_us), exact int64 microseconds;
+    single-event users report (0, -1, -1, 0).  The burst/lull shape
+    feeds session-timeout tuning (the gap histogram picks the session
+    gap threshold).  One shuffle on user_id."""
+    from .ops import analytic
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+    return analytic.gap_stats(ev, "user_id", "ts", "event_id")
+
+
+def knn_graph_mutual(sf_dir: str) -> rd.Dataset:
+    """Mutual cosine 3-NN graph over the embeddings table ->
+    (vec_a, vec_b) undirected edges where each endpoint is in the
+    other's top-3 (ops/ann.knn_graph_mutual: chunk-pair distributed
+    all-pairs top-k + reciprocity filter — the standard graph
+    sparsifier before community/dedup passes)."""
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return ann.knn_graph_mutual(emb, k=3)
