@@ -9220,27 +9220,35 @@ def q8_market_share(sf_dir: str) -> pd.DataFrame:
     25-row driver nation dict, never a shuffle."""
     from datetime import datetime
 
-    nation = _read(sf_dir, "nation").to_pandas()
-    region = _read(sf_dir, "region").to_pandas()
-    amer_key = int(region.loc[region["r_name"] == "AMERICA", "r_regionkey"].iloc[0])
-    amer_nations = sorted(
-        int(k)
-        for k, rk in zip(nation["n_nationkey"], nation["n_regionkey"])
-        if int(rk) == amer_key
-    )
-    target_key = int(nation.loc[nation["n_name"] == "NATION_1", "n_nationkey"].iloc[0])
-
-    pkeys = rd.read_parquet(
-        f"{sf_dir}/part.parquet",
-        columns=["p_partkey"],
-        filter=(pc.field("p_type") == "PROMO"),
-    )
     empty = pd.DataFrame(
         {
             "o_year": pd.Series([], dtype=np.int64),
             "nation_revenue": pd.Series([], dtype=np.float64),
             "total_revenue": pd.Series([], dtype=np.float64),
         }
+    )
+    nation = _read(sf_dir, "nation").to_pandas()
+    region = _read(sf_dir, "region").to_pandas()
+    # empty dimension reads drop columns entirely (pandas of an empty
+    # Dataset) — an empty region/nation means an empty share report
+    if region.empty or nation.empty:
+        return empty
+    amer_rows = region.loc[region["r_name"] == "AMERICA", "r_regionkey"]
+    tgt_rows = nation.loc[nation["n_name"] == "NATION_1", "n_nationkey"]
+    if amer_rows.empty or tgt_rows.empty:
+        return empty
+    amer_key = int(amer_rows.iloc[0])
+    amer_nations = sorted(
+        int(k)
+        for k, rk in zip(nation["n_nationkey"], nation["n_regionkey"])
+        if int(rk) == amer_key
+    )
+    target_key = int(tgt_rows.iloc[0])
+
+    pkeys = rd.read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey"],
+        filter=(pc.field("p_type") == "PROMO"),
     )
     if pkeys.limit(1).count() == 0:
         return empty
@@ -9464,6 +9472,23 @@ def q13_customer_distribution(sf_dir: str) -> pd.DataFrame:
     )
     counts = grouped_count(orders, ["o_custkey"], "c_count")
     cust = _read(sf_dir, "customer", ["c_custkey"])
+    # Ray's hash join cannot finalize a zero-row side (tuning.py): no
+    # open orders at all degenerates to one (c_count=0, |customer|) row
+    if counts.limit(1).count() == 0:
+        n_cust = cust.count()
+        if n_cust == 0:
+            return pd.DataFrame(
+                {
+                    "c_count": pd.Series([], dtype=np.int64),
+                    "custdist": pd.Series([], dtype=np.int64),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "c_count": np.array([0], dtype=np.int64),
+                "custdist": np.array([n_cust], dtype=np.int64),
+            }
+        )
     j = joins.hash_join(
         cust, counts, on="c_custkey", right_on="o_custkey",
         how="left_outer", num_partitions=8,

@@ -156,3 +156,43 @@ def test_knn_mutual_planted_pairs_and_chunk_independence():
         .itertuples(index=False)
     }
     assert got_big == got
+
+
+def test_batch3_and_final_ops_empty_tables_no_crash(tmp_path):
+    """Empty inputs: every final-session operator returns 0 rows, no
+    crash (empty pushdown reads produce schema-less blocks; the
+    queries guard with limit(1) probes or typed empties)."""
+    import pyarrow.parquet as pq
+
+    from deepie_ray import queries as Q
+
+    for t in (
+        "region nation customer supplier part orders lineitem "
+        "events documents embeddings"
+    ).split():
+        schema = pq.read_schema(f"/root/testdata/sf0.001/{t}.parquet")
+        schema = schema.remove_metadata()
+        pq.write_table(schema.empty_table(), str(tmp_path / f"{t}.parquet"))
+    d = str(tmp_path)
+    for name in (
+        "q4_order_priority",
+        "q8_market_share",
+        "q11_important_brands",
+        "q12_late_shipment_priority",
+        "q13_customer_distribution",
+        "q15_top_supplier",
+        "q16_supplier_breadth",
+        "q20_part_promotion",
+        "q21_waiting_supplier",
+        "user_running_distinct_types",
+        "events_value_ewma",
+        "user_gap_profile",
+        "knn_graph_mutual",
+    ):
+        r = getattr(Q, name)(d)
+        n = (
+            r.num_rows
+            if isinstance(r, pa.Table)
+            else (len(r) if isinstance(r, pd.DataFrame) else r.count())
+        )
+        assert n == 0, name
