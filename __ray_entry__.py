@@ -243,6 +243,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_ewma": Q.events_value_ewma,
         "user_gap_profile": Q.user_gap_profile,
         "knn_graph_mutual": Q.knn_graph_mutual,
+        "copurchase_pagerank": Q.copurchase_pagerank,
+        "copurchase_shortest_paths": Q.copurchase_shortest_paths,
+        "copurchase_kcore": Q.copurchase_kcore,
+        "event_value_bootstrap": Q.event_value_bootstrap,
         # --- rows-only / pytest-oracled block (no SQL twin by nature) ---
         "doc_compression_ratio": Q.doc_compression_ratio,
         "export_tar_shards_roundtrip": Q.export_tar_shards_roundtrip,
@@ -293,6 +297,94 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_kmeans": Q.embedding_kmeans,
         "semantic_dedup_embeddings": Q.semantic_dedup_embeddings,
     }
+
+
+# Shared CTE prelude for the co-purchase-graph oracles: the support>=2
+# undirected edge list, symmetrized (both orientations).
+# MATERIALIZED: DuckDB inlines plain CTEs per reference, so the unrolled
+# iteration chains below would re-expand their predecessors multiplicatively
+# (3^rounds for the k-core peel) without it.
+_COPURCHASE_ED = """
+    p AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS MATERIALIZED (
+          SELECT a.l_partkey AS a, b.l_partkey AS b, count(*)::BIGINT AS c
+          FROM p a JOIN p b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2 HAVING count(*) >= 2),
+    ed AS MATERIALIZED (
+          SELECT a AS src, b AS dst FROM e UNION ALL SELECT b, a FROM e)
+"""
+
+
+def _pagerank_int_sql(iters: int = 4, unit: int = 10**9) -> str:
+    """Unrolled exact-integer PageRank twin (one CTE per iteration):
+    all floor-division BIGINT arithmetic, so it matches the engine's
+    ops/graph.pagerank_int bit-for-bit."""
+    base = (15 * unit) // 100
+    sql = (
+        "WITH "
+        + _COPURCHASE_ED
+        + """,
+        deg AS MATERIALIZED (SELECT src, count(*)::BIGINT AS d FROM ed GROUP BY src),
+        pr0 AS MATERIALIZED (SELECT src AS node, """
+        + f"{unit}::BIGINT AS pr FROM deg)"
+    )
+    for i in range(1, iters + 1):
+        sql += f""",
+        pr{i} AS MATERIALIZED (
+          SELECT ed.dst AS node,
+                 {base} + (85 * sum(pr{i - 1}.pr // deg.d)) // 100 AS pr
+          FROM ed
+          JOIN pr{i - 1} ON pr{i - 1}.node = ed.src
+          JOIN deg ON deg.src = ed.src
+          GROUP BY ed.dst)"""
+    return sql + (
+        f" SELECT node::BIGINT AS node, pr::BIGINT AS rank_units FROM pr{iters}"
+    )
+
+
+def _bellman_ford_sql(iters: int = 6) -> str:
+    """Unrolled integer Bellman-Ford twin: min-plus relaxation from the
+    smallest node id, edge weight 1000 // co_count + 1."""
+    sql = (
+        "WITH "
+        + _COPURCHASE_ED
+        + """,
+        ew AS MATERIALIZED (SELECT a AS src, b AS dst, 1000 // c + 1 AS w FROM e
+               UNION ALL
+               SELECT b, a, 1000 // c + 1 FROM e),
+        d0 AS MATERIALIZED (SELECT (SELECT min(src) FROM ew) AS node, 0::BIGINT AS dist)"""
+    )
+    for i in range(1, iters + 1):
+        sql += f""",
+        d{i} AS MATERIALIZED (
+          SELECT node, min(dist)::BIGINT AS dist FROM (
+            SELECT node, dist FROM d{i - 1}
+            UNION ALL
+            SELECT ew.dst AS node, d{i - 1}.dist + ew.w AS dist
+            FROM d{i - 1} JOIN ew ON ew.src = d{i - 1}.node
+          ) u GROUP BY node)"""
+    return sql + f" SELECT node::BIGINT AS node, dist::BIGINT AS dist FROM d{iters}"
+
+
+def _kcore_sql(k: int = 3, rounds: int = 14) -> str:
+    """Unrolled k-core peeling twin: each round keeps nodes with
+    surviving degree >= k and restricts the edge list to kept-kept
+    edges.  ``rounds`` exceeds the measured fixpoint depth at every
+    test sf (10 at sf0.01); extra rounds are no-ops because peeling is
+    idempotent once converged."""
+    sql = "WITH " + _COPURCHASE_ED + ",\n    ed0 AS MATERIALIZED (SELECT src, dst FROM ed)"
+    for i in range(1, rounds + 1):
+        sql += f""",
+        n{i} AS MATERIALIZED (SELECT src FROM ed{i - 1} GROUP BY src HAVING count(*) >= {k}),
+        ed{i} AS MATERIALIZED (SELECT ed{i - 1}.src, ed{i - 1}.dst
+                  FROM ed{i - 1}
+                  JOIN n{i} ka ON ka.src = ed{i - 1}.src
+                  JOIN n{i} kb ON kb.src = ed{i - 1}.dst)"""
+    return sql + (
+        f" SELECT src::BIGINT AS node, count(*)::BIGINT AS deg"
+        f" FROM ed{rounds} GROUP BY src"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3101,6 +3193,24 @@ def oracle_sql() -> dict[str, str]:
             JOIN knn k2 ON k2.query_id = k1.neighbor_id
                        AND k2.neighbor_id = k1.query_id
             WHERE k1.query_id < k1.neighbor_id
+        """,
+        "copurchase_pagerank": _pagerank_int_sql(iters=4),
+        "copurchase_shortest_paths": _bellman_ford_sql(iters=6),
+        "copurchase_kcore": _kcore_sql(k=3, rounds=14),
+        "event_value_bootstrap": """
+            SELECT r AS replicate,
+                   sum(mult * cents)::BIGINT AS wsum_cents,
+                   sum(mult)::BIGINT AS wn
+            FROM (
+              SELECT (strpos('0123456789abcdef',
+                             substr(md5(CAST(event_id AS VARCHAR)), r, 1))
+                      - 1) % 3 AS mult,
+                     floor(value * 100)::BIGINT AS cents,
+                     r
+              FROM events,
+                   (SELECT unnest(range(1, 17)) AS r) reps
+            ) u
+            GROUP BY r
         """,
         # rows-only (no SQL twin): lang_id, minhash_dedup_documents,
         # simhash_signatures, simhash_neardup, ann_topk_lsh, kg_triples,

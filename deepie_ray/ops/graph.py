@@ -840,3 +840,434 @@ def edge_neighbor_overlap(
         )
 
     return j.map_batches(finish, batch_format="pyarrow")
+
+
+# ----------------------------------------------------- integer iterative ops
+#
+# The three operators below share a design rule: every per-node value
+# is an INT64 in fixed micro-units and every update is integer
+# arithmetic (floor division, min, sum), so the result is bit-exact
+# regardless of partitioning / merge order AND a DuckDB SQL twin can
+# reproduce it verbatim (floats would hash-mismatch on summation
+# order).  Engine-brief parity note: the reference has no graph
+# analytics at all; these are engine additions (SURVEY §2.7b).
+#
+# All three are SIZE-GATED like components_from_pairs / the float
+# pagerank: below DRIVER_GRAPH_MAX_EDGES the EDGE LIST (never a
+# corpus) is pulled to the driver and iterated in numpy — integer
+# kernels, so both paths produce IDENTICAL bits (pinned by pytest
+# with force_distributed).  Above the gate every round is ordinary
+# hash-partitioned joins/groupbys.
+
+DRIVER_GRAPH_MAX_EDGES = 2_000_000
+
+
+def _edges_local(ed: rd.Dataset, cols: tuple[str, ...]) -> dict[str, np.ndarray]:
+    """Pull a bounded edge dataset to the driver as int64 numpy
+    columns (gate-checked by the caller)."""
+    import ray
+
+    parts = [t for t in ray.get(ed.to_arrow_refs()) if t.num_columns]
+    if not parts:
+        return {c: np.array([], np.int64) for c in cols}
+    t = pa.concat_tables(parts)
+    return {
+        c: t[c].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        for c in cols
+    }
+
+
+def _compact_ids(*arrs: np.ndarray) -> tuple[np.ndarray, list[np.ndarray]]:
+    """Map arbitrary int64 ids to dense 0..n-1 indices; returns
+    (sorted unique ids, [index arrays])."""
+    uniq = np.unique(np.concatenate(arrs)) if arrs[0].size else np.array([], np.int64)
+    return uniq, [np.searchsorted(uniq, a) for a in arrs]
+
+
+def symmetrize_edges(
+    edges: rd.Dataset,
+    a_col: str = "part_a",
+    b_col: str = "part_b",
+    weight_col: str | None = None,
+) -> rd.Dataset:
+    """Undirected (a, b[, w]) -> directed (src, dst[, w]) with both
+    orientations — one streaming map, no shuffle."""
+
+    def both(t: pa.Table) -> pa.Table:
+        a = pc.cast(t[a_col], pa.int64()).combine_chunks()
+        b = pc.cast(t[b_col], pa.int64()).combine_chunks()
+        cols = {
+            "src": pa.concat_arrays([a, b]),
+            "dst": pa.concat_arrays([b, a]),
+        }
+        if weight_col is not None:
+            w = pc.cast(t[weight_col], pa.int64()).combine_chunks()
+            cols["w"] = pa.concat_arrays([w, w])
+        return pa.table(cols)
+
+    return edges.map_batches(both, batch_format="pyarrow")
+
+
+def pagerank_int(
+    edges_sym: rd.Dataset,
+    iters: int = 4,
+    unit: int = 10**9,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    num_partitions: int = 8,
+    force_distributed: bool = False,
+) -> rd.Dataset:
+    """EXACT-INTEGER PageRank over a symmetrized edge list ->
+    (node, rank_units): ranks live in int64 micro-units (``unit`` per
+    node initially) and the update is
+
+        rank'(v) = (15 * unit) // 100
+                 + (85 * sum_{u->v} rank(u) // deg(u)) // 100
+
+    — floor division throughout, so the fixpoint trajectory is
+    bit-exact under ANY partitioning / merge order and a DuckDB twin
+    (unrolled CTE per iteration) reproduces it verbatim.  The float
+    ``pagerank`` above is the numerics-faithful variant; this one is
+    the ORACLE-CHECKABLE variant (error vs float PR is O(deg/unit) per
+    step — ~1e-9 relative at the default unit).
+
+    Requires every node to have deg >= 1 (true by construction for a
+    symmetrized edge list: nodes ARE edge endpoints), which makes node
+    completion free — every node receives at least one contribution,
+    so each iteration is exactly ONE hash join (rank vector x weighted
+    adjacency) + ONE combiner-first grouped sum.  The adjacency with
+    attached degrees is materialized ONCE; iterations only re-shuffle
+    the narrow (node, pr) vector.
+
+    int64 headroom: sum of all contributions <= N * unit; with the
+    default unit=1e9 the 85x-scaled fold overflows only past ~1e8
+    nodes — past that, lower ``unit``.
+    """
+    ed = edges_sym.map_batches(
+        lambda t: pa.table(
+            {
+                "src": pc.cast(t["src"], pa.int64()),
+                "dst": pc.cast(t["dst"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    if not force_distributed and ed.count() <= DRIVER_GRAPH_MAX_EDGES:
+        cols = _edges_local(ed, ("src", "dst"))
+        nodes, (si, di) = _compact_ids(cols["src"], cols["dst"])
+        n = len(nodes)
+        if n == 0:
+            return rd.from_arrow(
+                pa.table(
+                    {
+                        "node": pa.array([], pa.int64()),
+                        "rank_units": pa.array([], pa.int64()),
+                    }
+                )
+            )
+        deg_v = np.bincount(si, minlength=n).astype(np.int64)
+        base = (15 * unit) // 100
+        pr = np.full(n, unit, np.int64)
+        for _ in range(iters):
+            contrib = pr[si] // deg_v[si]
+            acc = np.zeros(n, np.int64)
+            np.add.at(acc, di, contrib)
+            pr = base + (damping_num * acc) // damping_den
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array(nodes, pa.int64()),
+                    "rank_units": pa.array(pr, pa.int64()),
+                }
+            )
+        )
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        g = pa.table({"src": t["src"]}).group_by("src").aggregate([([], "count_all")])
+        return pa.table(
+            {"src": g["src"], "d_partial": pc.cast(g["count_all"], pa.int64())}
+        )
+
+    deg = (
+        ed.map_batches(deg_partial, batch_format="pyarrow")
+        .groupby("src")
+        .aggregate(Sum("d_partial", alias_name="deg"))
+        .repartition(num_partitions)
+        .materialize()
+    )
+    # adjacency weighted once: (src, dst, deg(src)); iterations never
+    # re-join the degree table
+    ew = (
+        hash_join(ed, deg, on="src", num_partitions=num_partitions)
+        .repartition(num_partitions)
+        .materialize()
+    )
+    base = (15 * unit) // 100
+    ranks = deg.map_batches(
+        lambda t: pa.table(
+            {
+                "node": t["src"],
+                "pr": pa.array(np.full(len(t), unit, np.int64), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    def contrib_partial(t: pa.Table) -> pa.Table:
+        # int64 // int64: pyarrow divide truncates; all values positive
+        # so truncation == floor == the SQL twin's `//`
+        c = pc.divide(t["pr"], t["deg"])
+        g = (
+            pa.table({"dst": t["dst"], "c": c})
+            .group_by("dst")
+            .aggregate([("c", "sum")])
+        )
+        return pa.table(
+            {"dst": g["dst"], "c_partial": pc.cast(g["c_sum"], pa.int64())}
+        )
+
+    for _ in range(iters):
+        ranks = (
+            hash_join(
+                ranks, ew, on="node", right_on="src", num_partitions=num_partitions
+            )
+            .repartition(num_partitions)
+            .map_batches(contrib_partial, batch_format="pyarrow")
+            .groupby("dst")
+            .aggregate(Sum("c_partial", alias_name="c_total"))
+            .map_batches(
+                lambda t: pa.table(
+                    {
+                        "node": t["dst"],
+                        "pr": pc.add(
+                            pa.scalar(base, pa.int64()),
+                            pc.divide(
+                                pc.multiply(
+                                    pc.cast(t["c_total"], pa.int64()),
+                                    pa.scalar(damping_num, pa.int64()),
+                                ),
+                                pa.scalar(damping_den, pa.int64()),
+                            ),
+                        ),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+            .repartition(num_partitions)
+            .materialize()
+        )
+    return ranks.map_batches(
+        lambda t: pa.table({"node": t["node"], "rank_units": t["pr"]}),
+        batch_format="pyarrow",
+    )
+
+
+def bellman_ford_int(
+    edges_sym_weighted: rd.Dataset,
+    source: int,
+    iters: int = 6,
+    num_partitions: int = 8,
+    force_distributed: bool = False,
+) -> rd.Dataset:
+    """Bounded-depth single-source shortest paths (Bellman-Ford
+    relaxation, integer weights) -> (node, dist) for every node
+    reachable from ``source`` within ``iters`` relaxation rounds.
+
+    dist_0 = {source: 0}; each round
+        dist'(v) = min(dist(v), min_{u->v} dist(u) + w(u, v))
+    expressed as ONE hash join (frontier x adjacency) + a union with
+    the carried dist rows + ONE combiner-first grouped MIN — all
+    integer, so bit-exact under any partitioning and SQL-unrollable.
+    The dist vector is the only thing re-shuffled per round; the
+    adjacency is materialized once.  Bounded depth is the documented
+    contract (the SQL twin unrolls the same ``iters``); full
+    convergence needs iters >= graph diameter.
+    """
+    ew = edges_sym_weighted.map_batches(
+        lambda t: pa.table(
+            {
+                "src": pc.cast(t["src"], pa.int64()),
+                "dst": pc.cast(t["dst"], pa.int64()),
+                "w": pc.cast(t["w"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    if not force_distributed and ew.count() <= DRIVER_GRAPH_MAX_EDGES:
+        cols = _edges_local(ew, ("src", "dst", "w"))
+        nodes, (si, di) = _compact_ids(cols["src"], cols["dst"])
+        n = len(nodes)
+        INF = np.iinfo(np.int64).max // 4
+        dist_v = np.full(max(n, 1), INF, np.int64)
+        s_idx = np.searchsorted(nodes, source) if n else 0
+        if n == 0 or s_idx >= n or nodes[s_idx] != source:
+            return rd.from_arrow(
+                pa.table(
+                    {
+                        "node": pa.array([source], pa.int64()),
+                        "dist": pa.array([0], pa.int64()),
+                    }
+                )
+            )
+        dist_v[s_idx] = 0
+        w = cols["w"]
+        for _ in range(iters):
+            # BSP round: relax from the PREVIOUS round's vector only
+            # (matches the distributed union+grouped-min and the SQL
+            # twin's per-iteration CTE)
+            reach = dist_v[si] < INF
+            nd = dist_v.copy()
+            np.minimum.at(nd, di[reach], dist_v[si[reach]] + w[reach])
+            dist_v = nd
+        got = dist_v < INF
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array(nodes[got], pa.int64()),
+                    "dist": pa.array(dist_v[got], pa.int64()),
+                }
+            )
+        )
+    dist = rd.from_arrow(
+        pa.table(
+            {
+                "node": pa.array([source], pa.int64()),
+                "dist": pa.array([0], pa.int64()),
+            }
+        )
+    )
+
+    def min_partial(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table({"node": t["node"], "dist": t["dist"]})
+            .group_by("node")
+            .aggregate([("dist", "min")])
+        )
+        return pa.table(
+            {"node": g["node"], "d_partial": pc.cast(g["dist_min"], pa.int64())}
+        )
+
+    for _ in range(iters):
+        relaxed = (
+            hash_join(
+                dist, ew, on="node", right_on="src", num_partitions=num_partitions
+            )
+            .repartition(num_partitions)
+            .map_batches(
+                lambda t: pa.table(
+                    {
+                        "node": t["dst"],
+                        "dist": pc.add(t["dist"], t["w"]),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+        )
+        dist = (
+            dist.union(relaxed)
+            .map_batches(min_partial, batch_format="pyarrow")
+            .groupby("node")
+            .aggregate(Min("d_partial", alias_name="dist"))
+            .repartition(num_partitions)
+            .materialize()
+        )
+    return dist
+
+
+def kcore(
+    edges_sym: rd.Dataset,
+    k: int = 2,
+    max_rounds: int = 64,
+    num_partitions: int = 8,
+    force_distributed: bool = False,
+) -> rd.Dataset:
+    """k-core decomposition (iterative peeling to fixpoint) ->
+    (node, deg) of the maximal subgraph where every node has degree
+    >= k.  Each peel round: grouped degree count (combiner-first) ->
+    filter survivors -> TWO semi joins restrict the edge list to
+    edges whose BOTH endpoints survive.  Loops until the node count
+    is stable (driver traffic per round = one scalar); the SQL twin
+    unrolls a fixed round count, which matches because peeling is
+    idempotent once converged.  Edges shrink monotonically so later
+    rounds get cheaper; the classic distributed formulation
+    (Montresor et al. 2013 is the message-passing refinement)."""
+    ed = edges_sym.map_batches(
+        lambda t: pa.table(
+            {
+                "src": pc.cast(t["src"], pa.int64()),
+                "dst": pc.cast(t["dst"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    if not force_distributed and ed.count() <= DRIVER_GRAPH_MAX_EDGES:
+        cols = _edges_local(ed, ("src", "dst"))
+        nodes, (si, di) = _compact_ids(cols["src"], cols["dst"])
+        n = len(nodes)
+        alive_edge = np.ones(len(si), bool)
+        deg_v = np.bincount(si, minlength=n).astype(np.int64) if n else np.array([], np.int64)
+        while True:
+            keep = deg_v >= k
+            dead = alive_edge & ~(keep[si] & keep[di])
+            if not dead.any():
+                break
+            alive_edge &= ~dead
+            deg_v = np.bincount(si[alive_edge], minlength=n).astype(np.int64)
+        got = (deg_v >= k) if n else np.array([], bool)
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array(nodes[got], pa.int64()),
+                    "deg": pa.array(deg_v[got], pa.int64()),
+                }
+            )
+        )
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        g = pa.table({"src": t["src"]}).group_by("src").aggregate([([], "count_all")])
+        return pa.table(
+            {"src": g["src"], "d_partial": pc.cast(g["count_all"], pa.int64())}
+        )
+
+    prev_nodes = -1
+    deg = None
+    for _ in range(max_rounds):
+        deg = (
+            ed.map_batches(deg_partial, batch_format="pyarrow")
+            .groupby("src")
+            .aggregate(Sum("d_partial", alias_name="deg"))
+            .repartition(num_partitions)
+            .map_batches(
+                lambda t: pa.table({"node": t["src"], "deg": t["deg"]}),
+                batch_format="pyarrow",
+            )
+            .filter(expr=f"deg >= {int(k)}")
+            .repartition(num_partitions)
+            .materialize()
+        )
+        n = deg.count()
+        if n == prev_nodes:
+            break
+        prev_nodes = n
+        if n == 0:
+            return deg
+        keep = deg.select_columns(["node"])
+        ed = (
+            hash_join(ed, keep, on="src", right_on="node", num_partitions=num_partitions)
+            .repartition(num_partitions)
+            .map_batches(
+                lambda t: pa.table({"src": t["src"], "dst": t["dst"]}),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+        ed = (
+            hash_join(ed, keep, on="dst", right_on="node", num_partitions=num_partitions)
+            .repartition(num_partitions)
+            .map_batches(
+                lambda t: pa.table({"src": t["src"], "dst": t["dst"]}),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+    return deg

@@ -9849,3 +9849,142 @@ def knn_graph_mutual(sf_dir: str) -> rd.Dataset:
     sparsifier before community/dedup passes)."""
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     return ann.knn_graph_mutual(emb, k=3)
+
+
+def copurchase_pagerank(sf_dir: str) -> rd.Dataset:
+    """EXACT-INTEGER PageRank over the support>=2 co-purchase graph ->
+    (node, rank_units): int64 micro-unit ranks (unit = 1e9), 4
+    bulk-synchronous iterations (ops/graph.pagerank_int).  All-integer
+    floor arithmetic makes the trajectory bit-exact under any
+    partitioning, so the DuckDB twin (one unrolled CTE per iteration)
+    value-hash-matches — the first ORACLE-checked exposure of the
+    iterative-join PageRank machinery (the float variant keeps its
+    numpy power-iteration parity test).
+
+    Scale shape: adjacency+degree materialized once; each iteration
+    re-shuffles only the narrow (node, pr) vector through one hash
+    join and one combiner-first grouped sum."""
+    from .ops import graph
+
+    li = _lineitem(sf_dir, ["l_orderkey", "l_partkey"])
+    edges = graph.copurchase_edges(li, min_count=2)
+    return graph.pagerank_int(graph.symmetrize_edges(edges), iters=4)
+
+
+def copurchase_shortest_paths(sf_dir: str) -> rd.Dataset:
+    """Bounded-depth single-source shortest paths (6 Bellman-Ford
+    relaxation rounds, ops/graph.bellman_ford_int) from the smallest
+    part id in the support>=2 co-purchase graph -> (node, dist).
+    Edge weight = 1000 // co_count + 1 (cheaper between frequently
+    co-purchased parts) — integer weights, integer min-plus folds, so
+    the result is bit-exact and the SQL twin unrolls the same 6
+    rounds.  Extends copurchase_bfs_hops (unweighted reachability) to
+    the WEIGHTED shortest-path shape.
+
+    Scale shape: the frontier/dist vector is the only per-round
+    shuffle (one hash join + one grouped min); adjacency materialized
+    once; per-round driver traffic is zero."""
+    from .ops import graph
+
+    li = _lineitem(sf_dir, ["l_orderkey", "l_partkey"])
+    edges = graph.copurchase_edges(li, min_count=2).map_batches(
+        lambda t: pa.table(
+            {
+                "part_a": t["part_a"],
+                "part_b": t["part_b"],
+                "w": pc.add(
+                    pc.divide(
+                        pa.scalar(1000, pa.int64()),
+                        pc.cast(t["co_count"], pa.int64()),
+                    ),
+                    pa.scalar(1, pa.int64()),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    # the single source: smallest node id in the edge set (part_a holds
+    # the smaller endpoint of every canonical edge) — one driver scalar
+    src = edges.aggregate(Min("part_a"))["min(part_a)"]
+    if src is None:
+        return rd.from_arrow(
+            pa.table(
+                {"node": pa.array([], pa.int64()), "dist": pa.array([], pa.int64())}
+            )
+        )
+    sym = graph.symmetrize_edges(edges, weight_col="w")
+    return graph.bellman_ford_int(sym, source=int(src), iters=6)
+
+
+def copurchase_kcore(sf_dir: str) -> rd.Dataset:
+    """3-core of the support>=2 co-purchase graph (iterative peeling
+    to fixpoint, ops/graph.kcore) -> (node, deg): the maximal subgraph
+    where every part co-occurs with >= 3 surviving parts — the
+    standard densest-region extraction before community detection.
+    At sf0.01 peeling takes 10 rounds and keeps 935 of 1880 nodes (a
+    real multi-round fixpoint, not a single filter).
+
+    The SQL twin unrolls 14 peel rounds — safe because peeling is
+    idempotent at the fixpoint; the engine loops to convergence with
+    one scalar of driver traffic per round.  Edges shrink
+    monotonically so rounds get cheaper."""
+    from .ops import graph
+
+    li = _lineitem(sf_dir, ["l_orderkey", "l_partkey"])
+    edges = graph.copurchase_edges(li, min_count=2)
+    return graph.kcore(graph.symmetrize_edges(edges), k=3)
+
+
+def event_value_bootstrap(sf_dir: str) -> rd.Dataset:
+    """Deterministic multiplier bootstrap over event values -> 16 rows
+    (replicate, wsum_cents, wn): replicate r weights each event by
+    nibble_r(md5(event_id)) % 3 (mean-1 integer multiplicities 0/1/2
+    read from the r-th hex char of ONE md5 per event), then folds the
+    weighted sum and weighted count as exact int64 — the downstream
+    CI is wsum/wn spread across replicates.  Content-addressed, so
+    partitioning-independent and SQL-twin-exact (DuckDB md5 + strpos
+    nibble decode); the classic Poisson-bootstrap shape for
+    uncertainty on streaming aggregates without resampling passes.
+
+    Scale shape: one streaming pass; per-batch partials are a (16 x
+    batch) int64 matmul; only 16-row partials shuffle."""
+    ev = _read(sf_dir, "events", ["event_id", "value"])
+    R = 16
+
+    def partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {
+                    "replicate": pa.array([], pa.int64()),
+                    "ws_partial": pa.array([], pa.int64()),
+                    "wn_partial": pa.array([], pa.int64()),
+                }
+            )
+        cents = (
+            pc.cast(pc.floor(pc.multiply(t["value"], 100.0)), pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        hexes = b"".join(
+            md5_hex(str(i))[:R].encode("ascii") for i in t["event_id"].to_pylist()
+        )
+        x = np.frombuffer(hexes, np.uint8).reshape(-1, R).astype(np.int64)
+        # ascii hex -> nibble value: '0'-'9' minus 48, 'a'-'f' minus 87
+        nib = x - 48 - (x >= 97) * 39
+        m = nib % 3
+        return pa.table(
+            {
+                "replicate": pa.array(np.arange(1, R + 1), pa.int64()),
+                "ws_partial": pa.array(m.T @ cents, pa.int64()),
+                "wn_partial": pa.array(m.sum(axis=0), pa.int64()),
+            }
+        )
+
+    return (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("replicate")
+        .aggregate(
+            Sum("ws_partial", alias_name="wsum_cents"),
+            Sum("wn_partial", alias_name="wn"),
+        )
+    )

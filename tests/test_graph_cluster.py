@@ -851,3 +851,111 @@ def test_doc_topic_clusters_deterministic(tmp_path):
     # the two planted topics never share a cluster: the largest two
     # clusters together hold all docs only if each topic is pure
     assert a["n_docs"].max() <= 12
+
+
+# ----------------------------------------------- integer iterative ops
+
+
+def _toy_sym_edges(weighted: bool = False) -> rd.Dataset:
+    # two triangles bridged by one edge + a pendant: k=2 peels the
+    # pendant, distances differ per branch
+    a = [1, 1, 2, 4, 4, 5, 3, 6]
+    b = [2, 3, 3, 5, 6, 6, 4, 7]
+    t = {"part_a": a, "part_b": b}
+    if weighted:
+        t["w"] = [2, 7, 3, 1, 9, 4, 5, 11]
+    return graph.symmetrize_edges(
+        rd.from_arrow(pa.table(t)), weight_col="w" if weighted else None
+    )
+
+
+def test_pagerank_int_local_and_distributed_paths_identical():
+    local = (
+        graph.pagerank_int(_toy_sym_edges(), iters=3)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    dist = (
+        graph.pagerank_int(_toy_sym_edges(), iters=3, force_distributed=True)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(local, dist)
+    # exact-integer twin of the SQL oracle on the same toy graph
+    assert local["rank_units"].dtype == np.int64
+    unit, base = 10**9, (15 * 10**9) // 100
+    src = np.array([1, 1, 2, 4, 4, 5, 3, 6] + [2, 3, 3, 5, 6, 6, 4, 7])
+    dst = np.array([2, 3, 3, 5, 6, 6, 4, 7] + [1, 1, 2, 4, 4, 5, 3, 6])
+    nodes = np.unique(np.concatenate([src, dst]))
+    si, di = np.searchsorted(nodes, src), np.searchsorted(nodes, dst)
+    deg = np.bincount(si)
+    pr = np.full(len(nodes), unit, np.int64)
+    for _ in range(3):
+        acc = np.zeros(len(nodes), np.int64)
+        np.add.at(acc, di, pr[si] // deg[si])
+        pr = base + (85 * acc) // 100
+    assert local["rank_units"].to_numpy().tolist() == pr.tolist()
+
+
+def test_bellman_ford_int_paths_identical_and_bsp_depth():
+    local = (
+        graph.bellman_ford_int(_toy_sym_edges(weighted=True), source=1, iters=2)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    dist = (
+        graph.bellman_ford_int(
+            _toy_sym_edges(weighted=True), source=1, iters=2, force_distributed=True
+        )
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(local, dist)
+    # depth bound: node 7 is 4 hops out, absent at iters=2
+    assert 7 not in set(local["node"])
+    # hand-checked 2-round relaxation from node 1
+    got = dict(zip(local["node"], local["dist"]))
+    assert got[1] == 0 and got[2] == 2 and got[3] == 5
+    # BSP: round 2 relaxes 4 from round 1's dist[3]=7 (direct 1->3),
+    # giving 7+5=12; the tighter 5+5=10 via the round-2 dist[3]=5
+    # needs a third round — the depth-bounded contract, pinned here
+    assert got[4] == 12
+
+
+def test_kcore_paths_identical_and_peels_pendant():
+    local = (
+        graph.kcore(_toy_sym_edges(), k=2)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    dist = (
+        graph.kcore(_toy_sym_edges(), k=2, force_distributed=True)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(local, dist)
+    # pendant 7 peels; the peel CASCADES: 6 loses the 6-7 edge but
+    # keeps degree 2 via the triangle, so the two triangles + bridge
+    # survive as the 2-core
+    assert set(local["node"]) == {1, 2, 3, 4, 5, 6}
+    assert local["deg"].min() >= 2
+
+
+def test_kcore_empty_core():
+    # a path graph has no 2-core: everything peels, both paths agree
+    ed = graph.symmetrize_edges(
+        rd.from_arrow(pa.table({"part_a": [1, 2, 3], "part_b": [2, 3, 4]}))
+    )
+    out = graph.kcore(ed, k=2).to_pandas()
+    assert len(out) == 0
+    ed2 = graph.symmetrize_edges(
+        rd.from_arrow(pa.table({"part_a": [1, 2, 3], "part_b": [2, 3, 4]}))
+    )
+    out2 = graph.kcore(ed2, k=2, force_distributed=True).to_pandas()
+    assert len(out2) == 0
