@@ -247,6 +247,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "copurchase_shortest_paths": Q.copurchase_shortest_paths,
         "copurchase_kcore": Q.copurchase_kcore,
         "event_value_bootstrap": Q.event_value_bootstrap,
+        "user_active_coverage": Q.user_active_coverage,
+        "embedding_vq_counts": Q.embedding_vq_counts,
         # --- rows-only / pytest-oracled block (no SQL twin by nature) ---
         "doc_compression_ratio": Q.doc_compression_ratio,
         "export_tar_shards_roundtrip": Q.export_tar_shards_roundtrip,
@@ -3211,6 +3213,62 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT unnest(range(1, 17)) AS r) reps
             ) u
             GROUP BY r
+        """,
+        "user_active_coverage": """
+            WITH iv AS (
+              SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + 300000000 AS e
+              FROM events WHERE ts IS NOT NULL
+            ),
+            m AS (
+              SELECT user_id, s, e,
+                     max(e) OVER (PARTITION BY user_id ORDER BY s
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND 1 PRECEDING) AS prev_max
+              FROM iv
+            ),
+            g AS (
+              SELECT *, CASE WHEN prev_max IS NULL OR s > prev_max
+                             THEN 1 ELSE 0 END AS ni
+              FROM m
+            ),
+            gi AS (
+              SELECT *, sum(ni) OVER (PARTITION BY user_id ORDER BY s
+                                      ROWS UNBOUNDED PRECEDING) AS grp
+              FROM g
+            ),
+            isl AS (
+              SELECT user_id, grp, min(s) AS st, max(e) AS en
+              FROM gi GROUP BY 1, 2
+            )
+            SELECT user_id,
+                   count(*)::BIGINT AS n_islands,
+                   sum(en - st)::BIGINT AS covered_us
+            FROM isl GROUP BY user_id
+        """,
+        "embedding_vq_counts": """
+            WITH q AS (
+              SELECT vec_id,
+                     list_transform(embedding, x -> floor(x * 1000)::BIGINT) AS qe
+              FROM embeddings
+            ),
+            cent AS (SELECT vec_id AS cid, qe AS ce FROM q ORDER BY vec_id LIMIT 8),
+            scored AS (
+              -- double dots over integer-valued operands are exact
+              -- (<= 2^53), matching the engine's int64 matmul
+              SELECT q.vec_id, cent.cid,
+                     list_dot_product(q.qe::DOUBLE[], cent.ce::DOUBLE[]) AS sc
+              FROM q CROSS JOIN cent
+            ),
+            best AS (
+              SELECT vec_id, cid FROM (
+                SELECT vec_id, cid,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY sc DESC, cid) AS rn
+                FROM scored
+              ) WHERE rn = 1
+            )
+            SELECT cid::BIGINT AS centroid_id, count(*)::BIGINT AS n
+            FROM best GROUP BY cid
         """,
         # rows-only (no SQL twin): lang_id, minhash_dedup_documents,
         # simhash_signatures, simhash_neardup, ann_topk_lsh, kg_triples,

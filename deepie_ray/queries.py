@@ -9988,3 +9988,162 @@ def event_value_bootstrap(sf_dir: str) -> rd.Dataset:
             Sum("wn_partial", alias_name="wn"),
         )
     )
+
+
+def user_active_coverage(sf_dir: str) -> rd.Dataset:
+    """Interval-UNION coverage per user -> (user_id, n_islands,
+    covered_us): each event opens a 5-minute activity interval
+    [ts, ts+300s); overlapping intervals merge (the classic
+    merge-overlapping-intervals / gaps-and-islands shape), and the
+    output is the island count and the total covered microseconds —
+    exact int64, so hash-exact vs the SQL twin's running-max window.
+
+    Scale shape: ONE shuffle on ``part = user_id % P`` co-locates each
+    user's intervals; within a partition the island scan is fully
+    vectorized numpy over the (user, start)-sorted frame (prefix
+    running max of interval ends per user, no Python per-row loop).
+    Per-user interval counts are event counts — bounded by user
+    activity, the same contract as the sessionizer."""
+    P = 32
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+    SPAN = 300_000_000  # 5 min in us
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["ts"]))
+        uid = pc.cast(t["user_id"], pa.int64())
+        s = pc.cast(t["ts"], pa.int64())  # timestamp[us] -> epoch us
+        return pa.table(
+            {
+                "part": pc.bit_wise_and(uid, pa.scalar(P - 1, pa.int64())),
+                "user_id": uid,
+                "s": s,
+            }
+        )
+
+    def islands(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series([], dtype=np.int64),
+                    "n_islands": pd.Series([], dtype=np.int64),
+                    "covered_us": pd.Series([], dtype=np.int64),
+                }
+            )
+        df = df.sort_values(["user_id", "s"], kind="mergesort").reset_index(
+            drop=True
+        )
+        u = df["user_id"].to_numpy(np.int64)
+        s = df["s"].to_numpy(np.int64)
+        e = s + SPAN
+        new_user = np.ones(len(u), bool)
+        new_user[1:] = u[1:] != u[:-1]
+        # exclusive per-user running max of interval ends: grouped
+        # cummax (vectorized) shifted by one — the global shift leaks
+        # across user boundaries only at new_user rows, which open a
+        # new island unconditionally anyway
+        prev_max = (
+            pd.Series(e).groupby(df["user_id"], sort=False).cummax().shift(1)
+        )
+        new_island = new_user | (s > prev_max.to_numpy())
+        # an island is a contiguous run in (user, s) order whose
+        # interval union is [first s, max e] — segment-reduce the ends
+        start_idx = np.flatnonzero(new_island)
+        starts = s[start_idx]
+        ends = np.maximum.reduceat(e, start_idx)
+        covered = ends - starts
+        users_per_island = u[start_idx]
+        out = pd.DataFrame({"user_id": users_per_island, "covered": covered})
+        g = out.groupby("user_id", sort=False)["covered"].agg(["count", "sum"])
+        return pd.DataFrame(
+            {
+                "user_id": g.index.to_numpy(np.int64),
+                "n_islands": g["count"].to_numpy(np.int64),
+                "covered_us": g["sum"].to_numpy(np.int64),
+            }
+        )
+
+    return (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(islands, batch_format="pandas")
+        .select_columns(["user_id", "n_islands", "covered_us"])
+    )
+
+
+def embedding_vq_counts(sf_dir: str) -> rd.Dataset:
+    """Vector-quantization assignment histogram -> (centroid_id, n):
+    every embedding is assigned to its nearest of 8 FIXED centroids
+    (the 8 smallest vec_ids, the IVF coarse-assignment step with a
+    deterministic codebook) by maximum inner product over
+    integer-quantized vectors (floor(x*1000) int64) — exact integer
+    scores, ties to the smallest centroid id, so the histogram is
+    bit-exact vs the SQL twin (double dot products over integer
+    values <= 2^53 are exact).
+
+    Scale shape: centroid selection is a combiner-first smallest-k
+    (per-block partial top-8 by id, one 8-row merge); the tiny
+    quantized codebook broadcasts via ray.put; assignment is one
+    streaming int64 matmul per batch; only 8-row count partials
+    shuffle."""
+    import ray
+
+    from .ops.ann import _to_matrix
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    K = 8
+
+    def local_smallest(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return t
+        ids = pc.cast(t["vec_id"], pa.int64()).combine_chunks().to_numpy()
+        keep = np.sort(np.argsort(ids, kind="stable")[:K])
+        return t.take(pa.array(keep, pa.int64()))
+
+    cent_tbl = pa.concat_tables(
+        [
+            tt
+            for tt in ray.get(
+                emb.map_batches(local_smallest, batch_format="pyarrow")
+                .repartition(1)
+                .map_batches(local_smallest, batch_format="pyarrow")
+                .to_arrow_refs()
+            )
+            if tt.num_columns
+        ]
+    )
+    order = np.argsort(cent_tbl["vec_id"].to_numpy())
+    cent_ids = cent_tbl["vec_id"].to_numpy()[order].astype(np.int64)
+    C = np.floor(_to_matrix(cent_tbl["embedding"]) * 1000.0).astype(np.int64)[order]
+    cref = ray.put((cent_ids, C))
+
+    class Assign:
+        def __init__(self):
+            self.cent_ids, self.C = ray.get(cref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            if len(t) == 0:
+                return pa.table(
+                    {
+                        "centroid_id": pa.array([], pa.int64()),
+                        "n_partial": pa.array([], pa.int64()),
+                    }
+                )
+            Q = np.floor(_to_matrix(t["embedding"]) * 1000.0).astype(np.int64)
+            # argmax returns the FIRST maximum; centroids sorted by id,
+            # so ties break to the smallest centroid id == the SQL
+            # twin's ORDER BY s DESC, cid
+            best = np.argmax(Q @ self.C.T, axis=1)
+            counts = np.bincount(best, minlength=len(self.cent_ids))
+            return pa.table(
+                {
+                    "centroid_id": pa.array(self.cent_ids, pa.int64()),
+                    "n_partial": pa.array(counts, pa.int64()),
+                }
+            )
+
+    return (
+        emb.map_batches(Assign, batch_format="pyarrow", concurrency=2)
+        .groupby("centroid_id")
+        .aggregate(Sum("n_partial", alias_name="n"))
+        .filter(expr="n > 0")
+    )
