@@ -249,6 +249,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_value_bootstrap": Q.event_value_bootstrap,
         "user_active_coverage": Q.user_active_coverage,
         "embedding_vq_counts": Q.embedding_vq_counts,
+        "resolution_pairwise_eval": Q.resolution_pairwise_eval,
+        "q2_min_cost_supplier": Q.q2_min_cost_supplier,
         # --- rows-only / pytest-oracled block (no SQL twin by nature) ---
         "doc_compression_ratio": Q.doc_compression_ratio,
         "export_tar_shards_roundtrip": Q.export_tar_shards_roundtrip,
@@ -3269,6 +3271,71 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT cid::BIGINT AS centroid_id, count(*)::BIGINT AS n
             FROM best GROUP BY cid
+        """,
+        "resolution_pairwise_eval": r"""
+            WITH RECURSIVE p AS (
+              SELECT i AS s, j AS t FROM (
+                SELECT a.s_suppkey AS i, b.s_suppkey AS j,
+                       levenshtein(a.s_name, b.s_name)::BIGINT AS d
+                FROM supplier a JOIN supplier b
+                  ON a.s_suppkey < b.s_suppkey
+                WHERE abs(length(a.s_name) - length(b.s_name)) <= 1
+              ) WHERE d <= 1
+            ),
+            sym AS (
+              SELECT s, t FROM p UNION SELECT t, s FROM p
+              UNION SELECT s, s FROM p UNION SELECT t, t FROM p
+            ),
+            reach(n, m) AS (
+              SELECT s, t FROM sym
+              UNION
+              SELECT r.n, s2.t FROM reach r JOIN sym s2 ON r.m = s2.s
+            ),
+            cmap AS (SELECT n, min(m) AS c FROM reach GROUP BY n),
+            lab AS (
+              SELECT coalesce(cmap.c, s.s_suppkey) AS pred,
+                     lower(regexp_replace(s.s_name, '[^a-zA-Z0-9]', '', 'g'))
+                       AS truth
+              FROM supplier s LEFT JOIN cmap ON cmap.n = s.s_suppkey
+            ),
+            cell AS (SELECT pred, truth, count(*)::BIGINT AS m
+                     FROM lab GROUP BY 1, 2),
+            predsz AS (SELECT pred, sum(m) AS sz FROM cell GROUP BY 1),
+            truthsz AS (SELECT truth, sum(m) AS sz FROM cell GROUP BY 1)
+            SELECT
+              (SELECT coalesce(sum(m * (m - 1) // 2), 0) FROM cell)::BIGINT
+                AS tp_pairs,
+              (SELECT coalesce(sum(sz * (sz - 1) // 2), 0) FROM predsz)::BIGINT
+                AS pred_pairs,
+              (SELECT coalesce(sum(sz * (sz - 1) // 2), 0) FROM truthsz)::BIGINT
+                AS truth_pairs
+        """,
+        "q2_min_cost_supplier": """
+            WITH ps AS (
+              SELECT l_partkey AS p_partkey, l_suppkey AS s_suppkey,
+                     min(floor(l_extendedprice * 100)::BIGINT) AS cost
+              FROM lineitem GROUP BY 1, 2
+            ),
+            es AS (
+              SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+              FROM supplier s
+              JOIN nation n ON n.n_nationkey = s.s_nationkey
+              JOIN region r ON r.r_regionkey = n.n_regionkey
+              WHERE r.r_name = 'EUROPE'
+            ),
+            pj AS (SELECT p_partkey, p_brand FROM part WHERE p_size = 15),
+            fj AS (
+              SELECT ps.p_partkey, pj.p_brand, es.s_name, es.s_acctbal,
+                     es.n_name, ps.cost
+              FROM ps JOIN es USING (s_suppkey) JOIN pj USING (p_partkey)
+            ),
+            mn AS (SELECT p_partkey, min(cost) AS mc FROM fj GROUP BY 1)
+            SELECT fj.s_acctbal, fj.s_name, fj.n_name, fj.p_partkey,
+                   fj.p_brand, fj.cost / 100.0 AS supply_cost
+            FROM fj JOIN mn ON mn.p_partkey = fj.p_partkey
+                           AND fj.cost = mn.mc
+            ORDER BY fj.s_acctbal DESC, fj.n_name, fj.s_name, fj.p_partkey
+            LIMIT 25
         """,
         # rows-only (no SQL twin): lang_id, minhash_dedup_documents,
         # simhash_signatures, simhash_neardup, ann_topk_lsh, kg_triples,

@@ -10147,3 +10147,253 @@ def embedding_vq_counts(sf_dir: str) -> rd.Dataset:
         .aggregate(Sum("n_partial", alias_name="n"))
         .filter(expr="n > 0")
     )
+
+
+def resolution_pairwise_eval(sf_dir: str) -> rd.Dataset:
+    """Pairwise CLUSTERING EVALUATION of the entity-resolution output
+    -> one row (tp_pairs, pred_pairs, truth_pairs): the exact
+    count-algebra inputs to pairwise precision (tp/pred) and recall
+    (tp/truth) — predicted clusters are supplier_entity_resolution's
+    canon ids (Levenshtein<=1 transitive closure), truth clusters are
+    suppliers sharing a normalized name (lowercased, non-alphanumerics
+    stripped).  Pair counts never materialize pairs: each is a
+    sum of C(size, 2) over group sizes (same-cell for TP, per-pred /
+    per-truth marginals), so everything shuffled is (pred, truth, m)
+    contingency cells — bounded by the entity count, exact int64.
+
+    The record-linkage evaluation methodology (pairwise P/R over a
+    gold partition) as a distributed count-algebra query; the SQL twin
+    recomputes the closure and the same three sums."""
+    import ray
+
+    from .ops import fuzzy
+
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_name"])
+    pairs = fuzzy.levenshtein_neardup_pairs(
+        supp, k=1, id_col="s_suppkey", name_col="s_name"
+    ).map_batches(
+        lambda t: pa.table({"id_a": t["s1"], "id_b": t["s2"]}),
+        batch_format="pyarrow",
+    )
+    cmap_df = dedup.components_from_pairs(
+        pairs, pa.int64(), num_partitions=8
+    ).to_pandas()  # bounded: matched entities only
+    cmap_ref = ray.put(
+        dict(zip(cmap_df["doc_id"], cmap_df["cluster_id"]))
+        if len(cmap_df)
+        else {}
+    )
+
+    class Cells:
+        def __init__(self):
+            self.cmap = ray.get(cmap_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids = t["s_suppkey"].to_pylist()
+            pred = pa.array([self.cmap.get(i, i) for i in ids], pa.int64())
+            truth = pc.replace_substring_regex(
+                pc.utf8_lower(t["s_name"]), "[^a-z0-9]", ""
+            )
+            g = (
+                pa.table({"pred": pred, "truth": truth})
+                .group_by(["pred", "truth"])
+                .aggregate([([], "count_all")])
+            )
+            return pa.table(
+                {
+                    "pred": g["pred"],
+                    "truth": g["truth"],
+                    "m_partial": pc.cast(g["count_all"], pa.int64()),
+                }
+            )
+
+    cells = (
+        supp.map_batches(Cells, batch_format="pyarrow", concurrency=(1, 4))
+        .groupby(["pred", "truth"])
+        .aggregate(Sum("m_partial", alias_name="m"))
+        .materialize()  # three consumers below
+    )
+
+    def _pair_sum(ds: rd.Dataset, col: str) -> int:
+        # sum of C(m, 2) as a streaming partial + one scalar driver fold
+        def partial(t: pa.Table) -> pa.Table:
+            if len(t) == 0:
+                return pa.table({"p": pa.array([0], pa.int64())})
+            m = (
+                pc.cast(t[col], pa.int64())
+                .combine_chunks()
+                .to_numpy(zero_copy_only=False)
+            )
+            return pa.table(
+                {"p": pa.array([int((m * (m - 1) // 2).sum())], pa.int64())}
+            )
+
+        s = ds.map_batches(partial, batch_format="pyarrow").aggregate(Sum("p"))
+        return int(s["sum(p)"] or 0)
+
+    tp = _pair_sum(cells, "m")
+    pred_sizes = (
+        cells.groupby("pred").aggregate(Sum("m", alias_name="sz"))
+    )
+    truth_sizes = (
+        cells.groupby("truth").aggregate(Sum("m", alias_name="sz"))
+    )
+    pred_pairs = _pair_sum(pred_sizes, "sz")
+    truth_pairs = _pair_sum(truth_sizes, "sz")
+    return rd.from_arrow(
+        pa.table(
+            {
+                "tp_pairs": pa.array([tp], pa.int64()),
+                "pred_pairs": pa.array([pred_pairs], pa.int64()),
+                "truth_pairs": pa.array([truth_pairs], pa.int64()),
+            }
+        )
+    )
+
+
+def q2_min_cost_supplier(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q2 shape (no partsupp: the part-supplier cost relation is
+    min(floor(l_extendedprice*100)) over lineitem's observed
+    (partkey, suppkey) pairs — the q16 convention): for size-15 parts,
+    the EUROPE supplier(s) achieving each part's minimum cost ->
+    top 25 by (s_acctbal DESC, n_name, s_name, p_partkey) with columns
+    (s_acctbal, s_name, n_name, p_partkey, p_brand, supply_cost).
+    Completes the 22/22 TPC-H shape inventory.
+
+    Scale shape: the correlated MIN-subquery is a grouped min +
+    self-join back (one extra narrow shuffle on partkey), never a
+    per-part subquery; nation x region (fixed-size) broadcasts into
+    the supplier read as a key filter; parts read with the size
+    pushdown; the final top-25 is combiner-first (per-block local
+    top-25, one 25-row merge)."""
+    # fixed-size side: EUROPE nation keys + names (25 nations)
+    nation = _read(sf_dir, "nation").to_pandas()
+    region = _read(sf_dir, "region").to_pandas()
+    eur = nation.merge(
+        region[region["r_name"] == "EUROPE"],
+        left_on="n_regionkey",
+        right_on="r_regionkey",
+    )[["n_nationkey", "n_name"]]
+    nat_keys = [int(k) for k in eur["n_nationkey"]]
+    nmap = dict(zip(eur["n_nationkey"], eur["n_name"]))
+
+    li = _lineitem(sf_dir, ["l_partkey", "l_suppkey", "l_extendedprice"])
+
+    def ps_partial(t: pa.Table) -> pa.Table:
+        c = pc.cast(
+            pc.floor(pc.multiply(t["l_extendedprice"], pa.scalar(100.0))),
+            pa.int64(),
+        )
+        g = (
+            pa.table(
+                {"l_partkey": t["l_partkey"], "l_suppkey": t["l_suppkey"], "c": c}
+            )
+            .group_by(["l_partkey", "l_suppkey"])
+            .aggregate([("c", "min")])
+        )
+        return pa.table(
+            {
+                "p_partkey": g["l_partkey"],
+                "s_suppkey": g["l_suppkey"],
+                "cost_partial": pc.cast(g["c_min"], pa.int64()),
+            }
+        )
+
+    ps = (
+        li.map_batches(ps_partial, batch_format="pyarrow")
+        .groupby(["p_partkey", "s_suppkey"])
+        .aggregate(Min("cost_partial", alias_name="cost"))
+        .repartition(8)
+        .materialize()
+    )
+    supp = rd.read_parquet(
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_suppkey", "s_name", "s_nationkey", "s_acctbal"],
+        filter=(pc.field("s_nationkey").isin(nat_keys)),
+        override_num_blocks=read_blocks(),
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "s_suppkey": t["s_suppkey"],
+                "s_name": t["s_name"],
+                "s_acctbal": t["s_acctbal"],
+                "n_name": pa.array(
+                    [nmap[int(k)] for k in t["s_nationkey"].to_pylist()],
+                    pa.string(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    parts = rd.read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_brand"],
+        filter=(pc.field("p_size") == 15),
+        override_num_blocks=read_blocks(),
+    )
+    j = joins.hash_join(ps, supp, on="s_suppkey", num_partitions=8).repartition(8)
+    j = joins.hash_join(j, parts, on="p_partkey", num_partitions=8).repartition(8)
+    j = j.materialize()  # consumed twice: grouped min + winner join
+    mn = (
+        j.map_batches(
+            lambda t: (
+                lambda g: pa.table(
+                    {"p_partkey": g["p_partkey"], "mc_partial": g["cost_min"]}
+                )
+            )(
+                pa.table({"p_partkey": t["p_partkey"], "cost": t["cost"]})
+                .group_by("p_partkey")
+                .aggregate([("cost", "min")])
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("p_partkey")
+        .aggregate(Min("mc_partial", alias_name="mc"))
+        .repartition(8)
+    )
+    winners = (
+        joins.hash_join(j, mn, on="p_partkey", num_partitions=8)
+        .repartition(8)
+        .map_batches(
+            lambda t: t.filter(pc.equal(t["cost"], t["mc"])),
+            batch_format="pyarrow",
+        )
+    )
+
+    def local_top(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {
+                    "s_acctbal": pd.Series([], dtype=np.float64),
+                    "s_name": pd.Series([], dtype=str),
+                    "n_name": pd.Series([], dtype=str),
+                    "p_partkey": pd.Series([], dtype=np.int64),
+                    "p_brand": pd.Series([], dtype=str),
+                    "supply_cost": pd.Series([], dtype=np.float64),
+                }
+            )
+        df = df.sort_values(
+            ["s_acctbal", "n_name", "s_name", "p_partkey"],
+            ascending=[False, True, True, True],
+            kind="mergesort",
+        ).head(25)
+        return pd.DataFrame(
+            {
+                "s_acctbal": df["s_acctbal"].to_numpy(np.float64),
+                "s_name": df["s_name"].astype(str),
+                "n_name": df["n_name"].astype(str),
+                "p_partkey": df["p_partkey"].to_numpy(np.int64),
+                "p_brand": df["p_brand"].astype(str),
+                "supply_cost": (
+                    df["cost"].to_numpy(np.int64) / 100.0
+                    if "cost" in df
+                    else df["supply_cost"].to_numpy(np.float64)
+                ),
+            }
+        )
+
+    return (
+        winners.map_batches(local_top, batch_format="pandas")
+        .repartition(1)
+        .map_batches(local_top, batch_format="pandas")
+    )
