@@ -251,6 +251,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_vq_counts": Q.embedding_vq_counts,
         "resolution_pairwise_eval": Q.resolution_pairwise_eval,
         "q2_min_cost_supplier": Q.q2_min_cost_supplier,
+        "events_late_arrivals": Q.events_late_arrivals,
         # --- rows-only / pytest-oracled block (no SQL twin by nature) ---
         "doc_compression_ratio": Q.doc_compression_ratio,
         "export_tar_shards_roundtrip": Q.export_tar_shards_roundtrip,
@@ -3336,6 +3337,20 @@ def oracle_sql() -> dict[str, str]:
                            AND fj.cost = mn.mc
             ORDER BY fj.s_acctbal DESC, fj.n_name, fj.s_name, fj.p_partkey
             LIMIT 25
+        """,
+        "events_late_arrivals": """
+            WITH w AS (
+              SELECT event_id, user_id, epoch_us(ts) AS t,
+                     max(epoch_us(ts)) OVER (
+                       ORDER BY (event_id // 16) * 16 + 15 - (event_id % 16)
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING) AS wm
+              FROM events WHERE ts IS NOT NULL
+            )
+            SELECT event_id, user_id,
+                   (wm - 60000000 - t)::BIGINT AS lateness_us
+            FROM w
+            WHERE wm IS NOT NULL AND t < wm - 60000000
         """,
         # rows-only (no SQL twin): lang_id, minhash_dedup_documents,
         # simhash_signatures, simhash_neardup, ann_topk_lsh, kg_triples,

@@ -534,3 +534,132 @@ def gap_stats(
         lambda df: df.dropna(subset=[ts_col]), batch_format="pandas"
     )
     return ordered_apply(clean, key_col, [ts_col, id_col], per_key)
+
+
+_I64_MIN = np.iinfo(np.int64).min
+
+
+def global_exclusive_prefix_max(
+    ds: rd.Dataset,
+    order_col: str,
+    val_col: str,
+    keep_cols: list[str] | None = None,
+    num_shards: int = 8,
+) -> rd.Dataset:
+    """Global EXCLUSIVE running max of ``val_col`` in ``order_col``
+    order (SQL ``max(val) OVER (ORDER BY ord ROWS BETWEEN UNBOUNDED
+    PRECEDING AND 1 PRECEDING)``) -> input columns + ``prev_max``
+    (int64; the first global row gets the _I64_MIN sentinel, the SQL
+    NULL).  The single-unbounded-partition window that per-key
+    ``ordered_apply`` cannot express — the streaming-watermark
+    primitive (prev_max IS the watermark-so-far at each row's arrival
+    position).
+
+    Scale shape: the range-partitioned global-sort pattern
+    (ops/analytic.global_rank): quantile-sketch shard boundaries on
+    ``order_col`` (broadcast floats; approximation skews balance,
+    never correctness), rows routed by vectorized searchsorted, ONE
+    shuffle on the shard id, per-shard local sort + exclusive cummax,
+    then per-shard maxima (``num_shards`` rows — driver-sized) folded
+    into exclusive carry-ins a final vectorized map combines back.
+    No task ever holds more than one shard; driver state is
+    ``num_shards`` ints."""
+    import pyarrow as pa
+
+    from ..ops.sketch import grouped_quantile
+
+    keep_cols = list(keep_cols or [])
+    cols = [order_col, val_col] + keep_cols
+
+    if ds.limit(1).count() == 0:
+        # from_pandas, not from_arrow: Ray's to_pandas() on an empty
+        # arrow-backed dataset drops the column index entirely
+        return rd.from_pandas(
+            pd.DataFrame(
+                {
+                    **{c: pd.Series([], dtype=np.int64) for c in cols},
+                    "prev_max": pd.Series([], dtype=np.int64),
+                }
+            )
+        )
+
+    narrow = ds.map_batches(
+        lambda df: df[cols], batch_format="pandas"
+    ).materialize()  # consumed twice: boundary sketch + shard routing
+
+    def add_g(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_g"] = np.int64(0)
+        return df
+
+    qs = {f"b{i}": i / num_shards for i in range(1, num_shards)}
+    b = (
+        grouped_quantile(
+            narrow.map_batches(add_g, batch_format="pandas"),
+            "_g",
+            order_col,
+            q=qs,
+            ndigits=None,
+        )
+        .to_pandas()
+        .iloc[0]
+    )
+    bounds = np.array([b[f"b{i}"] for i in range(1, num_shards)], np.float64)
+
+    def shard(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_shard"] = np.searchsorted(
+            bounds, df[order_col].to_numpy().astype(np.float64), side="right"
+        ).astype(np.int64)
+        return df
+
+    sharded = narrow.map_batches(shard, batch_format="pandas").materialize()
+
+    # per-shard maxima: num_shards narrow rows -> exclusive driver fold
+    shard_max = (
+        sharded.map_batches(
+            lambda df: (
+                pd.DataFrame(
+                    {
+                        "_shard": df["_shard"],
+                        "_m_partial": df[val_col].to_numpy(np.int64),
+                    }
+                )
+                .groupby("_shard", sort=False)["_m_partial"]
+                .max()
+                .reset_index()
+            ),
+            batch_format="pandas",
+        )
+        .groupby("_shard")
+        .max("_m_partial")
+        .to_pandas()
+    )
+    col = "max(_m_partial)"
+    shard_max = shard_max.sort_values("_shard")
+    carry = {}
+    run = _I64_MIN
+    for s, m in zip(shard_max["_shard"], shard_max[col]):
+        carry[int(s)] = run
+        run = max(run, int(m))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            out = df[cols].copy()
+            out["prev_max"] = np.array([], np.int64)
+            return out
+        df = df.sort_values(order_col, kind="mergesort")
+        v = df[val_col].to_numpy(np.int64)
+        excl = np.empty(len(v), np.int64)
+        excl[0] = _I64_MIN
+        np.maximum.accumulate(v[:-1], out=excl[1:])
+        c = carry.get(int(df["_shard"].iloc[0]), _I64_MIN)
+        out = df[cols].copy()
+        out["prev_max"] = np.maximum(excl, c)
+        return out
+
+    return (
+        sharded.groupby("_shard")
+        .map_groups(finish, batch_format="pandas")
+        .select_columns(cols + ["prev_max"])
+    )

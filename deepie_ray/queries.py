@@ -10397,3 +10397,65 @@ def q2_min_cost_supplier(sf_dir: str) -> rd.Dataset:
         .repartition(1)
         .map_batches(local_top, batch_format="pandas")
     )
+
+
+def events_late_arrivals(sf_dir: str) -> rd.Dataset:
+    """STREAMING WATERMARK late-arrival detection -> (event_id,
+    user_id, lateness_us): an event is LATE if its timestamp is more
+    than 60s behind the watermark at its arrival position — the §2.9
+    streaming semantics (late data vs a watermark) expressed as a
+    batch query, exact int64 microseconds so hash-exact vs the SQL
+    running-max window twin.  The synthetic events table is perfectly
+    time-ordered by event_id (zero inversions, measured), so the
+    arrival sequence REPLAYS a deterministic out-of-order ingestion:
+    arrival = (event_id//16)*16 + 15 - event_id%16 (each 16-block
+    delivered in reverse — integer arithmetic both sides).  The
+    watermark is the exclusive running max event time over everything
+    that arrived before.
+
+    Scale shape: the one-unbounded-partition window runs on the
+    range-partitioned shard-carry pattern
+    (ops/analytic.global_exclusive_prefix_max): one shuffle on the
+    sketch-derived shard id, per-shard vectorized exclusive cummax,
+    num_shards driver ints of carry state."""
+    from .ops import analytic
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["ts"]))
+        eid = pc.cast(t["event_id"], pa.int64()).combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        arrival = (eid // 16) * 16 + 15 - (eid % 16)
+        return pa.table(
+            {
+                "arrival": pa.array(arrival, pa.int64()),
+                "event_id": pa.array(eid, pa.int64()),
+                "t_us": pc.cast(t["ts"], pa.int64()),
+                "user_id": pc.cast(t["user_id"], pa.int64()),
+            }
+        )
+
+    wm = analytic.global_exclusive_prefix_max(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        order_col="arrival",
+        val_col="t_us",
+        keep_cols=["event_id", "user_id"],
+    )
+    LATE_US = 60_000_000
+    SENT = np.iinfo(np.int64).min
+
+    def late(df: pd.DataFrame) -> pd.DataFrame:
+        pm = df["prev_max"].to_numpy(np.int64)
+        t = df["t_us"].to_numpy(np.int64)
+        mask = (pm != SENT) & (t < pm - LATE_US)
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].to_numpy(np.int64)[mask],
+                "user_id": df["user_id"].to_numpy(np.int64)[mask],
+                "lateness_us": (pm - LATE_US - t)[mask],
+            }
+        )
+
+    return wm.map_batches(late, batch_format="pandas")

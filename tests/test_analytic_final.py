@@ -196,3 +196,48 @@ def test_batch3_and_final_ops_empty_tables_no_crash(tmp_path):
             else (len(r) if isinstance(r, pd.DataFrame) else r.count())
         )
         assert n == 0, name
+
+
+def test_global_exclusive_prefix_max_matches_pandas_window():
+    rng = np.random.default_rng(23)
+    n = 500
+    df = pd.DataFrame(
+        {
+            "ord": rng.permutation(np.arange(n)).astype(np.int64),
+            "val": rng.integers(-(10**9), 10**9, n).astype(np.int64),
+            "tag": np.arange(n, dtype=np.int64),
+        }
+    )
+    out = (
+        analytic.global_exclusive_prefix_max(
+            rd.from_pandas(df).repartition(7),
+            order_col="ord",
+            val_col="val",
+            keep_cols=["tag"],
+        )
+        .to_pandas()
+        .sort_values("ord")
+        .reset_index(drop=True)
+    )
+    ref = df.sort_values("ord").reset_index(drop=True)
+    exp = ref["val"].cummax().shift(1)
+    sent = np.iinfo(np.int64).min
+    exp_i = exp.fillna(sent).astype(np.int64)
+    assert out["prev_max"].tolist() == exp_i.tolist()
+    # keep columns ride through untouched
+    assert out["tag"].tolist() == ref["tag"].tolist()
+
+
+def test_global_exclusive_prefix_max_empty():
+    df = pd.DataFrame(
+        {
+            "ord": pd.Series([], dtype=np.int64),
+            "val": pd.Series([], dtype=np.int64),
+        }
+    )
+    out = analytic.global_exclusive_prefix_max(
+        rd.from_pandas(df), order_col="ord", val_col="val"
+    )
+    # Ray's to_pandas() drops the column index of an all-empty dataset,
+    # so pin the contract on schema() + count()
+    assert out.count() == 0 and "prev_max" in out.schema().names
