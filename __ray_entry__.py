@@ -298,6 +298,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_span_stats": Q.media_span_stats,
         "media_features": Q.media_features,
         "media_decode_features": Q.media_decode_features,
+        "media_meta_scan": Q.media_meta_scan,
+        "image_phash_neardup": Q.image_phash_neardup,
+        "audio_fp_neardup": Q.audio_fp_neardup,
         "graph_pagerank": Q.graph_pagerank,
         "embedding_kmeans": Q.embedding_kmeans,
         "semantic_dedup_embeddings": Q.semantic_dedup_embeddings,

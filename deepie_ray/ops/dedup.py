@@ -1064,12 +1064,22 @@ def _bits64(sigs: np.ndarray) -> np.ndarray:
     ).astype(np.int8)
 
 
-def simhash_neardup_pairs(
-    ds: rd.Dataset, max_hamming: int = 3, num_partitions: int = 8
+def hamming64_neardup_pairs(
+    sig_ds: rd.Dataset,
+    max_hamming: int = 3,
+    num_partitions: int = 8,
+    id_col: str = "doc_id",
+    sig_col: str = "simhash",
+    n_blocks: int = 4,
 ) -> rd.Dataset:
-    """SimHash near-dup: band the 64-bit signature into 4 x 16-bit
-    blocks (pigeonhole: hamming<=3 => at least one identical block),
-    co-locate buckets, verify hamming inside buckets.
+    """Generic 64-bit-signature Hamming near-dup: band each signature
+    into ``n_blocks`` equal-width blocks (pigeonhole: hamming <=
+    n_blocks-1 implies at least one identical block — that is the
+    recall guarantee; callers may pass a larger ``max_hamming`` and
+    accept approximate candidate generation), co-locate buckets,
+    verify exact Hamming inside buckets.  Works over ANY int64
+    signature column — SimHash over text, DCT pHash over images,
+    band-energy fingerprints over audio.
 
     Round-4 shape (same part-colocate rewrite as
     ``minhash_candidate_pairs``): the explode carries a derived
@@ -1086,33 +1096,36 @@ def simhash_neardup_pairs(
     hot bucket instead of O(n^2), transitivity recovered downstream by
     whoever clusters the pairs.  Nothing is silently dropped.
     """
+    if 64 % n_blocks:
+        raise ValueError("n_blocks must divide 64")
+    width = 64 // n_blocks
+    mask = np.uint64((1 << width) - 1)
 
     def explode(batch: pa.Table) -> pa.Table:
-        sh = simhash_batch(batch)
-        sigs = sh["simhash"].to_numpy(zero_copy_only=False)
+        sigs = batch[sig_col].to_numpy(zero_copy_only=False).astype(np.int64)
         n = len(sigs)
         u = sigs.view(np.uint64)
-        bi = np.tile(np.arange(4, dtype=np.int32), n)
-        bv = np.empty(n * 4, dtype=np.int32)
-        for blk in range(4):
-            bv[blk::4] = (
-                (u >> np.uint64(16 * blk)) & np.uint64(0xFFFF)
-            ).astype(np.int32)
+        bi = np.tile(np.arange(n_blocks, dtype=np.int32), n)
+        bv = np.empty(n * n_blocks, dtype=np.int64)
+        for blk in range(n_blocks):
+            bv[blk::n_blocks] = ((u >> np.uint64(width * blk)) & mask).astype(
+                np.int64
+            )
         # part routes the (block_idx, block_val) bucket; splitmix mix so
         # correlated block values spread evenly
-        key = bv.astype(np.uint64) * np.uint64(4) + bi.astype(np.uint64)
+        key = bv.view(np.uint64) * np.uint64(n_blocks) + bi.astype(np.uint64)
         with np.errstate(over="ignore"):
             key = (key + _SMX_GAMMA) * _SMX_M1
             key ^= key >> np.uint64(27)
         part = (key % np.uint64(num_partitions)).astype(np.int64)
-        rep = pa.array(np.repeat(np.arange(n), 4), pa.int64())
+        rep = pa.array(np.repeat(np.arange(n), n_blocks), pa.int64())
         return pa.table(
             {
                 "block_idx": pa.array(bi, pa.int32()),
-                "block_val": pa.array(bv, pa.int32()),
+                "block_val": pa.array(bv, pa.int64()),
                 "part": pa.array(part, pa.int64()),
-                "doc_id": sh["doc_id"].take(rep),
-                "simhash": pa.array(np.repeat(sigs, 4), pa.int64()),
+                "doc_id": batch[id_col].take(rep),
+                "simhash": pa.array(np.repeat(sigs, n_blocks), pa.int64()),
             }
         )
 
@@ -1166,7 +1179,7 @@ def simhash_neardup_pairs(
         )
 
     pairs = (
-        ds.map_batches(explode, batch_format="pyarrow")
+        sig_ds.map_batches(explode, batch_format="pyarrow")
         .groupby("part")
         .map_groups(verify_part, batch_format="pandas")
     )
@@ -1206,6 +1219,24 @@ def simhash_neardup_pairs(
         pairs.map_batches(pair_part, batch_format="pandas")
         .groupby("ppart")
         .map_groups(dedup_min, batch_format="pandas")
+    )
+
+
+def simhash_neardup_pairs(
+    ds: rd.Dataset, max_hamming: int = 3, num_partitions: int = 8
+) -> rd.Dataset:
+    """SimHash near-dup over document text: signature stage
+    (``simhash_batch``, fused into the read lineage) followed by the
+    generic banded Hamming self-join.  4 x 16-bit blocks: recall is
+    guaranteed for hamming <= 3; larger ``max_hamming`` keeps the
+    exact verify but candidate generation becomes approximate."""
+    return hamming64_neardup_pairs(
+        ds.map_batches(simhash_batch, batch_format="pyarrow"),
+        max_hamming=max_hamming,
+        num_partitions=num_partitions,
+        id_col="doc_id",
+        sig_col="simhash",
+        n_blocks=4,
     )
 
 

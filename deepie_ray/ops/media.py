@@ -707,3 +707,258 @@ class BinaryMediaDecoder:
             .append_column("dim0", pa.array(dims[:, 0], pa.int32()))
             .append_column("dim1", pa.array(dims[:, 1], pa.int32()))
         )
+
+
+# ------------------------------------- header sniffing + perceptual hashes
+
+
+def decode_image(data: bytes) -> np.ndarray:
+    """Magic-byte dispatch over the four real image codecs ->
+    (H, W, 3) uint8.  Grayscale PNG is expanded to 3 channels so every
+    caller sees one layout."""
+    if data.startswith(_PNG_SIG):
+        img = decode_png(data)
+        if img.ndim == 2:
+            img = np.repeat(img[:, :, None], 3, axis=2)
+        return img
+    if data.startswith(b"BM"):
+        return decode_bmp(data)
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif(data)
+    if data.startswith(b"P6"):
+        return decode_ppm(data)
+    raise ValueError("unknown image container (magic bytes)")
+
+
+def sniff_media_meta(data: bytes) -> tuple[str, int, int]:
+    """Container metadata from HEADER BYTES ONLY — no decode.
+
+    This is the 100-TB path for shape/format statistics: a metadata
+    scan reads tens of header bytes per blob instead of inflating the
+    payload (for PNG that skips the whole zlib stream).  Returns
+    ``(fmt, d0, d1)``: images -> (fmt, height, width); WAV ->
+    ("wav", n_samples, sample_rate).  Pinned against the real decoders
+    by pytest (sniff == decode on every codec).
+    """
+    if data.startswith(_PNG_SIG):
+        # IHDR is always the first chunk: length(4) type(4) at 8,
+        # width/height big-endian u32 at 16/20
+        w = int.from_bytes(data[16:20], "big")
+        h = int.from_bytes(data[20:24], "big")
+        return "png", h, w
+    if data.startswith(b"BM"):
+        w = int.from_bytes(data[18:22], "little", signed=True)
+        h = int.from_bytes(data[22:26], "little", signed=True)
+        return "bmp", abs(h), w  # negative height = top-down rows
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        w = int.from_bytes(data[6:8], "little")
+        h = int.from_bytes(data[8:10], "little")
+        return "gif", h, w
+    if data.startswith(b"P6"):
+        pos, fields = 2, []
+        while len(fields) < 2:  # width, height only — stop before raster
+            while pos < len(data) and data[pos : pos + 1].isspace():
+                pos += 1
+            if data[pos : pos + 1] == b"#":
+                pos = data.index(b"\n", pos) + 1
+                continue
+            start = pos
+            while pos < len(data) and not data[pos : pos + 1].isspace():
+                pos += 1
+            fields.append(int(data[start:pos]))
+        return "ppm", fields[1], fields[0]
+    if data.startswith(b"RIFF") and data[8:12] == b"WAVE":
+        # walk chunk headers only (8 bytes each + declared size)
+        pos, rate, block_align, n_samples = 12, 0, 2, 0
+        while pos + 8 <= len(data):
+            cid = data[pos : pos + 4]
+            size = int.from_bytes(data[pos + 4 : pos + 8], "little")
+            if cid == b"fmt ":
+                channels = int.from_bytes(data[pos + 10 : pos + 12], "little")
+                rate = int.from_bytes(data[pos + 12 : pos + 16], "little")
+                bits = int.from_bytes(data[pos + 22 : pos + 24], "little")
+                block_align = max(1, channels * bits // 8)
+            elif cid == b"data":
+                n_samples = size // block_align
+                break  # data chunk body is never read
+            pos += 8 + size + (size & 1)  # chunks are word-aligned
+        return "wav", n_samples, rate
+    raise ValueError("unknown media container (magic bytes)")
+
+
+def sniff_meta_batch(batch: pa.Table) -> pa.Table:
+    """Stateless metadata-scan stage: (..., payload) -> (..., fmt,
+    dim0, dim1) touching only header bytes.  Zero-copy buffer slices —
+    the payload column's bodies are never materialized as Python
+    bytes beyond the first 64 header bytes per row."""
+    col = batch["payload"]
+    fmts, d0s, d1s = [], [], []
+    for chunk in (
+        col.chunks if isinstance(col, pa.ChunkedArray) else [col]
+    ):
+        for i in range(len(chunk)):
+            fmt, d0, d1 = sniff_media_meta(chunk[i].as_py())
+            fmts.append(fmt)
+            d0s.append(d0)
+            d1s.append(d1)
+    return (
+        batch.drop_columns(["payload"])
+        .append_column("fmt", pa.array(fmts, pa.string()))
+        .append_column("dim0", pa.array(d0s, pa.int64()))
+        .append_column("dim1", pa.array(d1s, pa.int64()))
+    )
+
+
+def _dct_basis(n: int = 32) -> np.ndarray:
+    """Orthonormal DCT-II basis matrix B (n x n): ``B @ x`` is the
+    1-D DCT-II of x; ``B @ img @ B.T`` the 2-D transform."""
+    k = np.arange(n, dtype=np.float64)[:, None]
+    i = np.arange(n, dtype=np.float64)[None, :]
+    B = np.cos(np.pi * (2 * i + 1) * k / (2 * n)) * np.sqrt(2.0 / n)
+    B[0] *= np.sqrt(0.5)
+    return B
+
+
+_PHASH_B8 = _dct_basis(32)[:8]  # only the 8 low-frequency rows are needed
+
+
+def phash64(grays: np.ndarray) -> np.ndarray:
+    """DCT perceptual hash: (n, 32, 32) float grayscale -> (n,) int64.
+
+    Standard pHash construction (Zauner 2010 / the imagehash
+    convention): 2-D DCT-II, keep the 8x8 low-frequency block, bit =
+    coefficient > median(block).  Robust to small pixel noise,
+    re-encoding and resizing because low-frequency structure survives
+    all three.  Vectorized across the batch: one einsum computes the
+    low-frequency block directly (8x32 basis slices both sides), no
+    full 32x32 transform."""
+    low = np.einsum(
+        "ky,nyx,jx->nkj", _PHASH_B8, grays.astype(np.float64), _PHASH_B8
+    )
+    flat = low.reshape(len(grays), 64)
+    med = np.median(flat, axis=1, keepdims=True)
+    bits = (flat > med).astype(np.uint64)
+    words = (bits << np.arange(64, dtype=np.uint64)[None, :]).sum(
+        axis=1, dtype=np.uint64
+    )
+    return words.view(np.int64)
+
+
+N_FP_FRAMES = 9  # 9 frames x 9 bands -> 8x8 delta bits = 64
+
+
+def audio_fp64(pcm: np.ndarray) -> int:
+    """64-bit audio fingerprint: the Haitsma-Kalker (2002) bit rule
+    over a 9-frame x 9-band energy grid.
+
+    The signal splits into 9 equal frames; each frame's rfft power is
+    summed into 9 log-spaced frequency bands; bit[t, b] = sign of the
+    time-difference of the band-difference
+    ``E[t,b]-E[t,b+1] - (E[t-1,b]-E[t-1,b+1])`` -> 8x8 = 64 bits.
+    Differential in both axes, so the hash is invariant to overall
+    gain and robust to broadband noise."""
+    n = len(pcm) // N_FP_FRAMES
+    if n < 2:
+        return 0
+    frames = pcm[: n * N_FP_FRAMES].reshape(N_FP_FRAMES, n).astype(np.float64)
+    power = np.abs(np.fft.rfft(frames, axis=1)) ** 2  # (9, n//2+1)
+    n_bins = power.shape[1]
+    edges = np.unique(
+        np.geomspace(1, n_bins - 1, N_FP_FRAMES + 1).astype(np.int64)
+    )
+    while len(edges) < N_FP_FRAMES + 1:  # tiny inputs: pad the tail
+        edges = np.append(edges, edges[-1] + 1)
+    E = np.add.reduceat(power[:, : edges[-1]], edges[:-1], axis=1)  # (9, 9)
+    D = E[:, :-1] - E[:, 1:]  # band deltas (9, 8)
+    bits = (D[1:] - D[:-1] > 0).astype(np.uint64).ravel()  # (8*8,)
+    return int(
+        (bits << np.arange(64, dtype=np.uint64)).sum(dtype=np.uint64).view(
+            np.int64
+        )
+    )
+
+
+class PerceptualHasher:
+    """Actor-pool stage: REAL media payloads -> 64-bit perceptual
+    signatures suitable for the generic banded Hamming near-dup join
+    (ops/dedup.hamming64_neardup_pairs).
+
+    Images (PNG/BMP/GIF/PPM, magic dispatch): decode -> grayscale ->
+    32x32 nearest-neighbor resize -> DCT pHash, batched through one
+    einsum.  Audio (WAV): decode -> 9x9 band-energy grid ->
+    Haitsma-Kalker delta bits.  Output rows are NARROW (ref + int64) —
+    the payload bodies never leave this stage, which is what makes the
+    downstream self-join shuffle metadata-sized at corpus scale."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        kinds = batch["kind"].to_pylist()
+        payloads = batch["payload"].to_pylist()
+        n = len(kinds)
+        sigs = np.zeros(n, dtype=np.int64)
+        img_idx = [i for i, k in enumerate(kinds) if k == "image"]
+        if img_idx:
+            grays = np.zeros((len(img_idx), 32, 32), dtype=np.float64)
+            for j, i in enumerate(img_idx):
+                img = decode_image(payloads[i])
+                gray = img.mean(axis=2)
+                ys = (np.arange(32) * gray.shape[0] // 32).clip(
+                    0, gray.shape[0] - 1
+                )
+                xs = (np.arange(32) * gray.shape[1] // 32).clip(
+                    0, gray.shape[1] - 1
+                )
+                grays[j] = gray[np.ix_(ys, xs)]
+            sigs[img_idx] = phash64(grays)
+        for i, k in enumerate(kinds):
+            if k == "audio":
+                pcm, _rate = decode_wav(payloads[i])
+                sigs[i] = audio_fp64(pcm)
+            elif k != "image":
+                raise NotImplementedError(f"no perceptual hash for kind={k!r}")
+        return (
+            batch.drop_columns(["payload"])
+            .append_column("sig", pa.array(sigs, pa.int64()))
+        )
+
+
+def synth_neardup_payload(kind: str, ref: str, n_families: int = 4) -> bytes:
+    """Deterministic payload WITH PLANTED NEAR-DUPLICATES: ~20% of refs
+    collapse into ``n_families`` content families (same base content,
+    per-ref low-amplitude noise — a re-encoded/lightly-edited copy);
+    the rest are unique.  Seeded by the ref alone, so any
+    partitioning/retry regenerates identical bytes."""
+    r = stable_u32(ref, "dupfam:") % 100
+    if r < 20:
+        seed_key = f"family:{kind}:{r % n_families}"
+    else:
+        seed_key = f"unique:{kind}:{ref}"
+    rng = np.random.default_rng(stable_u32(seed_key, "payload2:"))
+    noise_rng = np.random.default_rng(stable_u32(ref, "noise:"))
+    if kind == "image":
+        h = 24 + int(rng.integers(0, 16))
+        w = 24 + int(rng.integers(0, 16))
+        # smooth base (low-frequency content) so +-1 pixel noise cannot
+        # flip low-frequency DCT signs: upsample an 8x8 coarse grid
+        coarse = rng.integers(30, 226, (8, 8, 3))
+        ys = (np.arange(h) * 8 // h).clip(0, 7)
+        xs = (np.arange(w) * 8 // w).clip(0, 7)
+        base = coarse[np.ix_(ys, xs)]
+        noisy = np.clip(
+            base + noise_rng.integers(-1, 2, base.shape), 0, 255
+        ).astype(np.uint8)
+        pick = int(noise_rng.integers(0, 3))  # codec varies per REF:
+        if pick == 0:  # the same content re-encoded in another container
+            return encode_png(noisy)
+        if pick == 1:
+            return encode_bmp(noisy)
+        return encode_ppm(noisy)
+    if kind == "audio":
+        # broadband base (family-seeded filtered noise) so EVERY
+        # fingerprint band carries signal-scale energy — the delta
+        # bits then have wide margins and per-ref noise cannot flip
+        # them, while independent bases decorrelate completely
+        n = 3200 + int(rng.integers(0, 3200))
+        base = rng.standard_normal(4 * 3200)
+        sig = 0.4 * base[:n] + 0.01 * noise_rng.standard_normal(n)
+        return encode_wav(np.clip(sig, -1, 1).astype(np.float32))
+    raise NotImplementedError(f"no synthesizable codec for kind={kind!r}")

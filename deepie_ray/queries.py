@@ -10459,3 +10459,105 @@ def events_late_arrivals(sf_dir: str) -> rd.Dataset:
         )
 
     return wm.map_batches(late, batch_format="pandas")
+
+
+def media_meta_scan(sf_dir: str) -> rd.Dataset:
+    """Header-only media metadata scan -> (kind, fmt, n, sum_h, sum_w):
+    container format + dimensions parsed from HEADER BYTES ONLY
+    (ops/media.sniff_media_meta — for PNG that skips the whole zlib
+    stream), then a combiner-first grouped aggregate.  The 100-TB
+    shape for corpus shape statistics: per-blob work is ~64 header
+    bytes, no decode, and only (kind, fmt) micro-rows shuffle.
+    Rows-only by nature (payloads are invisible to SQL); sniff ==
+    decode is pinned by pytest across all five real codecs."""
+    from . import pipeline
+    from .ops import media
+
+    docs = pipeline.read_documents(sf_dir)
+    spans = docs.map_batches(media.explode_media_spans, batch_format="pyarrow")
+
+    def attach_and_sniff(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t["kind"], value_set=pa.array(["image", "audio"])))
+        payloads = [
+            media.synth_payload(k, r)
+            for k, r in zip(t["kind"].to_pylist(), t["media_ref"].to_pylist())
+        ]
+        t = t.append_column("payload", pa.array(payloads, pa.binary()))
+        m = media.sniff_meta_batch(t)
+        # per-batch partial: (kind, fmt) -> n, sum_h, sum_w
+        g = m.group_by(["kind", "fmt"]).aggregate(
+            [("dim0", "sum"), ("dim1", "sum"), ([], "count_all")]
+        )
+        return pa.table(
+            {
+                "kind": g["kind"],
+                "fmt": g["fmt"],
+                "n": g["count_all"],
+                "sum_h": g["dim0_sum"],
+                "sum_w": g["dim1_sum"],
+            }
+        )
+
+    partials = spans.map_batches(attach_and_sniff, batch_format="pyarrow")
+    out = partials.groupby(["kind", "fmt"]).aggregate(
+        Sum("n", alias_name="n"),
+        Sum("sum_h", alias_name="sum_h"),
+        Sum("sum_w", alias_name="sum_w"),
+    )
+    return out
+
+
+def _perceptual_neardup(sf_dir: str, kind: str, max_hamming: int = 3) -> rd.Dataset:
+    """Shared body for image/audio perceptual near-dup: media spans of
+    one modality -> planted-dup payloads -> PerceptualHasher actor pool
+    (payload bodies die inside the stage; only ref + int64 signature
+    rows continue) -> generic banded Hamming self-join with guaranteed
+    recall at hamming <= 3 (4 x 16-bit pigeonhole)."""
+    from . import pipeline
+    from .ops import media
+
+    docs = pipeline.read_documents(sf_dir)
+    spans = docs.map_batches(media.explode_media_spans, batch_format="pyarrow")
+
+    def attach(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["kind"], kind))
+        payloads = [
+            media.synth_neardup_payload(k, r)
+            for k, r in zip(t["kind"].to_pylist(), t["media_ref"].to_pylist())
+        ]
+        return t.append_column("payload", pa.array(payloads, pa.binary()))
+
+    sigs = spans.map_batches(attach, batch_format="pyarrow").map_batches(
+        media.PerceptualHasher,
+        batch_format="pyarrow",
+        batch_size=256,  # wide binary rows
+        concurrency=(1, 4),
+    )
+    return dedup.hamming64_neardup_pairs(
+        sigs,
+        max_hamming=max_hamming,
+        id_col="media_ref",
+        sig_col="sig",
+        n_blocks=4,
+    )
+
+
+def image_phash_neardup(sf_dir: str) -> rd.Dataset:
+    """Image near-duplicate detection -> (id_a, id_b, hamming): REAL
+    decode (PNG/BMP/PPM magic dispatch) -> 32x32 grayscale -> DCT
+    perceptual hash (ops/media.phash64) -> banded Hamming self-join.
+    Finds re-encoded / lightly-edited copies of the same picture:
+    the planted content families land at hamming <= 2 (measured) while
+    unrelated images sit >= 14, so the guaranteed-recall threshold 3
+    separates exactly.  Rows-only; family detection + brute-force
+    parity pinned by pytest."""
+    return _perceptual_neardup(sf_dir, "image")
+
+
+def audio_fp_neardup(sf_dir: str) -> rd.Dataset:
+    """Audio near-duplicate detection -> (id_a, id_b, hamming): WAV
+    decode -> 9-frame x 9-band energy grid -> Haitsma-Kalker delta
+    bits (ops/media.audio_fp64) -> banded Hamming self-join.  Gain-
+    and-noise-robust copy detection; planted families at hamming <= 3,
+    unrelated clips >= 10 (measured).  Rows-only; pytest parity."""
+    return _perceptual_neardup(sf_dir, "audio")

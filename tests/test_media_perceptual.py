@@ -1,0 +1,209 @@
+"""Perceptual media fingerprints + header-only metadata sniffing.
+
+Pins: (a) sniff_media_meta == real decoder dims on every codec,
+(b) pHash/audio-fp planted-family detection matches a brute-force
+Hamming oracle, (c) partitioning invariance of the distributed pair
+join, (d) pHash invariance across lossless re-encoding containers.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data as rd
+
+from deepie_ray.hashing import stable_u32
+from deepie_ray.ops import dedup, media
+
+
+def _ham(a: int, b: int) -> int:
+    return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+
+# ------------------------------------------------- header sniffing
+
+
+def test_sniff_matches_decode_all_image_codecs():
+    rng = np.random.default_rng(7)
+    for trial in range(12):
+        h = 5 + int(rng.integers(0, 40))
+        w = 5 + int(rng.integers(0, 40))
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        for enc, fmt in (
+            (media.encode_png, "png"),
+            (media.encode_bmp, "bmp"),
+            (media.encode_ppm, "ppm"),
+            (lambda x: media.encode_gif(x & 0xC0), "gif"),
+        ):
+            data = enc(img)
+            sfmt, sh, sw = media.sniff_media_meta(data)
+            assert (sfmt, sh, sw) == (fmt, h, w)
+            dec = media.decode_image(data)
+            assert dec.shape[:2] == (sh, sw)
+
+
+def test_sniff_matches_decode_wav():
+    rng = np.random.default_rng(11)
+    for n, rate in ((1600, 16000), (4801, 8000), (320, 44100)):
+        data = media.encode_wav(
+            rng.standard_normal(n).astype(np.float32) * 0.1, rate=rate
+        )
+        fmt, n_samples, srate = media.sniff_media_meta(data)
+        assert fmt == "wav"
+        pcm, drate = media.decode_wav(data)
+        assert (n_samples, srate) == (len(pcm), drate)
+
+
+def test_sniff_rejects_unknown_container():
+    import pytest
+
+    with pytest.raises(ValueError):
+        media.sniff_media_meta(b"\x00\x01\x02 not a container")
+
+
+# ------------------------------------------------- pHash properties
+
+
+def _gray32(img: np.ndarray) -> np.ndarray:
+    gray = img.mean(axis=2)
+    ys = (np.arange(32) * gray.shape[0] // 32).clip(0, gray.shape[0] - 1)
+    xs = (np.arange(32) * gray.shape[1] // 32).clip(0, gray.shape[1] - 1)
+    return gray[np.ix_(ys, xs)]
+
+
+def test_phash_invariant_across_lossless_containers():
+    """The same pixels re-encoded PNG/BMP/PPM hash identically."""
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (20, 28, 3), dtype=np.uint8)
+    hashes = set()
+    for enc in (media.encode_png, media.encode_bmp, media.encode_ppm):
+        dec = media.decode_image(enc(img))
+        hashes.add(int(media.phash64(_gray32(dec)[None])[0]))
+    assert len(hashes) == 1
+
+
+def test_phash_noise_robust_structure_sensitive():
+    rng = np.random.default_rng(5)
+    coarse = rng.integers(30, 226, (8, 8, 3))
+    ys = (np.arange(30) * 8 // 30).clip(0, 7)
+    xs = (np.arange(30) * 8 // 30).clip(0, 7)
+    base = coarse[np.ix_(ys, xs)]
+    h_base = int(media.phash64(_gray32(base.astype(np.uint8))[None])[0])
+    noisy = np.clip(base + rng.integers(-1, 2, base.shape), 0, 255).astype(
+        np.uint8
+    )
+    assert _ham(h_base, int(media.phash64(_gray32(noisy)[None])[0])) <= 3
+    other = rng.integers(30, 226, (8, 8, 3))
+    other_img = other[np.ix_(ys, xs)].astype(np.uint8)
+    assert _ham(h_base, int(media.phash64(_gray32(other_img)[None])[0])) > 10
+
+
+def test_audio_fp_gain_invariant_noise_robust():
+    rng = np.random.default_rng(9)
+    base = rng.standard_normal(6400)
+    fp = media.audio_fp64(0.4 * base)
+    assert media.audio_fp64(0.1 * base) == fp  # gain invariance
+    noisy = 0.4 * base + 0.01 * rng.standard_normal(6400)
+    assert _ham(fp, media.audio_fp64(noisy)) <= 3
+    other = rng.standard_normal(6400)
+    assert _ham(fp, media.audio_fp64(0.4 * other)) > 8
+
+
+# --------------------------------------- distributed near-dup parity
+
+
+def _brute_pairs(sigs: dict[str, int], max_hamming: int) -> set[tuple]:
+    refs = sorted(sigs)
+    out = set()
+    for i in range(len(refs)):
+        for j in range(i + 1, len(refs)):
+            a, b = refs[i], refs[j]
+            if _ham(sigs[a], sigs[b]) <= max_hamming:
+                out.add((min(a, b), max(a, b)))
+    return out
+
+
+def _planted_sigs(kind: str, n: int) -> dict[str, int]:
+    hasher = media.PerceptualHasher()
+    refs = [f"{kind}://t/{i}" for i in range(n)]
+    batch = pa.table(
+        {
+            "kind": pa.array([kind] * n),
+            "media_ref": pa.array(refs),
+            "payload": pa.array(
+                [media.synth_neardup_payload(kind, r) for r in refs],
+                pa.binary(),
+            ),
+        }
+    )
+    out = hasher(batch)
+    return dict(zip(out["media_ref"].to_pylist(), out["sig"].to_pylist()))
+
+
+def _run_distributed(kind: str, sigs: dict[str, int], parallelism: int):
+    tbl = pa.table(
+        {
+            "media_ref": pa.array(sorted(sigs)),
+            "sig": pa.array([sigs[r] for r in sorted(sigs)], pa.int64()),
+        }
+    )
+    ds = rd.from_arrow(tbl).repartition(parallelism)
+    pairs = dedup.hamming64_neardup_pairs(
+        ds, max_hamming=3, id_col="media_ref", sig_col="sig", n_blocks=4
+    ).to_pandas()
+    return {
+        (min(a, b), max(a, b)) for a, b in zip(pairs["id_a"], pairs["id_b"])
+    }
+
+
+def test_image_phash_neardup_matches_bruteforce():
+    sigs = _planted_sigs("image", 120)
+    want = _brute_pairs(sigs, 3)
+    assert want, "planted families must produce at least one pair"
+    got = _run_distributed("image", sigs, 3)
+    assert got == want
+    # family structure: every planted same-family pair is found
+    fam = {
+        r: (stable_u32(r, "dupfam:") % 100) % 4
+        for r in sigs
+        if stable_u32(r, "dupfam:") % 100 < 20
+    }
+    for a in fam:
+        for b in fam:
+            if a < b and fam[a] == fam[b]:
+                assert (a, b) in got
+
+
+def test_audio_fp_neardup_matches_bruteforce_partition_invariant():
+    sigs = _planted_sigs("audio", 100)
+    want = _brute_pairs(sigs, 3)
+    assert want
+    assert _run_distributed("audio", sigs, 2) == want
+    assert _run_distributed("audio", sigs, 7) == want
+
+
+# ---------------------------------------------------- query smoke
+
+
+def test_media_queries_end_to_end(sf_dir):
+    from deepie_ray import queries as Q
+
+    meta = Q.media_meta_scan(sf_dir).to_pandas()
+    assert set(meta.columns) == {"kind", "fmt", "n", "sum_h", "sum_w"}
+    assert (meta["n"] > 0).all()
+    # image rows split across the four codecs; audio rows are all wav
+    assert set(meta.loc[meta["kind"] == "audio", "fmt"]) == {"wav"}
+    assert set(meta.loc[meta["kind"] == "image", "fmt"]) <= {
+        "png",
+        "bmp",
+        "gif",
+        "ppm",
+    }
+
+    img_pairs = Q.image_phash_neardup(sf_dir).to_pandas()
+    assert set(img_pairs.columns) == {"id_a", "id_b", "hamming"}
+    assert (img_pairs["hamming"] <= 3).all()
+
+    aud_pairs = Q.audio_fp_neardup(sf_dir).to_pandas()
+    assert (aud_pairs["hamming"] <= 3).all()
