@@ -135,6 +135,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_top_suppliers": Q.nation_top_suppliers,
         "user_days_view_not_purchase": Q.user_days_view_not_purchase,
         "events_p50_cont": Q.events_p50_cont,
+        "events_value_percentiles_exact": Q.events_value_percentiles_exact,
         "event_props_k_stats": Q.event_props_k_stats,
         "window_top_event_types": Q.window_top_event_types,
         "window_distinct_users": Q.window_distinct_users,
@@ -2522,6 +2523,17 @@ def oracle_sql() -> dict[str, str]:
                    quantile_cont(value::DOUBLE, 0.5) AS p50_value
             FROM events WHERE value IS NOT NULL
             GROUP BY event_type
+        """,
+        "events_value_percentiles_exact": r"""
+            WITH c AS (
+              SELECT CAST(floor(value * 100) AS BIGINT) AS cents
+              FROM events WHERE value IS NOT NULL
+            )
+            SELECT 25::BIGINT AS q_pct,
+                   quantile_disc(cents, 0.25)::BIGINT AS value_cents FROM c
+            UNION ALL SELECT 50, quantile_disc(cents, 0.50)::BIGINT FROM c
+            UNION ALL SELECT 90, quantile_disc(cents, 0.90)::BIGINT FROM c
+            UNION ALL SELECT 99, quantile_disc(cents, 0.99)::BIGINT FROM c
         """,
         "event_props_k_stats": r"""
             SELECT event_type, count(*)::BIGINT AS n_with_k,

@@ -559,3 +559,112 @@ def grouped_hll_distinct(
         merge_lvl1, batch_format="pandas"
     )
     return lvl1.groupby(key_col).map_groups(merge_final, batch_format="pandas")
+
+
+# ---------------------------------------- exact distributed selection
+
+
+def exact_quantiles_refine(
+    ds: rd.Dataset,
+    col: str,
+    qs: tuple[float, ...],
+    n_buckets: int = 1024,
+    max_rounds: int = 16,
+) -> list[int]:
+    """EXACT global order statistics over an integer column by
+    iterative histogram refinement (classic distributed selection) —
+    the scale path where both the sketch (approximate above its cap)
+    and sort-then-index (a full all-to-all shuffle) are wrong answers.
+
+    Round 0 scans for (n, min, max); each refinement round scans once
+    more, histogramming every still-active quantile's current
+    [lo, hi] range into ``n_buckets`` equal-width buckets inside
+    ``map_batches`` (one vectorized ``np.bincount`` per quantile per
+    block) and emitting only non-empty (quantile, bucket, count)
+    micro-rows.  The driver folds those (bounded by
+    blocks x len(qs) x n_buckets ints — metadata, never values),
+    descends into the bucket containing each quantile's remaining
+    rank, and rescales.  Ranges shrink by n_buckets per round, so a
+    2^31 integer domain is EXACT after 4 scans; values themselves
+    never shuffle and no worker ever holds more than one block.
+
+    Rank rule: index ``floor(q * (n-1))`` of the ascending sort —
+    DuckDB's ``quantile_disc``, same pin as events_p50_disc.
+    Returns one exact int per q (the actual element).
+    """
+
+    def stats_partial(t: pa.Table) -> pa.Table:
+        v = t[col].to_numpy(zero_copy_only=False)
+        v = v[~pd.isna(v)].astype(np.int64)
+        if not len(v):
+            return pa.table(
+                {"n": pa.array([], pa.int64()),
+                 "lo": pa.array([], pa.int64()),
+                 "hi": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {"n": [len(v)], "lo": [int(v.min())], "hi": [int(v.max())]}
+        )
+
+    st = ds.map_batches(stats_partial, batch_format="pyarrow").to_pandas()
+    if not len(st) or st["n"].sum() == 0:
+        raise ValueError("exact_quantiles_refine: empty input")
+    n = int(st["n"].sum())
+    glo, ghi = int(st["lo"].min()), int(st["hi"].max())
+    # per-quantile state: [lo, hi, k] with k = remaining rank WITHIN [lo, hi]
+    state = [[glo, ghi, int(np.floor(q * (n - 1)))] for q in qs]
+
+    for _round in range(max_rounds):
+        active = [j for j, (lo, hi, _k) in enumerate(state) if lo < hi]
+        if not active:
+            break
+        ranges = [(j, state[j][0], state[j][1]) for j in active]
+        widths = {
+            j: -(-(hi - lo + 1) // n_buckets) for j, lo, hi in ranges
+        }  # ceil division
+
+        def hist_partial(
+            t: pa.Table, _ranges=tuple(ranges), _widths=dict(widths)
+        ) -> pa.Table:
+            v = t[col].to_numpy(zero_copy_only=False)
+            v = v[~pd.isna(v)].astype(np.int64)
+            js, bs, cs = [], [], []
+            for j, lo, hi in _ranges:
+                m = v[(v >= lo) & (v <= hi)]
+                if not len(m):
+                    continue
+                cnt = np.bincount((m - lo) // _widths[j])
+                nz = np.nonzero(cnt)[0]
+                js.extend([j] * len(nz))
+                bs.extend(nz.tolist())
+                cs.extend(cnt[nz].tolist())
+            return pa.table(
+                {
+                    "qj": pa.array(js, pa.int64()),
+                    "bucket": pa.array(bs, pa.int64()),
+                    "cnt": pa.array(cs, pa.int64()),
+                }
+            )
+
+        fold = (
+            ds.map_batches(hist_partial, batch_format="pyarrow")
+            .to_pandas()
+            .groupby(["qj", "bucket"], sort=True)["cnt"]
+            .sum()
+        )
+        for j, lo, hi in ranges:
+            counts = fold.loc[j] if j in fold.index.get_level_values(0) else None
+            assert counts is not None, "range must contain its rank"
+            buckets = counts.index.to_numpy()
+            cum = counts.to_numpy().cumsum()
+            k = state[j][2]
+            pos = int(np.searchsorted(cum, k + 1))
+            b = int(buckets[pos])
+            below = int(cum[pos - 1]) if pos else 0
+            w = widths[j]
+            state[j][0] = lo + b * w
+            state[j][1] = min(hi, lo + (b + 1) * w - 1)
+            state[j][2] = k - below
+    else:
+        raise RuntimeError("exact_quantiles_refine: did not converge")
+    return [lo for lo, _hi, _k in state]

@@ -10561,3 +10561,35 @@ def audio_fp_neardup(sf_dir: str) -> rd.Dataset:
     and-noise-robust copy detection; planted families at hamming <= 3,
     unrelated clips >= 10 (measured).  Rows-only; pytest parity."""
     return _perceptual_neardup(sf_dir, "audio")
+
+
+def events_value_percentiles_exact(sf_dir: str) -> pa.Table:
+    """EXACT global percentiles (p25/p50/p90/p99) of event value ->
+    (q_pct, value_cents) via iterative histogram refinement
+    (ops/sketch.exact_quantiles_refine): distributed selection in
+    ~4 streaming scans of one pruned int column — values never
+    shuffle, no worker holds more than a block, and the answer is the
+    actual element (quantile_disc), not a sketch estimate.  All four
+    quantiles share each scan (one bincount per quantile per block).
+    Contrast: events_median_value/p95 use the mergeable KMV sketch
+    (exact only below its cap); this is the exact-at-any-scale path."""
+    from .ops import sketch
+
+    ev = _read(sf_dir, "events", ["value"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False)
+        v = v[~pd.isna(v)]
+        return pa.table(
+            {"cents": pa.array(np.floor(v * 100.0).astype(np.int64))}
+        )
+
+    cds = ev.map_batches(to_cents, batch_format="pyarrow")
+    qs = (0.25, 0.50, 0.90, 0.99)
+    vals = sketch.exact_quantiles_refine(cds, "cents", qs)
+    return pa.table(
+        {
+            "q_pct": pa.array([25, 50, 90, 99], pa.int64()),
+            "value_cents": pa.array(vals, pa.int64()),
+        }
+    )

@@ -1875,3 +1875,38 @@ def test_binary_media_decoder_handles_gif_rows():
     )
     assert out["dim0"].iloc[0] == 16 and out["dim1"].iloc[0] == 12
     assert len(out["media_feat"].iloc[0]) == 64
+
+
+# ------------------------------------- exact distributed selection
+
+
+def test_exact_quantiles_refine_matches_numpy_sort():
+    from deepie_ray.ops import sketch
+
+    rng = np.random.default_rng(17)
+    # wide domain forces multiple refinement rounds (range >> 1024);
+    # duplicates + skew exercise the rank bookkeeping
+    vals = np.concatenate(
+        [
+            rng.integers(-(10**9), 10**9, 5000),
+            np.full(500, 123_456_789),
+            rng.integers(0, 50, 500),
+        ]
+    ).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"cents": pa.array(vals)})).repartition(7)
+    qs = (0.0, 0.25, 0.5, 0.9, 0.99, 1.0)
+    got = sketch.exact_quantiles_refine(ds, "cents", qs, n_buckets=64)
+    s = np.sort(vals)
+    want = [int(s[int(np.floor(q * (len(s) - 1)))]) for q in qs]
+    assert got == want
+
+
+def test_exact_quantiles_refine_tiny_and_constant():
+    from deepie_ray.ops import sketch
+
+    ds = rd.from_arrow(pa.table({"cents": pa.array([42], pa.int64())}))
+    assert sketch.exact_quantiles_refine(ds, "cents", (0.5,)) == [42]
+    ds2 = rd.from_arrow(
+        pa.table({"cents": pa.array([7] * 100, pa.int64())})
+    ).repartition(3)
+    assert sketch.exact_quantiles_refine(ds2, "cents", (0.1, 0.9)) == [7, 7]
