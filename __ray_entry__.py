@@ -136,6 +136,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_days_view_not_purchase": Q.user_days_view_not_purchase,
         "events_p50_cont": Q.events_p50_cont,
         "events_value_percentiles_exact": Q.events_value_percentiles_exact,
+        "events_value_quartile_bins": Q.events_value_quartile_bins,
         "event_props_k_stats": Q.event_props_k_stats,
         "window_top_event_types": Q.window_top_event_types,
         "window_distinct_users": Q.window_distinct_users,
@@ -2534,6 +2535,23 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 50, quantile_disc(cents, 0.50)::BIGINT FROM c
             UNION ALL SELECT 90, quantile_disc(cents, 0.90)::BIGINT FROM c
             UNION ALL SELECT 99, quantile_disc(cents, 0.99)::BIGINT FROM c
+        """,
+        "events_value_quartile_bins": r"""
+            WITH c AS (
+              SELECT CAST(floor(value * 100) AS BIGINT) AS cents
+              FROM events WHERE value IS NOT NULL
+            ), e AS (
+              SELECT quantile_disc(cents, 0.25) AS q1,
+                     quantile_disc(cents, 0.50) AS q2,
+                     quantile_disc(cents, 0.75) AS q3
+              FROM c
+            )
+            SELECT CASE WHEN cents <= q1 THEN 0
+                        WHEN cents <= q2 THEN 1
+                        WHEN cents <= q3 THEN 2
+                        ELSE 3 END::BIGINT AS bin,
+                   count(*)::BIGINT AS n
+            FROM c, e GROUP BY 1
         """,
         "event_props_k_stats": r"""
             SELECT event_type, count(*)::BIGINT AS n_with_k,

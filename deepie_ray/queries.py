@@ -10593,3 +10593,49 @@ def events_value_percentiles_exact(sf_dir: str) -> pa.Table:
             "value_cents": pa.array(vals, pa.int64()),
         }
     )
+
+
+def events_value_quartile_bins(sf_dir: str) -> rd.Dataset:
+    """Exact quantile binning -> (bin, n): the distributed-selection
+    primitive (ops/sketch.exact_quantiles_refine) computes the EXACT
+    quartile edges in ~4 shared scans, then one streaming pass assigns
+    ``bin = searchsorted(edges, cents)`` (== the SQL CASE chain on
+    <=q1/<=q2/<=q3) and a combiner-first count folds per bin.  The
+    equal-frequency discretizer feature pipelines need, with exact
+    edges at any scale — a sketch-derived edge here silently shifts
+    bin populations; the DuckDB twin recomputes edges via
+    quantile_disc so any drift breaks the hash."""
+    from .ops import sketch
+
+    ev = _read(sf_dir, "events", ["value"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False)
+        v = v[~pd.isna(v)]
+        return pa.table(
+            {"cents": pa.array(np.floor(v * 100.0).astype(np.int64))}
+        )
+
+    cds = ev.map_batches(to_cents, batch_format="pyarrow")
+    edges = np.array(
+        sketch.exact_quantiles_refine(cds, "cents", (0.25, 0.50, 0.75)),
+        dtype=np.int64,
+    )
+
+    def bin_partial(t: pa.Table) -> pa.Table:
+        cents = t["cents"].to_numpy(zero_copy_only=False)
+        cnt = np.bincount(
+            np.searchsorted(edges, cents, side="left"), minlength=4
+        )
+        return pa.table(
+            {
+                "bin": pa.array(np.arange(4, dtype=np.int64)),
+                "n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    return (
+        cds.map_batches(bin_partial, batch_format="pyarrow")
+        .groupby("bin")
+        .aggregate(Sum("n", alias_name="n"))
+    )
