@@ -607,7 +607,15 @@ def knn_graph_mutual(
             kk = min(k, S.shape[1])
             if kk == 0:
                 return
-            idx = np.argpartition(-S, kth=kk - 1, axis=1)[:, :kk]
+            # composite (cosine desc, neighbor id asc) order — a plain
+            # argpartition on sim alone can drop a TIED lower-id
+            # neighbor at the local boundary, which the global merge
+            # (which only orders survivors) can never recover; exact
+            # ties are realistic (duplicate embeddings)
+            order = np.lexsort(
+                (np.broadcast_to(nids, S.shape), -S), axis=-1
+            )[:, :kk]
+            idx = order
             sims = np.take_along_axis(S, idx, axis=1)
             keep = sims > -2.0
             out_q.append(np.repeat(qids, kk)[keep.ravel()])

@@ -1231,6 +1231,7 @@ def kcore(
 
     prev_nodes = -1
     deg = None
+    converged = False
     for _ in range(max_rounds):
         deg = (
             ed.map_batches(deg_partial, batch_format="pyarrow")
@@ -1247,6 +1248,7 @@ def kcore(
         )
         n = deg.count()
         if n == prev_nodes:
+            converged = True
             break
         prev_nodes = n
         if n == 0:
@@ -1269,5 +1271,14 @@ def kcore(
                 batch_format="pyarrow",
             )
             .materialize()
+        )
+    if not converged:
+        # a path graph peels only ~k nodes per round: silently returning
+        # a non-fixpoint would be WRONG (the local path loops to the
+        # true fixpoint) — fail loudly so the caller raises max_rounds
+        raise RuntimeError(
+            f"kcore: no fixpoint within max_rounds={max_rounds}; raise "
+            "max_rounds (peeling needs up to O(n/k) rounds on path-like "
+            "graphs)"
         )
     return deg

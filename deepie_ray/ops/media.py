@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..hashing import stable_u32
 
@@ -780,27 +781,37 @@ def sniff_media_meta(data: bytes) -> tuple[str, int, int]:
                 block_align = max(1, channels * bits // 8)
             elif cid == b"data":
                 n_samples = size // block_align
-                break  # data chunk body is never read
+                return "wav", n_samples, rate  # data body is never read
             pos += 8 + size + (size & 1)  # chunks are word-aligned
-        return "wav", n_samples, rate
+        # no data chunk inside the bytes seen: header window too small
+        raise ValueError("WAVE data chunk beyond the header window")
     raise ValueError("unknown media container (magic bytes)")
+
+
+SNIFF_HEADER_BYTES = 256  # covers every fixed-offset header + the RIFF walk
 
 
 def sniff_meta_batch(batch: pa.Table) -> pa.Table:
     """Stateless metadata-scan stage: (..., payload) -> (..., fmt,
-    dim0, dim1) touching only header bytes.  Zero-copy buffer slices —
-    the payload column's bodies are never materialized as Python
-    bytes beyond the first 64 header bytes per row."""
+    dim0, dim1) touching only header bytes: ``pc.binary_slice`` cuts
+    the first 256 bytes per row BEFORE anything crosses into Python,
+    so per-blob work is O(header), not O(payload) (a PNG's zlib stream
+    is never copied).  The rare container whose metadata lies past the
+    window (e.g. a WAV with a huge pre-data LIST chunk) falls back to
+    the full payload for that row only."""
     col = batch["payload"]
+    heads = pc.binary_slice(col, 0, SNIFF_HEADER_BYTES)
     fmts, d0s, d1s = [], [], []
-    for chunk in (
-        col.chunks if isinstance(col, pa.ChunkedArray) else [col]
-    ):
-        for i in range(len(chunk)):
-            fmt, d0, d1 = sniff_media_meta(chunk[i].as_py())
-            fmts.append(fmt)
-            d0s.append(d0)
-            d1s.append(d1)
+    for i, head in enumerate(heads.to_pylist()):
+        try:
+            fmt, d0, d1 = sniff_media_meta(head)
+        except (ValueError, IndexError):
+            if len(head) < SNIFF_HEADER_BYTES:
+                raise  # whole payload seen — genuinely unknown container
+            fmt, d0, d1 = sniff_media_meta(col[i].as_py())
+        fmts.append(fmt)
+        d0s.append(d0)
+        d1s.append(d1)
     return (
         batch.drop_columns(["payload"])
         .append_column("fmt", pa.array(fmts, pa.string()))
@@ -858,16 +869,29 @@ def audio_fp64(pcm: np.ndarray) -> int:
     Differential in both axes, so the hash is invariant to overall
     gain and robust to broadband noise."""
     n = len(pcm) // N_FP_FRAMES
-    if n < 2:
-        return 0
+    if n < 20:
+        # too short for 9 distinct bands (needs n//2+1 >= 11 rfft
+        # bins): zero-pad to the minimum frame width — deterministic,
+        # content-dependent, and crash-free on arbitrarily short PCM
+        pcm = np.pad(
+            np.asarray(pcm, dtype=np.float64),
+            (0, 20 * N_FP_FRAMES - len(pcm)),
+        )
+        n = 20
     frames = pcm[: n * N_FP_FRAMES].reshape(N_FP_FRAMES, n).astype(np.float64)
     power = np.abs(np.fft.rfft(frames, axis=1)) ** 2  # (9, n//2+1)
     n_bins = power.shape[1]
     edges = np.unique(
         np.geomspace(1, n_bins - 1, N_FP_FRAMES + 1).astype(np.int64)
     )
-    while len(edges) < N_FP_FRAMES + 1:  # tiny inputs: pad the tail
-        edges = np.append(edges, edges[-1] + 1)
+    if len(edges) < N_FP_FRAMES + 1:
+        # log spacing collapsed at the low end: fill with the smallest
+        # unused bins, keeping every edge < n_bins (valid reduceat
+        # indices at ANY length — n >= 20 guarantees enough bins)
+        extra = np.setdiff1d(np.arange(1, n_bins, dtype=np.int64), edges)
+        edges = np.sort(
+            np.concatenate([edges, extra[: N_FP_FRAMES + 1 - len(edges)]])
+        )
     E = np.add.reduceat(power[:, : edges[-1]], edges[:-1], axis=1)  # (9, 9)
     D = E[:, :-1] - E[:, 1:]  # band deltas (9, 8)
     bits = (D[1:] - D[:-1] > 0).astype(np.uint64).ravel()  # (8*8,)

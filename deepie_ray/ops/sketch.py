@@ -665,6 +665,8 @@ def exact_quantiles_refine(
             state[j][0] = lo + b * w
             state[j][1] = min(hi, lo + (b + 1) * w - 1)
             state[j][2] = k - below
-    else:
+    # convergence is checked on the state itself, not loop exhaustion:
+    # a run that narrows every range on its final permitted round is done
+    if any(lo < hi for lo, hi, _k in state):
         raise RuntimeError("exact_quantiles_refine: did not converge")
     return [lo for lo, _hi, _k in state]

@@ -10266,14 +10266,31 @@ def q2_min_cost_supplier(sf_dir: str) -> rd.Dataset:
     the supplier read as a key filter; parts read with the size
     pushdown; the final top-25 is combiner-first (per-block local
     top-25, one 25-row merge)."""
-    # fixed-size side: EUROPE nation keys + names (25 nations)
+    empty = pd.DataFrame(
+        {
+            "s_acctbal": pd.Series([], dtype=np.float64),
+            "s_name": pd.Series([], dtype=str),
+            "n_name": pd.Series([], dtype=str),
+            "p_partkey": pd.Series([], dtype=np.int64),
+            "p_brand": pd.Series([], dtype=str),
+            "supply_cost": pd.Series([], dtype=np.float64),
+        }
+    )
+    # fixed-size side: EUROPE nation keys + names (25 nations).  Empty
+    # dimension reads drop columns entirely (pandas of an empty
+    # Dataset), and hash_join cannot finalize zero-row partitions —
+    # guard both, same convention as q8.
     nation = _read(sf_dir, "nation").to_pandas()
     region = _read(sf_dir, "region").to_pandas()
+    if region.empty or nation.empty:
+        return empty
     eur = nation.merge(
         region[region["r_name"] == "EUROPE"],
         left_on="n_regionkey",
         right_on="r_regionkey",
     )[["n_nationkey", "n_name"]]
+    if eur.empty:
+        return empty
     nat_keys = [int(k) for k in eur["n_nationkey"]]
     nmap = dict(zip(eur["n_nationkey"], eur["n_name"]))
 
@@ -10306,6 +10323,8 @@ def q2_min_cost_supplier(sf_dir: str) -> rd.Dataset:
         .repartition(8)
         .materialize()
     )
+    if ps.count() == 0:  # empty lineitem: nothing to join
+        return empty
     supp = rd.read_parquet(
         f"{sf_dir}/supplier.parquet",
         columns=["s_suppkey", "s_name", "s_nationkey", "s_acctbal"],
@@ -10586,7 +10605,10 @@ def events_value_percentiles_exact(sf_dir: str) -> pa.Table:
 
     cds = ev.map_batches(to_cents, batch_format="pyarrow")
     qs = (0.25, 0.50, 0.90, 0.99)
-    vals = sketch.exact_quantiles_refine(cds, "cents", qs)
+    try:
+        vals = sketch.exact_quantiles_refine(cds, "cents", qs)
+    except ValueError:  # empty input: the SQL twin yields NULL quantiles
+        vals = [None] * len(qs)
     return pa.table(
         {
             "q_pct": pa.array([25, 50, 90, 99], pa.int64()),
@@ -10617,10 +10639,17 @@ def events_value_quartile_bins(sf_dir: str) -> rd.Dataset:
         )
 
     cds = ev.map_batches(to_cents, batch_format="pyarrow")
-    edges = np.array(
-        sketch.exact_quantiles_refine(cds, "cents", (0.25, 0.50, 0.75)),
-        dtype=np.int64,
-    )
+    try:
+        edges = np.array(
+            sketch.exact_quantiles_refine(cds, "cents", (0.25, 0.50, 0.75)),
+            dtype=np.int64,
+        )
+    except ValueError:  # empty input: the SQL GROUP BY yields no rows
+        return rd.from_arrow(
+            pa.table(
+                {"bin": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+            )
+        )
 
     def bin_partial(t: pa.Table) -> pa.Table:
         cents = t["cents"].to_numpy(zero_copy_only=False)
@@ -10638,4 +10667,7 @@ def events_value_quartile_bins(sf_dir: str) -> rd.Dataset:
         cds.map_batches(bin_partial, batch_format="pyarrow")
         .groupby("bin")
         .aggregate(Sum("n", alias_name="n"))
+        # collapsed edges (q1 == q2 under heavy ties) empty a bin; the
+        # SQL GROUP BY never emits that row, so neither do we
+        .filter(expr="n > 0")
     )

@@ -188,6 +188,8 @@ def test_batch3_and_final_ops_empty_tables_no_crash(tmp_path):
         "events_value_ewma",
         "user_gap_profile",
         "knn_graph_mutual",
+        "q2_min_cost_supplier",
+        "events_value_quartile_bins",
     ):
         r = getattr(Q, name)(d)
         n = (
@@ -196,6 +198,10 @@ def test_batch3_and_final_ops_empty_tables_no_crash(tmp_path):
             else (len(r) if isinstance(r, pd.DataFrame) else r.count())
         )
         assert n == 0, name
+    # percentiles over an empty table mirror the SQL twin: 4 rows,
+    # all-NULL value_cents (quantile_disc of the empty set)
+    p = Q.events_value_percentiles_exact(d)
+    assert p.num_rows == 4 and p["value_cents"].null_count == 4
 
 
 def test_global_exclusive_prefix_max_matches_pandas_window():

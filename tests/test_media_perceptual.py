@@ -207,3 +207,35 @@ def test_media_queries_end_to_end(sf_dir):
 
     aud_pairs = Q.audio_fp_neardup(sf_dir).to_pandas()
     assert (aud_pairs["hamming"] <= 3).all()
+
+
+def test_audio_fp_short_pcm_no_crash():
+    """Band-edge construction must stay in-bounds at ANY length
+    (collapsed geomspace once raised IndexError in reduceat)."""
+    rng = np.random.default_rng(31)
+    for n in (0, 1, 5, 17, 30, 150, 179, 200, 500):
+        sig = media.audio_fp64(rng.standard_normal(n) if n else np.zeros(0))
+        assert isinstance(sig, int)
+    assert media.audio_fp64(np.zeros(0)) == 0
+
+
+def test_sniff_batch_truncated_header_fallback():
+    """A WAV whose data chunk sits past the 256-byte window must fall
+    back to the full payload for that row (never a silent 0)."""
+    data = media.encode_wav(np.zeros(400, np.float32))
+    # splice a large junk chunk between fmt and data
+    junk = b"JUNK" + (300).to_bytes(4, "little") + b"\x00" * 300
+    fmt_end = 12 + 8 + 16  # RIFF hdr + fmt chunk (PCM)
+    padded = data[:fmt_end] + junk + data[fmt_end:]
+    padded = (
+        padded[:4]
+        + (len(padded) - 8).to_bytes(4, "little")
+        + padded[8:]
+    )
+    batch = pa.table(
+        {"payload": pa.array([padded, media.encode_ppm(
+            np.zeros((3, 4, 3), np.uint8))], pa.binary())}
+    )
+    out = media.sniff_meta_batch(batch)
+    assert out["fmt"].to_pylist() == ["wav", "ppm"]
+    assert out["dim0"].to_pylist()[0] == 400
