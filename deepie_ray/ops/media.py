@@ -646,6 +646,13 @@ def synth_payload(kind: str, ref: str) -> bytes:
         t = np.arange(n, dtype=np.float32)
         freq = 100.0 + float(rng.integers(0, 300))
         return encode_wav(0.5 * np.sin(2 * np.pi * freq * t / 16000.0))
+    if kind == "video":
+        f = 3 + int(rng.integers(0, 6))
+        h = 8 + int(rng.integers(0, 16))
+        w = 8 + int(rng.integers(0, 16))
+        # <=64 distinct colors so the animation fits one GIF palette
+        frames = rng.integers(0, 256, (f, h, w, 3), dtype=np.uint8) & 0xC0
+        return encode_gif_anim(frames)
     raise NotImplementedError(f"no synthesizable codec for kind={kind!r}")
 
 
@@ -985,4 +992,177 @@ def synth_neardup_payload(kind: str, ref: str, n_families: int = 4) -> bytes:
         base = rng.standard_normal(4 * 3200)
         sig = 0.4 * base[:n] + 0.01 * noise_rng.standard_normal(n)
         return encode_wav(np.clip(sig, -1, 1).astype(np.float32))
+    if kind == "video":
+        # family base = a palette-quantized slideshow (per-frame smooth
+        # coarse grids); per-ref noise shifts ~2% of pixels by ONE
+        # quantization level — a re-encoded/lightly-edited copy whose
+        # per-frame pHash stays within the detection threshold
+        f = 5 + int(rng.integers(0, 4))
+        h = 20 + int(rng.integers(0, 12))
+        w = 20 + int(rng.integers(0, 12))
+        coarse = (rng.integers(0, 4, (f, 8, 8, 3)) * 0x40).astype(np.int64)
+        ys = (np.arange(h) * 8 // h).clip(0, 7)
+        xs = (np.arange(w) * 8 // w).clip(0, 7)
+        base = coarse[:, ys][:, :, xs]
+        flip = noise_rng.random(base.shape) < 0.02
+        step = noise_rng.integers(0, 2, base.shape) * 0x80 - 0x40  # +-0x40
+        noisy = np.clip(base + flip * step, 0, 0xC0).astype(np.uint8)
+        return encode_gif_anim(noisy)
     raise NotImplementedError(f"no synthesizable codec for kind={kind!r}")
+
+
+# --------------------------------------------------- video (animated GIF)
+
+
+def encode_gif_anim(frames: np.ndarray, delay_cs: int = 10) -> bytes:
+    """(F, H, W, 3) uint8 RGB (<=256 distinct colors across ALL
+    frames) -> animated GIF89a bytes: one global color table, a
+    Graphic Control Extension (delay) + full-frame image descriptor
+    per frame.  The container-decodable VIDEO stand-in — every byte
+    real, no external codec."""
+    import struct
+
+    f, h, w, c = frames.shape
+    assert c == 3 and frames.dtype == np.uint8 and f >= 1
+    flat = frames.reshape(-1, 3)
+    palette, inv = np.unique(flat, axis=0, return_inverse=True)
+    if len(palette) > 256:
+        raise ValueError("encode_gif_anim needs <=256 distinct colors")
+    s = max(1, int(np.ceil(np.log2(max(2, len(palette)))))) - 1
+    n_entries = 1 << (s + 1)
+    gct = np.zeros((n_entries, 3), np.uint8)
+    gct[: len(palette)] = palette
+    mcs = max(2, s + 1)
+    inv = inv.astype(np.int64).reshape(f, h * w)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | s, 0, 0)
+    out += gct.tobytes()
+    for fi in range(f):
+        # GCE: no disposal, no transparency, delay in centiseconds
+        out += struct.pack("<BBBBHBB", 0x21, 0xF9, 4, 0, delay_cs, 0, 0)
+        out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0)
+        out.append(mcs)
+        body = _gif_lzw_encode(inv[fi], mcs)
+        for i in range(0, len(body), 255):
+            chunk = body[i : i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+def decode_gif_frames(data: bytes) -> np.ndarray:
+    """GIF87a/89a bytes -> (F, H, W, 3) uint8: EVERY image block, each
+    pasted onto the logical-screen canvas at its (left, top) offset
+    (paste-over compositing; disposal methods beyond 'none' are not
+    produced by our encoder and not interpreted)."""
+    import struct
+
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    w, h, flags, _bg, _ar = struct.unpack("<HHBBB", data[6:13])
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 1 << ((flags & 0x07) + 1)
+        gct = np.frombuffer(data, np.uint8, count=n * 3, offset=pos).reshape(n, 3)
+        pos += n * 3
+    canvas = np.zeros((h, w, 3), np.uint8)
+    frames: list[np.ndarray] = []
+    while pos < len(data):
+        block = data[pos]
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            il, it, iw, ih, iflags = struct.unpack(
+                "<HHHHB", data[pos + 1 : pos + 10]
+            )
+            pos += 10
+            ct = gct
+            if iflags & 0x80:
+                n = 1 << ((iflags & 0x07) + 1)
+                ct = np.frombuffer(
+                    data, np.uint8, count=n * 3, offset=pos
+                ).reshape(n, 3)
+                pos += n * 3
+            if iflags & 0x40:
+                raise ValueError("interlaced GIF not supported")
+            if ct is None:
+                raise ValueError("GIF image without a color table")
+            mcs = data[pos]
+            pos += 1
+            body = bytearray()
+            while data[pos] != 0:
+                ln = data[pos]
+                body += data[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1  # block terminator
+            idx = _gif_lzw_decode(bytes(body), mcs, iw * ih)
+            canvas[it : it + ih, il : il + iw] = ct[idx].reshape(ih, iw, 3)
+            frames.append(canvas.copy())
+        elif block == 0x3B:
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+    if not frames:
+        raise ValueError("GIF contains no image block")
+    return np.stack(frames)
+
+
+def sample_frames(frames: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """REAL frame sampling: (F, ...) -> up to k frames at evenly
+    spaced indices (always includes the first; the last when k > 1).
+    Returns (sampled, indices)."""
+    f = len(frames)
+    if f <= k:
+        idx = np.arange(f, dtype=np.int64)
+    else:
+        idx = np.unique((np.arange(k, dtype=np.int64) * (f - 1)) // (k - 1))
+    return frames[idx], idx
+
+
+class VideoFrameHasher:
+    """Actor-pool stage: animated-GIF video payloads -> one row PER
+    SAMPLED FRAME (media_ref, frame_idx, sig): real decode, real
+    evenly-spaced frame sampling (``sample_frames``), DCT pHash per
+    frame batched through one einsum.  Feeds the frame-level banded
+    Hamming join whose per-video aggregation is the standard
+    content-based video near-dup shape (frame-hash LSH -> matched-
+    frame count per video pair)."""
+
+    def __init__(self, max_frames: int = 8):
+        self.max_frames = max_frames
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        refs = batch["media_ref"].to_pylist()
+        payloads = batch["payload"].to_pylist()
+        out_ref: list[str] = []
+        out_idx: list[int] = []
+        grays: list[np.ndarray] = []
+        for ref, data in zip(refs, payloads):
+            frames, idx = sample_frames(
+                decode_gif_frames(data), self.max_frames
+            )
+            gray = frames.mean(axis=3)
+            hh, ww = gray.shape[1], gray.shape[2]
+            ys = (np.arange(32) * hh // 32).clip(0, hh - 1)
+            xs = (np.arange(32) * ww // 32).clip(0, ww - 1)
+            grays.append(gray[:, ys][:, :, xs])
+            out_ref.extend([ref] * len(idx))
+            out_idx.extend(idx.tolist())
+        sigs = (
+            phash64(np.concatenate(grays))
+            if grays
+            else np.zeros(0, np.int64)
+        )
+        return pa.table(
+            {
+                "media_ref": pa.array(out_ref, pa.string()),
+                "frame_idx": pa.array(out_idx, pa.int64()),
+                "sig": pa.array(sigs, pa.int64()),
+            }
+        )

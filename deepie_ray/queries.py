@@ -10496,7 +10496,9 @@ def media_meta_scan(sf_dir: str) -> rd.Dataset:
     spans = docs.map_batches(media.explode_media_spans, batch_format="pyarrow")
 
     def attach_and_sniff(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.is_in(t["kind"], value_set=pa.array(["image", "audio"])))
+        t = t.filter(
+            pc.is_in(t["kind"], value_set=pa.array(["image", "audio", "video"]))
+        )
         payloads = [
             media.synth_payload(k, r)
             for k, r in zip(t["kind"].to_pylist(), t["media_ref"].to_pylist())
@@ -10670,4 +10672,81 @@ def events_value_quartile_bins(sf_dir: str) -> rd.Dataset:
         # collapsed edges (q1 == q2 under heavy ties) empty a bin; the
         # SQL GROUP BY never emits that row, so neither do we
         .filter(expr="n > 0")
+    )
+
+
+def video_phash_neardup(sf_dir: str) -> rd.Dataset:
+    """Content-based VIDEO near-duplicate detection -> (id_a, id_b,
+    n_matched): real animated-GIF decode -> evenly-spaced frame
+    sampling (ops/media.sample_frames, up to 8 frames) -> per-frame
+    DCT pHash -> frame-level banded Hamming join -> per-video-pair
+    matched-frame count, kept at >= 3 matched frames.  The standard
+    CBVR near-dup shape: frame payloads die inside the hasher pool
+    (only ref#frame + int64 rows continue), the join shuffles
+    signature micro-rows, and the video-level aggregate is
+    combiner-first.  Rows-only; planted families + frame-sampling
+    invariants pinned by pytest."""
+    from . import pipeline
+    from .ops import media
+
+    MIN_MATCHED = 3
+    docs = pipeline.read_documents(sf_dir)
+    spans = docs.map_batches(media.explode_media_spans, batch_format="pyarrow")
+
+    def attach(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["kind"], "video"))
+        payloads = [
+            media.synth_neardup_payload("video", r)
+            for r in t["media_ref"].to_pylist()
+        ]
+        return pa.table(
+            {
+                "media_ref": t["media_ref"],
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        )
+
+    frame_sigs = spans.map_batches(attach, batch_format="pyarrow").map_batches(
+        media.VideoFrameHasher,
+        batch_format="pyarrow",
+        batch_size=128,  # wide rows: whole animations per payload
+        concurrency=(1, 4),
+    )
+
+    def fid(t: pa.Table) -> pa.Table:
+        refs = t["media_ref"].to_pylist()
+        idx = t["frame_idx"].to_pylist()
+        return pa.table(
+            {
+                "fid": pa.array(
+                    [f"{r}#{i:02d}" for r, i in zip(refs, idx)], pa.string()
+                ),
+                "sig": t["sig"],
+            }
+        )
+
+    pairs = dedup.hamming64_neardup_pairs(
+        frame_sigs.map_batches(fid, batch_format="pyarrow"),
+        max_hamming=3,
+        id_col="fid",
+        sig_col="sig",
+        n_blocks=4,
+    )
+
+    def vid_partial(df: pd.DataFrame) -> pd.DataFrame:
+        va = df["id_a"].str.rsplit("#", n=1).str[0]
+        vb = df["id_b"].str.rsplit("#", n=1).str[0]
+        lo, hi = np.minimum(va, vb), np.maximum(va, vb)
+        keep = lo != hi  # same-video frame matches are not duplicates
+        part = pd.DataFrame({"id_a": lo[keep], "id_b": hi[keep]})
+        out = part.groupby(["id_a", "id_b"], sort=False).size().reset_index()
+        out.columns = ["id_a", "id_b", "n_matched"]
+        out["n_matched"] = out["n_matched"].astype(np.int64)
+        return out
+
+    return (
+        pairs.map_batches(vid_partial, batch_format="pandas")
+        .groupby(["id_a", "id_b"])
+        .aggregate(Sum("n_matched", alias_name="n_matched"))
+        .filter(expr=f"n_matched >= {MIN_MATCHED}")
     )

@@ -24,7 +24,7 @@ import pyarrow as pa
 from .hashing import md5_hex, stable_u32
 from .schema import DOCUMENTS, SPAN_STRUCT
 
-_MEDIA_KINDS = ("image", "audio", "table")
+_MEDIA_KINDS = ("image", "audio", "table", "video")
 
 _VOCAB = (
     "the fast key order sort table scan merge part window small hash join "

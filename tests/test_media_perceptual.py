@@ -239,3 +239,102 @@ def test_sniff_batch_truncated_header_fallback():
     out = media.sniff_meta_batch(batch)
     assert out["fmt"].to_pylist() == ["wav", "ppm"]
     assert out["dim0"].to_pylist()[0] == 400
+
+
+# ------------------------------------------------- video (animated GIF)
+
+
+def test_gif_anim_round_trip_and_single_frame_compat():
+    rng = np.random.default_rng(41)
+    frames = (rng.integers(0, 4, (5, 13, 17, 3)) * 0x40).astype(np.uint8)
+    data = media.encode_gif_anim(frames)
+    dec = media.decode_gif_frames(data)
+    assert dec.shape == frames.shape and (dec == frames).all()
+    # single-frame decoder keeps working on animated payloads (frame 0)
+    assert (media.decode_gif(data) == frames[0]).all()
+    # single-frame GIFs decode to a 1-frame stack
+    one = media.encode_gif(frames[0])
+    assert (media.decode_gif_frames(one)[0] == frames[0]).all()
+    # header sniff sees the logical screen without decode
+    assert media.sniff_media_meta(data) == ("gif", 13, 17)
+
+
+def test_sample_frames_even_spacing():
+    frames = np.arange(10)[:, None]
+    got, idx = media.sample_frames(frames, 4)
+    assert idx.tolist() == [0, 3, 6, 9]
+    assert (got.ravel() == [0, 3, 6, 9]).all()
+    got, idx = media.sample_frames(frames, 20)  # fewer frames than k
+    assert idx.tolist() == list(range(10))
+    got, idx = media.sample_frames(frames[:1], 8)
+    assert idx.tolist() == [0]
+
+
+def test_video_family_separation_and_query(sf_dir):
+    # planted families: every same-family video pair matches on >= 3
+    # frames; unrelated videos match on none
+    refs = [f"vid://t/{i}" for i in range(60)]
+    hasher = media.VideoFrameHasher()
+    batch = pa.table(
+        {
+            "media_ref": pa.array(refs),
+            "payload": pa.array(
+                [media.synth_neardup_payload("video", r) for r in refs],
+                pa.binary(),
+            ),
+        }
+    )
+    rows = hasher(batch)
+    sigs: dict[str, list[int]] = {}
+    for r, s in zip(rows["media_ref"].to_pylist(), rows["sig"].to_pylist()):
+        sigs.setdefault(r, []).append(s)
+    fam = {
+        r: (stable_u32(r, "dupfam:") % 100) % 4
+        for r in refs
+        if stable_u32(r, "dupfam:") % 100 < 20
+    }
+    uniq = [r for r in refs if r not in fam]
+    for a in fam:
+        for b in fam:
+            if a < b and fam[a] == fam[b]:
+                matched = sum(
+                    1
+                    for x in sigs[a]
+                    for y in sigs[b]
+                    if _ham(x, y) <= 3
+                )
+                assert matched >= 3, (a, b, matched)
+    for a in uniq[:10]:
+        for b in uniq[10:20]:
+            assert all(
+                _ham(x, y) > 3 for x in sigs[a] for y in sigs[b]
+            ), (a, b)
+
+    out = __import__("deepie_ray.queries", fromlist=["queries"]).video_phash_neardup(
+        sf_dir
+    ).to_pandas()
+    assert set(out.columns) == {"id_a", "id_b", "n_matched"}
+    assert (out["n_matched"] >= 3).all()
+    # detected pairs are exactly the same-family span-ref pairs
+    from deepie_ray import pipeline
+    from deepie_ray.ops.media import explode_media_spans
+
+    spans = (
+        pipeline.read_documents(sf_dir)
+        .map_batches(explode_media_spans, batch_format="pyarrow")
+        .to_pandas()
+    )
+    vrefs = spans.loc[spans["kind"] == "video", "media_ref"].tolist()
+    vfam = {
+        r: (stable_u32(r, "dupfam:") % 100) % 4
+        for r in vrefs
+        if stable_u32(r, "dupfam:") % 100 < 20
+    }
+    want = {
+        (min(a, b), max(a, b))
+        for a in vfam
+        for b in vfam
+        if a < b and vfam[a] == vfam[b]
+    }
+    got = {(a, b) for a, b in zip(out["id_a"], out["id_b"])}
+    assert got == want

@@ -968,7 +968,7 @@ def test_media_explode_and_features():
     docs = synth.generate_documents(30)
     spans = media.explode_media_spans(docs)
     assert spans.num_rows > 0
-    assert set(spans["kind"].to_pylist()) <= {"image", "audio", "table"}
+    assert set(spans["kind"].to_pylist()) <= {"image", "audio", "table", "video"}
     fe = media.MediaFeatureExtractor()
     out = fe(spans)
     assert out["features"].type == pa.list_(pa.float32())
