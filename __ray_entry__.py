@@ -304,6 +304,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_phash_neardup": Q.image_phash_neardup,
         "audio_fp_neardup": Q.audio_fp_neardup,
         "video_phash_neardup": Q.video_phash_neardup,
+        "ann_topk_sq8": Q.ann_topk_sq8,
         "graph_pagerank": Q.graph_pagerank,
         "embedding_kmeans": Q.embedding_kmeans,
         "semantic_dedup_embeddings": Q.semantic_dedup_embeddings,

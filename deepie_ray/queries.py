@@ -10750,3 +10750,14 @@ def video_phash_neardup(sf_dir: str) -> rd.Dataset:
         .aggregate(Sum("n_matched", alias_name="n_matched"))
         .filter(expr=f"n_matched >= {MIN_MATCHED}")
     )
+
+
+def ann_topk_sq8(sf_dir: str) -> rd.Dataset:
+    """Scalar-quantized (uint8) vector search with exact float
+    rescoring (ops/ann.sq8_topk): approximate candidates over 4x-
+    smaller codes, then exact cosine on only the candidate rows — the
+    memory-bound production pattern.  Rows-only; recall-vs-brute and
+    exactness-of-rescore pinned by pytest."""
+    ids, mat = _query_vectors(sf_dir)
+    corpus = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return ann.sq8_topk(corpus, ids, mat, k=10)

@@ -1910,3 +1910,32 @@ def test_exact_quantiles_refine_tiny_and_constant():
         pa.table({"cents": pa.array([7] * 100, pa.int64())})
     ).repartition(3)
     assert sketch.exact_quantiles_refine(ds2, "cents", (0.1, 0.9)) == [7, 7]
+
+
+def test_sq8_topk_recall_and_exact_rescore():
+    t, M = _emb_ds(300, d=16, seed=11)
+    qids = np.array([0, 1, 2])
+    exact = ann.brute_force_topk(rd.from_arrow(t), qids, M[:3], k=10).to_pandas()
+    sq = ann.sq8_topk(
+        rd.from_arrow(t), qids, M[:3], k=10, rescore_factor=4
+    ).to_pandas()
+    assert set(sq.columns) == {"query_id", "neighbor_id", "rank"}
+    for qi in (0, 1, 2):
+        e = set(exact[exact.query_id == qi]["neighbor_id"])
+        a = set(sq[sq.query_id == qi]["neighbor_id"])
+        # 8-bit quantization + 4x rescore window: near-lossless
+        assert len(a & e) / len(e) >= 0.9, (qi, len(a & e))
+    # rescore exactness: where both agree on the neighbor SET, the
+    # rank order must match brute force exactly (scores are exact)
+    for qi in (0, 1, 2):
+        e = exact[exact.query_id == qi].sort_values("rank")
+        a = sq[sq.query_id == qi].sort_values("rank")
+        if set(e.neighbor_id) == set(a.neighbor_id):
+            assert e.neighbor_id.tolist() == a.neighbor_id.tolist()
+
+
+def test_sq8_bounds_partition_invariant():
+    t, _ = _emb_ds(200, d=8, seed=5)
+    lo1, hi1 = ann.sq8_train_bounds(rd.from_arrow(t).repartition(2))
+    lo2, hi2 = ann.sq8_train_bounds(rd.from_arrow(t).repartition(9))
+    assert np.array_equal(lo1, lo2) and np.array_equal(hi1, hi2)
