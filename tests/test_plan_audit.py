@@ -65,3 +65,36 @@ def test_q6_zero_shuffle_budget(sf_dir):
     )
     assert_shuffle_budget(li, max_shuffles=0, max_joins=0)
     assert isinstance(Q.q6_forecast_revenue(sf_dir), pd.DataFrame)
+
+
+def test_media_meta_scan_single_shuffle_budget(sf_dir):
+    # header-sniff partials -> exactly one grouped exchange
+    assert_shuffle_budget(Q.media_meta_scan(sf_dir), max_shuffles=1, max_joins=0)
+
+
+def test_image_phash_neardup_shuffle_budget(sf_dir):
+    # banded Hamming join: bucket-colocate groupby + pair-dedup groupby
+    assert_shuffle_budget(
+        Q.image_phash_neardup(sf_dir), max_shuffles=2, max_joins=0
+    )
+
+
+def test_video_phash_neardup_shuffle_budget(sf_dir):
+    # frame-level Hamming join (2) + per-video-pair count groupby (1)
+    assert_shuffle_budget(
+        Q.video_phash_neardup(sf_dir), max_shuffles=3, max_joins=0
+    )
+
+
+def test_quartile_bins_single_shuffle_budget(sf_dir):
+    # refine edges run as separate scans BEFORE the returned plan; the
+    # binning plan itself is one grouped exchange
+    assert_shuffle_budget(
+        Q.events_value_quartile_bins(sf_dir), max_shuffles=1, max_joins=0
+    )
+
+
+def test_sq8_single_shuffle_budget(sf_dir):
+    # candidate phase pre-merged; the returned exact-rescore plan has
+    # one top-k groupby
+    assert_shuffle_budget(Q.ann_topk_sq8(sf_dir), max_shuffles=1, max_joins=0)
