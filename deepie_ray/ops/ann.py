@@ -711,6 +711,8 @@ def sq8_train_bounds(
         )
 
     parts = corpus.map_batches(mm_partial, batch_format="pyarrow").to_pandas()
+    if not len(parts):
+        raise ValueError("sq8_train_bounds: empty corpus")
     los = np.stack([np.frombuffer(b, np.float64) for b in parts["lo"]])
     his = np.stack([np.frombuffer(b, np.float64) for b in parts["hi"]])
     return los.min(axis=0), his.max(axis=0)
