@@ -137,6 +137,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_p50_cont": Q.events_p50_cont,
         "events_value_percentiles_exact": Q.events_value_percentiles_exact,
         "events_value_quartile_bins": Q.events_value_quartile_bins,
+        "documents_global_ordinals": Q.documents_global_ordinals,
         "event_props_k_stats": Q.event_props_k_stats,
         "window_top_event_types": Q.window_top_event_types,
         "window_distinct_users": Q.window_distinct_users,
@@ -2554,6 +2555,12 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 3 END::BIGINT AS bin,
                    count(*)::BIGINT AS n
             FROM c, e GROUP BY 1
+        """,
+        "documents_global_ordinals": r"""
+            SELECT doc_id,
+                   (ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) - 1)::BIGINT
+                     AS ordinal
+            FROM documents
         """,
         "event_props_k_stats": r"""
             SELECT event_type, count(*)::BIGINT AS n_with_k,

@@ -10485,8 +10485,8 @@ def media_meta_scan(sf_dir: str) -> rd.Dataset:
     container format + dimensions parsed from HEADER BYTES ONLY
     (ops/media.sniff_media_meta — for PNG that skips the whole zlib
     stream), then a combiner-first grouped aggregate.  The 100-TB
-    shape for corpus shape statistics: per-blob work is ~64 header
-    bytes, no decode, and only (kind, fmt) micro-rows shuffle.
+    shape for corpus shape statistics: per-blob work is a 256-byte
+    header slice, no decode, and only (kind, fmt) micro-rows shuffle.
     Rows-only by nature (payloads are invisible to SQL); sniff ==
     decode is pinned by pytest across all five real codecs."""
     from . import pipeline
@@ -10761,3 +10761,92 @@ def ann_topk_sq8(sf_dir: str) -> rd.Dataset:
     ids, mat = _query_vectors(sf_dir)
     corpus = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     return ann.sq8_topk(corpus, ids, mat, k=10)
+
+
+def documents_global_ordinals(sf_dir: str) -> rd.Dataset:
+    """Globally-CONTIGUOUS row numbers (0-based, ordered by
+    (n_chars, doc_id)) -> (doc_id, ordinal) WITHOUT a global sort:
+    sketch-derived range boundaries route rows to ordered shards
+    (ties share a shard, so the order stays total), ONE shuffle, a
+    per-shard local sort with positions, then the driver folds just
+    num_shards counts into exclusive prefix offsets and a final map
+    adds offset[shard] + pos.  The offsets fold is the distributed
+    prefix-sum trick that assigns contiguous ids / ECDF ranks at any
+    scale — boundary ACCURACY only affects shard balance, never the
+    order.  Oracle: ROW_NUMBER() OVER (ORDER BY n_chars, doc_id)."""
+    from .ops.sketch import grouped_quantile
+
+    docs = _read(sf_dir, "documents", ["doc_id", "n_chars"]).materialize()
+
+    def add_key(t: pa.Table) -> pa.Table:
+        return t.append_column("_g", pa.array(np.zeros(t.num_rows, np.int64)))
+
+    b = (
+        grouped_quantile(
+            docs.map_batches(add_key, batch_format="pyarrow"),
+            "_g",
+            "n_chars",
+            q={"q1": 0.25, "q2": 0.5, "q3": 0.75},
+            ndigits=None,
+        )
+        .to_pandas()
+        .iloc[0]
+    )
+    bounds = np.array([b["q1"], b["q2"], b["q3"]], dtype=np.float64)
+
+    def shard(t: pa.Table) -> pa.Table:
+        v = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.float64)
+        s = np.searchsorted(bounds, v, side="right").astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_chars": t["n_chars"],
+                "shard": pa.array(s),
+            }
+        )
+
+    def local_sort(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["n_chars", "doc_id"], kind="mergesort")
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(),
+                "shard": df["shard"].to_numpy(),
+                "pos": np.arange(len(df), dtype=np.int64),
+            }
+        )
+
+    sharded = (
+        docs.map_batches(shard, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(local_sort, batch_format="pandas")
+        .materialize()  # consumed twice: counts fold + ordinal map
+    )
+    def count_partial(t: pa.Table) -> pa.Table:
+        # a batch may span shard groups — group within the batch
+        g = t.group_by("shard").aggregate([([], "count_all")])
+        return pa.table(
+            {"shard": g["shard"], "n": pc.cast(g["count_all"], pa.int64())}
+        )
+
+    counts = (
+        sharded.map_batches(count_partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("shard")["n"]
+        .sum()
+    )
+    offs = np.zeros(4, dtype=np.int64)
+    for s_id, n in counts.items():  # exclusive prefix sum, 4 ints
+        if s_id + 1 < 4:
+            offs[s_id + 1 :] += int(n)
+
+    def to_ordinal(t: pa.Table) -> pa.Table:
+        s = t["shard"].to_numpy(zero_copy_only=False)
+        p = t["pos"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "ordinal": pa.array(offs[s] + p, pa.int64()),
+            }
+        )
+
+    return sharded.map_batches(to_ordinal, batch_format="pyarrow")
