@@ -138,6 +138,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_percentiles_exact": Q.events_value_percentiles_exact,
         "events_value_quartile_bins": Q.events_value_quartile_bins,
         "documents_global_ordinals": Q.documents_global_ordinals,
+        "user_longest_streak": Q.user_longest_streak,
         "event_props_k_stats": Q.event_props_k_stats,
         "window_top_event_types": Q.window_top_event_types,
         "window_distinct_users": Q.window_distinct_users,
@@ -2561,6 +2562,28 @@ def oracle_sql() -> dict[str, str]:
                    (ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) - 1)::BIGINT
                      AS ordinal
             FROM documents
+        """,
+        "user_longest_streak": r"""
+            WITH d AS (
+              SELECT DISTINCT user_id,
+                     epoch_us(ts) // 86400000000 AS day
+              FROM events WHERE ts IS NOT NULL
+            ), isl AS (
+              SELECT user_id, day,
+                     day - ROW_NUMBER() OVER (
+                       PARTITION BY user_id ORDER BY day) AS grp
+              FROM d
+            ), runs AS (
+              SELECT user_id, count(*)::BIGINT AS run_len
+              FROM isl GROUP BY user_id, grp
+            )
+            SELECT r.user_id,
+                   max(r.run_len)::BIGINT AS longest_streak,
+                   n.n_active_days
+            FROM runs r
+            JOIN (SELECT user_id, count(*)::BIGINT AS n_active_days
+                  FROM d GROUP BY user_id) n USING (user_id)
+            GROUP BY r.user_id, n.n_active_days
         """,
         "event_props_k_stats": r"""
             SELECT event_type, count(*)::BIGINT AS n_with_k,

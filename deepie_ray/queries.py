@@ -10850,3 +10850,42 @@ def documents_global_ordinals(sf_dir: str) -> rd.Dataset:
         )
 
     return sharded.map_batches(to_ordinal, batch_format="pyarrow")
+
+
+def user_longest_streak(sf_dir: str) -> rd.Dataset:
+    """Longest run of CONSECUTIVE active days per user -> (user_id,
+    longest_streak, n_active_days): the gaps-and-islands shape on the
+    calendar axis (retention analytics).  Combiner-first: per-batch
+    distinct (user, day) micro-rows are the only shuffle; the per-user
+    task sorts its bounded day set and takes the max run of day-diff
+    == 1 (vectorized split on diff > 1).  Day arithmetic is exact
+    integer microseconds // 86400e6, same convention as the set-algebra
+    day queries.  Oracle: the day - ROW_NUMBER() islands trick."""
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["ts"]))
+        day = pc.divide(pc.cast(t["ts"], pa.int64()), 86_400_000_000)
+        g = pa.table({"user_id": t["user_id"], "day": day}).group_by(
+            ["user_id", "day"]
+        ).aggregate([])
+        return g
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        days = np.unique(df["day"].to_numpy())  # sorted distinct
+        runs = np.split(days, np.nonzero(np.diff(days) > 1)[0] + 1)
+        return pd.DataFrame(
+            {
+                "user_id": [df["user_id"].iloc[0]],
+                "longest_streak": np.array(
+                    [max(len(r) for r in runs)], dtype=np.int64
+                ),
+                "n_active_days": np.array([len(days)], dtype=np.int64),
+            }
+        )
+
+    return (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(per_user, batch_format="pandas")
+    )
