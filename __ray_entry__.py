@@ -139,6 +139,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_quartile_bins": Q.events_value_quartile_bins,
         "documents_global_ordinals": Q.documents_global_ordinals,
         "user_longest_streak": Q.user_longest_streak,
+        "peak_concurrent_sessions": Q.peak_concurrent_sessions,
         "event_props_k_stats": Q.event_props_k_stats,
         "window_top_event_types": Q.window_top_event_types,
         "window_distinct_users": Q.window_distinct_users,
@@ -2584,6 +2585,41 @@ def oracle_sql() -> dict[str, str]:
             JOIN (SELECT user_id, count(*)::BIGINT AS n_active_days
                   FROM d GROUP BY user_id) n USING (user_id)
             GROUP BY r.user_id, n.n_active_days
+        """,
+        "peak_concurrent_sessions": """
+            WITH e AS (
+              SELECT user_id, epoch_us(ts) AS us
+              FROM events WHERE ts IS NOT NULL
+            ),
+            f AS (
+              SELECT user_id, us,
+                     CASE WHEN lag(us) OVER w IS NULL
+                            OR us - lag(us) OVER w > 1800000000
+                          THEN 1 ELSE 0 END AS new_s
+              FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)
+            ),
+            g AS (
+              SELECT user_id, us,
+                     sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+                                      ROWS UNBOUNDED PRECEDING) AS sess_no
+              FROM f
+            ),
+            s AS (
+              SELECT user_id, sess_no, min(us) AS start_us, max(us) AS end_us
+              FROM g GROUP BY user_id, sess_no
+            ),
+            d AS (
+              SELECT start_us AS t, 1 AS delta FROM s
+              UNION ALL SELECT end_us AS t, -1 AS delta FROM s
+            ),
+            r AS (
+              SELECT t, sum(delta) OVER (ORDER BY t, delta
+                                         ROWS UNBOUNDED PRECEDING) AS conc
+              FROM d
+            )
+            SELECT (SELECT max(conc) FROM r)::BIGINT AS peak_concurrency,
+                   (SELECT min(t) FROM r
+                    WHERE conc = (SELECT max(conc) FROM r))::BIGINT AS at_us
         """,
         "event_props_k_stats": r"""
             SELECT event_type, count(*)::BIGINT AS n_with_k,

@@ -10889,3 +10889,131 @@ def user_longest_streak(sf_dir: str) -> rd.Dataset:
         .groupby("user_id")
         .map_groups(per_user, batch_format="pandas")
     )
+
+
+def peak_concurrent_sessions(sf_dir: str) -> pa.Table:
+    """Global PEAK CONCURRENCY over 30-minute-gap user sessions ->
+    one row (peak_concurrency, at_us): the sweep-line shape (capacity
+    planning: 'how many sessions were ever open at once, and when
+    first').  Sessions-at-equal-instant rule: an end at time t closes
+    BEFORE a start at t opens (delta -1 sorts first), mirrored exactly
+    in the SQL twin's ORDER BY (t, delta).
+
+    Scale shape: session intervals come from ONE part-colocate shuffle
+    on user (vectorized gap-split per partition); their +-1 deltas are
+    range-sharded by time (sketch boundaries — accuracy only affects
+    shard balance, equal times share a shard so the order stays
+    total); each shard sorts locally and emits THREE ints (total sum,
+    max prefix, first argmax time); the driver folds num_shards
+    micro-rows into exclusive offsets — the distributed prefix-sum
+    trick again, never a global sort."""
+    P = 32
+    GAP_US = 1_800_000_000
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.dropna(subset=["ts"])
+        out = df[["user_id", "ts"]].copy()
+        out.insert(0, "part", out["user_id"].to_numpy() % P)
+        return out
+
+    def intervals(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].astype("int64").to_numpy()
+        uid = df["user_id"].to_numpy()
+        order = np.lexsort((us, uid))
+        us, uid = us[order], uid[order]
+        new_s = np.ones(len(us), dtype=bool)
+        if len(us) > 1:
+            new_s[1:] = (uid[1:] != uid[:-1]) | (us[1:] - us[:-1] > GAP_US)
+        starts = np.nonzero(new_s)[0]
+        ends = np.append(starts[1:], len(us)) - 1
+        return pd.DataFrame(
+            {"start_us": us[starts], "end_us": us[ends]}
+        )
+
+    iv = (
+        ev.map_batches(tag, batch_format="pandas")
+        .groupby("part")
+        .map_groups(intervals, batch_format="pandas")
+    )
+
+    def deltas(t: pa.Table) -> pa.Table:
+        s = t["start_us"].to_numpy(zero_copy_only=False)
+        e = t["end_us"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "t": pa.array(np.concatenate([s, e]), pa.int64()),
+                "delta": pa.array(
+                    np.concatenate(
+                        [np.ones(len(s), np.int64), -np.ones(len(e), np.int64)]
+                    )
+                ),
+            }
+        )
+
+    dd = iv.map_batches(deltas, batch_format="pyarrow").materialize()
+    if dd.count() == 0:
+        return pa.table(
+            {
+                "peak_concurrency": pa.array([], pa.int64()),
+                "at_us": pa.array([], pa.int64()),
+            }
+        )
+    from .ops.sketch import grouped_quantile
+
+    def add_key(t: pa.Table) -> pa.Table:
+        return t.append_column("_g", pa.array(np.zeros(t.num_rows, np.int64)))
+
+    b = (
+        grouped_quantile(
+            dd.map_batches(add_key, batch_format="pyarrow"),
+            "_g",
+            "t",
+            q={"q1": 0.25, "q2": 0.5, "q3": 0.75},
+            ndigits=None,
+        )
+        .to_pandas()
+        .iloc[0]
+    )
+    bounds = np.array([b["q1"], b["q2"], b["q3"]], dtype=np.float64)
+
+    def shard(t: pa.Table) -> pa.Table:
+        s = np.searchsorted(
+            bounds, t["t"].to_numpy(zero_copy_only=False).astype(np.float64),
+            side="right",
+        ).astype(np.int64)
+        return t.append_column("shard", pa.array(s))
+
+    def local_sweep(df: pd.DataFrame) -> pd.DataFrame:
+        t = df["t"].to_numpy()
+        d = df["delta"].to_numpy()
+        order = np.lexsort((d, t))  # ends (-1) before starts (+1) at ties
+        t, d = t[order], d[order]
+        run = np.cumsum(d)
+        i = int(np.argmax(run))  # first occurrence = smallest t at max
+        return pd.DataFrame(
+            {
+                "shard": [df["shard"].iloc[0]],
+                "total": np.array([run[-1]], dtype=np.int64),
+                "max_prefix": np.array([run[i]], dtype=np.int64),
+                "t_at": np.array([t[i]], dtype=np.int64),
+            }
+        )
+
+    parts = (
+        dd.map_batches(shard, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(local_sweep, batch_format="pandas")
+        .to_pandas()
+        .sort_values("shard")
+    )
+    offs = np.concatenate([[0], np.cumsum(parts["total"].to_numpy())[:-1]])
+    peaks = offs + parts["max_prefix"].to_numpy()
+    peak = int(peaks.max())
+    at = int(parts["t_at"].to_numpy()[np.nonzero(peaks == peak)[0][0]])
+    return pa.table(
+        {
+            "peak_concurrency": pa.array([peak], pa.int64()),
+            "at_us": pa.array([at], pa.int64()),
+        }
+    )
