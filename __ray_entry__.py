@@ -308,6 +308,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_fp_neardup": Q.audio_fp_neardup,
         "video_phash_neardup": Q.video_phash_neardup,
         "ann_topk_sq8": Q.ann_topk_sq8,
+        "kg_entity_neighborhood": Q.kg_entity_neighborhood,
         "graph_pagerank": Q.graph_pagerank,
         "embedding_kmeans": Q.embedding_kmeans,
         "semantic_dedup_embeddings": Q.semantic_dedup_embeddings,

@@ -11017,3 +11017,68 @@ def peak_concurrent_sessions(sf_dir: str) -> pa.Table:
             "at_us": pa.array([at], pa.int64()),
         }
     )
+
+
+def kg_entity_neighborhood(sf_dir: str) -> rd.Dataset:
+    """2-hop neighborhood of the KG's top-degree entity -> (entity,
+    dist): the 'what surrounds this hub' subgraph query a KG serves
+    interactively, run as bounded-depth frontier BFS (ops/graph.
+    bfs_hops) over the deduplicated edge table.  Entity ids are
+    strings, so they pass through the vocabulary-bounded node
+    dictionary (sorted -> rank, the M12 convention) before the integer
+    BFS and are mapped back after.  Source = highest-degree entity,
+    ties to the lexicographically smallest.  Rows-only (the upstream
+    extraction is neural); BFS parity is pinned by ops-level pytest
+    and a driver-BFS check on the small graph."""
+    import ray
+
+    from .ops import graph
+
+    g = kg_graph(sf_dir)
+    nodes_df = g["nodes"].to_pandas()  # vocabulary-bounded (distinct surfaces)
+    ents = sorted(nodes_df["entity_id"])
+    ids = {e: i for i, e in enumerate(ents)}
+    edges = g["edges"].materialize()  # consumed twice: degree + BFS
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        both = pa.concat_arrays(
+            [t["subj_entity"].combine_chunks(), t["obj_entity"].combine_chunks()]
+        )
+        gb = pa.table({"e": both}).group_by("e").aggregate([([], "count_all")])
+        return pa.table({"e": gb["e"], "n": pc.cast(gb["count_all"], pa.int64())})
+
+    deg = (
+        edges.map_batches(deg_partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("e")["n"]
+        .sum()
+        .reset_index()
+        .sort_values(["n", "e"], ascending=[False, True])
+    )
+    source = ids[deg["e"].iloc[0]]
+    ids_ref = ray.put(ids)
+
+    def to_int_edges(t: pa.Table, _ref=ids_ref) -> pa.Table:
+        m = ray.get(_ref)
+        a = [m[e] for e in t["subj_entity"].to_pylist()]
+        b = [m[e] for e in t["obj_entity"].to_pylist()]
+        return pa.table(
+            {"part_a": pa.array(a, pa.int64()), "part_b": pa.array(b, pa.int64())}
+        )
+
+    out = graph.bfs_hops(
+        edges.map_batches(to_int_edges, batch_format="pyarrow"),
+        source,
+        max_depth=2,
+    )
+    rev = pa.array(ents, pa.string())
+
+    def back(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "entity": pc.take(rev, t["node"]),
+                "dist": pc.cast(t["dist"], pa.int64()),
+            }
+        )
+
+    return out.map_batches(back, batch_format="pyarrow")

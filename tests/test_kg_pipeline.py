@@ -176,3 +176,35 @@ def test_hot_entity_skew_present(docs_table):
     hot = nodes[nodes.entity_id == "E000000"]
     assert len(hot) == 1
     assert hot.iloc[0]["n_mentions"] >= nodes["n_mentions"].median()
+
+
+def test_kg_entity_neighborhood_matches_driver_bfs(sf_dir):
+    from collections import deque
+
+    from deepie_ray import queries as Q
+
+    out = Q.kg_entity_neighborhood(sf_dir).to_pandas()
+    assert set(out.columns) == {"entity", "dist"}
+    assert (out["dist"] <= 2).all() and (out["dist"] >= 0).all()
+    # driver BFS over the same deduplicated edge table
+    edges = Q.kg_edges(sf_dir).to_pandas()
+    adj: dict[str, set] = {}
+    deg: dict[str, int] = {}
+    for a, b in zip(edges["subj_entity"], edges["obj_entity"]):
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    source = sorted(deg, key=lambda e: (-deg[e], e))[0]
+    want = {source: 0}
+    q = deque([source])
+    while q:
+        u = q.popleft()
+        if want[u] == 2:
+            continue
+        for v in adj.get(u, ()):
+            if v not in want:
+                want[v] = want[u] + 1
+                q.append(v)
+    got = dict(zip(out["entity"], out["dist"]))
+    assert got == want
