@@ -804,20 +804,25 @@ def sq8_topk(
         int(q): g["neighbor_id"].to_numpy()
         for q, g in cand.groupby("query_id")
     }
-    cref = ray.put(cand_map)
+    wanted_all = (
+        np.unique(np.concatenate(list(cand_map.values())))
+        if cand_map
+        else np.array([], dtype=np.int64)
+    )
+    cref = ray.put((cand_map, wanted_all))  # computed ONCE, broadcast
     Qn = _normalize(np.asarray(query_matrix, dtype=np.float64))
     qarr = np.asarray(query_ids)
 
     def rescore(t: pa.Table, _cref=cref) -> pa.Table:
-        cm = ray.get(_cref)
+        cm, wanted = ray.get(_cref)
         if len(t) == 0:
             return _EMPTY_TOPK
         ids = t["vec_id"].to_numpy()
-        wanted = np.unique(np.concatenate([v for v in cm.values()])) if cm else ids[:0]
         m = np.isin(ids, wanted)
         if not m.any():
             return _EMPTY_TOPK
-        M = _normalize(_to_matrix(t["embedding"]))[m]
+        # mask BEFORE normalizing: only candidate rows pay the math
+        M = _normalize(_to_matrix(t["embedding"])[m])
         ids = ids[m]
         sims = Qn @ M.T  # exact float cosine, candidates only
         out_q, out_n, out_s = [], [], []

@@ -535,54 +535,11 @@ def encode_gif(img: np.ndarray) -> bytes:
 
 
 def decode_gif(data: bytes) -> np.ndarray:
-    """Single-frame GIF87a/89a bytes -> (H, W, 3) uint8 RGB (first
-    image block; extensions skipped; interlace not supported)."""
-    import struct
-
-    if data[:6] not in (b"GIF87a", b"GIF89a"):
-        raise ValueError("not a GIF payload")
-    w, h, flags, _bg, _ar = struct.unpack("<HHBBB", data[6:13])
-    pos = 13
-    gct = None
-    if flags & 0x80:
-        n = 1 << ((flags & 0x07) + 1)
-        gct = np.frombuffer(data, np.uint8, count=n * 3, offset=pos).reshape(n, 3)
-        pos += n * 3
-    while pos < len(data):
-        block = data[pos]
-        if block == 0x21:  # extension: label + sub-blocks
-            pos += 2
-            while data[pos] != 0:
-                pos += 1 + data[pos]
-            pos += 1
-        elif block == 0x2C:  # image descriptor
-            _l, _t, iw, ih, iflags = struct.unpack("<HHHHB", data[pos + 1 : pos + 10])
-            pos += 10
-            ct = gct
-            if iflags & 0x80:  # local color table
-                n = 1 << ((iflags & 0x07) + 1)
-                ct = np.frombuffer(
-                    data, np.uint8, count=n * 3, offset=pos
-                ).reshape(n, 3)
-                pos += n * 3
-            if iflags & 0x40:
-                raise ValueError("interlaced GIF not supported")
-            if ct is None:
-                raise ValueError("GIF image without a color table")
-            mcs = data[pos]
-            pos += 1
-            body = bytearray()
-            while data[pos] != 0:
-                ln = data[pos]
-                body += data[pos + 1 : pos + 1 + ln]
-                pos += 1 + ln
-            idx = _gif_lzw_decode(bytes(body), mcs, iw * ih)
-            return ct[idx].reshape(ih, iw, 3).copy()
-        elif block == 0x3B:
-            break
-        else:
-            raise ValueError(f"unknown GIF block 0x{block:02x}")
-    raise ValueError("GIF contains no image block")
+    """GIF87a/89a bytes -> first frame as (H, W, 3) uint8 RGB.  One
+    block-walk parser for the whole module: this is
+    ``decode_gif_frames(data)[0]`` (single-frame payloads decode a
+    1-frame stack)."""
+    return decode_gif_frames(data)[0]
 
 
 def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
@@ -1120,6 +1077,8 @@ def sample_frames(frames: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
     f = len(frames)
     if f <= k:
         idx = np.arange(f, dtype=np.int64)
+    elif k <= 1:  # k == 1 keeps the first frame (no divide-by-zero)
+        idx = np.zeros(1, dtype=np.int64)
     else:
         idx = np.unique((np.arange(k, dtype=np.int64) * (f - 1)) // (k - 1))
     return frames[idx], idx

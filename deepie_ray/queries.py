@@ -10763,6 +10763,29 @@ def ann_topk_sq8(sf_dir: str) -> rd.Dataset:
     return ann.sq8_topk(corpus, ids, mat, k=10)
 
 
+def _range_shard_bounds(ds: rd.Dataset, col: str):
+    """Quartile boundaries (3 floats) for a 4-shard range partition,
+    from the mergeable quantile sketch; ``None`` on empty input.
+    Boundary ACCURACY only affects shard balance, never correctness —
+    equal keys always route to the same shard."""
+    from .ops.sketch import grouped_quantile
+
+    def add_key(t: pa.Table) -> pa.Table:
+        return t.append_column("_g", pa.array(np.zeros(t.num_rows, np.int64)))
+
+    q = grouped_quantile(
+        ds.map_batches(add_key, batch_format="pyarrow"),
+        "_g",
+        col,
+        q={"q1": 0.25, "q2": 0.5, "q3": 0.75},
+        ndigits=None,
+    ).to_pandas()
+    if not len(q):
+        return None
+    b = q.iloc[0]
+    return np.array([b["q1"], b["q2"], b["q3"]], dtype=np.float64)
+
+
 def documents_global_ordinals(sf_dir: str) -> rd.Dataset:
     """Globally-CONTIGUOUS row numbers (0-based, ordered by
     (n_chars, doc_id)) -> (doc_id, ordinal) WITHOUT a global sort:
@@ -10774,25 +10797,17 @@ def documents_global_ordinals(sf_dir: str) -> rd.Dataset:
     prefix-sum trick that assigns contiguous ids / ECDF ranks at any
     scale — boundary ACCURACY only affects shard balance, never the
     order.  Oracle: ROW_NUMBER() OVER (ORDER BY n_chars, doc_id)."""
-    from .ops.sketch import grouped_quantile
-
     docs = _read(sf_dir, "documents", ["doc_id", "n_chars"]).materialize()
-
-    def add_key(t: pa.Table) -> pa.Table:
-        return t.append_column("_g", pa.array(np.zeros(t.num_rows, np.int64)))
-
-    b = (
-        grouped_quantile(
-            docs.map_batches(add_key, batch_format="pyarrow"),
-            "_g",
-            "n_chars",
-            q={"q1": 0.25, "q2": 0.5, "q3": 0.75},
-            ndigits=None,
+    bounds = _range_shard_bounds(docs, "n_chars")
+    if bounds is None:  # empty table: the ROW_NUMBER twin yields 0 rows
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "ordinal": pa.array([], pa.int64()),
+                }
+            )
         )
-        .to_pandas()
-        .iloc[0]
-    )
-    bounds = np.array([b["q1"], b["q2"], b["q3"]], dtype=np.float64)
 
     def shard(t: pa.Table) -> pa.Table:
         v = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.float64)
@@ -10918,7 +10933,10 @@ def peak_concurrent_sessions(sf_dir: str) -> pa.Table:
         return out
 
     def intervals(df: pd.DataFrame) -> pd.DataFrame:
-        us = df["ts"].astype("int64").to_numpy()
+        # datetime64[us] first: a bare int64 cast reads NANOSECONDS when
+        # pandas materializes timestamp[us] as datetime64[ns], turning
+        # the 30-minute gap into 1.8 seconds (repo-wide ts convention)
+        us = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
         uid = df["user_id"].to_numpy()
         order = np.lexsort((us, uid))
         us, uid = us[order], uid[order]
@@ -10953,29 +10971,15 @@ def peak_concurrent_sessions(sf_dir: str) -> pa.Table:
 
     dd = iv.map_batches(deltas, batch_format="pyarrow").materialize()
     if dd.count() == 0:
+        # the SQL twin's scalar subqueries always yield ONE row — on an
+        # empty/all-NULL-ts table that row is (NULL, NULL); mirror it
         return pa.table(
             {
-                "peak_concurrency": pa.array([], pa.int64()),
-                "at_us": pa.array([], pa.int64()),
+                "peak_concurrency": pa.array([None], pa.int64()),
+                "at_us": pa.array([None], pa.int64()),
             }
         )
-    from .ops.sketch import grouped_quantile
-
-    def add_key(t: pa.Table) -> pa.Table:
-        return t.append_column("_g", pa.array(np.zeros(t.num_rows, np.int64)))
-
-    b = (
-        grouped_quantile(
-            dd.map_batches(add_key, batch_format="pyarrow"),
-            "_g",
-            "t",
-            q={"q1": 0.25, "q2": 0.5, "q3": 0.75},
-            ndigits=None,
-        )
-        .to_pandas()
-        .iloc[0]
-    )
-    bounds = np.array([b["q1"], b["q2"], b["q3"]], dtype=np.float64)
+    bounds = _range_shard_bounds(dd, "t")
 
     def shard(t: pa.Table) -> pa.Table:
         s = np.searchsorted(
@@ -11036,6 +11040,15 @@ def kg_entity_neighborhood(sf_dir: str) -> rd.Dataset:
 
     g = kg_graph(sf_dir)
     nodes_df = g["nodes"].to_pandas()  # vocabulary-bounded (distinct surfaces)
+    if nodes_df.empty:  # empty corpus (pandas of an empty ds drops columns)
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "entity": pa.array([], pa.string()),
+                    "dist": pa.array([], pa.int64()),
+                }
+            )
+        )
     ents = sorted(nodes_df["entity_id"])
     ids = {e: i for i, e in enumerate(ents)}
     edges = g["edges"].materialize()  # consumed twice: degree + BFS
@@ -11055,6 +11068,15 @@ def kg_entity_neighborhood(sf_dir: str) -> rd.Dataset:
         .reset_index()
         .sort_values(["n", "e"], ascending=[False, True])
     )
+    if not len(deg):  # empty corpus: no edges, no neighborhood
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "entity": pa.array([], pa.string()),
+                    "dist": pa.array([], pa.int64()),
+                }
+            )
+        )
     source = ids[deg["e"].iloc[0]]
     ids_ref = ray.put(ids)
 

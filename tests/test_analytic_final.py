@@ -190,6 +190,8 @@ def test_batch3_and_final_ops_empty_tables_no_crash(tmp_path):
         "knn_graph_mutual",
         "q2_min_cost_supplier",
         "events_value_quartile_bins",
+        "documents_global_ordinals",
+        "kg_entity_neighborhood",
     ):
         r = getattr(Q, name)(d)
         n = (
@@ -202,6 +204,9 @@ def test_batch3_and_final_ops_empty_tables_no_crash(tmp_path):
     # all-NULL value_cents (quantile_disc of the empty set)
     p = Q.events_value_percentiles_exact(d)
     assert p.num_rows == 4 and p["value_cents"].null_count == 4
+    # sweep-line twin is scalar subqueries: always ONE row, NULLs empty
+    pk = Q.peak_concurrent_sessions(d)
+    assert pk.num_rows == 1 and pk["peak_concurrency"].null_count == 1
 
 
 def test_global_exclusive_prefix_max_matches_pandas_window():
