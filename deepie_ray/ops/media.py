@@ -615,7 +615,8 @@ def synth_payload(kind: str, ref: str) -> bytes:
 
 class BinaryMediaDecoder:
     """Actor-pool stage over REAL binary payloads -> per-row features:
-    image (PPM, PNG, BMP or GIF, dispatched on magic bytes) rows decode,
+    image (PPM, PNG, BMP, GIF or baseline JPEG, dispatched on magic
+    bytes) rows decode,
     nearest-neighbor-resize to 8x8 grayscale
     and emit the 64 pixels + source dims; audio (WAV) rows decode and
     emit 8 frame RMS energies + sample count.  Output is one row per
@@ -647,6 +648,10 @@ class BinaryMediaDecoder:
                     img = decode_bmp(data)
                 elif data[:6] in (b"GIF87a", b"GIF89a"):
                     img = decode_gif(data)
+                elif data[:2] == b"\xff\xd8":
+                    img = decode_jpeg(data)
+                    if img.ndim == 2:
+                        img = np.repeat(img[:, :, None], 3, axis=2)
                 else:
                     img = decode_ppm(data)
                 gray = img.mean(axis=2).astype(np.uint8)
@@ -692,6 +697,11 @@ def decode_image(data: bytes) -> np.ndarray:
         return decode_gif(data)
     if data.startswith(b"P6"):
         return decode_ppm(data)
+    if data[:2] == b"\xff\xd8":
+        img = decode_jpeg(data)
+        if img.ndim == 2:
+            img = np.repeat(img[:, :, None], 3, axis=2)
+        return img
     raise ValueError("unknown image container (magic bytes)")
 
 
@@ -732,6 +742,22 @@ def sniff_media_meta(data: bytes) -> tuple[str, int, int]:
                 pos += 1
             fields.append(int(data[start:pos]))
         return "ppm", fields[1], fields[0]
+    if data[:2] == b"\xff\xd8":
+        # walk marker segments to SOF0/SOF2: height/width live there.
+        # For JFIF files without EXIF blobs SOFn sits well inside the
+        # 256-byte window; an EXIF-laden file falls back to full payload
+        # via sniff_meta_batch's per-row retry.
+        pos = 2
+        while pos + 9 <= len(data):
+            if data[pos] != 0xFF:
+                raise ValueError("JPEG marker misalignment")
+            marker = data[pos + 1]
+            if marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA):
+                hh = int.from_bytes(data[pos + 5 : pos + 7], "big")
+                ww = int.from_bytes(data[pos + 7 : pos + 9], "big")
+                return "jpeg", hh, ww
+            pos += 2 + int.from_bytes(data[pos + 2 : pos + 4], "big")
+        raise ValueError("JPEG SOF beyond the header window")
     if data.startswith(b"RIFF") and data[8:12] == b"WAVE":
         # walk chunk headers only (8 bytes each + declared size)
         pos, rate, block_align, n_samples = 12, 0, 2, 0
@@ -1125,3 +1151,424 @@ class VideoFrameHasher:
                 "sig": pa.array(sigs, pa.int64()),
             }
         )
+
+
+# ----------------------------------------------- baseline JPEG (ITU T.81)
+#
+# A real, spec-shaped baseline sequential JPEG codec in pure numpy +
+# stdlib: 8x8 DCT blocks, Annex-K.1 quantization tables with libjpeg
+# quality scaling, canonical Huffman entropy coding, JFIF container
+# (SOI/APP0/DQT/SOF0/DHT/SOS/EOI, 0xFF byte stuffing).  The Huffman
+# code-length assignment is a FLAT canonical alphabet (every DC size
+# symbol at 4 bits, every AC (run,size) symbol at 8 bits) instead of
+# Annex K.3's frequency-tuned lengths: the DHT segment carries the
+# table, so any spec-compliant decoder reads it — we trade a few
+# percent of compression for a construction that is verifiable by
+# inspection.  4:4:4 sampling (no chroma subsampling), 3-channel RGB
+# or single-channel grayscale.  Graft-brief media surface (the
+# reference has none); like the PNG/BMP/GIF/WAV codecs above this is
+# the per-payload leaf of an actor-pool decode stage, never a
+# driver-side loop.
+
+_JPEG_QL = np.array(  # Annex K.1 luminance, row-major
+    [16, 11, 10, 16, 24, 40, 51, 61,
+     12, 12, 14, 19, 26, 58, 60, 55,
+     14, 13, 16, 24, 40, 57, 69, 56,
+     14, 17, 22, 29, 51, 87, 80, 62,
+     18, 22, 37, 56, 68, 109, 103, 77,
+     24, 35, 55, 64, 81, 104, 113, 92,
+     49, 64, 78, 87, 103, 121, 120, 101,
+     72, 92, 95, 98, 112, 100, 103, 99], np.float64)
+_JPEG_QC = np.array(  # Annex K.1 chrominance
+    [17, 18, 24, 47, 99, 99, 99, 99,
+     18, 21, 26, 66, 99, 99, 99, 99,
+     24, 26, 56, 99, 99, 99, 99, 99,
+     47, 66, 99, 99, 99, 99, 99, 99] + [99] * 32, np.float64)
+
+# zig-zag scan order: index i of the zig-zag sequence -> row-major slot
+_ZIGZAG = np.array(
+    [0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+     12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+     35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+     58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63],
+    np.int64)
+_UNZIGZAG = np.argsort(_ZIGZAG)
+
+# flat canonical alphabets: DC sizes 0..11 at 4 bits; AC symbols
+# (run<<4)|size for run 0..15, size 1..10, plus EOB=0x00 and ZRL=0xF0,
+# all at 8 bits (162 symbols <= 256 -> a valid prefix code)
+_DC_BITS = [0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_DC_VALS = list(range(12))
+_AC_VALS = [0x00, 0xF0] + [
+    (r << 4) | s for r in range(16) for s in range(1, 11)
+]
+_AC_BITS = [0, 0, 0, 0, 0, 0, 0, len(_AC_VALS), 0, 0, 0, 0, 0, 0, 0, 0]
+
+
+def _huff_encode_table(bits: list[int], vals: list[int]) -> dict:
+    """Canonical Huffman: symbol -> (code, length)."""
+    assert sum(bits) == len(vals)
+    out, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[vals[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _huff_decode_table(bits: list[int], vals: list[int]) -> dict:
+    """Canonical Huffman: (length, code) -> symbol."""
+    out, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[(ln, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+_DCT8 = None
+
+
+def _dct8() -> np.ndarray:
+    """Orthonormal 8-point DCT-II matrix (cached)."""
+    global _DCT8
+    if _DCT8 is None:
+        n = 8
+        k = np.arange(n)[:, None]
+        x = np.arange(n)[None, :]
+        m = np.cos((2 * x + 1) * k * np.pi / (2 * n)) * np.sqrt(2.0 / n)
+        m[0] /= np.sqrt(2.0)
+        _DCT8 = m
+    return _DCT8
+
+
+def _quality_scale(q: np.ndarray, quality: int) -> np.ndarray:
+    """libjpeg quality scaling of a base table -> uint8 in [1, 255]."""
+    quality = min(100, max(1, quality))
+    s = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip((q * s + 50) // 100, 1, 255).astype(np.float64)
+
+
+def _blockify(plane: np.ndarray) -> tuple[np.ndarray, int, int]:
+    """(H, W) float -> (nby*nbx, 8, 8) blocks, edge-padded, plus block
+    grid dims.  Block order is row-major over the grid (the MCU order
+    for 4:4:4)."""
+    h, w = plane.shape
+    nby, nbx = (h + 7) // 8, (w + 7) // 8
+    p = np.pad(plane, ((0, nby * 8 - h), (0, nbx * 8 - w)), mode="edge")
+    return (
+        p.reshape(nby, 8, nbx, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8),
+        nby,
+        nbx,
+    )
+
+
+def _deblockify(blocks: np.ndarray, nby: int, nbx: int, h: int, w: int):
+    p = blocks.reshape(nby, nbx, 8, 8).transpose(0, 2, 1, 3)
+    return p.reshape(nby * 8, nbx * 8)[:h, :w]
+
+
+class _BitWriter:
+    __slots__ = ("buf", "acc", "n")
+
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code: int, length: int):
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            self.n -= 8
+            b = (self.acc >> self.n) & 0xFF
+            self.buf.append(b)
+            if b == 0xFF:
+                self.buf.append(0x00)  # byte stuffing
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self):
+        if self.n:
+            self.put(0xFF, 8 - self.n)  # pad with 1-bits
+
+
+def _mag_bits(v: int) -> tuple[int, int]:
+    """JPEG magnitude coding: value -> (size, appended bits)."""
+    if v == 0:
+        return 0, 0
+    s = int(abs(v)).bit_length()
+    return s, v if v >= 0 else v + (1 << s) - 1
+
+
+def _encode_component_blocks(
+    coefs: np.ndarray, dc_tab: dict, ac_tab: dict, bw: "_BitWriter",
+    prev_dc: int,
+) -> int:
+    """Entropy-encode one component's quantized zig-zag coefficient
+    rows (n, 64) (already in scan order when interleaving is handled
+    by the caller).  Returns the new DC predictor."""
+    for row in coefs:
+        diff = int(row[0]) - prev_dc
+        prev_dc = int(row[0])
+        s, extra = _mag_bits(diff)
+        c, ln = dc_tab[s]
+        bw.put(c, ln)
+        if s:
+            bw.put(extra, s)
+        nz = np.nonzero(row[1:])[0]
+        pos = 0
+        for idx in nz:
+            run = int(idx) - pos
+            while run >= 16:
+                c, ln = ac_tab[0xF0]  # ZRL
+                bw.put(c, ln)
+                run -= 16
+            s, extra = _mag_bits(int(row[1 + idx]))
+            c, ln = ac_tab[(run << 4) | s]
+            bw.put(c, ln)
+            bw.put(extra, s)
+            pos = int(idx) + 1
+        if pos < 63:
+            c, ln = ac_tab[0x00]  # EOB
+            bw.put(c, ln)
+    return prev_dc
+
+
+def _dht_segment(tc: int, th: int, bits: list[int], vals: list[int]) -> bytes:
+    body = bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
+    return b"\xff\xc4" + (len(body) + 2).to_bytes(2, "big") + body
+
+
+def _dqt_segment(tid: int, table: np.ndarray) -> bytes:
+    body = bytes([tid]) + bytes(table[_ZIGZAG].astype(np.uint8))
+    return b"\xff\xdb" + (len(body) + 2).to_bytes(2, "big") + body
+
+
+def encode_jpeg(img: np.ndarray, quality: int = 85) -> bytes:
+    """(H, W, 3) uint8 RGB or (H, W) uint8 gray -> baseline JFIF bytes
+    (4:4:4, flat canonical Huffman tables carried in DHT)."""
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    ql = _quality_scale(_JPEG_QL, quality)
+    qc = _quality_scale(_JPEG_QC, quality)
+    f = img.astype(np.float64)
+    if gray:
+        planes = [(f, ql)]
+    else:
+        r, g, b = f[..., 0], f[..., 1], f[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        planes = [(y, ql), (cb, qc), (cr, qc)]
+    d = _dct8()
+    zz_per_comp = []
+    for plane, qt in planes:
+        blocks, nby, nbx = _blockify(plane - 128.0)
+        coef = np.einsum("ij,njk,lk->nil", d, blocks, d)
+        qz = np.round(coef / qt.reshape(8, 8)).astype(np.int32)
+        zz_per_comp.append(qz.reshape(-1, 64)[:, _ZIGZAG])
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += (  # APP0 JFIF 1.01, no thumbnail
+        b"\xff\xe0\x00\x10JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    )
+    out += _dqt_segment(0, ql)
+    ncomp = 1 if gray else 3
+    if not gray:
+        out += _dqt_segment(1, qc)
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+    sof += bytes([ncomp])
+    for cid in range(1, ncomp + 1):
+        sof += bytes([cid, 0x11, 0 if cid == 1 else 1])  # 1x1 sampling
+    out += b"\xff\xc0" + (len(sof) + 2).to_bytes(2, "big") + sof
+    out += _dht_segment(0, 0, _DC_BITS, _DC_VALS)
+    out += _dht_segment(1, 0, _AC_BITS, _AC_VALS)
+    if not gray:
+        out += _dht_segment(0, 1, _DC_BITS, _DC_VALS)
+        out += _dht_segment(1, 1, _AC_BITS, _AC_VALS)
+    sos = bytes([ncomp])
+    for cid in range(1, ncomp + 1):
+        sos += bytes([cid, 0x00 if cid == 1 else 0x11])
+    sos += bytes([0, 63, 0])
+    out += b"\xff\xda" + (len(sos) + 2).to_bytes(2, "big") + sos
+
+    dc_tab = _huff_encode_table(_DC_BITS, _DC_VALS)
+    ac_tab = _huff_encode_table(_AC_BITS, _AC_VALS)
+    bw = _BitWriter()
+    if gray:
+        _encode_component_blocks(zz_per_comp[0], dc_tab, ac_tab, bw, 0)
+    else:
+        # interleaved 4:4:4 MCU = one block of each component in turn
+        prev = [0, 0, 0]
+        n_mcu = zz_per_comp[0].shape[0]
+        for m in range(n_mcu):
+            for c in range(3):
+                prev[c] = _encode_component_blocks(
+                    zz_per_comp[c][m : m + 1], dc_tab, ac_tab, bw, prev[c]
+                )
+    bw.flush()
+    out += bw.buf
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _BitReader:
+    __slots__ = ("data", "pos", "acc", "n")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def _fill(self):
+        b = self.data[self.pos]
+        self.pos += 1
+        if b == 0xFF:  # stuffed byte: 0xFF 0x00 -> literal 0xFF
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.n += 8
+
+    def bits(self, k: int) -> int:
+        while self.n < k:
+            self._fill()
+        self.n -= k
+        v = (self.acc >> self.n) & ((1 << k) - 1)
+        self.acc &= (1 << self.n) - 1
+        return v
+
+    def huff(self, table: dict) -> int:
+        code, ln = 0, 0
+        while ln < 17:
+            code = (code << 1) | self.bits(1)
+            ln += 1
+            sym = table.get((ln, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code in JPEG stream")
+
+
+def _extend(v: int, s: int) -> int:
+    """JPEG EXTEND: s-bit magnitude bits -> signed value."""
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Baseline JFIF bytes -> (H, W, 3) uint8 RGB (grayscale expands
+    on return from ``decode_image``; here 1-component returns (H, W)).
+    Supports baseline sequential, 8-bit, 4:4:4 (all sampling factors
+    1x1), no restart intervals — exactly the shape ``encode_jpeg``
+    emits, plus any other encoder constrained the same way."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (no SOI)")
+    pos = 2
+    qtabs: dict[int, np.ndarray] = {}
+    htabs: dict[tuple[int, int], dict] = {}
+    h = w = 0
+    comps: list[tuple[int, int]] = []  # (component id, quant table id)
+    scan: list[tuple[int, int, int]] = []  # (cid, dc table, ac table)
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("JPEG marker misalignment")
+        marker = data[pos + 1]
+        seglen = int.from_bytes(data[pos + 2 : pos + 4], "big")
+        body = data[pos + 4 : pos + 2 + seglen]
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            p = 0
+            while p < len(body):
+                prec, tid = body[p] >> 4, body[p] & 0x0F
+                if prec != 0:
+                    raise ValueError("16-bit DQT not supported (baseline)")
+                zz = np.frombuffer(body, np.uint8, 64, p + 1).astype(np.float64)
+                t = np.empty(64, np.float64)
+                t[_ZIGZAG] = zz  # stored in zig-zag order
+                qtabs[tid] = t
+                p += 65
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(body):
+                tc, th = body[p] >> 4, body[p] & 0x0F
+                bits = list(body[p + 1 : p + 17])
+                nv = sum(bits)
+                vals = list(body[p + 17 : p + 17 + nv])
+                htabs[(tc, th)] = _huff_decode_table(bits, vals)
+                p += 17 + nv
+        elif marker == 0xC0:  # SOF0 baseline
+            if body[0] != 8:
+                raise ValueError("only 8-bit precision supported")
+            h = int.from_bytes(body[1:3], "big")
+            w = int.from_bytes(body[3:5], "big")
+            nc = body[5]
+            for c in range(nc):
+                cid, samp, tq = body[6 + 3 * c : 9 + 3 * c]
+                if samp != 0x11:
+                    raise ValueError("only 4:4:4 (1x1 sampling) supported")
+                comps.append((cid, tq))
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA):
+            raise ValueError("non-baseline JPEG (progressive/extended)")
+        elif marker == 0xDD:
+            if int.from_bytes(body[:2], "big") != 0:
+                raise ValueError("restart intervals not supported")
+        elif marker == 0xDA:  # SOS: entropy data follows the segment
+            ns = body[0]
+            for c in range(ns):
+                cid = body[1 + 2 * c]
+                tt = body[2 + 2 * c]
+                scan.append((cid, tt >> 4, tt & 0x0F))
+            pos += 2 + seglen
+            break
+        pos += 2 + seglen
+    if not comps or not scan or h == 0:
+        raise ValueError("JPEG missing SOF/SOS")
+
+    br = _BitReader(data[pos:])
+    d = _dct8()
+    nby, nbx = (h + 7) // 8, (w + 7) // 8
+    n_blocks = nby * nbx
+    planes = []
+    zz = [np.zeros((n_blocks, 64), np.int32) for _ in scan]
+    prev = [0] * len(scan)
+    for m in range(n_blocks):
+        for ci, (cid, dct_id, act_id) in enumerate(scan):
+            dc_tab = htabs[(0, dct_id)]
+            ac_tab = htabs[(1, act_id)]
+            s = br.huff(dc_tab)
+            diff = _extend(br.bits(s), s) if s else 0
+            prev[ci] += diff
+            row = zz[ci][m]
+            row[0] = prev[ci]
+            k = 1
+            while k < 64:
+                sym = br.huff(ac_tab)
+                if sym == 0x00:  # EOB
+                    break
+                if sym == 0xF0:  # ZRL
+                    k += 16
+                    continue
+                run, size = sym >> 4, sym & 0x0F
+                k += run
+                if k > 63:
+                    raise ValueError("AC run past block end")
+                row[k] = _extend(br.bits(size), size)
+                k += 1
+    for ci, (cid, _, _) in enumerate(scan):
+        tq = dict(comps)[cid]
+        qt = qtabs[tq].reshape(8, 8)
+        coef = np.zeros((n_blocks, 64), np.float64)
+        coef[:, _ZIGZAG] = zz[ci]  # inverse zig-zag
+        coef = coef.reshape(-1, 8, 8) * qt
+        blocks = np.einsum("ji,njk,kl->nil", d, coef, d)
+        planes.append(
+            np.clip(_deblockify(blocks + 128.0, nby, nbx, h, w), 0, 255)
+        )
+    if len(planes) == 1:
+        return planes[0].round().astype(np.uint8)
+    y, cb, cr = planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(np.stack([r, g, b], axis=2).round(), 0, 255).astype(np.uint8)

@@ -35,6 +35,7 @@ def test_sniff_matches_decode_all_image_codecs():
             (media.encode_bmp, "bmp"),
             (media.encode_ppm, "ppm"),
             (lambda x: media.encode_gif(x & 0xC0), "gif"),
+            (lambda x: media.encode_jpeg(x, 90), "jpeg"),
         ):
             data = enc(img)
             sfmt, sh, sw = media.sniff_media_meta(data)
@@ -97,6 +98,20 @@ def test_phash_noise_robust_structure_sensitive():
     other = rng.integers(30, 226, (8, 8, 3))
     other_img = other[np.ix_(ys, xs)].astype(np.uint8)
     assert _ham(h_base, int(media.phash64(_gray32(other_img)[None])[0])) > 10
+
+
+def test_phash_survives_lossy_jpeg_reencode():
+    """A JPEG re-encode perturbs pixels but the perceptual hash stays
+    within near-dup Hamming distance of the lossless original —
+    exactly the cross-container dup case pHash exists for."""
+    rng = np.random.default_rng(9)
+    coarse = rng.integers(20, 236, (6, 6, 3))
+    ys = (np.arange(48) * 6 // 48).clip(0, 5)
+    xs = (np.arange(48) * 6 // 48).clip(0, 5)
+    img = coarse[np.ix_(ys, xs)].astype(np.uint8)
+    h_png = int(media.phash64(_gray32(media.decode_image(media.encode_png(img)))[None])[0])
+    h_jpg = int(media.phash64(_gray32(media.decode_image(media.encode_jpeg(img, 85)))[None])[0])
+    assert _ham(h_png, h_jpg) <= 6
 
 
 def test_audio_fp_gain_invariant_noise_robust():
