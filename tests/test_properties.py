@@ -121,3 +121,27 @@ def test_ace_label_normalization_idempotent(label):
     assert ace.normalize_label(n1) == n1
     if label.startswith("PHYS"):
         assert n1 == "PHYS"
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    h=st.integers(1, 24),
+    w=st.integers(1, 24),
+    quality=st.integers(30, 95),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_jpeg_roundtrip_shape_and_bounded_error(h, w, quality, seed):
+    """decode(encode(img)) preserves dtype/shape for ANY dims and
+    quality, and the per-pixel error of a blockwise-constant image is
+    bounded (such an image is DC-only per 8x8 block, so quantization
+    error collapses to DC rounding: <=1.75/channel at quality>=30 DC
+    steps, compounded <=~5 through the Cr/Cb->RGB transform)."""
+    from deepie_ray.ops import media
+
+    rng = np.random.default_rng(seed)
+    # blockwise-constant: one color per 8x8 tile
+    tiles = rng.integers(0, 256, ((h + 7) // 8, (w + 7) // 8, 3), np.int64)
+    img = np.kron(tiles, np.ones((8, 8, 1), np.int64))[:h, :w].astype(np.uint8)
+    out = media.decode_jpeg(media.encode_jpeg(img, quality))
+    assert out.shape == img.shape and out.dtype == np.uint8
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 6
