@@ -1429,6 +1429,11 @@ class _BitReader:
         b = self.data[self.pos]
         self.pos += 1
         if b == 0xFF:  # stuffed byte: 0xFF 0x00 -> literal 0xFF
+            if self.data[self.pos] != 0x00:
+                # a real marker (EOI/RSTn) inside entropy data means the
+                # stream is truncated or corrupt — fail loudly instead of
+                # decoding the marker bytes as coefficients
+                raise ValueError("JPEG entropy stream ended at a marker")
             self.pos += 1
         self.acc = (self.acc << 8) | b
         self.n += 8
