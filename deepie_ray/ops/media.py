@@ -639,21 +639,8 @@ class BinaryMediaDecoder:
         dims = np.zeros((n, 2), np.int32)
         for i, (k, data) in enumerate(zip(kinds, payloads)):
             if k == "image":
-                # dispatch on magic bytes: P6 PPM, PNG or BMP (all real)
-                if data.startswith(_PNG_SIG):
-                    img = decode_png(data)
-                    if img.ndim == 2:
-                        img = np.repeat(img[:, :, None], 3, axis=2)
-                elif data.startswith(b"BM"):
-                    img = decode_bmp(data)
-                elif data[:6] in (b"GIF87a", b"GIF89a"):
-                    img = decode_gif(data)
-                elif data[:2] == b"\xff\xd8":
-                    img = decode_jpeg(data)
-                    if img.ndim == 2:
-                        img = np.repeat(img[:, :, None], 3, axis=2)
-                else:
-                    img = decode_ppm(data)
+                # one magic-byte dispatch for all five real codecs
+                img = decode_image(data)
                 gray = img.mean(axis=2).astype(np.uint8)
                 small = ImageResize.resize_nn(gray, 8, 8)
                 feats[i] = small.ravel().astype(np.float32) / 255.0
@@ -683,9 +670,9 @@ class BinaryMediaDecoder:
 
 
 def decode_image(data: bytes) -> np.ndarray:
-    """Magic-byte dispatch over the four real image codecs ->
-    (H, W, 3) uint8.  Grayscale PNG is expanded to 3 channels so every
-    caller sees one layout."""
+    """Magic-byte dispatch over the five real image codecs (PNG, BMP,
+    GIF, PPM, baseline JPEG) -> (H, W, 3) uint8.  Grayscale PNG/JPEG
+    is expanded to 3 channels so every caller sees one layout."""
     if data.startswith(_PNG_SIG):
         img = decode_png(data)
         if img.ndim == 2:
@@ -751,8 +738,13 @@ def sniff_media_meta(data: bytes) -> tuple[str, int, int]:
         while pos + 9 <= len(data):
             if data[pos] != 0xFF:
                 raise ValueError("JPEG marker misalignment")
+            while pos + 9 <= len(data) and data[pos + 1] == 0xFF:
+                pos += 1  # optional fill bytes (T.81 B.1.1.2)
             marker = data[pos + 1]
-            if marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA):
+            if marker in (
+                0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF,
+            ):  # every SOFn shares the height/width layout
                 hh = int.from_bytes(data[pos + 5 : pos + 7], "big")
                 ww = int.from_bytes(data[pos + 7 : pos + 9], "big")
                 return "jpeg", hh, ww
@@ -1304,37 +1296,35 @@ def _mag_bits(v: int) -> tuple[int, int]:
     return s, v if v >= 0 else v + (1 << s) - 1
 
 
-def _encode_component_blocks(
-    coefs: np.ndarray, dc_tab: dict, ac_tab: dict, bw: "_BitWriter",
+def _encode_block(
+    row: np.ndarray, dc_tab: dict, ac_tab: dict, bw: "_BitWriter",
     prev_dc: int,
 ) -> int:
-    """Entropy-encode one component's quantized zig-zag coefficient
-    rows (n, 64) (already in scan order when interleaving is handled
-    by the caller).  Returns the new DC predictor."""
-    for row in coefs:
-        diff = int(row[0]) - prev_dc
-        prev_dc = int(row[0])
-        s, extra = _mag_bits(diff)
-        c, ln = dc_tab[s]
+    """Entropy-encode ONE quantized zig-zag coefficient row (64,).
+    Returns the new DC predictor."""
+    diff = int(row[0]) - prev_dc
+    prev_dc = int(row[0])
+    s, extra = _mag_bits(diff)
+    c, ln = dc_tab[s]
+    bw.put(c, ln)
+    if s:
+        bw.put(extra, s)
+    nz = np.nonzero(row[1:])[0]
+    pos = 0
+    for idx in nz:
+        run = int(idx) - pos
+        while run >= 16:
+            c, ln = ac_tab[0xF0]  # ZRL
+            bw.put(c, ln)
+            run -= 16
+        s, extra = _mag_bits(int(row[1 + idx]))
+        c, ln = ac_tab[(run << 4) | s]
         bw.put(c, ln)
-        if s:
-            bw.put(extra, s)
-        nz = np.nonzero(row[1:])[0]
-        pos = 0
-        for idx in nz:
-            run = int(idx) - pos
-            while run >= 16:
-                c, ln = ac_tab[0xF0]  # ZRL
-                bw.put(c, ln)
-                run -= 16
-            s, extra = _mag_bits(int(row[1 + idx]))
-            c, ln = ac_tab[(run << 4) | s]
-            bw.put(c, ln)
-            bw.put(extra, s)
-            pos = int(idx) + 1
-        if pos < 63:
-            c, ln = ac_tab[0x00]  # EOB
-            bw.put(c, ln)
+        bw.put(extra, s)
+        pos = int(idx) + 1
+    if pos < 63:
+        c, ln = ac_tab[0x00]  # EOB
+        bw.put(c, ln)
     return prev_dc
 
 
@@ -1400,15 +1390,17 @@ def encode_jpeg(img: np.ndarray, quality: int = 85) -> bytes:
     ac_tab = _huff_encode_table(_AC_BITS, _AC_VALS)
     bw = _BitWriter()
     if gray:
-        _encode_component_blocks(zz_per_comp[0], dc_tab, ac_tab, bw, 0)
+        prev_dc = 0
+        for row in zz_per_comp[0]:
+            prev_dc = _encode_block(row, dc_tab, ac_tab, bw, prev_dc)
     else:
         # interleaved 4:4:4 MCU = one block of each component in turn
         prev = [0, 0, 0]
         n_mcu = zz_per_comp[0].shape[0]
         for m in range(n_mcu):
             for c in range(3):
-                prev[c] = _encode_component_blocks(
-                    zz_per_comp[c][m : m + 1], dc_tab, ac_tab, bw, prev[c]
+                prev[c] = _encode_block(
+                    zz_per_comp[c][m], dc_tab, ac_tab, bw, prev[c]
                 )
     bw.flush()
     out += bw.buf
@@ -1426,10 +1418,12 @@ class _BitReader:
         self.n = 0
 
     def _fill(self):
+        if self.pos >= len(self.data):
+            raise ValueError("JPEG entropy stream truncated")
         b = self.data[self.pos]
         self.pos += 1
         if b == 0xFF:  # stuffed byte: 0xFF 0x00 -> literal 0xFF
-            if self.data[self.pos] != 0x00:
+            if self.pos >= len(self.data) or self.data[self.pos] != 0x00:
                 # a real marker (EOI/RSTn) inside entropy data means the
                 # stream is truncated or corrupt — fail loudly instead of
                 # decoding the marker bytes as coefficients
@@ -1467,7 +1461,16 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     on return from ``decode_image``; here 1-component returns (H, W)).
     Supports baseline sequential, 8-bit, 4:4:4 (all sampling factors
     1x1), no restart intervals — exactly the shape ``encode_jpeg``
-    emits, plus any other encoder constrained the same way."""
+    emits, plus any other encoder constrained the same way.  Every
+    malformed-payload path raises ValueError (the quarantine contract
+    shared by the other codecs)."""
+    try:
+        return _decode_jpeg(data)
+    except IndexError as e:  # truncated header / entropy stream
+        raise ValueError("truncated JPEG payload") from e
+
+
+def _decode_jpeg(data: bytes) -> np.ndarray:
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (no SOI)")
     pos = 2
@@ -1479,6 +1482,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError("JPEG marker misalignment")
+        while pos + 4 <= len(data) and data[pos + 1] == 0xFF:
+            pos += 1  # optional fill bytes before a marker (T.81 B.1.1.2)
         marker = data[pos + 1]
         seglen = int.from_bytes(data[pos + 2 : pos + 4], "big")
         body = data[pos + 4 : pos + 2 + seglen]
@@ -1513,8 +1518,11 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 if samp != 0x11:
                     raise ValueError("only 4:4:4 (1x1 sampling) supported")
                 comps.append((cid, tq))
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA):
-            raise ValueError("non-baseline JPEG (progressive/extended)")
+        elif marker in (
+            0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF,
+        ):
+            raise ValueError("non-baseline JPEG (progressive/extended/lossless)")
         elif marker == 0xDD:
             if int.from_bytes(body[:2], "big") != 0:
                 raise ValueError("restart intervals not supported")
@@ -1529,6 +1537,10 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         pos += 2 + seglen
     if not comps or not scan or h == 0:
         raise ValueError("JPEG missing SOF/SOS")
+    if len(scan) != len(comps):
+        # T.81 allows one SOS per component; returning just the Y scan
+        # would silently decode a color image as grayscale
+        raise ValueError("multi-scan baseline JPEG not supported")
 
     br = _BitReader(data[pos:])
     d = _dct8()

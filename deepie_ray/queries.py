@@ -10488,7 +10488,7 @@ def media_meta_scan(sf_dir: str) -> rd.Dataset:
     shape for corpus shape statistics: per-blob work is a 256-byte
     header slice, no decode, and only (kind, fmt) micro-rows shuffle.
     Rows-only by nature (payloads are invisible to SQL); sniff ==
-    decode is pinned by pytest across all five real codecs."""
+    decode is pinned by pytest across all six real codecs."""
     from . import pipeline
     from .ops import media
 

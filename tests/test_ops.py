@@ -1480,6 +1480,28 @@ def test_jpeg_roundtrip_baseline():
         media.decode_jpeg(b"not a jpeg")
 
 
+def test_jpeg_malformed_payload_contract():
+    """Every malformed-payload path raises ValueError (the quarantine
+    contract shared by the other codecs): truncation anywhere, a
+    non-baseline SOF, a marker inside entropy data.  Optional 0xFF
+    fill bytes before a marker (T.81 B.1.1.2) must be ACCEPTED."""
+    img = (np.arange(12 * 20 * 3).reshape(12, 20, 3) * 7 % 256).astype(np.uint8)
+    enc = media.encode_jpeg(img, 85)
+    for cut in (3, 20, len(enc) // 2, len(enc) - 3):
+        with pytest.raises(ValueError):
+            media.decode_jpeg(enc[:cut])
+    # fill byte before the first DQT marker: still decodes + sniffs
+    assert enc[2:4] == b"\xff\xe0"
+    app0_end = 4 + int.from_bytes(enc[4:6], "big")
+    filled = enc[:app0_end] + b"\xff" + enc[app0_end:]
+    assert media.decode_jpeg(filled).shape == img.shape
+    assert media.sniff_media_meta(filled) == ("jpeg", 12, 20)
+    # progressive SOF2 is rejected loudly, not "missing SOF"
+    prog = enc.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(ValueError, match="non-baseline"):
+        media.decode_jpeg(prog)
+
+
 def test_binary_media_decoder_handles_png_rows():
     """media_decode_features' decoder must accept PNG payloads (round-3
     verdict #7) and produce the same 8x8 grayscale features as the PPM
