@@ -98,3 +98,34 @@ def test_sq8_single_shuffle_budget(sf_dir):
     # candidate phase pre-merged; the returned exact-rescore plan has
     # one top-k groupby
     assert_shuffle_budget(Q.ann_topk_sq8(sf_dir), max_shuffles=1, max_joins=0)
+
+
+def test_longest_streak_single_shuffle_budget(sf_dir):
+    # gaps-and-islands: one sort on (user, day); islands are numpy
+    assert_shuffle_budget(Q.user_longest_streak(sf_dir), max_shuffles=1, max_joins=0)
+
+
+def test_global_ordinals_zero_exchange_budget(sf_dir):
+    # quartile bounds + shard offsets are folded BEFORE the returned
+    # plan; the plan itself assigns shard-local ranks map-side only
+    assert_shuffle_budget(
+        Q.documents_global_ordinals(sf_dir), max_shuffles=0, max_joins=0
+    )
+
+
+def test_rolling_wau_two_exchange_budget(sf_dir):
+    # distinct user-day exchange + per-day fold; 7-day expand map-side
+    assert_shuffle_budget(Q.events_rolling_wau(sf_dir), max_shuffles=2, max_joins=0)
+
+
+def test_ewma_single_shuffle_budget(sf_dir):
+    assert_shuffle_budget(Q.events_value_ewma(sf_dir), max_shuffles=1, max_joins=0)
+
+
+def test_knn_mutual_exchange_budget(sf_dir):
+    # chunk-pair top-k merge (groupby+sort) + reciprocity via 2 joins
+    assert_shuffle_budget(Q.knn_graph_mutual(sf_dir), max_shuffles=2, max_joins=2)
+
+
+def test_active_coverage_single_shuffle_budget(sf_dir):
+    assert_shuffle_budget(Q.user_active_coverage(sf_dir), max_shuffles=1, max_joins=0)
