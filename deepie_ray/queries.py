@@ -11078,14 +11078,22 @@ def kg_entity_neighborhood(sf_dir: str) -> rd.Dataset:
             )
         )
     source = ids[deg["e"].iloc[0]]
-    ids_ref = ray.put(ids)
+    # the dictionary is the SORTED entity list, so encoding is a
+    # vectorized Arrow index_in against the broadcast value set — no
+    # per-edge Python dict lookups
+    ents_ref = ray.put(pa.array(ents, pa.string()))
 
-    def to_int_edges(t: pa.Table, _ref=ids_ref) -> pa.Table:
-        m = ray.get(_ref)
-        a = [m[e] for e in t["subj_entity"].to_pylist()]
-        b = [m[e] for e in t["obj_entity"].to_pylist()]
+    def to_int_edges(t: pa.Table, _ref=ents_ref) -> pa.Table:
+        vs = ray.get(_ref)
         return pa.table(
-            {"part_a": pa.array(a, pa.int64()), "part_b": pa.array(b, pa.int64())}
+            {
+                "part_a": pc.cast(
+                    pc.index_in(t["subj_entity"], value_set=vs), pa.int64()
+                ),
+                "part_b": pc.cast(
+                    pc.index_in(t["obj_entity"], value_set=vs), pa.int64()
+                ),
+            }
         )
 
     out = graph.bfs_hops(
