@@ -34,6 +34,25 @@ from .ops.agg import grouped_count
 from .tuning import read_blocks
 
 
+
+def _fp_roundtrip(t: pa.Table) -> pa.Table:
+    """(doc_id, text, ...) -> (doc_id, fingerprint) md5 rows shared by
+    the export round-trip checks — hashes the Arrow string buffer's
+    utf-8 slices directly (ops/dedup._md5_hex_utf8_slices), no per-row
+    str materialization."""
+    from .ops.dedup import _md5_hex_utf8_slices
+
+    col = t["text"]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return pa.table(
+        {
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "fingerprint": pa.array(_md5_hex_utf8_slices(col), pa.string()),
+        }
+    )
+
+
 def _lineitem(sf_dir: str, cols: list[str]) -> rd.Dataset:
     return rd.read_parquet(
         f"{sf_dir}/lineitem.parquet", columns=cols, override_num_blocks=read_blocks()
@@ -3111,14 +3130,7 @@ def export_jsonl_roundtrip(sf_dir: str) -> rd.Dataset:
     docs.write_json(out_dir)
     back = rd.read_json(out_dir)
 
-    def fp(t: pa.Table) -> pa.Table:
-        fps = [md5_hex(x or "") for x in t["text"].to_pylist()]
-        return pa.table(
-            {
-                "doc_id": pc.cast(t["doc_id"], pa.int64()),
-                "fingerprint": pa.array(fps, pa.string()),
-            }
-        )
+    fp = _fp_roundtrip
 
     return back.map_batches(fp, batch_format="pyarrow")
 
@@ -3148,14 +3160,7 @@ def export_csv_roundtrip(sf_dir: str) -> rd.Dataset:
     docs.write_csv(out_dir)
     back = rd.read_csv(out_dir)
 
-    def fp(t: pa.Table) -> pa.Table:
-        fps = [md5_hex(x or "") for x in t["text"].to_pylist()]
-        return pa.table(
-            {
-                "doc_id": pc.cast(t["doc_id"], pa.int64()),
-                "fingerprint": pa.array(fps, pa.string()),
-            }
-        )
+    fp = _fp_roundtrip
 
     return back.map_batches(fp, batch_format="pyarrow")
 
@@ -4838,14 +4843,7 @@ def export_jsonl_gz_roundtrip(sf_dir: str) -> rd.Dataset:
     jsonl.write_jsonl_gz(docs, out_dir)
     back = jsonl.read_jsonl_gz(out_dir)
 
-    def fp(t: pa.Table) -> pa.Table:
-        fps = [md5_hex(x or "") for x in t["text"].to_pylist()]
-        return pa.table(
-            {
-                "doc_id": pc.cast(t["doc_id"], pa.int64()),
-                "fingerprint": pa.array(fps, pa.string()),
-            }
-        )
+    fp = _fp_roundtrip
 
     return back.map_batches(fp, batch_format="pyarrow")
 
@@ -8561,14 +8559,7 @@ def export_arrow_ipc_roundtrip(sf_dir: str) -> rd.Dataset:
     assert manifest.count() >= 1
     back = ipc.read_ipc_shards(out_dir)
 
-    def fp(t: pa.Table) -> pa.Table:
-        fps = [md5_hex(x or "") for x in t["text"].to_pylist()]
-        return pa.table(
-            {
-                "doc_id": pc.cast(t["doc_id"], pa.int64()),
-                "fingerprint": pa.array(fps, pa.string()),
-            }
-        )
+    fp = _fp_roundtrip
 
     return back.map_batches(fp, batch_format="pyarrow")
 
