@@ -1541,6 +1541,11 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
         # T.81 allows one SOS per component; returning just the Y scan
         # would silently decode a color image as grayscale
         raise ValueError("multi-scan baseline JPEG not supported")
+    if h * w > 100_000_000:
+        # quarantine guard: a corrupt header can declare 65535x65535
+        # and the coefficient buffers allocate BEFORE entropy decode
+        # would fail — cap at 100M pixels (a real need can raise this)
+        raise ValueError("JPEG dimensions exceed the 100M-pixel guard")
 
     br = _BitReader(data[pos:])
     d = _dct8()

@@ -145,3 +145,20 @@ def test_jpeg_roundtrip_shape_and_bounded_error(h, w, quality, seed):
     out = media.decode_jpeg(media.encode_jpeg(img, quality))
     assert out.shape == img.shape and out.dtype == np.uint8
     assert np.abs(out.astype(int) - img.astype(int)).max() <= 6
+
+
+@settings(max_examples=60, deadline=None)
+@given(garbage=st.binary(min_size=0, max_size=400), soi=st.booleans())
+def test_jpeg_decode_garbage_never_escapes_valueerror(garbage, soi):
+    """The quarantine contract under fuzz: decode_jpeg on arbitrary
+    bytes (with or without a valid SOI prefix) either raises ValueError
+    or returns a decoded array — never any other exception, never a
+    hang (bounded by the 100M-pixel guard and marker-walk advance)."""
+    from deepie_ray.ops import media
+
+    data = (b"\xff\xd8" + garbage) if soi else garbage
+    try:
+        out = media.decode_jpeg(data)
+        assert out.dtype == np.uint8
+    except ValueError:
+        pass
