@@ -334,3 +334,42 @@ def test_incremental_kg_two_batches_merge_additively(tmp_path):
         ["subj_entity", "pred_label", "obj_entity"]
     ).reset_index(drop=True)
     assert before_e.equals(after_e)
+
+
+def test_transient_task_failure_is_retried_exactly(tmp_path):
+    """The 100-TB resilience contract BELOW the checkpoint layer: a
+    map_batches task that fails transiently (first attempt raises) is
+    retried by Ray's lineage with ``retry_exceptions`` and the pipeline
+    completes with EXACT output — no rows lost or duplicated.  The
+    checkpoint/manifest layer (tests above) covers whole-run restarts;
+    this covers in-run worker flakiness."""
+    import pyarrow.compute as _pc
+
+    import ray.data as rd
+
+    marker = str(tmp_path / "injected_failure_fired")
+
+    def flaky_double(t):
+        import os
+
+        if not os.path.exists(marker):  # first attempt on this node
+            with open(marker, "w") as f:
+                f.write("x")
+            raise RuntimeError("transient worker failure (injected)")
+        return t.append_column("y", _pc.multiply(t["id"], 2))
+
+    out = (
+        rd.range(10_000, override_num_blocks=4)
+        .map_batches(
+            flaky_double,
+            batch_format="pyarrow",
+            # forwarded to the underlying ray task
+            retry_exceptions=[RuntimeError],
+            max_retries=3,
+        )
+        .sum("y")
+    )
+    assert out == 2 * sum(range(10_000))
+    import os
+
+    assert os.path.exists(marker)  # the failure really fired
