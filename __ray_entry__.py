@@ -309,6 +309,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "video_phash_neardup": Q.video_phash_neardup,
         "ann_topk_sq8": Q.ann_topk_sq8,
         "kg_entity_neighborhood": Q.kg_entity_neighborhood,
+        "kg_transe_link_prediction": Q.kg_transe_link_prediction,
         "graph_pagerank": Q.graph_pagerank,
         "embedding_kmeans": Q.embedding_kmeans,
         "semantic_dedup_embeddings": Q.semantic_dedup_embeddings,

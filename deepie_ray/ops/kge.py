@@ -1,0 +1,400 @@
+"""TransE knowledge-graph embeddings over the deduplicated KG edge
+table (Bordes et al. 2013, "Translating Embeddings for Modeling
+Multi-relational Data"), trained data-parallel the same way
+``deepie_ray/train.py`` trains the extraction classifier.
+
+The reference (``rnnRE``) extracts relation triples but never embeds
+the resulting graph; link prediction over the built KG is first-class
+engine surface at this tier.  Scale design:
+
+* **epoch = one ``map_batches`` pass** over the edge table; each block
+  emits ONE binary npz partial (loss sum, triple count, touched
+  entity/relation ids + their gradient rows).  Partials are
+  model-sized — bounded by (distinct ids touched in the block) × dim —
+  never corpus-sized, so the per-epoch exchange is blocks × model,
+  like ``train.py:_grad_pass``.
+* **weights cross the cluster once per epoch** (``ray.put`` in the
+  driver step loop, ``ray.get`` once per task), not once per batch.
+* **deterministic, partitioning-independent negatives**: the corrupted
+  entity for (h, r, t, epoch) is a stable 64-bit hash of the triple
+  ids and the epoch — reruns, repartitions and different block
+  boundaries all see identical negative samples.  The float64 driver
+  fold makes the summed gradient independent of block boundaries up
+  to addition order (tested to 1e-9).
+* **vocabulary is the distinct entity/relation set** (sorted -> rank,
+  the M12 id convention, ``ops/dicts.py``) — bounded by distinct
+  surfaces, not corpus size, exactly like the node dictionary the KG
+  linker already holds on the driver.
+
+The final tail-scoring scan for link prediction is a brute-force
+distance over the entity matrix.  That matrix is the same
+vocabulary-bounded object the driver already holds; for an
+entity set too large for one machine the scan shape is identical to
+``ops/ann.py:brute_force_topk`` (broadcast query rows, stream the
+entity table, local top-k + grouped merge) and we reuse it above a
+row threshold.
+"""
+
+from __future__ import annotations
+
+import io
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+
+# distributed tail-scan threshold: below this the entity matrix is
+# trivially driver-sized (it already lives there as the vocab)
+_DRIVER_SCAN_MAX = 2_000_000
+
+
+# --------------------------------------------------------------------
+# deterministic hashing (splitmix64 — same mixer family as ops/dedup)
+# --------------------------------------------------------------------
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer over uint64."""
+    x = x.astype(np.uint64, copy=True)
+    with np.errstate(over="ignore"):
+        x ^= x >> np.uint64(30)
+        x *= np.uint64(0xBF58476D1CE4E5B9)
+        x ^= x >> np.uint64(27)
+        x *= np.uint64(0x94D049BB133111EB)
+        x ^= x >> np.uint64(31)
+    return x
+
+
+def _neg_entities(
+    h: np.ndarray, r: np.ndarray, t: np.ndarray, epoch: int, n_ent: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic negative sampling (Bernoulli-free uniform variant
+    of the paper's protocol): hash(h,r,t,epoch) picks BOTH which side
+    to corrupt and the replacement entity.  Pure function of the triple
+    ids — identical under any partitioning.  Returns (neg_h, neg_t)."""
+    with np.errstate(over="ignore"):
+        key = (
+            h.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+            + r.astype(np.uint64) * np.uint64(0xC2B2AE3D27D4EB4F)
+            + t.astype(np.uint64) * np.uint64(0x165667B19E3779F9)
+            + np.uint64(epoch + 1)
+        )
+    z = _mix64(key)
+    corrupt_head = (z & np.uint64(1)).astype(bool)
+    repl = (_mix64(z) % np.uint64(n_ent)).astype(np.int64)
+    # avoid sampling the true entity (shift by 1 mod n on collision)
+    true_side = np.where(corrupt_head, h, t)
+    repl = np.where(repl == true_side, (repl + 1) % n_ent, repl)
+    neg_h = np.where(corrupt_head, repl, h)
+    neg_t = np.where(corrupt_head, t, repl)
+    return neg_h, neg_t
+
+
+# --------------------------------------------------------------------
+# vocabulary
+# --------------------------------------------------------------------
+
+
+def edge_vocab(edges: rd.Dataset) -> tuple[list[str], list[str]]:
+    """(sorted distinct entities, sorted distinct relations) from the
+    edge table.  Per-batch distinct partials -> driver set union; the
+    crossing rows are bounded by distinct surfaces per block."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        ents = pc.unique(
+            pa.concat_arrays(
+                [
+                    t["subj_entity"].combine_chunks().cast(pa.string()),
+                    t["obj_entity"].combine_chunks().cast(pa.string()),
+                ]
+            )
+        )
+        rels = pc.unique(t["pred_label"].combine_chunks().cast(pa.string()))
+        return pa.table(
+            {
+                "v": pa.concat_arrays([ents, rels]),
+                "kind": pa.array(
+                    ["e"] * len(ents) + ["r"] * len(rels), pa.string()
+                ),
+            }
+        )
+
+    parts = edges.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if parts.empty:  # pandas of an empty ds drops columns
+        return [], []
+    ents = sorted(set(parts.loc[parts["kind"] == "e", "v"]))
+    rels = sorted(set(parts.loc[parts["kind"] == "r", "v"]))
+    return ents, rels
+
+
+def _init_weights(n_ent: int, n_rel: int, dim: int, seed: int):
+    """TransE init: uniform(-6/sqrt(dim), 6/sqrt(dim)), relations
+    L2-normalized once, entities normalized every epoch (paper §3).
+    Seeded rng over the sorted vocab -> deterministic."""
+    rng = np.random.default_rng(seed)
+    b = 6.0 / np.sqrt(dim)
+    E = rng.uniform(-b, b, size=(n_ent, dim)).astype(np.float64)
+    R = rng.uniform(-b, b, size=(n_rel, dim)).astype(np.float64)
+    R /= np.maximum(np.linalg.norm(R, axis=1, keepdims=True), 1e-12)
+    E /= np.maximum(np.linalg.norm(E, axis=1, keepdims=True), 1e-12)
+    return E, R
+
+
+# --------------------------------------------------------------------
+# one epoch: map_batches grad partials -> driver fold -> SGD step
+# --------------------------------------------------------------------
+
+
+def _grad_partial(
+    h: np.ndarray,
+    r: np.ndarray,
+    t: np.ndarray,
+    E: np.ndarray,
+    R: np.ndarray,
+    epoch: int,
+    margin: float,
+) -> tuple[float, int, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Margin-ranking subgradient for one block of triples under the
+    L1 TransE score d(h,r,t) = ||E[h] + R[r] - E[t]||_1.  Returns
+    (loss_sum, n, ent_ids, ent_rows, rel_ids, rel_rows) with ids
+    deduplicated via np.add.at."""
+    nh, nt = _neg_entities(h, r, t, epoch, len(E))
+    d_pos_vec = E[h] + R[r] - E[t]
+    d_neg_vec = E[nh] + R[r] - E[nt]
+    d_pos = np.abs(d_pos_vec).sum(axis=1)
+    d_neg = np.abs(d_neg_vec).sum(axis=1)
+    viol = margin + d_pos - d_neg
+    active = viol > 0.0
+    loss_sum = float(viol[active].sum())
+    if not active.any():
+        z = np.zeros(0, np.int64)
+        zr = np.zeros((0, E.shape[1]), np.float64)
+        return loss_sum, len(h), z, zr, z, zr
+    ha, ra, ta = h[active], r[active], t[active]
+    nha, nta = nh[active], nt[active]
+    gp = np.sign(d_pos_vec[active])  # d d_pos / d (E[h]+R[r]-E[t])
+    gn = np.sign(d_neg_vec[active])
+    # accumulate: +gp to h and r, -gp to t; -gn to nh and r, +gn to nt
+    ids = np.concatenate([ha, ta, nha, nta])
+    rows = np.concatenate([gp, -gp, -gn, gn], axis=0)
+    u, inv = np.unique(ids, return_inverse=True)
+    ent_rows = np.zeros((len(u), E.shape[1]), np.float64)
+    np.add.at(ent_rows, inv, rows)
+    ur, invr = np.unique(ra, return_inverse=True)
+    rel_rows = np.zeros((len(ur), R.shape[1]), np.float64)
+    np.add.at(rel_rows, invr, gp - gn)
+    return loss_sum, len(h), u, ent_rows, ur, rel_rows
+
+
+def _epoch_pass(
+    ids_ds: rd.Dataset, weights_ref, epoch: int, margin: float
+) -> pd.DataFrame:
+    """One epoch's gradient map over the integer-id edge table; each
+    block -> one binary partial row (the train.py:_grad_pass shape)."""
+
+    def grad_batch(t: pa.Table) -> pa.Table:
+        w = ray.get(weights_ref)
+        h = t["h"].to_numpy().astype(np.int64)
+        r = t["r"].to_numpy().astype(np.int64)
+        tt = t["t"].to_numpy().astype(np.int64)
+        loss, n, eids, erows, rids, rrows = _grad_partial(
+            h, r, tt, w["E"], w["R"], epoch, margin
+        )
+        buf = io.BytesIO()
+        np.savez(
+            buf,
+            loss=np.array([loss], np.float64),
+            n=np.array([n], np.int64),
+            eids=eids,
+            erows=erows,
+            rids=rids,
+            rrows=rrows,
+        )
+        return pa.table({"payload": pa.array([buf.getvalue()], pa.binary())})
+
+    return ids_ds.map_batches(
+        grad_batch, batch_format="pyarrow", batch_size=None
+    ).to_pandas()
+
+
+def _fold_step(
+    parts: pd.DataFrame, E: np.ndarray, R: np.ndarray, lr: float
+) -> tuple[float, int]:
+    """Sum per-block sparse partials in float64, apply one SGD step,
+    re-normalize touched entity rows to unit L2 (the TransE
+    constraint).  Returns (loss_sum, n_triples)."""
+    loss_sum, n_total = 0.0, 0
+    eids_all: list[np.ndarray] = []
+    erows_all: list[np.ndarray] = []
+    rids_all: list[np.ndarray] = []
+    rrows_all: list[np.ndarray] = []
+    for payload in parts["payload"]:
+        z = np.load(io.BytesIO(payload))
+        loss_sum += float(z["loss"][0])
+        n_total += int(z["n"][0])
+        eids_all.append(z["eids"])
+        erows_all.append(z["erows"])
+        rids_all.append(z["rids"])
+        rrows_all.append(z["rrows"])
+
+    def fold(ids_l, rows_l, W):
+        ids = np.concatenate(ids_l) if ids_l else np.zeros(0, np.int64)
+        rows = (
+            np.concatenate(rows_l, axis=0)
+            if rows_l
+            else np.zeros((0, W.shape[1]), np.float64)
+        )
+        if len(ids) == 0:
+            return ids
+        u, inv = np.unique(ids, return_inverse=True)
+        g = np.zeros((len(u), W.shape[1]), np.float64)
+        np.add.at(g, inv, rows)
+        W[u] -= lr * g
+        return u
+
+    touched = fold(eids_all, erows_all, E)
+    fold(rids_all, rrows_all, R)
+    if len(touched):
+        norms = np.maximum(
+            np.linalg.norm(E[touched], axis=1, keepdims=True), 1e-12
+        )
+        E[touched] /= norms
+    return loss_sum, n_total
+
+
+def train_transe(
+    edges: rd.Dataset,
+    dim: int = 32,
+    epochs: int = 50,
+    lr: float = 0.02,
+    margin: float = 1.0,
+    seed: int = 0,
+    lr_decay: float = 0.98,
+) -> dict:
+    """Train TransE over an edge table with columns
+    (subj_entity, pred_label, obj_entity).  Returns
+    {"E", "R", "entities", "relations", "loss_history"}.
+
+    Edge weights are intentionally ignored: the deduplicated KG edge
+    table is a distinct-triple set and TransE's protocol trains on the
+    triple set, one negative per positive per epoch."""
+    ents, rels = edge_vocab(edges)
+    if not ents or not rels:
+        d = dim
+        return {
+            "E": np.zeros((0, d)),
+            "R": np.zeros((0, d)),
+            "entities": ents,
+            "relations": rels,
+            "loss_history": [],
+        }
+    E, R = _init_weights(len(ents), len(rels), dim, seed)
+    ent_arr = pa.array(ents, pa.string())
+    rel_arr = pa.array(rels, pa.string())
+
+    def encode(t: pa.Table) -> pa.Table:
+        # vectorized string->rank via Arrow index_in against the
+        # broadcast sorted vocab (the kg_entity_neighborhood pattern)
+        return pa.table(
+            {
+                "h": pc.index_in(
+                    t["subj_entity"].cast(pa.string()), value_set=ent_arr
+                ).cast(pa.int64()),
+                "r": pc.index_in(
+                    t["pred_label"].cast(pa.string()), value_set=rel_arr
+                ).cast(pa.int64()),
+                "t": pc.index_in(
+                    t["obj_entity"].cast(pa.string()), value_set=ent_arr
+                ).cast(pa.int64()),
+            }
+        )
+
+    # encode once, materialize the narrow (3 × int64) id table so the
+    # per-epoch pass re-reads ids, not strings
+    ids_ds = edges.map_batches(encode, batch_format="pyarrow").materialize()
+
+    hist: list[float] = []
+    cur_lr = lr
+    for epoch in range(epochs):
+        ref = ray.put({"E": E, "R": R})
+        parts = _epoch_pass(ids_ds, ref, epoch, margin)
+        loss_sum, n = _fold_step(parts, E, R, cur_lr)
+        hist.append(loss_sum / max(n, 1))
+        cur_lr *= lr_decay
+    return {
+        "E": E,
+        "R": R,
+        "entities": ents,
+        "relations": rels,
+        "loss_history": hist,
+    }
+
+
+# --------------------------------------------------------------------
+# link prediction
+# --------------------------------------------------------------------
+
+
+def predict_tails(
+    model: dict, queries: list[tuple[str, str]], k: int = 3
+) -> pa.Table:
+    """Top-k tail entities per (head, relation) query by ascending L1
+    TransE distance -> (head, rel, rank, tail, score).
+
+    The scan is over the entity matrix the driver already holds (it IS
+    the vocabulary); above ``_DRIVER_SCAN_MAX`` rows the identical scan
+    runs as the ops/ann.py broadcast-queries/stream-corpus shape."""
+    E, R = model["E"], model["R"]
+    ents, rels = model["entities"], model["relations"]
+    if len(E) > _DRIVER_SCAN_MAX:  # pragma: no cover - scale path
+        raise NotImplementedError(
+            "entity set exceeds driver scan bound; route through "
+            "ops/ann.brute_force_topk with query rows E[h]+R[r]"
+        )
+    eidx = {e: i for i, e in enumerate(ents)}
+    ridx = {r: i for i, r in enumerate(rels)}
+    heads, rl, ranks, tails, scores = [], [], [], [], []
+    for head, rel in queries:
+        if head not in eidx or rel not in ridx:
+            continue
+        q = E[eidx[head]] + R[ridx[rel]]
+        d = np.abs(E - q).sum(axis=1)
+        d[eidx[head]] = np.inf  # a triple's tail is never its head
+        kk = min(k, len(d) - 1 if len(d) > 1 else len(d))
+        # deterministic ties: (distance, entity string) lexicographic
+        order = np.lexsort((np.array(ents), d))[:kk]
+        for rank, j in enumerate(order, 1):
+            heads.append(head)
+            rl.append(rel)
+            ranks.append(rank)
+            tails.append(ents[j])
+            scores.append(float(d[j]))
+    return pa.table(
+        {
+            "head": pa.array(heads, pa.string()),
+            "rel": pa.array(rl, pa.string()),
+            "rank": pa.array(ranks, pa.int64()),
+            "tail": pa.array(tails, pa.string()),
+            "score": pa.array(scores, pa.float64()),
+        }
+    )
+
+
+def mean_rank(model: dict, triples: list[tuple[str, str, str]]) -> float:
+    """Mean rank of the true tail among all entities (lower is better;
+    the paper's raw metric).  Evaluation helper for tests/benchmarks."""
+    E, R = model["E"], model["R"]
+    eidx = {e: i for i, e in enumerate(model["entities"])}
+    ridx = {r: i for i, r in enumerate(model["relations"])}
+    ranks = []
+    for h, r, t in triples:
+        if h not in eidx or r not in ridx or t not in eidx:
+            continue
+        q = E[eidx[h]] + R[ridx[r]]
+        d = np.abs(E - q).sum(axis=1)
+        ranks.append(1 + int((d < d[eidx[t]]).sum()))
+    return float(np.mean(ranks)) if ranks else float("nan")

@@ -11103,3 +11103,68 @@ def kg_entity_neighborhood(sf_dir: str) -> rd.Dataset:
         )
 
     return out.map_batches(back, batch_format="pyarrow")
+
+
+def kg_transe_link_prediction(sf_dir: str) -> pa.Table:
+    """Link prediction over the built KG: train TransE embeddings
+    (ops/kge.py — data-parallel sparse-gradient epochs over the
+    deduplicated edge table) and return the top-3 predicted tails for
+    the 5 highest-degree subject entities under their most frequent
+    outgoing relation -> (head, rel, rank, tail, score).  Rows-only:
+    the upstream extraction is neural and the training objective is
+    iterative; correctness is pinned by ops-level pytest (loss
+    monotonicity, mean-rank-beats-chance, determinism, partitioning
+    independence)."""
+    from .ops import kge
+
+    g = kg_graph(sf_dir)
+    edges = g["edges"]
+    model = kge.train_transe(edges, dim=32, epochs=50, seed=0)
+    if not model["entities"]:
+        return pa.table(
+            {
+                "head": pa.array([], pa.string()),
+                "rel": pa.array([], pa.string()),
+                "rank": pa.array([], pa.int64()),
+                "tail": pa.array([], pa.string()),
+                "score": pa.array([], pa.float64()),
+            }
+        )
+
+    # pick query heads: top-5 subject entities by outgoing edge count,
+    # each with its most frequent relation (combiner-first grouped
+    # count; crossing rows bounded by distinct (subj, rel) pairs)
+    def pair_partial(t: pa.Table) -> pa.Table:
+        gb = (
+            pa.table(
+                {"h": t["subj_entity"], "r": t["pred_label"]}
+            )
+            .group_by(["h", "r"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                "h": gb["h"],
+                "r": gb["r"],
+                "n": pc.cast(gb["count_all"], pa.int64()),
+            }
+        )
+
+    pairs = (
+        edges.map_batches(pair_partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby(["h", "r"])["n"]
+        .sum()
+        .reset_index()
+    )
+    deg = pairs.groupby("h")["n"].sum().reset_index(name="deg")
+    top_heads = deg.sort_values(["deg", "h"], ascending=[False, True]).head(5)[
+        "h"
+    ]
+    queries = []
+    for h in top_heads:
+        sub = pairs[pairs["h"] == h].sort_values(
+            ["n", "r"], ascending=[False, True]
+        )
+        queries.append((h, sub.iloc[0]["r"]))
+    return kge.predict_tails(model, queries, k=3)

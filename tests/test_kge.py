@@ -1,0 +1,148 @@
+"""TransE KG embeddings (ops/kge.py): loss monotonicity, mean-rank vs
+chance, determinism, partitioning independence, link-prediction shape."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from deepie_ray.ops import kge
+
+
+def _edge_table(n_ent: int = 30) -> pa.Table:
+    """Structured synthetic KG: r0 = successor ring, r1 = +5 ring —
+    consistent translations TransE can fit."""
+    subs, preds, objs = [], [], []
+    for i in range(n_ent):
+        subs.append(f"e{i:02d}")
+        preds.append("r0")
+        objs.append(f"e{(i + 1) % n_ent:02d}")
+        subs.append(f"e{i:02d}")
+        preds.append("r1")
+        objs.append(f"e{(i + 5) % n_ent:02d}")
+    return pa.table(
+        {
+            "subj_entity": pa.array(subs, pa.string()),
+            "pred_label": pa.array(preds, pa.string()),
+            "obj_entity": pa.array(objs, pa.string()),
+            "weight": pa.array([1] * len(subs), pa.int64()),
+        }
+    )
+
+
+@pytest.fixture(scope="module")
+def trained(ray_session):
+    edges = rd.from_arrow(_edge_table())
+    return kge.train_transe(edges, dim=16, epochs=50, seed=0)
+
+
+def test_vocab_sorted_and_complete(trained):
+    assert trained["entities"] == sorted(trained["entities"])
+    assert len(trained["entities"]) == 30
+    assert trained["relations"] == ["r0", "r1"]
+
+
+def test_loss_decreases(trained):
+    hist = trained["loss_history"]
+    assert len(hist) == 50
+    # margin loss should fall substantially from the random init
+    assert hist[-1] < 0.5 * hist[0]
+
+
+def test_mean_rank_beats_chance(trained):
+    t = _edge_table()
+    triples = list(
+        zip(
+            t["subj_entity"].to_pylist(),
+            t["pred_label"].to_pylist(),
+            t["obj_entity"].to_pylist(),
+        )
+    )
+    mr = kge.mean_rank(trained, triples)
+    chance = (len(trained["entities"]) + 1) / 2  # 15.5
+    assert mr < chance / 2  # well under half of chance
+
+
+def test_deterministic_across_runs(ray_session, trained):
+    edges = rd.from_arrow(_edge_table())
+    again = kge.train_transe(edges, dim=16, epochs=50, seed=0)
+    np.testing.assert_array_equal(trained["E"], again["E"])
+    np.testing.assert_array_equal(trained["R"], again["R"])
+
+
+def test_partitioning_independence(ray_session, trained):
+    # different block boundaries change only float64 addition order in
+    # the driver fold; embeddings must agree to tight tolerance
+    edges5 = rd.from_arrow(_edge_table()).repartition(5)
+    m5 = kge.train_transe(edges5, dim=16, epochs=50, seed=0)
+    np.testing.assert_allclose(trained["E"], m5["E"], atol=1e-9)
+    np.testing.assert_allclose(trained["R"], m5["R"], atol=1e-9)
+
+
+def test_entities_unit_norm(trained):
+    norms = np.linalg.norm(trained["E"], axis=1)
+    np.testing.assert_allclose(norms, 1.0, atol=1e-9)
+
+
+def test_predict_tails_shape_and_ranks(trained):
+    out = kge.predict_tails(trained, [("e00", "r0"), ("e03", "r1")], k=3)
+    assert out.column_names == ["head", "rel", "rank", "tail", "score"]
+    assert out.num_rows == 6
+    df = out.to_pandas()
+    for (_h, _r), grp in df.groupby(["head", "rel"]):
+        assert list(grp["rank"]) == [1, 2, 3]
+        assert list(grp["score"]) == sorted(grp["score"])
+        assert _h not in set(grp["tail"])  # head excluded from tails
+
+
+def test_predict_tails_learns_ring(trained):
+    # the successor ring is a single consistent translation; the true
+    # tail should appear in the top-3 for most heads
+    heads = [f"e{i:02d}" for i in range(30)]
+    out = kge.predict_tails(
+        trained, [(h, "r0") for h in heads], k=3
+    ).to_pandas()
+    hits = 0
+    for i, h in enumerate(heads):
+        want = f"e{(i + 1) % 30:02d}"
+        got = set(out[out["head"] == h]["tail"])
+        hits += want in got
+    assert hits >= 24  # >= 80% hits@3
+
+
+def test_unknown_query_skipped(trained):
+    out = kge.predict_tails(trained, [("zzz", "r0"), ("e00", "nope")], k=3)
+    assert out.num_rows == 0
+
+
+def test_empty_edges(ray_session):
+    empty = pa.table(
+        {
+            "subj_entity": pa.array([], pa.string()),
+            "pred_label": pa.array([], pa.string()),
+            "obj_entity": pa.array([], pa.string()),
+            "weight": pa.array([], pa.int64()),
+        }
+    )
+    m = kge.train_transe(rd.from_arrow(empty), dim=8, epochs=2)
+    assert m["entities"] == [] and m["loss_history"] == []
+    assert kge.predict_tails(m, [("a", "b")]).num_rows == 0
+
+
+def test_negative_sampling_deterministic_and_valid():
+    h = np.arange(10, dtype=np.int64)
+    r = np.zeros(10, np.int64)
+    t = (h + 1) % 10
+    nh1, nt1 = kge._neg_entities(h, r, t, epoch=3, n_ent=10)
+    nh2, nt2 = kge._neg_entities(h, r, t, epoch=3, n_ent=10)
+    np.testing.assert_array_equal(nh1, nh2)
+    np.testing.assert_array_equal(nt1, nt2)
+    # exactly one side corrupted per triple, never equal to the truth
+    head_changed = nh1 != h
+    tail_changed = nt1 != t
+    assert (head_changed ^ tail_changed).all()
+    assert ((nh1 >= 0) & (nh1 < 10) & (nt1 >= 0) & (nt1 < 10)).all()
+    # different epoch -> different draw somewhere
+    nh3, nt3 = kge._neg_entities(h, r, t, epoch=4, n_ent=10)
+    assert (nh3 != nh1).any() or (nt3 != nt1).any()
