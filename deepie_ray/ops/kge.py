@@ -162,6 +162,18 @@ def _grad_partial(
     L1 TransE score d(h,r,t) = ||E[h] + R[r] - E[t]||_1.  Returns
     (loss_sum, n, ent_ids, ent_rows, rel_ids, rel_rows) with ids
     deduplicated via np.add.at."""
+    return _grad_transe(h, r, t, E, R, epoch, margin)
+
+
+def _grad_transe(
+    h: np.ndarray,
+    r: np.ndarray,
+    t: np.ndarray,
+    E: np.ndarray,
+    R: np.ndarray,
+    epoch: int,
+    margin: float,
+) -> tuple[float, int, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     nh, nt = _neg_entities(h, r, t, epoch, len(E))
     d_pos_vec = E[h] + R[r] - E[t]
     d_neg_vec = E[nh] + R[r] - E[nt]
@@ -190,18 +202,75 @@ def _grad_partial(
     return loss_sum, len(h), u, ent_rows, ur, rel_rows
 
 
+def _grad_distmult(
+    h: np.ndarray,
+    r: np.ndarray,
+    t: np.ndarray,
+    E: np.ndarray,
+    R: np.ndarray,
+    epoch: int,
+    margin: float,
+) -> tuple[float, int, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Margin-ranking gradient under the DistMult bilinear-diagonal
+    score s(h,r,t) = <E[h], R[r], E[t]> (Yang et al. 2015; higher is
+    more plausible).  Loss = max(0, margin - s_pos + s_neg); same
+    partial layout as the TransE twin."""
+    nh, nt = _neg_entities(h, r, t, epoch, len(E))
+    Eh, Rr, Et = E[h], R[r], E[t]
+    Enh, Ent = E[nh], E[nt]
+    s_pos = (Eh * Rr * Et).sum(axis=1)
+    s_neg = (Enh * Rr * Ent).sum(axis=1)
+    viol = margin - s_pos + s_neg
+    active = viol > 0.0
+    loss_sum = float(viol[active].sum())
+    if not active.any():
+        z = np.zeros(0, np.int64)
+        zr = np.zeros((0, E.shape[1]), np.float64)
+        return loss_sum, len(h), z, zr, z, zr
+    ha, ra, ta = h[active], r[active], t[active]
+    nha, nta = nh[active], nt[active]
+    Eh, Rr, Et = Eh[active], Rr[active], Et[active]
+    Enh, Ent = Enh[active], Ent[active]
+    # d loss / d s_pos = -1, d loss / d s_neg = +1
+    ids = np.concatenate([ha, ta, nha, nta])
+    rows = np.concatenate(
+        [-(Rr * Et), -(Eh * Rr), Rr * Ent, Enh * Rr], axis=0
+    )
+    u, inv = np.unique(ids, return_inverse=True)
+    ent_rows = np.zeros((len(u), E.shape[1]), np.float64)
+    np.add.at(ent_rows, inv, rows)
+    ur, invr = np.unique(ra, return_inverse=True)
+    rel_rows = np.zeros((len(ur), R.shape[1]), np.float64)
+    np.add.at(rel_rows, invr, -(Eh * Et) + Enh * Ent)
+    return loss_sum, len(h), u, ent_rows, ur, rel_rows
+
+
+# scorer registry: name -> (grad_fn, higher_is_better).  The encoder-
+# registry convention (ops/score.py) applied to KGE: one training
+# harness, pluggable scoring geometry.
+_KGE_MODELS = {
+    "transe": (_grad_transe, False),
+    "distmult": (_grad_distmult, True),
+}
+
+
 def _epoch_pass(
-    ids_ds: rd.Dataset, weights_ref, epoch: int, margin: float
+    ids_ds: rd.Dataset,
+    weights_ref,
+    epoch: int,
+    margin: float,
+    model: str = "transe",
 ) -> pd.DataFrame:
     """One epoch's gradient map over the integer-id edge table; each
     block -> one binary partial row (the train.py:_grad_pass shape)."""
 
     def grad_batch(t: pa.Table) -> pa.Table:
+        grad_fn = _KGE_MODELS[model][0]
         w = ray.get(weights_ref)
         h = t["h"].to_numpy().astype(np.int64)
         r = t["r"].to_numpy().astype(np.int64)
         tt = t["t"].to_numpy().astype(np.int64)
-        loss, n, eids, erows, rids, rrows = _grad_partial(
+        loss, n, eids, erows, rids, rrows = grad_fn(
             h, r, tt, w["E"], w["R"], epoch, margin
         )
         buf = io.BytesIO()
@@ -266,8 +335,9 @@ def _fold_step(
     return loss_sum, n_total
 
 
-def train_transe(
+def train_kge(
     edges: rd.Dataset,
+    model: str = "transe",
     dim: int = 32,
     epochs: int = 50,
     lr: float = 0.02,
@@ -275,17 +345,21 @@ def train_transe(
     seed: int = 0,
     lr_decay: float = 0.98,
 ) -> dict:
-    """Train TransE over an edge table with columns
-    (subj_entity, pred_label, obj_entity).  Returns
-    {"E", "R", "entities", "relations", "loss_history"}.
+    """Train a KG embedding model (``transe`` or ``distmult``) over an
+    edge table with columns (subj_entity, pred_label, obj_entity).
+    Returns {"model", "E", "R", "entities", "relations",
+    "loss_history"}.
 
     Edge weights are intentionally ignored: the deduplicated KG edge
-    table is a distinct-triple set and TransE's protocol trains on the
+    table is a distinct-triple set and both protocols train on the
     triple set, one negative per positive per epoch."""
+    if model not in _KGE_MODELS:
+        raise ValueError(f"unknown KGE model {model!r}")
     ents, rels = edge_vocab(edges)
     if not ents or not rels:
         d = dim
         return {
+            "model": model,
             "E": np.zeros((0, d)),
             "R": np.zeros((0, d)),
             "entities": ents,
@@ -321,11 +395,12 @@ def train_transe(
     cur_lr = lr
     for epoch in range(epochs):
         ref = ray.put({"E": E, "R": R})
-        parts = _epoch_pass(ids_ds, ref, epoch, margin)
+        parts = _epoch_pass(ids_ds, ref, epoch, margin, model)
         loss_sum, n = _fold_step(parts, E, R, cur_lr)
         hist.append(loss_sum / max(n, 1))
         cur_lr *= lr_decay
     return {
+        "model": model,
         "E": E,
         "R": R,
         "entities": ents,
@@ -334,21 +409,37 @@ def train_transe(
     }
 
 
+def train_transe(edges: rd.Dataset, **kw) -> dict:
+    """TransE convenience wrapper over :func:`train_kge`."""
+    return train_kge(edges, model="transe", **kw)
+
+
 # --------------------------------------------------------------------
 # link prediction
 # --------------------------------------------------------------------
 
 
+def _tail_rank_keys(model: dict, hi: int, ri: int) -> np.ndarray:
+    """Per-entity ranking key for tail prediction, LOWER = better.
+    TransE: L1 distance ||E[h]+R[r]-E[t]||.  DistMult: negated
+    bilinear score -<E[h],R[r],E[t]>."""
+    E, R = model["E"], model["R"]
+    if model.get("model", "transe") == "distmult":
+        return -(E @ (E[hi] * R[ri]))
+    return np.abs(E - (E[hi] + R[ri])).sum(axis=1)
+
+
 def predict_tails(
     model: dict, queries: list[tuple[str, str]], k: int = 3
 ) -> pa.Table:
-    """Top-k tail entities per (head, relation) query by ascending L1
-    TransE distance -> (head, rel, rank, tail, score).
+    """Top-k tail entities per (head, relation) query by the model's
+    ranking key (ascending; TransE L1 distance, DistMult negated
+    bilinear score) -> (head, rel, rank, tail, score).
 
     The scan is over the entity matrix the driver already holds (it IS
     the vocabulary); above ``_DRIVER_SCAN_MAX`` rows the identical scan
     runs as the ops/ann.py broadcast-queries/stream-corpus shape."""
-    E, R = model["E"], model["R"]
+    E = model["E"]
     ents, rels = model["entities"], model["relations"]
     if len(E) > _DRIVER_SCAN_MAX:  # pragma: no cover - scale path
         raise NotImplementedError(
@@ -361,8 +452,7 @@ def predict_tails(
     for head, rel in queries:
         if head not in eidx or rel not in ridx:
             continue
-        q = E[eidx[head]] + R[ridx[rel]]
-        d = np.abs(E - q).sum(axis=1)
+        d = _tail_rank_keys(model, eidx[head], ridx[rel])
         d[eidx[head]] = np.inf  # a triple's tail is never its head
         kk = min(k, len(d) - 1 if len(d) > 1 else len(d))
         # deterministic ties: (distance, entity string) lexicographic
@@ -386,15 +476,14 @@ def predict_tails(
 
 def mean_rank(model: dict, triples: list[tuple[str, str, str]]) -> float:
     """Mean rank of the true tail among all entities (lower is better;
-    the paper's raw metric).  Evaluation helper for tests/benchmarks."""
-    E, R = model["E"], model["R"]
+    the TransE paper's raw metric).  Evaluation helper for
+    tests/benchmarks; dispatches on the model's ranking key."""
     eidx = {e: i for i, e in enumerate(model["entities"])}
     ridx = {r: i for i, r in enumerate(model["relations"])}
     ranks = []
     for h, r, t in triples:
         if h not in eidx or r not in ridx or t not in eidx:
             continue
-        q = E[eidx[h]] + R[ridx[r]]
-        d = np.abs(E - q).sum(axis=1)
+        d = _tail_rank_keys(model, eidx[h], ridx[r])
         ranks.append(1 + int((d < d[eidx[t]]).sum()))
     return float(np.mean(ranks)) if ranks else float("nan")

@@ -11105,8 +11105,8 @@ def kg_entity_neighborhood(sf_dir: str) -> rd.Dataset:
     return out.map_batches(back, batch_format="pyarrow")
 
 
-def kg_transe_link_prediction(sf_dir: str) -> pa.Table:
-    """Link prediction over the built KG: train TransE embeddings
+def _kg_link_prediction(sf_dir: str, model_name: str, lr: float) -> pa.Table:
+    """Shared link-prediction query body: train a KGE model
     (ops/kge.py — data-parallel sparse-gradient epochs over the
     deduplicated edge table) and return the top-3 predicted tails for
     the 5 highest-degree subject entities under their most frequent
@@ -11114,12 +11114,15 @@ def kg_transe_link_prediction(sf_dir: str) -> pa.Table:
     the upstream extraction is neural and the training objective is
     iterative; correctness is pinned by ops-level pytest (loss
     monotonicity, mean-rank-beats-chance, determinism, partitioning
-    independence)."""
+    independence, finite-difference-checked gradients for BOTH
+    scorers)."""
     from .ops import kge
 
     g = kg_graph(sf_dir)
     edges = g["edges"]
-    model = kge.train_transe(edges, dim=32, epochs=50, seed=0)
+    model = kge.train_kge(
+        edges, model=model_name, dim=32, epochs=50, lr=lr, seed=0
+    )
     if not model["entities"]:
         return pa.table(
             {
@@ -11168,3 +11171,16 @@ def kg_transe_link_prediction(sf_dir: str) -> pa.Table:
         )
         queries.append((h, sub.iloc[0]["r"]))
     return kge.predict_tails(model, queries, k=3)
+
+
+def kg_transe_link_prediction(sf_dir: str) -> pa.Table:
+    """TransE link prediction over the built KG (rows-only; see
+    _kg_link_prediction)."""
+    return _kg_link_prediction(sf_dir, "transe", lr=0.02)
+
+
+def kg_distmult_link_prediction(sf_dir: str) -> pa.Table:
+    """DistMult (bilinear-diagonal) link prediction over the built KG
+    (rows-only; see _kg_link_prediction).  Same training harness as
+    TransE — the scorer registry pattern applied to KGE."""
+    return _kg_link_prediction(sf_dir, "distmult", lr=0.05)

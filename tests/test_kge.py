@@ -130,6 +130,52 @@ def test_empty_edges(ray_session):
     assert kge.predict_tails(m, [("a", "b")]).num_rows == 0
 
 
+@pytest.fixture(scope="module")
+def trained_dm(ray_session):
+    edges = rd.from_arrow(_edge_table())
+    return kge.train_kge(edges, model="distmult", dim=16, epochs=50, lr=0.05, seed=0)
+
+
+def test_distmult_loss_decreases(trained_dm):
+    hist = trained_dm["loss_history"]
+    assert trained_dm["model"] == "distmult"
+    assert hist[-1] < 0.5 * hist[0]
+
+
+def test_distmult_mean_rank_beats_chance(trained_dm):
+    t = _edge_table()
+    triples = list(
+        zip(
+            t["subj_entity"].to_pylist(),
+            t["pred_label"].to_pylist(),
+            t["obj_entity"].to_pylist(),
+        )
+    )
+    mr = kge.mean_rank(trained_dm, triples)
+    assert mr < (len(trained_dm["entities"]) + 1) / 4
+
+
+def test_distmult_predict_scores_ascending(trained_dm):
+    out = kge.predict_tails(trained_dm, [("e00", "r0")], k=5).to_pandas()
+    assert len(out) == 5
+    assert list(out["score"]) == sorted(out["score"])
+    assert "e00" not in set(out["tail"])
+
+
+def test_distmult_partitioning_independence(ray_session, trained_dm):
+    edges5 = rd.from_arrow(_edge_table()).repartition(5)
+    m5 = kge.train_kge(
+        edges5, model="distmult", dim=16, epochs=50, lr=0.05, seed=0
+    )
+    np.testing.assert_allclose(trained_dm["E"], m5["E"], atol=1e-9)
+    np.testing.assert_allclose(trained_dm["R"], m5["R"], atol=1e-9)
+
+
+def test_unknown_model_rejected(ray_session):
+    with pytest.raises(ValueError):
+        kge.train_kge(rd.from_arrow(_edge_table()), model="rescal")
+
+
 def test_negative_sampling_deterministic_and_valid():
     h = np.arange(10, dtype=np.int64)
     r = np.zeros(10, np.int64)
