@@ -174,6 +174,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "validate_orders": Q.validate_orders,
         "events_robust_outliers": Q.events_robust_outliers,
         "bucketed_join_orders_customer": Q.bucketed_join_orders_customer,
+        "bloom_join_urgent_lineitems": Q.bloom_join_urgent_lineitems,
         "user_event_type_unpivot": Q.user_event_type_unpivot,
         "embedding_covariance": Q.embedding_covariance,
         "copurchase_link_scores": Q.copurchase_link_scores,
@@ -1707,6 +1708,19 @@ def oracle_sql() -> dict[str, str]:
                    (sa.n * p.spq - sa.sq * sb.sq)::BIGINT AS cov_num,
                    sa.n::BIGINT AS n
             FROM p JOIN s sa ON sa.i = p.i JOIN s sb ON sb.i = p.j
+        """,
+        "bloom_join_urgent_lineitems": r"""
+            SELECT o.o_orderstatus,
+                   count(*)::BIGINT AS n_items,
+                   round(sum(CAST(floor(
+                     l.l_extendedprice * (1.0 - l.l_discount) * 100.0)
+                     AS BIGINT)) / 100.0, 2) AS revenue
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE o.o_orderpriority = '1-URGENT'
+              AND o.o_totalprice > 400000.0
+            GROUP BY o.o_orderstatus
+            ORDER BY o.o_orderstatus
         """,
         "bucketed_join_orders_customer": r"""
             WITH ob AS (

@@ -11,6 +11,7 @@
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
@@ -932,3 +933,111 @@ def apply_changelog(
         only_ops(("U", "I"), drop_op=True), batch_format="pyarrow"
     )
     return survivors.union(upserts)
+
+
+# ------------------------------------------------------------------
+# Bloom-prefiltered join
+# ------------------------------------------------------------------
+
+
+def _join_key_hashes(col: pa.ChunkedArray) -> np.ndarray:
+    """Column -> uint64 hash lanes for Bloom membership.  Integer keys
+    pass through (``_bloom_positions`` mixes); strings go through
+    pandas' vectorized siphash (fixed default key — deterministic
+    across processes)."""
+    if pa.types.is_integer(col.type):
+        return col.to_numpy(zero_copy_only=False).astype(np.uint64)
+    return pd.util.hash_array(
+        np.asarray(col.to_pylist(), dtype=object), categorize=False
+    )
+
+
+def bloom_filter_of_keys(
+    build: rd.Dataset, key: str, m_bits: int = 1 << 20, k: int = 5
+) -> np.ndarray:
+    """OR-merged Bloom filter over a dataset's join-key column, built
+    distributed: each block emits one m/8-byte partial bit array (the
+    sketch, never the keys), folded on the driver — the
+    ``ops/dedup.bloom_build`` shape for join keys."""
+    from .dedup import _bloom_positions
+
+    words = m_bits // 64
+
+    def partial(t: pa.Table) -> pa.Table:
+        bits = np.zeros(words, dtype=np.uint64)
+        if t.num_rows:
+            h = _join_key_hashes(t[key])
+            for j in range(k):
+                pos = _bloom_positions(h, j, m_bits)
+                np.bitwise_or.at(
+                    bits,
+                    pos >> 6,
+                    np.uint64(1) << (pos & 63).astype(np.uint64),
+                )
+        return pa.table({"bits": pa.array([bits.tobytes()], pa.binary())})
+
+    acc = np.zeros(words, dtype=np.uint64)
+    for b in build.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow", batch_size=None
+    ):
+        for raw in b["bits"].to_pylist():
+            acc |= np.frombuffer(raw, dtype=np.uint64)
+    return acc
+
+
+def bloom_prefilter_join(
+    probe: rd.Dataset,
+    build: rd.Dataset,
+    on: str,
+    right_on: str | None = None,
+    m_bits: int = 1 << 20,
+    k: int = 5,
+    num_partitions: int = 8,
+) -> rd.Dataset:
+    """EXACT inner join with a Bloom-filter probe-side prefilter.
+
+    The build side's join keys fold into an OR-mergeable Bloom filter
+    (fixed m/8 bytes regardless of build-side row count); the bit
+    array broadcasts once via ``ray.put`` and prunes probe rows whose
+    key CANNOT match BEFORE the all-to-all hash-partition shuffle.
+    Bloom filters have no false negatives and the real join removes
+    the ~(1-e^{-kn/m})^k false positives, so the result is identical
+    to ``hash_join`` — only the exchange volume changes.  The 100-TB
+    win: for selective joins (a filtered dimension against a fact
+    table) the probe side's shuffled bytes shrink by the join
+    selectivity while the broadcast stays kilobytes."""
+    import ray
+
+    from .dedup import _bloom_positions
+
+    rk = right_on or on
+    bits = bloom_filter_of_keys(build, rk, m_bits, k)
+    if not bits.any():
+        # empty build side: no key can match.  Ray's hash join
+        # aggregator raises on fully-empty inputs, so emit the empty
+        # joined table directly (column name/type union; the join
+        # collapses same-named keys to one column).
+        cols: dict[str, pa.Array] = {}
+        for sch in (probe.schema().base_schema, build.schema().base_schema):
+            for f in sch:
+                cols.setdefault(f.name, pa.array([], f.type))
+        return rd.from_arrow(pa.table(cols))
+    bits_ref = ray.put(bits)
+
+    def prune(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        bb = ray.get(bits_ref)
+        h = _join_key_hashes(t[on])
+        keep = np.ones(len(h), dtype=bool)
+        for j in range(k):
+            pos = _bloom_positions(h, j, m_bits)
+            keep &= (
+                bb[pos >> 6] >> (pos & 63).astype(np.uint64)
+            ) & np.uint64(1) > 0
+        return t.filter(pa.array(keep))
+
+    pruned = probe.map_batches(prune, batch_format="pyarrow")
+    return hash_join(
+        pruned, build, on, right_on=rk, num_partitions=num_partitions
+    )

@@ -11184,3 +11184,75 @@ def kg_distmult_link_prediction(sf_dir: str) -> pa.Table:
     (rows-only; see _kg_link_prediction).  Same training harness as
     TransE — the scorer registry pattern applied to KGE."""
     return _kg_link_prediction(sf_dir, "distmult", lr=0.05)
+
+
+def bloom_join_urgent_lineitems(sf_dir: str) -> pd.DataFrame:
+    """Revenue rollup of lineitems belonging to URGENT high-value
+    orders -> (o_orderstatus, n_items, revenue), via the
+    Bloom-prefiltered exact join (ops/joins.bloom_prefilter_join).
+
+    Scale shape: the selective build side (priority + price predicates
+    pushed into the orders read) folds into a fixed-size OR-merged
+    Bloom filter over orderkeys; the ~128 KB bit array broadcasts once
+    and prunes ~96% of the lineitem stream BEFORE the hash-partition
+    shuffle.  No false negatives + the real join removes false
+    positives, so the result is EXACT — the SQL twin is the plain
+    join, which is the point: same answer, a fraction of the
+    exchange."""
+    from .ops.joins import bloom_prefilter_join
+
+    build = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderstatus"],
+        filter=(
+            (pc.field("o_orderpriority") == "1-URGENT")
+            & (pc.field("o_totalprice") > 400000.0)
+        ),
+        override_num_blocks=read_blocks(),
+    )
+    probe = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        override_num_blocks=read_blocks(),
+    )
+    joined = bloom_prefilter_join(
+        probe, build, on="l_orderkey", right_on="o_orderkey"
+    ).repartition(4)
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "o_orderstatus" not in t.column_names:
+            return pa.table(
+                {
+                    "o_orderstatus": pa.array([], pa.string()),
+                    "n_items": pa.array([], pa.int64()),
+                    "cents": pa.array([], pa.int64()),
+                }
+            )
+        disc = pc.subtract(pa.scalar(1.0), t["l_discount"])
+        cents = _cents(t["l_extendedprice"], disc)
+        g = (
+            pa.table({"o_orderstatus": t["o_orderstatus"], "cents": cents})
+            .group_by(["o_orderstatus"])
+            .aggregate([("cents", "sum"), ([], "count_all")])
+        )
+        return pa.table(
+            {
+                "o_orderstatus": g["o_orderstatus"],
+                "n_items": pc.cast(g["count_all"], pa.int64()),
+                "cents": pc.cast(g["cents_sum"], pa.int64()),
+            }
+        )
+
+    parts = joined.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if parts.empty:
+        return pd.DataFrame(
+            {"o_orderstatus": [], "n_items": [], "revenue": []}
+        ).astype({"o_orderstatus": str, "n_items": "int64", "revenue": float})
+    out = (
+        parts.groupby("o_orderstatus")[["n_items", "cents"]]
+        .sum()
+        .reset_index()
+        .sort_values("o_orderstatus")
+    )
+    out["revenue"] = (out["cents"] / 100.0).round(2)
+    return out[["o_orderstatus", "n_items", "revenue"]].reset_index(drop=True)

@@ -1995,3 +1995,121 @@ def test_sq8_bounds_partition_invariant():
     lo1, hi1 = ann.sq8_train_bounds(rd.from_arrow(t).repartition(2))
     lo2, hi2 = ann.sq8_train_bounds(rd.from_arrow(t).repartition(9))
     assert np.array_equal(lo1, lo2) and np.array_equal(hi1, hi2)
+
+
+# ------------------------------------------------------------------
+# Bloom-prefiltered join (ops/joins.bloom_prefilter_join)
+# ------------------------------------------------------------------
+
+
+def _bloom_join_tables(n_probe=500, n_build=40, seed=7):
+    rng = np.random.default_rng(seed)
+    probe = pa.table(
+        {
+            "k": pa.array(rng.integers(0, 200, n_probe), pa.int64()),
+            "v": pa.array(rng.normal(size=n_probe)),
+        }
+    )
+    keys = rng.choice(200, size=n_build, replace=False)
+    build = pa.table(
+        {
+            "bk": pa.array(keys, pa.int64()),
+            "tag": pa.array([f"t{k}" for k in keys], pa.string()),
+        }
+    )
+    return probe, build
+
+
+def test_bloom_prefilter_join_matches_hash_join():
+    from deepie_ray.ops import joins
+
+    probe, build = _bloom_join_tables()
+    got = (
+        joins.bloom_prefilter_join(
+            rd.from_arrow(probe).repartition(4),
+            rd.from_arrow(build).repartition(2),
+            on="k",
+            right_on="bk",
+        )
+        .to_pandas()
+        .sort_values(["k", "v"])
+        .reset_index(drop=True)
+    )
+    want = (
+        probe.to_pandas()
+        .merge(build.to_pandas(), left_on="k", right_on="bk")
+        .sort_values(["k", "v"])
+        .reset_index(drop=True)[got.columns.tolist()]
+    )
+    pd.testing.assert_frame_equal(got, want, check_like=True)
+
+
+def test_bloom_prefilter_join_string_keys():
+    from deepie_ray.ops import joins
+
+    probe = pa.table(
+        {
+            "name": pa.array([f"u{i % 30}" for i in range(300)], pa.string()),
+            "x": pa.array(list(range(300)), pa.int64()),
+        }
+    )
+    build = pa.table(
+        {
+            "name": pa.array([f"u{i}" for i in range(0, 30, 3)], pa.string()),
+            "grp": pa.array(list(range(10)), pa.int64()),
+        }
+    )
+    got = (
+        joins.bloom_prefilter_join(
+            rd.from_arrow(probe).repartition(3),
+            rd.from_arrow(build),
+            on="name",
+        )
+        .to_pandas()
+        .sort_values(["name", "x"])
+        .reset_index(drop=True)
+    )
+    want = (
+        probe.to_pandas()
+        .merge(build.to_pandas(), on="name")
+        .sort_values(["name", "x"])
+        .reset_index(drop=True)[got.columns.tolist()]
+    )
+    pd.testing.assert_frame_equal(got, want, check_like=True)
+
+
+def test_bloom_filter_prunes_before_shuffle():
+    from deepie_ray.ops import joins
+
+    probe, build = _bloom_join_tables()
+    bits = joins.bloom_filter_of_keys(rd.from_arrow(build), "bk")
+    # membership test over the probe side: every true match kept (no
+    # false negatives), most non-matches dropped at the default m/k
+    from deepie_ray.ops.dedup import _bloom_positions
+
+    h = joins._join_key_hashes(probe["k"])
+    keep = np.ones(len(h), dtype=bool)
+    for j in range(5):
+        pos = _bloom_positions(h, j, 1 << 20)
+        keep &= (bits[pos >> 6] >> (pos & 63).astype(np.uint64)) & np.uint64(
+            1
+        ) > 0
+    true_match = np.isin(
+        probe["k"].to_numpy(), build["bk"].to_numpy()
+    )
+    assert (keep | ~true_match).all()  # no false negatives
+    # selective: at 40/200 keys, well under half the probe survives
+    assert keep.sum() < 0.5 * len(keep)
+
+
+def test_bloom_prefilter_join_empty_build():
+    from deepie_ray.ops import joins
+
+    probe, build = _bloom_join_tables()
+    got = joins.bloom_prefilter_join(
+        rd.from_arrow(probe),
+        rd.from_arrow(build.slice(0, 0)),
+        on="k",
+        right_on="bk",
+    ).to_pandas()
+    assert len(got) == 0

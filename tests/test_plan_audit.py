@@ -129,3 +129,26 @@ def test_knn_mutual_exchange_budget(sf_dir):
 
 def test_active_coverage_single_shuffle_budget(sf_dir):
     assert_shuffle_budget(Q.user_active_coverage(sf_dir), max_shuffles=1, max_joins=0)
+
+
+def test_bloom_prefilter_join_exchange_budget(sf_dir):
+    # the whole point of the operator: ONE join over the pruned probe,
+    # zero other exchanges (the Bloom build folds driver-side partials)
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from deepie_ray.ops.joins import bloom_prefilter_join
+
+    build = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderstatus"],
+        filter=(pc.field("o_totalprice") > 400000.0),
+    )
+    probe = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice"],
+    )
+    joined = bloom_prefilter_join(
+        probe, build, on="l_orderkey", right_on="o_orderkey"
+    )
+    assert_shuffle_budget(joined, max_shuffles=0, max_joins=1)
