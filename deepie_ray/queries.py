@@ -11256,3 +11256,85 @@ def bloom_join_urgent_lineitems(sf_dir: str) -> pd.DataFrame:
     )
     out["revenue"] = (out["cents"] / 100.0).round(2)
     return out[["o_orderstatus", "n_items", "revenue"]].reset_index(drop=True)
+
+
+def kg_relation_schema(sf_dir: str) -> pa.Table:
+    """Ontology induction over the built KG: the (subject type,
+    object type) signature distribution of every relation ->
+    (pred_label, subj_type, obj_type, n_edges, weight) sorted by
+    (pred_label, -n_edges, subj_type, obj_type).  This is the
+    schema-inspection query a KG consumer runs to learn what a
+    relation MEANS (e.g. GEN-AFF is Person->Org 80% of the time).
+
+    Scale shape: the node table is vocabulary-bounded (distinct
+    canonical entities), so its entity_id -> entity_type map broadcasts
+    once via ray.put (the LinkEntities convention); the edge stream
+    maps types on via Arrow index_in + take and pre-aggregates
+    per-batch, so the one grouped exchange moves (distinct signature)
+    rows per block, never edges.  Rows-only: the upstream extraction
+    is neural."""
+    import ray
+
+    g = kg_graph(sf_dir)
+    nodes_df = g["nodes"].to_pandas()  # vocabulary-bounded
+    empty = pa.table(
+        {
+            "pred_label": pa.array([], pa.string()),
+            "subj_type": pa.array([], pa.string()),
+            "obj_type": pa.array([], pa.string()),
+            "n_edges": pa.array([], pa.int64()),
+            "weight": pa.array([], pa.int64()),
+        }
+    )
+    if nodes_df.empty:
+        return empty
+    ids = pa.array(sorted(nodes_df["entity_id"]), pa.string())
+    type_of = dict(zip(nodes_df["entity_id"], nodes_df["entity_type"]))
+    types = pa.array([type_of[e] for e in ids.to_pylist()], pa.string())
+    map_ref = ray.put((ids, types))
+
+    def partial(t: pa.Table) -> pa.Table:
+        id_arr, ty_arr = ray.get(map_ref)
+        st = pc.take(ty_arr, pc.index_in(t["subj_entity"], value_set=id_arr))
+        ot = pc.take(ty_arr, pc.index_in(t["obj_entity"], value_set=id_arr))
+        gb = (
+            pa.table(
+                {
+                    "pred_label": t["pred_label"],
+                    "subj_type": st,
+                    "obj_type": ot,
+                    "weight": pc.cast(t["weight"], pa.int64()),
+                }
+            )
+            .group_by(["pred_label", "subj_type", "obj_type"])
+            .aggregate([("weight", "sum"), ([], "count_all")])
+        )
+        return pa.table(
+            {
+                "pred_label": gb["pred_label"],
+                "subj_type": gb["subj_type"],
+                "obj_type": gb["obj_type"],
+                "n_edges": pc.cast(gb["count_all"], pa.int64()),
+                "weight": pc.cast(gb["weight_sum"], pa.int64()),
+            }
+        )
+
+    parts = (
+        g["edges"]
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()  # bounded: distinct (pred, type, type) signatures
+    )
+    if parts.empty:
+        return empty
+    out = (
+        parts.groupby(["pred_label", "subj_type", "obj_type"])[
+            ["n_edges", "weight"]
+        ]
+        .sum()
+        .reset_index()
+    )
+    out = out.sort_values(
+        ["pred_label", "n_edges", "subj_type", "obj_type"],
+        ascending=[True, False, True, True],
+    ).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)

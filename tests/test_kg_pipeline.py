@@ -208,3 +208,43 @@ def test_kg_entity_neighborhood_matches_driver_bfs(sf_dir):
                 q.append(v)
     got = dict(zip(out["entity"], out["dist"]))
     assert got == want
+
+
+def test_kg_relation_schema_matches_driver_join(sf_dir):
+    from deepie_ray import queries as Q
+
+    out = Q.kg_relation_schema(sf_dir).to_pandas()
+    assert list(out.columns) == [
+        "pred_label",
+        "subj_type",
+        "obj_type",
+        "n_edges",
+        "weight",
+    ]
+    # driver-side recomputation over the same deduplicated tables
+    edges = Q.kg_edges(sf_dir).to_pandas()
+    nodes = Q.kg_nodes(sf_dir).to_pandas()
+    ty = dict(zip(nodes["entity_id"], nodes["entity_type"]))
+    want = (
+        edges.assign(
+            subj_type=edges["subj_entity"].map(ty),
+            obj_type=edges["obj_entity"].map(ty),
+            n_edges=1,
+        )
+        .groupby(["pred_label", "subj_type", "obj_type"])
+        .agg(n_edges=("n_edges", "sum"), weight=("weight", "sum"))
+        .reset_index()
+    )
+    got = out.sort_values(["pred_label", "subj_type", "obj_type"]).reset_index(
+        drop=True
+    )
+    want = want.sort_values(
+        ["pred_label", "subj_type", "obj_type"]
+    ).reset_index(drop=True)[got.columns.tolist()]
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(
+        got, want.astype({"n_edges": "int64", "weight": "int64"})
+    )
+    # per-relation totals cover every edge exactly once
+    assert out["n_edges"].sum() == len(edges)
