@@ -487,3 +487,101 @@ def mean_rank(model: dict, triples: list[tuple[str, str, str]]) -> float:
         d = _tail_rank_keys(model, eidx[h], ridx[r])
         ranks.append(1 + int((d < d[eidx[t]]).sum()))
     return float(np.mean(ranks)) if ranks else float("nan")
+
+
+# --------------------------------------------------------------------
+# held-out evaluation (filtered protocol)
+# --------------------------------------------------------------------
+
+
+def split_edges_holdout(
+    edges: rd.Dataset, mod: int = 5, salt: str = "kge-holdout"
+) -> tuple[rd.Dataset, rd.Dataset]:
+    """Deterministic content-addressed train/test split of the edge
+    table: a triple lands in TEST iff a stable hash of its
+    (h, r, t) strings is 0 mod ``mod`` (~1/mod of edges) — pure
+    function of the triple, partitioning-independent (the
+    train_val_test_split convention applied to edges)."""
+    from ..hashing import fingerprint64
+
+    def tag(t: pa.Table) -> pa.Table:
+        hs = np.fromiter(
+            (
+                fingerprint64(f"{salt}:{a}\x00{b}\x00{c}")
+                for a, b, c in zip(
+                    t["subj_entity"].to_pylist(),
+                    t["pred_label"].to_pylist(),
+                    t["obj_entity"].to_pylist(),
+                )
+            ),
+            dtype=np.int64,
+            count=t.num_rows,
+        )
+        return t.append_column(
+            "_is_test", pa.array((hs % mod) == 0, pa.bool_())
+        )
+
+    tagged = edges.map_batches(tag, batch_format="pyarrow").materialize()
+
+    def keep(want: bool):
+        def f(t: pa.Table) -> pa.Table:
+            out = t.filter(pc.equal(t["_is_test"], want))
+            return out.drop_columns(["_is_test"])
+
+        return f
+
+    return (
+        tagged.map_batches(keep(False), batch_format="pyarrow"),
+        tagged.map_batches(keep(True), batch_format="pyarrow"),
+    )
+
+
+def evaluate_link_prediction(
+    model: dict,
+    all_triples: list[tuple[str, str, str]],
+    test_triples: list[tuple[str, str, str]],
+    max_eval: int = 2000,
+) -> dict:
+    """Filtered-protocol tail ranking (Bordes et al. 2013 §4): for each
+    test triple, rank the true tail among all entities EXCLUDING other
+    known-true tails of the same (head, relation).  Returns
+    {"n_eval", "mean_rank", "mrr", "hits1", "hits3", "hits10"}.
+
+    ``all_triples``/``test_triples`` are driver lists — the evaluation
+    set is bounded by ``max_eval`` (sorted for determinism), the
+    standard sampled-eval protocol at corpus scale."""
+    eidx = {e: i for i, e in enumerate(model["entities"])}
+    ridx = {r: i for i, r in enumerate(model["relations"])}
+    known: dict[tuple[str, str], set[str]] = {}
+    for h, r, t in all_triples:
+        known.setdefault((h, r), set()).add(t)
+    ranks: list[int] = []
+    for h, r, t in sorted(test_triples)[:max_eval]:
+        if h not in eidx or r not in ridx or t not in eidx:
+            continue
+        d = _tail_rank_keys(model, eidx[h], ridx[r])
+        d_true = d[eidx[t]]
+        mask = np.zeros(len(d), dtype=bool)
+        for other in known.get((h, r), ()):  # filtered protocol
+            if other != t and other in eidx:
+                mask[eidx[other]] = True
+        better = int(((d < d_true) & ~mask).sum())
+        ranks.append(1 + better)
+    if not ranks:
+        return {
+            "n_eval": 0,
+            "mean_rank": float("nan"),
+            "mrr": float("nan"),
+            "hits1": float("nan"),
+            "hits3": float("nan"),
+            "hits10": float("nan"),
+        }
+    a = np.asarray(ranks, dtype=np.float64)
+    return {
+        "n_eval": len(ranks),
+        "mean_rank": float(a.mean()),
+        "mrr": float((1.0 / a).mean()),
+        "hits1": float((a <= 1).mean()),
+        "hits3": float((a <= 3).mean()),
+        "hits10": float((a <= 10).mean()),
+    }

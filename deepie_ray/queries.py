@@ -11338,3 +11338,48 @@ def kg_relation_schema(sf_dir: str) -> pa.Table:
         ascending=[True, False, True, True],
     ).reset_index(drop=True)
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def kg_link_prediction_eval(sf_dir: str) -> pa.Table:
+    """Held-out link-prediction quality of the KGE model over the
+    built KG -> one row per model (model, n_train, n_test, n_eval,
+    mean_rank, mrr, hits1, hits3, hits10).
+
+    Protocol: content-addressed 80/20 edge split (pure function of the
+    triple — partitioning-independent), train each scorer on the train
+    split only, evaluate FILTERED tail ranking (known true tails of the
+    same (head, relation) excluded) on the test split.  Rows-only: the
+    metric is the oracle — pinned by ops-level pytest on a planted
+    graph where hits@10 must beat the random-ranking baseline."""
+    from .ops import kge
+
+    g = kg_graph(sf_dir)
+    train, test = kge.split_edges_holdout(g["edges"])
+    train = train.materialize()
+
+    def to_triples(ds) -> list[tuple[str, str, str]]:
+        df = ds.to_pandas()  # edge table: bounded by distinct triples
+        if df.empty:
+            return []
+        return list(
+            zip(df["subj_entity"], df["pred_label"], df["obj_entity"])
+        )
+
+    test_triples = to_triples(test)
+    all_triples = test_triples + to_triples(train)
+    rows = []
+    for name, lr in (("transe", 0.02), ("distmult", 0.05)):
+        model = kge.train_kge(
+            train, model=name, dim=32, epochs=50, lr=lr, seed=0
+        )
+        m = kge.evaluate_link_prediction(model, all_triples, test_triples)
+        rows.append(
+            {
+                "model": name,
+                "n_train": len(all_triples) - len(test_triples),
+                "n_test": len(test_triples),
+                **m,
+            }
+        )
+    out = pd.DataFrame(rows)
+    return pa.Table.from_pandas(out, preserve_index=False)
