@@ -149,7 +149,7 @@ def _init_weights(n_ent: int, n_rel: int, dim: int, seed: int):
 # --------------------------------------------------------------------
 
 
-def _grad_partial(
+def _grad_transe(
     h: np.ndarray,
     r: np.ndarray,
     t: np.ndarray,
@@ -162,18 +162,6 @@ def _grad_partial(
     L1 TransE score d(h,r,t) = ||E[h] + R[r] - E[t]||_1.  Returns
     (loss_sum, n, ent_ids, ent_rows, rel_ids, rel_rows) with ids
     deduplicated via np.add.at."""
-    return _grad_transe(h, r, t, E, R, epoch, margin)
-
-
-def _grad_transe(
-    h: np.ndarray,
-    r: np.ndarray,
-    t: np.ndarray,
-    E: np.ndarray,
-    R: np.ndarray,
-    epoch: int,
-    margin: float,
-) -> tuple[float, int, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     nh, nt = _neg_entities(h, r, t, epoch, len(E))
     d_pos_vec = E[h] + R[r] - E[t]
     d_neg_vec = E[nh] + R[r] - E[nt]
