@@ -343,6 +343,8 @@ def train_kge(
     triple set, one negative per positive per epoch."""
     if model not in _KGE_MODELS:
         raise ValueError(f"unknown KGE model {model!r}")
+    if model == "complex" and dim % 2:
+        raise ValueError("complex scorer needs an even embedding width")
     ents, rels = edge_vocab(edges)
     if not ents or not rels:
         d = dim
@@ -410,10 +412,19 @@ def train_transe(edges: rd.Dataset, **kw) -> dict:
 def _tail_rank_keys(model: dict, hi: int, ri: int) -> np.ndarray:
     """Per-entity ranking key for tail prediction, LOWER = better.
     TransE: L1 distance ||E[h]+R[r]-E[t]||.  DistMult: negated
-    bilinear score -<E[h],R[r],E[t]>."""
+    bilinear score -<E[h],R[r],E[t]>.  ComplEx: negated
+    -Re(<E[h],R[r],conj(E[t])>) over [real | imag] halves."""
     E, R = model["E"], model["R"]
-    if model.get("model", "transe") == "distmult":
+    kind = model.get("model", "transe")
+    if kind == "distmult":
         return -(E @ (E[hi] * R[ri]))
+    if kind == "complex":
+        d = E.shape[1] // 2
+        hr, hh = E[hi, :d], E[hi, d:]
+        rr, ri2 = R[ri, :d], R[ri, d:]
+        a = hr * rr + hh * ri2  # coefficient of Re(t)
+        b = hr * ri2 - hh * rr  # coefficient of Im(t)
+        return -(E[:, :d] @ a + E[:, d:] @ b)
     return np.abs(E - (E[hi] + R[ri])).sum(axis=1)
 
 
@@ -573,3 +584,73 @@ def evaluate_link_prediction(
         "hits3": float((a <= 3).mean()),
         "hits10": float((a <= 10).mean()),
     }
+
+
+def _grad_complex(
+    h: np.ndarray,
+    r: np.ndarray,
+    t: np.ndarray,
+    E: np.ndarray,
+    R: np.ndarray,
+    epoch: int,
+    margin: float,
+) -> tuple[float, int, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Margin-ranking gradient under the ComplEx score (Trouillon et
+    al. 2016) s(h,r,t) = Re(<E[h], R[r], conj(E[t])>), higher is more
+    plausible.  Rows store complex vectors as [real | imag] halves of
+    an even-width float matrix, so the partial layout and the fold are
+    unchanged.  Unlike DistMult the score is ANTISYMMETRIC-capable
+    (Im(R) breaks s(h,r,t)=s(t,r,h)) — the scorer that can fit
+    directional relations like a successor ring."""
+    d2 = E.shape[1]
+    if d2 % 2:
+        raise ValueError("complex scorer needs an even embedding width")
+    d = d2 // 2
+    nh, nt = _neg_entities(h, r, t, epoch, len(E))
+
+    def parts(W, idx):
+        return W[idx, :d], W[idx, d:]
+
+    def score_and_grads(hh, tt2):
+        hr, hi = parts(E, hh)
+        rr, ri = parts(R, r)
+        tr, ti = parts(E, tt2)
+        s = (
+            hr * rr * tr + hi * ri * tr + hr * ri * ti - hi * rr * ti
+        ).sum(axis=1)
+        g_h = np.concatenate(
+            [rr * tr + ri * ti, ri * tr - rr * ti], axis=1
+        )
+        g_r = np.concatenate(
+            [hr * tr - hi * ti, hi * tr + hr * ti], axis=1
+        )
+        g_t = np.concatenate(
+            [hr * rr + hi * ri, hr * ri - hi * rr], axis=1
+        )
+        return s, g_h, g_r, g_t
+
+    s_pos, gph, gpr, gpt = score_and_grads(h, t)
+    s_neg, gnh, gnr, gnt = score_and_grads(nh, nt)
+    viol = margin - s_pos + s_neg
+    active = viol > 0.0
+    loss_sum = float(viol[active].sum())
+    if not active.any():
+        z = np.zeros(0, np.int64)
+        zr = np.zeros((0, d2), np.float64)
+        return loss_sum, len(h), z, zr, z, zr
+    ids = np.concatenate([h[active], t[active], nh[active], nt[active]])
+    rows = np.concatenate(
+        [-gph[active], -gpt[active], gnh[active], gnt[active]], axis=0
+    )
+    u, inv = np.unique(ids, return_inverse=True)
+    ent_rows = np.zeros((len(u), d2), np.float64)
+    np.add.at(ent_rows, inv, rows)
+    ur, invr = np.unique(r[active], return_inverse=True)
+    rel_rows = np.zeros((len(ur), d2), np.float64)
+    np.add.at(rel_rows, invr, -gpr[active] + gnr[active])
+    return loss_sum, len(h), u, ent_rows, ur, rel_rows
+
+
+# registered below its definition (the dict above is created before
+# this function exists at import time)
+_KGE_MODELS["complex"] = (_grad_complex, True)

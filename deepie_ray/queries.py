@@ -11186,6 +11186,14 @@ def kg_distmult_link_prediction(sf_dir: str) -> pa.Table:
     return _kg_link_prediction(sf_dir, "distmult", lr=0.05)
 
 
+def kg_complex_link_prediction(sf_dir: str) -> pa.Table:
+    """ComplEx link prediction over the built KG (rows-only; see
+    _kg_link_prediction).  The antisymmetric-capable scorer of the
+    registry (Im(R) breaks s(h,r,t)=s(t,r,h) — the one that can fit
+    directional relations DistMult is structurally blind to)."""
+    return _kg_link_prediction(sf_dir, "complex", lr=0.1)
+
+
 def bloom_join_urgent_lineitems(sf_dir: str) -> pd.DataFrame:
     """Revenue rollup of lineitems belonging to URGENT high-value
     orders -> (o_orderstatus, n_items, revenue), via the
@@ -11368,7 +11376,11 @@ def kg_link_prediction_eval(sf_dir: str) -> pa.Table:
     test_triples = to_triples(test)
     all_triples = test_triples + to_triples(train)
     rows = []
-    for name, lr in (("transe", 0.02), ("distmult", 0.05)):
+    for name, lr in (
+        ("transe", 0.02),
+        ("distmult", 0.05),
+        ("complex", 0.1),
+    ):
         model = kge.train_kge(
             train, model=name, dim=32, epochs=50, lr=lr, seed=0
         )

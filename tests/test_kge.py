@@ -281,3 +281,59 @@ def test_eval_empty_test_set():
         [],
     )
     assert m["n_eval"] == 0 and np.isnan(m["mean_rank"])
+
+
+def test_complex_gradient_finite_difference():
+    rng = np.random.default_rng(1)
+    n, d2 = 6, 8
+    E = rng.normal(size=(n, d2))
+    R = rng.normal(size=(2, d2))
+    h = np.array([0, 1], np.int64)
+    r = np.array([0, 1], np.int64)
+    t = np.array([2, 3], np.int64)
+    d = d2 // 2
+
+    def loss_of(E2, R2, ep=0):
+        nh, nt = kge._neg_entities(h, r, t, ep, n)
+
+        def sc(hh, tt2):
+            hr, hi = E2[hh, :d], E2[hh, d:]
+            rr, ri = R2[r, :d], R2[r, d:]
+            tr, ti = E2[tt2, :d], E2[tt2, d:]
+            return (hr * rr * tr + hi * ri * tr + hr * ri * ti - hi * rr * ti).sum(1)
+
+        v = 1.0 - sc(h, t) + sc(nh, nt)
+        return v[v > 0].sum()
+
+    loss, _c, eids, erows, rids, rrows = kge._grad_complex(h, r, t, E, R, 0, 1.0)
+    eps = 1e-6
+    for ids, rows, which in ((eids, erows, "E"), (rids, rrows, "R")):
+        for p, i in enumerate(ids):
+            for j in range(d2):
+                W2 = (E if which == "E" else R).copy()
+                W2[i, j] += eps
+                l2 = loss_of(W2, R) if which == "E" else loss_of(E, W2)
+                fd = (l2 - loss) / eps
+                assert abs(fd - rows[p, j]) < 1e-3, (which, i, j, fd, rows[p, j])
+
+
+def test_complex_learns_antisymmetric_ring(ray_session):
+    # the directional successor ring: ComplEx's Im(R) makes
+    # s(h,r,t) != s(t,r,h) fittable; offline study mr ~1.5-1.7
+    edges = rd.from_arrow(_edge_table())
+    m = kge.train_kge(edges, model="complex", dim=16, epochs=50, lr=0.1, seed=0)
+    assert m["loss_history"][-1] < 0.3 * m["loss_history"][0]
+    t = _edge_table()
+    triples = list(
+        zip(
+            t["subj_entity"].to_pylist(),
+            t["pred_label"].to_pylist(),
+            t["obj_entity"].to_pylist(),
+        )
+    )
+    assert kge.mean_rank(m, triples) < 4.0
+
+
+def test_complex_odd_width_rejected(ray_session):
+    with pytest.raises(ValueError):
+        kge.train_kge(rd.from_arrow(_edge_table()), model="complex", dim=15)
