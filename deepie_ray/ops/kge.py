@@ -332,19 +332,31 @@ def train_kge(
     margin: float = 1.0,
     seed: int = 0,
     lr_decay: float = 0.98,
+    warm_start: dict | None = None,
 ) -> dict:
-    """Train a KG embedding model (``transe`` or ``distmult``) over an
-    edge table with columns (subj_entity, pred_label, obj_entity).
-    Returns {"model", "E", "R", "entities", "relations",
-    "loss_history"}.
+    """Train a KG embedding model (``transe`` / ``distmult`` /
+    ``complex``) over an edge table with columns
+    (subj_entity, pred_label, obj_entity).  Returns
+    {"model", "E", "R", "entities", "relations", "loss_history"}.
+
+    ``warm_start``: a previously returned model dict — rows for
+    entities/relations it already knows are copied in, only NEW vocab
+    entries get fresh seeded init (the incremental-ingest story:
+    re-embedding after a KG delta converges in a fraction of the
+    cold-start epochs, pinned by test).  Scorer and width must match.
 
     Edge weights are intentionally ignored: the deduplicated KG edge
-    table is a distinct-triple set and both protocols train on the
+    table is a distinct-triple set and all protocols train on the
     triple set, one negative per positive per epoch."""
     if model not in _KGE_MODELS:
         raise ValueError(f"unknown KGE model {model!r}")
     if model == "complex" and dim % 2:
         raise ValueError("complex scorer needs an even embedding width")
+    if warm_start is not None and (
+        warm_start.get("model", "transe") != model
+        or (len(warm_start["E"]) and warm_start["E"].shape[1] != dim)
+    ):
+        raise ValueError("warm_start scorer/width mismatch")
     ents, rels = edge_vocab(edges)
     if not ents or not rels:
         d = dim
@@ -357,6 +369,16 @@ def train_kge(
             "loss_history": [],
         }
     E, R = _init_weights(len(ents), len(rels), dim, seed)
+    if warm_start is not None:
+        for names, W, old_names, oldW in (
+            (ents, E, warm_start["entities"], warm_start["E"]),
+            (rels, R, warm_start["relations"], warm_start["R"]),
+        ):
+            old_idx = {n: i for i, n in enumerate(old_names)}
+            for i, n in enumerate(names):  # vocabulary-bounded loop
+                j = old_idx.get(n)
+                if j is not None:
+                    W[i] = oldW[j]
     ent_arr = pa.array(ents, pa.string())
     rel_arr = pa.array(rels, pa.string())
 

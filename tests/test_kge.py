@@ -337,3 +337,54 @@ def test_complex_learns_antisymmetric_ring(ray_session):
 def test_complex_odd_width_rejected(ray_session):
     with pytest.raises(ValueError):
         kge.train_kge(rd.from_arrow(_edge_table()), model="complex", dim=15)
+
+
+def test_warm_start_converges_faster_and_validates(ray_session, trained):
+    # delta: 6 new entities spliced into the ring via two new edges each
+    base = _edge_table()
+    subs = base["subj_entity"].to_pylist()
+    preds = base["pred_label"].to_pylist()
+    objs = base["obj_entity"].to_pylist()
+    for i in range(6):
+        subs += [f"e{i:02d}", f"x{i}"]
+        preds += ["r0", "r0"]
+        objs += [f"x{i}", f"e{(i + 1) % 30:02d}"]
+    grown = pa.table(
+        {
+            "subj_entity": pa.array(subs, pa.string()),
+            "pred_label": pa.array(preds, pa.string()),
+            "obj_entity": pa.array(objs, pa.string()),
+            "weight": pa.array([1] * len(subs), pa.int64()),
+        }
+    )
+    edges = rd.from_arrow(grown)
+    warm = kge.train_kge(
+        edges, dim=16, epochs=10, seed=0, warm_start=trained
+    )
+    cold = kge.train_kge(edges, dim=16, epochs=10, seed=0)
+    assert set(warm["entities"]) == set(cold["entities"])
+    # warm start resumes near the old optimum: first-epoch loss well
+    # under cold init's, and still ahead after the short budget
+    assert warm["loss_history"][0] < 0.6 * cold["loss_history"][0]
+    assert warm["loss_history"][-1] < cold["loss_history"][-1]
+    # known entities carried over: their rows started from `trained`
+    # (verify e00's warm row is closer to the old row than cold's is)
+    i_new = warm["entities"].index("e00")
+    i_old = trained["entities"].index("e00")
+    d_warm = np.abs(warm["E"][i_new] - trained["E"][i_old]).sum()
+    d_cold = np.abs(cold["E"][i_new] - trained["E"][i_old]).sum()
+    assert d_warm < d_cold
+
+
+def test_warm_start_mismatch_rejected(ray_session, trained):
+    with pytest.raises(ValueError):
+        kge.train_kge(
+            rd.from_arrow(_edge_table()),
+            model="distmult",
+            dim=16,
+            warm_start=trained,
+        )
+    with pytest.raises(ValueError):
+        kge.train_kge(
+            rd.from_arrow(_edge_table()), dim=32, warm_start=trained
+        )
