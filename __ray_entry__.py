@@ -313,6 +313,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_transe_link_prediction": Q.kg_transe_link_prediction,
         "kg_distmult_link_prediction": Q.kg_distmult_link_prediction,
         "kg_complex_link_prediction": Q.kg_complex_link_prediction,
+        "kg_rotate_link_prediction": Q.kg_rotate_link_prediction,
         "kg_relation_schema": Q.kg_relation_schema,
         "kg_link_prediction_eval": Q.kg_link_prediction_eval,
         "graph_pagerank": Q.graph_pagerank,

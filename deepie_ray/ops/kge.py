@@ -335,7 +335,7 @@ def train_kge(
     warm_start: dict | None = None,
 ) -> dict:
     """Train a KG embedding model (``transe`` / ``distmult`` /
-    ``complex``) over an edge table with columns
+    ``complex`` / ``rotate``) over an edge table with columns
     (subj_entity, pred_label, obj_entity).  Returns
     {"model", "E", "R", "entities", "relations", "loss_history"}.
 
@@ -350,8 +350,8 @@ def train_kge(
     triple set, one negative per positive per epoch."""
     if model not in _KGE_MODELS:
         raise ValueError(f"unknown KGE model {model!r}")
-    if model == "complex" and dim % 2:
-        raise ValueError("complex scorer needs an even embedding width")
+    if model in ("complex", "rotate") and dim % 2:
+        raise ValueError(f"{model} scorer needs an even embedding width")
     if warm_start is not None and (
         warm_start.get("model", "transe") != model
         or (len(warm_start["E"]) and warm_start["E"].shape[1] != dim)
@@ -369,6 +369,11 @@ def train_kge(
             "loss_history": [],
         }
     E, R = _init_weights(len(ents), len(rels), dim, seed)
+    if model == "rotate":
+        # phases live in the first half; the second half is unused by
+        # the scorer and gets zero gradient — zero it so the model dict
+        # has no frozen noise
+        R[:, dim // 2 :] = 0.0
     if warm_start is not None:
         for names, W, old_names, oldW in (
             (ents, E, warm_start["entities"], warm_start["E"]),
@@ -435,11 +440,22 @@ def _tail_rank_keys(model: dict, hi: int, ri: int) -> np.ndarray:
     """Per-entity ranking key for tail prediction, LOWER = better.
     TransE: L1 distance ||E[h]+R[r]-E[t]||.  DistMult: negated
     bilinear score -<E[h],R[r],E[t]>.  ComplEx: negated
-    -Re(<E[h],R[r],conj(E[t])>) over [real | imag] halves."""
+    -Re(<E[h],R[r],conj(E[t])>) over [real | imag] halves.  RotatE:
+    L1 distance ||rot(E[h], theta_r) - E[t]||."""
     E, R = model["E"], model["R"]
     kind = model.get("model", "transe")
     if kind == "distmult":
         return -(E @ (E[hi] * R[ri]))
+    if kind == "rotate":
+        d = E.shape[1] // 2
+        theta = R[ri, :d]
+        c, s = np.cos(theta), np.sin(theta)
+        hr, hh = E[hi, :d], E[hi, d:]
+        pr, pi2 = hr * c - hh * s, hr * s + hh * c
+        return (
+            np.abs(E[:, :d] - pr).sum(axis=1)
+            + np.abs(E[:, d:] - pi2).sum(axis=1)
+        )
     if kind == "complex":
         d = E.shape[1] // 2
         hr, hh = E[hi, :d], E[hi, d:]
@@ -676,3 +692,95 @@ def _grad_complex(
 # registered below its definition (the dict above is created before
 # this function exists at import time)
 _KGE_MODELS["complex"] = (_grad_complex, True)
+
+
+def _rotate_rotated(
+    E: np.ndarray, idx: np.ndarray, cos: np.ndarray, sin: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Element-wise complex rotation of entity rows ``idx`` by the
+    per-triple phase vectors (cos, sin): returns (real, imag) halves of
+    rot(E[idx], theta)."""
+    d = E.shape[1] // 2
+    hr, hi = E[idx, :d], E[idx, d:]
+    return hr * cos - hi * sin, hr * sin + hi * cos
+
+
+def _grad_rotate(
+    h: np.ndarray,
+    r: np.ndarray,
+    t: np.ndarray,
+    E: np.ndarray,
+    R: np.ndarray,
+    epoch: int,
+    margin: float,
+) -> tuple[float, int, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Margin-ranking subgradient under the RotatE score (Sun et al.
+    2019, arXiv:1902.10197) d(h,r,t) = ||rot(E[h], theta_r) - E[t]||_1,
+    lower is more plausible.  Entity rows are complex vectors stored as
+    [real | imag] halves of an even-width matrix (the ComplEx layout);
+    relation rows store the rotation PHASES theta in their FIRST half
+    and keep the second half at zero — the paper's unit-modulus
+    constraint is enforced structurally by the phase parameterization
+    rather than by post-step projection, so the generic SGD fold
+    applies unchanged (the phase gradient lands in the first half; the
+    second half's gradient is identically zero, so its zeros persist).
+    RotatE models symmetry, antisymmetry, inversion AND composition —
+    the composition-capable member of the scorer registry (a successor
+    ring is literally one rotation)."""
+    d2 = E.shape[1]
+    if d2 % 2:
+        raise ValueError("rotate scorer needs an even embedding width")
+    d = d2 // 2
+    nh, nt = _neg_entities(h, r, t, epoch, len(E))
+    theta = R[r, :d]
+    cos, sin = np.cos(theta), np.sin(theta)
+
+    pr, pi = _rotate_rotated(E, h, cos, sin)
+    ur_p, ui_p = pr - E[t, :d], pi - E[t, d:]
+    qr, qi = _rotate_rotated(E, nh, cos, sin)
+    ur_n, ui_n = qr - E[nt, :d], qi - E[nt, d:]
+    d_pos = np.abs(ur_p).sum(axis=1) + np.abs(ui_p).sum(axis=1)
+    d_neg = np.abs(ur_n).sum(axis=1) + np.abs(ui_n).sum(axis=1)
+    viol = margin + d_pos - d_neg
+    active = viol > 0.0
+    loss_sum = float(viol[active].sum())
+    if not active.any():
+        z = np.zeros(0, np.int64)
+        zr = np.zeros((0, d2), np.float64)
+        return loss_sum, len(h), z, zr, z, zr
+
+    ca, sa = cos[active], sin[active]
+    gr_p, gi_p = np.sign(ur_p[active]), np.sign(ui_p[active])
+    gr_n, gi_n = np.sign(ur_n[active]), np.sign(ui_n[active])
+    # d d / d E[h]: chain through the rotation (its transpose is the
+    # inverse rotation); d d / d E[t] = -[g_r | g_i]
+    gh_pos = np.concatenate(
+        [gr_p * ca + gi_p * sa, -gr_p * sa + gi_p * ca], axis=1
+    )
+    gt_pos = -np.concatenate([gr_p, gi_p], axis=1)
+    gh_neg = np.concatenate(
+        [gr_n * ca + gi_n * sa, -gr_n * sa + gi_n * ca], axis=1
+    )
+    gt_neg = -np.concatenate([gr_n, gi_n], axis=1)
+
+    ids = np.concatenate(
+        [h[active], t[active], nh[active], nt[active]]
+    )
+    rows = np.concatenate([gh_pos, gt_pos, -gh_neg, -gt_neg], axis=0)
+    u, inv = np.unique(ids, return_inverse=True)
+    ent_rows = np.zeros((len(u), d2), np.float64)
+    np.add.at(ent_rows, inv, rows)
+
+    # d rot_r / d theta = -rot_i ; d rot_i / d theta = rot_r
+    dth_pos = gr_p * (-pi[active]) + gi_p * pr[active]
+    dth_neg = gr_n * (-qi[active]) + gi_n * qr[active]
+    dth = np.concatenate(
+        [dth_pos - dth_neg, np.zeros_like(dth_pos)], axis=1
+    )
+    ur2, invr = np.unique(r[active], return_inverse=True)
+    rel_rows = np.zeros((len(ur2), d2), np.float64)
+    np.add.at(rel_rows, invr, dth)
+    return loss_sum, len(h), u, ent_rows, ur2, rel_rows
+
+
+_KGE_MODELS["rotate"] = (_grad_rotate, False)

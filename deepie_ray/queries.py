@@ -11194,6 +11194,16 @@ def kg_complex_link_prediction(sf_dir: str) -> pa.Table:
     return _kg_link_prediction(sf_dir, "complex", lr=0.1)
 
 
+def kg_rotate_link_prediction(sf_dir: str) -> pa.Table:
+    """RotatE link prediction over the built KG (rows-only; see
+    _kg_link_prediction).  The COMPOSITION-capable scorer of the
+    registry (Sun et al. 2019): relations are element-wise complex
+    rotations, so r3 = r1 o r2 is representable exactly (phase
+    addition) — the geometry TransE approximates and DistMult/ComplEx
+    cannot express."""
+    return _kg_link_prediction(sf_dir, "rotate", lr=0.1)
+
+
 def bloom_join_urgent_lineitems(sf_dir: str) -> pd.DataFrame:
     """Revenue rollup of lineitems belonging to URGENT high-value
     orders -> (o_orderstatus, n_items, revenue), via the

@@ -388,3 +388,70 @@ def test_warm_start_mismatch_rejected(ray_session, trained):
         kge.train_kge(
             rd.from_arrow(_edge_table()), dim=32, warm_start=trained
         )
+
+
+def test_rotate_gradient_finite_difference():
+    rng = np.random.default_rng(1)
+    n, d2 = 6, 8
+    E = rng.normal(size=(n, d2))
+    R = rng.normal(size=(2, d2))
+    R[:, d2 // 2 :] = 0.0
+    h = np.array([0, 1], np.int64)
+    r = np.array([0, 1], np.int64)
+    t = np.array([2, 3], np.int64)
+    d = d2 // 2
+
+    def loss_of(E2, R2, ep=0):
+        nh, nt = kge._neg_entities(h, r, t, ep, n)
+
+        def dist(hh, tt2):
+            th = R2[r, :d]
+            c, s = np.cos(th), np.sin(th)
+            hr, hi = E2[hh, :d], E2[hh, d:]
+            pr, pi = hr * c - hi * s, hr * s + hi * c
+            return (
+                np.abs(pr - E2[tt2, :d]).sum(1)
+                + np.abs(pi - E2[tt2, d:]).sum(1)
+            )
+
+        v = 1.0 + dist(h, t) - dist(nh, nt)
+        return v[v > 0].sum()
+
+    loss, _c, eids, erows, rids, rrows = kge._grad_rotate(h, r, t, E, R, 0, 1.0)
+    eps = 1e-6
+    for ids, rows, which in ((eids, erows, "E"), (rids, rrows, "R")):
+        for p, i in enumerate(ids):
+            for j in range(d2):
+                W2 = (E if which == "E" else R).copy()
+                W2[i, j] += eps
+                l2 = loss_of(W2, R) if which == "E" else loss_of(E, W2)
+                fd = (l2 - loss) / eps
+                assert abs(fd - rows[p, j]) < 1e-3, (which, i, j, fd, rows[p, j])
+    # the scorer never reads the second phase half -> identically zero grads
+    assert np.allclose(rrows[:, d:], 0.0)
+
+
+def test_rotate_learns_rings_exactly(ray_session):
+    # both relations of the fixture are rotations (successor ring and
+    # +5 ring), i.e. exactly representable by RotatE's geometry — the
+    # composition-capable scorer should fit them to mean rank ~1
+    edges = rd.from_arrow(_edge_table())
+    m = kge.train_kge(edges, model="rotate", dim=16, epochs=50, lr=0.1, seed=0)
+    assert m["loss_history"][-1] < 0.1 * m["loss_history"][0]
+    t = _edge_table()
+    triples = list(
+        zip(
+            t["subj_entity"].to_pylist(),
+            t["pred_label"].to_pylist(),
+            t["obj_entity"].to_pylist(),
+        )
+    )
+    assert kge.mean_rank(m, triples) < 2.0
+    # the unused phase half stays zero through training
+    d = m["R"].shape[1] // 2
+    assert np.abs(m["R"][:, d:]).max() == 0.0
+
+
+def test_rotate_odd_width_rejected(ray_session):
+    with pytest.raises(ValueError):
+        kge.train_kge(rd.from_arrow(_edge_table()), model="rotate", dim=15)
