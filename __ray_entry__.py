@@ -258,6 +258,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "resolution_pairwise_eval": Q.resolution_pairwise_eval,
         "q2_min_cost_supplier": Q.q2_min_cost_supplier,
         "events_late_arrivals": Q.events_late_arrivals,
+        "tpch_kg_edges": Q.tpch_kg_edges,
+        "kg_metapath_counts": Q.kg_metapath_counts,
+        "kg_type_constraints": Q.kg_type_constraints,
+        "copurchase_clustering": Q.copurchase_clustering,
         # --- rows-only / pytest-oracled block (no SQL twin by nature) ---
         "doc_compression_ratio": Q.doc_compression_ratio,
         "export_tar_shards_roundtrip": Q.export_tar_shards_roundtrip,
@@ -3473,6 +3477,106 @@ def oracle_sql() -> dict[str, str]:
                    (wm - 60000000 - t)::BIGINT AS lateness_us
             FROM w
             WHERE wm IS NOT NULL AND t < wm - 60000000
+        """,
+        "tpch_kg_edges": """
+            SELECT 'customer:' || c_custkey AS subj,
+                   'located_in' AS pred,
+                   'nation:' || c_nationkey AS obj FROM customer
+            UNION ALL
+            SELECT 'supplier:' || s_suppkey, 'located_in',
+                   'nation:' || s_nationkey FROM supplier
+            UNION ALL
+            SELECT 'nation:' || n_nationkey, 'part_of',
+                   'region:' || n_regionkey FROM nation
+            UNION ALL
+            SELECT 'order:' || o_orderkey, 'placed_by',
+                   'customer:' || o_custkey FROM orders
+            UNION ALL
+            SELECT DISTINCT 'order:' || l_orderkey, 'contains',
+                   'part:' || l_partkey FROM lineitem
+            UNION ALL
+            SELECT DISTINCT 'part:' || l_partkey, 'supplied_by',
+                   'supplier:' || l_suppkey FROM lineitem
+        """,
+        "kg_metapath_counts": """
+            WITH e AS (
+              SELECT 'customer:' || c_custkey AS subj,
+                     'located_in' AS pred,
+                     'nation:' || c_nationkey AS obj FROM customer
+              UNION ALL
+              SELECT 'supplier:' || s_suppkey, 'located_in',
+                     'nation:' || s_nationkey FROM supplier
+              UNION ALL
+              SELECT 'nation:' || n_nationkey, 'part_of',
+                     'region:' || n_regionkey FROM nation
+              UNION ALL
+              SELECT 'order:' || o_orderkey, 'placed_by',
+                     'customer:' || o_custkey FROM orders
+              UNION ALL
+              SELECT DISTINCT 'order:' || l_orderkey, 'contains',
+                     'part:' || l_partkey FROM lineitem
+              UNION ALL
+              SELECT DISTINCT 'part:' || l_partkey, 'supplied_by',
+                     'supplier:' || l_suppkey FROM lineitem
+            )
+            SELECT a.pred AS pred_1, b.pred AS pred_2,
+                   count(*)::BIGINT AS n_paths
+            FROM e a JOIN e b ON a.obj = b.subj
+            GROUP BY a.pred, b.pred
+        """,
+        "kg_type_constraints": """
+            WITH e AS (
+              SELECT 'customer:' || c_custkey AS subj,
+                     'located_in' AS pred,
+                     'nation:' || c_nationkey AS obj FROM customer
+              UNION ALL
+              SELECT 'supplier:' || s_suppkey, 'located_in',
+                     'nation:' || s_nationkey FROM supplier
+              UNION ALL
+              SELECT 'nation:' || n_nationkey, 'part_of',
+                     'region:' || n_regionkey FROM nation
+              UNION ALL
+              SELECT 'order:' || o_orderkey, 'placed_by',
+                     'customer:' || o_custkey FROM orders
+              UNION ALL
+              SELECT DISTINCT 'order:' || l_orderkey, 'contains',
+                     'part:' || l_partkey FROM lineitem
+              UNION ALL
+              SELECT DISTINCT 'part:' || l_partkey, 'supplied_by',
+                     'supplier:' || l_suppkey FROM lineitem
+            )
+            SELECT pred, split_part(subj, ':', 1) AS subj_type,
+                   split_part(obj, ':', 1) AS obj_type,
+                   count(*)::BIGINT AS n_edges
+            FROM e GROUP BY 1, 2, 3
+        """,
+        "copurchase_clustering": """
+            WITH p AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+                 e AS (SELECT a.l_partkey AS a, b.l_partkey AS b
+                       FROM p a JOIN p b
+                         ON a.l_orderkey = b.l_orderkey
+                        AND a.l_partkey < b.l_partkey
+                       GROUP BY 1, 2),
+                 tri AS (SELECT e1.a AS a, e1.b AS b, e2.b AS c
+                         FROM e e1
+                         JOIN e e2 ON e2.a = e1.b
+                         JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+                 tv AS (SELECT node, count(*)::BIGINT AS n_triangles FROM (
+                          SELECT a AS node FROM tri
+                          UNION ALL SELECT b FROM tri
+                          UNION ALL SELECT c FROM tri
+                        ) GROUP BY node),
+                 d AS (SELECT node, count(*)::BIGINT AS degree FROM (
+                          SELECT a AS node FROM e
+                          UNION ALL SELECT b AS node FROM e
+                        ) GROUP BY node)
+            SELECT d.node, d.degree,
+                   coalesce(tv.n_triangles, 0)::BIGINT AS n_triangles,
+                   (CASE WHEN d.degree >= 2
+                         THEN (2000000 * coalesce(tv.n_triangles, 0))
+                              // (d.degree * (d.degree - 1))
+                         ELSE 0 END)::BIGINT AS coeff_ppm
+            FROM d LEFT JOIN tv USING (node)
         """,
         # rows-only (no SQL twin): lang_id, minhash_dedup_documents,
         # simhash_signatures, simhash_neardup, ann_topk_lsh, kg_triples,

@@ -466,11 +466,14 @@ def triangle_counts(
     src: str = "part_a",
     dst: str = "part_b",
     num_partitions: int = 8,
+    per_vertex: bool = False,
 ) -> rd.Dataset:
     """Per-node triangle counts -> (node, n_triangles), where ``node``
     is each triangle's SMALLEST vertex (so every triangle is counted
     exactly once and the output doubles as a distribution, not just a
-    scalar).  Input edges must be distinct and canonically oriented
+    scalar).  With ``per_vertex=True`` every triangle instead credits
+    ALL THREE of its vertices — the numerator of the local clustering
+    coefficient.  Input edges must be distinct and canonically oriented
     ``src < dst`` (copurchase_edges' contract).
 
     Two hash-partitioned joins — the standard distributed triangle
@@ -534,14 +537,120 @@ def triangle_counts(
         num_partitions=num_partitions,
     ).repartition(num_partitions)
 
-    out = grouped_count(
-        tri.map_batches(
+    if per_vertex:
+        def credit_all(t: pa.Table) -> pa.Table:
+            col = pa.chunked_array(
+                t["a"].chunks + t["b"].chunks + t["c"].chunks
+            ).combine_chunks()
+            return pa.table({"node": col})
+
+        emit = tri.map_batches(credit_all, batch_format="pyarrow")
+    else:
+        emit = tri.map_batches(
             lambda t: pa.table({"node": t["a"]}), batch_format="pyarrow"
+        )
+    out = grouped_count(emit, ["node"], "n_triangles")
+    return out
+
+
+
+def clustering_coefficients(
+    edges: rd.Dataset,
+    src: str = "part_a",
+    dst: str = "part_b",
+    num_partitions: int = 8,
+) -> rd.Dataset:
+    """Local clustering coefficient per node -> (node, degree,
+    n_triangles, coeff_ppm): how close each node's neighborhood is to
+    a clique, coeff = 2*tri / (deg*(deg-1)).  Emitted as EXACT integer
+    parts-per-million (floor division) so the result is value-hash
+    comparable against the SQL twin — no float in the output.
+
+    Scale shape: per-vertex triangle credits come from the distributed
+    wedge+closing joins (triangle_counts(per_vertex=True)); degrees are
+    a combiner-first grouped count over the two endpoint projections;
+    one LEFT OUTER hash join attaches the (sparse) triangle counts to
+    the (dense) degree table, null -> 0 for triangle-free nodes."""
+    from .agg import grouped_count
+
+    e = edges.select_columns([src, dst]).materialize()  # two consumers
+    deg = grouped_count(
+        e.map_batches(
+            lambda t: pa.table(
+                {
+                    "node": pa.chunked_array(
+                        t[src].chunks + t[dst].chunks
+                    ).combine_chunks()
+                }
+            ),
+            batch_format="pyarrow",
         ),
         ["node"],
-        "n_triangles",
+        "degree",
     )
-    return out
+    # repartition merges the grouped count's zero-column empty-partition
+    # blocks away (hash_join contract); materialize pins it for the
+    # empty-guard count() + the join
+    tri = (
+        triangle_counts(
+            e, src=src, dst=dst, num_partitions=num_partitions, per_vertex=True
+        )
+        .repartition(num_partitions)
+        .materialize()
+    )
+    empty = rd.from_arrow(
+        pa.table(
+            {
+                "node": pa.array([], pa.int64()),
+                "degree": pa.array([], pa.int64()),
+                "n_triangles": pa.array([], pa.int64()),
+                "coeff_ppm": pa.array([], pa.int64()),
+            }
+        )
+    )
+    if deg.limit(1).count() == 0:
+        return empty
+
+    def finalize(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "node" not in t.column_names:
+            return pa.table(
+                {
+                    "node": pa.array([], pa.int64()),
+                    "degree": pa.array([], pa.int64()),
+                    "n_triangles": pa.array([], pa.int64()),
+                    "coeff_ppm": pa.array([], pa.int64()),
+                }
+            )
+        d = t["degree"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # null n_triangles (left-outer misses) -> 0; a triangle-free
+        # graph skips the join entirely and has no column at all
+        if "n_triangles" in t.column_names:
+            tr = (
+                pc.fill_null(pc.cast(t["n_triangles"], pa.int64()), 0)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+        else:
+            tr = np.zeros(t.num_rows, np.int64)
+        denom = d * (d - 1)
+        coeff = np.where(denom > 0, (2_000_000 * tr) // np.maximum(denom, 1), 0)
+        return pa.table(
+            {
+                "node": pc.cast(t["node"], pa.int64()),
+                "degree": pa.array(d, pa.int64()),
+                "n_triangles": pa.array(tr, pa.int64()),
+                "coeff_ppm": pa.array(coeff, pa.int64()),
+            }
+        )
+
+    if tri.count() == 0:
+        # triangle-free graph: no join needed (and the join could not
+        # finalize a zero-row side anyway — tuning.py)
+        return deg.map_batches(finalize, batch_format="pyarrow")
+    joined = hash_join(
+        deg, tri, on="node", how="left_outer", num_partitions=num_partitions
+    ).repartition(num_partitions)
+    return joined.map_batches(finalize, batch_format="pyarrow")
 
 
 # symmetrized edge lists at or below this size BFS on the driver

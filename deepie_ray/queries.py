@@ -11390,6 +11390,7 @@ def kg_link_prediction_eval(sf_dir: str) -> pa.Table:
         ("transe", 0.02),
         ("distmult", 0.05),
         ("complex", 0.1),
+        ("rotate", 0.1),
     ):
         model = kge.train_kge(
             train, model=name, dim=32, epochs=50, lr=lr, seed=0
@@ -11405,3 +11406,190 @@ def kg_link_prediction_eval(sf_dir: str) -> pa.Table:
         )
     out = pd.DataFrame(rows)
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+# ---------------------------------------------- declarative TPC-H KG
+#
+# Relational -> KG "triplification" (the R2RML / direct-mapping
+# methodology): typed entity ids '<type>:<key>' and one (subj, pred,
+# obj) edge family per foreign-key or fact relationship.  Unlike the
+# neural kg_* pipelines this KG is a pure function of the relational
+# tables, so construction AND the downstream graph queries are
+# SQL-oracle-checkable end to end.
+
+
+def _typed_id(prefix: str, keys: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """int keys -> '<prefix>:<key>' typed entity ids, vectorized."""
+    out = pc.binary_join_element_wise(
+        pa.scalar(prefix), pc.cast(keys, pa.string()), ":"
+    )
+    return out.combine_chunks() if isinstance(out, pa.ChunkedArray) else out
+
+
+def _kg_edge_batch(
+    subj_type: str, pred: str, obj_type: str, subj_col: str, obj_col: str
+):
+    def f(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                "subj": _typed_id(subj_type, t[subj_col]),
+                "pred": pa.array([pred] * n, pa.string()),
+                "obj": _typed_id(obj_type, t[obj_col]),
+            }
+        )
+
+    return f
+
+
+def tpch_kg_edges(sf_dir: str) -> rd.Dataset:
+    """Declarative KG construction from the relational tables
+    (relational -> triple direct mapping) -> (subj, pred, obj) with
+    typed ids '<type>:<key>'.  Six edge families: customer/supplier
+    located_in nation, nation part_of region, order placed_by customer,
+    order contains part and part supplied_by supplier (the latter two
+    DISTINCT projections of the lineitem fact table).
+
+    Scale shape: each family is a per-batch column projection (no
+    exchange at all for the FK families); the two lineitem-derived
+    families dedup combiner-first (per-batch distinct, then one grouped
+    pass over narrow key pairs) — document bodies/measures never move.
+    This is the oracle-checkable twin of the NEURAL KG built by
+    pipeline.run_kg: same output contract (typed nodes, labeled edges),
+    fully relational provenance."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+        _kg_edge_batch("customer", "located_in", "nation", "c_custkey", "c_nationkey"),
+        batch_format="pyarrow",
+    )
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).map_batches(
+        _kg_edge_batch("supplier", "located_in", "nation", "s_suppkey", "s_nationkey"),
+        batch_format="pyarrow",
+    )
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_regionkey"]).map_batches(
+        _kg_edge_batch("nation", "part_of", "region", "n_nationkey", "n_regionkey"),
+        batch_format="pyarrow",
+    )
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
+        _kg_edge_batch("order", "placed_by", "customer", "o_orderkey", "o_custkey"),
+        batch_format="pyarrow",
+    )
+    li_op = _distinct_pairs(
+        _lineitem(sf_dir, ["l_orderkey", "l_partkey"]), "l_orderkey", "l_partkey"
+    ).map_batches(
+        _kg_edge_batch("order", "contains", "part", "l_orderkey", "l_partkey"),
+        batch_format="pyarrow",
+    )
+    li_ps = _distinct_pairs(
+        _lineitem(sf_dir, ["l_partkey", "l_suppkey"]), "l_partkey", "l_suppkey"
+    ).map_batches(
+        _kg_edge_batch("part", "supplied_by", "supplier", "l_partkey", "l_suppkey"),
+        batch_format="pyarrow",
+    )
+    return cust.union(supp, nat, orders, li_op, li_ps)
+
+
+def _distinct_pairs(ds: rd.Dataset, a: str, b: str) -> rd.Dataset:
+    """Combiner-first distinct over a 2-column projection: per-batch
+    dedup so the one grouped exchange moves narrow distinct pairs."""
+
+    def local(t: pa.Table) -> pa.Table:
+        return t.select([a, b]).group_by([a, b]).aggregate([])
+
+    return (
+        ds.map_batches(local, batch_format="pyarrow")
+        .groupby([a, b])
+        .map_groups(lambda t: t.slice(0, 1), batch_format="pyarrow")
+    )
+
+
+def kg_metapath_counts(sf_dir: str) -> rd.Dataset:
+    """Relation-composition census over the declarative TPC-H KG ->
+    (pred_1, pred_2, n_paths): for every ordered relation pair, how
+    many length-2 paths a -pred_1-> b -pred_2-> c exist.  This is the
+    metapath statistic KG systems use to mine candidate inference
+    rules (e.g. placed_by o located_in ~ 'order shipped to nation') and
+    to pick metapaths for heterogeneous-graph embeddings.
+
+    Scale shape: one hash-partitioned self-join on the shared midpoint
+    entity, then combiner-first counting of the (pred_1, pred_2) pairs
+    — the relation-pair domain is schema-sized, so the final exchange
+    is tiny.  Skewed midpoints (a hub customer) fan out across hash
+    partitions; at 100 TB salt the midpoint key for the pathological
+    celebrity-entity case."""
+    from .ops import joins
+    from .ops.agg import grouped_count
+
+    e = tpch_kg_edges(sf_dir).materialize()  # two join sides below
+    left = e.map_batches(
+        lambda t: pa.table({"pred_1": t["pred"], "mid": t["obj"]}),
+        batch_format="pyarrow",
+    )
+    right = e.map_batches(
+        lambda t: pa.table({"mid2": t["subj"], "pred_2": t["pred"]}),
+        batch_format="pyarrow",
+    )
+    paths = joins.hash_join(
+        left, right, on="mid", right_on="mid2", num_partitions=8
+    ).repartition(8)
+    return grouped_count(
+        paths.map_batches(
+            lambda t: t.select(["pred_1", "pred_2"]) if t.num_rows else
+            pa.table({"pred_1": pa.array([], pa.string()),
+                      "pred_2": pa.array([], pa.string())}),
+            batch_format="pyarrow",
+        ),
+        ["pred_1", "pred_2"],
+        "n_paths",
+    )
+
+
+def kg_type_constraints(sf_dir: str) -> rd.Dataset:
+    """Ontology induction over the declarative TPC-H KG -> (pred,
+    subj_type, obj_type, n_edges): the type-signature distribution of
+    every relation, recovered from the data (not the schema) by
+    splitting the typed ids.  The oracle-checkable twin of
+    kg_relation_schema (whose upstream is neural): a KG consumer runs
+    this to learn what a relation MEANS and to spot mis-typed edges.
+
+    Scale shape: per-batch string split + per-batch partial count;
+    the one grouped exchange moves (distinct signature) rows per block
+    — schema-sized, never edge-sized."""
+    from .ops.agg import grouped_count
+
+    e = tpch_kg_edges(sf_dir)
+
+    def sig(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "pred": t["pred"],
+                "subj_type": pc.list_element(
+                    pc.split_pattern(t["subj"], ":"), 0
+                ),
+                "obj_type": pc.list_element(
+                    pc.split_pattern(t["obj"], ":"), 0
+                ),
+            }
+        )
+
+    return grouped_count(
+        e.map_batches(sig, batch_format="pyarrow"),
+        ["pred", "subj_type", "obj_type"],
+        "n_edges",
+    )
+
+
+def copurchase_clustering(sf_dir: str) -> rd.Dataset:
+    """Local clustering coefficient over the co-purchase graph ->
+    (node, degree, n_triangles, coeff_ppm): how clique-like each
+    part's co-purchase neighborhood is (the transitivity signal
+    recommender systems and fraud pipelines read).  coeff_ppm =
+    floor(2e6 * triangles / (deg*(deg-1))) — exact integers, so the
+    SQL twin hash-matches.  Scale shape: ops/graph.
+    clustering_coefficients (distributed wedge+closing joins for the
+    per-vertex triangle credits, combiner-first degrees, one left-outer
+    hash join)."""
+    from .ops import graph
+
+    li = _lineitem(sf_dir, ["l_orderkey", "l_partkey"])
+    edges = graph.copurchase_edges(li)
+    return graph.clustering_coefficients(edges)

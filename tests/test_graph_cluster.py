@@ -959,3 +959,156 @@ def test_kcore_empty_core():
     )
     out2 = graph.kcore(ed2, k=2, force_distributed=True).to_pandas()
     assert len(out2) == 0
+
+
+def test_clustering_coefficients_vs_bruteforce():
+    from deepie_ray.ops import graph
+
+    rng = np.random.default_rng(23)
+    n = 40
+    pairs = set()
+    for _ in range(200):
+        a, b = rng.integers(0, n, 2)
+        if a != b:
+            pairs.add((min(a, b), max(a, b)))
+    ed = sorted(pairs)
+    t = pa.table(
+        {
+            "part_a": pa.array([a for a, _ in ed], pa.int64()),
+            "part_b": pa.array([b for _, b in ed], pa.int64()),
+        }
+    )
+    out = (
+        graph.clustering_coefficients(
+            rd.from_arrow(t).repartition(4), num_partitions=4
+        )
+        .to_pandas()
+        .set_index("node")
+    )
+    A = np.zeros((n, n), dtype=bool)
+    for a, b in ed:
+        A[a, b] = A[b, a] = True
+    tri = {}
+    for a in range(n):
+        for b in range(a + 1, n):
+            if not A[a, b]:
+                continue
+            for c in range(b + 1, n):
+                if A[b, c] and A[a, c]:
+                    for v in (a, b, c):
+                        tri[v] = tri.get(v, 0) + 1
+    deg = A.sum(1)
+    for v in range(n):
+        if deg[v] == 0:
+            assert v not in out.index
+            continue
+        row = out.loc[v]
+        exp_tri = tri.get(v, 0)
+        exp_coeff = (
+            (2_000_000 * exp_tri) // (deg[v] * (deg[v] - 1))
+            if deg[v] >= 2
+            else 0
+        )
+        assert row["degree"] == deg[v]
+        assert row["n_triangles"] == exp_tri
+        assert row["coeff_ppm"] == exp_coeff
+
+
+def test_clustering_coefficients_triangle_free():
+    from deepie_ray.ops import graph
+
+    # path graph 1-2-3: every node present, all zero triangles
+    t = pa.table(
+        {
+            "part_a": pa.array([1, 2], pa.int64()),
+            "part_b": pa.array([2, 3], pa.int64()),
+        }
+    )
+    out = (
+        graph.clustering_coefficients(rd.from_arrow(t))
+        .to_pandas()
+        .set_index("node")
+        .sort_index()
+    )
+    assert list(out.index) == [1, 2, 3]
+    assert out["n_triangles"].tolist() == [0, 0, 0]
+    assert out["coeff_ppm"].tolist() == [0, 0, 0]
+    assert out["degree"].tolist() == [1, 2, 1]
+
+
+def test_clustering_coefficients_empty():
+    from deepie_ray.ops import graph
+
+    t = pa.table(
+        {
+            "part_a": pa.array([], pa.int64()),
+            "part_b": pa.array([], pa.int64()),
+        }
+    )
+    assert graph.clustering_coefficients(rd.from_arrow(t)).count() == 0
+
+
+# ------------------------------------------------- declarative TPC-H KG
+
+
+def test_tpch_kg_edges_duckdb_parity(sf_dir):
+    import duckdb
+
+    from deepie_ray import queries as Q
+
+    got = (
+        Q.tpch_kg_edges(sf_dir)
+        .to_pandas()
+        .sort_values(["subj", "pred", "obj"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    for t in ("customer", "supplier", "nation", "orders", "lineitem"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    want = (
+        con.execute(
+            """
+            SELECT 'customer:' || c_custkey AS subj, 'located_in' AS pred,
+                   'nation:' || c_nationkey AS obj FROM customer
+            UNION ALL
+            SELECT 'supplier:' || s_suppkey, 'located_in',
+                   'nation:' || s_nationkey FROM supplier
+            UNION ALL
+            SELECT 'nation:' || n_nationkey, 'part_of',
+                   'region:' || n_regionkey FROM nation
+            UNION ALL
+            SELECT 'order:' || o_orderkey, 'placed_by',
+                   'customer:' || o_custkey FROM orders
+            UNION ALL
+            SELECT DISTINCT 'order:' || l_orderkey, 'contains',
+                   'part:' || l_partkey FROM lineitem
+            UNION ALL
+            SELECT DISTINCT 'part:' || l_partkey, 'supplied_by',
+                   'supplier:' || l_suppkey FROM lineitem
+            ORDER BY 1, 2, 3
+            """
+        )
+        .df()
+        .reset_index(drop=True)
+    )
+    want.columns = ["subj", "pred", "obj"]
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_kg_metapath_pairs_schema_correct(sf_dir):
+    # the TPC-H schema admits exactly these 4 composable relation
+    # pairs; counts are oracle-checked by the harness, the PAIR SET is
+    # the structural invariant pinned here
+    from deepie_ray import queries as Q
+
+    df = Q.kg_metapath_counts(sf_dir).to_pandas()
+    got = set(zip(df["pred_1"], df["pred_2"]))
+    assert got == {
+        ("located_in", "part_of"),
+        ("placed_by", "located_in"),
+        ("contains", "supplied_by"),
+        ("supplied_by", "located_in"),
+    }
+    assert (df["n_paths"] > 0).all()
