@@ -262,6 +262,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_metapath_counts": Q.kg_metapath_counts,
         "kg_type_constraints": Q.kg_type_constraints,
         "copurchase_clustering": Q.copurchase_clustering,
+        "copurchase_communities": Q.copurchase_communities,
         # --- rows-only / pytest-oracled block (no SQL twin by nature) ---
         "doc_compression_ratio": Q.doc_compression_ratio,
         "export_tar_shards_roundtrip": Q.export_tar_shards_roundtrip,
@@ -3577,6 +3578,39 @@ def oracle_sql() -> dict[str, str]:
                               // (d.degree * (d.degree - 1))
                          ELSE 0 END)::BIGINT AS coeff_ppm
             FROM d LEFT JOIN tv USING (node)
+        """,
+        "copurchase_communities": """
+            WITH p AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+                 e AS (SELECT a.l_partkey AS a, b.l_partkey AS b
+                       FROM p a JOIN p b
+                         ON a.l_orderkey = b.l_orderkey
+                        AND a.l_partkey < b.l_partkey
+                       GROUP BY 1, 2),
+                 adj AS (SELECT a AS node, b AS nbr FROM e
+                         UNION ALL SELECT b, a FROM e),
+                 lab0 AS (SELECT DISTINCT node, node AS lab FROM adj),
+                 c1 AS (SELECT adj.node, l.lab, count(*)::BIGINT AS n
+                        FROM adj JOIN lab0 l ON l.node = adj.nbr
+                        GROUP BY 1, 2),
+                 lab1 AS (SELECT node, lab FROM (
+                            SELECT node, lab, row_number() OVER (
+                              PARTITION BY node ORDER BY n DESC, lab ASC
+                            ) AS rn FROM c1) WHERE rn = 1),
+                 c2 AS (SELECT adj.node, l.lab, count(*)::BIGINT AS n
+                        FROM adj JOIN lab1 l ON l.node = adj.nbr
+                        GROUP BY 1, 2),
+                 lab2 AS (SELECT node, lab FROM (
+                            SELECT node, lab, row_number() OVER (
+                              PARTITION BY node ORDER BY n DESC, lab ASC
+                            ) AS rn FROM c2) WHERE rn = 1),
+                 c3 AS (SELECT adj.node, l.lab, count(*)::BIGINT AS n
+                        FROM adj JOIN lab2 l ON l.node = adj.nbr
+                        GROUP BY 1, 2),
+                 lab3 AS (SELECT node, lab FROM (
+                            SELECT node, lab, row_number() OVER (
+                              PARTITION BY node ORDER BY n DESC, lab ASC
+                            ) AS rn FROM c3) WHERE rn = 1)
+            SELECT node, lab AS community FROM lab3
         """,
         # rows-only (no SQL twin): lang_id, minhash_dedup_documents,
         # simhash_signatures, simhash_neardup, ann_topk_lsh, kg_triples,

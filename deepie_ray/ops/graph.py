@@ -653,6 +653,159 @@ def clustering_coefficients(
     return joined.map_batches(finalize, batch_format="pyarrow")
 
 
+
+def label_propagation(
+    edges: rd.Dataset,
+    rounds: int = 3,
+    src: str = "part_a",
+    dst: str = "part_b",
+    num_partitions: int = 8,
+) -> rd.Dataset:
+    """Synchronous label-propagation community detection (Raghavan et
+    al. 2007) -> (node, community) after a FIXED number of rounds.
+    Every node starts labeled with its own id; each round every node
+    adopts the most frequent label among its neighbors, ties broken to
+    the SMALLEST label — fully deterministic (the async variant's
+    random visit order is replaced by bulk-synchronous rounds), so the
+    result is pinned by an unrolled SQL twin.
+
+    Scale shape per round: one hash-partitioned join (adjacency x
+    current labels — the label table is narrow (node, lab)), one
+    combiner-first grouped count of (node, label) pairs, then the
+    per-node argmax as a single grouped MAX over a packed
+    ``n * M + (M-1-lab)`` int64 key (no per-group Python) — decoding
+    gives (max count, min label).  The adjacency is materialized once;
+    rounds re-shuffle only the label vector.  Packing bound: n <= max
+    degree and M = max node id + 1 must satisfy n*M < 2^63 — holds for
+    billion-node graphs with million-degree hubs; beyond that split the
+    argmax into (count, lab) lexicographic via two grouped passes."""
+    from .agg import grouped_count
+
+    e = edges.select_columns([src, dst]).materialize()
+    empty = rd.from_arrow(
+        pa.table(
+            {
+                "node": pa.array([], pa.int64()),
+                "community": pa.array([], pa.int64()),
+            }
+        )
+    )
+    if e.count() == 0:
+        return empty
+
+    adj = e.map_batches(
+        lambda t: pa.table(
+            {
+                "node": pa.chunked_array(
+                    t[src].chunks + t[dst].chunks
+                ).combine_chunks(),
+                "nbr": pa.chunked_array(
+                    t[dst].chunks + t[src].chunks
+                ).combine_chunks(),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    # M sizes the argmax packing; one scalar to the driver
+    lab_max = int(adj.max("node"))
+    M = lab_max + 1
+
+    def init_labels(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "lnode": pc.cast(t["node"], pa.int64()),
+                "lab": pc.cast(t["node"], pa.int64()),
+            }
+        )
+
+    # distinct node set (combiner-first), each its own label
+    labels = (
+        grouped_count(
+            adj.map_batches(
+                lambda t: t.select(["node"]), batch_format="pyarrow"
+            ),
+            ["node"],
+            "_n",
+        )
+        .map_batches(init_labels, batch_format="pyarrow")
+        .repartition(num_partitions)
+        .materialize()
+    )
+
+    for _ in range(rounds):
+        joined = hash_join(
+            adj, labels, on="nbr", right_on="lnode",
+            num_partitions=num_partitions,
+        ).repartition(num_partitions)
+        counts = grouped_count(
+            joined.map_batches(
+                lambda t: t.select(["node", "lab"]), batch_format="pyarrow"
+            ),
+            ["node", "lab"],
+            "n",
+        )
+
+        def pack(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or "node" not in t.column_names:
+                return pa.table(
+                    {
+                        "node": pa.array([], pa.int64()),
+                        "pk": pa.array([], pa.int64()),
+                    }
+                )
+            n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+            lab = t["lab"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table(
+                {
+                    "node": t["node"],
+                    "pk": pa.array(n * M + (lab_max - lab), pa.int64()),
+                }
+            )
+
+        def unpack(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or "node" not in t.column_names:
+                return pa.table(
+                    {
+                        "lnode": pa.array([], pa.int64()),
+                        "lab": pa.array([], pa.int64()),
+                    }
+                )
+            pk = t["pk"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table(
+                {
+                    "lnode": pc.cast(t["node"], pa.int64()),
+                    "lab": pa.array(lab_max - (pk % M), pa.int64()),
+                }
+            )
+
+        labels = (
+            counts.map_batches(pack, batch_format="pyarrow")
+            .groupby("node")
+            .aggregate(Max("pk", alias_name="pk"))
+            .repartition(num_partitions)
+            .map_batches(unpack, batch_format="pyarrow")
+            .materialize()
+        )
+
+    return labels.map_batches(
+        lambda t: pa.table(
+            {
+                "node": t["lnode"],
+                "community": t["lab"],
+            }
+        )
+        if t.num_rows
+        else pa.table(
+            {
+                "node": pa.array([], pa.int64()),
+                "community": pa.array([], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 # symmetrized edge lists at or below this size BFS on the driver
 # (same rationale and scale as dedup.DRIVER_CC_MAX_EDGES)
 DRIVER_BFS_MAX_EDGES = 2_000_000

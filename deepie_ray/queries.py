@@ -11593,3 +11593,22 @@ def copurchase_clustering(sf_dir: str) -> rd.Dataset:
     li = _lineitem(sf_dir, ["l_orderkey", "l_partkey"])
     edges = graph.copurchase_edges(li)
     return graph.clustering_coefficients(edges)
+
+
+def copurchase_communities(sf_dir: str) -> rd.Dataset:
+    """Community detection over the co-purchase graph -> (node,
+    community): THREE bulk-synchronous rounds of deterministic label
+    propagation (most frequent neighbor label, ties to the smallest —
+    ops/graph.label_propagation).  Communities group parts that sell
+    together; the fixed round count makes the result a pure function of
+    the edge set, pinned by an UNROLLED SQL twin (one CTE per round).
+
+    Scale shape: per round one hash join (adjacency x narrow label
+    vector), one combiner-first grouped count, and the per-node argmax
+    as a single grouped MAX over a packed int64 (count, -label) key —
+    no per-group Python, the adjacency shuffles once."""
+    from .ops import graph
+
+    li = _lineitem(sf_dir, ["l_orderkey", "l_partkey"])
+    edges = graph.copurchase_edges(li)
+    return graph.label_propagation(edges, rounds=3)

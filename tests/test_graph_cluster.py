@@ -1112,3 +1112,82 @@ def test_kg_metapath_pairs_schema_correct(sf_dir):
         ("supplied_by", "located_in"),
     }
     assert (df["n_paths"] > 0).all()
+
+
+# --------------------------------------------------- label propagation
+
+
+def _lpa_numpy(ed, rounds):
+    nodes = sorted({a for a, _ in ed} | {b for _, b in ed})
+    nbrs = {v: [] for v in nodes}
+    for a, b in ed:
+        nbrs[a].append(b)
+        nbrs[b].append(a)
+    lab = {v: v for v in nodes}
+    for _ in range(rounds):
+        new = {}
+        for v in nodes:
+            cnt = {}
+            for u in nbrs[v]:
+                cnt[lab[u]] = cnt.get(lab[u], 0) + 1
+            new[v] = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+        lab = new
+    return lab
+
+
+def test_label_propagation_vs_bruteforce():
+    from deepie_ray.ops import graph
+
+    rng = np.random.default_rng(7)
+    ed = set()
+    for lo in (0, 20):  # two dense clusters
+        for _ in range(60):
+            a, b = rng.integers(lo, lo + 20, 2)
+            if a != b:
+                ed.add((min(a, b), max(a, b)))
+    ed.add((5, 25))  # one bridge
+    ed = sorted(ed)
+    t = pa.table(
+        {
+            "part_a": pa.array([a for a, _ in ed], pa.int64()),
+            "part_b": pa.array([b for _, b in ed], pa.int64()),
+        }
+    )
+    out = graph.label_propagation(
+        rd.from_arrow(t).repartition(4), rounds=3
+    ).to_pandas()
+    got = dict(zip(out["node"], out["community"]))
+    assert got == _lpa_numpy(ed, 3)
+    # the two planted clusters end up in distinct communities
+    assert len(set(got.values())) >= 2
+
+
+def test_label_propagation_partitioning_independent():
+    from deepie_ray.ops import graph
+
+    ed = [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5), (2, 3)]
+    t = pa.table(
+        {
+            "part_a": pa.array([a for a, _ in ed], pa.int64()),
+            "part_b": pa.array([b for _, b in ed], pa.int64()),
+        }
+    )
+    outs = []
+    for parts in (1, 4):
+        out = graph.label_propagation(
+            rd.from_arrow(t).repartition(parts), rounds=3
+        ).to_pandas()
+        outs.append(dict(zip(out["node"], out["community"])))
+    assert outs[0] == outs[1] == _lpa_numpy(ed, 3)
+
+
+def test_label_propagation_empty():
+    from deepie_ray.ops import graph
+
+    t = pa.table(
+        {
+            "part_a": pa.array([], pa.int64()),
+            "part_b": pa.array([], pa.int64()),
+        }
+    )
+    assert graph.label_propagation(rd.from_arrow(t)).count() == 0
