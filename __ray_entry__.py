@@ -263,6 +263,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_type_constraints": Q.kg_type_constraints,
         "copurchase_clustering": Q.copurchase_clustering,
         "copurchase_communities": Q.copurchase_communities,
+        "documents_time_travel": Q.documents_time_travel,
         # --- rows-only / pytest-oracled block (no SQL twin by nature) ---
         "doc_compression_ratio": Q.doc_compression_ratio,
         "export_tar_shards_roundtrip": Q.export_tar_shards_roundtrip,
@@ -3611,6 +3612,23 @@ def oracle_sql() -> dict[str, str]:
                               PARTITION BY node ORDER BY n DESC, lab ASC
                             ) AS rn FROM c3) WHERE rn = 1)
             SELECT node, lab AS community FROM lab3
+        """,
+        "documents_time_travel": """
+            WITH v1 AS (
+              SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0
+            ),
+            v2 AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 11 = 0 THEN text || ' [v2]'
+                          ELSE text END AS text
+              FROM v1 WHERE doc_id % 7 <> 0
+              UNION ALL
+              SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+            )
+            SELECT 1::BIGINT AS version, doc_id, md5(text) AS fingerprint
+            FROM v1
+            UNION ALL
+            SELECT 2::BIGINT, doc_id, md5(text) FROM v2
         """,
         # rows-only (no SQL twin): lang_id, minhash_dedup_documents,
         # simhash_signatures, simhash_neardup, ann_topk_lsh, kg_triples,

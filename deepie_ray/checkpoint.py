@@ -128,3 +128,94 @@ def read_lineage(root: str) -> pa.Table:
     if not os.path.isdir(d) or not os.listdir(d):
         return pa.Table.from_pylist([], schema=LINEAGE)
     return pq.read_table(d)
+
+
+# --------------------------------------------------------------------
+# versioned tables (snapshot isolation + time travel)
+# --------------------------------------------------------------------
+#
+# Layout per table root::
+#
+#     <root>/v000001/data/*.parquet    immutable snapshot files
+#     <root>/v000001/MANIFEST.json     {"complete": true, "version": 1,
+#                                       "rows": N, "parent": 0}
+#
+# Versions are append-only: a writer stages into ``data.tmp`` and
+# commits with one atomic rename + manifest write, so a reader only
+# ever sees fully-committed snapshots (a mid-run kill leaves a tmp dir
+# the next writer clears).  ``read_table_version`` with no version is
+# "latest committed" — the AS OF read is just a different directory,
+# which is the whole point: old snapshots stay byte-stable after new
+# writes (verified by test and the documents_time_travel oracle).
+
+
+def _version_dir(root: str, version: int) -> str:
+    return os.path.join(root, f"v{version:06d}")
+
+
+def list_table_versions(root: str) -> list[int]:
+    """Committed (manifested) versions, ascending."""
+    if not os.path.isdir(root):
+        return []
+    out = []
+    for name in os.listdir(root):
+        if not (name.startswith("v") and name[1:].isdigit()):
+            continue
+        p = os.path.join(root, name, "MANIFEST.json")
+        try:
+            with open(p) as f:
+                if json.load(f).get("complete"):
+                    out.append(int(name[1:]))
+        except (OSError, json.JSONDecodeError):
+            continue
+    return sorted(out)
+
+
+def write_table_version(ds: rd.Dataset, root: str) -> int:
+    """Append ``ds`` as the next immutable snapshot version of the
+    table at ``root`` and return its version number.  Atomic: stream
+    to ``data.tmp``, rename, then manifest — concurrent readers never
+    observe a partial snapshot."""
+    os.makedirs(root, exist_ok=True)
+    versions = list_table_versions(root)
+    version = (versions[-1] if versions else 0) + 1
+    vdir = _version_dir(root, version)
+    data_dir = os.path.join(vdir, "data")
+    tmp_dir = os.path.join(vdir, "data.tmp")
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    os.makedirs(tmp_dir, exist_ok=True)
+    ds.write_parquet(tmp_dir)
+    shutil.rmtree(data_dir, ignore_errors=True)
+    os.replace(tmp_dir, data_dir)
+    rows = sum(
+        pq.read_metadata(os.path.join(data_dir, f)).num_rows
+        for f in os.listdir(data_dir)
+        if f.endswith(".parquet")
+    )
+    with open(os.path.join(vdir, "MANIFEST.json"), "w") as f:
+        json.dump(
+            {
+                "complete": True,
+                "version": version,
+                "rows": rows,
+                "parent": versions[-1] if versions else 0,
+            },
+            f,
+        )
+    return version
+
+
+def read_table_version(root: str, version: int | None = None) -> rd.Dataset:
+    """Read one committed snapshot (``version=None`` -> latest).  The
+    AS OF read: old versions remain readable, byte-stable, after any
+    number of newer commits."""
+    versions = list_table_versions(root)
+    if not versions:
+        raise FileNotFoundError(f"no committed versions under {root}")
+    if version is None:
+        version = versions[-1]
+    if version not in versions:
+        raise FileNotFoundError(
+            f"version {version} not committed under {root} (have {versions})"
+        )
+    return rd.read_parquet(os.path.join(_version_dir(root, version), "data"))

@@ -11612,3 +11612,92 @@ def copurchase_communities(sf_dir: str) -> rd.Dataset:
     li = _lineitem(sf_dir, ["l_orderkey", "l_partkey"])
     edges = graph.copurchase_edges(li)
     return graph.label_propagation(edges, rounds=3)
+
+
+def documents_time_travel(sf_dir: str) -> rd.Dataset:
+    """Snapshot TIME TRAVEL (the lakehouse ``AS OF`` read) ->
+    (version, doc_id, fingerprint): version 1 of a versioned table is
+    written (docs with doc_id % 3 != 0), a CDC changelog (inserts: the
+    % 3 == 0 docs; deletes: % 7 == 0; updates: ' [v2]' appended where
+    % 11 == 0) is MERGE-applied and committed as version 2, and BOTH
+    snapshots are then read back FROM STORAGE — the v1 read happens
+    after the v2 commit, so a hash match proves old snapshots stay
+    byte-stable under new writes (checkpoint.write_table_version /
+    read_table_version: append-only version dirs, atomic tmp-rename
+    commits, manifest-gated reads).
+
+    Scale shape: snapshots are partitioned parquet streamed in and out
+    (no driver materialization); the merge is ops/joins.apply_changelog
+    (anti-join on narrow keys + union of upsert payloads)."""
+    import tempfile
+
+    from . import checkpoint
+    from .ops import joins
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    v1 = docs.map_batches(
+        lambda t: t.filter(pa.array(t["doc_id"].to_numpy() % 3 != 0)),
+        batch_format="pyarrow",
+    )
+    root = tempfile.mkdtemp(prefix="deepie-timetravel-")
+    checkpoint.write_table_version(v1, root)
+
+    def changelog(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        txt = t["text"]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        ins = ids % 3 == 0
+        dele = (ids % 3 != 0) & (ids % 7 == 0)
+        upd = (ids % 3 != 0) & (ids % 7 != 0) & (ids % 11 == 0)
+        t_ins = pa.table(
+            {
+                "doc_id": pa.array(ids[ins], pa.int64()),
+                "text": txt.filter(pa.array(ins)),
+                "op": pa.array(["I"] * int(ins.sum()), pa.string()),
+            }
+        )
+        t_del = pa.table(
+            {
+                "doc_id": pa.array(ids[dele], pa.int64()),
+                "text": txt.filter(pa.array(dele)),
+                "op": pa.array(["D"] * int(dele.sum()), pa.string()),
+            }
+        )
+        upd_txt = pc.binary_join_element_wise(
+            txt.filter(pa.array(upd)),
+            pa.scalar(" [v2]"),
+            "",
+        )
+        t_upd = pa.table(
+            {
+                "doc_id": pa.array(ids[upd], pa.int64()),
+                "text": upd_txt,
+                "op": pa.array(["U"] * int(upd.sum()), pa.string()),
+            }
+        )
+        return pa.concat_tables([t_ins, t_del, t_upd])
+
+    changes = docs.map_batches(changelog, batch_format="pyarrow")
+    v2 = joins.apply_changelog(
+        checkpoint.read_table_version(root, 1), changes, key_col="doc_id"
+    )
+    checkpoint.write_table_version(v2, root)
+
+    def tag(version: int):
+        def f(t: pa.Table) -> pa.Table:
+            out = _fp_roundtrip(t)
+            return out.append_column(
+                "version", pa.array([version] * out.num_rows, pa.int64())
+            )
+
+        return f
+
+    # the AS OF reads — both from storage, v1 read AFTER v2's commit
+    r1 = checkpoint.read_table_version(root, 1).map_batches(
+        tag(1), batch_format="pyarrow"
+    )
+    r2 = checkpoint.read_table_version(root, 2).map_batches(
+        tag(2), batch_format="pyarrow"
+    )
+    return r1.union(r2)

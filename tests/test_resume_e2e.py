@@ -373,3 +373,53 @@ def test_transient_task_failure_is_retried_exactly(tmp_path):
     import os
 
     assert os.path.exists(marker)  # the failure really fired
+
+
+def test_versioned_table_time_travel(tmp_path):
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from deepie_ray import checkpoint
+
+    root = str(tmp_path / "vt")
+    t1 = pa.table({"k": pa.array([1, 2, 3], pa.int64())})
+    t2 = pa.table({"k": pa.array([1, 2, 3, 4, 5], pa.int64())})
+    v1 = checkpoint.write_table_version(rd.from_arrow(t1), root)
+    v2 = checkpoint.write_table_version(rd.from_arrow(t2), root)
+    assert (v1, v2) == (1, 2)
+    assert checkpoint.list_table_versions(root) == [1, 2]
+    # AS OF read: v1 byte-stable after the v2 commit
+    got1 = sorted(checkpoint.read_table_version(root, 1).to_pandas()["k"])
+    assert got1 == [1, 2, 3]
+    # latest = v2
+    got = sorted(checkpoint.read_table_version(root).to_pandas()["k"])
+    assert got == [1, 2, 3, 4, 5]
+    with pytest.raises(FileNotFoundError):
+        checkpoint.read_table_version(root, 3)
+    with pytest.raises(FileNotFoundError):
+        checkpoint.read_table_version(str(tmp_path / "missing"))
+
+
+def test_versioned_table_ignores_uncommitted(tmp_path):
+    import os
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from deepie_ray import checkpoint
+
+    root = str(tmp_path / "vt")
+    checkpoint.write_table_version(
+        rd.from_arrow(pa.table({"k": pa.array([7], pa.int64())})), root
+    )
+    # simulate a mid-run kill: a version dir with data but no manifest
+    os.makedirs(os.path.join(root, "v000002", "data.tmp"), exist_ok=True)
+    assert checkpoint.list_table_versions(root) == [1]
+    assert checkpoint.read_table_version(root).count() == 1
+    # the next writer claims version 2 and commits over the debris
+    v = checkpoint.write_table_version(
+        rd.from_arrow(pa.table({"k": pa.array([8], pa.int64())})), root
+    )
+    assert v == 2
+    assert checkpoint.list_table_versions(root) == [1, 2]
