@@ -264,6 +264,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "copurchase_clustering": Q.copurchase_clustering,
         "copurchase_communities": Q.copurchase_communities,
         "documents_time_travel": Q.documents_time_travel,
+        "user_event_pattern_counts": Q.user_event_pattern_counts,
+        "orders_ivm_status_counts": Q.orders_ivm_status_counts,
         # --- rows-only / pytest-oracled block (no SQL twin by nature) ---
         "doc_compression_ratio": Q.doc_compression_ratio,
         "export_tar_shards_roundtrip": Q.export_tar_shards_roundtrip,
@@ -3629,6 +3631,31 @@ def oracle_sql() -> dict[str, str]:
             FROM v1
             UNION ALL
             SELECT 2::BIGINT, doc_id, md5(text) FROM v2
+        """,
+        "user_event_pattern_counts": """
+            WITH s AS (
+              SELECT user_id, count(*)::BIGINT AS n_events,
+                     string_agg(event_type, ',' ORDER BY ts, event_id) AS seq
+              FROM events GROUP BY user_id
+            )
+            SELECT user_id, n_events,
+                   ((len(seq) - len(replace(seq, 'view,click,purchase', '')))
+                    // len('view,click,purchase'))::BIGINT AS n_vcp
+            FROM s
+        """,
+        "orders_ivm_status_counts": """
+            WITH base AS (SELECT o_orderkey, o_orderstatus FROM orders),
+            merged AS (
+              SELECT o_orderkey, o_orderstatus FROM base
+              WHERE o_orderkey % 10 NOT IN (0, 1)
+              UNION ALL
+              SELECT o_orderkey, 'P' FROM base WHERE o_orderkey % 10 = 0
+              UNION ALL
+              SELECT o_orderkey + 1000000000, 'O' FROM base
+              WHERE o_orderkey % 10 = 2
+            )
+            SELECT o_orderstatus, count(*)::BIGINT AS n_orders
+            FROM merged GROUP BY o_orderstatus
         """,
         # rows-only (no SQL twin): lang_id, minhash_dedup_documents,
         # simhash_signatures, simhash_neardup, ann_topk_lsh, kg_triples,

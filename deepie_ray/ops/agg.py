@@ -80,3 +80,82 @@ def salted_count(
         .aggregate(Sum(count_col, alias_name=count_col))
     )
     return lvl1.groupby(keys).aggregate(Sum(count_col, alias_name=count_col))
+
+
+def ivm_grouped_count_refresh(
+    view: rd.Dataset,
+    base: rd.Dataset,
+    changes: rd.Dataset,
+    key_col: str,
+    group_col: str,
+    count_col: str = "n",
+    op_col: str = "op",
+    num_partitions: int = 8,
+) -> rd.Dataset:
+    """INCREMENTAL VIEW MAINTENANCE for a grouped-count materialized
+    view: refresh ``view`` = SELECT group, count(*) FROM base GROUP BY
+    group under a CDC changelog (op in D/U/I, at most one change per
+    key — ops/joins.apply_changelog's contract) WITHOUT recomputing
+    from base.
+
+    Delta algebra: D and U retract one count from the affected key's
+    OLD group; U and I add one to the NEW group.  Old groups come from
+    a semi-join of base's narrow (key, group) projection against the
+    affected keys — exactly the touched rows are read, which is the
+    whole point of IVM (the oracle twin recomputes the view from the
+    fully merged table; a hash match proves delta == recompute).  The
+    final fold is view + deltas -> grouped sum, dropping groups whose
+    count reaches zero (recompute wouldn't emit them)."""
+    import pyarrow.compute as pc
+
+    from .joins import semi_join
+
+    def only_ops(ops: tuple[str, ...], sign: int):
+        def f(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.is_in(t[op_col], value_set=pa.array(list(ops))))
+            return pa.table(
+                {
+                    group_col: t[group_col],
+                    count_col: pa.array([sign] * t.num_rows, pa.int64()),
+                }
+            )
+
+        return f
+
+    affected = changes.filter(
+        expr=f"{op_col} == 'D' or {op_col} == 'U'"
+    ).select_columns([key_col])
+    old_rows = semi_join(
+        base.select_columns([key_col, group_col]),
+        affected,
+        on=key_col,
+        num_partitions=num_partitions,
+    )
+    retract = old_rows.map_batches(
+        lambda t: pa.table(
+            {
+                group_col: t[group_col],
+                count_col: pa.array([-1] * t.num_rows, pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    add = changes.map_batches(only_ops(("U", "I"), 1), batch_format="pyarrow")
+
+    def partials(t: pa.Table) -> pa.Table:
+        g = t.group_by([group_col]).aggregate([(count_col, "sum")])
+        return pa.table(
+            {
+                group_col: g[group_col],
+                count_col: pc.cast(g[f"{count_col}_sum"], pa.int64()),
+            }
+        )
+
+    folded = (
+        view.union(retract, add)
+        .map_batches(partials, batch_format="pyarrow")
+        .groupby(group_col)
+        .aggregate(Sum(count_col, alias_name=count_col))
+        .repartition(num_partitions)
+    )
+    return folded.filter(expr=f"{count_col} > 0")

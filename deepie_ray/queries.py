@@ -11701,3 +11701,97 @@ def documents_time_travel(sf_dir: str) -> rd.Dataset:
         tag(2), batch_format="pyarrow"
     )
     return r1.union(r2)
+
+
+def user_event_pattern_counts(sf_dir: str) -> rd.Dataset:
+    """Sequence PATTERN MATCHING over event streams (the
+    MATCH_RECOGNIZE-lite every CEP engine ships) -> (user_id, n_events,
+    n_vcp): per user, how many times the CONTIGUOUS pattern
+    view -> click -> purchase occurs in the time-ordered event
+    sequence (non-overlapping occurrences, counted left to right).
+
+    Scale shape: the same one-shuffle part-colocate plan as
+    user_event_sequences (each user's rows gather once, P vectorized
+    pandas calls); the pattern scan is a vectorized string count over
+    the per-user-bounded sequence — never corpus-bounded state.  The
+    SQL twin counts via the length-difference-of-replace identity over
+    the identical ordered string_agg."""
+    P = 32
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["user_id", "ts", "event_id", "event_type"]].copy()
+        out.insert(0, "part", out["user_id"].to_numpy() % P)
+        return out
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        g = df.groupby("user_id", sort=True)
+        seq = g["event_type"].agg(",".join)
+        n = g.size()
+        n_vcp = seq.str.count("view,click,purchase").astype(np.int64)
+        return pd.DataFrame(
+            {
+                "user_id": seq.index.to_numpy(),
+                "n_events": n.to_numpy().astype(np.int64),
+                "n_vcp": n_vcp.to_numpy(),
+            }
+        )
+
+    return (
+        ev.map_batches(tag, batch_format="pandas")
+        .groupby("part")
+        .map_groups(per_part, batch_format="pandas")
+        .select_columns(["user_id", "n_events", "n_vcp"])
+    )
+
+
+def orders_ivm_status_counts(sf_dir: str) -> rd.Dataset:
+    """INCREMENTAL VIEW MAINTENANCE end to end -> (o_orderstatus,
+    n_orders): the grouped-count materialized view over orders is
+    refreshed under a deterministic CDC changelog (keys %10==0 update
+    their status to 'P', %10==1 delete, %10==2 insert a shifted-key 'O'
+    copy) WITHOUT recomputing from the base table — retract/add deltas
+    only (ops/agg.ivm_grouped_count_refresh; old groups come from a
+    narrow semi-join of exactly the touched keys).  The DuckDB twin
+    recomputes the view from the fully merged table, so a hash match
+    proves the delta algebra equals a full recompute — the materialized
+    -view refresh path of every lakehouse."""
+    from .ops.agg import grouped_count, ivm_grouped_count_refresh
+
+    base = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus"])
+    view = grouped_count(base, ["o_orderstatus"], "n_orders")
+
+    def changelog(t: pa.Table) -> pa.Table:
+        k = t["o_orderkey"].to_numpy()
+        s = t["o_orderstatus"]
+        if isinstance(s, pa.ChunkedArray):
+            s = s.combine_chunks()
+        m = k % 10
+        upd_k = k[m == 0]
+        del_k = k[m == 1]
+        del_s = s.filter(pa.array(m == 1))
+        ins_k = k[m == 2] + 1_000_000_000
+        return pa.table(
+            {
+                "o_orderkey": pa.array(
+                    np.concatenate([upd_k, del_k, ins_k]), pa.int64()
+                ),
+                "o_orderstatus": pa.chunked_array(
+                    [
+                        pa.array(["P"] * len(upd_k), pa.string()),
+                        del_s,
+                        pa.array(["O"] * len(ins_k), pa.string()),
+                    ]
+                ).combine_chunks(),
+                "op": pa.array(
+                    ["U"] * len(upd_k) + ["D"] * len(del_k) + ["I"] * len(ins_k)
+                ),
+            }
+        )
+
+    changes = base.map_batches(changelog, batch_format="pyarrow").materialize()
+    return ivm_grouped_count_refresh(
+        view, base, changes, key_col="o_orderkey", group_col="o_orderstatus",
+        count_col="n_orders",
+    )

@@ -2113,3 +2113,47 @@ def test_bloom_prefilter_join_empty_build():
         right_on="bk",
     ).to_pandas()
     assert len(got) == 0
+
+
+def test_ivm_grouped_count_refresh_matches_recompute():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from deepie_ray.ops.agg import grouped_count, ivm_grouped_count_refresh
+    from deepie_ray.ops.joins import apply_changelog
+
+    base_t = pa.table(
+        {
+            "k": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+            "g": pa.array(["a", "a", "b", "b", "c", "a"], pa.string()),
+        }
+    )
+    # U: key 1 a->b; D: keys 5 (kills group c entirely) and 6;
+    # I: key 7 into brand-new group d
+    ch_t = pa.table(
+        {
+            "k": pa.array([1, 5, 6, 7], pa.int64()),
+            "g": pa.array(["b", "c", "a", "d"], pa.string()),
+            "op": pa.array(["U", "D", "D", "I"], pa.string()),
+        }
+    )
+    base = rd.from_arrow(base_t).repartition(3)
+    changes = rd.from_arrow(ch_t)
+    view = grouped_count(base, ["g"], "n")
+    got = (
+        ivm_grouped_count_refresh(view, base, changes, key_col="k", group_col="g")
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    merged = apply_changelog(base, changes, key_col="k")
+    want = (
+        grouped_count(merged, ["g"], "n")
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    assert got.to_dict("records") == want.to_dict("records")
+    # group c retired (count hit zero), group d born
+    gs = set(got["g"])
+    assert "c" not in gs and "d" in gs
