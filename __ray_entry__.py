@@ -266,6 +266,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "documents_time_travel": Q.documents_time_travel,
         "user_event_pattern_counts": Q.user_event_pattern_counts,
         "orders_ivm_status_counts": Q.orders_ivm_status_counts,
+        "coverage_pick_docs": Q.coverage_pick_docs,
         # --- rows-only / pytest-oracled block (no SQL twin by nature) ---
         "doc_compression_ratio": Q.doc_compression_ratio,
         "export_tar_shards_roundtrip": Q.export_tar_shards_roundtrip,
@@ -3656,6 +3657,62 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT o_orderstatus, count(*)::BIGINT AS n_orders
             FROM merged GROUP BY o_orderstatus
+        """,
+        "coverage_pick_docs": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                 x -> x <> '') AS t
+              FROM documents
+            ),
+            sh AS (
+              SELECT doc_id,
+                     CASE
+                       WHEN len(t) = 0 THEN []::VARCHAR[]
+                       WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                       ELSE list_distinct(list_transform(range(1, len(t) - 1),
+                                          i -> array_to_string(t[i:i+2], ' ')))
+                     END AS s
+              FROM toks
+            ),
+            w AS (
+              SELECT doc_id, u.gram AS word FROM sh, unnest(sh.s) AS u(gram)
+            ),
+            g1 AS (SELECT doc_id, count(*)::BIGINT AS gain
+                   FROM w GROUP BY doc_id),
+            p1 AS (SELECT doc_id, gain FROM g1
+                   ORDER BY gain DESC, doc_id LIMIT 1),
+            c1 AS (SELECT DISTINCT word FROM w JOIN p1 USING (doc_id)),
+            w2 AS (SELECT w.doc_id, w.word FROM w
+                   WHERE w.word NOT IN (SELECT word FROM c1)
+                     AND w.doc_id NOT IN (SELECT doc_id FROM p1)),
+            g2 AS (SELECT doc_id, count(*)::BIGINT AS gain
+                   FROM w2 GROUP BY doc_id),
+            p2 AS (SELECT doc_id, gain FROM g2
+                   ORDER BY gain DESC, doc_id LIMIT 1),
+            c2 AS (SELECT word FROM c1
+                   UNION
+                   SELECT word FROM w JOIN p2 USING (doc_id)),
+            w3 AS (SELECT w.doc_id, w.word FROM w
+                   WHERE w.word NOT IN (SELECT word FROM c2)
+                     AND w.doc_id NOT IN (SELECT doc_id FROM p1
+                                          UNION SELECT doc_id FROM p2)),
+            g3 AS (SELECT doc_id, count(*)::BIGINT AS gain
+                   FROM w3 GROUP BY doc_id),
+            p3 AS (SELECT doc_id, gain FROM g3
+                   ORDER BY gain DESC, doc_id LIMIT 1),
+            c3 AS (SELECT word FROM c2
+                   UNION
+                   SELECT word FROM w JOIN p3 USING (doc_id))
+            SELECT 1::BIGINT AS round, doc_id, gain,
+                   (SELECT count(*) FROM c1)::BIGINT AS covered_total
+            FROM p1
+            UNION ALL
+            SELECT 2::BIGINT, doc_id, gain, (SELECT count(*) FROM c2)
+            FROM p2
+            UNION ALL
+            SELECT 3::BIGINT, doc_id, gain, (SELECT count(*) FROM c3)
+            FROM p3
         """,
         # rows-only (no SQL twin): lang_id, minhash_dedup_documents,
         # simhash_signatures, simhash_neardup, ann_topk_lsh, kg_triples,

@@ -119,3 +119,136 @@ def shuffle_shards(
         lambda t: shard_hash_batch(t, n_shards, id_col), batch_format="pyarrow"
     )
     return keyed.groupby("shard").map_groups(rank, batch_format="pandas")
+
+
+def greedy_max_coverage(
+    ds: rd.Dataset,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    unit: str = "word",
+) -> pa.Table:
+    """Greedy MAX-COVERAGE document selection (the submodular
+    facility-location curation step: pick the k docs that together
+    cover the most distinct vocabulary; the greedy is (1-1/e)-optimal
+    for monotone submodular objectives) -> (round, doc_id, gain,
+    covered_total), one row per pick in pick order.  Deterministic:
+    max marginal gain, ties to the smallest doc id.
+
+    Scale shape per round: the (doc, word) pair table streams through a
+    filter against the BROADCAST covered-word set (bounded by the union
+    of the <=k picked docs' vocabularies — curation picks are few and
+    doc-bounded, never corpus-bounded), marginal gains are a
+    combiner-first grouped count, and the argmax is one grouped MAX
+    over a packed ``gain * 2^32 + (2^32-1 - doc_id)`` int64 key (per-doc
+    vocab and doc ids both < 2^31; re-pack wider beyond that).  Only the
+    winner's own word list ever reaches the driver.
+
+    ``unit``: "word" covers distinct whitespace tokens; "gram3" covers
+    distinct lowercased word-3-grams (the repeated_ngrams shingle rule
+    — whole doc as one gram when shorter than 3 tokens), the richer
+    space a curation run actually optimizes."""
+    import pyarrow.compute as pc
+
+    import ray
+    from ray.data.aggregate import Max, Sum
+
+    from ..hashing import ws_tokens
+
+    def pairs_batch(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(t[text_col], pattern=r"\s+")
+        ids = pc.list_parent_indices(toks)
+        flat = pc.list_flatten(toks)
+        doc = pc.take(pc.cast(t[id_col], pa.int64()), ids)
+        # per-doc distinct within the batch; the grouped SUM below
+        # makes the count exact even if a doc's rows straddle blocks
+        return (
+            pa.table({"doc_id": doc, "word": flat})
+            .group_by(["doc_id", "word"])
+            .aggregate([])
+        )
+
+    def grams_batch(t: pa.Table) -> pa.Table:
+        out_d, out_w = [], []
+        for d, txt in zip(
+            t[id_col].to_pylist(), t[text_col].to_pylist()
+        ):
+            tk = ws_tokens((txt or "").lower())
+            if len(tk) < 3:
+                g = {" ".join(tk)} if tk else set()
+            else:
+                g = {" ".join(tk[i : i + 3]) for i in range(len(tk) - 2)}
+            out_d.extend([int(d)] * len(g))
+            out_w.extend(sorted(g))
+        return pa.table(
+            {
+                "doc_id": pa.array(out_d, pa.int64()),
+                "word": pa.array(out_w, pa.string()),
+            }
+        )
+
+    fn = grams_batch if unit == "gram3" else pairs_batch
+    pairs = ds.map_batches(fn, batch_format="pyarrow").materialize()
+    covered: set[str] = set()
+    rows: list[tuple[int, int, int, int]] = []
+    B = 1 << 32
+    for rnd in range(1, k + 1):
+        cov_ref = ray.put(pa.array(sorted(covered), pa.string()))
+        picked_ref = ray.put(
+            pa.array(sorted(int(r[1]) for r in rows), pa.int64())
+        )
+
+        def gains(t: pa.Table) -> pa.Table:
+            cov = ray.get(cov_ref)
+            pk = ray.get(picked_ref)
+            keep = pc.is_null(pc.index_in(t["word"], value_set=cov))
+            if len(pk):
+                keep = pc.and_(
+                    keep, pc.is_null(pc.index_in(t["doc_id"], value_set=pk))
+                )
+            t = t.filter(keep)
+            g = t.group_by(["doc_id"]).aggregate([([], "count_all")])
+            return pa.table(
+                {
+                    "doc_id": g["doc_id"],
+                    "gain": pc.cast(g["count_all"], pa.int64()),
+                }
+            )
+
+        def pack(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or "doc_id" not in t.column_names:
+                return pa.table({"pk": pa.array([], pa.int64())})
+            g = t["gain"].to_numpy(zero_copy_only=False).astype(np.int64)
+            d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table({"pk": pa.array(g * B + (B - 1 - d), pa.int64())})
+
+        best = (
+            pairs.map_batches(gains, batch_format="pyarrow")
+            .groupby("doc_id")
+            .aggregate(Sum("gain", alias_name="gain"))
+            .repartition(4)
+            .map_batches(pack, batch_format="pyarrow")
+            .max("pk")
+        )
+        if best is None:  # nothing uncovered remains
+            break
+        best = int(best)
+        gain = best // B
+        doc = (B - 1) - (best % B)
+        if gain <= 0:
+            break
+        # the winner's uncovered words: doc-bounded driver pull
+        win = pairs.map_batches(
+            lambda t, d=doc: t.filter(pc.equal(t["doc_id"], d)),
+            batch_format="pyarrow",
+        ).to_pandas()
+        covered |= set(win["word"])  # the winner's full vocabulary
+        rows.append((rnd, doc, gain, len(covered)))
+    return pa.table(
+        {
+            "round": pa.array([r[0] for r in rows], pa.int64()),
+            "doc_id": pa.array([r[1] for r in rows], pa.int64()),
+            "gain": pa.array([r[2] for r in rows], pa.int64()),
+            "covered_total": pa.array([r[3] for r in rows], pa.int64()),
+        }
+    )

@@ -11795,3 +11795,18 @@ def orders_ivm_status_counts(sf_dir: str) -> rd.Dataset:
         view, base, changes, key_col="o_orderkey", group_col="o_orderstatus",
         count_col="n_orders",
     )
+
+
+def coverage_pick_docs(sf_dir: str) -> pa.Table:
+    """Submodular data curation: greedy MAX-COVERAGE selection of the
+    3 documents that jointly cover the most distinct word-3-grams ->
+    (round, doc_id, gain, covered_total) in pick order
+    (ops/sample.greedy_max_coverage — broadcast covered set, streamed
+    marginal gains, packed-argmax pick; only each winner's own gram
+    list reaches the driver).  The facility-location step of coreset /
+    diverse-subset selection pipelines; pinned by an UNROLLED 3-round
+    SQL twin."""
+    from .ops import sample
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return sample.greedy_max_coverage(docs, k=3, unit="gram3")

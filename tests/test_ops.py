@@ -2157,3 +2157,34 @@ def test_ivm_grouped_count_refresh_matches_recompute():
     # group c retired (count hit zero), group d born
     gs = set(got["g"])
     assert "c" not in gs and "d" in gs
+
+
+def test_greedy_max_coverage_hand_case():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from deepie_ray.ops import sample
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(
+                [
+                    "a b c d e",  # 5 words
+                    "a b c",      # strict subset of doc 1
+                    "f g h",      # disjoint
+                    "e f x y",    # mixed
+                ]
+            ),
+        }
+    )
+    out = sample.greedy_max_coverage(
+        rd.from_arrow(docs).repartition(3), k=3
+    ).to_pandas()
+    # round 2 is a gain-3 TIE between docs 3 and 4 -> smaller id wins
+    assert out["doc_id"].tolist() == [1, 3, 4]
+    assert out["gain"].tolist() == [5, 3, 2]
+    assert out["covered_total"].tolist() == [5, 8, 10]
+    # asking for more picks than there is uncovered gain: stops early
+    out2 = sample.greedy_max_coverage(rd.from_arrow(docs), k=10).to_pandas()
+    assert len(out2) == 3
