@@ -55,6 +55,33 @@ PIPELINES = {
         "type map broadcast (vocab-bounded); per-batch signature "
         "pre-aggregation -> driver fold of distinct signatures"
     ),
+    "tpch_kg_edges": (
+        "FK families are pure projections (zero exchange); the two "
+        "lineitem-derived families each dedup combiner-first -> 2 "
+        "grouped exchanges total, 0 joins"
+    ),
+    "kg_metapath_counts": (
+        "ONE midpoint self-join + ONE combiner-first (pred_1, pred_2) "
+        "count (edge build folded behind its materialize)"
+    ),
+    "kg_type_constraints": "per-batch signature split + ONE grouped count over the 2-exchange edge build",
+    "copurchase_clustering": (
+        "returned plan: ONE left-outer join (degrees x per-vertex "
+        "triangles) + ONE grouped degree count; the wedge/closing "
+        "joins sit behind the triangle materialize"
+    ),
+    "copurchase_communities": (
+        "ZERO exchanges in the returned plan — each LPA round's "
+        "join+count+argmax folds behind its label materialize; per "
+        "round: 1 join + 2 grouped exchanges on the narrow label table"
+    ),
+    "orders_ivm_status_counts": (
+        "semi-join of exactly the touched keys (1 join + distinct-"
+        "build exchange) + ONE grouped fold of view+deltas — base is "
+        "never re-aggregated"
+    ),
+    "user_event_pattern_counts": "ONE part-colocate shuffle; pattern scan vectorized within parts",
+    "documents_time_travel": "AS OF reads stream from snapshot parquet: zero exchanges (merge folded at commit time)",
 }
 
 

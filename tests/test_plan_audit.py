@@ -152,3 +152,45 @@ def test_bloom_prefilter_join_exchange_budget(sf_dir):
         probe, build, on="l_orderkey", right_on="o_orderkey"
     )
     assert_shuffle_budget(joined, max_shuffles=0, max_joins=1)
+
+
+def test_tpch_kg_edges_shuffle_budget(sf_dir):
+    # FK families are pure projections; only the two lineitem dedups
+    # exchange — and never a join
+    assert_shuffle_budget(Q.tpch_kg_edges(sf_dir), max_shuffles=2, max_joins=0)
+
+
+def test_kg_metapath_counts_shuffle_budget(sf_dir):
+    # one midpoint self-join + one combiner-first relation-pair count
+    assert_shuffle_budget(
+        Q.kg_metapath_counts(sf_dir), max_shuffles=1, max_joins=1
+    )
+
+
+def test_communities_returned_plan_folded(sf_dir):
+    # every LPA round folds behind its label materialize: the returned
+    # plan must stay exchange-free (a regression that leaks an extra
+    # live shuffle into the tail fails here)
+    assert_shuffle_budget(
+        Q.copurchase_communities(sf_dir), max_shuffles=0, max_joins=0
+    )
+
+
+def test_ivm_refresh_shuffle_budget(sf_dir):
+    # touched-keys semi-join + one grouped fold of view+deltas; base is
+    # never re-aggregated
+    assert_shuffle_budget(
+        Q.orders_ivm_status_counts(sf_dir), max_shuffles=2, max_joins=1
+    )
+
+
+def test_pattern_counts_single_shuffle_budget(sf_dir):
+    assert_shuffle_budget(
+        Q.user_event_pattern_counts(sf_dir), max_shuffles=1, max_joins=0
+    )
+
+
+def test_time_travel_reads_zero_shuffle(sf_dir):
+    assert_shuffle_budget(
+        Q.documents_time_travel(sf_dir), max_shuffles=0, max_joins=0
+    )
