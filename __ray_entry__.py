@@ -313,6 +313,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_span_stats": Q.media_span_stats,
         "media_features": Q.media_features,
         "media_decode_features": Q.media_decode_features,
+        "audio_spectral_features": Q.audio_spectral_features,
+        "ann_topk_mmr": Q.ann_topk_mmr,
         "media_meta_scan": Q.media_meta_scan,
         "image_phash_neardup": Q.image_phash_neardup,
         "audio_fp_neardup": Q.audio_fp_neardup,

@@ -849,3 +849,106 @@ def sq8_topk(
     return merge_topk(
         corpus.map_batches(rescore, batch_format="pyarrow", batch_size=4096), k
     )
+
+
+def mmr_rerank(
+    corpus: rd.Dataset,
+    query_ids: np.ndarray,
+    query_matrix: np.ndarray,
+    k: int = 10,
+    shortlist: int = 50,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pa.Table:
+    """Maximal Marginal Relevance (Carbonell & Goldstein 1998)
+    DIVERSIFIED top-k -> (query_id, rank, neighbor_id, mmr_score):
+    greedily pick argmax ``lam * cos(q, d) - (1-lam) * max cos(d, s)``
+    over already-selected s — the rerank every retrieval stack runs to
+    stop near-duplicate hits crowding a result page.
+
+    Scale shape (the production two-stage form): stage 1 is the
+    streamed brute-force shortlist (queries broadcast, corpus streams,
+    per-block top-``shortlist`` partials, grouped merge); stage 2
+    fetches ONLY the shortlisted vectors (one streamed filter against
+    the broadcast candidate-id set — n_queries x shortlist ids, never
+    corpus-bounded) and runs the O(k * shortlist) greedy per query on
+    the driver.  Deterministic: score ties break to the smaller id."""
+    import ray
+
+    qref = ray.put((query_ids, query_matrix))
+    partials = corpus.map_batches(
+        BruteForceTopK,
+        fn_constructor_kwargs={"queries_ref": qref, "k": shortlist},
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=(1, 8),
+        **POOL_REMOTE_ARGS,
+    )
+
+    def top(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["cosine", "neighbor_id"], ascending=[False, True]
+        ).head(shortlist)
+        return df[["query_id", "neighbor_id", "cosine"]]
+
+    short = (
+        partials.groupby("query_id")
+        .map_groups(top, batch_format="pandas")
+        .to_pandas()
+    )  # n_queries x shortlist rows — query-bounded
+
+    cand_ids = np.unique(short["neighbor_id"].to_numpy())
+    cref = ray.put(pa.array(cand_ids, pa.int64()))
+
+    def fetch(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = pc.is_valid(
+            pc.index_in(pc.cast(t[id_col], pa.int64()), value_set=ray.get(cref))
+        )
+        t = t.filter(keep)
+        return pa.table({id_col: pc.cast(t[id_col], pa.int64()),
+                         vec_col: t[vec_col]})
+
+    cand = corpus.map_batches(fetch, batch_format="pyarrow").to_pandas()
+    V = _normalize(
+        np.stack([np.asarray(v, np.float64) for v in cand[vec_col]])
+    )
+    vid = cand[id_col].to_numpy()
+    pos = {int(i): p for p, i in enumerate(vid)}
+
+    out_q, out_rank, out_id, out_score = [], [], [], []
+    for qi, qid in enumerate(query_ids):
+        sub = short[short["query_id"] == qid]
+        ids = sub["neighbor_id"].to_numpy()
+        rel = sub["cosine"].to_numpy().astype(np.float64)
+        idx = np.array([pos[int(i)] for i in ids])
+        M = V[idx]  # shortlist vectors, L2-normalized
+        selected: list[int] = []
+        max_sim = np.full(len(ids), -np.inf)
+        taken = np.zeros(len(ids), bool)
+        for rank in range(1, min(k, len(ids)) + 1):
+            pen = np.where(np.isfinite(max_sim), max_sim, 0.0)
+            score = lam * rel - (1.0 - lam) * (
+                pen if selected else np.zeros(len(ids))
+            )
+            score = np.where(taken, -np.inf, score)
+            # ties: larger score, then smaller neighbor id
+            j = int(np.lexsort((ids, -score))[0])
+            taken[j] = True
+            selected.append(j)
+            sims = M @ M[j]
+            max_sim = np.maximum(max_sim, sims)
+            out_q.append(int(qid))
+            out_rank.append(rank)
+            out_id.append(int(ids[j]))
+            out_score.append(round(float(score[j]), 6))
+    return pa.table(
+        {
+            "query_id": pa.array(out_q, pa.int64()),
+            "rank": pa.array(out_rank, pa.int64()),
+            "neighbor_id": pa.array(out_id, pa.int64()),
+            "mmr_score": pa.array(out_score, pa.float64()),
+        }
+    )

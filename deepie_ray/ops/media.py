@@ -1594,3 +1594,64 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
     g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
     b = y + 1.772 * (cb - 128.0)
     return np.clip(np.stack([r, g, b], axis=2).round(), 0, 255).astype(np.uint8)
+
+
+# ------------------------------------------------------------ spectrogram
+
+
+def spectrogram(
+    pcm: np.ndarray, n_fft: int = 256, hop: int = 128
+) -> np.ndarray:
+    """Magnitude-squared STFT power spectrogram -> (n_frames,
+    n_fft//2+1) float64.  Hann-windowed, hop-strided frames, numpy rfft
+    — the standard front end of every audio feature extractor.  Short
+    signals zero-pad to one full frame; the frame walk is a strided
+    VIEW (no copy) + one batched rfft."""
+    x = np.asarray(pcm, dtype=np.float64)
+    if len(x) < n_fft:
+        x = np.pad(x, (0, n_fft - len(x)))
+    n_frames = 1 + (len(x) - n_fft) // hop
+    frames = np.lib.stride_tricks.as_strided(
+        x,
+        shape=(n_frames, n_fft),
+        strides=(x.strides[0] * hop, x.strides[0]),
+        writeable=False,
+    )
+    win = np.hanning(n_fft)
+    return np.abs(np.fft.rfft(frames * win, axis=1)) ** 2
+
+
+def audio_spectral_stats(
+    pcm: np.ndarray, rate: int, n_fft: int = 256, hop: int = 128
+) -> dict:
+    """Spectral summary of one PCM signal (the audio-quality /
+    content-typing features a corpus pipeline keeps per clip):
+    ``centroid_hz`` (power-weighted mean frequency), ``bandwidth_hz``
+    (power-weighted std around it), ``flux`` (mean L2 frame-to-frame
+    power change over mean power — relative, gain-invariant), and
+    ``n_frames``.  All from one ``spectrogram`` pass."""
+    P = spectrogram(pcm, n_fft=n_fft, hop=hop)
+    freqs = np.fft.rfftfreq(n_fft, d=1.0 / rate)
+    tot = P.sum()
+    if tot <= 0.0:
+        return {
+            "n_frames": int(P.shape[0]),
+            "centroid_hz": 0.0,
+            "bandwidth_hz": 0.0,
+            "flux": 0.0,
+        }
+    pf = P.sum(axis=0)  # power per frequency bin
+    c = float((pf * freqs).sum() / tot)
+    bw = float(np.sqrt((pf * (freqs - c) ** 2).sum() / tot))
+    if P.shape[0] > 1:
+        flux = float(
+            np.linalg.norm(P[1:] - P[:-1], axis=1).mean() / P.mean()
+        )
+    else:
+        flux = 0.0
+    return {
+        "n_frames": int(P.shape[0]),
+        "centroid_hz": c,
+        "bandwidth_hz": bw,
+        "flux": flux,
+    }

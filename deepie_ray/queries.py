@@ -11810,3 +11810,80 @@ def coverage_pick_docs(sf_dir: str) -> pa.Table:
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
     return sample.greedy_max_coverage(docs, k=3, unit="gram3")
+
+
+def audio_spectral_features(sf_dir: str) -> rd.Dataset:
+    """Audio FEATURE EXTRACTION over the interleaved corpus ->
+    (doc_id, span_idx, media_ref, n_frames, centroid_hz, bandwidth_hz,
+    flux): every audio span's synthesized-WAV payload is decoded
+    (ops/media.decode_wav) and summarized with a real Hann-window STFT
+    spectrogram (ops/media.audio_spectral_stats — power-weighted
+    centroid/bandwidth, gain-invariant flux).  The per-clip spectral
+    summary a multimodal curation pipeline keys quality and
+    content-typing decisions on.  Rows-only: the DSP has no SQL twin;
+    the spectrogram is pinned by numpy-parity and pure-tone pytest.
+
+    Scale shape: embarrassingly parallel map over spans (payload decode
+    + one batched rfft per clip); floats rounded to 6 dp for stable
+    cross-run comparison."""
+    from . import pipeline
+    from .ops import media
+
+    docs = pipeline.read_documents(sf_dir)
+    spans = docs.map_batches(media.explode_media_spans, batch_format="pyarrow")
+    audio = spans.map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], "audio")),
+        batch_format="pyarrow",
+    )
+
+    def feats(t: pa.Table) -> pa.Table:
+        rows = {
+            "doc_id": [],
+            "span_idx": [],
+            "media_ref": [],
+            "n_frames": [],
+            "centroid_hz": [],
+            "bandwidth_hz": [],
+            "flux": [],
+        }
+        for d, i, r in zip(
+            t["doc_id"].to_pylist(),
+            t["span_idx"].to_pylist(),
+            t["media_ref"].to_pylist(),
+        ):
+            pcm, rate = media.decode_wav(media.synth_payload("audio", r))
+            s = media.audio_spectral_stats(pcm, rate)
+            rows["doc_id"].append(d)
+            rows["span_idx"].append(i)
+            rows["media_ref"].append(r)
+            rows["n_frames"].append(s["n_frames"])
+            rows["centroid_hz"].append(round(s["centroid_hz"], 6))
+            rows["bandwidth_hz"].append(round(s["bandwidth_hz"], 6))
+            rows["flux"].append(round(s["flux"], 6))
+        return pa.table(
+            {
+                # doc_id is a STRING in the interleaved span schema
+                "doc_id": pa.array(rows["doc_id"], pa.string()),
+                "span_idx": pa.array(rows["span_idx"], pa.int64()),
+                "media_ref": pa.array(rows["media_ref"], pa.string()),
+                "n_frames": pa.array(rows["n_frames"], pa.int64()),
+                "centroid_hz": pa.array(rows["centroid_hz"], pa.float64()),
+                "bandwidth_hz": pa.array(rows["bandwidth_hz"], pa.float64()),
+                "flux": pa.array(rows["flux"], pa.float64()),
+            }
+        )
+
+    return audio.map_batches(feats, batch_format="pyarrow")
+
+
+def ann_topk_mmr(sf_dir: str) -> pa.Table:
+    """DIVERSIFIED vector search (MMR rerank, lambda=0.7) ->
+    (query_id, rank, neighbor_id, mmr_score) for query vectors
+    vec_id < 3: the brute-force shortlist is re-ranked so each pick
+    trades relevance against similarity to what's already shown
+    (ops/ann.mmr_rerank — two-stage: streamed shortlist, query-bounded
+    greedy).  Rows-only: pinned by the numpy-greedy parity and
+    planted-duplicate demotion tests."""
+    ids, mat = _query_vectors(sf_dir, n=3)
+    corpus = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return ann.mmr_rerank(corpus, ids, mat, k=10, shortlist=50, lam=0.7)

@@ -353,3 +353,45 @@ def test_video_family_separation_and_query(sf_dir):
     }
     got = {(a, b) for a, b in zip(out["id_a"], out["id_b"])}
     assert got == want
+
+
+# ------------------------------------------------------------ spectrogram
+
+
+def test_spectrogram_matches_naive_stft():
+    from deepie_ray.ops import media
+
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=1000)
+    P = media.spectrogram(x, n_fft=256, hop=128)
+    win = np.hanning(256)
+    naive = np.array(
+        [
+            np.abs(np.fft.rfft(x[i * 128 : i * 128 + 256] * win)) ** 2
+            for i in range(1 + (1000 - 256) // 128)
+        ]
+    )
+    assert P.shape == naive.shape
+    assert np.allclose(P, naive)
+
+
+def test_spectral_stats_pure_tone_and_noise():
+    from deepie_ray.ops import media
+
+    rate = 16000
+    t = np.arange(rate) / rate
+    tone = media.audio_spectral_stats(np.sin(2 * np.pi * 1000 * t), rate)
+    # a pure 1 kHz tone: centroid at the tone, narrow bandwidth,
+    # (near-)zero flux frame to frame
+    assert abs(tone["centroid_hz"] - 1000) < 40
+    assert tone["bandwidth_hz"] < 60
+    assert tone["flux"] < 1e-6
+    noise = media.audio_spectral_stats(
+        np.random.default_rng(0).normal(size=rate), rate
+    )
+    assert noise["bandwidth_hz"] > 1000  # broadband
+    assert noise["flux"] > 1.0
+    silent = media.audio_spectral_stats(np.zeros(500), rate)
+    assert silent["centroid_hz"] == 0.0 and silent["flux"] == 0.0
+    # shorter than one frame: zero-pads to exactly one frame
+    assert media.spectrogram(np.ones(10), n_fft=64, hop=32).shape[0] == 1

@@ -115,3 +115,102 @@ def test_events_value_trend_partition_invariant(sf_dir, parts):
         out["slope_cents_per_hour"].to_numpy()
         == base["slope_cents_per_hour"].to_numpy()
     ).all()
+
+
+# ----------------------------------------------------------------- MMR
+
+
+def _mmr_numpy(Q, ids, V, k, shortlist, lam):
+    """Reference greedy MMR over a single query: exact rule re-derived
+    independently (relevance = cosine to the query; penalty = max
+    cosine to already-selected; ties to smaller id)."""
+    rel = V @ Q
+    order = np.lexsort((ids, -rel))[:shortlist]
+    ids, V, rel = ids[order], V[order], rel[order]
+    taken = np.zeros(len(ids), bool)
+    max_sim = np.zeros(len(ids))
+    have = False
+    out = []
+    for _ in range(min(k, len(ids))):
+        score = lam * rel - (1 - lam) * (max_sim if have else 0.0)
+        score = np.where(taken, -np.inf, score)
+        j = int(np.lexsort((ids, -score))[0])
+        taken[j] = True
+        have = True
+        max_sim = np.maximum(max_sim, V @ V[j])
+        out.append((int(ids[j]), float(score[j])))
+    return out
+
+
+def test_mmr_matches_numpy_greedy(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from deepie_ray.ops import ann
+
+    rng = np.random.default_rng(11)
+    n, d = 200, 16
+    V = rng.normal(size=(n, d))
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    ids = np.arange(n, dtype=np.int64)
+    corpus = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "embedding": pa.array(
+                    [list(map(float, r)) for r in V],
+                    pa.list_(pa.float32()),
+                ),
+            }
+        )
+    ).repartition(4)
+    q_ids = np.array([1000], np.int64)
+    qv = rng.normal(size=(1, d))
+    got = ann.mmr_rerank(
+        corpus, q_ids, qv, k=8, shortlist=40, lam=0.7
+    ).to_pandas()
+    qn = qv[0] / np.linalg.norm(qv[0])
+    # float32 list storage quantizes the vectors: reference uses the
+    # same quantized values
+    V32 = np.array([np.asarray(r, np.float32) for r in V]).astype(np.float64)
+    V32n = V32 / np.linalg.norm(V32, axis=1, keepdims=True)
+    want = _mmr_numpy(qn, ids, V32n, k=8, shortlist=40, lam=0.7)
+    assert got["neighbor_id"].tolist() == [w[0] for w in want]
+    assert np.allclose(got["mmr_score"], [round(w[1], 6) for w in want], atol=1e-6)
+
+
+def test_mmr_demotes_planted_duplicates(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from deepie_ray.ops import ann
+
+    rng = np.random.default_rng(5)
+    d = 8
+    base = rng.normal(size=d)
+    rows = [base + rng.normal(scale=0.01, size=d) for _ in range(5)]  # clones
+    rows += [rng.normal(size=d) for _ in range(20)]
+    V = np.stack(rows)
+    corpus = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(len(V)), pa.int64()),
+                "embedding": pa.array(
+                    [list(map(float, r)) for r in V], pa.list_(pa.float32())
+                ),
+            }
+        )
+    )
+    q = base[None, :]
+    plain = ann.brute_force_topk(
+        corpus, np.array([99], np.int64), q, k=5
+    ).to_pandas()
+    mmr = ann.mmr_rerank(
+        corpus, np.array([99], np.int64), q, k=5, shortlist=25, lam=0.5
+    ).to_pandas()
+    # relevance-only top-5 is all clones; MMR keeps one clone and
+    # diversifies the rest
+    n_clones_plain = (plain["neighbor_id"] < 5).sum()
+    n_clones_mmr = (mmr["neighbor_id"] < 5).sum()
+    assert n_clones_plain == 5
+    assert n_clones_mmr <= 2
