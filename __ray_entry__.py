@@ -267,6 +267,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_pattern_counts": Q.user_event_pattern_counts,
         "orders_ivm_status_counts": Q.orders_ivm_status_counts,
         "coverage_pick_docs": Q.coverage_pick_docs,
+        "knn_label_eval": Q.knn_label_eval,
         # --- rows-only / pytest-oracled block (no SQL twin by nature) ---
         "doc_compression_ratio": Q.doc_compression_ratio,
         "export_tar_shards_roundtrip": Q.export_tar_shards_roundtrip,
@@ -3715,6 +3716,42 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 3::BIGINT, doc_id, gain, (SELECT count(*) FROM c3)
             FROM p3
+        """,
+        "knn_label_eval": """
+            WITH e AS (
+              SELECT vec_id, label::BIGINT AS label,
+                     embedding::DOUBLE[] AS emb
+              FROM embeddings
+            ),
+            knn AS (
+              SELECT query_id, nlab FROM (
+                SELECT a.vec_id AS query_id, b.label AS nlab,
+                       row_number() OVER (
+                         PARTITION BY a.vec_id
+                         ORDER BY list_cosine_similarity(a.emb, b.emb) DESC,
+                                  b.vec_id ASC) AS rank
+                FROM e a, e b
+                WHERE a.vec_id <> b.vec_id
+              ) WHERE rank <= 5
+            ),
+            votes AS (
+              SELECT query_id, nlab, count(*)::BIGINT AS n_votes
+              FROM knn GROUP BY query_id, nlab
+            ),
+            pred AS (
+              SELECT query_id, nlab AS pred FROM (
+                SELECT query_id, nlab,
+                       row_number() OVER (
+                         PARTITION BY query_id
+                         ORDER BY n_votes DESC, nlab ASC) AS rn
+                FROM votes
+              ) WHERE rn = 1
+            )
+            SELECT e.label, count(*)::BIGINT AS n,
+                   sum(CASE WHEN p.pred = e.label THEN 1 ELSE 0
+                       END)::BIGINT AS n_correct
+            FROM pred p JOIN e ON e.vec_id = p.query_id
+            GROUP BY e.label
         """,
         # rows-only (no SQL twin): lang_id, minhash_dedup_documents,
         # simhash_signatures, simhash_neardup, ann_topk_lsh, kg_triples,

@@ -480,7 +480,7 @@ def random_projection(
     )
 
 
-def knn_graph_mutual(
+def all_pairs_knn(
     emb: rd.Dataset,
     k: int = 3,
     id_col: str = "vec_id",
@@ -488,22 +488,19 @@ def knn_graph_mutual(
     chunk_rows: int = 1024,
     num_partitions: int = 8,
 ) -> rd.Dataset:
-    """Mutual k-nearest-neighbor graph -> (vec_a, vec_b) with
-    vec_a < vec_b: the undirected edges where EACH endpoint is in the
-    other's cosine top-k (ties broken by neighbor id asc, self
-    excluded).  The mutual-kNN graph is the standard sparsifier for
-    graph-based dedup/clustering over embeddings (only reciprocated
-    edges survive, which kills hub vertices).
+    """Exact all-pairs cosine k-nearest-neighbors -> (query_id,
+    neighbor_id, rank) for EVERY vector (self excluded; ties broken by
+    neighbor id asc) — the shared engine under the mutual-kNN graph
+    and the kNN label-evaluation queries.
 
     Scale design — the all-queries twin of the chunk-pair cross join in
     ops/dedup.embedding_neardup_blockjoin: vectors consolidate into
     fixed chunks (``id // chunk_rows``, one packed row each); the
     C(C+1)/2 chunk-pair index is generated distributed; each pair task
     does one bounded matmul and emits LOCAL top-k rows for the queries
-    of BOTH chunks; a groupby(query) merge keeps the global top-k; the
-    mutual filter is a combiner-first count over canonical (lo, hi)
-    pairs (an edge appears exactly twice iff reciprocated).  Per-task
-    memory is two chunk matrices; nothing corpus-sized lands anywhere.
+    of BOTH chunks; a groupby(query) merge keeps the global top-k.
+    Per-task memory is two chunk matrices; nothing corpus-sized lands
+    anywhere.
     """
     def to_chunk_rows(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy().astype(np.int64)
@@ -552,7 +549,11 @@ def knn_graph_mutual(
         r["chunk"] for r in chunks_ds.select_columns(["chunk"]).take_all()
     )
     empty = pa.table(
-        {"vec_a": pa.array([], pa.int64()), "vec_b": pa.array([], pa.int64())}
+        {
+            "query_id": pa.array([], pa.int64()),
+            "neighbor_id": pa.array([], pa.int64()),
+            "rank": pa.array([], pa.int64()),
+        }
     )
     if not chunk_ids:
         return rd.from_arrow(empty)
@@ -652,7 +653,34 @@ def knn_graph_mutual(
             }
         )
 
-    topk = merge_topk(j.map_batches(local_topk, batch_format="pyarrow"), k)
+    return merge_topk(j.map_batches(local_topk, batch_format="pyarrow"), k)
+
+
+def knn_graph_mutual(
+    emb: rd.Dataset,
+    k: int = 3,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    chunk_rows: int = 1024,
+    num_partitions: int = 8,
+) -> rd.Dataset:
+    """Mutual k-nearest-neighbor graph -> (vec_a, vec_b) with
+    vec_a < vec_b: the undirected edges where EACH endpoint is in the
+    other's cosine top-k (ties broken by neighbor id asc, self
+    excluded).  The mutual-kNN graph is the standard sparsifier for
+    graph-based dedup/clustering over embeddings (only reciprocated
+    edges survive, which kills hub vertices).  Built on
+    ``all_pairs_knn``; the mutual filter is a combiner-first count over
+    canonical (lo, hi) pairs (an edge appears exactly twice iff
+    reciprocated)."""
+    topk = all_pairs_knn(
+        emb,
+        k=k,
+        id_col=id_col,
+        emb_col=emb_col,
+        chunk_rows=chunk_rows,
+        num_partitions=num_partitions,
+    )
 
     # mutual filter: canonical (lo, hi) count == 2 <=> reciprocated
     def canon_pairs(t: pa.Table) -> pa.Table:

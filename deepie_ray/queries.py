@@ -11887,3 +11887,137 @@ def ann_topk_mmr(sf_dir: str) -> pa.Table:
     ids, mat = _query_vectors(sf_dir, n=3)
     corpus = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     return ann.mmr_rerank(corpus, ids, mat, k=10, shortlist=50, lam=0.7)
+
+
+def knn_label_eval(sf_dir: str) -> rd.Dataset:
+    """kNN CLASSIFICATION evaluation over the labeled embeddings ->
+    (label, n, n_correct): each vector's label predicted by MAJORITY
+    VOTE among its 5 exact cosine nearest neighbors (self excluded;
+    neighbor ties to the smaller id, vote ties to the smaller label),
+    scored against the true label, accuracy counted per class — the
+    leave-one-out kNN probe every embedding pipeline runs to check the
+    space is label-coherent.
+
+    Scale shape: neighbors come from ops/ann.all_pairs_knn (chunk-pair
+    distributed all-pairs top-k — also the mutual-kNN engine); labels
+    attach by ONE hash join of narrow (id, label) rows; the vote is a
+    combiner-first (query, label) count folded to a single grouped MAX
+    over a packed ``count * 16 + (15 - label)`` key (labels < 16 here;
+    widen the base for bigger label spaces); class accuracy is a final
+    combiner-first count."""
+    from .ops import joins
+    from .ops.agg import grouped_count
+    from ray.data.aggregate import Max, Sum
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+    knn = ann.all_pairs_knn(
+        emb.select_columns(["vec_id", "embedding"]), k=5
+    )
+    labels = emb.map_batches(
+        lambda t: pa.table(
+            {
+                "lid": pc.cast(t["vec_id"], pa.int64()),
+                "lab": pc.cast(t["label"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()  # two join consumers (votes + truth)
+
+    votes = grouped_count(
+        joins.hash_join(knn, labels, on="neighbor_id", right_on="lid")
+        .repartition(8)
+        .map_batches(
+            lambda t: pa.table({"query_id": t["query_id"], "lab": t["lab"]}),
+            batch_format="pyarrow",
+        ),
+        ["query_id", "lab"],
+        "n_votes",
+    )
+
+    B = 16
+
+    def pack(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "query_id" not in t.column_names:
+            return pa.table(
+                {"query_id": pa.array([], pa.int64()),
+                 "pk": pa.array([], pa.int64())}
+            )
+        n = t["n_votes"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lab = t["lab"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "query_id": t["query_id"],
+                "pk": pa.array(n * B + (B - 1 - lab), pa.int64()),
+            }
+        )
+
+    pred = (
+        votes.map_batches(pack, batch_format="pyarrow")
+        .groupby("query_id")
+        .aggregate(Max("pk", alias_name="pk"))
+        .repartition(8)
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "query_id": pc.cast(t["query_id"], pa.int64()),
+                    "pred": pa.array(
+                        (B - 1)
+                        - (
+                            t["pk"].to_numpy(zero_copy_only=False) % B
+                        ).astype(np.int64),
+                        pa.int64(),
+                    ),
+                }
+            )
+            if t.num_rows
+            else pa.table(
+                {"query_id": pa.array([], pa.int64()),
+                 "pred": pa.array([], pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+    scored = joins.hash_join(
+        pred, labels, on="query_id", right_on="lid"
+    ).repartition(8)
+
+    def per_class(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "lab" not in t.column_names:
+            return pa.table(
+                {
+                    "label": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "n_correct": pa.array([], pa.int64()),
+                }
+            )
+        correct = (
+            t["pred"].to_numpy(zero_copy_only=False)
+            == t["lab"].to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        g = (
+            pa.table(
+                {
+                    "label": t["lab"],
+                    "one": pa.array(np.ones(t.num_rows, np.int64)),
+                    "c": pa.array(correct),
+                }
+            )
+            .group_by(["label"])
+            .aggregate([("one", "sum"), ("c", "sum")])
+        )
+        return pa.table(
+            {
+                "label": g["label"],
+                "n": pc.cast(g["one_sum"], pa.int64()),
+                "n_correct": pc.cast(g["c_sum"], pa.int64()),
+            }
+        )
+
+    return (
+        scored.map_batches(per_class, batch_format="pyarrow")
+        .groupby("label")
+        .aggregate(
+            Sum("n", alias_name="n"), Sum("n_correct", alias_name="n_correct")
+        )
+    )
