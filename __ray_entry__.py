@@ -268,6 +268,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_ivm_status_counts": Q.orders_ivm_status_counts,
         "coverage_pick_docs": Q.coverage_pick_docs,
         "knn_label_eval": Q.knn_label_eval,
+        "embedding_dbscan_clusters": Q.embedding_dbscan_clusters,
+        "copurchase_edge_churn": Q.copurchase_edge_churn,
         # --- rows-only / pytest-oracled block (no SQL twin by nature) ---
         "doc_compression_ratio": Q.doc_compression_ratio,
         "export_tar_shards_roundtrip": Q.export_tar_shards_roundtrip,
@@ -3752,6 +3754,86 @@ def oracle_sql() -> dict[str, str]:
                        END)::BIGINT AS n_correct
             FROM pred p JOIN e ON e.vec_id = p.query_id
             GROUP BY e.label
+        """,
+        "embedding_dbscan_clusters": """
+            WITH RECURSIVE emb AS (
+              SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+            ),
+            ed AS (
+              SELECT a.vec_id AS va, b.vec_id AS vb
+              FROM emb a, emb b
+              WHERE a.vec_id < b.vec_id
+                AND list_cosine_similarity(a.e, b.e) >= 0.35
+            ),
+            adj AS (
+              SELECT va AS node, vb AS nbr FROM ed
+              UNION ALL SELECT vb, va FROM ed
+            ),
+            deg AS (SELECT node, count(*)::BIGINT AS n
+                    FROM adj GROUP BY node),
+            core AS (SELECT node FROM deg WHERE n >= 2),
+            sym AS (
+              SELECT va AS s, vb AS t FROM ed
+              WHERE va IN (SELECT node FROM core)
+                AND vb IN (SELECT node FROM core)
+              UNION
+              SELECT vb, va FROM ed
+              WHERE va IN (SELECT node FROM core)
+                AND vb IN (SELECT node FROM core)
+              UNION
+              SELECT node, node FROM core
+            ),
+            reach(n, m) AS (
+              SELECT s, t FROM sym
+              UNION
+              SELECT r.n, s2.t FROM reach r JOIN sym s2 ON r.m = s2.s
+            ),
+            comp AS (SELECT n AS node, min(m)::BIGINT AS cluster
+                     FROM reach GROUP BY n),
+            border AS (
+              SELECT a.node, min(c.cluster)::BIGINT AS cluster
+              FROM adj a
+              JOIN core k ON k.node = a.nbr
+              JOIN comp c ON c.node = a.nbr
+              WHERE a.node NOT IN (SELECT node FROM core)
+              GROUP BY a.node
+            )
+            SELECT emb.vec_id,
+                   coalesce(comp.cluster, border.cluster, -1)::BIGINT
+                     AS cluster,
+                   (CASE WHEN comp.node IS NOT NULL THEN 1
+                         ELSE 0 END)::BIGINT AS is_core
+            FROM emb
+            LEFT JOIN comp ON comp.node = emb.vec_id
+            LEFT JOIN border ON border.node = emb.vec_id
+        """,
+        "copurchase_edge_churn": """
+            WITH tri AS (
+              SELECT DISTINCT year(l_shipdate)::BIGINT AS y,
+                     l_orderkey AS o, l_partkey AS p
+              FROM lineitem
+            ),
+            e AS (
+              SELECT DISTINCT a.y, a.p AS pa, b.p AS pb
+              FROM tri a JOIN tri b ON a.y = b.y AND a.o = b.o
+                                   AND a.p < b.p
+            ),
+            n AS (SELECT y, count(*)::BIGINT AS n FROM e GROUP BY y),
+            c AS (
+              SELECT e1.y AS ya, count(*)::BIGINT AS n_common
+              FROM e e1 JOIN e e2
+                ON e2.y = e1.y + 1 AND e2.pa = e1.pa AND e2.pb = e1.pb
+              GROUP BY e1.y
+            )
+            SELECT na.y AS year_a, nb.y AS year_b,
+                   na.n AS n_a, nb.n AS n_b,
+                   coalesce(c.n_common, 0)::BIGINT AS n_common,
+                   ((1000000 * coalesce(c.n_common, 0))
+                    // (na.n + nb.n - coalesce(c.n_common, 0)))::BIGINT
+                     AS jaccard_ppm
+            FROM n na
+            JOIN n nb ON nb.y = na.y + 1
+            LEFT JOIN c ON c.ya = na.y
         """,
         # rows-only (no SQL twin): lang_id, minhash_dedup_documents,
         # simhash_signatures, simhash_neardup, ann_topk_lsh, kg_triples,

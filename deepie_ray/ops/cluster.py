@@ -439,3 +439,194 @@ def semantic_dedup(
         )
     )
     return small_out.union(big_out) if small_out is not None else big_out
+
+
+def embedding_dbscan(
+    emb: rd.Dataset,
+    eps_cos: float = 0.35,
+    min_pts: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_partitions: int = 8,
+) -> rd.Dataset:
+    """DBSCAN (Ester et al. 1996) over an embedding table with cosine
+    >= ``eps_cos`` as the neighborhood relation -> (vec_id, cluster,
+    is_core) for EVERY input vector: core points (>= ``min_pts``
+    neighbors, self excluded) cluster by core-core connectivity
+    (cluster id = min reachable core id; an isolated core is its own
+    singleton cluster), border points adopt the MINIMUM cluster among
+    their core neighbors (the deterministic version of the paper's
+    first-seen rule), noise gets cluster -1.  ``is_core`` is int64 0/1.
+
+    Scale composition — every stage is an existing verified primitive:
+    the eps-graph is ops/dedup.embedding_neardup_blockjoin (chunk-pair
+    cross join, bounded per-task memory), degrees and filters are
+    combiner-first counts and narrow-key semi/anti joins, connectivity
+    is ops/dedup.components_from_pairs (size-gated union-find /
+    distributed min-label).  Nothing corpus-sized lands on the driver."""
+    from ray.data.aggregate import Min
+
+    from .dedup import components_from_pairs
+    from ..ops import joins
+    from .agg import grouped_count
+
+    ids_ds = emb.map_batches(
+        lambda t: pa.table({"vid": pc.cast(t[id_col], pa.int64())}),
+        batch_format="pyarrow",
+    ).materialize()
+    empty = pa.table(
+        {
+            "vec_id": pa.array([], pa.int64()),
+            "cluster": pa.array([], pa.int64()),
+            "is_core": pa.array([], pa.int64()),
+        }
+    )
+    if ids_ds.count() == 0:
+        return rd.from_arrow(empty)
+
+    from .dedup import embedding_neardup_blockjoin
+
+    pairs = embedding_neardup_blockjoin(
+        emb, threshold=eps_cos, id_col=id_col, emb_col=vec_col,
+        num_partitions=num_partitions,
+    ).materialize()  # degree count + core filter + border assign
+
+    def noise_all(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:  # incl. zero-column blocks from anti_join
+            return empty
+        return pa.table(
+            {
+                "vec_id": t["vid"],
+                "cluster": pa.array([-1] * t.num_rows, pa.int64()),
+                "is_core": pa.array([0] * t.num_rows, pa.int64()),
+            }
+        )
+
+    if pairs.count() == 0:  # no neighborhood relation at all: all noise
+        return ids_ds.map_batches(noise_all, batch_format="pyarrow")
+
+    adj = pairs.map_batches(
+        lambda t: pa.table(
+            {
+                "node": pa.chunked_array(
+                    t["vec_a"].chunks + t["vec_b"].chunks
+                ).combine_chunks(),
+                "nbr": pa.chunked_array(
+                    t["vec_b"].chunks + t["vec_a"].chunks
+                ).combine_chunks(),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    deg = grouped_count(
+        adj.map_batches(lambda t: t.select(["node"]), batch_format="pyarrow"),
+        ["node"],
+        "n_nbrs",
+    )
+    core = (
+        deg.filter(expr=f"n_nbrs >= {min_pts}")
+        .repartition(num_partitions)
+        .map_batches(
+            lambda t: t.select(["node"]) if t.num_rows else
+            pa.table({"node": pa.array([], pa.int64())}),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+
+    # --- core clusters: components over core-core edges + singletons
+    cc_edges = joins.semi_join(
+        joins.semi_join(pairs, core, on="vec_a", right_on="node",
+                        num_partitions=num_partitions),
+        core, on="vec_b", right_on="node", num_partitions=num_partitions,
+    ).map_batches(
+        lambda t: pa.table({"id_a": t["vec_a"], "id_b": t["vec_b"]})
+        if t.num_rows else
+        pa.table({"id_a": pa.array([], pa.int64()),
+                  "id_b": pa.array([], pa.int64())}),
+        batch_format="pyarrow",
+    )
+    comp = components_from_pairs(
+        cc_edges, pa.int64(), num_partitions=num_partitions
+    ).materialize()  # (doc_id, cluster_id) for cores with core neighbors
+
+    lonely_core = joins.anti_join(
+        core, comp, on="node", right_on="doc_id",
+        num_partitions=num_partitions,
+    ).map_batches(
+        lambda t: pa.table(
+            {"doc_id": t["node"], "cluster_id": t["node"]}
+        )
+        if t.num_rows else
+        pa.table({"doc_id": pa.array([], pa.int64()),
+                  "cluster_id": pa.array([], pa.int64())}),
+        batch_format="pyarrow",
+    )
+    core_clusters = comp.union(lonely_core).materialize()
+
+    core_out = core_clusters.map_batches(
+        lambda t: pa.table(
+            {
+                "vec_id": pc.cast(t["doc_id"], pa.int64()),
+                "cluster": pc.cast(t["cluster_id"], pa.int64()),
+                "is_core": pa.array([1] * t.num_rows, pa.int64()),
+            }
+        )
+        if t.num_rows else empty,
+        batch_format="pyarrow",
+    )
+
+    # --- border points: non-core adjacent to a core -> min core cluster
+    # empty guard before the join: an ALL-empty dataset carries only
+    # zero-column blocks (Ray discards empty UDF outputs, so map_batches
+    # cannot re-type them) and Ray's JoinOperator cannot resolve the key
+    # field on a zero-column left partition; no border-adjacency rows
+    # means no border points, full stop
+    border_adj = joins.anti_join(
+        joins.semi_join(adj, core, on="nbr", right_on="node",
+                        num_partitions=num_partitions),
+        core, on="node", num_partitions=num_partitions,
+    ).materialize()
+    if border_adj.limit(1).count() == 0:
+        border = rd.from_arrow(empty)
+    else:
+        border = (
+            joins.hash_join(
+                border_adj, core_clusters, on="nbr", right_on="doc_id",
+                num_partitions=num_partitions,
+            )
+            .repartition(num_partitions)
+            .map_batches(
+                lambda t: pa.table(
+                    {"node": t["node"], "cluster_id": t["cluster_id"]}
+                )
+                if t.num_rows and "node" in t.column_names else
+                pa.table({"node": pa.array([], pa.int64()),
+                          "cluster_id": pa.array([], pa.int64())}),
+                batch_format="pyarrow",
+            )
+            .groupby("node")
+            .aggregate(Min("cluster_id", alias_name="cluster"))
+            .repartition(num_partitions)
+            .map_batches(
+                lambda t: pa.table(
+                    {
+                        "vec_id": pc.cast(t["node"], pa.int64()),
+                        "cluster": pc.cast(t["cluster"], pa.int64()),
+                        "is_core": pa.array([0] * t.num_rows, pa.int64()),
+                    }
+                )
+                if t.num_rows and "node" in t.column_names else empty,
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+
+    # --- noise: everything not core and not border
+    assigned = core_out.union(border).materialize()
+    noise = joins.anti_join(
+        ids_ds, assigned, on="vid", right_on="vec_id",
+        num_partitions=num_partitions,
+    ).map_batches(noise_all, batch_format="pyarrow")
+    return assigned.union(noise)

@@ -12021,3 +12021,167 @@ def knn_label_eval(sf_dir: str) -> rd.Dataset:
             Sum("n", alias_name="n"), Sum("n_correct", alias_name="n_correct")
         )
     )
+
+
+def embedding_dbscan_clusters(sf_dir: str) -> rd.Dataset:
+    """DBSCAN density clustering over the embeddings table (cosine >=
+    0.35 neighborhoods, min_pts=2) -> (vec_id, cluster, is_core) for
+    every vector: density-connected core points share a cluster (min
+    reachable core id), border points adopt the minimum cluster among
+    their core neighbors, noise is -1 (ops/cluster.embedding_dbscan —
+    composed entirely from verified primitives: the chunk-pair eps
+    graph, combiner-first degrees, narrow semi/anti joins, size-gated
+    connected components).  The density-based complement of k-means /
+    SemDeDup in the clustering family; oracle: cross-join eps graph +
+    recursive-CTE reachability in DuckDB."""
+    from .ops import cluster
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return cluster.embedding_dbscan(emb, eps_cos=0.35, min_pts=2)
+
+
+def copurchase_edge_churn(sf_dir: str) -> rd.Dataset:
+    """TEMPORAL GRAPH churn -> (year_a, year_b, n_a, n_b, n_common,
+    jaccard_ppm) for consecutive ship years: how much of the
+    co-purchase graph (distinct within-order part pairs whose lineitems
+    shipped in that year) survives year over year — the graph-evolution
+    diagnostic behind drift detection on relationship data.  Jaccard is
+    exact integer ppm.
+
+    Scale shape: ONE distinct pass over (year, order, part) triples,
+    the per-year pair explode as a hash join on (year, order), a
+    distinct-edge pass, then a composite-key self-join on
+    (part_a, part_b, year+1) — every exchange moves narrow key rows;
+    the per-year totals are a years-bounded driver fold."""
+    from .ops import joins
+    from .ops.agg import grouped_count
+
+    li = _lineitem(sf_dir, ["l_orderkey", "l_partkey", "l_shipdate"])
+
+    def tri(t: pa.Table) -> pa.Table:
+        y = pc.year(t["l_shipdate"])
+        g = (
+            pa.table(
+                {
+                    "y": pc.cast(y, pa.int64()),
+                    "o": t["l_orderkey"],
+                    "p": t["l_partkey"],
+                }
+            )
+            .group_by(["y", "o", "p"])
+            .aggregate([])
+        )
+        return g
+
+    triples = (
+        li.map_batches(tri, batch_format="pyarrow")
+        .groupby(["y", "o", "p"])
+        .map_groups(lambda t: t.slice(0, 1), batch_format="pyarrow")
+        .repartition(8)
+        .materialize()  # both pair-join sides
+    )
+    left = triples.map_batches(
+        lambda t: pa.table({"y": t["y"], "o": t["o"], "a": t["p"]}),
+        batch_format="pyarrow",
+    )
+    right = triples.map_batches(
+        lambda t: pa.table({"y": t["y"], "o": t["o"], "b": t["p"]}),
+        batch_format="pyarrow",
+    )
+    joined = joins.hash_join(
+        left, right, on=("y", "o"), num_partitions=8
+    ).repartition(8)
+
+    def pair_distinct(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "a" not in t.column_names:
+            return pa.table(
+                {
+                    "y": pa.array([], pa.int64()),
+                    "a": pa.array([], pa.int64()),
+                    "b": pa.array([], pa.int64()),
+                }
+            )
+        t = t.filter(pc.less(t["a"], t["b"]))
+        return t.select(["y", "a", "b"]).group_by(["y", "a", "b"]).aggregate([])
+
+    edges = (
+        joined.map_batches(pair_distinct, batch_format="pyarrow")
+        .groupby(["y", "a", "b"])
+        .map_groups(lambda t: t.slice(0, 1), batch_format="pyarrow")
+        .repartition(8)
+        .materialize()  # per-year counts + both churn-join sides
+    )
+
+    n_by_year = {
+        int(r["y"]): int(r["n"])
+        for r in grouped_count(
+            edges.map_batches(
+                lambda t: t.select(["y"]), batch_format="pyarrow"
+            ),
+            ["y"],
+            "n",
+        ).take_all()
+    }  # years-bounded
+
+    nxt = edges.map_batches(
+        lambda t: pa.table(
+            {
+                "y2": pc.add(t["y"], 1),
+                "a": t["a"],
+                "b": t["b"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    cur = edges.map_batches(
+        lambda t: pa.table({"y2": t["y"], "a": t["a"], "b": t["b"]}),
+        batch_format="pyarrow",
+    )
+    common = grouped_count(
+        joins.hash_join(nxt, cur, on=("y2", "a", "b"), num_partitions=8)
+        .repartition(8)
+        .map_batches(
+            lambda t: t.select(["y2"]) if t.num_rows and "y2" in t.column_names
+            else pa.table({"y2": pa.array([], pa.int64())}),
+            batch_format="pyarrow",
+        ),
+        ["y2"],
+        "n_common",
+    ).to_pandas()  # years-bounded
+    common_by = dict(
+        zip(common["y2"].astype(int) - 1, common["n_common"].astype(int))
+    )
+
+    years = sorted(n_by_year)
+    rows = []
+    for ya in years:
+        yb = ya + 1
+        if yb not in n_by_year:
+            continue
+        na, nb = n_by_year[ya], n_by_year[yb]
+        nc = int(common_by.get(ya, 0))
+        union = na + nb - nc
+        rows.append(
+            {
+                "year_a": ya,
+                "year_b": yb,
+                "n_a": na,
+                "n_b": nb,
+                "n_common": nc,
+                "jaccard_ppm": (1_000_000 * nc) // union if union else 0,
+            }
+        )
+    out = pa.Table.from_pylist(
+        rows,
+        schema=pa.schema(
+            [
+                ("year_a", pa.int64()),
+                ("year_b", pa.int64()),
+                ("n_a", pa.int64()),
+                ("n_b", pa.int64()),
+                ("n_common", pa.int64()),
+                ("jaccard_ppm", pa.int64()),
+            ]
+        ),
+    )
+    return rd.from_arrow(out)

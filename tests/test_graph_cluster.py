@@ -1191,3 +1191,153 @@ def test_label_propagation_empty():
         }
     )
     assert graph.label_propagation(rd.from_arrow(t)).count() == 0
+
+
+# ------------------------------------------------------------------ DBSCAN
+
+
+def _dbscan_numpy(V, eps_cos, min_pts):
+    """Reference DBSCAN with the repo's deterministic rules: cluster =
+    min reachable core id, border -> min core-neighbor cluster,
+    noise = -1."""
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    S = Vn @ Vn.T
+    n = len(V)
+    nbrs = [
+        {j for j in range(n) if j != i and S[i, j] >= eps_cos}
+        for i in range(n)
+    ]
+    core = {i for i in range(n) if len(nbrs[i]) >= min_pts}
+    # components over core-core edges (+ singleton cores)
+    cluster = {}
+    for c in sorted(core):
+        if c in cluster:
+            continue
+        stack, comp = [c], set()
+        while stack:
+            u = stack.pop()
+            if u in comp:
+                continue
+            comp.add(u)
+            stack.extend(v for v in nbrs[u] if v in core and v not in comp)
+        lab = min(comp)
+        for u in comp:
+            cluster[u] = lab
+    out = {}
+    for i in range(n):
+        if i in core:
+            out[i] = (cluster[i], 1)
+        else:
+            cn = [cluster[j] for j in nbrs[i] if j in core]
+            out[i] = (min(cn) if cn else -1, 0)
+    return out
+
+
+def test_embedding_dbscan_vs_numpy():
+    from deepie_ray.ops import cluster
+
+    rng = np.random.default_rng(9)
+    # two tight blobs + scattered noise
+    blob1 = rng.normal([5, 0, 0, 0], 0.1, size=(6, 4))
+    blob2 = rng.normal([0, 5, 0, 0], 0.1, size=(5, 4))
+    noise = rng.normal(0, 1, size=(6, 4))
+    V = np.vstack([blob1, blob2, noise])
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(len(V)), pa.int64()),
+            "embedding": pa.array(
+                [list(map(float, r)) for r in V], pa.list_(pa.float32())
+            ),
+        }
+    )
+    got = (
+        cluster.embedding_dbscan(
+            rd.from_arrow(t).repartition(3), eps_cos=0.9, min_pts=2
+        )
+        .to_pandas()
+        .set_index("vec_id")
+        .sort_index()
+    )
+    V32 = np.array([np.asarray(r, np.float32) for r in V]).astype(np.float64)
+    want = _dbscan_numpy(V32, 0.9, 2)
+    assert len(got) == len(V)
+    for i in range(len(V)):
+        assert got.loc[i, "cluster"] == want[i][0], (i, dict(got.loc[i]), want[i])
+        assert got.loc[i, "is_core"] == want[i][1], i
+    # both blobs formed clusters
+    assert got.loc[0, "cluster"] == 0 and got.loc[6, "cluster"] == 6
+
+
+def test_embedding_dbscan_all_noise_and_empty():
+    from deepie_ray.ops import cluster
+
+    rng = np.random.default_rng(2)
+    V = np.eye(4) * 10  # mutually orthogonal: no neighbors at cos 0.9
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(4), pa.int64()),
+            "embedding": pa.array(
+                [list(map(float, r)) for r in V], pa.list_(pa.float32())
+            ),
+        }
+    )
+    out = (
+        cluster.embedding_dbscan(rd.from_arrow(t), eps_cos=0.9, min_pts=2)
+        .to_pandas()
+    )
+    assert (out["cluster"] == -1).all() and (out["is_core"] == 0).all()
+    te = pa.table(
+        {
+            "vec_id": pa.array([], pa.int64()),
+            "embedding": pa.array([], pa.list_(pa.float32())),
+        }
+    )
+    assert cluster.embedding_dbscan(rd.from_arrow(te)).count() == 0
+
+
+def test_copurchase_edge_churn_duckdb_parity(sf_dir):
+    import duckdb
+
+    from deepie_ray import queries as Q
+
+    got = (
+        Q.copurchase_edge_churn(sf_dir)
+        .to_pandas()
+        .sort_values("year_a")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM '{sf_dir}/lineitem.parquet'"
+    )
+    want = (
+        con.execute(
+            """
+            WITH tri AS (
+              SELECT DISTINCT year(l_shipdate)::BIGINT AS y,
+                     l_orderkey AS o, l_partkey AS p FROM lineitem
+            ),
+            e AS (
+              SELECT DISTINCT a.y, a.p AS pa, b.p AS pb
+              FROM tri a JOIN tri b ON a.y = b.y AND a.o = b.o AND a.p < b.p
+            ),
+            n AS (SELECT y, count(*)::BIGINT AS n FROM e GROUP BY y),
+            c AS (SELECT e1.y AS ya, count(*)::BIGINT AS n_common
+                  FROM e e1 JOIN e e2
+                    ON e2.y = e1.y + 1 AND e2.pa = e1.pa AND e2.pb = e1.pb
+                  GROUP BY e1.y)
+            SELECT na.y AS year_a, nb.y AS year_b, na.n AS n_a, nb.n AS n_b,
+                   coalesce(c.n_common, 0)::BIGINT AS n_common,
+                   ((1000000 * coalesce(c.n_common, 0))
+                    // (na.n + nb.n - coalesce(c.n_common, 0)))::BIGINT
+                     AS jaccard_ppm
+            FROM n na JOIN n nb ON nb.y = na.y + 1
+            LEFT JOIN c ON c.ya = na.y
+            ORDER BY year_a
+            """
+        )
+        .df()
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert len(got) >= 1
