@@ -270,6 +270,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_label_eval": Q.knn_label_eval,
         "embedding_dbscan_clusters": Q.embedding_dbscan_clusters,
         "copurchase_edge_churn": Q.copurchase_edge_churn,
+        "hot_parts_cms": Q.hot_parts_cms,
+        "copurchase_random_walks": Q.copurchase_random_walks,
         # --- rows-only / pytest-oracled block (no SQL twin by nature) ---
         "doc_compression_ratio": Q.doc_compression_ratio,
         "export_tar_shards_roundtrip": Q.export_tar_shards_roundtrip,
@@ -3834,6 +3836,52 @@ def oracle_sql() -> dict[str, str]:
             FROM n na
             JOIN n nb ON nb.y = na.y + 1
             LEFT JOIN c ON c.ya = na.y
+        """,
+        "hot_parts_cms": """
+            SELECT l_partkey, count(*)::BIGINT AS n
+            FROM lineitem GROUP BY l_partkey HAVING count(*) >= 45
+        """,
+        "copurchase_random_walks": """
+            WITH p AS (
+              SELECT DISTINCT l_orderkey AS o, l_partkey AS pt FROM lineitem
+            ),
+            e AS (
+              SELECT DISTINCT a.pt AS pa, b.pt AS pb
+              FROM p a JOIN p b ON a.o = b.o AND a.pt < b.pt
+            ),
+            adj AS (
+              SELECT pa AS node, pb AS nbr FROM e
+              UNION ALL SELECT pb, pa FROM e
+            ),
+            w0 AS (SELECT DISTINCT node AS walk_id, node FROM adj),
+            s1 AS (
+              SELECT w.walk_id,
+                     min(('0x' || substr(md5(w.walk_id::VARCHAR || ':1:'
+                            || a.nbr::VARCHAR), 1, 8))::BIGINT
+                         * 2147483648 + a.nbr) AS packed
+              FROM w0 w JOIN adj a ON a.node = w.node GROUP BY w.walk_id
+            ),
+            w1 AS (SELECT walk_id, packed % 2147483648 AS node FROM s1),
+            s2 AS (
+              SELECT w.walk_id,
+                     min(('0x' || substr(md5(w.walk_id::VARCHAR || ':2:'
+                            || a.nbr::VARCHAR), 1, 8))::BIGINT
+                         * 2147483648 + a.nbr) AS packed
+              FROM w1 w JOIN adj a ON a.node = w.node GROUP BY w.walk_id
+            ),
+            w2 AS (SELECT walk_id, packed % 2147483648 AS node FROM s2),
+            s3 AS (
+              SELECT w.walk_id,
+                     min(('0x' || substr(md5(w.walk_id::VARCHAR || ':3:'
+                            || a.nbr::VARCHAR), 1, 8))::BIGINT
+                         * 2147483648 + a.nbr) AS packed
+              FROM w2 w JOIN adj a ON a.node = w.node GROUP BY w.walk_id
+            ),
+            w3 AS (SELECT walk_id, packed % 2147483648 AS node FROM s3)
+            SELECT walk_id, 0::BIGINT AS pos, node::BIGINT AS node FROM w0
+            UNION ALL SELECT walk_id, 1, node FROM w1
+            UNION ALL SELECT walk_id, 2, node FROM w2
+            UNION ALL SELECT walk_id, 3, node FROM w3
         """,
         # rows-only (no SQL twin): lang_id, minhash_dedup_documents,
         # simhash_signatures, simhash_neardup, ann_topk_lsh, kg_triples,

@@ -1544,3 +1544,157 @@ def kcore(
             "graphs)"
         )
     return deg
+
+
+def random_walks(
+    edges: rd.Dataset,
+    k_steps: int = 3,
+    src_col: str = "part_a",
+    dst_col: str = "part_b",
+    num_partitions: int = 8,
+) -> rd.Dataset:
+    """Deterministic 'random' walks for graph-embedding corpus
+    generation (the DeepWalk/node2vec data-prep step): one walk per
+    node, ``k_steps`` steps -> (walk_id, pos, node) with pos 0..k.
+    The step rule is content-addressed, not RNG: from node u, walk w
+    at step s moves to the neighbor v minimizing
+    ``md5(f"{w}:{s}:{v}")[:8] as int`` (tie-break v asc) — the repo's
+    md5 convention (hashing.md5_hex == DuckDB ``md5``), so an unrolled
+    SQL twin reproduces every step exactly, and retries/partitioning
+    cannot change a walk.  Hash depends on (walk, step), so walks that
+    collide on a node still diverge — the corpus-diversity property
+    node2vec's RNG provides, without the RNG.
+
+    Scale shape: one hash-partitioned join (frontier x adjacency) per
+    step; the argmin is combiner-first — (hash, nbr) packs into ONE
+    int64 (hash is 32 bits, node ids < 2^31), per-batch ``minimum.at``
+    partials, then a grouped Min of narrow (walk_id, packed) rows.
+    Frontier rows are O(nodes) per step; nothing walk-related ever
+    sits on the driver.  The md5 loop is per (frontier x degree) row
+    — C-speed digests under a Python loop, the price of SQL parity
+    (cf. train/val/test split's identical convention)."""
+    from ..hashing import md5_hex
+
+    PACK = 1 << 31
+    out_schema = pa.table(
+        {
+            "walk_id": pa.array([], pa.int64()),
+            "pos": pa.array([], pa.int64()),
+            "node": pa.array([], pa.int64()),
+        }
+    )
+
+    def sym(t: pa.Table) -> pa.Table:
+        a = pc.cast(t[src_col], pa.int64())
+        b = pc.cast(t[dst_col], pa.int64())
+        return pa.table(
+            {
+                "node": pa.chunked_array(a.chunks + b.chunks).combine_chunks()
+                if isinstance(a, pa.ChunkedArray)
+                else pa.concat_arrays([a, b]),
+                "nbr": pa.chunked_array(b.chunks + a.chunks).combine_chunks()
+                if isinstance(b, pa.ChunkedArray)
+                else pa.concat_arrays([b, a]),
+            }
+        )
+
+    adj = edges.map_batches(sym, batch_format="pyarrow").materialize()
+    if adj.limit(1).count() == 0:
+        return rd.from_arrow(out_schema)
+
+    def local_distinct(t: pa.Table) -> pa.Table:
+        return t.select(["node"]).group_by("node").aggregate([])
+
+    front = (
+        adj.map_batches(local_distinct, batch_format="pyarrow")
+        .groupby("node")
+        .map_groups(lambda t: t.slice(0, 1), batch_format="pyarrow")
+        .repartition(num_partitions)
+        .map_batches(
+            lambda t: pa.table(
+                {"walk_id": t["node"], "node": t["node"]}
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+
+    def emit(ds: rd.Dataset, pos: int) -> rd.Dataset:
+        return ds.map_batches(
+            lambda t, _p=pos: pa.table(
+                {
+                    "walk_id": t["walk_id"],
+                    "pos": pa.array([_p] * t.num_rows, pa.int64()),
+                    "node": t["node"],
+                }
+            )
+            if t.num_rows
+            else out_schema,
+            batch_format="pyarrow",
+        )
+
+    outs = [emit(front, 0)]
+    for s in range(1, k_steps + 1):
+
+        def local_min(t: pa.Table, _s=s) -> pa.Table:
+            if t.num_rows == 0 or "walk_id" not in t.column_names:
+                return pa.table(
+                    {
+                        "walk_id": pa.array([], pa.int64()),
+                        "packed": pa.array([], pa.int64()),
+                    }
+                )
+            w = t["walk_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            nb = t["nbr"].to_numpy(zero_copy_only=False).astype(np.int64)
+            h = np.fromiter(
+                (
+                    int(md5_hex(f"{wi}:{_s}:{ni}")[:8], 16)
+                    for wi, ni in zip(w.tolist(), nb.tolist())
+                ),
+                dtype=np.int64,
+                count=len(w),
+            )
+            packed = h * PACK + nb
+            u, inv = np.unique(w, return_inverse=True)
+            best = np.full(len(u), np.iinfo(np.int64).max, dtype=np.int64)
+            np.minimum.at(best, inv, packed)
+            return pa.table(
+                {
+                    "walk_id": pa.array(u, pa.int64()),
+                    "packed": pa.array(best, pa.int64()),
+                }
+            )
+
+        front = (
+            hash_join(front, adj, on="node", num_partitions=num_partitions)
+            .repartition(num_partitions)
+            .map_batches(local_min, batch_format="pyarrow")
+            .groupby("walk_id")
+            .aggregate(Min("packed", alias_name="packed"))
+            .repartition(num_partitions)
+            .map_batches(
+                lambda t: pa.table(
+                    {
+                        "walk_id": pc.cast(t["walk_id"], pa.int64()),
+                        "node": pc.cast(
+                            pc.bit_wise_and(t["packed"], PACK - 1), pa.int64()
+                        ),
+                    }
+                )
+                if t.num_rows and "walk_id" in t.column_names
+                else pa.table(
+                    {
+                        "walk_id": pa.array([], pa.int64()),
+                        "node": pa.array([], pa.int64()),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+        outs.append(emit(front, s))
+
+    result = outs[0]
+    for o in outs[1:]:
+        result = result.union(o)
+    return result

@@ -22,6 +22,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data as rd
 
@@ -670,3 +671,175 @@ def exact_quantiles_refine(
     if any(lo < hi for lo, hi, _k in state):
         raise RuntimeError("exact_quantiles_refine: did not converge")
     return [lo for lo, _hi, _k in state]
+
+
+# ------------------------------------------------- count-min sketch
+#
+# The fixed-size frequency sketch (Cormode & Muthukrishnan 2005)
+# alongside Misra-Gries: depth x width int64 counters, update = add the
+# count at one hashed cell per row, merge = elementwise SUM (exactly
+# mergeable, safe under the per-batch -> salted-merge pattern), point
+# estimate = MIN over the depth cells (always an OVERestimate, error
+# <= e*N/width with prob 1-exp(-depth)).  MG keeps the identities of
+# its cap survivors; CMS answers frequency for ANY item after the fact
+# in O(1) space per query — which is what makes the two-pass exact
+# frequent-items pattern below work: the overestimate property means
+# the CMS prune has NO false negatives, so the exact verify pass sees
+# every true heavy hitter.
+
+CMS_DEPTH = 4
+CMS_WIDTH = 8192
+
+# splitmix64 finalizer constants (same family as dedup.band_hashes_vec;
+# duplicated rather than imported to keep sketch.py dependency-light)
+_SMX_GAMMA = np.uint64(0x9E3779B97F4A7C15)
+_SMX_M1 = np.uint64(0xBF58476D1CE4E5B9)
+_SMX_M2 = np.uint64(0x94D049BB133111EB)
+
+
+def cms_indices(
+    keys: np.ndarray, depth: int = CMS_DEPTH, width: int = CMS_WIDTH
+) -> np.ndarray:
+    """uint64 content keys -> (depth, n) int64 cell columns, one
+    splitmix64-finalizer pass per depth row over the whole batch (zero
+    per-item Python; same mixing family as dedup.band_hashes_vec).
+    NOT the md5 oracle convention on purpose: the sketch cells never
+    appear in any oracle — output exactness comes from the verify
+    pass, not the hash."""
+    out = np.empty((depth, len(keys)), dtype=np.int64)
+    k = keys.astype(np.uint64)
+    with np.errstate(over="ignore"):
+        for r in range(depth):
+            z = k + _SMX_GAMMA * np.uint64(r + 1)
+            z ^= z >> np.uint64(30)
+            z *= _SMX_M1
+            z ^= z >> np.uint64(27)
+            z *= _SMX_M2
+            z ^= z >> np.uint64(31)
+            out[r] = (z % np.uint64(width)).astype(np.int64)
+    return out
+
+
+def cms_partial(
+    keys: np.ndarray,
+    counts: np.ndarray,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> np.ndarray:
+    """(distinct keys, their counts) -> (depth, width) int64 sketch."""
+    sk = np.zeros((depth, width), dtype=np.int64)
+    if len(keys):
+        idx = cms_indices(keys, depth, width)
+        for r in range(depth):
+            np.add.at(sk[r], idx[r], counts)
+    return sk
+
+
+def cms_merge(sketches: list[np.ndarray]) -> np.ndarray:
+    """Elementwise sum — counts are additive across disjoint inputs."""
+    return np.sum(np.stack(sketches), axis=0)
+
+
+def cms_estimate(
+    sk: np.ndarray, keys: np.ndarray
+) -> np.ndarray:
+    """Point frequency estimates (min over depth cells) — >= truth."""
+    if not len(keys):
+        return np.array([], dtype=np.int64)
+    depth, width = sk.shape
+    idx = cms_indices(keys, depth, width)
+    est = sk[0][idx[0]]
+    for r in range(1, depth):
+        est = np.minimum(est, sk[r][idx[r]])
+    return est
+
+
+def frequent_items_cms(
+    ds: rd.Dataset,
+    item_col: str,
+    count_col: str,
+    threshold: int,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+    salt_buckets: int = 32,
+) -> rd.Dataset:
+    """EXACT frequent items (global count >= ``threshold``) over
+    (int64 item, partial count) rows by the canonical two-pass scale
+    pattern: pass 1 folds a global count-min sketch (per-batch
+    (depth x width) partials -> salted level-1 sum -> <=
+    ``salt_buckets`` fixed-size rows folded on the driver — bounded by
+    buckets x depth x width ints, never by items); pass 2 broadcasts
+    the sketch once (``ray.put``) and re-streams the rows, keeping only
+    items whose CMS estimate clears the threshold, then exact-counts
+    the survivors with one combiner-first grouped sum and applies the
+    threshold to the TRUE counts.
+
+    Output (item_col, n:int64) is EXACT regardless of sketch quality:
+    CMS never underestimates, so the prune admits every true heavy
+    hitter (no false negatives), and false positives die at the final
+    exact filter.  The sketch only bounds how much the verify pass
+    shuffles: O(items-with-est>=T), not O(distinct items).
+
+    ``ds`` is consumed twice — pass an already-materialized dataset."""
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    def p1(t: pa.Table) -> pa.Table:
+        items = t[item_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        counts = t[count_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        u, inv = np.unique(items, return_inverse=True)
+        summed = np.zeros(len(u), dtype=np.int64)
+        np.add.at(summed, inv, counts)
+        sk = cms_partial(u.astype(np.uint64), summed, depth, width)
+        salt = int(sk.sum()) % salt_buckets
+        return pa.table(
+            {"_salt": pa.array([salt], pa.int64()),
+             "sk": pa.array([sk.tobytes()], pa.binary())}
+        )
+
+    def sum_lvl1(df: pd.DataFrame) -> pd.DataFrame:
+        m = cms_merge(
+            [np.frombuffer(b, dtype=np.int64).reshape(depth, width)
+             for b in df["sk"]]
+        )
+        return pd.DataFrame({"sk": [m.tobytes()]})
+
+    lvl1 = (
+        ds.map_batches(p1, batch_format="pyarrow")
+        .groupby("_salt")
+        .map_groups(sum_lvl1, batch_format="pandas")
+        .take_all()
+    )  # <= salt_buckets fixed-size rows: bounded driver fold
+    sk = cms_merge(
+        [np.frombuffer(r["sk"], dtype=np.int64).reshape(depth, width)
+         for r in lvl1]
+    )
+    sk_ref = ray.put(sk)
+
+    def p2(t: pa.Table) -> pa.Table:
+        s = ray.get(sk_ref)
+        items = t[item_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        counts = t[count_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        u, inv = np.unique(items, return_inverse=True)
+        summed = np.zeros(len(u), dtype=np.int64)
+        np.add.at(summed, inv, counts)
+        keep = cms_estimate(s, u.astype(np.uint64)) >= threshold
+        return pa.table(
+            {item_col: pa.array(u[keep], pa.int64()),
+             "n": pa.array(summed[keep], pa.int64())}
+        )
+
+    out = (
+        ds.map_batches(p2, batch_format="pyarrow")
+        .groupby(item_col)
+        .aggregate(Sum("n", alias_name="n"))
+        .filter(expr=f"n >= {threshold}")
+    )
+    return out.map_batches(
+        lambda t: pa.table(
+            {item_col: pc.cast(t[item_col], pa.int64()),
+             "n": pc.cast(t["n"], pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )

@@ -12185,3 +12185,46 @@ def copurchase_edge_churn(sf_dir: str) -> rd.Dataset:
         ),
     )
     return rd.from_arrow(out)
+
+
+def hot_parts_cms(sf_dir: str) -> rd.Dataset:
+    """EXACT frequent parts (>= 45 lineitems) -> (l_partkey, n) via the
+    count-min-sketch two-pass pattern (ops/sketch.frequent_items_cms):
+    pass 1 folds a global fixed-size CMS (per-batch partials, salted
+    sum merge, bounded driver fold); pass 2 broadcasts the sketch once
+    and prunes the grouped exact count to items whose estimate clears
+    the threshold.  Output is exact because CMS never underestimates
+    (no false negatives at the prune) and survivors are re-counted for
+    real — the sketch only bounds what the verify shuffle moves.  The
+    after-the-fact point-query complement of the Misra-Gries top-k
+    (word_topk_approx)."""
+    from .ops.sketch import frequent_items_cms
+
+    def local_counts(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table({"l_partkey": t["l_partkey"]})
+            .group_by("l_partkey")
+            .aggregate([([], "count_all")])
+        )
+        return pa.table({"l_partkey": g["l_partkey"], "n": g["count_all"]})
+
+    li = _lineitem(sf_dir, ["l_partkey"])
+    counts = li.map_batches(
+        local_counts, batch_format="pyarrow"
+    ).materialize()  # consumed by both CMS passes
+    return frequent_items_cms(counts, "l_partkey", "n", threshold=45)
+
+
+def copurchase_random_walks(sf_dir: str) -> rd.Dataset:
+    """Graph-embedding corpus prep -> (walk_id, pos, node): one
+    deterministic 3-step walk per node over the co-purchase graph
+    (ops/graph.random_walks — content-addressed md5 step rule, packed
+    (hash, nbr) argmin, one frontier join per step).  The DeepWalk /
+    node2vec data-generation stage with an exact unrolled SQL twin:
+    every step is min(md5(walk:step:nbr) packed with nbr) over the
+    frontier's neighbors."""
+    from .ops import graph
+
+    li = _lineitem(sf_dir, ["l_orderkey", "l_partkey"])
+    edges = graph.copurchase_edges(li).materialize()
+    return graph.random_walks(edges, k_steps=3)

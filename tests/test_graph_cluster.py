@@ -1341,3 +1341,68 @@ def test_copurchase_edge_churn_duckdb_parity(sf_dir):
     )
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
     assert len(got) >= 1
+
+
+# ------------------------------------------------------------ random walks
+
+
+def test_random_walks_vs_python_simulation():
+    from deepie_ray.hashing import md5_hex
+    from deepie_ray.ops import graph
+
+    # small undirected graph: triangle 1-2-3 plus pendant 4-1
+    ed = pa.table(
+        {
+            "part_a": pa.array([1, 1, 2, 1], pa.int64()),
+            "part_b": pa.array([2, 3, 3, 4], pa.int64()),
+        }
+    )
+    K = 3
+    got = (
+        graph.random_walks(rd.from_arrow(ed).repartition(2), k_steps=K)
+        .to_pandas()
+        .sort_values(["walk_id", "pos"])
+        .reset_index(drop=True)
+    )
+    nbrs = {1: [2, 3, 4], 2: [1, 3], 3: [1, 2], 4: [1]}
+
+    def step(w, s, u):
+        return min(
+            nbrs[u], key=lambda v: (int(md5_hex(f"{w}:{s}:{v}")[:8], 16), v)
+        )
+
+    want = []
+    for w in sorted(nbrs):
+        u = w
+        want.append((w, 0, u))
+        for s in range(1, K + 1):
+            u = step(w, s, u)
+            want.append((w, s, u))
+    want_df = pd.DataFrame(want, columns=["walk_id", "pos", "node"])
+    pd.testing.assert_frame_equal(got, want_df, check_dtype=False)
+    # walks never leave the node set and every step is a real edge
+    assert set(got["node"]).issubset(set(nbrs))
+
+
+def test_random_walks_partitioning_independent_and_empty():
+    from deepie_ray.ops import graph
+
+    ed = pa.table(
+        {
+            "part_a": pa.array([10, 20, 10], pa.int64()),
+            "part_b": pa.array([20, 30, 30], pa.int64()),
+        }
+    )
+    a = (
+        graph.random_walks(rd.from_arrow(ed), k_steps=2)
+        .to_pandas().sort_values(["walk_id", "pos"]).reset_index(drop=True)
+    )
+    b = (
+        graph.random_walks(rd.from_arrow(ed).repartition(3), k_steps=2)
+        .to_pandas().sort_values(["walk_id", "pos"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+    empty = pa.table(
+        {"part_a": pa.array([], pa.int64()), "part_b": pa.array([], pa.int64())}
+    )
+    assert graph.random_walks(rd.from_arrow(empty)).count() == 0

@@ -2188,3 +2188,57 @@ def test_greedy_max_coverage_hand_case():
     # asking for more picks than there is uncovered gain: stops early
     out2 = sample.greedy_max_coverage(rd.from_arrow(docs), k=10).to_pandas()
     assert len(out2) == 3
+
+
+# ------------------------------------------------------- count-min sketch
+
+
+def test_cms_overestimates_and_merges():
+    from deepie_ray.ops import sketch
+
+    rng = np.random.default_rng(7)
+    # zipf-ish skew: few hot keys, long tail
+    keys = rng.zipf(1.5, size=20000) % 5000
+    u, exact = np.unique(keys, return_counts=True)
+    sk = sketch.cms_partial(u.astype(np.uint64), exact)
+    est = sketch.cms_estimate(sk, u.astype(np.uint64))
+    assert (est >= exact).all()  # CMS never underestimates
+    # error bound: e*N/width with high probability
+    assert (est - exact).max() <= np.ceil(np.e * keys.size / sketch.CMS_WIDTH)
+    # merge(partial(A), partial(B)) == partial(A+B)
+    half = len(keys) // 2
+    parts = []
+    for chunk in (keys[:half], keys[half:]):
+        cu, cc = np.unique(chunk, return_counts=True)
+        parts.append(sketch.cms_partial(cu.astype(np.uint64), cc))
+    merged = sketch.cms_merge(parts)
+    np.testing.assert_array_equal(merged, sk)
+
+
+def test_frequent_items_cms_exact_vs_pandas():
+    from deepie_ray.ops import sketch
+
+    rng = np.random.default_rng(11)
+    items = np.concatenate(
+        [
+            np.repeat(np.arange(5), 80),          # 5 hot items, 80 each
+            rng.integers(1000, 9000, size=4000),  # tail, ~1 each
+        ]
+    )
+    rng.shuffle(items)
+    df = pd.DataFrame({"item": items.astype(np.int64), "n": 1})
+    ds = rd.from_pandas(df).repartition(6).materialize()
+    got = (
+        sketch.frequent_items_cms(ds, "item", "n", threshold=50)
+        .to_pandas()
+        .sort_values("item")
+        .reset_index(drop=True)
+    )
+    want = (
+        df.groupby("item", as_index=False)["n"].sum()
+        .query("n >= 50")
+        .sort_values("item")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert len(got) == 5
