@@ -272,7 +272,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "copurchase_edge_churn": Q.copurchase_edge_churn,
         "hot_parts_cms": Q.hot_parts_cms,
         "copurchase_random_walks": Q.copurchase_random_walks,
+        "doc_packing_global": Q.doc_packing_global,
         # --- rows-only / pytest-oracled block (no SQL twin by nature) ---
+        "interleaved_pack": Q.interleaved_pack,
         "doc_compression_ratio": Q.doc_compression_ratio,
         "export_tar_shards_roundtrip": Q.export_tar_shards_roundtrip,
         "doc_packing": Q.doc_packing,
@@ -3840,6 +3842,18 @@ def oracle_sql() -> dict[str, str]:
         "hot_parts_cms": """
             SELECT l_partkey, count(*)::BIGINT AS n
             FROM lineitem GROUP BY l_partkey HAVING count(*) >= 45
+        """,
+        "doc_packing_global": """
+            SELECT doc_id, n_tokens,
+                   ((SUM(n_tokens) OVER (ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING) - n_tokens)
+                    // 4096)::BIGINT AS seq_id
+            FROM (
+              SELECT doc_id,
+                     len(regexp_split_to_array(text, '\\s+'))::BIGINT
+                       AS n_tokens
+              FROM documents
+            )
         """,
         "copurchase_random_walks": """
             WITH p AS (

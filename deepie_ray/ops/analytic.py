@@ -663,3 +663,123 @@ def global_exclusive_prefix_max(
         .map_groups(finish, batch_format="pandas")
         .select_columns(cols + ["prev_max"])
     )
+
+
+def global_exclusive_prefix_sum(
+    ds: rd.Dataset,
+    order_col: str,
+    val_col: str,
+    keep_cols: list[str] | None = None,
+    num_shards: int = 8,
+) -> rd.Dataset:
+    """Global EXCLUSIVE running sum of ``val_col`` in ``order_col``
+    order (SQL ``sum(val) OVER (ORDER BY ord ROWS UNBOUNDED PRECEDING)
+    - val``) -> input columns + ``cum_before`` (int64; the first
+    global row gets 0).  The additive sibling of
+    ``global_exclusive_prefix_max`` — the distributed prefix-sum that
+    sequence packing, byte-offset assignment and contiguous-capacity
+    planning all reduce to.
+
+    Scale shape (identical to prefix_max): quantile-sketch shard
+    boundaries on ``order_col`` (broadcast floats; approximation skews
+    balance, never correctness), ONE shuffle on the shard id,
+    per-shard local sort + exclusive cumsum, per-shard TOTALS
+    (``num_shards`` ints) folded into exclusive carry-ins on the
+    driver, and a final vectorized add.  Assumes ``order_col`` values
+    are unique (a total order)."""
+    import pyarrow as pa  # noqa: F401  (kept for parity with siblings)
+
+    from ..ops.sketch import grouped_quantile
+
+    keep_cols = list(keep_cols or [])
+    cols = [order_col, val_col] + keep_cols
+
+    if ds.limit(1).count() == 0:
+        return rd.from_pandas(
+            pd.DataFrame(
+                {
+                    **{c: pd.Series([], dtype=np.int64) for c in cols},
+                    "cum_before": pd.Series([], dtype=np.int64),
+                }
+            )
+        )
+
+    narrow = ds.map_batches(
+        lambda df: df[cols], batch_format="pandas"
+    ).materialize()  # consumed twice: boundary sketch + shard routing
+
+    def add_g(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_g"] = np.int64(0)
+        return df
+
+    qs = {f"b{i}": i / num_shards for i in range(1, num_shards)}
+    b = (
+        grouped_quantile(
+            narrow.map_batches(add_g, batch_format="pandas"),
+            "_g",
+            order_col,
+            q=qs,
+            ndigits=None,
+        )
+        .to_pandas()
+        .iloc[0]
+    )
+    bounds = np.array([b[f"b{i}"] for i in range(1, num_shards)], np.float64)
+
+    def shard(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_shard"] = np.searchsorted(
+            bounds, df[order_col].to_numpy().astype(np.float64), side="right"
+        ).astype(np.int64)
+        return df
+
+    sharded = narrow.map_batches(shard, batch_format="pandas").materialize()
+
+    # per-shard totals: num_shards narrow rows -> exclusive driver fold
+    shard_sum = (
+        sharded.map_batches(
+            lambda df: (
+                pd.DataFrame(
+                    {
+                        "_shard": df["_shard"],
+                        "_s_partial": df[val_col].to_numpy(np.int64),
+                    }
+                )
+                .groupby("_shard", sort=False)["_s_partial"]
+                .sum()
+                .reset_index()
+            ),
+            batch_format="pandas",
+        )
+        .groupby("_shard")
+        .sum("_s_partial")
+        .to_pandas()
+    )
+    col = "sum(_s_partial)"
+    shard_sum = shard_sum.sort_values("_shard")
+    carry = {}
+    run = 0
+    for s, m in zip(shard_sum["_shard"], shard_sum[col]):
+        carry[int(s)] = run
+        run += int(m)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            out = df[cols].copy()
+            out["cum_before"] = np.array([], np.int64)
+            return out
+        df = df.sort_values(order_col, kind="mergesort")
+        v = df[val_col].to_numpy(np.int64)
+        excl = np.zeros(len(v), np.int64)
+        np.cumsum(v[:-1], out=excl[1:])
+        c = carry.get(int(df["_shard"].iloc[0]), 0)
+        out = df[cols].copy()
+        out["cum_before"] = excl + c
+        return out
+
+    return (
+        sharded.groupby("_shard")
+        .map_groups(finish, batch_format="pandas")
+        .select_columns(cols + ["cum_before"])
+    )

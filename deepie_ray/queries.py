@@ -12228,3 +12228,111 @@ def copurchase_random_walks(sf_dir: str) -> rd.Dataset:
     li = _lineitem(sf_dir, ["l_orderkey", "l_partkey"])
     edges = graph.copurchase_edges(li).materialize()
     return graph.random_walks(edges, k_steps=3)
+
+
+def doc_packing_global(sf_dir: str) -> rd.Dataset:
+    """GLOBAL deterministic sequence packing -> (doc_id, n_tokens,
+    seq_id): docs in doc_id order fill contiguous 4096-token training
+    sequences, seq_id = exclusive-prefix-sum(n_tokens) // 4096 — the
+    partitioning-independent, SQL-expressible complement of the
+    block-local greedy ``doc_packing`` (whose pack ids depend on block
+    boundaries by design).  Runs on the distributed prefix-sum
+    primitive (ops/analytic.global_exclusive_prefix_sum: sketch-
+    bounded range shards, ONE shuffle, per-shard cumsum, driver folds
+    num_shards ints).  Token rule is text_token_counts' oracle
+    convention (len of the RE2 \\s+ split, empties included)."""
+    from .ops.analytic import global_exclusive_prefix_sum
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    per = docs.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "n_tokens": pc.cast(
+                    pc.list_value_length(
+                        pc.split_pattern_regex(t["text"], pattern=r"\s+")
+                    ),
+                    pa.int64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    cum = global_exclusive_prefix_sum(per, "doc_id", "n_tokens")
+    return cum.map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(np.int64),
+                "n_tokens": df["n_tokens"].to_numpy(np.int64),
+                "seq_id": df["cum_before"].to_numpy(np.int64) // 4096,
+            }
+        ),
+        batch_format="pandas",
+    )
+
+
+def interleaved_pack(sf_dir: str) -> rd.Dataset:
+    """Interleaved MULTIMODAL sequence packing -> (doc_id, n_spans,
+    n_media, cost, seq_id): each interleaved document (text + media
+    spans, the flagship's input shape) gets a modality-aware token
+    cost — text spans at their whitespace token count, media spans at
+    a flat 64-token placeholder (the vision-token budget convention) —
+    and docs pack doc-atomically into 4096-token sequences by the same
+    global prefix-sum rule as doc_packing_global, so span order inside
+    a doc and doc order across the corpus are both preserved (the
+    north-rule span-sequence invariant).  Rows-only: the span synth is
+    the deterministic Python stand-in for the Lance corpus, so there
+    is no SQL twin by nature; invariants are pytest-pinned."""
+    from . import pipeline
+    from .hashing import ws_tokens
+    from .ops.analytic import global_exclusive_prefix_sum
+
+    docs = pipeline.read_documents(sf_dir)
+
+    def span_costs(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        spans_col = t["spans"].to_pylist()
+        out_n, out_id, out_ns, out_nm, out_cost = [], [], [], [], []
+        for did, spans in zip(ids, spans_col):
+            ns = len(spans or [])
+            nm = 0
+            cost = 0
+            for s in spans or []:
+                if s["kind"] == "text":
+                    cost += len(ws_tokens(s["text"] or ""))
+                else:
+                    nm += 1
+                    cost += 64
+            # synth keys are "doc-%08d"; the numeric suffix is the
+            # total order the packer fills sequences in
+            out_n.append(int(str(did).rsplit("-", 1)[-1]))
+            out_id.append(str(did))
+            out_ns.append(ns)
+            out_nm.append(nm)
+            out_cost.append(cost)
+        return pa.table(
+            {
+                "doc_n": pa.array(out_n, pa.int64()),
+                "doc_id": pa.array(out_id, pa.string()),
+                "n_spans": pa.array(out_ns, pa.int64()),
+                "n_media": pa.array(out_nm, pa.int64()),
+                "cost": pa.array(out_cost, pa.int64()),
+            }
+        )
+
+    per = docs.map_batches(span_costs, batch_format="pyarrow")
+    cum = global_exclusive_prefix_sum(
+        per, "doc_n", "cost", keep_cols=["doc_id", "n_spans", "n_media"]
+    )
+    return cum.map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype(str),
+                "n_spans": df["n_spans"].to_numpy(np.int64),
+                "n_media": df["n_media"].to_numpy(np.int64),
+                "cost": df["cost"].to_numpy(np.int64),
+                "seq_id": df["cum_before"].to_numpy(np.int64) // 4096,
+            }
+        ),
+        batch_format="pandas",
+    )

@@ -1324,3 +1324,109 @@ def test_session_final_event_ops_empty_events_no_crash(tmp_path):
         assert n == 0, name
     chi = Q.events_type_day_chi2(d)
     assert len(chi) == 1 and int(chi["n"].iloc[0]) == 0
+
+
+# -------------------------------------------------- global prefix-sum packing
+
+
+def test_doc_packing_global_duckdb_parity(sf_dir):
+    import duckdb
+
+    got = (
+        Q.doc_packing_global(sf_dir)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    want = (
+        con.execute(
+            r"""
+            SELECT doc_id, n_tokens,
+                   ((SUM(n_tokens) OVER (ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING) - n_tokens)
+                    // 4096)::BIGINT AS seq_id
+            FROM (SELECT doc_id,
+                         len(regexp_split_to_array(text, '\s+'))::BIGINT
+                           AS n_tokens
+                  FROM documents)
+            ORDER BY doc_id
+            """
+        )
+        .df()
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert got["seq_id"].is_monotonic_increasing
+
+
+def test_global_exclusive_prefix_sum_partition_independent():
+    import ray.data as rd
+
+    from deepie_ray.ops.analytic import global_exclusive_prefix_sum
+
+    rng = np.random.default_rng(3)
+    n = 500
+    df = pd.DataFrame(
+        {
+            "k": np.arange(n, dtype=np.int64),
+            "v": rng.integers(0, 100, n).astype(np.int64),
+        }
+    )
+    rng.shuffle(df.values)  # arrival order != key order
+    a = (
+        global_exclusive_prefix_sum(rd.from_pandas(df), "k", "v")
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    b = (
+        global_exclusive_prefix_sum(rd.from_pandas(df).repartition(7), "k", "v")
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+    want = df.sort_values("k")["v"].cumsum().shift(fill_value=0).to_numpy()
+    np.testing.assert_array_equal(a["cum_before"].to_numpy(), want)
+    # empty input: typed empty, no crash
+    e = pd.DataFrame({"k": pd.Series([], dtype=np.int64),
+                      "v": pd.Series([], dtype=np.int64)})
+    assert global_exclusive_prefix_sum(rd.from_pandas(e), "k", "v").count() == 0
+
+
+def test_interleaved_pack_invariants(sf_dir):
+    import ray
+
+    from deepie_ray import pipeline
+    from deepie_ray.hashing import ws_tokens
+
+    got = (
+        Q.interleaved_pack(sf_dir)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # pure-Python expectation straight off the interleaved reader
+    rows = pipeline.read_documents(sf_dir).take_all()
+    exp = {}
+    for r in rows:
+        cost = 0
+        nm = 0
+        for s in r["spans"]:
+            if s["kind"] == "text":
+                cost += len(ws_tokens(s["text"] or ""))
+            else:
+                nm += 1
+                cost += 64
+        exp[r["doc_id"]] = (len(r["spans"]), nm, cost)
+    assert len(got) == len(exp)
+    for _, row in got.iterrows():
+        ns, nm, cost = exp[row["doc_id"]]
+        assert (row["n_spans"], row["n_media"], row["cost"]) == (ns, nm, cost)
+    # seq ids: monotone in doc order, 0-based, contiguous, and every
+    # sequence's fill matches the exclusive-prefix rule
+    cum = got["cost"].cumsum().shift(fill_value=0).to_numpy()
+    np.testing.assert_array_equal(got["seq_id"].to_numpy(), cum // 4096)
+    assert got["seq_id"].iloc[0] == 0
+    u = np.unique(got["seq_id"].to_numpy())
+    np.testing.assert_array_equal(u, np.arange(len(u)))
