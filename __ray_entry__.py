@@ -273,6 +273,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hot_parts_cms": Q.hot_parts_cms,
         "copurchase_random_walks": Q.copurchase_random_walks,
         "doc_packing_global": Q.doc_packing_global,
+        "supplier_shipment_overlaps": Q.supplier_shipment_overlaps,
         # --- rows-only / pytest-oracled block (no SQL twin by nature) ---
         "interleaved_pack": Q.interleaved_pack,
         "doc_compression_ratio": Q.doc_compression_ratio,
@@ -3842,6 +3843,20 @@ def oracle_sql() -> dict[str, str]:
         "hot_parts_cms": """
             SELECT l_partkey, count(*)::BIGINT AS n
             FROM lineitem GROUP BY l_partkey HAVING count(*) >= 45
+        """,
+        "supplier_shipment_overlaps": """
+            WITH iv AS (
+              SELECT l_suppkey AS k,
+                     l_orderkey * 10 + l_linenumber AS i,
+                     l_shipdate::DATE AS s,
+                     l_shipdate::DATE
+                       + to_days(l_quantity::BIGINT::INT) AS e
+              FROM lineitem
+            )
+            SELECT a.k AS l_suppkey, count(*)::BIGINT AS n_overlaps
+            FROM iv a JOIN iv b
+              ON a.k = b.k AND a.i < b.i AND a.s <= b.e AND b.s <= a.e
+            GROUP BY a.k
         """,
         "doc_packing_global": """
             SELECT doc_id, n_tokens,

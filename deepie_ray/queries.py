@@ -12336,3 +12336,52 @@ def interleaved_pack(sf_dir: str) -> rd.Dataset:
         ),
         batch_format="pandas",
     )
+
+
+def supplier_shipment_overlaps(sf_dir: str) -> rd.Dataset:
+    """Concurrent-shipment diagnostic -> (l_suppkey, n_overlaps): for
+    each supplier, how many PAIRS of its lineitems had overlapping
+    transit windows [l_shipdate, l_shipdate + l_quantity days] (the
+    synth lineitem has no receiptdate; quantity-as-transit-days is the
+    deterministic stand-in both sides compute identically) — the
+    interval-interval self-join (ops/joins.interval_overlap_pairs:
+    grid cells, one equi-join on (supplier, cell), exact-overlap
+    filter, ownership-cell dedup-free emission), aggregated
+    combiner-first.  Lineitem identity is l_orderkey*10 +
+    l_linenumber (linenumber <= 7), dates are int32 epoch days."""
+    from .ops.agg import grouped_count
+    from .ops.joins import interval_overlap_pairs
+
+    li = _lineitem(
+        sf_dir,
+        ["l_suppkey", "l_orderkey", "l_linenumber", "l_shipdate", "l_quantity"],
+    )
+
+    def to_intervals(t: pa.Table) -> pa.Table:
+        s = pc.cast(pc.cast(t["l_shipdate"], pa.date32()), pa.int32())
+        q = pc.cast(t["l_quantity"], pa.int64())
+        return pa.table(
+            {
+                "k": t["l_suppkey"],
+                "i": pc.add(
+                    pc.multiply(pc.cast(t["l_orderkey"], pa.int64()), 10),
+                    pc.cast(t["l_linenumber"], pa.int64()),
+                ),
+                "s": s,
+                "e": pc.add(pc.cast(s, pa.int64()), q),
+            }
+        )
+
+    ints = li.map_batches(to_intervals, batch_format="pyarrow")
+    pairs = interval_overlap_pairs(
+        ints, key="k", id_col="i", start_col="s", end_col="e", cell=32
+    )
+    return (
+        grouped_count(
+            pairs.map_batches(
+                lambda t: pa.table({"l_suppkey": t["k"]}), batch_format="pyarrow"
+            ),
+            ["l_suppkey"],
+            "n_overlaps",
+        )
+    )

@@ -2242,3 +2242,69 @@ def test_frequent_items_cms_exact_vs_pandas():
     )
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
     assert len(got) == 5
+
+
+# ------------------------------------------------- interval overlap join
+
+
+def test_interval_overlap_pairs_vs_bruteforce():
+    from deepie_ray.ops.joins import interval_overlap_pairs
+
+    rng = np.random.default_rng(5)
+    n = 300
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 4, n).astype(np.int64),
+            "i": np.arange(n, dtype=np.int64),
+            "s": rng.integers(0, 500, n).astype(np.int64),
+        }
+    )
+    df["e"] = df["s"] + rng.integers(0, 90, n)  # spans 0-3 grid cells
+    got = (
+        interval_overlap_pairs(
+            rd.from_pandas(df).repartition(5), "k", "i", "s", "e", cell=32
+        )
+        .to_pandas()
+        .sort_values(["k", "id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    m = df.merge(df, on="k", suffixes=("_a", "_b"))
+    m = m[
+        (m["i_a"] < m["i_b"])
+        & (m["s_a"] <= m["e_b"])
+        & (m["s_b"] <= m["e_a"])
+    ]
+    want = (
+        m[["k", "i_a", "i_b"]]
+        .rename(columns={"i_a": "id_a", "i_b": "id_b"})
+        .sort_values(["k", "id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert len(got) > 100  # the case actually exercises overlaps
+    # exactly once per pair (the ownership-cell rule deduplicates)
+    assert not got.duplicated(["k", "id_a", "id_b"]).any()
+
+
+def test_interval_overlap_pairs_boundary_cells():
+    from deepie_ray.ops.joins import interval_overlap_pairs
+
+    # overlap exactly AT a cell boundary + touching endpoints
+    df = pd.DataFrame(
+        {
+            "k": [1, 1, 1, 1],
+            "i": [0, 1, 2, 3],
+            "s": [0, 32, 64, 200],
+            "e": [32, 64, 64, 210],
+        }
+    )  # 0-1 touch at 32 (different cells), 1-2 touch at 64, 3 isolated
+    got = (
+        interval_overlap_pairs(rd.from_pandas(df), "k", "i", "s", "e", cell=32)
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    assert [tuple(r) for r in got[["id_a", "id_b"]].to_numpy()] == [
+        (0, 1),
+        (1, 2),
+    ]
