@@ -1608,8 +1608,8 @@ def random_walks(
     front = (
         adj.map_batches(local_distinct, batch_format="pyarrow")
         .groupby("node")
-        .map_groups(lambda t: t.slice(0, 1), batch_format="pyarrow")
-        .repartition(num_partitions)
+        .aggregate(Min("node", alias_name="_m"))  # Arrow distinct, no
+        .repartition(num_partitions)              # per-group Python call
         .map_batches(
             lambda t: pa.table(
                 {"walk_id": t["node"], "node": t["node"]}

@@ -12073,11 +12073,15 @@ def copurchase_edge_churn(sf_dir: str) -> rd.Dataset:
         )
         return g
 
+    # distinct via ONE grouped aggregate, NOT map_groups(slice): at
+    # sf0.1 the millions of one-row groups cost one Python call each
+    # (the distinct_order_parts lesson), aggregate(Min) stays in Arrow
     triples = (
         li.map_batches(tri, batch_format="pyarrow")
         .groupby(["y", "o", "p"])
-        .map_groups(lambda t: t.slice(0, 1), batch_format="pyarrow")
+        .aggregate(Min("p", alias_name="_m"))
         .repartition(8)
+        .select_columns(["y", "o", "p"])
         .materialize()  # both pair-join sides
     )
     left = triples.map_batches(
@@ -12107,8 +12111,9 @@ def copurchase_edge_churn(sf_dir: str) -> rd.Dataset:
     edges = (
         joined.map_batches(pair_distinct, batch_format="pyarrow")
         .groupby(["y", "a", "b"])
-        .map_groups(lambda t: t.slice(0, 1), batch_format="pyarrow")
+        .aggregate(Min("b", alias_name="_m"))
         .repartition(8)
+        .select_columns(["y", "a", "b"])
         .materialize()  # per-year counts + both churn-join sides
     )
 
