@@ -1552,6 +1552,7 @@ def random_walks(
     src_col: str = "part_a",
     dst_col: str = "part_b",
     num_partitions: int = 8,
+    hash_mode: str = "md5",
 ) -> rd.Dataset:
     """Deterministic 'random' walks for graph-embedding corpus
     generation (the DeepWalk/node2vec data-prep step): one walk per
@@ -1572,8 +1573,43 @@ def random_walks(
     Frontier rows are O(nodes) per step; nothing walk-related ever
     sits on the driver.  The md5 loop is per (frontier x degree) row
     — C-speed digests under a Python loop, the price of SQL parity
-    (cf. train/val/test split's identical convention)."""
+    (cf. train/val/test split's identical convention).
+    ``hash_mode="fast"`` swaps the digests for the fully vectorized
+    splitmix64 fold (zero per-row Python — the 100 TB path): same
+    determinism and partitioning-independence guarantees, different
+    (non-SQL-reproducible) step choices, so it is pytest-invariant-
+    checked rather than oracle-checked."""
     from ..hashing import md5_hex
+
+    if hash_mode not in ("md5", "fast"):
+        raise ValueError(f"unknown hash_mode: {hash_mode!r}")
+
+    _G = np.uint64(0x9E3779B97F4A7C15)
+    _M1 = np.uint64(0xBF58476D1CE4E5B9)
+    _M2 = np.uint64(0x94D049BB133111EB)
+
+    def _hash_rows(w: np.ndarray, s: int, nb: np.ndarray) -> np.ndarray:
+        if hash_mode == "md5":
+            return np.fromiter(
+                (
+                    int(md5_hex(f"{wi}:{s}:{ni}")[:8], 16)
+                    for wi, ni in zip(w.tolist(), nb.tolist())
+                ),
+                dtype=np.int64,
+                count=len(w),
+            )
+        with np.errstate(over="ignore"):
+            z = (
+                w.astype(np.uint64)
+                + np.uint64(s) * _G
+                + nb.astype(np.uint64) * _M2
+            )
+            z ^= z >> np.uint64(30)
+            z *= _M1
+            z ^= z >> np.uint64(27)
+            z *= _M2
+            z ^= z >> np.uint64(31)
+        return (z >> np.uint64(33)).astype(np.int64)  # 31 bits, fits PACK
 
     PACK = 1 << 31
     out_schema = pa.table(
@@ -1646,15 +1682,7 @@ def random_walks(
                 )
             w = t["walk_id"].to_numpy(zero_copy_only=False).astype(np.int64)
             nb = t["nbr"].to_numpy(zero_copy_only=False).astype(np.int64)
-            h = np.fromiter(
-                (
-                    int(md5_hex(f"{wi}:{_s}:{ni}")[:8], 16)
-                    for wi, ni in zip(w.tolist(), nb.tolist())
-                ),
-                dtype=np.int64,
-                count=len(w),
-            )
-            packed = h * PACK + nb
+            packed = _hash_rows(w, _s, nb) * PACK + nb
             u, inv = np.unique(w, return_inverse=True)
             best = np.full(len(u), np.iinfo(np.int64).max, dtype=np.int64)
             np.minimum.at(best, inv, packed)

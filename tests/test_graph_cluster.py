@@ -1406,3 +1406,33 @@ def test_random_walks_partitioning_independent_and_empty():
         {"part_a": pa.array([], pa.int64()), "part_b": pa.array([], pa.int64())}
     )
     assert graph.random_walks(rd.from_arrow(empty)).count() == 0
+
+
+def test_random_walks_fast_mode_valid_and_partition_independent():
+    from deepie_ray.ops import graph
+
+    ed = pa.table(
+        {
+            "part_a": pa.array([1, 1, 2, 1, 4], pa.int64()),
+            "part_b": pa.array([2, 3, 3, 4, 5], pa.int64()),
+        }
+    )
+    nbrs = {1: {2, 3, 4}, 2: {1, 3}, 3: {1, 2}, 4: {1, 5}, 5: {4}}
+    a = (
+        graph.random_walks(rd.from_arrow(ed), k_steps=3, hash_mode="fast")
+        .to_pandas().sort_values(["walk_id", "pos"]).reset_index(drop=True)
+    )
+    b = (
+        graph.random_walks(
+            rd.from_arrow(ed).repartition(4), k_steps=3, hash_mode="fast"
+        )
+        .to_pandas().sort_values(["walk_id", "pos"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+    # every step is a real edge, one walk per node, full length
+    assert len(a) == len(nbrs) * 4
+    for w, grp in a.groupby("walk_id"):
+        path = grp.sort_values("pos")["node"].tolist()
+        assert path[0] == w
+        for u, v in zip(path, path[1:]):
+            assert v in nbrs[u], (w, path)
