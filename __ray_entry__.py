@@ -274,6 +274,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "copurchase_random_walks": Q.copurchase_random_walks,
         "doc_packing_global": Q.doc_packing_global,
         "supplier_shipment_overlaps": Q.supplier_shipment_overlaps,
+        "export_orc_roundtrip": Q.export_orc_roundtrip,
         # --- rows-only / pytest-oracled block (no SQL twin by nature) ---
         "interleaved_pack": Q.interleaved_pack,
         "doc_compression_ratio": Q.doc_compression_ratio,
@@ -3843,6 +3844,9 @@ def oracle_sql() -> dict[str, str]:
         "hot_parts_cms": """
             SELECT l_partkey, count(*)::BIGINT AS n
             FROM lineitem GROUP BY l_partkey HAVING count(*) >= 45
+        """,
+        "export_orc_roundtrip": """
+            SELECT doc_id, md5(text) AS fingerprint FROM documents
         """,
         "supplier_shipment_overlaps": """
             WITH iv AS (

@@ -12390,3 +12390,30 @@ def supplier_shipment_overlaps(sf_dir: str) -> rd.Dataset:
             "n_overlaps",
         )
     )
+
+
+def export_orc_roundtrip(sf_dir: str) -> rd.Dataset:
+    """ORC sink + source round trip -> (doc_id, fingerprint): write the
+    documents table as content-addressed ``.orc`` shards
+    (sources/orc.py — the Hive/Presto-world columnar interchange
+    member of the sink/source matrix: parquet / hive / CSV / JSONL /
+    jsonl.gz / tar / IPC / ORC), read the shards back, and fingerprint
+    the text that survived.  The DuckDB twin fingerprints the ORIGINAL
+    table, so a hash match proves exact text round trip through the
+    ORC encode/decode."""
+    import hashlib
+    import os
+    import shutil
+
+    from .sources import orc
+
+    out_dir = (
+        f"/tmp/deepie_export/p{os.getpid()}_orc_"
+        + hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    manifest = orc.write_orc_shards(docs, out_dir, key_col="doc_id")
+    assert manifest.count() >= 1
+    back = orc.read_orc_shards(out_dir)
+    return back.map_batches(_fp_roundtrip, batch_format="pyarrow")

@@ -72,3 +72,40 @@ def test_ipc_write_is_atomic_no_tmp_left(sf_dir, tmp_out):
     ).materialize()
     names = os.listdir(tmp_out)
     assert names and all(n.endswith(".arrows") for n in names)
+
+
+# ----------------------------------------------------------------- ORC
+
+
+def test_orc_shards_roundtrip_and_determinism(tmp_path):
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from deepie_ray.sources import orc
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([5, 1, 9, 3, 7], pa.int64()),
+            "text": pa.array(["e", "a", "i", "c", "g"], pa.string()),
+        }
+    )
+    d1, d2 = str(tmp_path / "a"), str(tmp_path / "b")
+    m1 = orc.write_orc_shards(rd.from_arrow(t), d1, "doc_id").to_pandas()
+    # different partitioning -> same shard contents (content-addressed)
+    m2 = (
+        orc.write_orc_shards(rd.from_arrow(t).repartition(3), d2, "doc_id")
+        .to_pandas()
+    )
+    a = m1.sort_values("shard").reset_index(drop=True)
+    b = m2.sort_values("shard").reset_index(drop=True)
+    assert (a["n_rows"] == b["n_rows"]).all()
+    assert (a["sha256"] == b["sha256"]).all()
+    back = (
+        orc.read_orc_shards(d1)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = t.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(back, want)
