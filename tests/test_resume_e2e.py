@@ -423,3 +423,44 @@ def test_versioned_table_ignores_uncommitted(tmp_path):
     )
     assert v == 2
     assert checkpoint.list_table_versions(root) == [1, 2]
+
+
+def test_run_kg_job_script_end_to_end_and_resume(tmp_path):
+    """The `ray job submit` entrypoint (scripts/run_kg_job.py) as a
+    real subprocess: fresh Ray session, JSON status line, parquet
+    checkpoints on disk — then a SECOND invocation over the same
+    output dir resumes (identical row counts, completed stages
+    skipped)."""
+    import json
+    import subprocess
+    import sys
+
+    out_dir = str(tmp_path / "kg_out")
+    cmd = [
+        sys.executable,
+        "/root/repo/scripts/run_kg_job.py",
+        "--input",
+        "/root/testdata/sf0.001",
+        "--output",
+        out_dir,
+    ]
+    env = dict(os.environ, PYTHONPATH="/root/repo", RAY_ADDRESS="local")
+
+    r1 = subprocess.run(
+        cmd, capture_output=True, text=True, timeout=240, env=env
+    )
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    line = [l for l in r1.stdout.splitlines() if l.startswith("{")][-1]
+    j1 = json.loads(line)
+    assert j1["status"] == "ok"
+    assert j1["rows"]["triples"] > 0
+    assert j1["rows"]["nodes"] > 0 and j1["rows"]["edges"] > 0
+
+    r2 = subprocess.run(
+        cmd, capture_output=True, text=True, timeout=240, env=env
+    )
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    j2 = json.loads(
+        [l for l in r2.stdout.splitlines() if l.startswith("{")][-1]
+    )
+    assert j2["rows"] == j1["rows"]  # resume: same graph, nothing redone
