@@ -82,6 +82,34 @@ PIPELINES = {
     ),
     "user_event_pattern_counts": "ONE part-colocate shuffle; pattern scan vectorized within parts",
     "documents_time_travel": "AS OF reads stream from snapshot parquet: zero exchanges (merge folded at commit time)",
+    "hot_parts_cms": (
+        "two-pass CMS: pass-1 sketch fold is one salted groupby of "
+        "fixed-size rows; returned plan = ONE grouped exact-count "
+        "exchange over the sketch-pruned survivors"
+    ),
+    "doc_packing_global": (
+        "distributed prefix sum: quantile bounds + shard totals folded "
+        "before return; returned plan = ONE groupby(shard) exchange"
+    ),
+    "supplier_shipment_overlaps": (
+        "grid interval join: ONE (key, cell) hash join over the "
+        "exploded cells + ONE combiner-first count; ownership-cell "
+        "rule needs no pair-dedup exchange"
+    ),
+    "embedding_dbscan_clusters": (
+        "eps graph / degrees / core filter / CC / border assign are "
+        "narrow-key joins and grouped counts behind materialize "
+        "boundaries; nothing corpus-sized on the driver"
+    ),
+    "copurchase_random_walks": (
+        "one frontier hash join + ONE grouped Min per step (packed "
+        "(hash, nbr) argmin; combiner-first per-batch minima)"
+    ),
+    "copurchase_edge_churn": (
+        "distinct passes are Arrow aggregate(Min), pair explode is "
+        "one (year, order) self-join, churn is one composite-key "
+        "join; per-year folds are years-bounded"
+    ),
 }
 
 

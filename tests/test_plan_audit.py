@@ -194,3 +194,33 @@ def test_time_travel_reads_zero_shuffle(sf_dir):
     assert_shuffle_budget(
         Q.documents_time_travel(sf_dir), max_shuffles=0, max_joins=0
     )
+
+
+def test_hot_parts_cms_shuffle_budget(sf_dir):
+    # pass-1 sketch fold happens before return; the returned plan is
+    # one grouped exact-count exchange over the CMS-pruned survivors
+    assert_shuffle_budget(Q.hot_parts_cms(sf_dir), max_shuffles=1, max_joins=0)
+
+
+def test_doc_packing_global_shuffle_budget(sf_dir):
+    # quantile bounds + shard carry-ins fold before return: the
+    # returned plan is exactly the one groupby(shard) exchange
+    assert_shuffle_budget(
+        Q.doc_packing_global(sf_dir), max_shuffles=1, max_joins=0
+    )
+
+
+def test_interval_overlap_shuffle_budget(sf_dir):
+    # one (key, cell) hash join + one combiner-first count; the
+    # ownership-cell rule must NOT add a pair-dedup exchange
+    assert_shuffle_budget(
+        Q.supplier_shipment_overlaps(sf_dir), max_shuffles=1, max_joins=1
+    )
+
+
+def test_random_walks_returned_plan_folded(sf_dir):
+    # each step folds behind its frontier materialize; the returned
+    # union of per-step emissions must stay exchange-free
+    assert_shuffle_budget(
+        Q.copurchase_random_walks(sf_dir), max_shuffles=0, max_joins=0
+    )
