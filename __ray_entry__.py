@@ -275,6 +275,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_packing_global": Q.doc_packing_global,
         "supplier_shipment_overlaps": Q.supplier_shipment_overlaps,
         "export_orc_roundtrip": Q.export_orc_roundtrip,
+        "corpus_health_report": Q.corpus_health_report,
         # --- rows-only / pytest-oracled block (no SQL twin by nature) ---
         "interleaved_pack": Q.interleaved_pack,
         "doc_compression_ratio": Q.doc_compression_ratio,
@@ -3847,6 +3848,27 @@ def oracle_sql() -> dict[str, str]:
         """,
         "export_orc_roundtrip": """
             SELECT doc_id, md5(text) AS fingerprint FROM documents
+        """,
+        "corpus_health_report": r"""
+            WITH tok AS (
+              SELECT len(regexp_split_to_array(text, '\s+'))::BIGINT AS n
+              FROM documents
+            )
+            SELECT (SELECT count(*) FROM documents)::BIGINT AS n_docs,
+                   (SELECT sum(n) FROM tok)::BIGINT AS n_tokens,
+                   (SELECT count(DISTINCT md5(text))
+                    FROM documents)::BIGINT AS n_distinct_texts,
+                   ((SELECT count(*) FROM documents)
+                    - (SELECT count(DISTINCT md5(text))
+                       FROM documents))::BIGINT AS n_dup_docs,
+                   (SELECT count(DISTINCT lang)
+                    FROM documents)::BIGINT AS n_langs,
+                   (SELECT count(DISTINCT source)
+                    FROM documents)::BIGINT AS n_sources,
+                   (SELECT max(n) FROM tok)::BIGINT AS max_doc_tokens,
+                   ((SELECT sum(n) FROM tok)
+                    // (SELECT count(*) FROM documents))::BIGINT
+                     AS avg_doc_tokens
         """,
         "supplier_shipment_overlaps": """
             WITH iv AS (

@@ -12417,3 +12417,81 @@ def export_orc_roundtrip(sf_dir: str) -> rd.Dataset:
     assert manifest.count() >= 1
     back = orc.read_orc_shards(out_dir)
     return back.map_batches(_fp_roundtrip, batch_format="pyarrow")
+
+
+def corpus_health_report(sf_dir: str) -> rd.Dataset:
+    """The daily corpus-operations dashboard in ONE small row ->
+    (n_docs, n_tokens, n_distinct_texts, n_dup_docs, n_langs,
+    n_sources, max_doc_tokens, avg_doc_tokens): total volume, token
+    mass, exact-duplicate burden, language/source diversity — the
+    composed health check a data team runs before every training
+    export, built entirely from combiner-first passes.
+
+    Scale shape: one pass computes per-batch (count, token sum, max)
+    partials; distinct-text count rides the exact-dedup fingerprint
+    machinery (per-batch md5 distinct -> grouped count, bodies never
+    shuffle); lang/source diversity are vocabulary-bounded grouped
+    distincts.  Driver folds a handful of scalar partials.  All-integer
+    output (avg = integer division) so the oracle hash-matches."""
+    from ray.data.aggregate import Max, Sum
+
+    from .ops.dedup import exact_dedup_keys
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "lang", "source"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        ntok = pc.list_value_length(
+            pc.split_pattern_regex(t["text"], pattern=r"\s+")
+        )
+        return pa.table(
+            {
+                "n_docs": pa.array([t.num_rows], pa.int64()),
+                "n_tokens": pa.array(
+                    [int(pc.sum(ntok).as_py() or 0)], pa.int64()
+                ),
+                "max_doc_tokens": pa.array(
+                    [int(pc.max(ntok).as_py() or 0)], pa.int64()
+                ),
+            }
+        )
+
+    base = (
+        docs.map_batches(partials, batch_format="pyarrow")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_tokens", alias_name="n_tokens"),
+            Max("max_doc_tokens", alias_name="max_doc_tokens"),
+        )
+    )  # driver-side dict of 3 ints
+    n_docs = int(base["n_docs"] or 0)
+    n_tokens = int(base["n_tokens"] or 0)
+    max_tok = int(base["max_doc_tokens"] or 0)
+
+    n_distinct = exact_dedup_keys(docs, "text", "doc_id").count()
+
+    def col_distinct(col: str) -> int:
+        return (
+            docs.map_batches(
+                lambda t, _c=col: t.select([_c]).group_by(_c).aggregate([]),
+                batch_format="pyarrow",
+            )
+            .groupby(col)
+            .aggregate(Min(col, alias_name="_m"))
+            .count()
+        )
+
+    out = pa.table(
+        {
+            "n_docs": pa.array([n_docs], pa.int64()),
+            "n_tokens": pa.array([n_tokens], pa.int64()),
+            "n_distinct_texts": pa.array([n_distinct], pa.int64()),
+            "n_dup_docs": pa.array([n_docs - n_distinct], pa.int64()),
+            "n_langs": pa.array([col_distinct("lang")], pa.int64()),
+            "n_sources": pa.array([col_distinct("source")], pa.int64()),
+            "max_doc_tokens": pa.array([max_tok], pa.int64()),
+            "avg_doc_tokens": pa.array(
+                [n_tokens // n_docs if n_docs else 0], pa.int64()
+            ),
+        }
+    )
+    return rd.from_arrow(out)
