@@ -45,6 +45,106 @@ def grouped_count(
     return partials.groupby(keys).aggregate(Sum(count_col, alias_name=count_col))
 
 
+def _group_starts(cols: list[np.ndarray]) -> np.ndarray:
+    """Indices where a new key group starts in key-sorted columns."""
+    n = len(cols[0])
+    change = np.zeros(n, dtype=bool)
+    change[0] = True
+    for c in cols:
+        change[1:] |= c[1:] != c[:-1]
+    return np.flatnonzero(change)
+
+
+def sorted_grouped_sum(
+    ds: rd.Dataset, keys: list[str], val_col: str, out_col: str
+) -> rd.Dataset:
+    """High-cardinality grouped SUM -> (keys..., out_col): sort-shuffle
+    + vectorized per-block segment reduce, NOT ``groupby().aggregate``.
+
+    Why: ray.data's Aggregate finalization costs one Python call PER
+    GROUP — measured 16.8s for a 1.2M-group int64 count at sf0.1/32cpu
+    where this path costs 0.25s (the co-purchase edge count).  Both
+    move the same partial rows through one all-to-all exchange; this
+    one is range-partitioned (``ds.sort``) instead of hash-partitioned,
+    and the per-block reduce is one ``np.add.reduceat``.
+
+    Boundary exactness: a global sort yields blocks whose key ranges
+    never interleave, so a key can only span CONSECUTIVE sorted blocks
+    and only as each block's first or last group.  Every block's first
+    and last group row is therefore routed to a driver fold (bounded by
+    2 x n_blocks rows — metadata-sized, never data-sized) and re-merged
+    there; strictly-interior groups are complete as-is.  Callers should
+    pre-aggregate per batch (``partial_count``) so the sort moves
+    O(distinct-per-block) rows.  Input must be non-empty."""
+    srt = ds.sort(keys)
+
+    def block_reduce(t: pa.Table) -> pa.Table:
+        cols = {k: t[k] for k in keys}
+        cols[out_col] = t[val_col] if val_col in t.column_names else t[out_col]
+        t = pa.table(cols)
+        if t.num_rows == 0:
+            return t.append_column("_edge", pa.array([], pa.int8()))
+        arrs = [t[k].to_numpy(zero_copy_only=False) for k in keys]
+        starts = _group_starts(arrs)
+        sums = np.add.reduceat(t[out_col].to_numpy(zero_copy_only=False), starts)
+        edge = np.zeros(len(starts), dtype=np.int8)
+        edge[0] = 1
+        edge[-1] = 1
+        out = {k: pa.array(a[starts]) for k, a in zip(keys, arrs)}
+        out[out_col] = pa.array(sums, pa.int64())
+        out["_edge"] = pa.array(edge, pa.int8())
+        return pa.table(out)
+
+    # one call per sorted block (batch_size=None): segment sums are
+    # complete per block; only first/last groups can continue next door
+    agg = srt.map_batches(
+        block_reduce, batch_format="pyarrow", batch_size=None
+    ).materialize()
+    interior = agg.filter(expr="_edge == 0").drop_columns(["_edge"])
+    # 2 rows per sorted block: a driver fold bounded by block count
+    edge_df = agg.filter(expr="_edge == 1").drop_columns(["_edge"]).to_pandas()
+    edge_tbl = pa.Table.from_pandas(edge_df, preserve_index=False)
+    g = edge_tbl.group_by(keys).aggregate([(out_col, "sum")])
+    merged = pa.table(
+        {
+            **{k: g[k] for k in keys},
+            out_col: g[f"{out_col}_sum"].cast(pa.int64()),
+        }
+    )
+    return interior.union(rd.from_arrow(merged))
+
+
+def sorted_distinct(ds: rd.Dataset, keys: list[str]) -> rd.Dataset:
+    """High-cardinality DISTINCT over key columns via the same
+    sort-shuffle + per-block vectorized dedup + bounded driver edge
+    fold as ``sorted_grouped_sum`` (one exchange; no per-group Python).
+    Callers should pre-dedup per batch so the sort moves
+    O(distinct-per-block) rows.  Input must be non-empty."""
+    srt = ds.sort(keys)
+
+    def block_dedup(t: pa.Table) -> pa.Table:
+        t = t.select(keys)
+        if t.num_rows == 0:
+            return t.append_column("_edge", pa.array([], pa.int8()))
+        arrs = [t[k].to_numpy(zero_copy_only=False) for k in keys]
+        starts = _group_starts(arrs)
+        edge = np.zeros(len(starts), dtype=np.int8)
+        edge[0] = 1
+        edge[-1] = 1
+        out = {k: pa.array(a[starts]) for k, a in zip(keys, arrs)}
+        out["_edge"] = pa.array(edge, pa.int8())
+        return pa.table(out)
+
+    ded = srt.map_batches(
+        block_dedup, batch_format="pyarrow", batch_size=None
+    ).materialize()
+    interior = ded.filter(expr="_edge == 0").drop_columns(["_edge"])
+    edge_df = ded.filter(expr="_edge == 1").drop_columns(["_edge"]).to_pandas()
+    edge_tbl = pa.Table.from_pandas(edge_df, preserve_index=False)
+    merged = edge_tbl.group_by(keys).aggregate([])
+    return interior.union(rd.from_arrow(merged))
+
+
 def add_salt(batch: pa.Table, key: str, buckets: int, col: str = "_salt") -> pa.Table:
     """Deterministic per-row salt from a row-id column (NOT random —
     resume/retry must re-produce identical partitions)."""

@@ -47,17 +47,19 @@ def distinct_order_parts(lineitem: rd.Dataset) -> rd.Dataset:
     Pinned (materialized): every caller feeds it to multiple
     consumers."""
 
+    from .agg import sorted_distinct
+
     def distinct_partial(t: pa.Table) -> pa.Table:
         return t.group_by(["l_orderkey", "l_partkey"]).aggregate([])
 
+    # sorted_distinct, NOT groupby().aggregate: 600k one-row groups
+    # cost the Aggregate finalizer one Python call each (7.4s at
+    # sf0.1/32cpu); the sort-shuffle + reduceat path is 1.8s for the
+    # identical exchange volume (ops/agg.py rationale)
+    partials = lineitem.map_batches(distinct_partial, batch_format="pyarrow")
     return (
-        lineitem.map_batches(distinct_partial, batch_format="pyarrow")
-        .groupby(["l_orderkey", "l_partkey"])
-        .aggregate(Min("l_partkey", alias_name="_m"))
-        # merge away the groupby's zero-column empty-partition blocks
-        # before any column access
+        sorted_distinct(partials, ["l_orderkey", "l_partkey"])
         .repartition(8)
-        .select_columns(["l_orderkey", "l_partkey"])
         .materialize()
     )
 
@@ -112,10 +114,16 @@ def copurchase_edges(
             }
         )
 
-    edges = (
-        joined.map_batches(partial_count, batch_format="pyarrow")
-        .groupby(["part_a", "part_b"])
-        .aggregate(Sum("n_partial", alias_name="co_count"))
+    from .agg import sorted_grouped_sum
+
+    # sorted_grouped_sum, NOT groupby().aggregate: the pair count has
+    # ~1.2M one-row groups at sf0.1 — 16.8s via Aggregate's per-group
+    # finalizer, 0.25s via sort + reduceat (ops/agg.py rationale)
+    edges = sorted_grouped_sum(
+        joined.map_batches(partial_count, batch_format="pyarrow"),
+        ["part_a", "part_b"],
+        "n_partial",
+        "co_count",
     )
     if min_count > 1:
         edges = edges.filter(expr=f"co_count >= {min_count}")

@@ -12073,15 +12073,16 @@ def copurchase_edge_churn(sf_dir: str) -> rd.Dataset:
         )
         return g
 
-    # distinct via ONE grouped aggregate, NOT map_groups(slice): at
-    # sf0.1 the millions of one-row groups cost one Python call each
-    # (the distinct_order_parts lesson), aggregate(Min) stays in Arrow
+    # distinct via the sort-shuffle path, NOT groupby().aggregate: the
+    # ~600k one-row groups cost Aggregate's finalizer one Python call
+    # each (ops/agg.sorted_distinct rationale); reduceat stays in numpy
+    from .ops.agg import sorted_distinct
+
     triples = (
-        li.map_batches(tri, batch_format="pyarrow")
-        .groupby(["y", "o", "p"])
-        .aggregate(Min("p", alias_name="_m"))
+        sorted_distinct(
+            li.map_batches(tri, batch_format="pyarrow"), ["y", "o", "p"]
+        )
         .repartition(8)
-        .select_columns(["y", "o", "p"])
         .materialize()  # both pair-join sides
     )
     left = triples.map_batches(
@@ -12109,11 +12110,11 @@ def copurchase_edge_churn(sf_dir: str) -> rd.Dataset:
         return t.select(["y", "a", "b"]).group_by(["y", "a", "b"]).aggregate([])
 
     edges = (
-        joined.map_batches(pair_distinct, batch_format="pyarrow")
-        .groupby(["y", "a", "b"])
-        .aggregate(Min("b", alias_name="_m"))
+        sorted_distinct(
+            joined.map_batches(pair_distinct, batch_format="pyarrow"),
+            ["y", "a", "b"],
+        )
         .repartition(8)
-        .select_columns(["y", "a", "b"])
         .materialize()  # per-year counts + both churn-join sides
     )
 

@@ -52,6 +52,75 @@ def test_copurchase_edges_matches_duckdb():
     assert 40 not in set(out["part_a"]) | set(out["part_b"])
 
 
+# ---------------------------------------------------- sorted aggregates
+
+
+def test_sorted_grouped_sum_matches_pandas_across_blocks():
+    """Keys deliberately repeat across many input blocks so several
+    land on sorted-block boundaries — the driver edge fold must merge
+    them exactly (the boundary-exactness contract in ops/agg.py)."""
+    from deepie_ray.ops.agg import sorted_grouped_sum
+
+    rng = np.random.default_rng(7)
+    n = 20_000
+    df = pd.DataFrame(
+        {
+            "a": rng.integers(0, 900, n),
+            "b": rng.integers(0, 7, n),
+            "v": rng.integers(1, 100, n).astype("int64"),
+        }
+    )
+    ds = rd.from_pandas(df).repartition(13)  # force many blocks
+    got = (
+        sorted_grouped_sum(ds, ["a", "b"], "v", "total")
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    want = (
+        df.groupby(["a", "b"], as_index=False)["v"]
+        .sum()
+        .rename(columns={"v": "total"})
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_sorted_grouped_sum_single_group():
+    from deepie_ray.ops.agg import sorted_grouped_sum
+
+    ds = rd.from_pandas(
+        pd.DataFrame({"k": [5] * 100, "v": np.arange(100, dtype="int64")})
+    ).repartition(6)
+    got = sorted_grouped_sum(ds, ["k"], "v", "s").to_pandas()
+    assert len(got) == 1
+    assert int(got["s"].iloc[0]) == int(np.arange(100).sum())
+
+
+def test_sorted_distinct_matches_pandas_across_blocks():
+    from deepie_ray.ops.agg import sorted_distinct
+
+    rng = np.random.default_rng(11)
+    n = 15_000
+    df = pd.DataFrame(
+        {"x": rng.integers(0, 400, n), "y": rng.integers(0, 5, n)}
+    )
+    ds = rd.from_pandas(df).repartition(11)
+    got = (
+        sorted_distinct(ds, ["x", "y"])
+        .to_pandas()
+        .sort_values(["x", "y"])
+        .reset_index(drop=True)
+    )
+    want = (
+        df.drop_duplicates()
+        .sort_values(["x", "y"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
 # --------------------------------------------------------------- pagerank
 
 
