@@ -1026,16 +1026,24 @@ def edge_neighbor_overlap(
         batch_format="pyarrow",
     ).repartition(num_partitions).materialize()  # wedge + closing + degree sides
 
+    # repartition: grouped_count's aggregate emits ZERO-COLUMN blocks
+    # for empty partitions (first observed at sf0.1 — sf0.01 fills
+    # every partition) and deg feeds two joins below, whose Arrow
+    # finalize rejects blocks missing the key column
     deg = grouped_count(
         bi.map_batches(
             lambda t: t.select(["u"]), batch_format="pyarrow"
         ),
         ["u"],
         count_col="d",
-    )
+    ).repartition(num_partitions)
 
     # wedges through a: (a, b) x (a=u, w=v) -> (a, b, v=w)
-    wedges = hash_join(e, bi, on="a", right_on="u", num_partitions=num_partitions)
+    # repartition: a join output feeding another join (triangle_counts
+    # convention — merges away zero-column empty-partition blocks)
+    wedges = hash_join(
+        e, bi, on="a", right_on="u", num_partitions=num_partitions
+    ).repartition(num_partitions)
     # close on the other endpoint: (b, w) must be adjacent (inner join
     # against the key-only adjacency keeps exactly the closed wedges)
     closing = bi.map_batches(
@@ -1054,7 +1062,8 @@ def edge_neighbor_overlap(
         ),
         ["a", "b"],
         count_col="n_common",
-    )
+    ).repartition(num_partitions)  # same zero-column-block guard: com
+    # is the right side of the left_outer join below
 
     # assemble: e x deg(a) x deg(b), left-join common (may be empty)
     da = deg.map_batches(
