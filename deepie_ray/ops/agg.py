@@ -55,8 +55,11 @@ def _group_starts(cols: list[np.ndarray]) -> np.ndarray:
     return np.flatnonzero(change)
 
 
+_REDUCEAT = {"sum": np.add, "max": np.maximum, "min": np.minimum}
+
+
 def sorted_grouped_sum(
-    ds: rd.Dataset, keys: list[str], val_col: str, out_col: str
+    ds: rd.Dataset, keys: list[str], val_col: str, out_col: str, op: str = "sum"
 ) -> rd.Dataset:
     """High-cardinality grouped SUM -> (keys..., out_col): sort-shuffle
     + vectorized per-block segment reduce, NOT ``groupby().aggregate``.
@@ -75,7 +78,12 @@ def sorted_grouped_sum(
     2 x n_blocks rows — metadata-sized, never data-sized) and re-merged
     there; strictly-interior groups are complete as-is.  Callers should
     pre-aggregate per batch (``partial_count``) so the sort moves
-    O(distinct-per-block) rows.  Input must be non-empty."""
+    O(distinct-per-block) rows.  Input must be non-empty.
+
+    ``op`` picks the (associative, commutative) integer reduction:
+    "sum" | "max" | "min" — block-level via ``np.<op>.reduceat``,
+    edge fold via the matching Arrow grouped aggregate."""
+    ufunc = _REDUCEAT[op]
     srt = ds.sort(keys)
 
     def block_reduce(t: pa.Table) -> pa.Table:
@@ -86,7 +94,7 @@ def sorted_grouped_sum(
             return t.append_column("_edge", pa.array([], pa.int8()))
         arrs = [t[k].to_numpy(zero_copy_only=False) for k in keys]
         starts = _group_starts(arrs)
-        sums = np.add.reduceat(t[out_col].to_numpy(zero_copy_only=False), starts)
+        sums = ufunc.reduceat(t[out_col].to_numpy(zero_copy_only=False), starts)
         edge = np.zeros(len(starts), dtype=np.int8)
         edge[0] = 1
         edge[-1] = 1
@@ -104,14 +112,26 @@ def sorted_grouped_sum(
     # 2 rows per sorted block: a driver fold bounded by block count
     edge_df = agg.filter(expr="_edge == 1").drop_columns(["_edge"]).to_pandas()
     edge_tbl = pa.Table.from_pandas(edge_df, preserve_index=False)
-    g = edge_tbl.group_by(keys).aggregate([(out_col, "sum")])
+    g = edge_tbl.group_by(keys).aggregate([(out_col, op)])
     merged = pa.table(
         {
             **{k: g[k] for k in keys},
-            out_col: g[f"{out_col}_sum"].cast(pa.int64()),
+            out_col: g[f"{out_col}_{op}"].cast(pa.int64()),
         }
     )
     return interior.union(rd.from_arrow(merged))
+
+
+def grouped_count_sorted(
+    ds: rd.Dataset, keys: list[str], count_col: str = "weight"
+) -> rd.Dataset:
+    """``grouped_count`` for HIGH-cardinality keys: same per-batch
+    combiner, but the final exchange is ``sorted_grouped_sum`` instead
+    of the per-group-Python Aggregate.  Use when distinct keys number
+    in the hundreds of thousands or more; plain ``grouped_count`` is
+    fine (and cheaper to launch) for small group counts."""
+    partials = ds.map_batches(partial_count(keys, count_col), batch_format="pyarrow")
+    return sorted_grouped_sum(partials, keys, count_col, count_col)
 
 
 def sorted_distinct(ds: rd.Dataset, keys: list[str]) -> rd.Dataset:
@@ -143,6 +163,68 @@ def sorted_distinct(ds: rd.Dataset, keys: list[str]) -> rd.Dataset:
     edge_tbl = pa.Table.from_pandas(edge_df, preserve_index=False)
     merged = edge_tbl.group_by(keys).aggregate([])
     return interior.union(rd.from_arrow(merged))
+
+
+def sorted_grouped_head(
+    ds: rd.Dataset,
+    keys: list[str],
+    order_by: list[str],
+    descending: list[bool],
+    k: int,
+    rank_col: str | None = None,
+) -> rd.Dataset:
+    """Per-key top-k (window row_number <= k) via ONE sort-shuffle +
+    per-block numpy ranking — replaces the groupby().map_groups shape
+    whose per-group Python call dominates at high key cardinality
+    (measured 10.6s for 150k customer groups at sf0.1 vs ~2s here).
+
+    Sorts on keys asc + ``order_by`` with ``descending`` flags, ranks
+    within key by position, keeps rank <= k.  Boundary exactness: same
+    argument as ``sorted_grouped_sum`` — only each block's first/last
+    key can continue into a neighboring block, so those keys' kept
+    rows (<= 2k per block) are re-ranked exactly in a driver fold
+    bounded by block count; interior keys are final.  Callers should
+    pre-prune per batch (local per-key head(k)) so the sort moves
+    O(k x keys-per-block) rows.  Input must be non-empty."""
+    srt = ds.sort(
+        keys + order_by, descending=[False] * len(keys) + list(descending)
+    )
+    rc = rank_col or "_rank"
+
+    def block_head(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            out = t.append_column(rc, pa.array([], pa.int64()))
+            return out.append_column("_edge", pa.array([], pa.int8()))
+        arrs = [t[c].to_numpy(zero_copy_only=False) for c in keys]
+        starts = _group_starts(arrs)
+        n = t.num_rows
+        sizes = np.diff(np.r_[starts, n])
+        pos = np.arange(n) - np.repeat(starts, sizes)
+        gid = np.repeat(np.arange(len(starts)), sizes)
+        edge = ((gid == 0) | (gid == len(starts) - 1)).astype(np.int8)
+        keep = pos < k
+        t = t.append_column(rc, pa.array(pos + 1, pa.int64()))
+        t = t.append_column("_edge", pa.array(edge, pa.int8()))
+        return t.filter(pa.array(keep))
+
+    head = srt.map_batches(
+        block_head, batch_format="pyarrow", batch_size=None
+    ).materialize()
+    interior = head.filter(expr="_edge == 0").drop_columns(["_edge"])
+    edge_df = head.filter(expr="_edge == 1").drop_columns(["_edge"]).to_pandas()
+    # driver re-rank of the (<= 2k x n_blocks)-row boundary slice
+    edge_df = edge_df.sort_values(
+        keys + order_by,
+        ascending=[True] * len(keys) + [not d for d in descending],
+        kind="mergesort",
+    )
+    edge_df = edge_df.groupby(keys, sort=False).head(k).copy()
+    edge_df[rc] = edge_df.groupby(keys, sort=False).cumcount() + 1
+    merged = pa.Table.from_pandas(edge_df, preserve_index=False)
+    out = interior.union(rd.from_arrow(merged))
+    if rank_col is None:
+        out = out.drop_columns([rc])
+    return out
 
 
 def add_salt(batch: pa.Table, key: str, buckets: int, col: str = "_salt") -> pa.Table:

@@ -687,7 +687,7 @@ def label_propagation(
     degree and M = max node id + 1 must satisfy n*M < 2^63 — holds for
     billion-node graphs with million-degree hubs; beyond that split the
     argmax into (count, lab) lexicographic via two grouped passes."""
-    from .agg import grouped_count
+    from .agg import grouped_count, grouped_count_sorted
 
     e = edges.select_columns([src, dst]).materialize()
     empty = rd.from_arrow(
@@ -746,7 +746,10 @@ def label_propagation(
             adj, labels, on="nbr", right_on="lnode",
             num_partitions=num_partitions,
         ).repartition(num_partitions)
-        counts = grouped_count(
+        # sorted path: (node, label) cardinality approaches the edge
+        # count — the per-group-Python Aggregate cost 94s for the
+        # 3-round sf0.1 run where this shape runs in a few seconds
+        counts = grouped_count_sorted(
             joined.map_batches(
                 lambda t: t.select(["node", "lab"]), batch_format="pyarrow"
             ),
@@ -787,10 +790,16 @@ def label_propagation(
                 }
             )
 
+        from .agg import sorted_grouped_sum as _sorted_reduce
+
         labels = (
-            counts.map_batches(pack, batch_format="pyarrow")
-            .groupby("node")
-            .aggregate(Max("pk", alias_name="pk"))
+            _sorted_reduce(
+                counts.map_batches(pack, batch_format="pyarrow"),
+                ["node"],
+                "pk",
+                "pk",
+                op="max",
+            )
             .repartition(num_partitions)
             .map_batches(unpack, batch_format="pyarrow")
             .materialize()

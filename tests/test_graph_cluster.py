@@ -121,6 +121,37 @@ def test_sorted_distinct_matches_pandas_across_blocks():
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
 
+def test_sorted_grouped_head_matches_pandas_window():
+    """Per-key top-k parity vs the pandas window, with keys spread
+    across many blocks so boundary keys exercise the driver re-rank."""
+    from deepie_ray.ops.agg import sorted_grouped_head
+
+    rng = np.random.default_rng(3)
+    n = 12_000
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 700, n),
+            "id": np.arange(n, dtype="int64"),
+            "v": rng.integers(0, 10_000, n).astype("int64"),
+        }
+    )
+    ds = rd.from_pandas(df).repartition(9)
+    got = (
+        sorted_grouped_head(ds, ["k"], ["v", "id"], [True, False], 3, "rank")
+        .to_pandas()
+        .sort_values(["k", "rank"])
+        .reset_index(drop=True)
+    )
+    w = df.sort_values(["k", "v", "id"], ascending=[True, False, True])
+    w = w.groupby("k", sort=False).head(3).copy()
+    w["rank"] = w.groupby("k", sort=False).cumcount() + 1
+    w = w.sort_values(["k", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["k", "id", "v", "rank"]], w[["k", "id", "v", "rank"]],
+        check_dtype=False,
+    )
+
+
 # --------------------------------------------------------------- pagerank
 
 
