@@ -530,10 +530,12 @@ def _run_scaling() -> None:
     )
     # pooled-actor probe (round-3 verdict #5): flagship extraction as
     # the bench runs it — parse/score ACTOR POOLS, not stateless tasks.
-    # replicate=12: at 4 the ~25s 2-cpu job is fixed-overhead-dominated
-    # (pool spawn + ramp) and under-measures the compute scaling
-    # (0.70 at rep=4 vs 0.93/0.99 at rep=12 in calibration runs)
-    pooled_2v8 = _measure_pair(2, 8, replicate=12, reps=2, mode="scaling_pooled")
+    # replicate tracks the flagship's speed so the 2-cpu job stays
+    # >= ~60s and compute (not pool spawn + ramp) dominates: rep=12
+    # calibrated to 0.93-0.99 when the 2-cpu job ran ~43s; after the
+    # session-5 speedups that job fell to ~16s and rep=12 read 0.39
+    # (overhead-dominated) while rep=48 reads 1.20 on the same build
+    pooled_2v8 = _measure_pair(2, 8, replicate=48, reps=2, mode="scaling_pooled")
     controls = _controls(8, 32)
     print(
         json.dumps(

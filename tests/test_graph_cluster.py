@@ -121,6 +121,36 @@ def test_sorted_distinct_matches_pandas_across_blocks():
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
 
+def test_sorted_grouped_sum_string_keys():
+    """String key columns ride the same path (object-array compares in
+    _group_starts, Arrow type inference on the take)."""
+    from deepie_ray.ops.agg import sorted_grouped_sum
+
+    rng = np.random.default_rng(5)
+    n = 8_000
+    df = pd.DataFrame(
+        {
+            "w": [f"tok{int(i):03d}" for i in rng.integers(0, 250, n)],
+            "v": rng.integers(1, 9, n).astype("int64"),
+        }
+    )
+    ds = rd.from_pandas(df).repartition(7)
+    got = (
+        sorted_grouped_sum(ds, ["w"], "v", "n")
+        .to_pandas()
+        .sort_values("w")
+        .reset_index(drop=True)
+    )
+    want = (
+        df.groupby("w", as_index=False)["v"]
+        .sum()
+        .rename(columns={"v": "n"})
+        .sort_values("w")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
 def test_sorted_grouped_head_matches_pandas_window():
     """Per-key top-k parity vs the pandas window, with keys spread
     across many blocks so boundary keys exercise the driver re-rank."""
