@@ -151,6 +151,34 @@ def test_sorted_grouped_sum_string_keys():
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
 
+def test_sorted_grouped_sum_single_hot_key_across_blocks():
+    """Pathological skew: ONE key holds most rows, spread over every
+    input block.  After the sort it occupies several consecutive
+    blocks; every one of its per-block partials must be routed through
+    the edge fold and merged exactly."""
+    from deepie_ray.ops.agg import sorted_grouped_sum
+
+    rng = np.random.default_rng(13)
+    n = 30_000
+    keys = np.where(rng.random(n) < 0.9, 42, rng.integers(0, 50, n))
+    df = pd.DataFrame({"k": keys, "v": np.ones(n, dtype="int64")})
+    ds = rd.from_pandas(df).repartition(10)
+    got = (
+        sorted_grouped_sum(ds, ["k"], "v", "n")
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    want = (
+        df.groupby("k", as_index=False)["v"]
+        .sum()
+        .rename(columns={"v": "n"})
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
 def test_sorted_grouped_head_matches_pandas_window():
     """Per-key top-k parity vs the pandas window, with keys spread
     across many blocks so boundary keys exercise the driver re-rank."""
