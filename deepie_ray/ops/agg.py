@@ -58,6 +58,60 @@ def _group_starts(cols: list[np.ndarray]) -> np.ndarray:
 _REDUCEAT = {"sum": np.add, "max": np.maximum, "min": np.minimum}
 
 
+def sorted_grouped_agg(
+    ds: rd.Dataset,
+    keys: list[str],
+    specs: list[tuple[str, str, str]],
+) -> rd.Dataset:
+    """Multi-aggregate form of ``sorted_grouped_sum``: one sort, N
+    integer reductions per group — ``specs`` is a list of
+    ``(val_col, out_col, op)`` with op in sum|max|min (each must be
+    associative so the per-block partial re-merges exactly in the
+    boundary edge fold).  Same cost model and boundary-exactness
+    argument as ``sorted_grouped_sum`` below."""
+    srt = ds.sort(keys)
+
+    def block_reduce(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            out = {k: t[k] for k in keys}
+            for _, oc, _op in specs:
+                out[oc] = pa.array([], pa.int64())
+            return pa.table(out).append_column("_edge", pa.array([], pa.int8()))
+        arrs = [t[k].to_numpy(zero_copy_only=False) for k in keys]
+        starts = _group_starts(arrs)
+        edge = np.zeros(len(starts), dtype=np.int8)
+        edge[0] = 1
+        edge[-1] = 1
+        out = {k: pa.array(a[starts]) for k, a in zip(keys, arrs)}
+        for vc, oc, _op in specs:
+            out[oc] = pa.array(
+                _REDUCEAT[_op].reduceat(
+                    t[vc].to_numpy(zero_copy_only=False), starts
+                ),
+                pa.int64(),
+            )
+        out["_edge"] = pa.array(edge, pa.int8())
+        return pa.table(out)
+
+    agg = srt.map_batches(
+        block_reduce, batch_format="pyarrow", batch_size=None
+    ).materialize()
+    interior = agg.filter(expr="_edge == 0").drop_columns(["_edge"])
+    edge_df = agg.filter(expr="_edge == 1").drop_columns(["_edge"]).to_pandas()
+    edge_tbl = pa.Table.from_pandas(edge_df, preserve_index=False)
+    g = edge_tbl.group_by(keys).aggregate([(oc, _op) for _, oc, _op in specs])
+    merged = pa.table(
+        {
+            **{k: g[k] for k in keys},
+            **{
+                oc: g[f"{oc}_{_op}"].cast(pa.int64())
+                for _, oc, _op in specs
+            },
+        }
+    )
+    return interior.union(rd.from_arrow(merged))
+
+
 def sorted_grouped_sum(
     ds: rd.Dataset, keys: list[str], val_col: str, out_col: str, op: str = "sum"
 ) -> rd.Dataset:
@@ -99,7 +153,14 @@ def sorted_grouped_sum(
         edge[0] = 1
         edge[-1] = 1
         out = {k: pa.array(a[starts]) for k, a in zip(keys, arrs)}
-        out[out_col] = pa.array(sums, pa.int64())
+        # integer values pin int64; min/max over strings (object
+        # arrays: numpy ufuncs fall back to Python compare) keep the
+        # inferred Arrow type (CC label maps carry string ids)
+        out[out_col] = (
+            pa.array(sums, pa.int64())
+            if np.issubdtype(sums.dtype, np.integer)
+            else pa.array(sums)
+        )
         out["_edge"] = pa.array(edge, pa.int8())
         return pa.table(out)
 
@@ -113,12 +174,10 @@ def sorted_grouped_sum(
     edge_df = agg.filter(expr="_edge == 1").drop_columns(["_edge"]).to_pandas()
     edge_tbl = pa.Table.from_pandas(edge_df, preserve_index=False)
     g = edge_tbl.group_by(keys).aggregate([(out_col, op)])
-    merged = pa.table(
-        {
-            **{k: g[k] for k in keys},
-            out_col: g[f"{out_col}_{op}"].cast(pa.int64()),
-        }
-    )
+    mcol = g[f"{out_col}_{op}"]
+    if pa.types.is_integer(mcol.type):
+        mcol = mcol.cast(pa.int64())
+    merged = pa.table({**{k: g[k] for k in keys}, out_col: mcol})
     return interior.union(rd.from_arrow(merged))
 
 

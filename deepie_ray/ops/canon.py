@@ -75,8 +75,13 @@ def min_label_round(labels: rd.Dataset, nbrs: rd.Dataset, num_partitions: int) -
     allrows = labels.union(nbr_labels).map_batches(
         _partial_min, batch_format="pyarrow"
     )
-    out = allrows.groupby("node").aggregate(Min("label", alias_name="label"))
-    return out
+    # sorted path, NOT groupby().aggregate: label-map groups are one
+    # per NODE — corpus-scaled for a large dup graph, the cardinality
+    # where the Aggregate finalizer's per-group Python call dominates
+    # (ops/agg.py rationale)
+    from .agg import sorted_grouped_sum
+
+    return sorted_grouped_sum(allrows, ["node"], "label", "label", op="min")
 
 
 def connected_components(
@@ -93,13 +98,19 @@ def connected_components(
     the label-map size (a few per node at cluster scale — at bench
     scale callers pass a small value to cut per-round actor latency).
     """
+    from .agg import sorted_distinct
+
     nbrs = build_neighbor_stream(edges, num_partitions).materialize()
-    nodes = (
+    # per-batch distinct combiner + sorted_distinct: node cardinality
+    # is corpus-scaled, the per-group-Python Aggregate shape to avoid
+    nodes = sorted_distinct(
         nbrs.map_batches(
-            lambda t: pa.table({"node": t["node"]}), batch_format="pyarrow"
-        )
-        .groupby("node")
-        .count()
+            lambda t: pa.table({"node": t["node"]})
+            .group_by(["node"])
+            .aggregate([]),
+            batch_format="pyarrow",
+        ),
+        ["node"],
     )
     labels = (
         nodes.map_batches(

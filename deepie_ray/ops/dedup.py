@@ -81,13 +81,18 @@ def exact_dedup_keys(ds: rd.Dataset, text_col: str = "text", id_col: str = "doc_
             }
         )
 
-    from ray.data.aggregate import Sum
+    from .agg import sorted_grouped_agg
 
-    return (
-        ds.map_batches(fp, batch_format="pyarrow")
-        .map_batches(partial, batch_format="pyarrow")
-        .groupby("fingerprint")
-        .aggregate(Min(id_col, alias_name=id_col), Sum("n_dupes", alias_name="n_dupes"))
+    # sorted path, NOT groupby().aggregate: distinct-content groups are
+    # corpus-scaled (one per unique document), exactly the cardinality
+    # where the Aggregate finalizer's one-Python-call-per-group cost
+    # explodes (ops/agg.py rationale)
+    return sorted_grouped_agg(
+        ds.map_batches(fp, batch_format="pyarrow").map_batches(
+            partial, batch_format="pyarrow"
+        ),
+        ["fingerprint"],
+        [(id_col, id_col, "min"), ("n_dupes", "n_dupes", "sum")],
     )
 
 

@@ -210,6 +210,34 @@ def test_sorted_grouped_head_matches_pandas_window():
     )
 
 
+def test_distributed_cc_string_ids_sorted_min_path():
+    """Forced-distributed connected components over STRING ids: the
+    per-round min-label now rides sorted_grouped_sum(op=min), whose
+    string branch (object-array ufunc fallback, no int64 cast) this
+    pins end to end."""
+    from deepie_ray.ops.dedup import components_from_pairs
+
+    pairs = pa.table(
+        {
+            "id_a": ["d1", "d2", "d7", "d9"],
+            "id_b": ["d2", "d3", "d8", "d1"],
+        }
+    )
+    out = (
+        components_from_pairs(
+            rd.from_arrow(pairs), pa.string(), force_distributed_cc=True
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = {
+        "d1": "d1", "d2": "d1", "d3": "d1", "d9": "d1",
+        "d7": "d7", "d8": "d7",
+    }
+    assert dict(zip(out["doc_id"], out["cluster_id"])) == want
+
+
 # --------------------------------------------------------------- pagerank
 
 
