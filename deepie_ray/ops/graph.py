@@ -469,12 +469,129 @@ def pagerank(
     return ranks.select_columns(["node", "rank"])
 
 
+def _triangle_counts_broadcast(
+    e: rd.Dataset,
+    src: str,
+    dst: str,
+    per_vertex: bool,
+) -> rd.Dataset:
+    """Broadcast-adjacency triangle counting for edge sets under the
+    caller's ``broadcast_gate`` (same size-gated dense/distributed split
+    as ``pagerank``): the (narrow, 2-int) edge list is pulled to the
+    driver ONCE, remapped to dense indices, and shipped to every task
+    as a CSR higher-neighbor table plus a sorted packed-(a,b) edge
+    array via ``ray.put``.  Edges then stream through ``map_batches``:
+    each edge (a,b) expands to candidates w in N_hi(a) with w > b (all
+    numpy — repeat/arange gather), and the wedge closes iff packed
+    (b,w) binary-searches into the edge array.  Candidate volume is
+    the same sum-of-d_hi^2 wedge count as the join path, but wedges
+    are generated AND filtered inside the task — nothing but per-batch
+    (node, partial-count) rows ever leaves, vs the join path's full
+    wedge exchange (72M rows at sf0.1, 20s of join time -> ~2s).
+
+    Each triangle {a<b<w} is found exactly once: at its lowest edge
+    (a,b), with w constrained to w > b."""
+    import ray
+
+    from .agg import sorted_grouped_sum
+
+    a_parts: list[np.ndarray] = []
+    b_parts: list[np.ndarray] = []
+    for blk in e.iter_batches(batch_format="pyarrow", batch_size=None):
+        if blk.num_rows:
+            a_parts.append(
+                blk[src].to_numpy(zero_copy_only=False).astype(np.int64)
+            )
+            b_parts.append(
+                blk[dst].to_numpy(zero_copy_only=False).astype(np.int64)
+            )
+    a_all = np.concatenate(a_parts)
+    b_all = np.concatenate(b_parts)
+    nodes, inv = np.unique(np.concatenate([a_all, b_all]), return_inverse=True)
+    ai = inv[: len(a_all)]
+    bi = inv[len(a_all) :]
+    # np.unique is sorted, so dense indices preserve the original id
+    # order and the src<dst canonical orientation carries over
+    order = np.lexsort((bi, ai))
+    ai_s, bi_s = ai[order], bi[order]
+    indptr = np.zeros(len(nodes) + 1, np.int64)
+    np.cumsum(np.bincount(ai_s, minlength=len(nodes)), out=indptr[1:])
+    # packed (ai<<32)|bi is ascending by construction (lexsort order);
+    # dense indices < 2^31 because the caller gates edge count
+    packed = (ai_s << np.int64(32)) | bi_s
+    ref = ray.put((nodes, indptr, bi_s, packed))
+
+    empty = pa.table(
+        {
+            "node": pa.array([], pa.int64()),
+            "n_partial": pa.array([], pa.int64()),
+        }
+    )
+
+    def tri_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        nd, iptr, nbr, pk = ray.get(ref)
+        a = np.searchsorted(nd, t[src].to_numpy(zero_copy_only=False))
+        b = np.searchsorted(nd, t[dst].to_numpy(zero_copy_only=False))
+        cnt = iptr[a + 1] - iptr[a]
+        total = int(cnt.sum())
+        if total == 0:
+            return empty
+        eidx = np.repeat(np.arange(len(a)), cnt)
+        # concatenated-slice gather: position within each edge's run
+        # plus that edge's CSR start
+        pos = (
+            np.arange(total)
+            - np.repeat(np.cumsum(cnt) - cnt, cnt)
+            + np.repeat(iptr[a], cnt)
+        )
+        w = nbr[pos]
+        bb = b[eidx]
+        m = w > bb
+        if not m.any():
+            return empty
+        w, bb, aa = w[m], bb[m], a[eidx][m]
+        q = (bb << np.int64(32)) | w
+        idx = np.searchsorted(pk, q)
+        ok = idx < len(pk)
+        ok[ok] = pk[idx[ok]] == q[ok]
+        if not ok.any():
+            return empty
+        if per_vertex:
+            found = np.concatenate([aa[ok], bb[ok], w[ok]])
+        else:
+            found = aa[ok]
+        u, c = np.unique(found, return_counts=True)
+        return pa.table(
+            {
+                "node": pa.array(nd[u], pa.int64()),
+                "n_partial": pa.array(c, pa.int64()),
+            }
+        )
+
+    partials = e.map_batches(
+        tri_partial, batch_format="pyarrow", batch_size=8192
+    )
+    if partials.limit(1).count() == 0:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array([], pa.int64()),
+                    "n_triangles": pa.array([], pa.int64()),
+                }
+            )
+        )
+    return sorted_grouped_sum(partials, ["node"], "n_partial", "n_triangles")
+
+
 def triangle_counts(
     edges: rd.Dataset,
     src: str = "part_a",
     dst: str = "part_b",
     num_partitions: int = 8,
     per_vertex: bool = False,
+    broadcast_gate: int = 20_000_000,
 ) -> rd.Dataset:
     """Per-node triangle counts -> (node, n_triangles), where ``node``
     is each triangle's SMALLEST vertex (so every triangle is counted
@@ -492,7 +609,14 @@ def triangle_counts(
     volume is sum_b deg(b)^2 — hub vertices fan out across hash
     partitions rather than gathering per node; no driver-side state,
     nothing materializes beyond the (narrow, 2-int) edge list that
-    feeds three join sides."""
+    feeds three join sides.
+
+    Edge sets at or under ``broadcast_gate`` take the broadcast-CSR
+    fast path instead (``_triangle_counts_broadcast``): wedges are
+    generated and closed inside each task against a broadcast packed
+    edge array, so no wedge row is ever exchanged.  Above the gate
+    (driver/object-store memory = ~32B x edges) the join path keeps
+    everything distributed."""
     from .agg import grouped_count
 
     e = (
@@ -500,7 +624,8 @@ def triangle_counts(
         .repartition(num_partitions)
         .materialize()  # three consumers below; don't recompute the input
     )
-    if e.count() == 0:
+    n_edges = e.count()
+    if n_edges == 0:
         return rd.from_arrow(
             pa.table(
                 {
@@ -509,6 +634,8 @@ def triangle_counts(
                 }
             )
         )
+    if n_edges <= broadcast_gate:
+        return _triangle_counts_broadcast(e, src, dst, per_vertex)
     e1 = e.map_batches(
         lambda t: pa.table({"a": t[src], "b": t[dst]}), batch_format="pyarrow"
     )

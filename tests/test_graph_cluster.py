@@ -852,7 +852,8 @@ def test_pq_topk_recall_vs_exact():
 # ------------------------------------------------------------- triangles
 
 
-def test_triangle_counts_vs_bruteforce():
+@pytest.mark.parametrize("gate", [20_000_000, 0])
+def test_triangle_counts_vs_bruteforce(gate):
     from deepie_ray.ops import graph
 
     rng = np.random.default_rng(23)
@@ -870,8 +871,14 @@ def test_triangle_counts_vs_bruteforce():
             "part_b": pa.array([b for _, b in ed], pa.int64()),
         }
     )
+    # gate=0 forces the distributed join path; the default gate takes
+    # the broadcast-CSR path — both must match brute force exactly
     out = (
-        graph.triangle_counts(rd.from_arrow(t).repartition(4), num_partitions=4)
+        graph.triangle_counts(
+            rd.from_arrow(t).repartition(4),
+            num_partitions=4,
+            broadcast_gate=gate,
+        )
         .to_pandas()
         .set_index("node")["n_triangles"]
     )
@@ -927,6 +934,71 @@ def test_triangle_counts_wedge_free_and_open_wedge():
         }
     )
     assert graph.triangle_counts(rd.from_arrow(t2)).count() == 0
+
+
+def test_triangle_counts_broadcast_huge_int64_ids():
+    """The broadcast path packs DENSE indices, not raw ids — node ids
+    far above 2^32 must still count exactly (remap via np.unique)."""
+    from deepie_ray.ops import graph
+
+    base = np.int64(1) << np.int64(41)
+    # triangle on {base, base+7, base+9} plus a pendant edge
+    t = pa.table(
+        {
+            "part_a": pa.array(
+                [base, base, base + 7, base + 9], pa.int64()
+            ),
+            "part_b": pa.array(
+                [base + 7, base + 9, base + 9, base + 100], pa.int64()
+            ),
+        }
+    )
+    out = (
+        graph.triangle_counts(rd.from_arrow(t).repartition(2))
+        .to_pandas()
+        .set_index("node")["n_triangles"]
+        .to_dict()
+    )
+    assert out == {int(base): 1}
+
+
+def test_triangle_counts_per_vertex_paths_agree():
+    """per_vertex credit (clustering-coefficient numerator) must be
+    identical through the broadcast and join paths."""
+    from deepie_ray.ops import graph
+
+    rng = np.random.default_rng(31)
+    pairs = set()
+    for _ in range(150):
+        a, b = rng.integers(0, 25, 2)
+        if a != b:
+            pairs.add((min(a, b), max(a, b)))
+    ed = sorted(pairs)
+    t = pa.table(
+        {
+            "part_a": pa.array([a for a, _ in ed], pa.int64()),
+            "part_b": pa.array([b for _, b in ed], pa.int64()),
+        }
+    )
+    fast = (
+        graph.triangle_counts(
+            rd.from_arrow(t).repartition(3), per_vertex=True
+        )
+        .to_pandas()
+        .set_index("node")["n_triangles"]
+        .to_dict()
+    )
+    slow = (
+        graph.triangle_counts(
+            rd.from_arrow(t).repartition(3),
+            per_vertex=True,
+            broadcast_gate=0,
+        )
+        .to_pandas()
+        .set_index("node")["n_triangles"]
+        .to_dict()
+    )
+    assert fast == slow and len(fast) > 0
 
 
 def test_semantic_dedup_threshold_zero_mask():
