@@ -67,8 +67,9 @@ PIPELINES = {
     "kg_type_constraints": "per-batch signature split + ONE grouped count over the 2-exchange edge build",
     "copurchase_clustering": (
         "returned plan: ONE left-outer join (degrees x per-vertex "
-        "triangles) + ONE grouped degree count; the wedge/closing "
-        "joins sit behind the triangle materialize"
+        "triangles) + ONE grouped degree count; under the broadcast "
+        "gate the triangle materialize exchanges only per-batch node "
+        "partials (no wedge row leaves its task)"
     ),
     "copurchase_communities": (
         "ZERO exchanges in the returned plan — each LPA round's "
