@@ -69,10 +69,13 @@ def dropout_mask(
     the same mask in any block layout — dropout without sacrificing
     partition-invariance (the Theano original uses a shared RNG stream,
     which is exactly what breaks under data parallelism)."""
+    # epoch term folded in Python ints (explicit mod-2^64) — the
+    # np.uint64 scalar*scalar form warns on the intended wraparound
+    epoch_term = np.uint64(((epoch + 1) * 0xD1B54A32D192ED03) & 0xFFFFFFFFFFFFFFFF)
     x = (
         row_keys[:, None].astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
         + np.arange(n_units, dtype=np.uint64)[None, :]
-        + np.uint64(epoch + 1) * np.uint64(0xD1B54A32D192ED03)
+        + epoch_term
     )
     x ^= x >> np.uint64(30)
     x *= np.uint64(0xBF58476D1CE4E5B9)
