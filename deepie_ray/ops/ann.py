@@ -980,3 +980,216 @@ def mmr_rerank(
             "mmr_score": pa.array(out_score, pa.float64()),
         }
     )
+
+
+# ------------------------------------------------------------------ HNSW
+
+
+class HNSWIndex:
+    """Pure-numpy/heapq HNSW graph (Malkov & Yashunin 2016) over ONE
+    vector shard, cosine similarity (vectors must be L2-normalized).
+    Deterministic: node levels come from a seeded RNG over insertion
+    order, and insertion order is the caller's row order.
+
+    This is the in-task index for ``hnsw_topk`` — small enough to build
+    per shard (O(n log n) inserts, each a bounded ef-search whose
+    candidate scoring is a numpy gather-matmul), never shared or
+    mutated across tasks."""
+
+    def __init__(self, M: int = 8, ef_construction: int = 64, seed: int = 7):
+        self.M = M
+        self.efc = ef_construction
+        self.mL = 1.0 / np.log(M)
+        self.seed = seed
+
+    def build(self, X: np.ndarray, ids: np.ndarray) -> "HNSWIndex":
+        import heapq  # noqa: F401  (used by _search_layer)
+
+        self.X = X
+        self.ids = ids
+        n = len(X)
+        rng = np.random.default_rng(self.seed)
+        # geometric level draw, capped so adjacency list count is sane
+        self.levels = np.minimum(
+            (-np.log(1.0 - rng.random(n)) * self.mL).astype(np.int64), 24
+        )
+        max_level = int(self.levels.max()) if n else 0
+        self.adj: list[dict[int, list[int]]] = [
+            {} for _ in range(max_level + 1)
+        ]
+        self.entry = 0
+        self.entry_level = int(self.levels[0]) if n else 0
+        for lev in range(self.entry_level + 1):
+            self.adj[lev][0] = []
+        for i in range(1, n):
+            self._insert(i)
+        return self
+
+    def _search_layer(
+        self, q: np.ndarray, eps: list[int], ef: int, level: int
+    ) -> list[tuple[float, int]]:
+        import heapq
+
+        adj = self.adj[level]
+        visited = set(eps)
+        s0 = self.X[eps] @ q
+        cand = [(-s, v) for s, v in zip(s0, eps)]
+        heapq.heapify(cand)
+        res = list(zip(s0, eps))
+        heapq.heapify(res)
+        while len(res) > ef:
+            heapq.heappop(res)
+        while cand:
+            negs, c = heapq.heappop(cand)
+            if len(res) >= ef and -negs < res[0][0]:
+                break
+            nbrs = [u for u in adj.get(c, ()) if u not in visited]
+            if not nbrs:
+                continue
+            visited.update(nbrs)
+            s = self.X[nbrs] @ q
+            for sv, u in zip(s, nbrs):
+                if len(res) < ef or sv > res[0][0]:
+                    heapq.heappush(cand, (-sv, u))
+                    heapq.heappush(res, (sv, u))
+                    if len(res) > ef:
+                        heapq.heappop(res)
+        return res
+
+    def _insert(self, i: int) -> None:
+        q = self.X[i]
+        l_i = int(self.levels[i])
+        eps = [self.entry]
+        for lev in range(self.entry_level, l_i, -1):
+            best = max(self._search_layer(q, eps, 1, lev))
+            eps = [best[1]]
+        for lev in range(min(l_i, self.entry_level), -1, -1):
+            found = self._search_layer(q, eps, self.efc, lev)
+            best = sorted(found, reverse=True)
+            nbrs = [v for _, v in best[: self.M]]
+            self.adj[lev][i] = list(nbrs)
+            max_m = self.M if lev > 0 else 2 * self.M
+            for v in nbrs:
+                lst = self.adj[lev].setdefault(v, [])
+                lst.append(i)
+                if len(lst) > max_m:
+                    # keep v's max_m most-similar neighbors
+                    s = self.X[lst] @ self.X[v]
+                    keep = np.argsort(-s)[:max_m]
+                    self.adj[lev][v] = [lst[j] for j in keep]
+            eps = [v for _, v in best]
+        for lev in range(self.entry_level + 1, l_i + 1):
+            self.adj[lev][i] = []
+        if l_i > self.entry_level:
+            self.entry = i
+            self.entry_level = l_i
+
+    def search(
+        self, q: np.ndarray, k: int, ef: int
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """-> (ids, sims) of the approximate top-k, best first."""
+        eps = [self.entry]
+        for lev in range(self.entry_level, 0, -1):
+            best = max(self._search_layer(q, eps, 1, lev))
+            eps = [best[1]]
+        found = self._search_layer(q, eps, max(ef, k), 0)
+        best = sorted(found, reverse=True)[:k]
+        idx = np.array([v for _, v in best], dtype=np.int64)
+        sims = np.array([s for s, _ in best], dtype=np.float64)
+        return self.ids[idx], sims
+
+
+class HNSWShardTopK:
+    """Per-SHARD HNSW ANN stage: each ``__call__`` receives one whole
+    shard (``batch_size=None`` after a fixed ``repartition``), builds an
+    HNSW index over it, runs every query through it, and emits local
+    top-k (query_id, neighbor_id, cosine) rows for ``merge_topk``.
+
+    Scale shape: the index is task-local state — no shared mutable
+    graph, so the stage shards, retries and resumes like any map stage;
+    shard count bounds per-task memory (graph = O(shard x M) ints).
+    Beyond one node's worth of shards, route queries to shards with the
+    IVF coarse quantizer (ops/ann.ivf_topk) and keep per-shard HNSW as
+    the in-shard index.  Results are deterministic for a fixed input
+    layout + shard count (insertion order = row order); recall-vs-exact
+    is the pinned contract (tests/test_ann_hnsw.py)."""
+
+    def __init__(
+        self,
+        queries_ref,
+        k: int,
+        M: int = 8,
+        ef_construction: int = 64,
+        ef_search: int = 48,
+        exclude_self: bool = True,
+    ):
+        import ray
+
+        qids, qmat = ray.get(queries_ref)
+        self.qids = np.asarray(qids)
+        self.Q = _normalize(np.asarray(qmat, dtype=np.float64))
+        self.k = k
+        self.M = M
+        self.efc = ef_construction
+        self.efs = ef_search
+        self.exclude_self = exclude_self
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return _EMPTY_TOPK
+        X = _normalize(_to_matrix(batch["embedding"]))
+        ids = batch["vec_id"].to_numpy()
+        index = HNSWIndex(self.M, self.efc).build(X, ids)
+        out_q, out_n, out_s = [], [], []
+        for qi, qv in zip(self.qids, self.Q):
+            # over-fetch one so self-exclusion still yields k
+            nids, sims = index.search(qv, self.k + 1, self.efs)
+            if self.exclude_self:
+                keep = nids != qi
+                nids, sims = nids[keep], sims[keep]
+            nids, sims = nids[: self.k], sims[: self.k]
+            out_q.extend([qi] * len(nids))
+            out_n.extend(nids)
+            out_s.extend(sims)
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "cosine": pa.array(out_s, pa.float64()),
+            }
+        )
+
+
+def hnsw_topk(
+    corpus: rd.Dataset,
+    query_ids: np.ndarray,
+    query_matrix: np.ndarray,
+    k: int = 10,
+    M: int = 8,
+    ef_construction: int = 64,
+    ef_search: int = 48,
+    num_shards: int = 8,
+) -> rd.Dataset:
+    """Graph-index ANN: per-shard HNSW build + search, global top-k
+    merge.  Approximate; recall grows with ``ef_search`` /
+    ``ef_construction``.  The query matrix is the broadcast small side
+    (``ray.put`` once, read per actor); the corpus streams through a
+    fixed shard plan."""
+    import ray
+
+    qref = ray.put((query_ids, query_matrix))
+    partials = corpus.repartition(num_shards).map_batches(
+        HNSWShardTopK,
+        fn_constructor_kwargs={
+            "queries_ref": qref,
+            "k": k,
+            "M": M,
+            "ef_construction": ef_construction,
+            "ef_search": ef_search,
+        },
+        batch_format="pyarrow",
+        batch_size=None,
+        concurrency=(1, 8),
+        **POOL_REMOTE_ARGS,
+    )
+    return merge_topk(partials, k)

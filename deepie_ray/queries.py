@@ -1531,6 +1531,7 @@ def ann_recall_report(sf_dir: str) -> pa.Table:
         ("lsh", recall_of(ann_topk_lsh(sf_dir).to_pandas())),
         ("ivf", recall_of(ann_topk_ivf(sf_dir).to_pandas())),
         ("pq", recall_of(ann_topk_pq(sf_dir).to_pandas())),
+        ("hnsw", recall_of(ann_topk_hnsw(sf_dir).to_pandas())),
     ]
     return pa.table(
         {
@@ -1562,6 +1563,18 @@ def ann_topk_pq(sf_dir: str) -> rd.Dataset:
     ids, mat = _query_vectors(sf_dir)
     corpus = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     return ann.pq_topk(corpus, ids, mat, k=10, n_subspaces=8, n_codes=16)
+
+
+def ann_topk_hnsw(sf_dir: str) -> rd.Dataset:
+    """Graph-index ANN (per-shard HNSW build + search, ops/ann.py
+    HNSWShardTopK): the high-recall in-memory index family.  Each
+    shard builds its own HNSW — no shared mutable graph — and the
+    global top-k merges shard-local results.  Approximate; rows-only
+    for the driver, recall-vs-exact pinned by pytest
+    (tests/test_ann_hnsw.py)."""
+    ids, mat = _query_vectors(sf_dir)
+    corpus = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return ann.hnsw_topk(corpus, ids, mat, k=10, num_shards=8)
 
 
 def ngram_jaccard_pairs(sf_dir: str) -> rd.Dataset:

@@ -1,0 +1,104 @@
+"""HNSW ANN: recall-vs-exact contract, determinism, graph invariants.
+
+The HNSW family is approximate by design, so its pinned contract is
+recall against the brute-force ground truth (the same pattern as the
+LSH / IVF / PQ recall pins), not value equality.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data as rd
+
+from deepie_ray.ops import ann
+from deepie_ray.ops.ann import HNSWIndex, _normalize
+
+
+def _clustered(n: int, d: int = 32, n_clusters: int = 10, seed: int = 3):
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((n_clusters, d)) * 3.0
+    X = centers[rng.integers(0, n_clusters, n)] + rng.standard_normal((n, d))
+    return _normalize(X)
+
+
+def test_hnsw_index_recall_single_shard():
+    X = _clustered(1500)
+    ids = np.arange(1500, dtype=np.int64)
+    idx = HNSWIndex(M=8, ef_construction=64).build(X, ids)
+    hits = total = 0
+    for q in range(25):
+        true = set(np.argsort(-(X @ X[q]))[:10])
+        got, _ = idx.search(X[q], 10, 48)
+        hits += len(true & set(got))
+        total += 10
+    assert hits / total >= 0.9
+
+
+def test_hnsw_index_exhaustive_ef_is_exact():
+    # ef >= n degenerates to exhaustive scan of the reachable graph —
+    # on a tiny connected set the result must be the exact top-k
+    X = _clustered(120, seed=9)
+    ids = np.arange(120, dtype=np.int64)
+    idx = HNSWIndex(M=8, ef_construction=120).build(X, ids)
+    for q in (0, 17, 63):
+        true = list(np.argsort(-(X @ X[q]))[:5])
+        got, sims = idx.search(X[q], 5, 200)
+        assert list(got) == true
+        assert np.all(np.diff(sims) <= 1e-12)  # best-first
+
+
+def test_hnsw_degree_bounds_and_determinism():
+    X = _clustered(800, seed=5)
+    ids = np.arange(800, dtype=np.int64)
+    a = HNSWIndex(M=6, ef_construction=40).build(X, ids)
+    b = HNSWIndex(M=6, ef_construction=40).build(X, ids)
+    for lev, adj in enumerate(a.adj):
+        cap = 2 * a.M if lev == 0 else a.M
+        assert all(len(v) <= cap for v in adj.values())
+    assert [a.adj[0][i] for i in range(800)] == [
+        b.adj[0][i] for i in range(800)
+    ]
+
+
+def test_hnsw_topk_dataset_recall_multi_shard(ray_session):
+    n = 2000
+    X = _clustered(n, seed=11)
+    ids = np.arange(n, dtype=np.int64)
+    corpus = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "embedding": pa.array(
+                    [row.tolist() for row in X], pa.list_(pa.float64())
+                ),
+            }
+        )
+    ).repartition(6)
+    qids = ids[:8]
+    got = (
+        ann.hnsw_topk(corpus, qids, X[:8], k=10, num_shards=4)
+        .to_pandas()
+        .groupby("query_id")["neighbor_id"]
+        .apply(set)
+    )
+    hits = total = 0
+    for q in qids:
+        sims = X @ X[q]
+        sims[q] = -2.0  # exclude self, as the stage does
+        true = set(np.argsort(-sims)[:10])
+        hits += len(true & got.get(q, set()))
+        total += 10
+    assert hits / total >= 0.9
+    # schema contract shared by the whole ANN family
+    assert all(len(v) == 10 for v in got.values)
+
+
+def test_hnsw_query_registry_entry(ray_session, sf_dir):
+    import __ray_entry__ as e
+
+    out = e.queries()["ann_topk_hnsw"](sf_dir).to_pandas()
+    assert set(out.columns) == {"query_id", "neighbor_id", "rank"}
+    assert out.groupby("query_id")["rank"].max().max() <= 10
+    assert len(out) > 0
