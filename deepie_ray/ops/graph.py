@@ -242,6 +242,7 @@ def pagerank(
     num_partitions: int = 8,
     dense_node_cap: int = 500_000,
     force_join: bool = False,
+    force_dense: bool = False,
 ) -> rd.Dataset:
     """Damped PageRank over a directed edge list -> (node, rank).
     Node ids must be integers (cast to int64 internally; the dense
@@ -255,13 +256,17 @@ def pagerank(
     redistributed uniformly — the standard formulation, the one a
     numpy power-iteration oracle reproduces.
 
-    SIZE-GATED like ops/canon.py components: when the node count is
-    at most ``dense_node_cap`` the dense-vector path runs (edges
-    indexed once, never re-shuffled; per-iteration cost is ONE
-    streaming pass + a driver fold of per-block vectors); above the
-    cap — or with ``force_join=True`` — the all-distributed join path
-    below runs.  Both paths produce identical math and both are
-    pinned by the numpy parity test.
+    SIZE-GATED three ways (all pinned by the numpy parity test):
+    edge lists at or under ``DRIVER_GRAPH_MAX_EDGES`` run the whole
+    power iteration on the driver (one edge pull, zero per-iteration
+    Ray rounds — per-iteration task-launch fixed costs dwarf tiny
+    graphs; same gate as ``pagerank_int``/``bellman_ford_int``).
+    Above that, node counts at most ``dense_node_cap`` take the
+    dense-vector path (edges indexed once, never re-shuffled;
+    per-iteration cost is ONE streaming pass + a driver fold of
+    per-block vectors).  Above the cap — or with ``force_join=True``
+    — the all-distributed join path below runs.  ``force_dense``
+    pins the middle path for tests.
 
     Join path: the rank vector carries a precomputed ``dang`` 0/1 flag so the
     dangling mass is a plain streaming sum of ``rank * dang`` — no
@@ -285,22 +290,42 @@ def pagerank(
         # once per consumer — lazy-DAG duplication, same hazard as
         # copurchase_edges' p
     ).materialize()
-    nodes = (
-        e.map_batches(
-            lambda t: pa.table(
+    from .agg import sorted_distinct
+
+    if e.count() == 0:
+        # sorted_distinct requires non-empty input; the typed empty
+        # result short-circuits here
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array([], pa.int64()),
+                    "rank": pa.array([], pa.float64()),
+                }
+            )
+        )
+
+    def node_partial(t: pa.Table) -> pa.Table:
+        # per-batch distinct combiner: the exchange moves
+        # O(distinct-per-block) ids, not every endpoint row (the raw
+        # groupby shape cost ~5s over 4.8M endpoints at sf0.1)
+        return (
+            pa.table(
                 {
                     "node": pa.chunked_array(
                         t["src"].cast(pa.int64()).chunks
                         + t["dst"].cast(pa.int64()).chunks
                     ).combine_chunks()
                 }
-            ),
-            batch_format="pyarrow",
+            )
+            .group_by("node")
+            .aggregate([])
         )
-        .groupby("node")
-        .aggregate(Sum("node", alias_name="_s"))
-        .select_columns(["node"])
-        # joined below (flagged): repartition clears the groupby's
+
+    nodes = (
+        sorted_distinct(
+            e.map_batches(node_partial, batch_format="pyarrow"), ["node"]
+        )
+        # joined below (flagged): repartition clears the grouped
         # zero-column empty-partition blocks (tuning.py join rule)
         .repartition(num_partitions)
         .materialize()
@@ -312,6 +337,48 @@ def pagerank(
                 {"node": pa.array([], pa.int64()), "rank": pa.array([], pa.float64())}
             ),
             batch_format="pyarrow",
+        )
+    if (
+        not force_join
+        and not force_dense
+        and e.count() <= DRIVER_GRAPH_MAX_EDGES
+    ):
+        node_arr = np.sort(nodes.to_pandas()["node"].to_numpy())
+        si_parts, di_parts = [], []
+        for blk in e.iter_batches(batch_format="pyarrow", batch_size=None):
+            if blk.num_rows:
+                si_parts.append(
+                    np.searchsorted(
+                        node_arr,
+                        blk["src"].to_numpy(zero_copy_only=False),
+                    )
+                )
+                di_parts.append(
+                    np.searchsorted(
+                        node_arr,
+                        blk["dst"].to_numpy(zero_copy_only=False),
+                    )
+                )
+        si = np.concatenate(si_parts)
+        di = np.concatenate(di_parts)
+        outdeg = np.bincount(si, minlength=n_nodes).astype(np.float64)
+        safe_out = np.maximum(outdeg, 1.0)
+        dang = outdeg == 0
+        r = np.full(n_nodes, 1.0 / n_nodes)
+        for _ in range(iters):
+            contrib = np.bincount(
+                di, weights=r[si] / safe_out[si], minlength=n_nodes
+            )
+            r = (1.0 - damping) / n_nodes + damping * (
+                contrib + r[dang].sum() / n_nodes
+            )
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array(node_arr, pa.int64()),
+                    "rank": pa.array(r, pa.float64()),
+                }
+            )
         )
     if not force_join and n_nodes <= dense_node_cap:
         return _pagerank_dense(e, nodes, n_nodes, iters, damping)
@@ -795,6 +862,7 @@ def label_propagation(
     src: str = "part_a",
     dst: str = "part_b",
     num_partitions: int = 8,
+    force_distributed: bool = False,
 ) -> rd.Dataset:
     """Synchronous label-propagation community detection (Raghavan et
     al. 2007) -> (node, community) after a FIXED number of rounds.
@@ -813,7 +881,16 @@ def label_propagation(
     rounds re-shuffle only the label vector.  Packing bound: n <= max
     degree and M = max node id + 1 must satisfy n*M < 2^63 — holds for
     billion-node graphs with million-degree hubs; beyond that split the
-    argmax into (count, lab) lexicographic via two grouped passes."""
+    argmax into (count, lab) lexicographic via two grouped passes.
+
+    SIZE-GATED like ``pagerank``/``bfs_hops``: edge lists at or under
+    ``DRIVER_GRAPH_MAX_EDGES`` run every round on the driver with the
+    identical packed-argmax rule in numpy (one edge pull, zero
+    per-round exchanges — per-round join fixed costs dwarf small
+    graphs); the rule is deterministic, so both paths emit IDENTICAL
+    labels (pinned by the forced-distributed parity test).
+    ``force_distributed`` pins the distributed loop for tests and is
+    the path a 100-TB graph takes."""
     from .agg import grouped_count, grouped_count_sorted
 
     e = edges.select_columns([src, dst]).materialize()
@@ -827,6 +904,47 @@ def label_propagation(
     )
     if e.count() == 0:
         return empty
+
+    if not force_distributed and e.count() <= DRIVER_GRAPH_MAX_EDGES:
+        a_parts, b_parts = [], []
+        for blk in e.iter_batches(batch_format="pyarrow", batch_size=None):
+            if blk.num_rows:
+                a_parts.append(
+                    blk[src].to_numpy(zero_copy_only=False).astype(np.int64)
+                )
+                b_parts.append(
+                    blk[dst].to_numpy(zero_copy_only=False).astype(np.int64)
+                )
+        a_all = np.concatenate(a_parts)
+        b_all = np.concatenate(b_parts)
+        nodes_arr, inv = np.unique(
+            np.concatenate([a_all, b_all]), return_inverse=True
+        )
+        # bidirected endpoint indices: node i's neighbor labels
+        ni = np.concatenate([inv[: len(a_all)], inv[len(a_all) :]])
+        bi = np.concatenate([inv[len(a_all) :], inv[: len(a_all)]])
+        n = len(nodes_arr)
+        M = int(nodes_arr.max()) + 1
+        lab = nodes_arr.copy()
+        for _ in range(rounds):
+            packed = ni * M + lab[bi]
+            u, c = np.unique(packed, return_counts=True)
+            un = u // M
+            ul = u % M
+            # same packed argmax rule as the distributed rounds:
+            # max count, then min label
+            key2 = c * M + (M - 1 - ul)
+            best = np.full(n, -1, np.int64)
+            np.maximum.at(best, un, key2)
+            lab = np.where(best >= 0, (M - 1) - (best % M), lab)
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array(nodes_arr, pa.int64()),
+                    "community": pa.array(lab, pa.int64()),
+                }
+            )
+        )
 
     adj = e.map_batches(
         lambda t: pa.table(
@@ -950,9 +1068,13 @@ def label_propagation(
     )
 
 
-# symmetrized edge lists at or below this size BFS on the driver
-# (same rationale and scale as dedup.DRIVER_CC_MAX_EDGES)
-DRIVER_BFS_MAX_EDGES = 2_000_000
+# symmetrized edge lists at or below this size BFS on the driver.
+# The gate is counted on the DOUBLED (symmetrized) table, so it equals
+# 2M raw edges = 2 int64 cols x 4M rows = 64 MB pulled — the same raw-
+# edge bound as DRIVER_GRAPH_MAX_EDGES / dedup.DRIVER_CC_MAX_EDGES
+# (the old 2M-symmetrized value pushed a 1.2M-edge graph onto the
+# per-level join loop, whose fixed costs dwarf graphs this size)
+DRIVER_BFS_MAX_EDGES = 4_000_000
 
 
 def bfs_hops(
@@ -1274,7 +1396,10 @@ def edge_neighbor_overlap(
 # with force_distributed).  Above the gate every round is ordinary
 # hash-partitioned joins/groupbys.
 
-DRIVER_GRAPH_MAX_EDGES = 2_000_000
+# 8M edges = 2 int64 cols x 8M rows = 128 MB pulled once — the same
+# order as the triangle broadcast gate; callers that pass BIDIRECTED
+# lists (graph_pagerank) stay under it for graphs up to 4M raw edges
+DRIVER_GRAPH_MAX_EDGES = 8_000_000
 
 
 def _edges_local(ed: rd.Dataset, cols: tuple[str, ...]) -> dict[str, np.ndarray]:

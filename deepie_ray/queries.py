@@ -9932,12 +9932,26 @@ def copurchase_kcore(sf_dir: str) -> rd.Dataset:
     The SQL twin unrolls 14 peel rounds — safe because peeling is
     idempotent at the fixpoint; the engine loops to convergence with
     one scalar of driver traffic per round.  Edges shrink
-    monotonically so rounds get cheaper."""
+    monotonically so rounds get cheaper.
+
+    The 3-core CAN be globally empty (it is at sf0.1, where support>=2
+    spreads 3.6k edges over 20k parts — max degree 6 peels to
+    nothing); ray.data drops the schema of a 0-row dataset on
+    ``to_pandas``, so the empty case hands the TYPED empty table to
+    the driver directly."""
     from .ops import graph
 
     li = _lineitem(sf_dir, ["l_orderkey", "l_partkey"])
     edges = graph.copurchase_edges(li, min_count=2)
-    return graph.kcore(graph.symmetrize_edges(edges), k=3)
+    out = graph.kcore(graph.symmetrize_edges(edges), k=3).materialize()
+    if out.count() == 0:
+        return pa.table(
+            {
+                "node": pa.array([], pa.int64()),
+                "deg": pa.array([], pa.int64()),
+            }
+        )
+    return out
 
 
 def event_value_bootstrap(sf_dir: str) -> rd.Dataset:

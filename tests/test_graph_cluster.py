@@ -1694,3 +1694,73 @@ def test_random_walks_fast_mode_valid_and_partition_independent():
         assert path[0] == w
         for u, v in zip(path, path[1:]):
             assert v in nbrs[u], (w, path)
+
+
+def test_label_propagation_driver_and_distributed_identical():
+    """The driver-gated LPA rounds must emit IDENTICAL labels to the
+    distributed join rounds (same deterministic packed-argmax rule)."""
+    rng = np.random.default_rng(77)
+    pairs = set()
+    for _ in range(300):
+        a, b = rng.integers(0, 60, 2)
+        if a != b:
+            pairs.add((min(a, b), max(a, b)))
+    ed = sorted(pairs)
+    t = pa.table(
+        {
+            "part_a": pa.array([a for a, _ in ed], pa.int64()),
+            "part_b": pa.array([b for _, b in ed], pa.int64()),
+        }
+    )
+    fast = (
+        graph.label_propagation(rd.from_arrow(t).repartition(3), rounds=3)
+        .to_pandas()
+        .set_index("node")["community"]
+        .to_dict()
+    )
+    slow = (
+        graph.label_propagation(
+            rd.from_arrow(t).repartition(3), rounds=3, force_distributed=True
+        )
+        .to_pandas()
+        .set_index("node")["community"]
+        .to_dict()
+    )
+    assert fast == slow and len(fast) == 60
+
+
+def test_pagerank_three_paths_match_numpy():
+    """driver / dense / join paths all reproduce the numpy power
+    iteration (the driver path is new: whole loop on one edge pull)."""
+    rng = np.random.default_rng(13)
+    edges = [
+        (int(a), int(b))
+        for a, b in rng.integers(0, 30, (120, 2))
+        if a != b
+    ]
+    t = pa.table(
+        {
+            "src": pa.array([a for a, _ in edges], pa.int64()),
+            "dst": pa.array([b for _, b in edges], pa.int64()),
+        }
+    )
+    want = _pagerank_numpy(edges, iters=4)
+    for kwargs in (
+        {},
+        {"force_dense": True},
+        {"force_join": True},
+    ):
+        got = (
+            graph.pagerank(
+                rd.from_arrow(t).repartition(3),
+                iters=4,
+                num_partitions=2,
+                **kwargs,
+            )
+            .to_pandas()
+            .set_index("node")["rank"]
+            .to_dict()
+        )
+        assert set(got) == set(want), kwargs
+        for n in want:
+            assert got[n] == pytest.approx(want[n], abs=1e-12), (kwargs, n)
