@@ -65,36 +65,37 @@ def kmeans_fit(
     for _ in range(iters):
         ref = ray.put(C)
 
-        class Partial:
-            def __init__(self):
-                self.C = ray.get(ref)
-
-            def __call__(self, t: pa.Table) -> pa.Table:
-                X = _batch_matrix(t, vec_col).astype(np.float64)
-                if X.shape[0] == 0:
-                    return pa.table(
-                        {
-                            "cluster": pa.array([], pa.int64()),
-                            "n": pa.array([], pa.int64()),
-                            "vsum": pa.array([], pa.list_(pa.float64())),
-                        }
-                    )
-                a = _assign(X, self.C)
-                kk = self.C.shape[0]
-                sums = np.zeros_like(self.C)
-                np.add.at(sums, a, X)
-                counts = np.bincount(a, minlength=kk).astype(np.int64)
-                live = counts > 0
+        # STATELESS tasks, not an actor pool: a fresh pool per Lloyd
+        # iteration costs ~1-2s of spawn+ramp each (the minhash bands
+        # lesson); the only "state" is the centroid broadcast, and
+        # ray.get of a plasma-local object inside the task is free
+        def partial(t: pa.Table, _ref=ref) -> pa.Table:
+            C_it = ray.get(_ref)
+            X = _batch_matrix(t, vec_col).astype(np.float64)
+            if X.shape[0] == 0:
                 return pa.table(
                     {
-                        "cluster": pa.array(np.arange(kk)[live], pa.int64()),
-                        "n": pa.array(counts[live], pa.int64()),
-                        "vsum": pa.array(list(sums[live]), pa.list_(pa.float64())),
+                        "cluster": pa.array([], pa.int64()),
+                        "n": pa.array([], pa.int64()),
+                        "vsum": pa.array([], pa.list_(pa.float64())),
                     }
                 )
+            a = _assign(X, C_it)
+            kk = C_it.shape[0]
+            sums = np.zeros_like(C_it)
+            np.add.at(sums, a, X)
+            counts = np.bincount(a, minlength=kk).astype(np.int64)
+            live = counts > 0
+            return pa.table(
+                {
+                    "cluster": pa.array(np.arange(kk)[live], pa.int64()),
+                    "n": pa.array(counts[live], pa.int64()),
+                    "vsum": pa.array(list(sums[live]), pa.list_(pa.float64())),
+                }
+            )
 
         partials = ds.map_batches(
-            Partial, batch_format="pyarrow", concurrency=(1, 8), **POOL_REMOTE_ARGS
+            partial, batch_format="pyarrow"
         ).to_pandas()  # k x n_blocks rows — bounded, independent of corpus rows
         newC = C.copy()
         if len(partials):
@@ -117,30 +118,27 @@ def kmeans_assign(
     (broadcast once; pure streaming map)."""
     ref = ray.put(C)
 
-    class Assign:
-        def __init__(self):
-            self.C = ray.get(ref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            X = _batch_matrix(t, vec_col).astype(np.float64)
-            if X.shape[0] == 0:
-                return pa.table(
-                    {
-                        id_col: pa.array([], pa.int64()),
-                        "cluster": pa.array([], pa.int64()),
-                    }
-                )
-            a = _assign(X, self.C)
+    # stateless tasks for the same reason as the fit loop: one pass,
+    # centroids plasma-local per task
+    def assign(t: pa.Table) -> pa.Table:
+        C_b = ray.get(ref)
+        X = _batch_matrix(t, vec_col).astype(np.float64)
+        if X.shape[0] == 0:
             return pa.table(
                 {
-                    id_col: t[id_col],
-                    "cluster": pa.array(a.astype(np.int64), pa.int64()),
+                    id_col: pa.array([], pa.int64()),
+                    "cluster": pa.array([], pa.int64()),
                 }
             )
+        a = _assign(X, C_b)
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "cluster": pa.array(a.astype(np.int64), pa.int64()),
+            }
+        )
 
-    return ds.map_batches(
-        Assign, batch_format="pyarrow", concurrency=(1, 8), **POOL_REMOTE_ARGS
-    )
+    return ds.map_batches(assign, batch_format="pyarrow")
 
 
 def _l2_rows(X: np.ndarray) -> np.ndarray:
