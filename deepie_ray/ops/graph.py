@@ -304,6 +304,39 @@ def pagerank(
             )
         )
 
+    if (
+        not force_join
+        and not force_dense
+        and e.count() <= DRIVER_GRAPH_MAX_EDGES
+    ):
+        # driver path runs BEFORE the distributed node-set pipeline —
+        # it derives the node array from the pulled edges itself, so
+        # paying a sort exchange for `nodes` first would throw away
+        # exactly the per-round fixed costs this path exists to avoid
+        # (review finding); shared pull/remap helpers per convention
+        cols = _edges_local(e, ("src", "dst"))
+        node_arr, (si, di) = _compact_ids(cols["src"], cols["dst"])
+        n_nodes = len(node_arr)
+        outdeg = np.bincount(si, minlength=n_nodes).astype(np.float64)
+        safe_out = np.maximum(outdeg, 1.0)
+        dang = outdeg == 0
+        r = np.full(n_nodes, 1.0 / n_nodes)
+        for _ in range(iters):
+            contrib = np.bincount(
+                di, weights=r[si] / safe_out[si], minlength=n_nodes
+            )
+            r = (1.0 - damping) / n_nodes + damping * (
+                contrib + r[dang].sum() / n_nodes
+            )
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array(node_arr, pa.int64()),
+                    "rank": pa.array(r, pa.float64()),
+                }
+            )
+        )
+
     def node_partial(t: pa.Table) -> pa.Table:
         # per-batch distinct combiner: the exchange moves
         # O(distinct-per-block) ids, not every endpoint row (the raw
@@ -337,48 +370,6 @@ def pagerank(
                 {"node": pa.array([], pa.int64()), "rank": pa.array([], pa.float64())}
             ),
             batch_format="pyarrow",
-        )
-    if (
-        not force_join
-        and not force_dense
-        and e.count() <= DRIVER_GRAPH_MAX_EDGES
-    ):
-        node_arr = np.sort(nodes.to_pandas()["node"].to_numpy())
-        si_parts, di_parts = [], []
-        for blk in e.iter_batches(batch_format="pyarrow", batch_size=None):
-            if blk.num_rows:
-                si_parts.append(
-                    np.searchsorted(
-                        node_arr,
-                        blk["src"].to_numpy(zero_copy_only=False),
-                    )
-                )
-                di_parts.append(
-                    np.searchsorted(
-                        node_arr,
-                        blk["dst"].to_numpy(zero_copy_only=False),
-                    )
-                )
-        si = np.concatenate(si_parts)
-        di = np.concatenate(di_parts)
-        outdeg = np.bincount(si, minlength=n_nodes).astype(np.float64)
-        safe_out = np.maximum(outdeg, 1.0)
-        dang = outdeg == 0
-        r = np.full(n_nodes, 1.0 / n_nodes)
-        for _ in range(iters):
-            contrib = np.bincount(
-                di, weights=r[si] / safe_out[si], minlength=n_nodes
-            )
-            r = (1.0 - damping) / n_nodes + damping * (
-                contrib + r[dang].sum() / n_nodes
-            )
-        return rd.from_arrow(
-            pa.table(
-                {
-                    "node": pa.array(node_arr, pa.int64()),
-                    "rank": pa.array(r, pa.float64()),
-                }
-            )
         )
     if not force_join and n_nodes <= dense_node_cap:
         return _pagerank_dense(e, nodes, n_nodes, iters, damping)
@@ -562,23 +553,10 @@ def _triangle_counts_broadcast(
 
     from .agg import sorted_grouped_sum
 
-    a_parts: list[np.ndarray] = []
-    b_parts: list[np.ndarray] = []
-    for blk in e.iter_batches(batch_format="pyarrow", batch_size=None):
-        if blk.num_rows:
-            a_parts.append(
-                blk[src].to_numpy(zero_copy_only=False).astype(np.int64)
-            )
-            b_parts.append(
-                blk[dst].to_numpy(zero_copy_only=False).astype(np.int64)
-            )
-    a_all = np.concatenate(a_parts)
-    b_all = np.concatenate(b_parts)
-    nodes, inv = np.unique(np.concatenate([a_all, b_all]), return_inverse=True)
-    ai = inv[: len(a_all)]
-    bi = inv[len(a_all) :]
-    # np.unique is sorted, so dense indices preserve the original id
-    # order and the src<dst canonical orientation carries over
+    cols = _edges_local(e, (src, dst))
+    nodes, (ai, bi) = _compact_ids(cols[src], cols[dst])
+    # _compact_ids is sorted-unique, so dense indices preserve the
+    # original id order and the src<dst canonical orientation carries
     order = np.lexsort((bi, ai))
     ai_s, bi_s = ai[order], bi[order]
     indptr = np.zeros(len(nodes) + 1, np.int64)
@@ -595,6 +573,13 @@ def _triangle_counts_broadcast(
         }
     )
 
+    # per-expansion candidate budget: a low-id hub edge can carry
+    # d_hi(hub) candidates EACH, so expanding a whole batch at once is
+    # unbounded (review finding: a K(1,1M) star with a low-id center
+    # would allocate batch x 1M rows).  Chunk edges so every expansion
+    # allocates at most ~budget rows regardless of degree skew.
+    _CAND_BUDGET = 4_000_000
+
     def tri_partial(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
             return empty
@@ -602,34 +587,49 @@ def _triangle_counts_broadcast(
         a = np.searchsorted(nd, t[src].to_numpy(zero_copy_only=False))
         b = np.searchsorted(nd, t[dst].to_numpy(zero_copy_only=False))
         cnt = iptr[a + 1] - iptr[a]
-        total = int(cnt.sum())
-        if total == 0:
+        if int(cnt.sum()) == 0:
             return empty
-        eidx = np.repeat(np.arange(len(a)), cnt)
-        # concatenated-slice gather: position within each edge's run
-        # plus that edge's CSR start
-        pos = (
-            np.arange(total)
-            - np.repeat(np.cumsum(cnt) - cnt, cnt)
-            + np.repeat(iptr[a], cnt)
-        )
-        w = nbr[pos]
-        bb = b[eidx]
-        m = w > bb
-        if not m.any():
+        csum = np.cumsum(cnt)
+        found_parts: list[np.ndarray] = []
+        start = 0
+        while start < len(a):
+            base = int(csum[start - 1]) if start else 0
+            stop = int(
+                np.searchsorted(csum, base + _CAND_BUDGET, side="left")
+            ) + 1
+            stop = min(max(stop, start + 1), len(a))
+            a_s, b_s, cnt_s = a[start:stop], b[start:stop], cnt[start:stop]
+            total = int(cnt_s.sum())
+            start = stop
+            if total == 0:
+                continue
+            eidx = np.repeat(np.arange(len(a_s)), cnt_s)
+            # concatenated-slice gather: position within each edge's
+            # run plus that edge's CSR start
+            pos = (
+                np.arange(total)
+                - np.repeat(np.cumsum(cnt_s) - cnt_s, cnt_s)
+                + np.repeat(iptr[a_s], cnt_s)
+            )
+            w = nbr[pos]
+            bb = b_s[eidx]
+            m = w > bb
+            if not m.any():
+                continue
+            w, bb, aa = w[m], bb[m], a_s[eidx][m]
+            q = (bb << np.int64(32)) | w
+            idx = np.searchsorted(pk, q)
+            ok = idx < len(pk)
+            ok[ok] = pk[idx[ok]] == q[ok]
+            if not ok.any():
+                continue
+            if per_vertex:
+                found_parts.append(np.concatenate([aa[ok], bb[ok], w[ok]]))
+            else:
+                found_parts.append(aa[ok])
+        if not found_parts:
             return empty
-        w, bb, aa = w[m], bb[m], a[eidx][m]
-        q = (bb << np.int64(32)) | w
-        idx = np.searchsorted(pk, q)
-        ok = idx < len(pk)
-        ok[ok] = pk[idx[ok]] == q[ok]
-        if not ok.any():
-            return empty
-        if per_vertex:
-            found = np.concatenate([aa[ok], bb[ok], w[ok]])
-        else:
-            found = aa[ok]
-        u, c = np.unique(found, return_counts=True)
+        u, c = np.unique(np.concatenate(found_parts), return_counts=True)
         return pa.table(
             {
                 "node": pa.array(nd[u], pa.int64()),
@@ -637,9 +637,12 @@ def _triangle_counts_broadcast(
             }
         )
 
+    # materialized ONCE: the empty probe below would otherwise run the
+    # whole wedge pass, then sorted_grouped_sum's sort would run it
+    # AGAIN from scratch (review finding)
     partials = e.map_batches(
         tri_partial, batch_format="pyarrow", batch_size=8192
-    )
+    ).materialize()
     if partials.limit(1).count() == 0:
         return rd.from_arrow(
             pa.table(
@@ -906,42 +909,37 @@ def label_propagation(
         return empty
 
     if not force_distributed and e.count() <= DRIVER_GRAPH_MAX_EDGES:
-        a_parts, b_parts = [], []
-        for blk in e.iter_batches(batch_format="pyarrow", batch_size=None):
-            if blk.num_rows:
-                a_parts.append(
-                    blk[src].to_numpy(zero_copy_only=False).astype(np.int64)
-                )
-                b_parts.append(
-                    blk[dst].to_numpy(zero_copy_only=False).astype(np.int64)
-                )
-        a_all = np.concatenate(a_parts)
-        b_all = np.concatenate(b_parts)
-        nodes_arr, inv = np.unique(
-            np.concatenate([a_all, b_all]), return_inverse=True
-        )
-        # bidirected endpoint indices: node i's neighbor labels
-        ni = np.concatenate([inv[: len(a_all)], inv[len(a_all) :]])
-        bi = np.concatenate([inv[len(a_all) :], inv[: len(a_all)]])
+        cols = _edges_local(e, (src, dst))
+        nodes_arr, (ai, bi_dir) = _compact_ids(cols[src], cols[dst])
+        # bidirected endpoint indices: node ni's neighbor labels
+        ni = np.concatenate([ai, bi_dir])
+        bi = np.concatenate([bi_dir, ai])
         n = len(nodes_arr)
-        M = int(nodes_arr.max()) + 1
-        lab = nodes_arr.copy()
+        # rounds run ENTIRELY in dense index space: labels are dense
+        # node indices (dense order == id order, so min-index tie-break
+        # == the distributed rule's min-label), and the argmax packs
+        # with n — bound n^2 < 2^63, guaranteed under the gate.
+        # Packing with RAW ids (max id + 1) overflows int64 for large
+        # sparse id spaces (e.g. ids ~2^45), silently corrupting
+        # labels via negative np.maximum.at indices — caught by review,
+        # pinned by test_label_propagation_huge_sparse_node_ids.
+        lab = np.arange(n, dtype=np.int64)
         for _ in range(rounds):
-            packed = ni * M + lab[bi]
+            packed = ni * n + lab[bi]
             u, c = np.unique(packed, return_counts=True)
-            un = u // M
-            ul = u % M
+            un = u // n
+            ul = u % n
             # same packed argmax rule as the distributed rounds:
             # max count, then min label
-            key2 = c * M + (M - 1 - ul)
+            key2 = c * n + (n - 1 - ul)
             best = np.full(n, -1, np.int64)
             np.maximum.at(best, un, key2)
-            lab = np.where(best >= 0, (M - 1) - (best % M), lab)
+            lab = np.where(best >= 0, (n - 1) - (best % n), lab)
         return rd.from_arrow(
             pa.table(
                 {
                     "node": pa.array(nodes_arr, pa.int64()),
-                    "community": pa.array(lab, pa.int64()),
+                    "community": pa.array(nodes_arr[lab], pa.int64()),
                 }
             )
         )

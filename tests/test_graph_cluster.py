@@ -1764,3 +1764,70 @@ def test_pagerank_three_paths_match_numpy():
         assert set(got) == set(want), kwargs
         for n in want:
             assert got[n] == pytest.approx(want[n], abs=1e-12), (kwargs, n)
+
+
+def test_label_propagation_huge_sparse_node_ids():
+    """Driver-gated LPA must not overflow the argmax packing when node
+    ids are large and sparse (ids ~2^45 overflowed the old raw-id
+    packing, silently corrupting labels via negative np.maximum.at
+    indices).  Packing now uses dense indices, so results must equal
+    the distributed path's exactly."""
+    base = np.int64(1) << np.int64(45)
+    rng = np.random.default_rng(99)
+    pairs = set()
+    for _ in range(200):
+        a, b = rng.integers(0, 50, 2)
+        if a != b:
+            lo, hi = min(a, b), max(a, b)
+            pairs.add((int(base + lo * 977), int(base + hi * 977)))
+    ed = sorted(pairs)
+    t = pa.table(
+        {
+            "part_a": pa.array([a for a, _ in ed], pa.int64()),
+            "part_b": pa.array([b for _, b in ed], pa.int64()),
+        }
+    )
+    fast = (
+        graph.label_propagation(rd.from_arrow(t).repartition(3), rounds=2)
+        .to_pandas()
+        .set_index("node")["community"]
+        .to_dict()
+    )
+    slow = (
+        graph.label_propagation(
+            rd.from_arrow(t).repartition(3), rounds=2, force_distributed=True
+        )
+        .to_pandas()
+        .set_index("node")["community"]
+        .to_dict()
+    )
+    assert fast == slow
+
+
+def test_triangle_counts_low_id_hub_budget_chunking():
+    """A star whose center has the LOWEST id gives every (center, leaf)
+    edge d_hi(center) wedge candidates — the per-expansion budget must
+    chunk this instead of allocating edges x degree at once, and the
+    count must still be exact (star + one closing rim edge = 1
+    triangle at the center)."""
+    k = 3000
+    center = np.int64(0)
+    leaves = np.arange(1, k + 1, dtype=np.int64)
+    t = pa.table(
+        {
+            "part_a": pa.array(
+                np.concatenate([np.full(k, center), np.array([1])]),
+                pa.int64(),
+            ),
+            "part_b": pa.array(
+                np.concatenate([leaves, np.array([2])]), pa.int64()
+            ),
+        }
+    )
+    out = (
+        graph.triangle_counts(rd.from_arrow(t).repartition(2))
+        .to_pandas()
+        .set_index("node")["n_triangles"]
+        .to_dict()
+    )
+    assert out == {0: 1}
