@@ -72,9 +72,10 @@ PIPELINES = {
         "partials (no wedge row leaves its task)"
     ),
     "copurchase_communities": (
-        "ZERO exchanges in the returned plan — each LPA round's "
-        "join+count+argmax folds behind its label materialize; per "
-        "round: 1 join + 2 grouped exchanges on the narrow label table"
+        "ZERO exchanges in the returned plan — under the driver gate "
+        "every LPA round is numpy off one edge pull; above the gate "
+        "each round is 1 join + 2 grouped exchanges on the narrow "
+        "label table, folded behind its per-round materialize"
     ),
     "orders_ivm_status_counts": (
         "semi-join of exactly the touched keys (1 join + distinct-"
