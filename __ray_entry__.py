@@ -118,6 +118,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_centroids": Q.embedding_centroids,
         # round-4 coverage extensions (all oracle-backed)
         "orders_cube": Q.orders_cube,
+        "orders_grouping_sets": Q.orders_grouping_sets,
         "events_value_stats": Q.events_value_stats,
         "revenue_by_nation_year": Q.revenue_by_nation_year,
         "users_view_and_purchase": Q.users_view_and_purchase,
@@ -2205,6 +2206,20 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_orders
             FROM orders
             GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        """,
+        "orders_grouping_sets": """
+            SELECT o_orderstatus, o_orderpriority,
+                   CASE WHEN GROUPING(date_part('year', o_orderdate)) = 0
+                        THEN date_part('year', o_orderdate)::BIGINT
+                        ELSE NULL END AS o_year,
+                   round(sum(o_totalprice), 2) AS total_price,
+                   count(*)::BIGINT AS n_orders
+            FROM orders
+            GROUP BY GROUPING SETS (
+                (o_orderstatus, date_part('year', o_orderdate)),
+                (o_orderpriority),
+                ()
+            )
         """,
         "events_value_stats": """
             SELECT event_type,

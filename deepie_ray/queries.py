@@ -3391,6 +3391,96 @@ def orders_cube(sf_dir: str) -> rd.Dataset:
     )
 
 
+def orders_grouping_sets(sf_dir: str) -> rd.Dataset:
+    """SQL GROUP BY GROUPING SETS ((status, year), (priority), ()) —
+    the GENERIC grouping-sets shape that CUBE/ROLLUP cannot express
+    (non-lattice subsets over three keys) -> (o_orderstatus,
+    o_orderpriority, o_year, total_price, n_orders), non-participating
+    keys NULL per SQL semantics.
+
+    Same scale shape as ``orders_cube``: ONE per-batch partial pass
+    over the UNION of all sets' keys (status, priority, year — a few
+    dozen rows per block) feeds every set as a re-aggregation of the
+    same partials; the corpus is read once and never re-shuffled."""
+    orders = _read(
+        sf_dir,
+        "orders",
+        ["o_orderstatus", "o_orderpriority", "o_orderdate", "o_totalprice"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        yr = pc.cast(pc.year(t["o_orderdate"]), pa.int64())
+        g = (
+            pa.table(
+                {
+                    "o_orderstatus": t["o_orderstatus"],
+                    "o_orderpriority": t["o_orderpriority"],
+                    "o_year": yr,
+                    "price": t["o_totalprice"],
+                }
+            )
+            .group_by(["o_orderstatus", "o_orderpriority", "o_year"])
+            .aggregate([("price", "sum"), ([], "count_all")])
+        )
+        return pa.table(
+            {
+                "o_orderstatus": g["o_orderstatus"],
+                "o_orderpriority": g["o_orderpriority"],
+                "o_year": g["o_year"],
+                "price_sum": g["price_sum"],
+                "n": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    partials = orders.map_batches(partial, batch_format="pyarrow").materialize()
+
+    def finalize(
+        t: pa.Table, with_status: bool, with_priority: bool, with_year: bool
+    ) -> pa.Table:
+        snull = pa.array([None] * t.num_rows, pa.string())
+        inull = pa.array([None] * t.num_rows, pa.int64())
+        return pa.table(
+            {
+                "o_orderstatus": t["o_orderstatus"] if with_status else snull,
+                "o_orderpriority": (
+                    t["o_orderpriority"] if with_priority else snull
+                ),
+                "o_year": (
+                    pc.cast(t["o_year"], pa.int64()) if with_year else inull
+                ),
+                "total_price": _round2(t["price_sum"]),
+                "n_orders": pc.cast(t["n"], pa.int64()),
+            }
+        )
+
+    def one_set(keys: list[str], ws: bool, wp: bool, wy: bool) -> rd.Dataset:
+        if keys:
+            g = partials.groupby(keys if len(keys) > 1 else keys[0])
+        else:
+            g = partials.map_batches(
+                lambda t: t.append_column(
+                    "_g", pa.array(np.zeros(t.num_rows, np.int64))
+                ),
+                batch_format="pyarrow",
+            ).groupby("_g")
+        return (
+            g.aggregate(
+                Sum("price_sum", alias_name="price_sum"),
+                Sum("n", alias_name="n"),
+            )
+            .repartition(2)
+            .map_batches(
+                lambda t: finalize(t, ws, wp, wy), batch_format="pyarrow"
+            )
+        )
+
+    return (
+        one_set(["o_orderstatus", "o_year"], True, False, True)
+        .union(one_set(["o_orderpriority"], False, True, False))
+        .union(one_set([], False, False, False))
+    )
+
+
 def events_value_stats(sf_dir: str) -> rd.Dataset:
     """Grouped variance/stddev via the classic mergeable moment sketch:
     per-batch (n, sum, sum-of-squares) partials over INTEGER CENTS
