@@ -1193,3 +1193,59 @@ def hnsw_topk(
         **POOL_REMOTE_ARGS,
     )
     return merge_topk(partials, k)
+
+
+def hnsw_to_npz(index: HNSWIndex, path: str) -> None:
+    """Persist a BUILT HNSW index as one compressed npz (the repo's
+    model-weight convention — model.py save_weights): vectors, ids,
+    levels, entry state, and per-level CSR-flattened adjacency.  A
+    reloaded index answers searches identically (test-pinned), so a
+    shard's index can be built once, checkpointed next to its shard,
+    and reused across serving runs instead of rebuilt."""
+    arrs: dict[str, np.ndarray] = {
+        "X": index.X,
+        "ids": np.asarray(index.ids, dtype=np.int64),
+        "levels": index.levels,
+        "meta": np.array(
+            [index.M, index.efc, index.entry, index.entry_level, len(index.adj)],
+            np.int64,
+        ),
+    }
+    for lev, adj in enumerate(index.adj):
+        keys = np.array(sorted(adj), np.int64)
+        cnt = np.array([len(adj[int(k)]) for k in keys], np.int64)
+        flat = (
+            np.concatenate([np.asarray(adj[int(k)], np.int64) for k in keys])
+            if len(keys)
+            else np.array([], np.int64)
+        )
+        arrs[f"l{lev}_keys"] = keys
+        arrs[f"l{lev}_cnt"] = cnt
+        arrs[f"l{lev}_nbr"] = flat
+    np.savez_compressed(path if path.endswith(".npz") else path + ".npz", **arrs)
+
+
+def hnsw_from_npz(path: str) -> HNSWIndex:
+    """Reload an ``hnsw_to_npz`` index; inverse of the flattening."""
+    with np.load(path if path.endswith(".npz") else path + ".npz") as z:
+        meta = z["meta"]
+        idx = HNSWIndex(M=int(meta[0]), ef_construction=int(meta[1]))
+        idx.X = z["X"]
+        idx.ids = z["ids"]
+        idx.levels = z["levels"]
+        idx.entry = int(meta[2])
+        idx.entry_level = int(meta[3])
+        n_levels = int(meta[4])
+        idx.adj = []
+        for lev in range(n_levels):
+            keys = z[f"l{lev}_keys"]
+            cnt = z[f"l{lev}_cnt"]
+            flat = z[f"l{lev}_nbr"]
+            off = np.concatenate([[0], np.cumsum(cnt)])
+            idx.adj.append(
+                {
+                    int(k): flat[off[i] : off[i + 1]].tolist()
+                    for i, k in enumerate(keys)
+                }
+            )
+    return idx

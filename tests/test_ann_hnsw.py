@@ -102,3 +102,17 @@ def test_hnsw_query_registry_entry(ray_session, sf_dir):
     assert set(out.columns) == {"query_id", "neighbor_id", "rank"}
     assert out.groupby("query_id")["rank"].max().max() <= 10
     assert len(out) > 0
+
+
+def test_hnsw_npz_roundtrip_search_identical(tmp_path):
+    X = _clustered(600, seed=21)
+    ids = np.arange(600, dtype=np.int64) * 7 + 3
+    idx = ann.HNSWIndex(M=8, ef_construction=48).build(X, ids)
+    p = str(tmp_path / "shard0.hnsw.npz")
+    ann.hnsw_to_npz(idx, p)
+    idx2 = ann.hnsw_from_npz(p)
+    for q in (0, 99, 311):
+        got1 = idx.search(X[q], 10, 48)
+        got2 = idx2.search(X[q], 10, 48)
+        assert list(got1[0]) == list(got2[0])
+        assert np.allclose(got1[1], got2[1])
