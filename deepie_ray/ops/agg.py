@@ -400,3 +400,44 @@ def ivm_grouped_count_refresh(
         .repartition(num_partitions)
     )
     return folded.filter(expr=f"{count_col} > 0")
+
+
+def grouping_sets_from_partials(
+    partials: rd.Dataset,
+    sets: list[list[str]],
+    agg_cols: list[str],
+    finalize,
+    num_partitions: int = 2,
+):
+    """Multi-level aggregate core shared by the CUBE / ROLLUP /
+    GROUPING SETS queries: every grouping set re-aggregates the SAME
+    block-bounded partial rows (the corpus is read once, upstream),
+    so adding a set costs one tiny grouped exchange, never a re-read.
+    The empty set rides a constant ``_g`` key so the grand total is
+    still an ordinary grouped exchange.  ``finalize(t, present)``
+    maps one set's aggregate to the shared output schema, NULL-filling
+    the keys absent from ``present``."""
+    aggs = [Sum(c, alias_name=c) for c in agg_cols]
+    outs = []
+    for keys in sets:
+        if keys:
+            g = partials.groupby(keys if len(keys) > 1 else keys[0])
+        else:
+            g = partials.map_batches(
+                lambda t: t.append_column(
+                    "_g", pa.array(np.zeros(t.num_rows, np.int64))
+                ),
+                batch_format="pyarrow",
+            ).groupby("_g")
+        outs.append(
+            g.aggregate(*aggs)
+            .repartition(num_partitions)
+            .map_batches(
+                lambda t, _k=frozenset(keys): finalize(t, _k),
+                batch_format="pyarrow",
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.union(o)
+    return out

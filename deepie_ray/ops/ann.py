@@ -1122,6 +1122,7 @@ class HNSWShardTopK:
         ef_construction: int = 64,
         ef_search: int = 48,
         exclude_self: bool = True,
+        index_dir: str | None = None,
     ):
         import ray
 
@@ -1133,13 +1134,40 @@ class HNSWShardTopK:
         self.efc = ef_construction
         self.efs = ef_search
         self.exclude_self = exclude_self
+        self.index_dir = index_dir
+
+    def _shard_index(self, X: np.ndarray, ids: np.ndarray) -> "HNSWIndex":
+        """Build the shard's index — or reload its checkpoint when
+        ``index_dir`` is set.  The checkpoint key is a content
+        fingerprint of the shard's id vector (plus M/efc), so a
+        re-run over the same shard plan reloads instead of rebuilding
+        and a changed shard gets a fresh build; writes are
+        atomic-rename (the checkpoint.py convention)."""
+        if self.index_dir is None:
+            return HNSWIndex(self.M, self.efc).build(X, ids)
+        import hashlib
+        import os
+
+        key = hashlib.md5(
+            np.ascontiguousarray(np.asarray(ids, np.int64)).tobytes()
+            + f":{self.M}:{self.efc}".encode()
+        ).hexdigest()[:16]
+        path = os.path.join(self.index_dir, f"hnsw_{key}.npz")
+        if os.path.exists(path):
+            return hnsw_from_npz(path)
+        index = HNSWIndex(self.M, self.efc).build(X, ids)
+        os.makedirs(self.index_dir, exist_ok=True)
+        tmp = f"{path}.tmp.{os.getpid()}.npz"
+        hnsw_to_npz(index, tmp)
+        os.replace(tmp, path)
+        return index
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if len(batch) == 0:
             return _EMPTY_TOPK
         X = _normalize(_to_matrix(batch["embedding"]))
         ids = batch["vec_id"].to_numpy()
-        index = HNSWIndex(self.M, self.efc).build(X, ids)
+        index = self._shard_index(X, ids)
         out_q, out_n, out_s = [], [], []
         for qi, qv in zip(self.qids, self.Q):
             # over-fetch one so self-exclusion still yields k
@@ -1169,12 +1197,15 @@ def hnsw_topk(
     ef_construction: int = 64,
     ef_search: int = 48,
     num_shards: int = 8,
+    index_dir: str | None = None,
 ) -> rd.Dataset:
     """Graph-index ANN: per-shard HNSW build + search, global top-k
     merge.  Approximate; recall grows with ``ef_search`` /
     ``ef_construction``.  The query matrix is the broadcast small side
     (``ray.put`` once, read per actor); the corpus streams through a
-    fixed shard plan."""
+    fixed shard plan.  Pass ``index_dir`` to checkpoint each shard's
+    built index (content-keyed npz) — a re-run over the same shard
+    plan reloads instead of rebuilding."""
     import ray
 
     qref = ray.put((query_ids, query_matrix))
@@ -1186,6 +1217,7 @@ def hnsw_topk(
             "M": M,
             "ef_construction": ef_construction,
             "ef_search": ef_search,
+            "index_dir": index_dir,
         },
         batch_format="pyarrow",
         batch_size=None,
@@ -1207,7 +1239,14 @@ def hnsw_to_npz(index: HNSWIndex, path: str) -> None:
         "ids": np.asarray(index.ids, dtype=np.int64),
         "levels": index.levels,
         "meta": np.array(
-            [index.M, index.efc, index.entry, index.entry_level, len(index.adj)],
+            [
+                index.M,
+                index.efc,
+                index.entry,
+                index.entry_level,
+                len(index.adj),
+                index.seed,
+            ],
             np.int64,
         ),
     }
@@ -1229,7 +1268,10 @@ def hnsw_from_npz(path: str) -> HNSWIndex:
     """Reload an ``hnsw_to_npz`` index; inverse of the flattening."""
     with np.load(path if path.endswith(".npz") else path + ".npz") as z:
         meta = z["meta"]
-        idx = HNSWIndex(M=int(meta[0]), ef_construction=int(meta[1]))
+        # meta[5] (seed) restores the full determinism contract for a
+        # reloaded-then-rebuilt index; absent in v1 files -> default
+        seed = int(meta[5]) if len(meta) > 5 else 7
+        idx = HNSWIndex(M=int(meta[0]), ef_construction=int(meta[1]), seed=seed)
         idx.X = z["X"]
         idx.ids = z["ids"]
         idx.levels = z["levels"]

@@ -28,6 +28,7 @@ from ray.data.aggregate import Min, Sum
 
 from .hashing import md5_hex, ws_tokens
 from .ops import ann, dedup, joins, text, window
+from .ops import agg as agg_ops
 from .ops.agg import grouped_count
 
 
@@ -2636,6 +2637,24 @@ def top_terms_per_lang(sf_dir: str) -> rd.Dataset:
     )
 
 
+def _status_priority_finalize(t: pa.Table, present: frozenset) -> pa.Table:
+    """Shared (status, priority) grouping-set finalizer: NULL-fill the
+    absent keys, round the price sum, int64 count."""
+    nulls = pa.array([None] * t.num_rows, pa.string())
+    return pa.table(
+        {
+            "o_orderstatus": (
+                t["o_orderstatus"] if "o_orderstatus" in present else nulls
+            ),
+            "o_orderpriority": (
+                t["o_orderpriority"] if "o_orderpriority" in present else nulls
+            ),
+            "total_price": _round2(t["price_sum"]),
+            "n_orders": pc.cast(t["n"], pa.int64()),
+        }
+    )
+
+
 def orders_rollup(sf_dir: str) -> rd.Dataset:
     """SQL GROUP BY ROLLUP(o_orderstatus, o_orderpriority) ->
     (o_orderstatus, o_orderpriority, total_price, n_orders) at three
@@ -2666,41 +2685,12 @@ def orders_rollup(sf_dir: str) -> rd.Dataset:
     # consumed by all three levels: pin, don't re-read the corpus
     partials = orders.map_batches(partial, batch_format="pyarrow").materialize()
 
-    def finalize(t: pa.Table, with_status: bool, with_priority: bool) -> pa.Table:
-        n_rows = t.num_rows
-        nulls = pa.array([None] * n_rows, pa.string())
-        return pa.table(
-            {
-                "o_orderstatus": t["o_orderstatus"] if with_status else nulls,
-                "o_orderpriority": t["o_orderpriority"] if with_priority else nulls,
-                "total_price": _round2(t["price_sum"]),
-                "n_orders": pc.cast(t["n"], pa.int64()),
-            }
-        )
-
-    lvl2 = (
-        partials.groupby(["o_orderstatus", "o_orderpriority"])
-        .aggregate(Sum("price_sum", alias_name="price_sum"), Sum("n", alias_name="n"))
-        .repartition(2)
-        .map_batches(lambda t: finalize(t, True, True), batch_format="pyarrow")
+    return agg_ops.grouping_sets_from_partials(
+        partials,
+        [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], []],
+        ["price_sum", "n"],
+        _status_priority_finalize,
     )
-    lvl1 = (
-        partials.groupby("o_orderstatus")
-        .aggregate(Sum("price_sum", alias_name="price_sum"), Sum("n", alias_name="n"))
-        .repartition(2)
-        .map_batches(lambda t: finalize(t, True, False), batch_format="pyarrow")
-    )
-    lvl0 = (
-        partials.map_batches(
-            lambda t: t.append_column("_g", pa.array(np.zeros(t.num_rows, np.int64))),
-            batch_format="pyarrow",
-        )
-        .groupby("_g")
-        .aggregate(Sum("price_sum", alias_name="price_sum"), Sum("n", alias_name="n"))
-        .repartition(2)
-        .map_batches(lambda t: finalize(t, False, False), batch_format="pyarrow")
-    )
-    return lvl2.union(lvl1).union(lvl0)
 
 
 def customer_big_order_coverage(sf_dir: str) -> rd.Dataset:
@@ -3351,43 +3341,16 @@ def orders_cube(sf_dir: str) -> rd.Dataset:
 
     partials = orders.map_batches(partial, batch_format="pyarrow").materialize()
 
-    def finalize(t: pa.Table, with_status: bool, with_priority: bool) -> pa.Table:
-        nulls = pa.array([None] * t.num_rows, pa.string())
-        return pa.table(
-            {
-                "o_orderstatus": t["o_orderstatus"] if with_status else nulls,
-                "o_orderpriority": t["o_orderpriority"] if with_priority else nulls,
-                "total_price": _round2(t["price_sum"]),
-                "n_orders": pc.cast(t["n"], pa.int64()),
-            }
-        )
-
-    def level(keys: list[str], with_status: bool, with_priority: bool):
-        if keys:
-            g = partials.groupby(keys if len(keys) > 1 else keys[0])
-        else:
-            g = partials.map_batches(
-                lambda t: t.append_column(
-                    "_g", pa.array(np.zeros(t.num_rows, np.int64))
-                ),
-                batch_format="pyarrow",
-            ).groupby("_g")
-        return (
-            g.aggregate(
-                Sum("price_sum", alias_name="price_sum"), Sum("n", alias_name="n")
-            )
-            .repartition(2)
-            .map_batches(
-                lambda t: finalize(t, with_status, with_priority),
-                batch_format="pyarrow",
-            )
-        )
-
-    return (
-        level(["o_orderstatus", "o_orderpriority"], True, True)
-        .union(level(["o_orderstatus"], True, False))
-        .union(level(["o_orderpriority"], False, True))
-        .union(level([], False, False))
+    return agg_ops.grouping_sets_from_partials(
+        partials,
+        [
+            ["o_orderstatus", "o_orderpriority"],
+            ["o_orderstatus"],
+            ["o_orderpriority"],
+            [],
+        ],
+        ["price_sum", "n"],
+        _status_priority_finalize,
     )
 
 
@@ -3434,50 +3397,34 @@ def orders_grouping_sets(sf_dir: str) -> rd.Dataset:
 
     partials = orders.map_batches(partial, batch_format="pyarrow").materialize()
 
-    def finalize(
-        t: pa.Table, with_status: bool, with_priority: bool, with_year: bool
-    ) -> pa.Table:
+    def finalize(t: pa.Table, present: frozenset) -> pa.Table:
         snull = pa.array([None] * t.num_rows, pa.string())
         inull = pa.array([None] * t.num_rows, pa.int64())
         return pa.table(
             {
-                "o_orderstatus": t["o_orderstatus"] if with_status else snull,
+                "o_orderstatus": (
+                    t["o_orderstatus"] if "o_orderstatus" in present else snull
+                ),
                 "o_orderpriority": (
-                    t["o_orderpriority"] if with_priority else snull
+                    t["o_orderpriority"]
+                    if "o_orderpriority" in present
+                    else snull
                 ),
                 "o_year": (
-                    pc.cast(t["o_year"], pa.int64()) if with_year else inull
+                    pc.cast(t["o_year"], pa.int64())
+                    if "o_year" in present
+                    else inull
                 ),
                 "total_price": _round2(t["price_sum"]),
                 "n_orders": pc.cast(t["n"], pa.int64()),
             }
         )
 
-    def one_set(keys: list[str], ws: bool, wp: bool, wy: bool) -> rd.Dataset:
-        if keys:
-            g = partials.groupby(keys if len(keys) > 1 else keys[0])
-        else:
-            g = partials.map_batches(
-                lambda t: t.append_column(
-                    "_g", pa.array(np.zeros(t.num_rows, np.int64))
-                ),
-                batch_format="pyarrow",
-            ).groupby("_g")
-        return (
-            g.aggregate(
-                Sum("price_sum", alias_name="price_sum"),
-                Sum("n", alias_name="n"),
-            )
-            .repartition(2)
-            .map_batches(
-                lambda t: finalize(t, ws, wp, wy), batch_format="pyarrow"
-            )
-        )
-
-    return (
-        one_set(["o_orderstatus", "o_year"], True, False, True)
-        .union(one_set(["o_orderpriority"], False, True, False))
-        .union(one_set([], False, False, False))
+    return agg_ops.grouping_sets_from_partials(
+        partials,
+        [["o_orderstatus", "o_year"], ["o_orderpriority"], []],
+        ["price_sum", "n"],
+        finalize,
     )
 
 

@@ -116,3 +116,41 @@ def test_hnsw_npz_roundtrip_search_identical(tmp_path):
         got2 = idx2.search(X[q], 10, 48)
         assert list(got1[0]) == list(got2[0])
         assert np.allclose(got1[1], got2[1])
+
+
+def test_hnsw_topk_index_dir_checkpoint_reuse(ray_session, tmp_path):
+    """With index_dir set, the first run writes one content-keyed npz
+    per shard and a re-run over the same shard plan reloads them,
+    producing identical results."""
+    import os
+
+    n = 800
+    X = _clustered(n, seed=41)
+    ids = np.arange(n, dtype=np.int64)
+    corpus = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "embedding": pa.array(
+                    [row.tolist() for row in X], pa.list_(pa.float64())
+                ),
+            }
+        )
+    ).repartition(4)
+    d = str(tmp_path / "hnsw_idx")
+    r1 = (
+        ann.hnsw_topk(corpus, ids[:4], X[:4], k=5, num_shards=3, index_dir=d)
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    files = sorted(os.listdir(d))
+    assert len(files) == 3 and all(f.endswith(".npz") for f in files)
+    r2 = (
+        ann.hnsw_topk(corpus, ids[:4], X[:4], k=5, num_shards=3, index_dir=d)
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    assert sorted(os.listdir(d)) == files  # reloaded, not rewritten
+    assert r1.equals(r2)

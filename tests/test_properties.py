@@ -4,6 +4,8 @@ featurizer purity, minhash similarity monotonicity."""
 
 import numpy as np
 import pyarrow as pa
+import pandas as pd
+import ray.data as rd
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -162,3 +164,86 @@ def test_jpeg_decode_garbage_never_escapes_valueerror(garbage, soi):
         assert out.dtype == np.uint8
     except ValueError:
         pass
+
+
+# ------------------------------------------- sorted-agg (ops/agg) properties
+
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 12), st.integers(-1000, 1000)),
+        min_size=1,
+        max_size=300,
+    ),
+    st.integers(1, 6),
+    st.sampled_from(["sum", "max", "min"]),
+)
+def test_sorted_grouped_sum_property_vs_pandas(pairs, nparts, op):
+    """The load-bearing aggregation path (ops/agg.sorted_grouped_sum)
+    must equal pandas groupby for ANY key distribution, value mix,
+    block layout and reduction op — hypothesis sweeps the space the
+    hand-written boundary tests sample."""
+    from deepie_ray.ops.agg import sorted_grouped_sum
+
+    df = pd.DataFrame(pairs, columns=["k", "v"])
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "k": pa.array(df["k"], pa.int64()),
+                "v": pa.array(df["v"], pa.int64()),
+            }
+        )
+    ).repartition(nparts)
+    got = (
+        sorted_grouped_sum(ds, ["k"], "v", "r", op=op)
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    want = (
+        getattr(df.groupby("k")["v"], op)()
+        .reset_index()
+        .rename(columns={"v": "r"})
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert got["k"].tolist() == want["k"].tolist()
+    assert got["r"].tolist() == want["r"].tolist()
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 8), st.integers(-50, 50)),
+        min_size=1,
+        max_size=200,
+    ),
+    st.integers(1, 5),
+    st.integers(1, 4),
+)
+def test_sorted_grouped_head_property_vs_pandas(pairs, nparts, k):
+    """Per-key top-k through the sort-shuffle path must equal the
+    pandas window row_number()<=k (value desc, then value asc ties are
+    resolved by the sort's total order on (k, v) — compare SETS of
+    kept values per key to stay tie-agnostic)."""
+    from deepie_ray.ops.agg import sorted_grouped_head
+
+    df = pd.DataFrame(pairs, columns=["k", "v"])
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "k": pa.array(df["k"], pa.int64()),
+                "v": pa.array(df["v"], pa.int64()),
+            }
+        )
+    ).repartition(nparts)
+    got = sorted_grouped_head(
+        ds, ["k"], ["v"], [True], k
+    ).to_pandas()
+    want_vals = df.sort_values("v", ascending=False).groupby("k")["v"].apply(
+        lambda s: sorted(s.head(k).tolist())
+    )
+    got_vals = got.groupby("k")["v"].apply(lambda s: sorted(s.tolist()))
+    assert got_vals.to_dict() == want_vals.to_dict()
