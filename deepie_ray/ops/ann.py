@@ -1291,3 +1291,128 @@ def hnsw_from_npz(path: str) -> HNSWIndex:
                 }
             )
     return idx
+
+
+class CellHNSWTopK:
+    """Batch stage for ``hnsw_ivf_topk``: input is SORTED by ``cell``
+    (one co-location exchange), so each batch holds contiguous cell
+    runs.  Per run: build an HNSW over the run's vectors and search
+    ONLY the queries whose probe set contains that cell.  A cell
+    straddling two sorted blocks yields two indexes — every vector
+    still lives in exactly one index and both are searched by the
+    cell's queries, so straddling costs a second small build, never
+    recall."""
+
+    def __init__(
+        self,
+        queries_ref,
+        k: int,
+        M: int = 8,
+        ef_construction: int = 64,
+        ef_search: int = 48,
+    ):
+        import ray
+
+        qids, qmat, probe = ray.get(queries_ref)
+        self.qids = np.asarray(qids)
+        self.Q = np.asarray(qmat, dtype=np.float64)  # pre-normalized
+        self.cell_to_q: dict[int, np.ndarray] = probe
+        self.k = k
+        self.M = M
+        self.efc = ef_construction
+        self.efs = ef_search
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return _EMPTY_TOPK
+        cells = batch["cell"].to_numpy()
+        X = _normalize(_to_matrix(batch["embedding"]))
+        ids = batch["vec_id"].to_numpy()
+        out_q, out_n, out_s = [], [], []
+        starts = np.flatnonzero(np.diff(cells, prepend=cells[0] - 1))
+        bounds = np.append(starts, len(cells))
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            cell = int(cells[s])
+            q_idx = self.cell_to_q.get(cell)
+            if q_idx is None or len(q_idx) == 0:
+                continue
+            index = HNSWIndex(self.M, self.efc).build(X[s:e], ids[s:e])
+            for qi in q_idx:
+                nids, sims = index.search(
+                    self.Q[qi], self.k + 1, self.efs
+                )
+                keep = nids != self.qids[qi]
+                nids, sims = nids[keep][: self.k], sims[keep][: self.k]
+                out_q.extend([self.qids[qi]] * len(nids))
+                out_n.extend(nids)
+                out_s.extend(sims)
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "cosine": pa.array(out_s, pa.float64()),
+            }
+        )
+
+
+def hnsw_ivf_topk(
+    corpus: rd.Dataset,
+    query_ids: np.ndarray,
+    query_matrix: np.ndarray,
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    M: int = 8,
+    ef_construction: int = 64,
+    ef_search: int = 48,
+    sample_limit: int = 4096,
+    seed: int = 7,
+) -> rd.Dataset:
+    """IVF-routed per-cell HNSW — the documented scale composition for
+    the HNSW family (HNSWShardTopK's docstring): the coarse quantizer
+    (seeded driver-sample k-means, the IVF trainer) routes each query
+    to its ``nprobe`` nearest cells; corpus vectors co-locate by cell
+    through ONE sort exchange; each co-located cell run builds its own
+    in-task HNSW and serves only that cell's queries.  Per-task work
+    scales with cell size x probing queries, never corpus x queries;
+    recall ~ IVF(nprobe) x HNSW(ef) and is the pinned contract."""
+    import ray
+
+    sample_tbl = corpus.limit(sample_limit).to_pandas()
+    S = _normalize(np.asarray(list(sample_tbl["embedding"]), dtype=np.float64))
+    C = kmeans_centroids(S, n_cells, seed=seed)
+    qn = _normalize(np.asarray(query_matrix, dtype=np.float64))
+    order = np.argsort(-(qn @ C.T), axis=1)[:, :nprobe]
+    cell_to_q: dict[int, np.ndarray] = {}
+    for qi, row in enumerate(order):
+        for cell in row:
+            cell_to_q.setdefault(int(cell), []).append(qi)
+    cell_to_q = {c: np.asarray(v, np.int64) for c, v in cell_to_q.items()}
+    cref = ray.put(C)
+    qref = ray.put((query_ids, qn, cell_to_q))
+
+    def assign(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("cell", pa.array([], pa.int64()))
+        Cb = ray.get(cref)
+        Mx = _normalize(_to_matrix(t["embedding"]))
+        return t.append_column(
+            "cell", pa.array((Mx @ Cb.T).argmax(axis=1).astype(np.int64))
+        )
+
+    srt = corpus.map_batches(assign, batch_format="pyarrow").sort("cell")
+    partials = srt.map_batches(
+        CellHNSWTopK,
+        fn_constructor_kwargs={
+            "queries_ref": qref,
+            "k": k,
+            "M": M,
+            "ef_construction": ef_construction,
+            "ef_search": ef_search,
+        },
+        batch_format="pyarrow",
+        batch_size=None,
+        concurrency=(1, 8),
+        **POOL_REMOTE_ARGS,
+    )
+    return merge_topk(partials, k)

@@ -1578,6 +1578,18 @@ def ann_topk_hnsw(sf_dir: str) -> rd.Dataset:
     return ann.hnsw_topk(corpus, ids, mat, k=10, num_shards=8)
 
 
+def ann_topk_hnsw_ivf(sf_dir: str) -> rd.Dataset:
+    """IVF-routed per-cell HNSW (ops/ann.hnsw_ivf_topk): the HNSW
+    family's scale composition — coarse quantizer routes queries to
+    nprobe cells, ONE sort exchange co-locates cells, each cell run
+    builds its own in-task HNSW and serves only that cell's queries.
+    Approximate; rows-only for the driver, recall-vs-exact pinned by
+    pytest (tests/test_ann_hnsw.py)."""
+    ids, mat = _query_vectors(sf_dir)
+    corpus = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return ann.hnsw_ivf_topk(corpus, ids, mat, k=10, n_cells=8, nprobe=4)
+
+
 def ngram_jaccard_pairs(sf_dir: str) -> rd.Dataset:
     """n-gram Jaccard near-dup: LSH candidates verified with the TRUE
     3-gram Jaccard (id_a, id_b, jaccard) — rows-only (set arithmetic

@@ -154,3 +154,47 @@ def test_hnsw_topk_index_dir_checkpoint_reuse(ray_session, tmp_path):
     )
     assert sorted(os.listdir(d)) == files  # reloaded, not rewritten
     assert r1.equals(r2)
+
+
+def test_hnsw_ivf_topk_recall_on_clustered(ray_session):
+    """IVF-routed per-cell HNSW: with nprobe covering the true cell,
+    recall@10 on clustered vectors must stay high (cell routing
+    prunes corpus scans, HNSW serves within cells)."""
+    n = 2000
+    X = _clustered(n, seed=17)
+    ids = np.arange(n, dtype=np.int64)
+    corpus = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "embedding": pa.array(
+                    [row.tolist() for row in X], pa.list_(pa.float64())
+                ),
+            }
+        )
+    ).repartition(5)
+    qids = ids[:8]
+    got = (
+        ann.hnsw_ivf_topk(
+            corpus, qids, X[:8], k=10, n_cells=8, nprobe=4
+        )
+        .to_pandas()
+        .groupby("query_id")["neighbor_id"]
+        .apply(set)
+    )
+    hits = total = 0
+    for q in qids:
+        sims = X @ X[q]
+        sims[q] = -2.0
+        true = set(np.argsort(-sims)[:10])
+        hits += len(true & got.get(q, set()))
+        total += 10
+    assert hits / total >= 0.85
+
+
+def test_hnsw_ivf_query_registry_entry(ray_session, sf_dir):
+    import __ray_entry__ as e
+
+    out = e.queries()["ann_topk_hnsw_ivf"](sf_dir).to_pandas()
+    assert set(out.columns) == {"query_id", "neighbor_id", "rank"}
+    assert len(out) > 0
