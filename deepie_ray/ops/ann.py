@@ -31,6 +31,16 @@ _EMPTY_TOPK = pa.table(
     }
 )
 
+# typed empty MERGED result (merge_topk over zero groups drops schema,
+# so the empty-corpus guards hand this to the driver directly)
+_EMPTY_TOPK_RANKED = pa.table(
+    {
+        "query_id": pa.array([], pa.int64()),
+        "neighbor_id": pa.array([], pa.int64()),
+        "rank": pa.array([], pa.int64()),
+    }
+)
+
 
 def _to_matrix(col) -> np.ndarray:
     arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
@@ -209,6 +219,8 @@ def ivf_topk(
     import ray
 
     sample_tbl = corpus.limit(sample_limit).to_pandas()
+    if len(sample_tbl) == 0:  # empty corpus: nothing to quantize or score
+        return rd.from_arrow(_EMPTY_TOPK_RANKED)
     S = _normalize(np.asarray(list(sample_tbl["embedding"]), dtype=np.float64))
     C = kmeans_centroids(S, n_centroids, seed=seed)
     qref = ray.put((query_ids, query_matrix))
@@ -1139,9 +1151,11 @@ class HNSWShardTopK:
     def _shard_index(self, X: np.ndarray, ids: np.ndarray) -> "HNSWIndex":
         """Build the shard's index — or reload its checkpoint when
         ``index_dir`` is set.  The checkpoint key is a content
-        fingerprint of the shard's id vector (plus M/efc), so a
-        re-run over the same shard plan reloads instead of rebuilding
-        and a changed shard gets a fresh build; writes are
+        fingerprint of the shard's ids AND its vector bytes (plus
+        M/efc), so a re-run over the same shard plan reloads instead
+        of rebuilding, a changed shard gets a fresh build, and a
+        re-embedded corpus with unchanged ids also gets a fresh build
+        (stale-vector reload hazard, round-4 ADVICE); writes are
         atomic-rename (the checkpoint.py convention)."""
         if self.index_dir is None:
             return HNSWIndex(self.M, self.efc).build(X, ids)
@@ -1150,6 +1164,7 @@ class HNSWShardTopK:
 
         key = hashlib.md5(
             np.ascontiguousarray(np.asarray(ids, np.int64)).tobytes()
+            + np.ascontiguousarray(X).tobytes()
             + f":{self.M}:{self.efc}".encode()
         ).hexdigest()[:16]
         path = os.path.join(self.index_dir, f"hnsw_{key}.npz")
@@ -1379,6 +1394,8 @@ def hnsw_ivf_topk(
     import ray
 
     sample_tbl = corpus.limit(sample_limit).to_pandas()
+    if len(sample_tbl) == 0:  # empty corpus: degrade like hnsw_topk does
+        return rd.from_arrow(_EMPTY_TOPK_RANKED)
     S = _normalize(np.asarray(list(sample_tbl["embedding"]), dtype=np.float64))
     C = kmeans_centroids(S, n_cells, seed=seed)
     qn = _normalize(np.asarray(query_matrix, dtype=np.float64))

@@ -107,7 +107,13 @@ def binary_feature_dict(
     """A5: feature occurrence count over the (training) corpus, keep
     count >= cutoff, deterministic sorted ids from 1."""
     counts = vocab_counts(ds, col)
-    kept = counts.filter(lambda r: r["n"] >= cutoff).take_all()
+    # batch mask, not a row lambda — keeps the repo-wide "no per-row
+    # Python in a Dataset filter" invariant even on this vocab-bounded
+    # table (round-4 verdict #7)
+    kept = counts.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["n"], cutoff)),
+        batch_format="pyarrow",
+    ).take_all()
     return {w: i for i, w in enumerate(sorted(x["word"] for x in kept), 1)}
 
 

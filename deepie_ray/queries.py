@@ -9970,7 +9970,7 @@ def copurchase_shortest_paths(sf_dir: str) -> rd.Dataset:
     return graph.bellman_ford_int(sym, source=int(src), iters=6)
 
 
-def copurchase_kcore(sf_dir: str) -> rd.Dataset:
+def copurchase_kcore(sf_dir: str) -> "rd.Dataset | pa.Table":
     """3-core of the support>=2 co-purchase graph (iterative peeling
     to fixpoint, ops/graph.kcore) -> (node, deg): the maximal subgraph
     where every part co-occurs with >= 3 surviving parts — the

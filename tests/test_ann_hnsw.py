@@ -198,3 +198,75 @@ def test_hnsw_ivf_query_registry_entry(ray_session, sf_dir):
     out = e.queries()["ann_topk_hnsw_ivf"](sf_dir).to_pandas()
     assert set(out.columns) == {"query_id", "neighbor_id", "rank"}
     assert len(out) > 0
+
+
+def _empty_corpus() -> rd.Dataset:
+    return rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array([], pa.int64()),
+                "embedding": pa.array([], pa.list_(pa.float64())),
+            }
+        )
+    )
+
+
+def test_ivf_families_empty_corpus_graceful(ray_session):
+    """ivf_topk / hnsw_ivf_topk on a 0-row corpus degrade to an empty
+    top-k result (like hnsw_topk) instead of crashing in the
+    quantizer's driver sample (round-4 ADVICE)."""
+    q = _normalize(np.ones((2, 8)))
+    qids = np.array([1, 2], dtype=np.int64)
+    for fn in (ann.ivf_topk, ann.hnsw_ivf_topk):
+        ds = fn(_empty_corpus(), qids, q, k=5)
+        # schema asserted at the Dataset layer (to_pandas drops the
+        # schema of any 0-row dataset — the copurchase_kcore caveat)
+        assert set(ds.schema().names) == {"query_id", "neighbor_id", "rank"}
+        assert ds.count() == 0
+
+
+def test_hnsw_checkpoint_key_tracks_vector_content(ray_session, tmp_path):
+    """Re-embedding the corpus under the SAME vec_ids and index_dir
+    must trigger a fresh index build (new npz files), not a stale
+    reload — the checkpoint key hashes vector bytes, not just ids
+    (round-4 ADVICE)."""
+    import os
+
+    n = 400
+    ids = np.arange(n, dtype=np.int64)
+    d = str(tmp_path / "idx")
+
+    def corpus(seed):
+        X = _clustered(n, seed=seed)
+        return (
+            rd.from_arrow(
+                pa.table(
+                    {
+                        "vec_id": pa.array(ids, pa.int64()),
+                        "embedding": pa.array(
+                            [row.tolist() for row in X], pa.list_(pa.float64())
+                        ),
+                    }
+                )
+            ).repartition(2),
+            X,
+        )
+
+    c1, X1 = corpus(seed=5)
+    ann.hnsw_topk(c1, ids[:2], X1[:2], k=5, num_shards=2, index_dir=d).to_pandas()
+    files1 = sorted(os.listdir(d))
+    c2, X2 = corpus(seed=6)  # same ids, new vectors
+    r2 = (
+        ann.hnsw_topk(c2, ids[:2], X2[:2], k=5, num_shards=2, index_dir=d)
+        .to_pandas()
+        .groupby("query_id")["neighbor_id"]
+        .apply(set)
+    )
+    files2 = sorted(os.listdir(d))
+    assert len(files2) == 4 and set(files1) < set(files2)  # fresh builds added
+    # and the answers come from the NEW vectors: self top-1 of X2
+    for q in ids[:2]:
+        sims = X2 @ X2[q]
+        sims[q] = -2.0
+        true = set(np.argsort(-sims)[:5])
+        assert len(true & r2[q]) >= 3
