@@ -436,34 +436,154 @@ def train_transe(edges: rd.Dataset, **kw) -> dict:
 # --------------------------------------------------------------------
 
 
-def _tail_rank_keys(model: dict, hi: int, ri: int) -> np.ndarray:
-    """Per-entity ranking key for tail prediction, LOWER = better.
-    TransE: L1 distance ||E[h]+R[r]-E[t]||.  DistMult: negated
-    bilinear score -<E[h],R[r],E[t]>.  ComplEx: negated
-    -Re(<E[h],R[r],conj(E[t])>) over [real | imag] halves.  RotatE:
-    L1 distance ||rot(E[h], theta_r) - E[t]||."""
-    E, R = model["E"], model["R"]
-    kind = model.get("model", "transe")
+def _rank_keys_vs(
+    kind: str, Ecand: np.ndarray, h: np.ndarray, r: np.ndarray
+) -> np.ndarray:
+    """Ranking keys of an arbitrary candidate-tail matrix ``Ecand``
+    against one (head vector, relation vector) query, LOWER = better.
+    TransE: L1 distance ||h+r-t||.  DistMult: negated bilinear score
+    -<h,r,t>.  ComplEx: -Re(<h,r,conj(t)>) over [real | imag] halves.
+    RotatE: L1 distance ||rot(h, theta_r) - t||.  Factored out of the
+    driver scan so the distributed block scan computes the SAME keys
+    per entity block (round-4 verdict #3)."""
     if kind == "distmult":
-        return -(E @ (E[hi] * R[ri]))
+        return -(Ecand @ (h * r))
     if kind == "rotate":
-        d = E.shape[1] // 2
-        theta = R[ri, :d]
+        d = Ecand.shape[1] // 2
+        theta = r[:d]
         c, s = np.cos(theta), np.sin(theta)
-        hr, hh = E[hi, :d], E[hi, d:]
+        hr, hh = h[:d], h[d:]
         pr, pi2 = hr * c - hh * s, hr * s + hh * c
         return (
-            np.abs(E[:, :d] - pr).sum(axis=1)
-            + np.abs(E[:, d:] - pi2).sum(axis=1)
+            np.abs(Ecand[:, :d] - pr).sum(axis=1)
+            + np.abs(Ecand[:, d:] - pi2).sum(axis=1)
         )
     if kind == "complex":
-        d = E.shape[1] // 2
-        hr, hh = E[hi, :d], E[hi, d:]
-        rr, ri2 = R[ri, :d], R[ri, d:]
+        d = Ecand.shape[1] // 2
+        hr, hh = h[:d], h[d:]
+        rr, ri2 = r[:d], r[d:]
         a = hr * rr + hh * ri2  # coefficient of Re(t)
         b = hr * ri2 - hh * rr  # coefficient of Im(t)
-        return -(E[:, :d] @ a + E[:, d:] @ b)
-    return np.abs(E - (E[hi] + R[ri])).sum(axis=1)
+        return -(Ecand[:, :d] @ a + Ecand[:, d:] @ b)
+    return np.abs(Ecand - (h + r)).sum(axis=1)
+
+
+def _tail_rank_keys(model: dict, hi: int, ri: int) -> np.ndarray:
+    """Per-entity ranking key for tail prediction over the full entity
+    matrix (driver scan path); see :func:`_rank_keys_vs`."""
+    E, R = model["E"], model["R"]
+    return _rank_keys_vs(model.get("model", "transe"), E, E[hi], R[ri])
+
+
+_EMPTY_TAILS = pa.table(
+    {
+        "head": pa.array([], pa.string()),
+        "rel": pa.array([], pa.string()),
+        "rank": pa.array([], pa.int64()),
+        "tail": pa.array([], pa.string()),
+        "score": pa.array([], pa.float64()),
+    }
+)
+
+
+def predict_tails_distributed(
+    model: dict,
+    queries: list[tuple[str, str]],
+    k: int = 3,
+    block_rows: int = 200_000,
+) -> pa.Table:
+    """Tail prediction as the ops/ann broadcast-queries/stream-corpus
+    shape: the per-query (head vector, relation vector) pairs are the
+    broadcast small side (``ray.put`` once); the entity matrix streams
+    as blocks through ``map_batches``; each block emits its local top-k
+    per query and the driver merges the query-bounded partials.
+
+    Per-task work = block_rows x queries, never entities x queries on
+    one machine; partial volume = queries x k x blocks rows.  Here the
+    entity matrix is fed from the model dict (it is the vocabulary the
+    driver holds at bench scale) — at true scale the same ``block_topk``
+    maps over an entity-table Dataset instead.
+
+    Matches the driver scan (pytest): same ranking keys
+    (:func:`_rank_keys_vs`), same head-exclusion-by-inf rule, same
+    (key, tail-string) lexicographic tie-break, same row order —
+    ranks/tails exact, scores equal to ulp (BLAS block-shape
+    summation order)."""
+    kind = model.get("model", "transe")
+    ents, rels = model["entities"], model["relations"]
+    eidx = {e: i for i, e in enumerate(ents)}
+    ridx = {r: i for i, r in enumerate(rels)}
+    valid = [(h, r) for h, r in queries if h in eidx and r in ridx]
+    if not valid or len(ents) == 0:
+        return _EMPTY_TAILS
+    n = len(ents)
+    kk = min(k, n - 1 if n > 1 else n)
+    H = np.stack([model["E"][eidx[h]] for h, _ in valid])
+    Rv = np.stack([model["R"][ridx[r]] for _, r in valid])
+    qref = ray.put((kind, [h for h, _ in valid], H, Rv, kk))
+
+    E = np.asarray(model["E"], dtype=np.float64)
+    ent_arr = np.asarray(ents)
+    blocks = [
+        pa.table(
+            {
+                "ent": pa.array(ent_arr[lo : lo + block_rows], pa.string()),
+                "emb": pa.array(
+                    E[lo : lo + block_rows].tolist(), pa.list_(pa.float64())
+                ),
+            }
+        )
+        for lo in range(0, n, block_rows)
+    ]
+
+    def block_topk(t: pa.Table) -> pa.Table:
+        bkind, heads, bH, bR, bk = ray.get(qref)
+        ents_blk = np.asarray(t["ent"].to_pylist())
+        arr = t["emb"].combine_chunks()
+        Eb = arr.values.to_numpy(zero_copy_only=False).reshape(len(arr), -1)
+        q_out, t_out, s_out = [], [], []
+        for qi in range(len(heads)):
+            d = _rank_keys_vs(bkind, Eb, bH[qi], bR[qi])
+            d = np.where(ents_blk == heads[qi], np.inf, d)
+            m = min(bk, len(d))
+            order = np.lexsort((ents_blk, d))[:m]
+            q_out.extend([qi] * m)
+            t_out.extend(ents_blk[order])
+            s_out.extend(d[order])
+        return pa.table(
+            {
+                "q": pa.array(q_out, pa.int64()),
+                "tail": pa.array(t_out, pa.string()),
+                "score": pa.array(s_out, pa.float64()),
+            }
+        )
+
+    partials = (
+        rd.from_arrow(blocks)
+        .map_batches(block_topk, batch_format="pyarrow", batch_size=None)
+        .take_all()
+    )
+    by_q: dict[int, list[tuple[float, str]]] = {}
+    for row in partials:
+        by_q.setdefault(int(row["q"]), []).append((row["score"], row["tail"]))
+    heads_o, rels_o, ranks, tails, scores = [], [], [], [], []
+    for qi, (head, rel) in enumerate(valid):
+        cand = sorted(by_q.get(qi, []))[:kk]
+        for rank, (s, tail) in enumerate(cand, 1):
+            heads_o.append(head)
+            rels_o.append(rel)
+            ranks.append(rank)
+            tails.append(tail)
+            scores.append(float(s))
+    return pa.table(
+        {
+            "head": pa.array(heads_o, pa.string()),
+            "rel": pa.array(rels_o, pa.string()),
+            "rank": pa.array(ranks, pa.int64()),
+            "tail": pa.array(tails, pa.string()),
+            "score": pa.array(scores, pa.float64()),
+        }
+    )
 
 
 def predict_tails(
@@ -475,14 +595,13 @@ def predict_tails(
 
     The scan is over the entity matrix the driver already holds (it IS
     the vocabulary); above ``_DRIVER_SCAN_MAX`` rows the identical scan
-    runs as the ops/ann.py broadcast-queries/stream-corpus shape."""
+    routes through :func:`predict_tails_distributed` — the ops/ann.py
+    broadcast-queries/stream-corpus shape, pinned rank-identical to
+    the driver scan by pytest."""
     E = model["E"]
     ents, rels = model["entities"], model["relations"]
-    if len(E) > _DRIVER_SCAN_MAX:  # pragma: no cover - scale path
-        raise NotImplementedError(
-            "entity set exceeds driver scan bound; route through "
-            "ops/ann.brute_force_topk with query rows E[h]+R[r]"
-        )
+    if len(E) > _DRIVER_SCAN_MAX:
+        return predict_tails_distributed(model, queries, k)
     eidx = {e: i for i, e in enumerate(ents)}
     ridx = {r: i for i, r in enumerate(rels)}
     heads, rl, ranks, tails, scores = [], [], [], [], []

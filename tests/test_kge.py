@@ -455,3 +455,40 @@ def test_rotate_learns_rings_exactly(ray_session):
 def test_rotate_odd_width_rejected(ray_session):
     with pytest.raises(ValueError):
         kge.train_kge(rd.from_arrow(_edge_table()), model="rotate", dim=15)
+
+
+def test_predict_tails_distributed_matches_driver_scan(trained, monkeypatch):
+    """The scale path (broadcast query vectors + streamed entity
+    blocks, round-4 verdict #3) is bit-identical to the driver scan:
+    same rows, same order; ranks/tails exact, scores to ulp (BLAS
+    sums a block-shaped matmul in a different order than the full
+    matrix, so the *keys* match to the last couple of bits, not
+    bitwise) — for every model kind's ranking kernel, with block
+    boundaries forced mid-vocabulary."""
+    queries = [("e00", "r0"), ("e07", "r1"), ("e29", "r0"), ("zz", "r0")]
+    for kind in ("transe", "distmult", "complex", "rotate"):
+        m = dict(trained)
+        m["model"] = kind
+        want = kge.predict_tails(m, queries, k=4)
+        got = kge.predict_tails_distributed(m, queries, k=4, block_rows=7)
+        assert got.drop_columns(["score"]).equals(
+            want.drop_columns(["score"])
+        ), kind
+        assert np.allclose(
+            got["score"].to_numpy(), want["score"].to_numpy(),
+            rtol=1e-12, atol=1e-12,
+        ), kind
+
+    # and predict_tails itself routes through the distributed path
+    # above the scan bound
+    monkeypatch.setattr(kge, "_DRIVER_SCAN_MAX", 1)
+    routed = kge.predict_tails(trained, queries, k=4)
+    monkeypatch.undo()
+    direct = kge.predict_tails(trained, queries, k=4)
+    assert routed.drop_columns(["score"]).equals(direct.drop_columns(["score"]))
+
+
+def test_predict_tails_distributed_empty_and_unknown(trained):
+    out = kge.predict_tails_distributed(trained, [("zz", "r0")], k=3)
+    assert out.num_rows == 0
+    assert out.schema.names == ["head", "rel", "rank", "tail", "score"]
