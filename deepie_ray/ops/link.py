@@ -43,6 +43,54 @@ def alias_table(surfaces: list[str]) -> pa.Table:
     )
 
 
+def surface_link_ds(surfaces: "rd.Dataset") -> "rd.Dataset":
+    """Distributed twin of :func:`build_alias_map`: map the distinct-
+    surface Dataset through ``best_link`` per batch -> (surface,
+    entity_id, link_score) rows.  Same per-surface scoring as the
+    broadcast build, but the alias table stays a hash-partitioned
+    Dataset instead of a driver dict — the above-the-gate path when
+    the surface universe outgrows one machine (round-4 verdict #1)."""
+
+    def link_batch(t: pa.Table) -> pa.Table:
+        surfs = t["surface"].to_pylist()
+        ents, scores = [], []
+        for s in surfs:
+            ent, _etype, score = best_link(s)
+            ents.append(ent)
+            scores.append(score)
+        return pa.table(
+            {
+                "surface": t["surface"],
+                "entity_id": pa.array(ents, pa.string()),
+                "link_score": pa.array(scores, pa.float32()),
+            }
+        )
+
+    return surfaces.map_batches(link_batch, batch_format="pyarrow")
+
+
+def candidate_edges_ds(surfaces: "rd.Dataset") -> "rd.Dataset":
+    """Distributed twin of :func:`..ops.linkref.component_edges`:
+    equivalence edges (src, dst) between all candidate entities of one
+    alias surface, emitted per batch of distinct surfaces."""
+
+    def edges_batch(t: pa.Table) -> pa.Table:
+        src, dst = [], []
+        for s in t["surface"].to_pylist():
+            cands = alias_candidates(s)
+            for i in range(1, len(cands)):
+                src.append(cands[0][0])
+                dst.append(cands[i][0])
+        return pa.table(
+            {
+                "src": pa.array(src, pa.string()),
+                "dst": pa.array(dst, pa.string()),
+            }
+        )
+
+    return surfaces.map_batches(edges_batch, batch_format="pyarrow")
+
+
 class LinkEntities:
     """Actor-pool stage: triples batch -> linked-triples batch.
 

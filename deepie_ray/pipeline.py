@@ -5,8 +5,11 @@
       -> map_batches(MultiNNScorer)           stateful actor pool (weights)
       -> filter NONE                          emitted triples
       -> [checkpoint]
-      -> distinct surfaces -> alias map + connected components (small side)
-      -> map_batches(LinkEntities)            broadcast map-join + canonical rewrite
+      -> distinct surfaces (Dataset) -> GATE on surface count:
+           <= gate: alias map + union-find CC on driver, ray.put once
+                    -> map_batches(LinkEntities)   broadcast map-join
+           >  gate: distributed min-label CC + hash-partitioned joins
+                    (linked_triples_join — nothing driver-materialized)
       -> groupby dedup                        nodes + edges tables
 
 The stream stays lazy end-to-end; the only materialization points are
@@ -256,10 +259,11 @@ def _surface_batch(t: pa.Table) -> pa.Table:
     )
 
 
-def distinct_surfaces(triples: rd.Dataset) -> list[str]:
-    """Distinct mention surfaces via combiner + groupby (A4 pattern,
-    deterministic sorted order — SURVEY §7.6.1)."""
-    surf = (
+def distinct_surfaces_ds(triples: rd.Dataset) -> rd.Dataset:
+    """Distinct mention surfaces as a DATASET (surface) — combiner +
+    groupby (A4 pattern); stays distributed so the caller can gate on
+    its count before deciding to materialize a driver list."""
+    return (
         triples.map_batches(_surface_batch, batch_format="pyarrow")
         .map_batches(
             lambda t: pa.table({"surface": pc.unique(t["surface"].combine_chunks())}),
@@ -267,8 +271,198 @@ def distinct_surfaces(triples: rd.Dataset) -> list[str]:
         )
         .groupby("surface")
         .count()
+        .map_batches(
+            lambda t: pa.table({"surface": t["surface"]}), batch_format="pyarrow"
+        )
     )
-    return sorted(r["surface"] for r in surf.take_all())
+
+
+def distinct_surfaces(triples: rd.Dataset) -> list[str]:
+    """Distinct mention surfaces via combiner + groupby (A4 pattern,
+    deterministic sorted order — SURVEY §7.6.1).  Driver list — only
+    correct below the canonicalization broadcast gate."""
+    return sorted(r["surface"] for r in distinct_surfaces_ds(triples).take_all())
+
+
+def _canon_broadcast_max() -> int:
+    """Distinct-surface bound for the broadcast link/canon path.  Below
+    it the alias + canonical maps are driver dicts broadcast once
+    (vocabulary-bounded — the measured-fast path at bench scale);
+    above it `linked_triples_join` runs distributed CC + hash joins.
+    Env-overridable so tests force the distributed path."""
+    import os
+
+    return int(os.environ.get("DEEPIE_CANON_BROADCAST_MAX", "2000000"))
+
+
+def linked_triples_join(
+    triples: rd.Dataset,
+    surfaces: rd.Dataset | None = None,
+    num_partitions: int = 8,
+) -> rd.Dataset:
+    """Scale path for link + canonicalize (round-4 verdict #1): no
+    driver list, no broadcast dict.
+
+    * alias side: ``surface_link_ds`` — (surface, entity_id,
+      link_score) stays a hash-partitioned Dataset;
+    * canonicalization: distributed min-label connected components
+      (``ops/canon.connected_components``) over the candidate-edge
+      Dataset, then ONE left-outer join alias->labels (entities in no
+      component keep their own id via coalesce);
+    * rewrite: TWO hash-partitioned inner joins of the triples stream
+      against the canonical alias table (subj, then obj) — the
+      100-TB replacement for the broadcast map-join, at the cost of
+      shuffling the triples stream twice.
+
+    Output is row-for-row equal to the broadcast ``LinkEntities`` path
+    up to row order (joins shuffle; pytest pins sorted equality).
+    """
+    from .ops.canon import connected_components
+    from .ops.link import candidate_edges_ds, surface_link_ds
+
+    if surfaces is None:
+        surfaces = distinct_surfaces_ds(triples)
+    surfaces = surfaces.materialize()
+
+    alias = surface_link_ds(surfaces).repartition(num_partitions).materialize()
+    edges = candidate_edges_ds(surfaces).materialize()
+    if edges.count() > 0:
+        labels = connected_components(
+            edges, num_partitions=num_partitions
+        ).repartition(num_partitions)
+        joined = alias.join(
+            labels,
+            join_type="left_outer",
+            num_partitions=num_partitions,
+            on=("entity_id",),
+            right_on=("node",),
+        )
+        alias = joined.map_batches(
+            lambda t: pa.table(
+                {
+                    "surface": t["surface"],
+                    "entity_id": pc.coalesce(
+                        t["label"].combine_chunks().cast(pa.string()),
+                        t["entity_id"].combine_chunks(),
+                    ),
+                    "link_score": t["link_score"],
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    alias = alias.repartition(num_partitions).materialize()
+
+    cols = [c for c in triples.schema().names if c != "prob"]
+    t = triples
+    if "prob" in triples.schema().names:
+        t = t.drop_columns(["prob"])
+    t = t.repartition(num_partitions)
+
+    subj_side = alias.map_batches(
+        lambda t: pa.table(
+            {
+                "surface": t["surface"],
+                "subj_entity": t["entity_id"],
+                "link_score": t["link_score"],
+            }
+        ),
+        batch_format="pyarrow",
+    ).repartition(num_partitions)
+    obj_side = alias.map_batches(
+        lambda t: pa.table(
+            {"surface": t["surface"], "obj_entity": t["entity_id"]}
+        ),
+        batch_format="pyarrow",
+    ).repartition(num_partitions)
+
+    out = t.join(
+        subj_side,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("subj",),
+        right_on=("surface",),
+    ).join(
+        obj_side,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("obj",),
+        right_on=("surface",),
+    )
+    # broadcast-path column order: triples cols + appended link cols
+    order = cols + ["subj_entity", "obj_entity", "link_score"]
+    return out.map_batches(
+        lambda tb: tb.select(order), batch_format="pyarrow"
+    )
+
+
+class _Passthrough:
+    """Identity batch fn — lets CountingStage count a join-produced
+    stream (the distributed link path has no single actor stage to
+    wrap, so lineage counts ride a passthrough count stage)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return batch
+
+
+def link_and_canon(
+    triples: rd.Dataset,
+    counter=None,
+    broadcast_max: int | None = None,
+    num_partitions: int = 8,
+) -> rd.Dataset:
+    """Gated link + canonicalize (round-4 verdict #1).
+
+    Counts distinct surfaces first (one cheap aggregate over the
+    vocabulary-bounded surface set).  At or below the gate
+    (``DEEPIE_CANON_BROADCAST_MAX``, default 2M): today's measured-fast
+    path — driver alias dict + union-find canon map, ``ray.put`` once,
+    broadcast map-join in the ``LinkEntities`` actor pool.  Above it:
+    ``linked_triples_join`` — distributed min-label connected
+    components + hash-partitioned joins, nothing driver-materialized
+    beyond per-round convergence scalars.  Both paths are pinned
+    row-equal by pytest (sorted)."""
+    surf_ds = distinct_surfaces_ds(triples).materialize()
+    limit = _canon_broadcast_max() if broadcast_max is None else broadcast_max
+    if surf_ds.count() > limit:
+        linked = linked_triples_join(
+            triples, surfaces=surf_ds, num_partitions=num_partitions
+        )
+        if counter is not None:
+            from .ops.metrics import CountingStage
+
+            linked = linked.map_batches(
+                CountingStage,
+                fn_constructor_kwargs={
+                    "inner_cls": _Passthrough, "stage": "link", "counter": counter,
+                },
+                batch_format="pyarrow",
+                batch_size=8192,
+                concurrency=(1, 4),
+                **POOL_REMOTE_ARGS,
+            )
+        return linked
+
+    surfaces = sorted(r["surface"] for r in surf_ds.take_all())
+    alias_ref = ray.put(build_alias_map(surfaces))
+    canon_ref = ray.put(connected_components_driver(component_edges(surfaces)))
+    link_kwargs: dict = {"alias_ref": alias_ref, "canon_ref": canon_ref}
+    if counter is not None:
+        from .ops.metrics import CountingStage
+
+        link_fn, link_ctor = CountingStage, {
+            "inner_cls": LinkEntities, "stage": "link",
+            "counter": counter, "inner_kwargs": link_kwargs,
+        }
+    else:
+        link_fn, link_ctor = LinkEntities, link_kwargs
+    return triples.map_batches(
+        link_fn,
+        fn_constructor_kwargs=link_ctor,
+        batch_format="pyarrow",
+        batch_size=8192,
+        concurrency=(1, 8),
+        **POOL_REMOTE_ARGS,
+    )
 
 
 def build_graph(
@@ -344,17 +538,7 @@ def linked_triples(
             drop_none, batch_format="pyarrow"
         )
     triples = triples.materialize()
-    surfaces = distinct_surfaces(triples)
-    alias_ref = ray.put(build_alias_map(surfaces))
-    canon_ref = ray.put(connected_components_driver(component_edges(surfaces)))
-    return triples.map_batches(
-        LinkEntities,
-        fn_constructor_kwargs={"alias_ref": alias_ref, "canon_ref": canon_ref},
-        batch_format="pyarrow",
-        batch_size=8192,
-        concurrency=(1, 8),
-        **POOL_REMOTE_ARGS,
-    ).materialize()
+    return link_and_canon(triples).materialize()
 
 
 def run_kg(
@@ -403,30 +587,7 @@ def run_kg(
     else:
         triples = triples.materialize()
 
-    surfaces = distinct_surfaces(triples)
-    alias_map = build_alias_map(surfaces)
-    canon_map = connected_components_driver(component_edges(surfaces))
-    alias_ref = ray.put(alias_map)
-    canon_ref = ray.put(canon_map)
-
-    link_kwargs: dict = {"alias_ref": alias_ref, "canon_ref": canon_ref}
-    if counter is not None:
-        from .ops.metrics import CountingStage
-
-        link_fn, link_ctor = CountingStage, {
-            "inner_cls": LinkEntities, "stage": "link",
-            "counter": counter, "inner_kwargs": link_kwargs,
-        }
-    else:
-        link_fn, link_ctor = LinkEntities, link_kwargs
-    linked = triples.map_batches(
-        link_fn,
-        fn_constructor_kwargs=link_ctor,
-        batch_format="pyarrow",
-        batch_size=8192,
-        concurrency=(1, 8),
-        **POOL_REMOTE_ARGS,
-    )
+    linked = link_and_canon(triples, counter=counter)
     if checkpoint_dir:
         from .checkpoint import checkpoint_dataset
 

@@ -248,3 +248,44 @@ def test_kg_relation_schema_matches_driver_join(sf_dir):
     )
     # per-relation totals cover every edge exactly once
     assert out["n_edges"].sum() == len(edges)
+
+
+def test_link_canon_distributed_matches_broadcast(kg_result):
+    """Round-4 verdict #1: above the distinct-surface gate the
+    flagship link+canonicalize path runs distributed min-label CC +
+    hash-partitioned joins (no driver list, no broadcast dict).  Both
+    paths must emit identical linked triples (sorted; joins shuffle
+    row order)."""
+    import pandas as pd
+
+    bc = pipeline.link_and_canon(kg_result, broadcast_max=10**9).to_pandas()
+    dist = pipeline.link_and_canon(kg_result, broadcast_max=0).to_pandas()
+    assert list(bc.columns) == list(dist.columns)
+    bc = bc.sort_values("pair_id").reset_index(drop=True)
+    dist = dist.sort_values("pair_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(bc, dist)
+
+
+def test_forced_distributed_canon_same_graph(kg_result, monkeypatch):
+    """The env gate (DEEPIE_CANON_BROADCAST_MAX=0) forces the
+    distributed link/canon path through the flagship wiring
+    (link_and_canon with no explicit bound); the downstream
+    nodes/edges graph tables must be identical to the broadcast
+    path's."""
+    import pandas as pd
+
+    def graph_frames(linked):
+        nodes, edges = pipeline.build_graph(linked.materialize())
+        n = nodes.to_pandas().sort_values("entity_id").reset_index(drop=True)
+        e = (
+            edges.to_pandas()
+            .sort_values(["subj_entity", "pred_label", "obj_entity"])
+            .reset_index(drop=True)
+        )
+        return n, e
+
+    n_bc, e_bc = graph_frames(pipeline.link_and_canon(kg_result))
+    monkeypatch.setenv("DEEPIE_CANON_BROADCAST_MAX", "0")
+    n_d, e_d = graph_frames(pipeline.link_and_canon(kg_result))
+    pd.testing.assert_frame_equal(n_bc, n_d)
+    pd.testing.assert_frame_equal(e_bc, e_d)
