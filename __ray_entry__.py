@@ -314,6 +314,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triples": Q.kg_triples,
         "kg_triples_gru": Q.kg_triples_gru,
         "kg_triples_hybrid": Q.kg_triples_hybrid,
+        "kg_triples_hybrid_kernel": Q.kg_triples_hybrid_kernel,
         "kg_triples_dep": Q.kg_triples_dep,
         "kg_triples_ensemble": Q.kg_triples_ensemble,
         "kg_triples_att": Q.kg_triples_att,

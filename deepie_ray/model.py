@@ -1090,10 +1090,23 @@ def dual_cnn_forward(
     return probs.argmax(axis=1), probs.astype(np.float32)
 
 
-def product_of_experts(prob_list: list[np.ndarray]) -> tuple[np.ndarray, np.ndarray]:
+def product_of_experts(
+    prob_list: list[np.ndarray], log_bias: np.ndarray | None = None
+) -> tuple[np.ndarray, np.ndarray]:
     """Hybrid combiner (T4/T6): renormalized product of expert
     distributions (reference exp-sum formulation, rnnReModels.py:
-    1049-1146, in probability space)."""
+    1049-1146, in probability space).
+
+    ``log_bias``: optional (n, n_labels) additive log-space term — the
+    kernel-score expert (J3): the reference multiplies
+    ``exp(kernelScore)`` into the product (rnnReModels.py:1144-1146),
+    which is exactly adding kernelScore to the log-product here.  A
+    per-row CONSTANT bias (the reference's zeroed ``[-1.0]*nc``
+    vector) cancels in the stabilized softmax — the disabled case
+    keeps identical predictions and probabilities up to one float
+    rounding of the shift (test-pinned)."""
     logp = sum(np.log(np.clip(p, 1e-12, 1.0)) for p in prob_list)
+    if log_bias is not None:
+        logp = logp + log_bias
     probs = nn.softmax(logp)
     return probs.argmax(axis=1), probs.astype(np.float32)

@@ -201,7 +201,17 @@ class CNNScorer:
 class HybridScorer:
     """Product-of-experts: log-linear (MultiNN) x CNN, renormalized —
     the reference's hybrid model shape (``hybridModel``,
-    rnnReModels.py:1049-1146)."""
+    rnnReModels.py:1049-1146).
+
+    Kernel-score expert (J3/T6, rnnReModels.py:1144-1146): when the
+    batch carries a ``kernel_scores`` list<float32> column (fixed
+    label order = model.LABELS, the rnn_process_onlyExtra.py:267-275
+    re-key), the product is multiplied by ``exp(kernelScore)`` — a
+    log-space additive bias.  The reference zeroes that input to a
+    constant vector, and a constant cancels in the stabilized
+    softmax, so the zeroed case matches a batch without the column:
+    identical predictions, probabilities to float rounding
+    (test-pinned)."""
 
     def __init__(self, seed: int = M.DEFAULT_SEED):
         self.w_multi = M.init_weights(seed)
@@ -217,8 +227,51 @@ class HybridScorer:
         pos2 = batch["pos2"].to_numpy().astype(np.int64)
         lengths = batch["n_tokens"].to_numpy().astype(np.int64)
         _, p_cnn = M.cnn_forward(self.w_cnn, toks, pos1, pos2, lengths)
-        preds, probs = M.product_of_experts([p_multi, p_cnn])
+        log_bias = None
+        if "kernel_scores" in batch.column_names:
+            kern, _ = _list_column_to_numpy(batch["kernel_scores"])
+            log_bias = np.asarray(kern, np.float64).reshape(len(batch), M.N_LABELS)
+        preds, probs = M.product_of_experts([p_multi, p_cnn], log_bias=log_bias)
         return _emit(batch, preds, probs, getattr(self, "with_prob", True))
+
+
+def attach_kernel_scores(batch: pa.Table, salt: str = "kern:") -> pa.Table:
+    """Deterministic stand-in for the kernel SVM's per-class score
+    vector (no kernel SVM in this environment — SURVEY §7.6.5): per
+    (pair_id, label) a stable-hash uniform score in [-2, 2), the same
+    range synth.py's field-13 generator emits.  Content-addressed, so
+    any partitioning yields identical scores."""
+    from ..hashing import stable_u32
+
+    n = len(batch)
+    pair_ids = batch["pair_id"].to_pylist()
+    base = np.fromiter(
+        (stable_u32(p, salt) for p in pair_ids), np.uint64, count=n
+    )
+    lab = np.arange(M.N_LABELS, dtype=np.uint64)
+    mix = (base[:, None] * np.uint64(2654435761) + lab[None, :] * np.uint64(40503)) & np.uint64(
+        0xFFFFFFFF
+    )
+    scores = (mix % np.uint64(4000)).astype(np.float32) / 1000.0 - 2.0
+    off = np.arange(0, (n + 1) * M.N_LABELS, M.N_LABELS, dtype=np.int32)
+    col = pa.ListArray.from_arrays(
+        pa.array(off, pa.int32()), pa.array(scores.ravel(), pa.float32())
+    )
+    return batch.append_column("kernel_scores", col)
+
+
+class HybridKernelScorer(HybridScorer):
+    """T6 with the kernel-score expert LIVE (closes J3 — the single
+    reference component round 4 left out; the reference itself zeroes
+    the input at rnn_process_onlyExtra.py:267-275, so this is the
+    config no reference run exercises).  If the batch has no
+    ``kernel_scores`` column it attaches the deterministic stand-in
+    kernel output first."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if "kernel_scores" not in batch.column_names:
+            batch = attach_kernel_scores(batch)
+        return super().__call__(batch)
 
 
 class _TokenScorer:
@@ -587,6 +640,7 @@ MODELS: dict[str, type] = {
     "gru_head_bwd": GRUHeadBwdScorer,
     "cnn": CNNScorer,
     "hybrid": HybridScorer,
+    "hybrid_kernel": HybridKernelScorer,
     "gru_max": GRUMaxScorer,
     "gru_max_fwd": GRUMaxFwdScorer,
     "gru_max_bwd": GRUMaxBwdScorer,

@@ -1792,6 +1792,15 @@ def kg_triples_hybrid(sf_dir: str) -> rd.Dataset:
     return _kg_model_query(sf_dir, "hybrid")
 
 
+def kg_triples_hybrid_kernel(sf_dir: str) -> rd.Dataset:
+    """Hybrid product-of-experts WITH the kernel-score expert live
+    (J3/T6, reference ``hybridModel`` kernelFets branch — the
+    reference zeroes this input; here the deterministic stand-in
+    kernel output multiplies ``exp(kernelScore)`` into the product) —
+    rows-only."""
+    return _kg_model_query(sf_dir, "hybrid_kernel")
+
+
 def kg_triples_dep(sf_dir: str) -> rd.Dataset:
     """Dual-channel ``-dep`` extraction (sentence + dep-path-view biGRU
     channels, reference default seqType) — rows-only."""

@@ -164,6 +164,28 @@ def parse_kernel(field: str):
     return parts[0], " ".join(parts[1:])
 
 
+def kernel_score_vector(score_str: str) -> list[float]:
+    """J3 re-key (``rnn_process_onlyExtra.py:267-275`` — commented out
+    in the reference, live here): ``label:score ...`` -> fixed-order
+    float vector over ``model.LABELS``; absent labels keep the
+    reference default -1.0; an unknown label raises (the reference
+    exits with 'cannot find label in dict').  The empty string (no
+    field 13) yields the all--1.0 vector — the reference's zeroed
+    input, which the hybrid softmax cancels exactly."""
+    from ..model import LABEL_TO_ID, N_LABELS
+
+    kers = [-1.0] * N_LABELS
+    for e in score_str.split():
+        cut = e.rfind(":")
+        if cut < 0:
+            raise ValueError(f"bad kernel score entry: {e!r}")
+        k = e[:cut]
+        if k not in LABEL_TO_ID:
+            raise ValueError(f"cannot find label in dict: {k}")
+        kers[LABEL_TO_ID[k]] = float(e[cut + 1 :])
+    return kers
+
+
 def parse_ace_line(line: str, strict: bool = False) -> dict:
     """One TSV line -> one ACE_SCHEMA row dict.  Layout auto-detected
     by field count (14/13 = test layout, 12 = fold layout)."""
