@@ -54,10 +54,15 @@ def read_documents(sf_dir: str, num_blocks: int | None = None) -> rd.Dataset:
     interleave transform is the deterministic synth mapping
     (synth.py) standing in for a real Lance interleaved corpus.
     """
+    from .tuning import override_blocks_for
+
+    path = f"{sf_dir}/documents.parquet"
     ds = rd.read_parquet(
-        f"{sf_dir}/documents.parquet",
+        path,
         columns=["doc_id", "text"],
-        override_num_blocks=num_blocks or _default_blocks(),
+        override_num_blocks=(
+            num_blocks if num_blocks is not None else override_blocks_for(path)
+        ),
     )
     return ds.map_batches(interleave_batch, batch_format="pyarrow")
 

@@ -54,18 +54,28 @@ def _fp_roundtrip(t: pa.Table) -> pa.Table:
     )
 
 
+def _blocks(sf_dir: str, table: str) -> int | None:
+    """Scale-keyed ``override_num_blocks`` for a table read (round-4
+    verdict #6): the benchmark-scale count for small inputs, ``None``
+    (Ray's 128 MiB size-based default) once the file splits itself."""
+    from .tuning import override_blocks_for
+
+    return override_blocks_for(f"{sf_dir}/{table}.parquet")
+
+
 def _lineitem(sf_dir: str, cols: list[str]) -> rd.Dataset:
     return rd.read_parquet(
-        f"{sf_dir}/lineitem.parquet", columns=cols, override_num_blocks=read_blocks()
+        f"{sf_dir}/lineitem.parquet",
+        columns=cols,
+        override_num_blocks=_blocks(sf_dir, "lineitem"),
     )
 
 
 def _read(sf_dir: str, table: str, cols: list[str] | None = None) -> rd.Dataset:
-    # benchmark-scale block sizing (tuning.py); at 100TB leave the default
     return rd.read_parquet(
         f"{sf_dir}/{table}.parquet",
         columns=cols,
-        override_num_blocks=read_blocks(),
+        override_num_blocks=_blocks(sf_dir, table),
     )
 
 
@@ -90,16 +100,33 @@ def _round2_series(s: pd.Series) -> pd.Series:
 # --------------------------------------------------------------- relational
 
 
-# Bloom semi-join pushdown toggle for q5.  MEASURED at sf0.1/32cpus
+# Bloom semi-join pushdown for q5.  MEASURED at sf0.1/32cpus
 # (interleaved best-of-2, one session): OFF 6.55s vs ON 7.31s — at
 # bench scale the fixed costs (Bloom build pass + filter pool) exceed
-# the ~5x shuffle-volume saving on a 600k-row lineitem.  The default
-# is therefore OFF for the benchmark; at 100 TB the trade flips (the
-# pruned shuffle dominates, the filter stays a fixed-size broadcast)
-# and a deployment flips this flag.  The operator itself
+# the ~5x shuffle-volume saving on a 600k-row lineitem; at 100 TB the
+# trade flips (the pruned shuffle dominates, the filter stays a
+# fixed-size broadcast).  SCALE-KEYED (round-4 verdict #6): the
+# decision derives from the lineitem input size, so the same code
+# path is optimal at both scales.  Override: set Q5_BLOOM_PUSHDOWN to
+# True/False, or env DEEPIE_Q5_BLOOM=0/1.  The operator itself
 # (ops/joins.bloom_filter_keys / bloom_prefilter) is first-class and
 # join-equality + no-false-negative tested either way.
-Q5_BLOOM_PUSHDOWN = False
+Q5_BLOOM_PUSHDOWN: bool | None = None  # None = derive from input size
+Q5_BLOOM_MIN_BYTES = 256 * 1024 * 1024  # ~sf2+ lineitem; sf0.1 is ~11 MB
+
+
+def _q5_bloom_enabled(sf_dir: str) -> bool:
+    import os
+
+    env = os.environ.get("DEEPIE_Q5_BLOOM")
+    if env is not None:
+        return env.lower() not in ("", "0", "false", "off")
+    if Q5_BLOOM_PUSHDOWN is not None:
+        return Q5_BLOOM_PUSHDOWN
+    try:
+        return os.path.getsize(f"{sf_dir}/lineitem.parquet") >= Q5_BLOOM_MIN_BYTES
+    except OSError:
+        return False
 
 
 def q1_pricing_summary(sf_dir: str) -> rd.Dataset:
@@ -217,6 +244,7 @@ def q5_region_revenue(sf_dir: str) -> rd.Dataset:
     orders on custkey, supplier into the lineitem join on suppkey.  The
     AMERICA nation-key filter is pushed into the customer parquet read
     so only the region's customers leave storage."""
+    use_bloom = _q5_bloom_enabled(sf_dir)
     nation = _read(sf_dir, "nation").to_pandas()
     region = _read(sf_dir, "region").to_pandas()
     nk = nation.merge(
@@ -238,7 +266,7 @@ def q5_region_revenue(sf_dir: str) -> rd.Dataset:
         .select_columns(["o_orderkey", "c_nationkey"])
         .repartition(8)  # merge empty join-output blocks before the next join
     )
-    if Q5_BLOOM_PUSHDOWN:
+    if use_bloom:
         # two consumers (Bloom build + the lineitem join): pin once
         ordersc = ordersc.materialize()
 
@@ -249,7 +277,7 @@ def q5_region_revenue(sf_dir: str) -> rd.Dataset:
     # the AMERICA customer join, so a fixed-size Bloom of the surviving
     # orderkeys prunes lineitem BEFORE the big hash join — shuffle
     # volume drops ~5x; false positives are dropped by the join itself
-    if Q5_BLOOM_PUSHDOWN:
+    if use_bloom:
         okeys_bloom = joins.bloom_filter_keys(
             ordersc.select_columns(["o_orderkey"]), "o_orderkey"
         )
@@ -2219,7 +2247,7 @@ def _big_order_custkeys(sf_dir: str) -> rd.Dataset:
         f"{sf_dir}/orders.parquet",
         columns=["o_custkey"],
         filter=(pc.field("o_totalprice") > 400000.0),
-        override_num_blocks=read_blocks(),
+        override_num_blocks=_blocks(sf_dir, "orders"),
     )
 
 
@@ -2728,7 +2756,7 @@ def customer_big_order_coverage(sf_dir: str) -> rd.Dataset:
         f"{sf_dir}/orders.parquet",
         columns=["o_custkey"],
         filter=(pc.field("o_totalprice") > 400000.0),
-        override_num_blocks=read_blocks(),
+        override_num_blocks=_blocks(sf_dir, "orders"),
     )
     n_big = grouped_count(
         big.map_batches(
@@ -5889,13 +5917,13 @@ def q10_returned_items(sf_dir: str) -> pd.DataFrame:
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_custkey"],
         filter=(pc.field("o_orderdate") >= lo) & (pc.field("o_orderdate") < hi),
-        override_num_blocks=read_blocks(),
+        override_num_blocks=_blocks(sf_dir, "orders"),
     )
     li = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_extendedprice", "l_discount"],
         filter=(pc.field("l_returnflag") == "R"),
-        override_num_blocks=read_blocks(),
+        override_num_blocks=_blocks(sf_dir, "lineitem"),
     )
 
     def rev(t: pa.Table) -> pa.Table:
@@ -7078,7 +7106,7 @@ def orderkey_gaps(sf_dir: str) -> pd.DataFrame:
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey"],
         filter=(pc.field("o_totalprice") > 450000.0),
-        override_num_blocks=read_blocks(),
+        override_num_blocks=_blocks(sf_dir, "orders"),
     )
 
     def tag(t: pa.Table) -> pa.Table:
@@ -7799,7 +7827,7 @@ def q6_forecast_revenue(sf_dir: str) -> pd.DataFrame:
             & (pc.field("l_discount") <= 0.06)
             & (pc.field("l_quantity") < 24.0)
         ),
-        override_num_blocks=read_blocks(),
+        override_num_blocks=_blocks(sf_dir, "lineitem"),
     )
 
     def partial(t: pa.Table) -> pa.Table:
@@ -8015,7 +8043,7 @@ def q14_promo_revenue(sf_dir: str) -> pd.DataFrame:
         f"{sf_dir}/lineitem.parquet",
         columns=["l_partkey", "l_extendedprice", "l_discount"],
         filter=(pc.field("l_shipdate") >= lo) & (pc.field("l_shipdate") < hi),
-        override_num_blocks=read_blocks(),
+        override_num_blocks=_blocks(sf_dir, "lineitem"),
     )
     part = _read(sf_dir, "part", ["p_partkey", "p_type"])
     j = joins.hash_join(
@@ -8222,7 +8250,7 @@ def q19_disjunctive_revenue(sf_dir: str) -> pd.DataFrame:
         f"{sf_dir}/lineitem.parquet",
         columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
         filter=(pc.field("l_quantity") <= 30.0),
-        override_num_blocks=read_blocks(),
+        override_num_blocks=_blocks(sf_dir, "lineitem"),
     )
     part = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_size"])
     j = joins.hash_join(
@@ -9218,7 +9246,7 @@ def q4_order_priority(sf_dir: str) -> pd.DataFrame:
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
         filter=((pc.field("o_orderdate") >= lo) & (pc.field("o_orderdate") < hi)),
-        override_num_blocks=read_blocks(),
+        override_num_blocks=_blocks(sf_dir, "orders"),
     )
     empty = pd.DataFrame(
         {
@@ -9343,7 +9371,7 @@ def q8_market_share(sf_dir: str) -> pd.DataFrame:
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_custkey", "o_orderdate"],
         filter=((pc.field("o_orderdate") >= lo) & (pc.field("o_orderdate") < hi)),
-        override_num_blocks=read_blocks(),
+        override_num_blocks=_blocks(sf_dir, "orders"),
     )
     if orders.limit(1).count() == 0:
         return empty
@@ -9460,7 +9488,7 @@ def q12_late_shipment_priority(sf_dir: str) -> pd.DataFrame:
             (pc.field("l_shipdate") >= datetime(1997, 1, 1))
             & (pc.field("l_shipdate") < datetime(1998, 1, 1))
         ),
-        override_num_blocks=read_blocks(),
+        override_num_blocks=_blocks(sf_dir, "lineitem"),
     )
     empty = pd.DataFrame(
         {
@@ -9531,7 +9559,7 @@ def q13_customer_distribution(sf_dir: str) -> pd.DataFrame:
         f"{sf_dir}/orders.parquet",
         columns=["o_custkey"],
         filter=(pc.field("o_orderstatus") != "F"),
-        override_num_blocks=read_blocks(),
+        override_num_blocks=_blocks(sf_dir, "orders"),
     )
     counts = grouped_count(orders, ["o_custkey"], "c_count")
     cust = _read(sf_dir, "customer", ["c_custkey"])
@@ -9599,7 +9627,7 @@ def q15_top_supplier(sf_dir: str) -> pd.DataFrame:
             (pc.field("l_shipdate") >= datetime(1997, 1, 1))
             & (pc.field("l_shipdate") < datetime(1997, 4, 1))
         ),
-        override_num_blocks=read_blocks(),
+        override_num_blocks=_blocks(sf_dir, "lineitem"),
     )
     empty = pd.DataFrame(
         {
@@ -9723,7 +9751,7 @@ def q20_part_promotion(sf_dir: str) -> pd.DataFrame:
             (pc.field("l_shipdate") >= datetime(1997, 1, 1))
             & (pc.field("l_shipdate") < datetime(1998, 1, 1))
         ),
-        override_num_blocks=read_blocks(),
+        override_num_blocks=_blocks(sf_dir, "lineitem"),
     )
     empty = pd.DataFrame(
         {
@@ -10406,7 +10434,7 @@ def q2_min_cost_supplier(sf_dir: str) -> rd.Dataset:
         f"{sf_dir}/supplier.parquet",
         columns=["s_suppkey", "s_name", "s_nationkey", "s_acctbal"],
         filter=(pc.field("s_nationkey").isin(nat_keys)),
-        override_num_blocks=read_blocks(),
+        override_num_blocks=_blocks(sf_dir, "supplier"),
     ).map_batches(
         lambda t: pa.table(
             {
@@ -10425,7 +10453,7 @@ def q2_min_cost_supplier(sf_dir: str) -> rd.Dataset:
         f"{sf_dir}/part.parquet",
         columns=["p_partkey", "p_brand"],
         filter=(pc.field("p_size") == 15),
-        override_num_blocks=read_blocks(),
+        override_num_blocks=_blocks(sf_dir, "part"),
     )
     j = joins.hash_join(ps, supp, on="s_suppkey", num_partitions=8).repartition(8)
     j = joins.hash_join(j, parts, on="p_partkey", num_partitions=8).repartition(8)
@@ -11312,12 +11340,12 @@ def bloom_join_urgent_lineitems(sf_dir: str) -> pd.DataFrame:
             (pc.field("o_orderpriority") == "1-URGENT")
             & (pc.field("o_totalprice") > 400000.0)
         ),
-        override_num_blocks=read_blocks(),
+        override_num_blocks=_blocks(sf_dir, "orders"),
     )
     probe = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_extendedprice", "l_discount"],
-        override_num_blocks=read_blocks(),
+        override_num_blocks=_blocks(sf_dir, "lineitem"),
     )
     joined = bloom_prefilter_join(
         probe, build, on="l_orderkey", right_on="o_orderkey"

@@ -52,6 +52,33 @@ def read_blocks(lo: int = 8, hi: int = 32) -> int:
     return max(lo, min(hi, cpus))
 
 
+# Above this input size Ray's own 128 MiB-target size-based splitting
+# already yields >= 8 blocks, so the small-scale override would only
+# FIGHT the size-based default (fewer, oversized blocks).  Scale-keyed
+# (round-4 verdict #6): below -> read_blocks(); above -> None (leave
+# Ray's default — the 100-TB path), same code path at both scales.
+SIZE_KEYED_BLOCK_CUTOFF = 1 << 30  # 1 GiB
+
+
+def override_blocks_for(path) -> int | None:
+    """``override_num_blocks`` value for reading ``path``: the
+    benchmark-scale block count for small inputs, ``None`` (Ray's
+    size-based default) once the input is large enough to split
+    itself.  ``path`` may be a file or a directory of parts."""
+    import os
+
+    try:
+        if os.path.isdir(path):
+            size = sum(
+                e.stat().st_size for e in os.scandir(path) if e.is_file()
+            )
+        else:
+            size = os.path.getsize(path)
+    except OSError:
+        return read_blocks()
+    return None if size >= SIZE_KEYED_BLOCK_CUTOFF else read_blocks()
+
+
 def apply_recommended_context() -> None:
     from ray.data import DataContext
 
