@@ -121,23 +121,36 @@ def encode_column(
     ds: rd.Dataset, col: str, mapping: dict[str, int], out_col: str, default: int = 1
 ) -> rd.Dataset:
     """M12 second pass: broadcast dict -> vectorized id lookup (list or
-    scalar column).  ``default`` mirrors the reference's 'Other' id."""
+    scalar column).  ``default`` mirrors the reference's 'Other' id.
+
+    The lookup is one Arrow ``index_in`` against the broadcast key set
+    + a ``take`` on the id array (missing -> ``default`` via
+    fill_null) — no Python per value; null list rows encode as empty
+    lists (the row-path ``row or []`` rule)."""
+    import numpy as np
     import ray
 
-    map_ref = ray.put(mapping)
+    keys = pa.array(list(mapping.keys()), pa.string())
+    ids = pa.array(list(mapping.values()), pa.int32())
+    map_ref = ray.put((keys, ids))
 
     def enc(t: pa.Table) -> pa.Table:
-        m = ray.get(map_ref)
+        m_keys, m_ids = ray.get(map_ref)
         arr = t[col].combine_chunks()
         if pa.types.is_list(arr.type):
-            vals = [
-                [m.get(v, default) for v in (row or [])] for row in arr.to_pylist()
-            ]
-            col_arr = pa.array(vals, pa.list_(pa.int32()))
-        else:
-            col_arr = pa.array(
-                [m.get(v, default) for v in arr.to_pylist()], pa.int32()
+            lens = (
+                pc.fill_null(pc.list_value_length(arr), 0)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
             )
+            flat = arr.flatten()
+            looked = pc.take(m_ids, pc.index_in(flat, value_set=m_keys))
+            vals = pc.fill_null(looked, default).cast(pa.int32())
+            off = np.concatenate([[0], np.cumsum(lens)]).astype(np.int32)
+            col_arr = pa.ListArray.from_arrays(pa.array(off, pa.int32()), vals)
+        else:
+            looked = pc.take(m_ids, pc.index_in(arr, value_set=m_keys))
+            col_arr = pc.fill_null(looked, default).cast(pa.int32())
         return t.append_column(out_col, col_arr)
 
     return ds.map_batches(enc, batch_format="pyarrow")

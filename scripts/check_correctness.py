@@ -74,8 +74,17 @@ def compare(name: str, got: pd.DataFrame, want: pd.DataFrame) -> list[str]:
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    # optional: --json PATH writes one record per query in the
+    # driver's CORRECTNESS_r{N}.json shape (round-4 verdict #4 —
+    # the full-registry sweep as a per-round artifact)
+    argv = sys.argv[1:]
+    json_path = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_path = argv[i + 1]
+        argv = argv[:i] + argv[i + 2 :]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
     ray.init(
         address="local", num_cpus=8, include_dashboard=False, logging_level="ERROR"
     )
@@ -91,6 +100,7 @@ def main():
         )
 
     n_pass = n_fail = 0
+    records: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -99,15 +109,33 @@ def main():
             got = to_pandas(fn(sf_dir))
         except Exception as e:
             print(f"FAIL {name}: query raised {type(e).__name__}: {e}")
+            records[name] = {
+                "rows_match": False, "schema_match": False, "hash_match": False,
+                "spark_rows": None, "oracle_rows": None,
+                "err": f"{type(e).__name__}: {e}",
+            }
             n_fail += 1
             continue
         dt = time.monotonic() - t0
         if name not in sqls:
             print(f"ROWS-ONLY {name}: {len(got)} rows in {dt:.1f}s cols={list(got.columns)}")
+            records[name] = {
+                "rows_only": True, "spark_rows": int(len(got)),
+                "oracle_rows": None, "err": None, "secs": round(dt, 2),
+            }
             n_pass += 1
             continue
         want = con.execute(sqls[name]).df()
         problems = compare(name, got, want)
+        records[name] = {
+            "rows_match": not any(p.startswith("rows ") for p in problems),
+            "schema_match": not any(p.startswith("columns ") for p in problems),
+            "hash_match": not problems,
+            "spark_rows": int(len(got)),
+            "oracle_rows": int(len(want)),
+            "err": "; ".join(problems) or None,
+            "secs": round(dt, 2),
+        }
         if problems:
             print(f"FAIL {name} ({dt:.1f}s): " + "; ".join(problems))
             n_fail += 1
@@ -115,6 +143,12 @@ def main():
             print(f"PASS {name}: {len(got)} rows in {dt:.1f}s")
             n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail")
+    if json_path:
+        import json
+
+        with open(json_path, "w") as f:
+            json.dump(records, f, indent=1, sort_keys=True)
+        print(f"wrote {json_path} ({len(records)} records)")
     ray.shutdown()
     sys.exit(1 if n_fail else 0)
 
