@@ -534,8 +534,10 @@ def _run_scaling() -> None:
     # >= ~60s and compute (not pool spawn + ramp) dominates: rep=12
     # calibrated to 0.93-0.99 when the 2-cpu job ran ~43s; after the
     # session-5 speedups that job fell to ~16s and rep=12 read 0.39
-    # (overhead-dominated) while rep=48 reads 1.20 on the same build
-    pooled_2v8 = _measure_pair(2, 8, replicate=48, reps=2, mode="scaling_pooled")
+    # (overhead-dominated) while rep=48 reads 1.20 on the same build.
+    # Round 5's vectorized parse cut the rep=48 2-cpu job to ~26s
+    # (read 0.777); rep=144 restores a ~70s compute-dominated window
+    pooled_2v8 = _measure_pair(2, 8, replicate=144, reps=2, mode="scaling_pooled")
     controls = _controls(8, 32)
     print(
         json.dumps(

@@ -16,7 +16,8 @@ The stream stays lazy end-to-end; the only materialization points are
 (a) the emitted-triples checkpoint (consumed by three downstream
 branches — re-reading a checkpoint beats re-running parse+score three
 times, and it is the resume point), and (b) the vocabulary-bounded
-distinct-surface list (the broadcast small side).
+distinct-surface set (a driver list only BELOW the broadcast gate; a
+Dataset above it).
 """
 
 from __future__ import annotations
