@@ -44,11 +44,15 @@ _EMPTY_TOPK_RANKED = pa.table(
 
 def _to_matrix(col) -> np.ndarray:
     arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-    flat = arr.values.to_numpy(zero_copy_only=False).astype(np.float64)
     n = len(arr)
     if n == 0:
         return np.zeros((0, 0), dtype=np.float64)
-    return flat.reshape(n, -1)
+    # offset-safe: a sliced list array's .values spans the UNsliced
+    # child; strip via offsets before reshaping (latent today — map
+    # batches arrive whole — but free to make correct)
+    offs = arr.offsets.to_numpy(zero_copy_only=False)
+    flat = arr.values.to_numpy(zero_copy_only=False).astype(np.float64)
+    return flat[offs[0] : offs[-1]].reshape(n, -1)
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:

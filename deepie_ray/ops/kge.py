@@ -522,25 +522,34 @@ def predict_tails_distributed(
     Rv = np.stack([model["R"][ridx[r]] for _, r in valid])
     qref = ray.put((kind, [h for h, _ in valid], H, Rv, kk))
 
-    E = np.asarray(model["E"], dtype=np.float64)
+    E = np.ascontiguousarray(np.asarray(model["E"], dtype=np.float64))
     ent_arr = np.asarray(ents)
-    blocks = [
-        pa.table(
-            {
-                "ent": pa.array(ent_arr[lo : lo + block_rows], pa.string()),
-                "emb": pa.array(
-                    E[lo : lo + block_rows].tolist(), pa.list_(pa.float64())
-                ),
-            }
+    dim = E.shape[1]
+
+    def _block(lo: int) -> pa.Table:
+        blk = E[lo : lo + block_rows]
+        m = len(blk)
+        # numpy -> Arrow list column without boxing a Python float per
+        # cell (the driver holds >2M rows on exactly this path)
+        off = np.arange(0, (m + 1) * dim, dim, dtype=np.int32)
+        emb = pa.ListArray.from_arrays(
+            pa.array(off, pa.int32()), pa.array(blk.ravel(), pa.float64())
         )
-        for lo in range(0, n, block_rows)
-    ]
+        return pa.table(
+            {"ent": pa.array(ent_arr[lo : lo + block_rows], pa.string()), "emb": emb}
+        )
+
+    blocks = [_block(lo) for lo in range(0, n, block_rows)]
 
     def block_topk(t: pa.Table) -> pa.Table:
         bkind, heads, bH, bR, bk = ray.get(qref)
         ents_blk = np.asarray(t["ent"].to_pylist())
         arr = t["emb"].combine_chunks()
-        Eb = arr.values.to_numpy(zero_copy_only=False).reshape(len(arr), -1)
+        # offset-safe list decode (the score.py _list_column_to_numpy
+        # convention): strip any slice offset before reshaping
+        offs = arr.offsets.to_numpy(zero_copy_only=False)
+        vals = arr.values.to_numpy(zero_copy_only=False)
+        Eb = vals[offs[0] : offs[-1]].reshape(len(arr), -1)
         q_out, t_out, s_out = [], [], []
         for qi in range(len(heads)):
             d = _rank_keys_vs(bkind, Eb, bH[qi], bR[qi])

@@ -240,14 +240,17 @@ def attach_kernel_scores(batch: pa.Table, salt: str = "kern:") -> pa.Table:
     vector (no kernel SVM in this environment — SURVEY §7.6.5): per
     (pair_id, label) a stable-hash uniform score in [-2, 2), the same
     range synth.py's field-13 generator emits.  Content-addressed, so
-    any partitioning yields identical scores."""
-    from ..hashing import stable_u32
+    any partitioning yields identical scores.  Hashing is pandas'
+    C-level ``hash_array`` (fixed-key siphash — process-stable), not
+    a Python call per row: pair_ids are unique, so this runs in a hot
+    scorer stage with no memoization possible."""
+    import pandas as pd
 
     n = len(batch)
-    pair_ids = batch["pair_id"].to_pylist()
-    base = np.fromiter(
-        (stable_u32(p, salt) for p in pair_ids), np.uint64, count=n
-    )
+    col = batch["pair_id"].combine_chunks()
+    base = pd.util.hash_array(
+        col.to_numpy(zero_copy_only=False), hash_key=salt.ljust(16, "#")
+    ).astype(np.uint64)
     lab = np.arange(M.N_LABELS, dtype=np.uint64)
     mix = (base[:, None] * np.uint64(2654435761) + lab[None, :] * np.uint64(40503)) & np.uint64(
         0xFFFFFFFF

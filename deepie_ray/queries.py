@@ -32,10 +32,6 @@ from .ops import agg as agg_ops
 from .ops.agg import grouped_count
 
 
-from .tuning import read_blocks
-
-
-
 def _fp_roundtrip(t: pa.Table) -> pa.Table:
     """(doc_id, text, ...) -> (doc_id, fingerprint) md5 rows shared by
     the export round-trip checks — hashes the Arrow string buffer's
@@ -123,6 +119,10 @@ def _q5_bloom_enabled(sf_dir: str) -> bool:
         return env.lower() not in ("", "0", "false", "off")
     if Q5_BLOOM_PUSHDOWN is not None:
         return Q5_BLOOM_PUSHDOWN
+    if "://" in sf_dir:
+        # remote object storage is the at-scale deployment: the
+        # pruned shuffle dominates there, so the Bloom is ON
+        return True
     try:
         return os.path.getsize(f"{sf_dir}/lineitem.parquet") >= Q5_BLOOM_MIN_BYTES
     except OSError:

@@ -64,9 +64,14 @@ def override_blocks_for(path) -> int | None:
     """``override_num_blocks`` value for reading ``path``: the
     benchmark-scale block count for small inputs, ``None`` (Ray's
     size-based default) once the input is large enough to split
-    itself.  ``path`` may be a file or a directory of parts."""
+    itself.  ``path`` may be a file or a directory of parts.  A
+    remote URI (``s3://...`` — not stat-able locally) is assumed
+    LARGE: forcing <=32 oversized blocks on object storage is exactly
+    the failure the size key exists to avoid, so defer to Ray."""
     import os
 
+    if "://" in str(path):
+        return None
     try:
         if os.path.isdir(path):
             size = sum(

@@ -71,3 +71,14 @@ def test_q5_bloom_on_equals_off(ray_session, sf_dir, monkeypatch):
     monkeypatch.setenv("DEEPIE_Q5_BLOOM", "1")
     on = Q.q5_region_revenue(sf_dir).to_pandas().reset_index(drop=True)
     pd.testing.assert_frame_equal(off, on)
+
+
+def test_remote_uri_takes_the_scale_path(monkeypatch):
+    """A non-stat-able remote URI is the at-scale deployment: block
+    override defers to Ray's size-based splitting, and q5's Bloom
+    pushdown is ON (round-5 review findings)."""
+    from deepie_ray import queries as Q
+
+    assert override_blocks_for("s3://bucket/sf100tb/lineitem.parquet") is None
+    monkeypatch.delenv("DEEPIE_Q5_BLOOM", raising=False)
+    assert Q._q5_bloom_enabled("s3://bucket/sf100tb") is True
