@@ -302,6 +302,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_pq": Q.ann_topk_pq,
         "ann_topk_hnsw": Q.ann_topk_hnsw,
         "ann_topk_hnsw_ivf": Q.ann_topk_hnsw_ivf,
+        "ann_topk_ivf_pq": Q.ann_topk_ivf_pq,
         "ngram_jaccard_pairs": Q.ngram_jaccard_pairs,
         "contamination_bloom": Q.contamination_bloom,
         "duplicate_spans_winnowed": Q.duplicate_spans_winnowed,

@@ -1561,6 +1561,7 @@ def ann_recall_report(sf_dir: str) -> pa.Table:
         ("ivf", recall_of(ann_topk_ivf(sf_dir).to_pandas())),
         ("pq", recall_of(ann_topk_pq(sf_dir).to_pandas())),
         ("hnsw", recall_of(ann_topk_hnsw(sf_dir).to_pandas())),
+        ("ivf_pq", recall_of(ann_topk_ivf_pq(sf_dir).to_pandas())),
     ]
     return pa.table(
         {
@@ -1616,6 +1617,20 @@ def ann_topk_hnsw_ivf(sf_dir: str) -> rd.Dataset:
     ids, mat = _query_vectors(sf_dir)
     corpus = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     return ann.hnsw_ivf_topk(corpus, ids, mat, k=10, n_cells=8, nprobe=4)
+
+
+def ann_topk_ivf_pq(sf_dir: str) -> rd.Dataset:
+    """IVF-PQ ANN (ops/ann.ivf_pq_topk — the FAISS-IVFADC
+    composition): coarse-quantizer query routing AND residual-PQ
+    compressed scanning in one operator; a scanned vector costs
+    n_subspaces bytes, and only vectors in a query's probed cells are
+    scored.  Approximate; rows-only for the driver, recall-vs-exact
+    pinned by pytest."""
+    ids, mat = _query_vectors(sf_dir)
+    corpus = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return ann.ivf_pq_topk(
+        corpus, ids, mat, k=10, n_cells=16, nprobe=6, n_subspaces=8, n_codes=16
+    )
 
 
 def ngram_jaccard_pairs(sf_dir: str) -> rd.Dataset:

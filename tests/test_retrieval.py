@@ -214,3 +214,91 @@ def test_mmr_demotes_planted_duplicates(ray_session):
     n_clones_mmr = (mmr["neighbor_id"] < 5).sum()
     assert n_clones_plain == 5
     assert n_clones_mmr <= 2
+
+
+def test_ivf_pq_topk_recall_on_clustered(ray_session):
+    """IVF-PQ (residual-ADC within probed cells): with nprobe covering
+    the true cell and clustered vectors, recall@10 vs brute force
+    stays usable — the doubly-approximate composition's pinned
+    contract."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from deepie_ray.ops import ann
+
+    rng = np.random.default_rng(23)
+    centers = rng.standard_normal((8, 32)) * 3.0
+    n = 1600
+    X = centers[rng.integers(0, 8, n)] + 0.15 * rng.standard_normal((n, 32))
+    X = ann._normalize(X)
+    ids = np.arange(n, dtype=np.int64)
+    corpus = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "embedding": pa.array(
+                    [row.tolist() for row in X], pa.list_(pa.float64())
+                ),
+            }
+        )
+    ).repartition(4)
+    qids = ids[:8]
+
+    def recall(ds):
+        got = ds.to_pandas().groupby("query_id")["neighbor_id"].apply(set)
+        hits = total = 0
+        for q in qids:
+            sims = X @ X[q]
+            sims[q] = -2.0
+            true = set(np.argsort(-sims)[:10])
+            hits += len(true & got.get(q, set()))
+            total += 10
+        return hits / total
+
+    r_ivfpq = recall(
+        ann.ivf_pq_topk(
+            corpus, qids, X[:8], k=10, n_cells=8, nprobe=4,
+            n_subspaces=16, n_codes=32,
+        )
+    )
+    assert r_ivfpq >= 0.5, r_ivfpq
+    # the composition's claim: residual encoding beats raw PQ at the
+    # same codebook budget on clustered data (seeded, deterministic —
+    # measured 0.61 vs 0.44)
+    r_pq = recall(
+        ann.pq_topk(corpus, qids, X[:8], k=10, n_subspaces=16, n_codes=32)
+    )
+    assert r_ivfpq >= r_pq, (r_ivfpq, r_pq)
+
+
+def test_ivf_pq_empty_corpus_graceful(ray_session):
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from deepie_ray.ops import ann
+
+    corpus = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array([], pa.int64()),
+                "embedding": pa.array([], pa.list_(pa.float64())),
+            }
+        )
+    )
+    q = ann._normalize(np.ones((2, 8)))
+    ds = ann.ivf_pq_topk(corpus, np.array([1, 2], dtype=np.int64), q, k=5)
+    assert set(ds.schema().names) == {"query_id", "neighbor_id", "rank"}
+    assert ds.count() == 0
+
+
+def test_ann_topk_ivf_pq_query_entry(ray_session, sf_dir):
+    import __ray_entry__ as e
+
+    out = e.queries()["ann_topk_ivf_pq"](sf_dir).to_pandas()
+    assert set(out.columns) == {"query_id", "neighbor_id", "rank"}
+    assert len(out) > 0
+    assert out.groupby("query_id")["rank"].max().max() <= 10
