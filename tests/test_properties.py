@@ -247,3 +247,58 @@ def test_sorted_grouped_head_property_vs_pandas(pairs, nparts, k):
     )
     got_vals = got.groupby("k")["v"].apply(lambda s: sorted(s.tolist()))
     assert got_vals.to_dict() == want_vals.to_dict()
+
+
+# ---------------------------------------------------- vectorized parse fuzz
+
+_span_text = st.text(
+    alphabet=st.characters(
+        codec="utf-8",
+        categories=("L", "N", "P", "Zs", "Cc"),
+    ),
+    max_size=80,
+)
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.tuples(st.sampled_from(["text", "image", "audio"]), _span_text),
+            max_size=4,
+        ),
+        min_size=0,
+        max_size=8,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_vectorized_parse_matches_row_path_fuzz(docs_spec):
+    """Round-5 vectorized parse == row-oriented twin on arbitrary
+    span structures and unicode/control-character text (tokenization,
+    sentence numbering, window/cap enumeration, feature sets, token
+    ids — full-table equality, both with_tokens modes)."""
+    from deepie_ray.ops import parse
+    from deepie_ray.schema import DOCUMENTS, SPAN_STRUCT
+
+    rows = []
+    for d, spans in enumerate(docs_spec):
+        span_dicts = [
+            {
+                "kind": kind,
+                "text": text if kind == "text" else "",
+                "media_ref": "" if kind == "text" else f"m{j}",
+                "offset": j,
+            }
+            for j, (kind, text) in enumerate(spans)
+        ]
+        rows.append((f"d{d}", span_dicts))
+    tbl = pa.Table.from_arrays(
+        [
+            pa.array([r[0] for r in rows], pa.string()),
+            pa.array([r[1] for r in rows], pa.list_(SPAN_STRUCT)),
+        ],
+        schema=DOCUMENTS,
+    )
+    for wt in (False, True):
+        a = parse.extract_pairs_rows_fn(tbl, wt)
+        b = parse.extract_pairs_fn(tbl, wt)
+        assert a.equals(b), f"with_tokens={wt}"
