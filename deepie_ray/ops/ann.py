@@ -340,6 +340,19 @@ def pq_train(
     return books
 
 
+def _pq_encode(M: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """PQ-encode rows of M (one argmin per subspace) -> (n, S) codes.
+    Shared by both ADC paths (raw PQTopK and residual IVFPQTopK) so
+    the encode cannot drift between them."""
+    S, K, dsub = books.shape
+    codes = np.zeros((len(M), S), dtype=np.int64)
+    for s in range(S):
+        xs = M[:, s * dsub : (s + 1) * dsub]
+        d2 = ((xs[:, None, :] - books[s][None, :, :]) ** 2).sum(axis=2)
+        codes[:, s] = d2.argmin(axis=1)
+    return codes
+
+
 class PQTopK:
     """ADC (asymmetric distance computation) batch stage: corpus
     vectors are PQ-encoded on the fly (one argmin per subspace — the
@@ -372,11 +385,7 @@ class PQTopK:
         M = _normalize(_to_matrix(batch["embedding"]))
         ids = batch["vec_id"].to_numpy()
         S, K, dsub = self.books.shape
-        codes = np.zeros((len(M), S), dtype=np.int64)
-        for s in range(S):
-            xs = M[:, s * dsub : (s + 1) * dsub]
-            d2 = ((xs[:, None, :] - self.books[s][None, :, :]) ** 2).sum(axis=2)
-            codes[:, s] = d2.argmin(axis=1)
+        codes = _pq_encode(M, self.books)
         # approx squared distance per (query, vec): gather + sum over s
         d2 = np.zeros((self.lut.shape[0], len(M)))
         for s in range(S):
@@ -482,12 +491,7 @@ class IVFPQTopK:
         ids = batch["vec_id"].to_numpy()
         S, K, dsub = self.books.shape
         assign = (M @ self.C.T).argmax(axis=1)
-        R = M - self.C[assign]
-        codes = np.zeros((len(M), S), dtype=np.int64)
-        for s in range(S):
-            rs = R[:, s * dsub : (s + 1) * dsub]
-            d2 = ((rs[:, None, :] - self.books[s][None, :, :]) ** 2).sum(axis=2)
-            codes[:, s] = d2.argmin(axis=1)
+        codes = _pq_encode(M - self.C[assign], self.books)
         out_q, out_n, out_s = [], [], []
         for cell in np.unique(assign):
             q_list = self.cell_queries.get(int(cell))
@@ -501,10 +505,15 @@ class IVFPQTopK:
                 for s in range(S):
                     d2 += lut[s, mcodes[:, s]]
                 sims = 1.0 - d2 / 2.0
-                sims = np.where(ids[members] == self.qids[qi], -2.0, sims)
+                # residual-ADC d2 can exceed 6 for an outermost probed
+                # cell, so legitimate scores reach below -2.0 — the
+                # self-exclusion sentinel must be -inf, not -2.0
+                sims = np.where(
+                    ids[members] == self.qids[qi], -np.inf, sims
+                )
                 kk = min(self.k, len(members))
                 top = np.argpartition(-sims, kk - 1)[:kk]
-                keep = sims[top] > -2.0
+                keep = np.isfinite(sims[top])
                 out_q.extend([self.qids[qi]] * int(keep.sum()))
                 out_n.extend(ids[members][top][keep])
                 out_s.extend(sims[top][keep])

@@ -1540,7 +1540,8 @@ def ann_topk(sf_dir: str) -> rd.Dataset:
 
 def ann_recall_report(sf_dir: str) -> pa.Table:
     """ANN quality EVALUATION -> (variant, recall_pct): recall@10 of
-    each approximate index family (LSH / IVF / PQ-ADC) against the
+    each approximate index family (LSH / IVF / PQ-ADC / per-shard
+    HNSW / IVF-PQ residual-ADC) against the
     brute-force ground truth, as integer percent (floor) averaged over
     the query set — the measure-don't-guess harness a vector-search
     deployment runs before trusting an index.  Each variant's result
